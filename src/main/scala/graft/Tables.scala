@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** Loader for the driver's deterministic testdata tables (TESTDATA.md).
+  *
+  * Each table is a single parquet file under `sfDir`. At cluster scale the
+  * same call sites would point at a partitioned table root; every query in
+  * this engine is written so that Catalyst can push filters and prune
+  * columns down to this scan (verified via `.explain("formatted")` in
+  * PlanSpec).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects. Read nanos as long and floor-divide to micros —
+      // the same ns→µs truncation DuckDB applies, so oracle results line
+      // up exactly.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+}

@@ -1,0 +1,284 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and document-deduplication surface for training-data
+  * pipelines (the 100 TB extension mandated alongside SURVEY §2): token
+  * counting, quality scoring, language-ID, fingerprinting, exact dedup,
+  * MinHash+LSH and SimHash near-dup, n-gram Jaccard.
+  *
+  * Everything is built from codegen'd built-in expressions (split/
+  * transform/aggregate/md5) — no UDFs — so whole-stage codegen covers the
+  * hot path and the same plan distributes: per-doc work is embarrassingly
+  * parallel; the only shuffles are the groupBy(doc_id) signature build and
+  * the band-bucket self-join, both on keys that stay well-distributed.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  /** Tokens of `text` split on whitespace (trimmed). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Positional word 3-gram shingles; empty array for docs under 3 tokens
+    * (guarded — Spark's sequence(1,0) would run DESCENDING otherwise). */
+  val shinglesExpr: String =
+    """CASE WHEN size(toks) < 3 THEN array()
+      |     ELSE transform(sequence(1, size(toks) - 2),
+      |                    i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))
+      |END""".stripMargin
+
+  private def withShingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", explode(expr(shinglesExpr)).as("shingle"))
+      .distinct()
+  }
+
+  /** DuckDB-side shingle CTE matching [[withShingles]] (list comprehension
+    * replaces Spark's transform+sequence). */
+  private val shingleCte: String =
+    """sh AS (SELECT DISTINCT doc_id,
+      |  unnest(CASE WHEN len(toks) < 3 THEN []
+      |              ELSE [array_to_string(toks[i:i+2], ' ')
+      |                    FOR i IN generate_series(1, len(toks) - 2)] END) AS shingle
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents))""".stripMargin
+
+  /** Token counting + per-language corpus stats (the "token budget"
+    * aggregation every training-data pipeline starts with). */
+  def q25DocStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"lang", size(tokens($"text")).cast("long").as("n_tokens"),
+              length($"text").cast("long").as("text_len"), $"n_chars")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_tokens").as("total_tokens"),
+           avg($"n_tokens").as("avg_tokens"),
+           sum($"n_chars").as("total_chars"),
+           avg($"text_len").as("avg_text_len"))
+  }
+
+  val q25Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+      |  avg(len(string_split_regex(trim(text), '\s+'))) AS avg_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  avg(length(text)) AS avg_text_len
+      |FROM documents
+      |GROUP BY lang""".stripMargin
+
+  /** Quality scoring: token count, stopword ratio (list_filter over the
+    * token array — word-boundary exact, not substring), length band. The
+    * score is a deterministic arithmetic formula so the DuckDB oracle
+    * reproduces it bit-for-bit (modulo driver rounding). */
+  def q26QualityScore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        size(expr("filter(toks, x -> x IN ('the', 'a', 'of', 'and'))")).cast("long").as("n_stopwords"))
+      .withColumn("stopword_ratio", $"n_stopwords" / $"n_tokens")
+      .withColumn("quality_score",
+        least($"n_tokens" / 100.0, lit(1.0)) * (lit(1.0) - $"stopword_ratio"))
+  }
+
+  val q26Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_stopwords,
+      |  len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) / len(toks) AS stopword_ratio,
+      |  least(len(toks) / 100.0, 1.0)
+      |    * (1.0 - len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) / len(toks)) AS quality_score
+      |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)""".stripMargin
+
+  /** Language-ID by stopword-profile scoring (n-gram-heuristic family):
+    * count profile hits per language over the token array, argmax with a
+    * fixed precedence tie-break. (The corpus is synthetic word-soup; the
+    * operator's value is the deterministic, distributable shape.) */
+  def q27LangId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id", $"lang", tokens($"text").as("toks"))
+      .select($"doc_id", $"lang",
+        size(expr("filter(toks, x -> x IN ('the', 'a', 'of'))")).cast("long").as("en_hits"),
+        size(expr("filter(toks, x -> x IN ('der', 'die', 'und'))")).cast("long").as("de_hits"),
+        size(expr("filter(toks, x -> x IN ('el', 'la', 'de'))")).cast("long").as("es_hits"))
+      .withColumn("lang_guess",
+        when($"en_hits" >= $"de_hits" && $"en_hits" >= $"es_hits", "en")
+          .when($"de_hits" >= $"es_hits", "de")
+          .otherwise("es"))
+  }
+
+  val q27Sql: String =
+    """SELECT doc_id, lang,
+      |  CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of'))) AS BIGINT) AS en_hits,
+      |  CAST(len(list_filter(toks, x -> x IN ('der', 'die', 'und'))) AS BIGINT) AS de_hits,
+      |  CAST(len(list_filter(toks, x -> x IN ('el', 'la', 'de'))) AS BIGINT) AS es_hits,
+      |  CASE WHEN len(list_filter(toks, x -> x IN ('the', 'a', 'of'))) >= len(list_filter(toks, x -> x IN ('der', 'die', 'und')))
+      |        AND len(list_filter(toks, x -> x IN ('the', 'a', 'of'))) >= len(list_filter(toks, x -> x IN ('el', 'la', 'de')))
+      |       THEN 'en'
+      |       WHEN len(list_filter(toks, x -> x IN ('der', 'die', 'und'))) >= len(list_filter(toks, x -> x IN ('el', 'la', 'de')))
+      |       THEN 'de' ELSE 'es' END AS lang_guess
+      |FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks FROM documents)""".stripMargin
+
+  /** Exact content dedup (hash-groupBy — the D1 shape at corpus scale):
+    * canonical hash of normalized text, one keeper per group (min doc_id),
+    * copy count. One shuffle on the hash; combiner-friendly. */
+  def q28ExactDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id", md5(trim($"text")).as("text_hash"))
+      .groupBy($"text_hash")
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+  }
+
+  val q28Sql: String =
+    """SELECT md5(trim(text)) AS text_hash, min(doc_id) AS keeper_id,
+      |       count(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
+  /** Document fingerprinting: stable 16-hex-char fingerprint of the
+    * whitespace-normalized lowercase text (md5-prefix family; the rolling
+    * polynomial variant lives in TextFingerprint with its own spec). */
+  def q29Fingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id",
+        substring(md5(regexp_replace(lower(trim($"text")), "\\s+", " ")), 1, 16).as("fingerprint"),
+        $"source")
+  }
+
+  val q29Sql: String =
+    """SELECT doc_id,
+      |  substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fingerprint,
+      |  source
+      |FROM documents""".stripMargin
+
+  /** MinHash + LSH near-dup candidates: distinct 3-gram shingles →
+    * 8 MinHash signatures (min over md5(seed‖shingle) — lexicographic min
+    * on hex is engine-portable) → 4 bands of 2 → candidate pairs sharing a
+    * band bucket. The self-join is on (band, bucket) — at 100 TB the
+    * bucket cardinality keeps this shuffle fine-grained, and no pairwise
+    * work happens outside colliding buckets (that is the LSH point). */
+  def q30MinHashLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = withShingles(s, d)
+    val hashes = (0 until 8).map(i => min(md5(concat(lit(i.toString), $"shingle"))).as(s"h$i"))
+    val sig = sh.groupBy($"doc_id").agg(hashes.head, hashes.tail: _*)
+    val bands = sig.selectExpr("doc_id",
+      "stack(4, 0, concat(h0, h1), 1, concat(h2, h3), 2, concat(h4, h5), 3, concat(h6, h7)) AS (band, bucket)")
+    bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+  }
+
+  val q30Sql: String =
+    s"""WITH $shingleCte,
+      |sig AS (SELECT doc_id,
+      |  min(md5('0' || shingle)) h0, min(md5('1' || shingle)) h1,
+      |  min(md5('2' || shingle)) h2, min(md5('3' || shingle)) h3,
+      |  min(md5('4' || shingle)) h4, min(md5('5' || shingle)) h5,
+      |  min(md5('6' || shingle)) h6, min(md5('7' || shingle)) h7
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, h0 || h1 AS bucket FROM sig
+      |  UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+      |  UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+      |  UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
+
+  /** n-gram Jaccard similarity: pairs sharing ≥1 shingle, scored
+    * |A∩B| / |A∪B|, thresholded. Shared-shingle join means pairwise work
+    * is proportional to actual overlap, not n² — the distributable form
+    * of pairwise Jaccard. */
+  def q31JaccardPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = withShingles(s, d)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    val shared = sh.as("a").join(sh.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .withColumn("jaccard", $"n_shared" / ($"na" + $"nb" - $"n_shared"))
+      .where($"jaccard" >= 0.10)
+      .select($"doc_a", $"doc_b", $"n_shared", $"jaccard")
+  }
+
+  val q31Sql: String =
+    s"""WITH $shingleCte,
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_shared,
+      |       n_shared / (sa.n + sb.n - n_shared) AS jaccard
+      |FROM shared
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE n_shared / (sa.n + sb.n - n_shared) >= 0.10""".stripMargin
+
+  /** SimHash: 16-bit signature; bit i is the sign of the sum over distinct
+    * tokens of ±1 by the i-th md5 nibble's high bit. Groups by signature
+    * to surface hash-bucket sizes (near-dup docs collide). All built-ins:
+    * explode → 16 conditional sums → bit-string concat. */
+  def q32SimHash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, d)
+      .select($"doc_id", explode(array_distinct(tokens($"text"))).as("tok"))
+      .withColumn("h", md5($"tok"))
+    val bitSums = (1 to 16).map { i =>
+      sum(when(expr(s"instr('0123456789abcdef', substring(h, $i, 1)) - 1") >= 8, 1)
+        .otherwise(-1)).as(s"s$i")
+    }
+    val bits = (1 to 16).map(i => when(col(s"s$i") >= 0, "1").otherwise("0"))
+    toks.groupBy($"doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", concat(bits: _*).as("simhash"))
+  }
+
+  val q32Sql: String = {
+    val sums = (1 to 16).map(i =>
+      s"sum(CASE WHEN instr('0123456789abcdef', substring(h, $i, 1)) - 1 >= 8 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(",\n  ")
+    val bits = (1 to 16).map(i => s"CASE WHEN s$i >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    raw"""WITH toks AS (SELECT DISTINCT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+      |              FROM documents),
+      |hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+      |sums AS (SELECT doc_id,
+      |  $sums
+      |  FROM hashed GROUP BY doc_id)
+      |SELECT doc_id, $bits AS simhash FROM sums""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_doc_stats" -> (q25DocStats _),
+    "q26_quality_score" -> (q26QualityScore _),
+    "q27_lang_id" -> (q27LangId _),
+    "q28_exact_dedup_docs" -> (q28ExactDedup _),
+    "q29_fingerprint" -> (q29Fingerprint _),
+    "q30_minhash_lsh" -> (q30MinHashLsh _),
+    "q31_jaccard_pairs" -> (q31JaccardPairs _),
+    "q32_simhash" -> (q32SimHash _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q25_doc_stats" -> q25Sql,
+    "q26_quality_score" -> q26Sql,
+    "q27_lang_id" -> q27Sql,
+    "q28_exact_dedup_docs" -> q28Sql,
+    "q29_fingerprint" -> q29Sql,
+    "q30_minhash_lsh" -> q30Sql,
+    "q31_jaccard_pairs" -> q31Sql,
+    "q32_simhash" -> q32Sql)
+}

@@ -1,0 +1,179 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (`embeddings.embedding:
+  * Array[Float]`): brute-force cosine top-k as the exact baseline, a
+  * sign-random-projection LSH-bucketed variant as the scale path, and
+  * exact near-dup pairs.
+  *
+  * Dot products are `zip_with` + `aggregate` over the array — native
+  * Catalyst higher-order functions, no UDF, so the whole scoring pipeline
+  * stays inside codegen. Arrays are cast to double first: cross-engine
+  * float summation order would otherwise wobble the low bits.
+  */
+object VectorOps {
+
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"), $"label")
+  }
+
+  /** dot(a, b) as a codegen'd fold. */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+
+  private def cosine(a: String, b: String): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force cosine top-k: 10 query vectors × all candidates, rank by
+    * similarity (vec_id tie-break), keep top 5. The query side is
+    * broadcast, so candidates never shuffle — at 100 TB the scan is
+    * embarrassingly parallel and only k rows per query survive the
+    * window. (Scale path: q34's LSH buckets.) */
+  def q33KnnBruteForce(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    val queries = e.where($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val scored = e.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .withColumn("sim", cosine("qv", "v"))
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .where($"rank" <= 5)
+      .select($"q_id", $"vec_id".as("neighbor_id"), $"rank".cast("long").as("rank"),
+              round($"sim", 6).as("sim"))
+  }
+
+  val q33Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.q_id, e.vec_id,
+      |         list_dot_product(q.qv, e.v)
+      |           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+      |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+      |ranked AS (SELECT q_id, vec_id, sim,
+      |                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |           FROM scored)
+      |SELECT q_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+      |       round(sim, 6) AS sim
+      |FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** LSH-bucketed ANN (sign random projection): bucket key = sign bits of
+    * the first 8 components; queries only score candidates in their own
+    * bucket. This is the 100 TB shape — the bucket join replaces the cross
+    * join, cutting candidates ~2^8× (with real hyperplanes the projections
+    * would be seeded random vectors; sign-of-component is the deterministic,
+    * oracle-reproducible stand-in with identical plan shape). */
+  def q34AnnLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucketed = emb(s, d).withColumn("bucket",
+      concat((1 to 8).map(i => when(expr(s"v[${i - 1}]") >= 0, "1").otherwise("0")): _*))
+    val queries = bucketed.where($"vec_id" < 50)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"bucket")
+    val scored = bucketed.join(queries, Seq("bucket"))
+      .where($"vec_id" =!= $"q_id")
+      .withColumn("sim", cosine("qv", "v"))
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .where($"rank" <= 3)
+      .select($"q_id", $"vec_id".as("neighbor_id"), $"rank".cast("long").as("rank"),
+              round($"sim", 6).as("sim"))
+  }
+
+  val q34Sql: String = {
+    val bits = (1 to 8).map(i => s"CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |                  $bits AS bucket
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id < 50),
+      |scored AS (
+      |  SELECT q.q_id, e.vec_id,
+      |         list_dot_product(q.qv, e.v)
+      |           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+      |  FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.q_id),
+      |ranked AS (SELECT q_id, vec_id, sim,
+      |                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |           FROM scored)
+      |SELECT q_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+      |       round(sim, 6) AS sim
+      |FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold (exact; the
+    * LSH-bucketed q34 is the subquadratic variant). Ordered pair key
+    * a < b halves the work; in production this would first bucket by LSH
+    * and only score within buckets. */
+  def q35CosineNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    val a = e.select($"vec_id".as("id_a"), $"v".as("va"))
+    val b = e.select($"vec_id".as("id_b"), $"v".as("vb"))
+    a.join(b, $"id_a" < $"id_b")
+      .withColumn("sim", cosine("va", "vb"))
+      .where($"sim" >= 0.40)
+      .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
+  }
+
+  val q35Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |       round(list_dot_product(a.v, b.v)
+      |         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v)
+      |        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.40""".stripMargin
+
+  /** Centroid per label (the IVF coarse-quantizer build step): element-wise
+    * mean vector via explode + posexplode-free aggregation, then each
+    * vector's distance to its own centroid. Demonstrates array-column
+    * aggregation without UDAFs. */
+  def q36LabelCentroidDist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    val dims = e.select($"label", posexplode($"v").as(Seq("dim", "x")))
+    val centroids = dims.groupBy($"label", $"dim").agg(avg($"x").as("c"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"dim", $"c"))).as("pairs"))
+      .select($"label", expr("transform(pairs, p -> p.c)").as("centroid"))
+    e.join(centroids, Seq("label"))
+      .withColumn("dist",
+        sqrt(expr("aggregate(zip_with(v, centroid, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vectors"),
+           round(avg($"dist"), 6).as("avg_dist_to_centroid"),
+           round(max($"dist"), 6).as("max_dist_to_centroid"))
+  }
+
+  val q36Sql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |dims AS (SELECT label, vec_id, unnest(v) AS x,
+      |                unnest(generate_series(1, len(v))) AS dim
+      |         FROM e),
+      |cent AS (SELECT label, dim, avg(x) AS c FROM dims GROUP BY 1, 2),
+      |dist AS (
+      |  SELECT d.label, d.vec_id, sqrt(sum((d.x - c.c) * (d.x - c.c))) AS dist
+      |  FROM dims d JOIN cent c ON d.label = c.label AND d.dim = c.dim
+      |  GROUP BY 1, 2)
+      |SELECT label, count(*) AS n_vectors,
+      |       round(avg(dist), 6) AS avg_dist_to_centroid,
+      |       round(max(dist), 6) AS max_dist_to_centroid
+      |FROM dist GROUP BY label""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_knn_bruteforce" -> (q33KnnBruteForce _),
+    "q34_ann_lsh" -> (q34AnnLsh _),
+    "q35_cosine_neardup" -> (q35CosineNearDup _),
+    "q36_label_centroid" -> (q36LabelCentroidDist _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q33_knn_bruteforce" -> q33Sql,
+    "q34_ann_lsh" -> q34Sql,
+    "q35_cosine_neardup" -> q35Sql,
+    "q36_label_centroid" -> q36Sql)
+}

@@ -1,0 +1,257 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series analytics surface — the reference's four report queries
+  * (calorista/streamlit_app.py) re-expressed over the `events` table:
+  * latest-day metrics (:225-265), date-range totals with calendar
+  * densification (:267-376), ISO-weekly summaries (:378-508), monthly
+  * summaries (:510-602) — plus sessionization and tumbling windows for the
+  * streaming-shaped workloads (§2.10).
+  *
+  * All plans aggregate BEFORE joining the calendar dimension, so the join
+  * input is one row per day regardless of raw-event volume, and the
+  * generated calendar side is broadcast.
+  */
+object TimeSeries {
+
+  private def daily(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "events")
+      .select(to_date($"ts").as("day"), $"value")
+      .groupBy($"day")
+      .agg(sum($"value").as("total_value"), count(lit(1)).as("n_events"))
+  }
+
+  /** J1 — calendar densification (streamlit_app.py:326-332): left-join
+    * daily totals onto the full generated date range; unlogged days keep
+    * NULL (the reference's explicit "keep NaN" gap semantics). The
+    * calendar is generated from the data's own min/max via a scalar
+    * cross-join (1 row) then exploded — tiny, broadcast side. */
+  def q12CalendarDensify(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dt = daily(s, d)
+    val bounds = Tables(s, d, "events")
+      .agg(min(to_date($"ts")).as("lo"), max(to_date($"ts")).as("hi"))
+    val calendar = bounds
+      .select(explode(sequence($"lo", $"hi", expr("interval 1 day"))).as("day"))
+    calendar.join(dt, Seq("day"), "left")
+      .select($"day", $"total_value", $"n_events")
+  }
+
+  val q12Sql: String =
+    """WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+      |     cal AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+      |     daily AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS total_value,
+      |                      count(*) AS n_events
+      |               FROM events GROUP BY 1)
+      |SELECT cal.day, daily.total_value, daily.n_events
+      |FROM cal LEFT JOIN daily ON cal.day = daily.day""".stripMargin
+
+  /** A2/A3/A4 — date-range totals and per-calendar-day averages
+    * (streamlit_app.py:306-372). The denominator is CALENDAR days in the
+    * range including unlogged days (datediff+1), not logged days — the
+    * reference's semantic trap #1 (SURVEY §7.4). */
+  def q13RangeTotals(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lo = "2024-01-05"
+    val hi = "2024-01-20"
+    val nDays = lit(16.0) // datediff(hi, lo) + 1, fixed range
+    Tables(s, d, "events")
+      .where(to_date($"ts").between(lit(lo).cast("date"), lit(hi).cast("date")))
+      .groupBy($"event_type")
+      .agg(sum($"value").as("total_value"), count(lit(1)).as("n_events"))
+      .withColumn("avg_per_calendar_day", $"total_value" / nDays)
+  }
+
+  val q13Sql: String =
+    """SELECT event_type, sum(value) AS total_value, count(*) AS n_events,
+      |       sum(value) / 16.0 AS avg_per_calendar_day
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-20'
+      |GROUP BY event_type""".stripMargin
+
+  /** A5/A6/A7 — ISO-weekly summary (streamlit_app.py:378-508): group on
+    * (ISO week-year, ISO week) — YEAROFWEEK, not year(), the classic Dec
+    * 29–Jan 3 trap (SURVEY §7.4 #2); week_start = min(day), days_logged =
+    * countDistinct(day), averages over a FIXED 7-day denominator, and the
+    * macro-ratio percentage shape (:459-468). */
+  def q14WeeklySummary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    daily(s, d)
+      .groupBy(expr("extract(YEAROFWEEK FROM day)").cast("long").as("iso_year"),
+               weekofyear($"day").cast("long").as("iso_week"))
+      .agg(min($"day").as("week_start"),
+           countDistinct($"day").as("days_logged"),
+           sum($"total_value").as("total_value"),
+           sum($"n_events").as("n_events"))
+      .withColumn("avg_per_day_fixed7", $"total_value" / 7.0)
+      .withColumn("n_events", $"n_events".cast("long"))
+  }
+
+  val q14Sql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS total_value,
+      |                      count(*) AS n_events
+      |               FROM events GROUP BY 1)
+      |SELECT CAST(isoyear(day) AS BIGINT) AS iso_year,
+      |       CAST(weekofyear(day) AS BIGINT) AS iso_week,
+      |       min(day) AS week_start,
+      |       count(DISTINCT day) AS days_logged,
+      |       sum(total_value) AS total_value,
+      |       CAST(sum(n_events) AS BIGINT) AS n_events,
+      |       sum(total_value) / 7.0 AS avg_per_day_fixed7
+      |FROM daily
+      |GROUP BY 1, 2""".stripMargin
+
+  /** A8/A9/F9/F10 — monthly summary (streamlit_app.py:510-602): month
+    * truncation, totals, days-logged, and averages over the DAYS IN THE
+    * MONTH (last_day) — the third distinct average denominator. */
+  def q15MonthlySummary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    daily(s, d)
+      .groupBy(to_date(date_trunc("month", $"day")).as("month_start"))
+      .agg(sum($"total_value").as("total_value"),
+           countDistinct($"day").as("days_logged"),
+           sum($"n_events").cast("long").as("n_events"))
+      .withColumn("month_label", date_format($"month_start", "MMM yyyy"))
+      .withColumn("avg_per_month_day",
+        $"total_value" / dayofmonth(last_day($"month_start")))
+  }
+
+  val q15Sql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS total_value,
+      |                      count(*) AS n_events
+      |               FROM events GROUP BY 1)
+      |SELECT CAST(date_trunc('month', day) AS DATE) AS month_start,
+      |       sum(total_value) AS total_value,
+      |       count(DISTINCT day) AS days_logged,
+      |       CAST(sum(n_events) AS BIGINT) AS n_events,
+      |       strftime(CAST(date_trunc('month', day) AS DATE), '%b %Y') AS month_label,
+      |       sum(total_value) / day(last_day(CAST(date_trunc('month', day) AS DATE))) AS avg_per_month_day
+      |FROM daily
+      |GROUP BY 1""".stripMargin
+
+  /** A11/A1/P4 — latest-day metrics (streamlit_app.py:225-265): argmax of
+    * the date column (max, not distinct+sort), equality filter on it,
+    * global sums by type. The max-date is a scalar subquery so the filter
+    * can still prune partitions on a date-partitioned table. */
+  def q21LatestDay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, d, "events").withColumn("day", to_date($"ts"))
+    val latest = ev.agg(max($"day").as("latest_day"))
+    ev.join(broadcast(latest), $"day" === $"latest_day")
+      .groupBy($"event_type")
+      .agg(sum($"value").as("total_value"), count(lit(1)).as("n_events"))
+  }
+
+  val q21Sql: String =
+    """SELECT event_type, sum(value) AS total_value, count(*) AS n_events
+      |FROM events
+      |WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)
+      |GROUP BY event_type""".stripMargin
+
+  /** Sessionization via lag window: a session break is a >30 min gap per
+    * user. Gap math on fractional epoch seconds; ordering tie-broken by
+    * event_id so the survivor is engine-independent. At scale this is one
+    * shuffle on user_id and a per-partition sort — no driver state. */
+  def q22Sessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(s, d, "events")
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("is_new_session",
+        when($"prev_ts".isNull ||
+             ($"ts".cast("double") - $"prev_ts".cast("double")) > 1800.0, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"is_new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("session_value"))
+      .groupBy($"user_id")
+      .agg(max($"session_id").as("n_sessions"),
+           avg($"n_events").as("avg_events_per_session"),
+           sum($"session_value").as("total_value"))
+  }
+
+  val q22Sql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, value,
+      |         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0
+      |              THEN 1 ELSE 0 END AS is_new_session,
+      |         ts
+      |  FROM seq),
+      |sessions AS (
+      |  SELECT user_id, value,
+      |         CAST(sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged),
+      |per_session AS (
+      |  SELECT user_id, session_id, count(*) AS n_events, sum(value) AS session_value
+      |  FROM sessions GROUP BY 1, 2)
+      |SELECT user_id, max(session_id) AS n_sessions,
+      |       avg(n_events) AS avg_events_per_session,
+      |       sum(session_value) AS total_value
+      |FROM per_session GROUP BY user_id""".stripMargin
+
+  /** Tumbling-window aggregation (§2.10): 1-hour windows over events — the
+    * batch-parity form of the Structured Streaming windowed agg in
+    * graft.streaming.EventStream (same grouping expression). */
+  def q23TumblingWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "events")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("total_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n_events", $"total_value")
+  }
+
+  val q23Sql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |       count(*) AS n_events, sum(value) AS total_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Rolling 7-day mean (trend-line extension, streamlit_app.py:334-360):
+    * average daily total over the trailing week, per day. */
+  def q24RollingMean(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"day").rowsBetween(-6, 0)
+    daily(s, d)
+      .withColumn("rolling_7d_avg", avg($"total_value").over(w))
+      .select($"day", $"total_value", $"rolling_7d_avg")
+  }
+
+  val q24Sql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS total_value
+      |               FROM events GROUP BY 1)
+      |SELECT day, total_value,
+      |       avg(total_value) OVER (ORDER BY day
+      |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_7d_avg
+      |FROM daily""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_calendar_densify" -> (q12CalendarDensify _),
+    "q13_range_totals" -> (q13RangeTotals _),
+    "q14_weekly_summary" -> (q14WeeklySummary _),
+    "q15_monthly_summary" -> (q15MonthlySummary _),
+    "q21_latest_day" -> (q21LatestDay _),
+    "q22_sessionize" -> (q22Sessionize _),
+    "q23_tumbling_window" -> (q23TumblingWindow _),
+    "q24_rolling_mean" -> (q24RollingMean _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q12_calendar_densify" -> q12Sql,
+    "q13_range_totals" -> q13Sql,
+    "q14_weekly_summary" -> q14Sql,
+    "q15_monthly_summary" -> q15Sql,
+    "q21_latest_day" -> q21Sql,
+    "q22_sessionize" -> q22Sql,
+    "q23_tumbling_window" -> q23Sql,
+    "q24_rolling_mean" -> q24Sql)
+}
