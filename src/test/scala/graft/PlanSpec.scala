@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{Relational, TimeSeries}
+import graft.functions.VectorOps
+
+/** Physical-plan assertions — the 100 TB design contract: filters reach
+  * the parquet scan, projections prune columns, dimension joins
+  * broadcast, top-k never globally sorts. These pin the properties
+  * `.explain("formatted")` review established (SURVEY §4). */
+class PlanSpec extends SparkSpec {
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q2: predicates are pushed to the parquet scan") {
+    val plan = physical(Relational.q2FilterProject(spark, sf0001))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("IsNotNull(l_shipdate)") || plan.contains("GreaterThan"), plan)
+  }
+
+  test("q2: scan reads only the referenced columns (pruning)") {
+    val plan = physical(Relational.q2FilterProject(spark, sf0001))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag"), readSchema) // untouched column stays unread
+    assert(readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("q3: nation/region dimension joins are broadcast, not shuffled") {
+    val plan = physical(Relational.q3RevenueByNation(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q1: aggregation is partial (map-side) before the shuffle") {
+    val plan = physical(Relational.q1PricingSummary(spark, sf0001))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial_sum") || plan.contains("partial"), plan)
+  }
+
+  test("q6: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = physical(Relational.q6TopCustomers(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q1/q2: hot path stays inside whole-stage codegen") {
+    // codegen spans appear in the FINAL adaptive plan, so execute first
+    val df = Relational.q1PricingSummary(spark, sf0001)
+    df.collect() // count() would plan a separate query; collect finalizes THIS one
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen nodes print as "*(n) HashAggregate" in the final plan
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
+  }
+
+  test("q33: query side of kNN is broadcast — candidates never shuffle") {
+    val plan = physical(VectorOps.q33KnnBruteForce(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q12: calendar side of densification is broadcast") {
+    val plan = physical(TimeSeries.q12CalendarDensify(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming semantics (SURVEY §2.10): windowed agg with
+  * watermark, streaming dedup, foreachBatch merge convergence. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedAgg over a memory stream matches the batch tumbling window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.addData(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:55:00"), "click", 2.0),
+      (ts("2024-01-01 11:05:00"), "click", 4.0))
+    val streamed = EventStream.windowedAgg(
+      mem.toDF().toDF("ts", "event_type", "value"))
+    val q = streamed.writeStream.format("memory")
+      .queryName("agg_out").outputMode("append").start()
+    mem.addData((ts("2024-01-01 14:00:00"), "click", 8.0)) // advances watermark past 11:00
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("agg_out")
+      .select($"window_start".cast("string"), $"n_events", $"total_value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // windows 10:00 and 11:00 are closed by the 14:00 watermark
+    assert(out === Set(
+      ("2024-01-01 10:00:00", 2L, 3.0),
+      ("2024-01-01 11:00:00", 1L, 4.0)))
+  }
+
+  test("dedupStream drops re-delivered events within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:00:01"), 1.0), // duplicate event_id
+      (2L, ts("2024-01-01 10:00:02"), 2.0))
+    val q = EventStream.dedupStream(mem.toDF().toDF("event_id", "ts", "value"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_out").select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("foreachBatch merge sink: batches upsert and re-delivery converges (D2 streaming)") {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("sink").toString + "/table"
+    val b1 = Seq(("k1", 1.0), ("k2", 2.0)).toDF("key", "v")
+    val b2 = Seq(("k2", 20.0), ("k3", 3.0)).toDF("key", "v")
+    EventStream.mergeIntoParquet(b1, sink, Seq("key"))
+    EventStream.mergeIntoParquet(b2, sink, Seq("key"))
+    EventStream.mergeIntoParquet(b2, sink, Seq("key")) // re-delivery
+    val out = spark.read.parquet(sink).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(out === Set(("k1", 1.0), ("k2", 20.0), ("k3", 3.0)))
+  }
+
+  test("file stream end-to-end: json events → windowed agg → memory sink") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evts").toString
+    val lines = Seq(
+      """{"event_id":1,"ts":"2024-01-01T10:05:00.000Z","user_id":1,"event_type":"click","value":1.5,"props":"{}"}""",
+      """{"event_id":2,"ts":"2024-01-01T10:20:00.000Z","user_id":2,"event_type":"click","value":2.5,"props":"{}"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part1.json"),
+      lines.mkString("\n").getBytes)
+    val q = EventStream.windowedAgg(EventStream.readEventStream(spark, dir))
+      .writeStream.format("memory").queryName("file_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("file_out").collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("total_value") === 4.0)
+  }
+}
