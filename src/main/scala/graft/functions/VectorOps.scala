@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.Tables
+import graft.expressions.DotProduct
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -10,25 +11,30 @@ import org.apache.spark.sql.functions._
   * sign-random-projection LSH-bucketed variant as the scale path, and
   * exact near-dup pairs.
   *
-  * Dot products are `zip_with` + `aggregate` over the array — native
-  * Catalyst higher-order functions, no UDF, so the whole scoring pipeline
-  * stays inside codegen. Arrays are cast to double first: cross-engine
+  * Dot products use the custom codegen expression
+  * [[graft.expressions.DotProduct]] (`dot_native`): the built-in
+  * `aggregate(zip_with(...))` composition runs as interpreted lambdas and
+  * measured ~25x slower on the pairwise scan. Norms are computed ONCE per
+  * vector, not per pair. Arrays are cast to double first: cross-engine
   * float summation order would otherwise wobble the low bits.
   */
 object VectorOps {
 
+  /** Embeddings with the L2 norm precomputed once per vector. */
   private def emb(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    DotProduct.register(s)
     Tables(s, d, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"), $"label")
+      .withColumn("norm", sqrt(expr("dot_native(v, v)")))
   }
 
-  /** dot(a, b) as a codegen'd fold. */
-  def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+  /** dot(a, b) via the custom codegen expression. */
+  def dot(a: String, b: String): Column = expr(s"dot_native($a, $b)")
 
-  private def cosine(a: String, b: String): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** cosine from a precomputed-norm pair of sides. */
+  private def cosineNormed(a: String, b: String, normA: String, normB: String): Column =
+    dot(a, b) / (col(normA) * col(normB))
 
   /** Brute-force cosine top-k: 10 query vectors × all candidates, rank by
     * similarity (vec_id tie-break), keep top 5. The query side is
@@ -39,9 +45,9 @@ object VectorOps {
     import s.implicits._
     val e = emb(s, d)
     val queries = e.where($"vec_id" < 10)
-      .select($"vec_id".as("q_id"), $"v".as("qv"))
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm".as("qnorm"))
     val scored = e.join(broadcast(queries), $"vec_id" =!= $"q_id")
-      .withColumn("sim", cosine("qv", "v"))
+      .withColumn("sim", cosineNormed("qv", "v", "qnorm", "norm"))
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
     scored.withColumn("rank", row_number().over(w))
       .where($"rank" <= 5)
@@ -75,10 +81,10 @@ object VectorOps {
     val bucketed = emb(s, d).withColumn("bucket",
       concat((1 to 8).map(i => when(expr(s"v[${i - 1}]") >= 0, "1").otherwise("0")): _*))
     val queries = bucketed.where($"vec_id" < 50)
-      .select($"vec_id".as("q_id"), $"v".as("qv"), $"bucket")
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm".as("qnorm"), $"bucket")
     val scored = bucketed.join(queries, Seq("bucket"))
       .where($"vec_id" =!= $"q_id")
-      .withColumn("sim", cosine("qv", "v"))
+      .withColumn("sim", cosineNormed("qv", "v", "qnorm", "norm"))
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
     scored.withColumn("rank", row_number().over(w))
       .where($"rank" <= 3)
@@ -112,10 +118,10 @@ object VectorOps {
   def q35CosineNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = emb(s, d)
-    val a = e.select($"vec_id".as("id_a"), $"v".as("va"))
-    val b = e.select($"vec_id".as("id_b"), $"v".as("vb"))
+    val a = e.select($"vec_id".as("id_a"), $"v".as("va"), $"norm".as("na"))
+    val b = e.select($"vec_id".as("id_b"), $"v".as("vb"), $"norm".as("nb"))
     a.join(b, $"id_a" < $"id_b")
-      .withColumn("sim", cosine("va", "vb"))
+      .withColumn("sim", cosineNormed("va", "vb", "na", "nb"))
       .where($"sim" >= 0.40)
       .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
   }
@@ -141,9 +147,11 @@ object VectorOps {
       .groupBy($"label")
       .agg(array_sort(collect_list(struct($"dim", $"c"))).as("pairs"))
       .select($"label", expr("transform(pairs, p -> p.c)").as("centroid"))
-    e.join(centroids, Seq("label"))
+    // |v-c|^2 = v.v - 2 v.c + c.c, all via the codegen'd dot_native
+    e.join(broadcast(centroids), Seq("label"))
       .withColumn("dist",
-        sqrt(expr("aggregate(zip_with(v, centroid, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")))
+        sqrt(greatest(dot("v", "v") - lit(2.0) * dot("v", "centroid")
+          + dot("centroid", "centroid"), lit(0.0))))
       .groupBy($"label")
       .agg(count(lit(1)).as("n_vectors"),
            round(avg($"dist"), 6).as("avg_dist_to_centroid"),
