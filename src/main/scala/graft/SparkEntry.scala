@@ -20,6 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.TimeSeries.queries ++
+      operators.Extended.queries ++
       functions.TextOps.queries ++
       functions.VectorOps.queries ++
       multimodal.Multimodal.queries
@@ -29,6 +30,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracleSql ++
       operators.TimeSeries.oracleSql ++
+      operators.Extended.oracleSql ++
       functions.TextOps.oracleSql ++
       functions.VectorOps.oracleSql ++
       multimodal.Multimodal.oracleSql

@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TypedAggregators
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extended operator coverage beyond the reference's direct surface:
+  * pivot (the inverse of R1's melt), correlated subqueries, exact
+  * percentiles/statistics, approximate aggregates for the 100 TB path,
+  * string-function parity (F5/F6/F13 family), conditional aggregation,
+  * and a typed custom Aggregator.
+  */
+object Extended {
+
+  /** Pivot wide (inverse of R1's melt, §2.8): daily value totals per
+    * event type as columns. The pivot value list is EXPLICIT — with it,
+    * Spark needs no extra distinct-scan job and output columns are
+    * deterministic for the oracle. */
+  def q38Pivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "events")
+      .select(to_date($"ts").as("day"), $"event_type", $"value")
+      .groupBy($"day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(sum($"value"))
+  }
+
+  val q38Sql: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |  sum(CASE WHEN event_type = 'click' THEN value END) AS click,
+      |  sum(CASE WHEN event_type = 'error' THEN value END) AS error,
+      |  sum(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+      |  sum(CASE WHEN event_type = 'signup' THEN value END) AS signup,
+      |  sum(CASE WHEN event_type = 'view' THEN value END) AS view
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Correlated scalar subquery (decorrelated by Catalyst into the join
+    * Spark would plan anyway): customers with above-nation-average
+    * balance. */
+  def q39CorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables(s, d, "customer")
+    c.as("c").join(
+        c.groupBy($"c_nationkey".as("nk")).agg(avg($"c_acctbal").as("nation_avg")),
+        $"c.c_nationkey" === $"nk")
+      .where($"c_acctbal" > $"nation_avg")
+      .select($"c_custkey", $"c_name", $"c_acctbal", round($"nation_avg", 4).as("nation_avg"))
+  }
+
+  val q39Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal,
+      |       round((SELECT avg(c2.c_acctbal) FROM customer c2
+      |              WHERE c2.c_nationkey = c.c_nationkey), 4) AS nation_avg
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+      |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin
+
+  /** Exact order statistics per group: interpolated percentiles, sample
+    * stddev/variance, correlation. (The approximate 100 TB variants are
+    * q41.) */
+  def q40Percentiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(stddev($"o_totalprice"), 4).as("sd"),
+        round(var_samp($"o_totalprice"), 2).as("variance"),
+        round(corr($"o_totalprice", $"o_custkey"), 6).as("price_cust_corr"),
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"))
+  }
+
+  val q40Sql: String =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |  round(stddev(o_totalprice), 4) AS sd,
+      |  round(var_samp(o_totalprice), 2) AS variance,
+      |  round(corr(o_totalprice, o_custkey), 6) AS price_cust_corr,
+      |  min(o_totalprice) AS min_price,
+      |  max(o_totalprice) AS max_price
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** Approximate aggregates — the 100 TB path where exact distinct counts
+    * and percentiles don't fit memory: HLL++ approx_count_distinct and
+    * approx_percentile. NO oracle entry: sketch implementations differ
+    * across engines by design; the driver's rows-only check applies, and
+    * ApproxSpec bounds the error vs exact counts. */
+  def q41ApproxAggs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+        approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5)").as("approx_median_price"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** String-function parity (F5/F6/F13 family) over part names: case
+    * mapping, padding, replace, split-part, translate, edit distance,
+    * formatted labels. */
+  def q42StringFuncs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "part")
+      .select(
+        $"p_partkey",
+        upper($"p_name").as("uname"),
+        lower($"p_type").as("ltype"),
+        lpad($"p_partkey".cast("string"), 8, "0").as("padded_key"),
+        regexp_replace($"p_name", " ", "_").as("snake_name"),
+        substring_index($"p_brand", "#", -1).as("brand_num"),
+        translate($"p_name", "aeiou", "AEIOU").as("vowels_up"),
+        levenshtein($"p_name", lit("small widget")).as("edit_dist"),
+        format_string("%s [%s]", $"p_name", $"p_brand").as("label"),
+        reverse($"p_name").as("rname"),
+        length($"p_name").cast("long").as("name_len"))
+  }
+
+  val q42Sql: String =
+    """SELECT p_partkey,
+      |  upper(p_name) AS uname,
+      |  lower(p_type) AS ltype,
+      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+      |  replace(p_name, ' ', '_') AS snake_name,
+      |  split_part(p_brand, '#', -1) AS brand_num,
+      |  translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+      |  levenshtein(p_name, 'small widget') AS edit_dist,
+      |  printf('%s [%s]', p_name, p_brand) AS label,
+      |  reverse(p_name) AS rname,
+      |  CAST(length(p_name) AS BIGINT) AS name_len
+      |FROM part""".stripMargin
+
+  /** Conditional aggregation + argmax selection: count_if shapes (A12's
+    * loaded/skipped counters) and max_by/min_by (A11's argmax as an
+    * aggregate). */
+  def q43ConditionalAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "events")
+      .groupBy($"event_type")
+      .agg(
+        count(when($"value" > 100, 1)).as("n_high"),
+        count(when($"value" <= 100, 1)).as("n_low"),
+        max_by($"event_id", $"value").as("top_event_id"),
+        min_by($"event_id", $"value").as("bottom_event_id"),
+        round(avg(when($"user_id" % 2 === 0, $"value")), 6).as("avg_even_users"))
+  }
+
+  val q43Sql: String =
+    """SELECT event_type,
+      |  count(CASE WHEN value > 100 THEN 1 END) AS n_high,
+      |  count(CASE WHEN value <= 100 THEN 1 END) AS n_low,
+      |  max_by(event_id, value) AS top_event_id,
+      |  min_by(event_id, value) AS bottom_event_id,
+      |  round(avg(CASE WHEN user_id % 2 = 0 THEN value END), 6) AS avg_even_users
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Custom typed Aggregator (§2.11's reserve path): geometric mean of
+    * order totals per priority via TypedAggregators.GeometricMean —
+    * exercised through the untyped agg surface so it plugs into a
+    * normal groupBy. */
+  def q44GeometricMean(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(round(TypedAggregators.geometricMean($"o_totalprice"), 4).as("geo_mean_price"),
+           count(lit(1)).as("n_orders"))
+  }
+
+  val q44Sql: String =
+    """SELECT o_orderpriority,
+      |  round(exp(avg(ln(o_totalprice))), 4) AS geo_mean_price,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_pivot" -> (q38Pivot _),
+    "q39_correlated_subquery" -> (q39CorrelatedSubquery _),
+    "q40_percentiles" -> (q40Percentiles _),
+    "q41_approx_aggs" -> (q41ApproxAggs _),
+    "q42_string_funcs" -> (q42StringFuncs _),
+    "q43_conditional_agg" -> (q43ConditionalAgg _),
+    "q44_geometric_mean" -> (q44GeometricMean _))
+
+  /** q41 intentionally omitted: approximate sketches are engine-specific. */
+  val oracleSql: Map[String, String] = Map(
+    "q38_pivot" -> q38Sql,
+    "q39_correlated_subquery" -> q39Sql,
+    "q40_percentiles" -> q40Sql,
+    "q42_string_funcs" -> q42Sql,
+    "q43_conditional_agg" -> q43Sql,
+    "q44_geometric_mean" -> q44Sql)
+}

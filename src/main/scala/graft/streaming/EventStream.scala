@@ -1,10 +1,13 @@
 package graft.streaming
 
 import graft.operators.Dedup
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.Row
+
+/** Per-user running state for mapGroupsWithState. */
+case class UserStats(user_id: Long, n_events: Long, total_value: Double, last_seen_epoch: Long)
 
 /** Structured Streaming surface (SURVEY §2.10): the reference's
   * incremental-sync contract ("only updates changed or new entries",
@@ -79,6 +82,35 @@ object EventStream {
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     if (f.exists()) f.delete()
+  }
+
+  /** Custom per-key state (§2.10 / the build brief's
+    * mapGroupsWithState surface): running per-user counters — events
+    * seen, total value, last-seen timestamp — maintained as typed state
+    * across micro-batches. State is per user_id; at scale the state
+    * store shards with the shuffle partitioning. */
+  def runningUserStats(events: DataFrame): Dataset[UserStats] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .selectExpr("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state) =>
+          val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0, 0L))
+          var n = prev.n_events
+          var total = prev.total_value
+          var lastTs = prev.last_seen_epoch
+          rows.foreach { case (_, ts, v) =>
+            n += 1
+            total += v
+            lastTs = math.max(lastTs, ts.getTime)
+          }
+          val next = UserStats(userId, n, total, lastTs)
+          state.update(next)
+          next
+      }
   }
 
   /** File-based streaming read of an events-shaped directory (S2's

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Extended
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Extended operator semantics: approx-agg error bounds, pivot/melt
+  * round-trip, mapGroupsWithState running state. */
+class ExtendedSpec extends SparkSpec {
+
+  test("q41 approx_count_distinct stays within 5% of exact at sf0.001") {
+    import spark.implicits._
+    val approx = Extended.q41ApproxAggs(spark, sf0001)
+      .select($"l_returnflag", $"approx_orders").as[(String, Long)].collect().toMap
+    val exact = Tables(spark, sf0001, "lineitem")
+      .groupBy($"l_returnflag").agg(countDistinct($"l_orderkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex < 0.05, s"$k: approx $ap vs exact $ex")
+    }
+  }
+
+  test("pivot is the inverse of melt: unpivoting q38's output restores daily totals") {
+    import spark.implicits._
+    val wide = Extended.q38Pivot(spark, sf0001)
+    val long = wide.selectExpr("day",
+      """stack(5, 'click', click, 'error', error, 'purchase', purchase,
+               'signup', signup, 'view', view) AS (event_type, total)""")
+      .where($"total".isNotNull)
+    val direct = Tables(spark, sf0001, "events")
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(sum($"value").as("total"))
+    assert(long.except(direct).count() === 0)
+    assert(direct.except(long).count() === 0)
+  }
+
+  test("mapGroupsWithState accumulates per-user stats across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val stats = EventStream.runningUserStats(
+      mem.toDF().toDF("user_id", "ts", "value"))
+    val q = stats.toDF().writeStream.format("memory")
+      .queryName("user_stats").outputMode("update").start()
+    mem.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 5.0))
+    q.processAllAvailable()
+    mem.addData(
+      (1L, Timestamp.valueOf("2024-01-01 11:00:00"), 7.0),
+      (2L, Timestamp.valueOf("2024-01-01 11:30:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    // memory sink in update mode appends each update; take the LAST per user
+    val last = spark.table("user_stats")
+      .groupBy($"user_id")
+      .agg(max(struct($"n_events", $"total_value", $"last_seen_epoch")).as("s"))
+      .select($"user_id", $"s.n_events", $"s.total_value")
+      .as[(Long, Long, Double)].collect().map { case (k, n, v) => k -> ((n, v)) }.toMap
+    assert(last(1L) === ((2L, 12.0)))
+    assert(last(2L) === ((1L, 1.0)))
+  }
+
+  test("geometric mean Aggregator matches exp(avg(ln)) and skips non-positives") {
+    import spark.implicits._
+    val df = Seq(1.0, 10.0, 100.0, -5.0, 0.0).toDF("x")
+    val got = df.agg(graft.functions.TypedAggregators.geometricMean($"x")).collect().head.getDouble(0)
+    assert(math.abs(got - 10.0) < 1e-9) // geo-mean of 1,10,100; -5 and 0 skipped
+  }
+}

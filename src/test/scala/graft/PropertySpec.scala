@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{Dedup, Reports}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY §5): dedup idempotence, merge
+  * convergence, melt sum-invariance — over ScalaCheck-generated inputs.
+  * (Plain ScalaCheck Gens sampled with fixed seeds — the scalatest
+  * bridge artifact isn't in the offline cache.) */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val entryGen: Gen[List[(String, Int, Long, Double)]] =
+    Gen.nonEmptyListOf(for {
+      id <- Gen.choose(1, 8)
+      dateInt <- Gen.choose(100, 104)
+      ts <- Gen.choose(1L, 3L)
+      cal <- Gen.choose(0.0, 1000.0)
+    } yield (id.toString, dateInt, ts, cal))
+
+  test("property: dedup is idempotent, never grows, one survivor per key") {
+    samples(entryGen, 5).foreach { rows =>
+      import spark.implicits._
+      val df = rows.toDF("food_entry_id", "date_int", "timestamp", "calories")
+      val key = Seq("food_entry_id", "date_int", "timestamp")
+      val once = Dedup.deduplicate(df, key, Seq(col("calories")))
+      val onceRows = once.collect().toSet
+      val twice = Dedup.deduplicate(once, key, Seq(col("calories")))
+      assert(twice.collect().toSet === onceRows)
+      assert(onceRows.size <= rows.size)
+      assert(onceRows.size === rows.map(r => (r._1, r._2, r._3)).distinct.size)
+    }
+  }
+
+  test("property: merge converges (reapplying a batch is a no-op) and covers all keys") {
+    val kvGen = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(1, 10); v <- Gen.choose(0.0, 100.0)
+    } yield (k.toString, v))
+    val cases = samples(kvGen.flatMap(a => kvGen.map(b => (a, b))), 5)
+    cases.foreach { case (existingRows, batchRows) =>
+      import spark.implicits._
+      // one row per key on each side (merge expects keyed tables)
+      val existing = existingRows.toMap.toSeq.toDF("key", "v")
+      val batch = batchRows.toMap.toSeq.toDF("key", "v")
+      val once = Dedup.merge(existing, batch, Seq("key"))
+      val twice = Dedup.merge(once, batch, Seq("key"))
+      val onceSet = once.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      val twiceSet = twice.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(onceSet === twiceSet)
+      // batch rows win; existing-only keys preserved
+      assert(onceSet === (existingRows.toMap ++ batchRows.toMap).toSet)
+    }
+  }
+
+  test("property: melt preserves the macro sum (R1 invariance)") {
+    val dayGen = Gen.nonEmptyListOf(for {
+      d <- Gen.choose(1, 28); c <- Gen.choose(0.0, 500.0)
+      f <- Gen.choose(0.0, 500.0); p <- Gen.choose(0.0, 500.0)
+    } yield (f"2026-01-$d%02d", 0.0, c, f, p))
+    samples(dayGen, 5).foreach { rows =>
+      import spark.implicits._
+      val wide = rows.toDF("date_s", "total_calories", "total_carbohydrate", "total_fat", "total_protein")
+        .withColumn("date", col("date_s").cast("date")).drop("date_s")
+      val long = Reports.meltMacros(wide, "date")
+      val wideSum = rows.map(r => r._3 + r._4 + r._5).sum
+      val longSum = long.agg(sum("amount_g")).collect().head.getDouble(0)
+      assert(math.abs(wideSum - longSum) < 1e-6)
+    }
+  }
+}
