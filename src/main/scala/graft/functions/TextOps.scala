@@ -145,7 +145,7 @@ object TextOps {
 
   /** Document fingerprinting: stable 16-hex-char fingerprint of the
     * whitespace-normalized lowercase text (md5-prefix family; the rolling
-    * polynomial variant lives in TextFingerprint with its own spec). */
+    * polynomial variant is q45RollingFingerprint). */
   def q29Fingerprint(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     docs(s, d)
@@ -262,7 +262,32 @@ object TextOps {
       |SELECT doc_id, $bits AS simhash FROM sums""".stripMargin
   }
 
+  /** Rolling polynomial fingerprint: h = fold(chars, h*31 + ascii mod p)
+    * — the classic content-defined rolling hash, as pure built-ins
+    * (transform + aggregate). The fold seed 0 makes Spark's aggregate
+    * and DuckDB's first-element-seeded list_reduce coincide exactly
+    * (0*31 + c == c). */
+  def q45RollingFingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).select($"doc_id",
+      when(length(trim($"text")) === 0, 0L)
+        .otherwise(expr(
+          """aggregate(transform(split(trim(text), ''), c -> ascii(c)),
+            |          CAST(0 AS BIGINT),
+            |          (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin))
+        .as("rolling_hash"))
+  }
+
+  val q45Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE list_reduce([CAST(ascii(c) AS BIGINT) FOR c IN string_split(trim(text), '')],
+      |                        (acc, x) -> (acc * 31 + x) % 1000000007)
+      |  END AS rolling_hash
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_rolling_fingerprint" -> (q45RollingFingerprint _),
     "q25_doc_stats" -> (q25DocStats _),
     "q26_quality_score" -> (q26QualityScore _),
     "q27_lang_id" -> (q27LangId _),
@@ -273,6 +298,7 @@ object TextOps {
     "q32_simhash" -> (q32SimHash _))
 
   val oracleSql: Map[String, String] = Map(
+    "q45_rolling_fingerprint" -> q45Sql,
     "q25_doc_stats" -> q25Sql,
     "q26_quality_score" -> q26Sql,
     "q27_lang_id" -> q27Sql,
