@@ -117,6 +117,8 @@ object Extended {
         levenshtein($"p_name", lit("small widget")).as("edit_dist"),
         format_string("%s [%s]", $"p_name", $"p_brand").as("label"),
         reverse($"p_name").as("rname"),
+        // F13: replace + capitalize (streamlit_app.py:452 et al.)
+        initcap(regexp_replace($"p_type", "PROMO", "promoted")).as("type_label"),
         length($"p_name").cast("long").as("name_len"))
   }
 
@@ -131,6 +133,8 @@ object Extended {
       |  levenshtein(p_name, 'small widget') AS edit_dist,
       |  printf('%s [%s]', p_name, p_brand) AS label,
       |  reverse(p_name) AS rname,
+      |  upper(left(lower(replace(p_type, 'PROMO', 'promoted')), 1))
+      |    || substr(lower(replace(p_type, 'PROMO', 'promoted')), 2) AS type_label,
       |  CAST(length(p_name) AS BIGINT) AS name_len
       |FROM part""".stripMargin
 
