@@ -173,7 +173,11 @@ object TextOps {
     val sig = sh.groupBy($"doc_id").agg(hashes.head, hashes.tail: _*)
     val bands = sig.selectExpr("doc_id",
       "stack(4, 0, concat(h0, h1), 1, concat(h2, h3), 2, concat(h4, h5), 3, concat(h6, h7)) AS (band, bucket)")
-    bands.as("a").join(bands.as("b"),
+    // merge-join hint: at corpus scale the signature table (4 rows/doc)
+    // is never broadcastable, and with both sides shuffled identically
+    // Spark reuses ONE exchange — the shingle+minhash build runs once,
+    // not twice (verified: ReusedExchange in PlanSpec)
+    bands.as("a").join(bands.as("b").hint("merge"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
@@ -204,7 +208,9 @@ object TextOps {
     import s.implicits._
     val sh = withShingles(s, d)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
-    val shared = sh.as("a").join(sh.as("b"),
+    // merge hint: same ReusedExchange rationale as q30 — one shingle
+    // build feeds both sides of the self-join
+    val shared = sh.as("a").join(sh.as("b").hint("merge"),
         $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))

@@ -55,6 +55,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q30: the minhash self-join reuses one shuffled signature build") {
+    import graft.functions.TextOps
+    val df = TextOps.q30MinHashLsh(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), plan)
+  }
+
   test("q12: calendar side of densification is broadcast") {
     val plan = physical(TimeSeries.q12CalendarDensify(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan)
