@@ -292,8 +292,34 @@ object TextOps {
       |  END AS rolling_hash
       |FROM documents""".stripMargin
 
+  /** BPE-ish token counting (the brief's "whitespace + a BPE-ish regex"):
+    * subword-style segmentation via an RE2-safe GPT-2-family pattern
+    * (space-prefixed letter runs, digit runs, punctuation runs — no
+    * lookahead, so Spark and DuckDB RE2 agree). Reports both counts and
+    * the chars-per-token compression ratio. */
+  def q47BpeTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+    docs(s, d)
+      .select($"doc_id", $"lang",
+        size(tokens($"text")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all($"text", lit(pat), lit(0))).cast("long").as("n_bpe_tokens"),
+        length($"text").cast("long").as("n_chars"))
+      .withColumn("chars_per_bpe_token",
+        round($"n_chars" / $"n_bpe_tokens", 6))
+  }
+
+  val q47Sql: String =
+    """SELECT doc_id, lang,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  round(length(text) / len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')), 6) AS chars_per_bpe_token
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_rolling_fingerprint" -> (q45RollingFingerprint _),
+    "q47_bpe_tokens" -> (q47BpeTokens _),
     "q25_doc_stats" -> (q25DocStats _),
     "q26_quality_score" -> (q26QualityScore _),
     "q27_lang_id" -> (q27LangId _),
@@ -305,6 +331,7 @@ object TextOps {
 
   val oracleSql: Map[String, String] = Map(
     "q45_rolling_fingerprint" -> q45Sql,
+    "q47_bpe_tokens" -> q47Sql,
     "q25_doc_stats" -> q25Sql,
     "q26_quality_score" -> q26Sql,
     "q27_lang_id" -> q27Sql,

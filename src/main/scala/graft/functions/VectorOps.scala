@@ -173,13 +173,76 @@ object VectorOps {
       |       round(max(dist), 6) AS max_dist_to_centroid
       |FROM dist GROUP BY label""".stripMargin
 
+  /** IVF-style ANN probe (the scale path the brief names alongside LSH):
+    * the label partition acts as the pre-built coarse-quantizer cell
+    * assignment (an offline k-means in a real index). Each query probes
+    * its nprobe=2 nearest cells by centroid distance, then ranks true
+    * cosine only within probed cells — candidate work is
+    * |cells probed| / |cells| of the corpus instead of all of it. */
+  def q46IvfAnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    val dims = e.select($"label", posexplode($"v").as(Seq("dim", "x")))
+    val centroids = dims.groupBy($"label", $"dim").agg(avg($"x").as("c"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"dim", $"c"))).as("pairs"))
+      .select($"label".as("cell"), expr("transform(pairs, p -> p.c)").as("centroid"))
+    val queries = e.where($"vec_id" < 50)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    val qDist = queries.join(broadcast(centroids))
+      .withColumn("dist",
+        sqrt(greatest(dot("qv", "qv") - lit(2.0) * dot("qv", "centroid")
+          + dot("centroid", "centroid"), lit(0.0))))
+    val wProbe = Window.partitionBy($"q_id").orderBy($"dist", $"cell")
+    val probes = qDist.withColumn("pr", row_number().over(wProbe))
+      .where($"pr" <= 2)
+      .select($"q_id", $"qv", $"qnorm", $"cell")
+    val scored = e.join(probes, $"label" === $"cell" && $"vec_id" =!= $"q_id")
+      .withColumn("sim", cosineNormed("qv", "v", "qnorm", "norm"))
+    val wRank = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(wRank))
+      .where($"rank" <= 3)
+      .select($"q_id", $"vec_id".as("neighbor_id"), $"rank".cast("long").as("rank"),
+              round($"sim", 6).as("sim"))
+  }
+
+  val q46Sql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |dims AS (SELECT label, vec_id, unnest(v) AS x,
+      |                unnest(generate_series(1, len(v))) AS dim FROM e),
+      |cent AS (SELECT label AS cell, list(c ORDER BY dim) AS cv
+      |         FROM (SELECT label, dim, avg(x) AS c FROM dims GROUP BY 1, 2)
+      |         GROUP BY label),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 50),
+      |qdist AS (
+      |  SELECT q_id, qv, cell,
+      |         sqrt(greatest(list_dot_product(qv, qv) - 2 * list_dot_product(qv, cv)
+      |              + list_dot_product(cv, cv), 0)) AS dist
+      |  FROM q CROSS JOIN cent),
+      |probes AS (SELECT q_id, qv, cell FROM (
+      |    SELECT q_id, qv, cell, row_number() OVER (PARTITION BY q_id ORDER BY dist, cell) AS pr
+      |    FROM qdist) WHERE pr <= 2),
+      |scored AS (
+      |  SELECT p.q_id, e.vec_id,
+      |         list_dot_product(p.qv, e.v)
+      |           / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+      |  FROM e JOIN probes p ON e.label = p.cell AND e.vec_id <> p.q_id),
+      |ranked AS (SELECT q_id, vec_id, sim,
+      |                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |           FROM scored)
+      |SELECT q_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+      |       round(sim, 6) AS sim
+      |FROM ranked WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_ivf_ann" -> (q46IvfAnn _),
     "q33_knn_bruteforce" -> (q33KnnBruteForce _),
     "q34_ann_lsh" -> (q34AnnLsh _),
     "q35_cosine_neardup" -> (q35CosineNearDup _),
     "q36_label_centroid" -> (q36LabelCentroidDist _))
 
   val oracleSql: Map[String, String] = Map(
+    "q46_ivf_ann" -> q46Sql,
     "q33_knn_bruteforce" -> q33Sql,
     "q34_ann_lsh" -> q34Sql,
     "q35_cosine_neardup" -> q35Sql,
