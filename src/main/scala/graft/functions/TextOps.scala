@@ -30,13 +30,19 @@ object TextOps {
       |                    i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))
       |END""".stripMargin
 
-  private def withShingles(s: SparkSession, d: String): DataFrame = {
+  /** Exploded (doc_id, shingle) rows, duplicates included. */
+  private def rawShingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     docs(s, d)
       .select($"doc_id", tokens($"text").as("toks"))
       .select($"doc_id", explode(expr(shinglesExpr)).as("shingle"))
-      .distinct()
   }
+
+  /** Distinct shingle SETS — needed where counts matter (Jaccard).
+    * MinHash does NOT need this: min over a multiset equals min over its
+    * distinct set, so q30 skips the extra shuffle. */
+  private def withShingles(s: SparkSession, d: String): DataFrame =
+    rawShingles(s, d).distinct()
 
   /** DuckDB-side shingle CTE matching [[withShingles]] (list comprehension
     * replaces Spark's transform+sequence). */
@@ -168,7 +174,7 @@ object TextOps {
     * work happens outside colliding buckets (that is the LSH point). */
   def q30MinHashLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = withShingles(s, d)
+    val sh = rawShingles(s, d) // min() is dedup-invariant — no distinct shuffle
     val hashes = (0 until 8).map(i => min(md5(concat(lit(i.toString), $"shingle"))).as(s"h$i"))
     val sig = sh.groupBy($"doc_id").agg(hashes.head, hashes.tail: _*)
     val bands = sig.selectExpr("doc_id",
