@@ -235,7 +235,43 @@ object TimeSeries {
       |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_7d_avg
       |FROM daily""".stripMargin
 
+  /** Built-in session windows (the declarative form of q22's lag-based
+    * sessionization — same 30-minute gap semantics, one expression):
+    * per-user sessions close after 30 idle minutes. Works identically
+    * under Structured Streaming with a watermark. */
+  def q48SessionWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "events")
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("session_value"))
+      .select($"user_id", $"w.start".as("session_start"),
+              $"n_events", $"session_value")
+  }
+
+  /** Oracle reproduces session_window semantics with lag + cumulative
+    * flag: a session's window starts at its first event. */
+  val q48Sql: String =
+    """WITH seq AS (
+      |  SELECT user_id, ts, value,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+      |         event_id
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, value, event_id,
+      |         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM seq),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start,
+      |       count(*) AS n_events, sum(value) AS session_value
+      |FROM sessions GROUP BY user_id, sid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_session_window" -> (q48SessionWindow _),
     "q12_calendar_densify" -> (q12CalendarDensify _),
     "q13_range_totals" -> (q13RangeTotals _),
     "q14_weekly_summary" -> (q14WeeklySummary _),
@@ -246,6 +282,7 @@ object TimeSeries {
     "q24_rolling_mean" -> (q24RollingMean _))
 
   val oracleSql: Map[String, String] = Map(
+    "q48_session_window" -> q48Sql,
     "q12_calendar_densify" -> q12Sql,
     "q13_range_totals" -> q13Sql,
     "q14_weekly_summary" -> q14Sql,
