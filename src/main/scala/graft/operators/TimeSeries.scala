@@ -270,8 +270,59 @@ object TimeSeries {
       |       count(*) AS n_events, sum(value) AS session_value
       |FROM sessions GROUP BY user_id, sid""".stripMargin
 
+  /** As-of join — the canonical "operator Spark lacks" (build brief,
+    * preference (a): compose built-ins). Each purchase event is matched
+    * to the same user's most recent click at-or-before it.
+    *
+    * Implementation is the union + carry-forward trick, NOT a range
+    * join: tag both sides, union, sort per user by (ts, side) with the
+    * reference side first on ties, and carry the last reference row
+    * forward with last(..., ignoreNulls). One shuffle on user_id and a
+    * per-partition sort — linear in input, no quadratic candidate
+    * explosion, which is why it survives 100 TB where a theta join
+    * (`b.ts <= a.ts` nested loop) cannot. */
+  def q49AsofJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, d, "events")
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id", $"ts", lit(0).as("side"),
+        $"event_id".as("click_id"), $"value".as("click_value"),
+        lit(null).cast("long").as("purchase_id"),
+        lit(null).cast("double").as("purchase_value"))
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(1).as("side"),
+        lit(null).cast("long").as("click_id"),
+        lit(null).cast("double").as("click_value"),
+        $"event_id".as("purchase_id"), $"value".as("purchase_value"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"side", coalesce($"click_id", $"purchase_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_click_id", last($"click_id", ignoreNulls = true).over(w))
+      .withColumn("asof_click_value", last($"click_value", ignoreNulls = true).over(w))
+      .where($"side" === 1)
+      .select($"user_id", $"purchase_id", $"purchase_value",
+              $"asof_click_id", $"asof_click_value")
+  }
+
+  /** DuckDB has native ASOF JOIN — the oracle exercises the real
+    * semantics rather than mirroring our implementation trick. */
+  val q49Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, event_id AS click_id, value AS click_value
+      |  FROM events WHERE event_type = 'click'),
+      |purchases AS (
+      |  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.purchase_id, p.purchase_value,
+      |       c.click_id AS asof_click_id, c.click_value AS asof_click_value
+      |FROM purchases p
+      |ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_session_window" -> (q48SessionWindow _),
+    "q49_asof_join" -> (q49AsofJoin _),
     "q12_calendar_densify" -> (q12CalendarDensify _),
     "q13_range_totals" -> (q13RangeTotals _),
     "q14_weekly_summary" -> (q14WeeklySummary _),
@@ -283,6 +334,7 @@ object TimeSeries {
 
   val oracleSql: Map[String, String] = Map(
     "q48_session_window" -> q48Sql,
+    "q49_asof_join" -> q49Sql,
     "q12_calendar_densify" -> q12Sql,
     "q13_range_totals" -> q13Sql,
     "q14_weekly_summary" -> q14Sql,
