@@ -320,9 +320,37 @@ object TimeSeries {
       |ASOF LEFT JOIN clicks c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
+  /** Sliding windows: 1-hour windows every 15 minutes — each event
+    * contributes to 4 overlapping windows (Spark expands this
+    * internally; the oracle expands it explicitly with generate_series).
+    * The streaming twin adds a watermark; grouping is identical. */
+  def q50SlidingWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "events")
+      .groupBy(window($"ts", "1 hour", "15 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 6).as("total_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n_events", $"total_value")
+  }
+
+  val q50Sql: String =
+    """WITH expanded AS (
+      |  SELECT event_type, value,
+      |         unnest(generate_series(
+      |           date_trunc('hour', ts) - INTERVAL 45 MINUTE
+      |             + CAST(floor(minute(ts) / 15) AS INTEGER) * INTERVAL 15 MINUTE,
+      |           date_trunc('hour', ts)
+      |             + CAST(floor(minute(ts) / 15) AS INTEGER) * INTERVAL 15 MINUTE,
+      |           INTERVAL 15 MINUTE)) AS window_start
+      |  FROM events)
+      |SELECT window_start, event_type,
+      |       count(*) AS n_events, round(sum(value), 6) AS total_value
+      |FROM expanded
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_session_window" -> (q48SessionWindow _),
     "q49_asof_join" -> (q49AsofJoin _),
+    "q50_sliding_window" -> (q50SlidingWindow _),
     "q12_calendar_densify" -> (q12CalendarDensify _),
     "q13_range_totals" -> (q13RangeTotals _),
     "q14_weekly_summary" -> (q14WeeklySummary _),
@@ -335,6 +363,7 @@ object TimeSeries {
   val oracleSql: Map[String, String] = Map(
     "q48_session_window" -> q48Sql,
     "q49_asof_join" -> q49Sql,
+    "q50_sliding_window" -> q50Sql,
     "q12_calendar_densify" -> q12Sql,
     "q13_range_totals" -> q13Sql,
     "q14_weekly_summary" -> q14Sql,

@@ -56,9 +56,37 @@ object EventStream {
         mergeIntoParquet(batch, sinkPath, key)
       }
 
+  /** Partition-scoped MERGE for a date-partitioned silver table: only
+    * the partitions present in the batch are read, merged, and
+    * dynamically overwritten — the whole-table path below never runs.
+    * The partition list is collected to the driver (bounded: distinct
+    * partition values of ONE batch, not data). This is the 100 TB form
+    * of the reference's per-day read-modify-write (main.py:137-161). */
+  def mergePartitioned(
+      batch: DataFrame, sinkPath: String, key: Seq[String], partCol: String): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions.col
+    if (!new java.io.File(sinkPath).exists()) {
+      batch.write.partitionBy(partCol).parquet(sinkPath)
+      return
+    }
+    val parts = batch.select(partCol).distinct().collect().map(_.get(0))
+    val existing = spark.read.parquet(sinkPath)
+      .where(col(partCol).isin(parts.toSeq: _*))
+      .select(batch.columns.map(col).toSeq: _*) // align column order
+    val merged = Dedup.merge(existing, batch, key)
+    merged.write
+      .partitionBy(partCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(sinkPath)
+  }
+
   /** One MERGE step: read current sink state, merge (incoming wins),
     * rewrite. On a transactional table format this is MERGE INTO; on raw
-    * parquet we stage-then-swap to stay atomic-enough for local use. */
+    * parquet we stage-then-swap to stay atomic-enough for local use.
+    * For partitioned tables prefer [[mergePartitioned]], which touches
+    * only the batch's partitions. */
   def mergeIntoParquet(batch: DataFrame, sinkPath: String, key: Seq[String]): Unit = {
     val spark = batch.sparkSession
     val dir = new java.io.File(sinkPath)

@@ -63,6 +63,35 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set(("k1", 1.0), ("k2", 20.0), ("k3", 3.0)))
   }
 
+  test("mergePartitioned touches only the batch's partitions") {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("psink").toString + "/t"
+    val day1 = Seq(("k1", "2026-01-01", 1.0), ("k2", "2026-01-01", 2.0))
+    val day2 = Seq(("k3", "2026-01-02", 3.0))
+    EventStream.mergePartitioned(
+      (day1 ++ day2).toDF("key", "day", "v"), sink, Seq("key"), "day")
+    val d2FileBefore = new java.io.File(s"$sink/day=2026-01-02").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.lastModified()).max
+    Thread.sleep(1100)
+    // batch touching only day1
+    EventStream.mergePartitioned(
+      Seq(("k1", "2026-01-01", 10.0)).toDF("key", "day", "v"), sink, Seq("key"), "day")
+    val d2FileAfter = new java.io.File(s"$sink/day=2026-01-02").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.lastModified()).max
+    assert(d2FileAfter === d2FileBefore, "untouched partition was rewritten")
+    val out = spark.read.parquet(sink).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Double]("v"))).toSet
+    assert(out === Set(("k1", 10.0), ("k2", 2.0), ("k3", 3.0)))
+  }
+
+  test("UserProfile is a first-class typed Dataset (S4)") {
+    import spark.implicits._
+    val p = graft.schema.UserProfile(70.0, 180.0, "cm", 72.5, "kg", Some(20545), None)
+    val ds = Seq(p).toDS()
+    assert(ds.filter(_.goal_weight_kg == 70.0).count() === 1)
+    assert(ds.collect().head === p)
+  }
+
   test("file stream end-to-end: json events → windowed agg → memory sink") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evts").toString
