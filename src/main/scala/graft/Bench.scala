@@ -34,7 +34,7 @@ object Bench {
     sys.props("graft.cacheTables") = "true"
     Tables.names.foreach(n => Tables(spark, sfDir, n).count())
 
-    val pool = Executors.newFixedThreadPool(8)
+    val pool = Executors.newFixedThreadPool(5)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     // LPT packing: start the multi-stage heavyweights first so they
     // overlap the long tail of small queries instead of serializing at

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaRecord, Multimodal}
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing: the typed mapPartitions pipeline agrees with the
@@ -27,6 +27,20 @@ class MultimodalSpec extends SparkSpec {
   test("resize/frameSample stubs: batch shapes") {
     assert(Multimodal.Codecs.resize("abcdef".getBytes, 3).toSeq === "abc".getBytes.toSeq)
     assert(Multimodal.Codecs.frameSample("abcdef".getBytes, 2).toSeq === "ace".getBytes.toSeq)
+  }
+
+  test("binary payloads roundtrip through parquet and features survive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("media").toString + "/t"
+    val media = Multimodal.mediaFromDocuments(spark, sf0001)
+    media.write.partitionBy("kind").parquet(dir)
+    val back = spark.read.parquet(dir).as[MediaRecord]
+    assert(back.count() === media.count())
+    val origFeats = Multimodal.extractFeatures(media)
+      .select($"media_id", $"content_hash")
+    val backFeats = Multimodal.extractFeatures(back)
+      .select($"media_id", $"content_hash")
+    assert(origFeats.except(backFeats).count() === 0) // bytes identical after roundtrip
   }
 
   test("metadata-only reads never touch the payload column (column pruning)") {
