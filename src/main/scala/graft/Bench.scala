@@ -46,20 +46,25 @@ object Bench {
       val i = heavy.indexOf(n); if (i >= 0) i else heavy.size
     }
     val t0 = System.nanoTime()
-    val futures = ordered.map { case (name, fn) =>
+    val futures = ordered.zipWithIndex.map { case ((name, fn), i) =>
       Future {
+        // one FAIR pool per query: without a named pool everything lands
+        // in the single default pool, which schedules FIFO internally
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"q$i")
         val q0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - q0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        (name, (System.nanoTime() - q0) / 1e9, ok)
       }
     }
-    val results = Await.result(Future.sequence(futures), Duration.Inf).toMap
+    val results = Await.result(Future.sequence(futures), Duration.Inf)
     val wall = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,6 +36,17 @@ object VectorOps {
   private def cosineNormed(a: String, b: String, normA: String, normB: String): Column =
     dot(a, b) / (col(normA) * col(normB))
 
+  /** Per-label mean vector (the IVF coarse-quantizer build): posexplode
+    * to (label, dim, x), average per dim, reassemble ordered arrays. */
+  private def labelCentroids(s: SparkSession, e: DataFrame): DataFrame = {
+    import s.implicits._
+    e.select($"label", posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"label", $"dim").agg(avg($"x").as("c"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"dim", $"c"))).as("pairs"))
+      .select($"label", expr("transform(pairs, p -> p.c)").as("centroid"))
+  }
+
   /** Brute-force cosine top-k: 10 query vectors × all candidates, rank by
     * similarity (vec_id tie-break), keep top 5. The query side is
     * broadcast, so candidates never shuffle — at 100 TB the scan is
@@ -142,11 +153,7 @@ object VectorOps {
   def q36LabelCentroidDist(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = emb(s, d)
-    val dims = e.select($"label", posexplode($"v").as(Seq("dim", "x")))
-    val centroids = dims.groupBy($"label", $"dim").agg(avg($"x").as("c"))
-      .groupBy($"label")
-      .agg(array_sort(collect_list(struct($"dim", $"c"))).as("pairs"))
-      .select($"label", expr("transform(pairs, p -> p.c)").as("centroid"))
+    val centroids = labelCentroids(s, e)
     // |v-c|^2 = v.v - 2 v.c + c.c, all via the codegen'd dot_native
     e.join(broadcast(centroids), Seq("label"))
       .withColumn("dist",
@@ -182,11 +189,7 @@ object VectorOps {
   def q46IvfAnn(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = emb(s, d)
-    val dims = e.select($"label", posexplode($"v").as(Seq("dim", "x")))
-    val centroids = dims.groupBy($"label", $"dim").agg(avg($"x").as("c"))
-      .groupBy($"label")
-      .agg(array_sort(collect_list(struct($"dim", $"c"))).as("pairs"))
-      .select($"label".as("cell"), expr("transform(pairs, p -> p.c)").as("centroid"))
+    val centroids = labelCentroids(s, e).withColumnRenamed("label", "cell")
     val queries = e.where($"vec_id" < 50)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm".as("qnorm"))
     val qDist = queries.join(broadcast(centroids))

@@ -133,8 +133,9 @@ object Extended {
       |  levenshtein(p_name, 'small widget') AS edit_dist,
       |  printf('%s [%s]', p_name, p_brand) AS label,
       |  reverse(p_name) AS rname,
-      |  upper(left(lower(replace(p_type, 'PROMO', 'promoted')), 1))
-      |    || substr(lower(replace(p_type, 'PROMO', 'promoted')), 2) AS type_label,
+      |  array_to_string([upper(left(w, 1)) || substr(w, 2)
+      |                   FOR w IN string_split(lower(replace(p_type, 'PROMO', 'promoted')), ' ')],
+      |                  ' ') AS type_label,
       |  CAST(length(p_name) AS BIGINT) AS name_len
       |FROM part""".stripMargin
 
@@ -180,7 +181,31 @@ object Extended {
       |  count(*) AS n_orders
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** CUBE — all 2^2 grouping combinations in one pass (SURVEY §2.5's
+    * "weekly and monthly as one GROUPING SETS pass" idea, fully general):
+    * revenue by (status, priority), by each alone, and grand total, with
+    * grouping-level indicators. */
+  def q51Cube(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(sum($"o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        round($"revenue", 4).as("revenue"), $"n_orders")
+  }
+
+  val q51Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       round(sum(o_totalprice), 4) AS revenue,
+      |       count(*) AS n_orders
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_cube" -> (q51Cube _),
     "q38_pivot" -> (q38Pivot _),
     "q39_correlated_subquery" -> (q39CorrelatedSubquery _),
     "q40_percentiles" -> (q40Percentiles _),
@@ -191,6 +216,7 @@ object Extended {
 
   /** q41 intentionally omitted: approximate sketches are engine-specific. */
   val oracleSql: Map[String, String] = Map(
+    "q51_cube" -> q51Sql,
     "q38_pivot" -> q38Sql,
     "q39_correlated_subquery" -> q39Sql,
     "q40_percentiles" -> q40Sql,

@@ -33,8 +33,12 @@ object SkewJoin {
       salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
+    // content-deterministic salt (hash of the full row), NOT rand():
+    // a task retry that recomputes a map partition must re-derive the
+    // same salt values the shuffle files already consumed, or the join
+    // can duplicate/drop rows under fetch-failure recovery
     val saltedFact = fact.withColumn("__salt",
-      least((rand(seed = 42) * salt).cast("int"), lit(salt - 1)))
+      pmod(hash(fact.columns.map(col).toSeq: _*), lit(salt)))
     val saltedDim = dim.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     saltedFact

@@ -258,7 +258,7 @@ object TimeSeries {
       |  FROM events),
       |flagged AS (
       |  SELECT user_id, ts, value, event_id,
-      |         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0
+      |         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) >= 1800.0
       |              THEN 1 ELSE 0 END AS new_s
       |  FROM seq),
       |sessions AS (

@@ -27,18 +27,14 @@ class BucketingSpec extends SparkSpec {
     // hide the bucketing at this toy SF)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val plan = try {
+    val (plan, bucketedRows) = try {
       val j = spark.table(s"$db.orders_b")
         .join(spark.table(s"$db.lineitem_b"), $"o_orderkey" === $"l_orderkey")
         .groupBy($"o_orderpriority")
         .agg(sum($"l_extendedprice").as("rev"))
-      j.collect()
-      j.queryExecution.executedPlan.toString
+      val rows = j.collect() // one execution: the plan asserted IS the plan checked
+      (j.queryExecution.executedPlan.toString, rows)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-    val joined = spark.table(s"$db.orders_b")
-      .join(spark.table(s"$db.lineitem_b"), $"o_orderkey" === $"l_orderkey")
-      .groupBy($"o_orderpriority")
-      .agg(sum($"l_extendedprice").as("rev"))
     // co-located: SMJ reads bucketed files directly, no Exchange below it
     assert(plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("Exchange hashpartitioning(o_orderkey") &&
@@ -47,7 +43,7 @@ class BucketingSpec extends SparkSpec {
     val plain = Tables(spark, sf0001, "orders")
       .join(Tables(spark, sf0001, "lineitem"), $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_orderpriority").agg(sum($"l_extendedprice").as("rev"))
-    assert(joined.collect().map(r => (r.getString(0), math.round(r.getDouble(1)))).toSet ===
+    assert(bucketedRows.map(r => (r.getString(0), math.round(r.getDouble(1)))).toSet ===
       plain.collect().map(r => (r.getString(0), math.round(r.getDouble(1)))).toSet)
   }
 }

@@ -92,6 +92,32 @@ class StreamingSpec extends SparkSpec {
     assert(ds.collect().head === p)
   }
 
+  test("stream-stream join: purchases join clicks within a time bound, state watermark-bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)] // user, ts, click_id
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val c = clicks.toDF().toDF("user_id", "c_ts", "click_id")
+      .withWatermark("c_ts", "1 hour")
+    val p = purchases.toDF().toDF("p_user", "p_ts", "purchase_id")
+      .withWatermark("p_ts", "1 hour")
+    val joined = p.join(c,
+      expr("""p_user = user_id AND
+              c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 30 MINUTES"""))
+    val q = joined.writeStream.format("memory")
+      .queryName("ss_join").outputMode("append").start()
+    clicks.addData((1L, ts("2024-01-01 10:00:00"), 100L))
+    purchases.addData(
+      (1L, ts("2024-01-01 10:10:00"), 200L), // within 30 min of click 100
+      (1L, ts("2024-01-01 11:10:00"), 201L)) // outside the bound
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ss_join")
+      .select($"purchase_id", $"click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((200L, 100L)))
+  }
+
   test("file stream end-to-end: json events → windowed agg → memory sink") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evts").toString
