@@ -1,0 +1,66 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, Expression, ExpressionInfo, LambdaFunction, Literal, ZipWith}
+import org.apache.spark.sql.catalyst.expressions.{Add, Multiply, NamedLambdaVariable}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Session extensions (`spark.sql.extensions=graft.expressions.GraftExtensions`):
+  *
+  *  - injects `dot_native` as a catalog function, so ANY session built
+  *    with the extension gets it without per-session registration;
+  *  - injects [[RewriteHofDotProduct]], an optimizer rule that rewrites
+  *    the built-in-but-interpreted higher-order composition
+  *    `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,x) -> acc+x)`
+  *    into the codegen'd [[DotProduct]] — users who write the idiomatic
+  *    HOF form get the ~25× faster expression automatically.
+  *
+  * This is the (c)-tier extension path of the build brief (custom
+  * Rule registered via SparkSessionExtensions); it is additive only —
+  * semantics are identical, so every oracle result is unchanged.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_native"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_native"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+  }
+}
+
+/** aggregate(zip_with(a, b, _*_), 0.0, _+_)  ⇒  dot_native(a, b). */
+object RewriteHofDotProduct extends Rule[LogicalPlan] {
+
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(a, b,
+              LambdaFunction(Multiply(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _), Seq(x2, y2), _)),
+            Literal(0.0, DoubleType),
+            LambdaFunction(Add(acc1: NamedLambdaVariable, v1: NamedLambdaVariable, _), Seq(acc2, v2), _),
+            finish)
+          if isDoubleArray(a) && isDoubleArray(b) &&
+            x1.exprId == x2.asInstanceOf[NamedLambdaVariable].exprId &&
+            y1.exprId == y2.asInstanceOf[NamedLambdaVariable].exprId &&
+            acc1.exprId == acc2.asInstanceOf[NamedLambdaVariable].exprId &&
+            v1.exprId == v2.asInstanceOf[NamedLambdaVariable].exprId &&
+            isIdentityFinish(finish) =>
+        DotProduct(a, b)
+    }
+
+  /** finish lambda is `id -> id` (the default identity). */
+  private def isIdentityFinish(finish: Expression): Boolean = finish match {
+    case LambdaFunction(body: NamedLambdaVariable, Seq(arg: NamedLambdaVariable), _) =>
+      body.exprId == arg.exprId
+    case _ => false
+  }
+}
