@@ -10,10 +10,11 @@ class BucketingSpec extends SparkSpec {
 
   test("joining two tables bucketed on the key plans without a shuffle") {
     import spark.implicits._
-    val db = "graft_bucket_test"
+    // unique db per run: a leftover warehouse dir from a prior JVM (the
+    // managed-table location outlives the in-memory catalog) would fail
+    // CREATE TABLE with LOCATION_ALREADY_EXISTS
+    val db = s"graft_bucket_test_${System.nanoTime()}"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    spark.sql(s"DROP TABLE IF EXISTS $db.orders_b")
-    spark.sql(s"DROP TABLE IF EXISTS $db.lineitem_b")
 
     Tables(spark, sf0001, "orders")
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")

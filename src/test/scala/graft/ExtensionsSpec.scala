@@ -17,7 +17,11 @@ class ExtensionsSpec extends AnyFunSuite {
     val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      // withExtensions, not config("spark.sql.extensions", ...): the
+      // config form only applies when the SparkContext itself is new,
+      // and suites in this JVM share one context. Production
+      // spark-submit uses --conf spark.sql.extensions=graft.expressions.GraftExtensions
+      .withExtensions(ext => new graft.expressions.GraftExtensions()(ext))
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
