@@ -149,8 +149,12 @@ object Extended {
       .agg(
         count(when($"value" > 100, 1)).as("n_high"),
         count(when($"value" <= 100, 1)).as("n_low"),
-        max_by($"event_id", $"value").as("top_event_id"),
-        min_by($"event_id", $"value").as("bottom_event_id"),
+        // argmax score is (value, event_id) composite — bare max_by on
+        // value picks an ARBITRARY row among ties (real at sf0.1: value
+        // has 2 decimals, 100k rows). value*1e9 + id stays exact in a
+        // double (< 2^53) and is strictly monotonic in the pair.
+        max_by($"event_id", $"value" * 1e9 + $"event_id").as("top_event_id"),
+        min_by($"event_id", $"value" * 1e9 + $"event_id").as("bottom_event_id"),
         round(avg(when($"user_id" % 2 === 0, $"value")), 6).as("avg_even_users"))
   }
 
@@ -158,8 +162,8 @@ object Extended {
     """SELECT event_type,
       |  count(CASE WHEN value > 100 THEN 1 END) AS n_high,
       |  count(CASE WHEN value <= 100 THEN 1 END) AS n_low,
-      |  max_by(event_id, value) AS top_event_id,
-      |  min_by(event_id, value) AS bottom_event_id,
+      |  max_by(event_id, value * 1e9 + event_id) AS top_event_id,
+      |  min_by(event_id, value * 1e9 + event_id) AS bottom_event_id,
       |  round(avg(CASE WHEN user_id % 2 = 0 THEN value END), 6) AS avg_even_users
       |FROM events GROUP BY event_type""".stripMargin
 
