@@ -33,25 +33,28 @@ object Relational {
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum($"l_quantity").as("sum_qty"),
-        sum($"l_extendedprice").as("sum_base_price"),
-        sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
-        sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
-        avg($"l_quantity").as("avg_qty"),
-        avg($"l_extendedprice").as("avg_price"),
-        avg($"l_discount").as("avg_disc"),
+        // aggregate floats rounded IN-QUERY on both engines: sums over
+        // different partition orders differ in low bits, and the
+        // driver's compare tolerance is not ours to choose
+        round(sum($"l_quantity"), 4).as("sum_qty"),
+        round(sum($"l_extendedprice"), 4).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 4).as("sum_charge"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
   }
 
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(l_quantity) AS sum_qty,
-      |  sum(l_extendedprice) AS sum_base_price,
-      |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
-      |  sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) AS sum_charge,
-      |  avg(l_quantity) AS avg_qty,
-      |  avg(l_extendedprice) AS avg_price,
-      |  avg(l_discount) AS avg_disc,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  round(sum(l_extendedprice), 4) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -86,13 +89,13 @@ object Relational {
       .join(broadcast(Tables(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(Tables(s, d, "region")), $"n_regionkey" === $"r_regionkey")
     revenue.groupBy($"r_name", $"n_name")
-      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"),
            count(lit(1)).as("n_items"))
   }
 
   val q3Sql: String =
     """SELECT r_name, n_name,
-      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -140,13 +143,13 @@ object Relational {
   def q6TopCustomers(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     ord(s, d).groupBy($"o_custkey")
-      .agg(sum($"o_totalprice").as("total_spent"), count(lit(1)).as("n_orders"))
+      .agg(round(sum($"o_totalprice"), 4).as("total_spent"), count(lit(1)).as("n_orders"))
       .orderBy($"total_spent".desc, $"o_custkey")
       .limit(10)
   }
 
   val q6Sql: String =
-    """SELECT o_custkey, sum(o_totalprice) AS total_spent, count(*) AS n_orders
+    """SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spent, count(*) AS n_orders
       |FROM orders
       |GROUP BY o_custkey
       |ORDER BY total_spent DESC, o_custkey
@@ -180,12 +183,12 @@ object Relational {
       .groupBy($"n_name")
       .agg(countDistinct($"c_mktsegment").as("n_segments"),
            count(lit(1)).as("n_customers"),
-           avg($"c_acctbal").as("avg_acctbal"))
+           round(avg($"c_acctbal"), 4).as("avg_acctbal"))
   }
 
   val q8Sql: String =
     """SELECT n_name, count(DISTINCT c_mktsegment) AS n_segments,
-      |       count(*) AS n_customers, avg(c_acctbal) AS avg_acctbal
+      |       count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
 
@@ -193,8 +196,8 @@ object Relational {
     * global measure sums reshaped to (measure, total) rows via stack. */
   def q9Unpivot(s: SparkSession, d: String): DataFrame = {
     li(s, d)
-      .agg(sum(col("l_quantity")).as("q"), sum(col("l_extendedprice")).as("e"),
-           sum(col("l_discount")).as("disc"), sum(col("l_tax")).as("t"))
+      .agg(round(sum(col("l_quantity")), 4).as("q"), round(sum(col("l_extendedprice")), 4).as("e"),
+           round(sum(col("l_discount")), 4).as("disc"), round(sum(col("l_tax")), 4).as("t"))
       .selectExpr(
         "stack(4, 'quantity', q, 'extendedprice', e, 'discount', disc, 'tax', t) AS (measure, total)")
   }
@@ -243,11 +246,11 @@ object Relational {
     ord(s, d)
       .join(broadcast(bands), $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
       .groupBy($"band")
-      .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice").as("sum_price"))
+      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 4).as("sum_price"))
   }
 
   val q11Sql: String =
-    """SELECT band, count(*) AS n_orders, sum(o_totalprice) AS sum_price
+    """SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 4) AS sum_price
       |FROM orders
       |JOIN (VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
       |             ('high', 150000.0, 1e18)) AS b(band, lo, hi)
@@ -357,14 +360,14 @@ object Relational {
       .groupBy($"event_type")
       .agg(sum($"k").as("sum_k"),
            count(when($"k" > 50, 1)).as("n_high"),
-           avg($"k").as("avg_k"))
+           round(avg($"k"), 6).as("avg_k"))
   }
 
   val q19Sql: String =
     """SELECT event_type,
       |  CAST(sum(k) AS BIGINT) AS sum_k,
       |  count(CASE WHEN k > 50 THEN 1 END) AS n_high,
-      |  avg(k) AS avg_k
+      |  round(avg(k), 6) AS avg_k
       |FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
       |GROUP BY event_type""".stripMargin
 
@@ -376,7 +379,7 @@ object Relational {
       .join(broadcast(Tables(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(Tables(s, d, "region")), $"n_regionkey" === $"r_regionkey")
       .rollup($"r_name", $"n_name")
-      .agg(sum($"c_acctbal").as("sum_acctbal"), count(lit(1)).as("n_customers"))
+      .agg(round(sum($"c_acctbal"), 4).as("sum_acctbal"), count(lit(1)).as("n_customers"))
       .select(coalesce($"r_name", lit("ALL")).as("region"),
               coalesce($"n_name", lit("ALL")).as("nation"),
               $"sum_acctbal", $"n_customers")
@@ -384,7 +387,7 @@ object Relational {
 
   val q20Sql: String =
     """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
-      |       sum(c_acctbal) AS sum_acctbal, count(*) AS n_customers
+      |       round(sum(c_acctbal), 4) AS sum_acctbal, count(*) AS n_customers
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
