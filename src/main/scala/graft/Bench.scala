@@ -1,20 +1,26 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 import java.util.concurrent.Executors
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":...,"value":totalSec,...}.
+  * prints ONE JSON line {"metric":...,"value":totalSec,...} on a line of
+  * its own (build.sbt sets outputStrategy := StdoutOutput so the forked
+  * JVM's stdout is NOT "[info]"-prefixed by sbt), and also writes the same
+  * JSON to SPARK_GRAFT_BENCH_OUT (default /tmp/graft_bench.json) as a
+  * belt-and-braces machine-readable copy.
   *
-  * Suite style: throughput run (TPC-DS-style) — queries execute
-  * concurrently on the shared local[32] scheduler, `value` is the
-  * wall-clock time for the whole suite. Sequential per-query timing
-  * wastes most of a 32-core box on small-SF queries whose individual
-  * parallelism is bounded by their own stage structure; interleaving
-  * measures what a loaded single node actually sustains. Per-query
-  * seconds (measured under that concurrency) are reported alongside.
+  * Two measurements, both reported:
+  *   - `value` — wall-clock of the 5-way-concurrent throughput run
+  *     (TPC-DS style): what a loaded single node sustains across the
+  *     whole suite. Headline number.
+  *   - `queries` — SEQUENTIAL per-query seconds, measured after the
+  *     concurrent run on the warmed cache. Attributable round-over-round
+  *     (concurrent per-query times are contention-noise); their sum is
+  *     `seq_total`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,7 +34,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm up JVM/codegen and materialize the shared table cache once,
     // outside timing (the reference's st.cache_data shape).
     sys.props("graft.cacheTables") = "true"
@@ -56,15 +62,28 @@ object Bench {
         (name, (System.nanoTime() - q0) / 1e9, ok)
       }
     }
-    val results = Await.result(Future.sequence(futures), Duration.Inf)
+    val concurrent = Await.result(Future.sequence(futures), Duration.Inf)
     val wall = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
 
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+    // Sequential pass on the warmed cache: per-query numbers free of
+    // scheduler contention, so round-over-round regressions attribute.
+    val sequential = ordered.map { case (name, fn) =>
+      val q0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      (name, (System.nanoTime() - q0) / 1e9, ok)
+    }
+    val seqTotal = sequential.map(_._2).sum
+
+    def timesJson(rs: Seq[(String, Double, Boolean)]): String =
+      rs.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failures = (concurrent ++ sequential).collect { case (k, _, false) => k }
+      .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"total","value":$wall,"unit":"sec","queries":${timesJson(sequential)},"queries_concurrent":${timesJson(concurrent)},"seq_total":$seqTotal,"failures":$failures,"sf":"$sfDir"}"""
+    Files.writeString(
+      Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")), json)
+    println(json)
     spark.stop()
   }
 }

@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis and document-deduplication surface for training-data
@@ -166,17 +167,21 @@ object TextOps {
       |  source
       |FROM documents""".stripMargin
 
-  /** MinHash + LSH near-dup candidates: distinct 3-gram shingles →
-    * 8 MinHash signatures (min over md5(seed‖shingle) — lexicographic min
-    * on hex is engine-portable) → 4 bands of 2 → candidate pairs sharing a
-    * band bucket. The self-join is on (band, bucket) — at 100 TB the
-    * bucket cardinality keeps this shuffle fine-grained, and no pairwise
-    * work happens outside colliding buckets (that is the LSH point). */
+  /** MinHash + LSH near-dup candidates: 3-gram shingles → ONE md5 per
+    * shingle, 8 MinHash signatures as the 8 disjoint 4-hex-char (16-bit)
+    * slices of that single digest (min over a fixed-width hex slice is
+    * engine-portable lexicographic = numeric min) → 4 bands of 2 →
+    * candidate pairs sharing an 8-char band bucket. Round 1 hashed every
+    * shingle occurrence 8× and shuffled 64-char buckets; this is the same
+    * LSH shape at 1/8 the hash work and 1/8 the shuffle width — at 100 TB
+    * the bucket cardinality keeps the self-join shuffle fine-grained, and
+    * no pairwise work happens outside colliding buckets (the LSH point). */
   def q30MinHashLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = rawShingles(s, d) // min() is dedup-invariant — no distinct shuffle
-    val hashes = (0 until 8).map(i => min(md5(concat(lit(i.toString), $"shingle"))).as(s"h$i"))
-    val sig = sh.groupBy($"doc_id").agg(hashes.head, hashes.tail: _*)
+    // min() is dedup-invariant — no distinct shuffle before the groupBy
+    val sh = rawShingles(s, d).withColumn("h", md5($"shingle"))
+    val mins = (0 until 8).map(i => min(substring($"h", 1 + 4 * i, 4)).as(s"h$i"))
+    val sig = sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
     val bands = sig.selectExpr("doc_id",
       "stack(4, 0, concat(h0, h1), 1, concat(h2, h3), 2, concat(h4, h5), 3, concat(h6, h7)) AS (band, bucket)")
     // merge-join hint: at corpus scale the signature table (4 rows/doc)
@@ -191,12 +196,13 @@ object TextOps {
 
   val q30Sql: String =
     s"""WITH $shingleCte,
+      |hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
       |sig AS (SELECT doc_id,
-      |  min(md5('0' || shingle)) h0, min(md5('1' || shingle)) h1,
-      |  min(md5('2' || shingle)) h2, min(md5('3' || shingle)) h3,
-      |  min(md5('4' || shingle)) h4, min(md5('5' || shingle)) h5,
-      |  min(md5('6' || shingle)) h6, min(md5('7' || shingle)) h7
-      |  FROM sh GROUP BY doc_id),
+      |  min(substring(h, 1, 4)) h0, min(substring(h, 5, 4)) h1,
+      |  min(substring(h, 9, 4)) h2, min(substring(h, 13, 4)) h3,
+      |  min(substring(h, 17, 4)) h4, min(substring(h, 21, 4)) h5,
+      |  min(substring(h, 25, 4)) h6, min(substring(h, 29, 4)) h7
+      |  FROM hashed GROUP BY doc_id),
       |bands AS (
       |  SELECT doc_id, 0 AS band, h0 || h1 AS bucket FROM sig
       |  UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
@@ -206,18 +212,39 @@ object TextOps {
       |FROM bands a JOIN bands b
       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
 
+  /** Document-frequency cap for q31's shingle self-join: a shingle shared
+    * by k docs produces O(k²) candidate pairs, so one hot shingle (think
+    * boilerplate headers at 100 TB) makes the join quadratic. Dropping
+    * shingles with df > K bounds pair expansion at K·|shingle rows| —
+    * standard near-dup practice (a shingle in "everything" carries no
+    * similarity signal anyway). K = 30 exceeds the max observed df at the
+    * test SFs (25 at sf0.1), so test answers are unchanged; the guard is
+    * structural. */
+  val JaccardDfCap = 30
+
   /** n-gram Jaccard similarity: pairs sharing ≥1 shingle, scored
     * |A∩B| / |A∪B|, thresholded. Shared-shingle join means pairwise work
-    * is proportional to actual overlap, not n² — the distributable form
-    * of pairwise Jaccard. */
+    * is proportional to actual overlap, not n². Two scale levers vs the
+    * naive form: the join key is a fixed-width 16-hex-char (64-bit)
+    * md5-prefix of the shingle, not the raw string (narrow shuffles), and
+    * shingles above [[JaccardDfCap]] are dropped before the self-join
+    * (bounds the blowup a hot shingle causes). */
   def q31JaccardPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = withShingles(s, d)
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    val sh = rawShingles(s, d)
+      .select($"doc_id", substring(md5($"shingle"), 1, 16).as("sh16"))
+      .distinct()
+    // df via a window over the same hash-partitioning the self-join
+    // needs — no extra join against a separate df table
+    val capped = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"sh16")))
+      .where($"df" <= JaccardDfCap)
+      .select($"doc_id", $"sh16")
+    val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
     // merge hint: same ReusedExchange rationale as q30 — one shingle
     // build feeds both sides of the self-join
-    val shared = sh.as("a").join(sh.as("b").hint("merge"),
-        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+    val shared = capped.as("a").join(capped.as("b").hint("merge"),
+        $"a.sh16" === $"b.sh16" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared
@@ -230,9 +257,13 @@ object TextOps {
 
   val q31Sql: String =
     s"""WITH $shingleCte,
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |h AS (SELECT DISTINCT doc_id, substring(md5(shingle), 1, 16) AS sh16 FROM sh),
+      |capped AS (SELECT doc_id, sh16 FROM (
+      |    SELECT doc_id, sh16, count(*) OVER (PARTITION BY sh16) AS df FROM h)
+      |  WHERE df <= 30),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
       |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-      |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |           FROM capped a JOIN capped b ON a.sh16 = b.sh16 AND a.doc_id < b.doc_id
       |           GROUP BY 1, 2)
       |SELECT doc_a, doc_b, n_shared,
       |       n_shared / (sa.n + sb.n - n_shared) AS jaccard

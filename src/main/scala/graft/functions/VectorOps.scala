@@ -89,8 +89,7 @@ object VectorOps {
     * oracle-reproducible stand-in with identical plan shape). */
   def q34AnnLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val bucketed = emb(s, d).withColumn("bucket",
-      concat((1 to 8).map(i => when(expr(s"v[${i - 1}]") >= 0, "1").otherwise("0")): _*))
+    val bucketed = emb(s, d).withColumn("bucket", signBucket(8))
     val queries = bucketed.where($"vec_id" < 50)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm".as("qnorm"), $"bucket")
     val scored = bucketed.join(queries, Seq("bucket"))
@@ -122,11 +121,35 @@ object VectorOps {
       |FROM ranked WHERE rank <= 3""".stripMargin
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold (exact; the
-    * LSH-bucketed q34 is the subquadratic variant). Ordered pair key
-    * a < b halves the work; in production this would first bucket by LSH
-    * and only score within buckets. */
+  /** Sign-random-projection bucket (shared by q34 and q35): the sign bits
+    * of the first 8 components. */
+  private def signBucket(nBits: Int): Column =
+    concat((1 to nBits).map(i => when(expr(s"v[${i - 1}]") >= 0, "1").otherwise("0")): _*)
+
+  /** Embedding-cosine near-duplicate pairs above a threshold — the 100 TB
+    * shape: LSH prefilter (q34's sign-projection buckets) + exact cosine
+    * rescore within each bucket. The bucket equi-join replaces the
+    * all-pairs theta join, so pairwise work is Σ|bucket|² instead of n²
+    * (~2⁸× less with 8 sign bits) and the join is a hash/sort-merge
+    * shuffle, not a broadcast nested loop. Recall tradeoff is explicit:
+    * only pairs agreeing on all 8 sign bits are candidates — that IS the
+    * LSH contract; the exact all-pairs baseline this prefilters is kept
+    * as a spec-only oracle (VectorOpsSpec) because an O(n²) scan must not
+    * be the benched artifact. */
   def q35CosineNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d).withColumn("bucket", signBucket(8))
+    val a = e.select($"bucket", $"vec_id".as("id_a"), $"v".as("va"), $"norm".as("na"))
+    val b = e.select($"bucket", $"vec_id".as("id_b"), $"v".as("vb"), $"norm".as("nb"))
+    a.join(b, Seq("bucket"))
+      .where($"id_a" < $"id_b")
+      .withColumn("sim", cosineNormed("va", "vb", "na", "nb"))
+      .where($"sim" >= 0.40)
+      .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
+  }
+
+  /** Exact all-pairs baseline (spec-only; see [[q35CosineNearDup]]). */
+  def cosineNearDupExact(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = emb(s, d)
     val a = e.select($"vec_id".as("id_a"), $"v".as("va"), $"norm".as("na"))
@@ -137,14 +160,18 @@ object VectorOps {
       .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
   }
 
-  val q35Sql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+  val q35Sql: String = {
+    val bits = (1 to 8).map(i => s"CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |                  $bits AS bucket
+      |           FROM embeddings)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |       round(list_dot_product(a.v, b.v)
       |         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
-      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       |WHERE list_dot_product(a.v, b.v)
       |        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.40""".stripMargin
+  }
 
   /** Centroid per label (the IVF coarse-quantizer build step): element-wise
     * mean vector via explode + posexplode-free aggregation, then each

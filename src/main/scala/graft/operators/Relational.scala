@@ -203,37 +203,50 @@ object Relational {
   }
 
   val q9Sql: String =
-    """WITH s AS (SELECT sum(l_quantity) q, sum(l_extendedprice) e,
-      |                  sum(l_discount) disc, sum(l_tax) t FROM lineitem)
+    """WITH s AS (SELECT round(sum(l_quantity), 4) q, round(sum(l_extendedprice), 4) e,
+      |                  round(sum(l_discount), 4) disc, round(sum(l_tax), 4) t FROM lineitem)
       |SELECT 'quantity' AS measure, q AS total FROM s
       |UNION ALL SELECT 'extendedprice', e FROM s
       |UNION ALL SELECT 'discount', disc FROM s
       |UNION ALL SELECT 'tax', t FROM s""".stripMargin
 
   /** Set operations: union / intersect / except over customer-key sets
-    * (implicit union in reference: main.py:100, streamlit_app.py:145). */
+    * (implicit union in reference: main.py:100, streamlit_app.py:145).
+    * Computed as ONE pass: intersect/except/union-distinct over the same
+    * scan would cost ~6 shuffles; per-customer year flags + conditional
+    * counts give identical answers with a single wide shuffle (the flag
+    * groupBy) plus a trivial single-partition final agg. At 100 TB the
+    * difference is 6 full-data shuffles vs 1. */
   def q10SetOps(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val o = ord(s, d)
-    val buyers95 = o.where(year($"o_orderdate") === 1995).select($"o_custkey")
-    val buyers96 = o.where(year($"o_orderdate") === 1996).select($"o_custkey")
-    val both = buyers95.intersect(buyers96).withColumn("set_op", lit("both"))
-    val only95 = buyers95.except(buyers96).withColumn("set_op", lit("only95"))
-    val any = buyers95.union(buyers96).distinct().withColumn("set_op", lit("any"))
-    both.unionByName(only95).unionByName(any)
-      .groupBy($"set_op").agg(count(lit(1)).as("n_customers"))
+    val flags = ord(s, d)
+      .select($"o_custkey", year($"o_orderdate").as("y"))
+      .where($"y" === 1995 || $"y" === 1996)
+      .groupBy($"o_custkey")
+      .agg(max(when($"y" === 1995, 1).otherwise(0)).as("y95"),
+           max(when($"y" === 1996, 1).otherwise(0)).as("y96"))
+    flags.agg(
+        sum(when($"y95" === 1 && $"y96" === 1, 1L).otherwise(0L)).as("n_both"),
+        sum(when($"y95" === 1 && $"y96" === 0, 1L).otherwise(0L)).as("n_only95"),
+        count(lit(1)).as("n_any"))
+      .selectExpr("stack(3, 'both', n_both, 'only95', n_only95, 'any', n_any) AS (set_op, n_customers)")
   }
 
   val q10Sql: String =
-    """WITH b95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
-      |     b96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
-      |     tagged AS (
-      |       SELECT o_custkey, 'both' AS set_op FROM (SELECT * FROM b95 INTERSECT SELECT * FROM b96)
-      |       UNION ALL
-      |       SELECT o_custkey, 'only95' FROM (SELECT * FROM b95 EXCEPT SELECT * FROM b96)
-      |       UNION ALL
-      |       SELECT o_custkey, 'any' FROM (SELECT * FROM b95 UNION SELECT * FROM b96))
-      |SELECT set_op, count(*) AS n_customers FROM tagged GROUP BY set_op""".stripMargin
+    """WITH f AS (SELECT o_custkey,
+      |                  max(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS y95,
+      |                  max(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS y96
+      |           FROM orders
+      |           WHERE year(o_orderdate) IN (1995, 1996)
+      |           GROUP BY o_custkey),
+      |     c AS (SELECT
+      |             CAST(sum(CASE WHEN y95 = 1 AND y96 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+      |             CAST(sum(CASE WHEN y95 = 1 AND y96 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only95,
+      |             CAST(count(*) AS BIGINT) AS n_any
+      |           FROM f)
+      |SELECT 'both' AS set_op, n_both AS n_customers FROM c
+      |UNION ALL SELECT 'only95', n_only95 FROM c
+      |UNION ALL SELECT 'any', n_any FROM c""".stripMargin
 
   /** Range (theta) join against a tiny in-line band dimension → broadcast
     * nested loop; the band table is broadcast so the fact side never
