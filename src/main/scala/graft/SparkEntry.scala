@@ -23,7 +23,8 @@ object SparkEntry {
       operators.Extended.queries ++
       functions.TextOps.queries ++
       functions.VectorOps.queries ++
-      multimodal.Multimodal.queries
+      multimodal.Multimodal.queries ++
+      sources.IngestFixtures.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       operators.Extended.oracleSql ++
       functions.TextOps.oracleSql ++
       functions.VectorOps.oracleSql ++
-      multimodal.Multimodal.oracleSql
+      multimodal.Multimodal.oracleSql ++
+      sources.IngestFixtures.oracleSql
 }

@@ -32,6 +32,17 @@ case class FoodEntry(
     sodium: Double,
     number_of_units: Double)
 
+/** Typed exercise entry (S5; the reference leaves `exercises.get`
+  * untyped — utils/api.py:147-158 returns the raw dict — so the typed
+  * shape mirrors the public envelope's fields with the same lenient
+  * numeric semantics as FoodEntry). */
+case class ExerciseEntry(
+    exercise_id: String,
+    exercise_name: String,
+    minutes: Double,
+    calories: Double,
+    date: java.sql.Date)
+
 /** User profile (utils/models.py:5-13). */
 case class UserProfile(
     goal_weight_kg: Double,
@@ -52,6 +63,21 @@ object Schemas {
     "food_entry_name", "food_entry_description", "calories",
     "carbohydrate", "fat", "protein", "fiber", "sugar", "sodium",
     "number_of_units").map(StructField(_, StringType, nullable = true)))
+
+  /** One raw exercise as delivered by `exercises.get` — all strings,
+    * like [[rawEntry]] (the API stringifies numerics). */
+  val rawExercise: StructType = StructType(Seq(
+    "exercise_id", "exercise_name", "minutes", "calories")
+    .map(StructField(_, StringType, nullable = true)))
+
+  /** Raw exercises envelope: {"exercises": {"exercise": [exercise…]}} —
+    * same bare-object-for-singleton quirk as [[rawEnvelope]], so the
+    * payload is captured as verbatim text and normalized before the
+    * typed parse. */
+  val rawExercisesEnvelope: StructType = StructType(Seq(
+    StructField("exercises", StructType(Seq(
+      StructField("exercise", StringType, nullable = true))),
+      nullable = true)))
 
   /** Raw per-day envelope: {"food_entries": {"food_entry": [entry…]}}.
     * `food_entry` is declared StringType, NOT ArrayType — the API sends a

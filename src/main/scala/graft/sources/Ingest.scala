@@ -109,6 +109,59 @@ object Ingest {
     toSilver(parseEnvelope(raw))
   }
 
+  /** S3 — month-granularity extract (utils/api.py:188-201,
+    * `food_entries.get_month`): one month's days in a single read. The
+    * day-partitioned layout is read through Spark's partition discovery
+    * (the `day=YYYY-MM-DD` directories become a real partition column),
+    * so the month predicate becomes a PartitionFilter — files outside
+    * the month are never opened. At 100 TB this is the difference
+    * between scanning one month and scanning the whole table. */
+  def readSilverMonth(spark: SparkSession, path: String, month: String): DataFrame = {
+    import spark.implicits._
+    val monthStart = to_date(lit(s"$month-01"))
+    val raw = spark.read.text(path) // partition discovery: day dirs → `day` col
+      .where(trunc($"day", "month") === monthStart)
+      .select($"day".cast("date").as("day"), $"value".as("json"))
+    toSilver(parseEnvelope(raw))
+  }
+
+  /** S5 — exercises extract (utils/api.py:147-158, `exercises.get`):
+    * same envelope pattern as the food path — dict-or-list payload
+    * normalization (F16), permissive parse (P1), lenient numeric casts
+    * (F12) — with the API's optional date filter expressed as a partition
+    * predicate. Returns a typed `Dataset[ExerciseEntry]`. */
+  def readExercises(spark: SparkSession, path: String,
+                    date: Option[String] = None): Dataset[graft.schema.ExerciseEntry] = {
+    import spark.implicits._
+    val raw = spark.read.text(path)
+      .select(input_file_name().as("file"), $"value".as("json"))
+      .withColumn("day", to_date(regexp_extract($"file", "day=([0-9-]+)", 1)))
+      .drop("file")
+    val filtered = date.fold(raw)(dt => raw.where($"day" === to_date(lit(dt))))
+    parseExercises(filtered)
+  }
+
+  /** Exercises envelope JSON → typed rows (see [[readExercises]]). */
+  def parseExercises(raw: DataFrame): Dataset[graft.schema.ExerciseEntry] = {
+    val s = raw.sparkSession
+    import s.implicits._
+    raw
+      .withColumn("env", from_json($"json", Schemas.rawExercisesEnvelope))
+      .withColumn("payload", normalizeDictOrList($"env.exercises.exercise"))
+      .where($"payload".isNotNull)
+      .withColumn("entries", from_json($"payload", ArrayType(Schemas.rawExercise)))
+      .where($"entries".isNotNull)
+      .select($"day", explode($"entries").as("e"))
+      .where($"e.exercise_id".isNotNull) // P2's required-key contract
+      .select(
+        $"e.exercise_id".as("exercise_id"),
+        $"e.exercise_name".as("exercise_name"),
+        lenientDouble($"e.minutes").as("minutes"),
+        lenientDouble($"e.calories").as("calories"),
+        $"day".cast("date").as("date"))
+      .as[graft.schema.ExerciseEntry]
+  }
+
   /** S8 — silver sink: date-partitioned parquet with dynamic partition
     * overwrite (per-day Redis SET ≙ overwrite one day partition). */
   def writeSilver(silver: DataFrame, path: String): Unit =

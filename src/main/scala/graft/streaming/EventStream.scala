@@ -84,28 +84,54 @@ object EventStream {
 
   /** One MERGE step: read current sink state, merge (incoming wins),
     * rewrite. On a transactional table format this is MERGE INTO; on raw
-    * parquet we stage-then-swap to stay atomic-enough for local use.
+    * parquet we stage-then-swap with a CHECKED commit protocol:
+    * every rename result is verified (File.renameTo reports failure by
+    * return value — e.g. cross-filesystem moves), a failed target swap
+    * rolls the previous table back, and an interrupted swap from a
+    * crashed run is repaired on the next call (the `.old` copy is
+    * restored if the target vanished mid-swap). The invariant: a reader
+    * never observes a missing or half-written table, and a failure
+    * surfaces as an exception instead of silent data loss.
     * For partitioned tables prefer [[mergePartitioned]], which touches
     * only the batch's partitions. */
   def mergeIntoParquet(batch: DataFrame, sinkPath: String, key: Seq[String]): Unit = {
     val spark = batch.sparkSession
-    val dir = new java.io.File(sinkPath)
+    val target = new java.io.File(sinkPath)
+    val old = new java.io.File(sinkPath + ".old")
+    val staged = new java.io.File(sinkPath + ".staging")
+    // crash recovery: a previous run renamed target -> .old and died
+    // before promoting its staging copy — restore the last committed
+    // table before merging into it
+    if (!target.exists() && old.exists())
+      renameOrThrow(old, target, "recovering interrupted swap")
+    deleteRecursively(staged) // incomplete write from a crashed run
     val merged =
-      if (dir.exists()) Dedup.merge(spark.read.parquet(sinkPath), batch, key)
+      if (target.exists()) Dedup.merge(spark.read.parquet(sinkPath), batch, key)
       else batch
-    val staged = sinkPath + ".staging"
-    merged.write.mode("overwrite").parquet(staged)
+    merged.write.mode("overwrite").parquet(staged.getPath)
     // swap: parquet has no MERGE transaction; staging keeps readers from
     // observing a half-written table
-    val target = new java.io.File(sinkPath)
     if (target.exists()) {
-      val old = new java.io.File(sinkPath + ".old")
       deleteRecursively(old)
-      target.renameTo(old)
+      renameOrThrow(target, old, "parking current table")
     }
-    new java.io.File(staged).renameTo(target)
-    deleteRecursively(new java.io.File(sinkPath + ".old"))
+    try renameOrThrow(staged, target, "promoting staged table")
+    catch { case e: java.io.IOException =>
+      // roll back so readers keep the previous committed table
+      if (old.exists() && !old.renameTo(target))
+        throw new java.io.IOException(
+          s"merge sink left without a committed table at $sinkPath " +
+            s"(promote AND rollback both failed); manual repair from $old", e)
+      throw e
+    }
+    deleteRecursively(old)
   }
+
+  private def renameOrThrow(from: java.io.File, to: java.io.File, what: String): Unit =
+    if (!from.renameTo(to))
+      throw new java.io.IOException(
+        s"$what: rename $from -> $to failed (cross-filesystem move, " +
+          "permissions, or concurrent writer)")
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)

@@ -67,4 +67,14 @@ class PlanSpec extends SparkSpec {
     val plan = physical(TimeSeries.q12CalendarDensify(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("q10: one-pass set ops — no joins, one wide shuffle + trivial final agg") {
+    val plan = physical(Relational.q10SetOps(spark, sf0001))
+    // the old intersect/except form planned semi/anti joins over repeated
+    // scans; the conditional-agg form must plan none
+    assert(!plan.contains("Join"), plan)
+    val wide = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    val single = plan.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(wide == 1 && single <= 1, s"wide=$wide single=$single\n$plan")
+  }
 }

@@ -1,0 +1,37 @@
+package graft
+
+import graft.functions.TextOps
+
+/** Functional guards for the near-dup operators' scale levers. */
+class TextDedupSpec extends SparkSpec {
+
+  test("q31: document-frequency cap bounds pair expansion from hot shingles") {
+    import spark.implicits._
+    // A boilerplate shingle shared by M docs yields O(M²) candidate pairs;
+    // the df-cap must drop it before the self-join. 40 identical docs
+    // (every shingle at df=40 > cap=30) would contribute C(40,2)=780
+    // pairs uncapped; 2 docs sharing a rare text (df=2) survive.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dfcap").toString
+    val hot = (1L to 40L).map(i => (i, "alpha beta gamma delta epsilon"))
+    val rare = Seq((101L, "zeta eta theta iota kappa"), (102L, "zeta eta theta iota kappa"))
+    (hot ++ rare).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val pairs = TextOps.q31JaccardPairs(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((101L, 102L)),
+      s"expected only the rare-shingle pair, got ${pairs.mkString(", ")}")
+  }
+
+  test("q31: df-cap keeps answers unchanged when no shingle exceeds it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dfcap2").toString
+    Seq((1L, "one two three four"), (2L, "one two three five"), (3L, "six seven eight nine"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.q31JaccardPairs(spark, dir).collect()
+    // docs 1,2 share shingles {one two three} (df=2 ≤ cap): jaccard 1/3
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)), rows.mkString(", "))
+    assert(math.abs(rows.head.getDouble(3) - 1.0 / 3.0) < 1e-12)
+  }
+}
