@@ -225,26 +225,29 @@ object TextOps {
   /** n-gram Jaccard similarity: pairs sharing ≥1 shingle, scored
     * |A∩B| / |A∪B|, thresholded. Shared-shingle join means pairwise work
     * is proportional to actual overlap, not n². Two scale levers vs the
-    * naive form: the join key is a fixed-width 16-hex-char (64-bit)
-    * md5-prefix of the shingle, not the raw string (narrow shuffles), and
-    * shingles above [[JaccardDfCap]] are dropped before the self-join
-    * (bounds the blowup a hot shingle causes). */
+    * naive form: the join key is the 64-bit `xxhash64` of the shingle,
+    * not the raw string — the OUTPUT carries no hash values, so the
+    * engine-internal hash can be the fastest codegen'd one (the DuckDB
+    * oracle uses its own md5 prefix; both are collision-free at these
+    * cardinalities, so results coincide) — and shingles above
+    * [[JaccardDfCap]] are dropped before the self-join (bounds the
+    * blowup a hot shingle causes). */
   def q31JaccardPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = rawShingles(s, d)
-      .select($"doc_id", substring(md5($"shingle"), 1, 16).as("sh16"))
+      .select($"doc_id", xxhash64($"shingle").as("shid"))
       .distinct()
     // df via a window over the same hash-partitioning the self-join
     // needs — no extra join against a separate df table
     val capped = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy($"sh16")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"shid")))
       .where($"df" <= JaccardDfCap)
-      .select($"doc_id", $"sh16")
+      .select($"doc_id", $"shid")
     val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
     // merge hint: same ReusedExchange rationale as q30 — one shingle
     // build feeds both sides of the self-join
     val shared = capped.as("a").join(capped.as("b").hint("merge"),
-        $"a.sh16" === $"b.sh16" && $"a.doc_id" < $"b.doc_id")
+        $"a.shid" === $"b.shid" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared
