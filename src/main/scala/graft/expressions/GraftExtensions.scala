@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_native"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    // custom whole-operator plan: map-side-bounded top-k per group
+    // (the (c)-tier LogicalPlan + Strategy + SparkPlan path)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
 

@@ -81,15 +81,17 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition init point for a real codec context
+      // per-partition init: one digest instance (and, in production, one
+      // codec context) per task, reset per row — not re-created per row
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val feats = Codecs.decodeFeatures(r.data)
+        md.reset()
         MediaFeatures(
           media_id = r.media_id,
           kind = r.kind,
           payload_len = r.data.length.toLong,
-          content_hash = java.security.MessageDigest.getInstance("MD5")
-            .digest(r.data).map("%02x".format(_)).mkString,
+          content_hash = md.digest(r.data).map("%02x".format(_)).mkString,
           feature = feats)
       }
     }

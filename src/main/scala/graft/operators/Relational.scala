@@ -174,6 +174,23 @@ object Relational {
       |      FROM orders)
       |WHERE rn <= 3""".stripMargin
 
+  /** q7's semantics through the CUSTOM physical operator
+    * [[graft.plans.TopKPerGroup]] instead of window + filter: a map-side
+    * bounded heap caps the shuffle at k rows per group per partition
+    * (the window form shuffles every row). Same oracle SQL as q7 — the
+    * correctness gate doubles as the operator-equivalence proof. */
+  def q53TopKCustom(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.TopK.perGroup(
+        ord(s, d).select($"o_custkey", $"o_orderkey", $"o_totalprice"),
+        groupCols = Seq("o_custkey"),
+        orderCols = Seq(("o_totalprice", false), ("o_orderkey", true)),
+        k = 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn".cast("long").as("rn"))
+  }
+
+  val q53Sql: String = q7Sql
+
   /** Distinct aggregation per group (nunique ≙ countDistinct,
     * streamlit_app.py:397 `days_logged`). */
   def q8DistinctAgg(s: SparkSession, d: String): DataFrame = {
@@ -422,7 +439,8 @@ object Relational {
     "q17_merge_upsert" -> (q17MergeUpsert _),
     "q18_datetime_funcs" -> (q18DatetimeFuncs _),
     "q19_json_extract" -> (q19JsonExtract _),
-    "q20_rollup" -> (q20Rollup _))
+    "q20_rollup" -> (q20Rollup _),
+    "q53_topk_custom" -> (q53TopKCustom _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -440,5 +458,6 @@ object Relational {
     "q17_merge_upsert" -> q17Sql,
     "q18_datetime_funcs" -> q18Sql,
     "q19_json_extract" -> q19Sql,
-    "q20_rollup" -> q20Sql)
+    "q20_rollup" -> q20Sql,
+    "q53_topk_custom" -> q53Sql)
 }
