@@ -46,7 +46,7 @@ object Bench {
     // LPT packing: start the multi-stage heavyweights first so they
     // overlap the long tail of small queries instead of serializing at
     // the end of the suite.
-    val heavy = Seq("q30_minhash_lsh", "q31_jaccard_pairs", "q46_ivf_ann",
+    val heavy = Seq("q54_neardup_components", "q30_minhash_lsh", "q31_jaccard_pairs", "q46_ivf_ann",
       "q36_label_centroid", "q34_ann_lsh", "q35_cosine_neardup", "q10_set_ops",
       "q33_knn_bruteforce", "q32_simhash")
     val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) =>

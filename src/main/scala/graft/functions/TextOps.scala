@@ -357,6 +357,155 @@ object TextOps {
       |  round(length(text) / len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')), 6) AS chars_per_bpe_token
       |FROM documents""".stripMargin
 
+  /** Near-dup CONNECTED COMPONENTS over the q30 candidate-pair graph —
+    * the step that turns pairwise candidates into dedup decisions (each
+    * component keeps one representative; component_id IS the keeper:
+    * the min doc_id, matching the reference's deterministic keeper rule,
+    * main.py:96-105). Min-label propagation: every doc starts labeled
+    * with itself; each round takes the min label over neighbors;
+    * fixpoint = min doc_id of the component. Convergence is detected by
+    * the label-sum (strictly decreasing until fixpoint), one scalar agg
+    * per round — the driver orchestrates rounds but never holds data.
+    * Rounds = graph diameter; near-dup clusters are near-cliques, so
+    * 2-3 in practice. At 100 TB swap the propagation for the
+    * large-star/small-star algorithm (same join shape, O(log n)
+    * rounds); the surrounding contract is unchanged. */
+  def q54NearDupComponents(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = q30MinHashLsh(s, d)
+    // The iteration tables hold only the candidate GRAPH (nodes with
+    // degree ≥ 1 and their edges) — a small fraction of the corpus by
+    // LSH design — so they are coalesced to single partitions: every
+    // propagation round then runs as one-task stages instead of paying
+    // 32-partition shuffle scheduling on a few thousand rows. At a scale
+    // where the candidate graph itself is huge, size this by edge count
+    // (and swap the propagation for large-star/small-star, below).
+    val sym = edges.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(edges.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .coalesce(1).persist()
+    // Iterate ONLY over nodes with degree ≥ 1: a singleton's label can
+    // never change, so excluding the (at corpus scale, vast) singleton
+    // majority from every round is semantics-preserving and removes the
+    // dominant per-round join cost. Singletons rejoin at the end.
+    var labels = sym.select($"src".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("lbl")).coalesce(1).persist()
+    var prevSum = -1L
+    var currSum = labels.agg(sum($"lbl")).head.getLong(0)
+    var rounds = 0
+    while (currSum != prevSum && rounds < 25) {
+      val nmin = sym.join(labels.withColumnRenamed("doc_id", "n"), $"src" === $"n")
+        .groupBy($"dst").agg(min($"lbl").as("nlbl"))
+      val propagated = labels.join(nmin, labels("doc_id") === nmin("dst"), "left")
+        .select(labels("doc_id"),
+          least(coalesce($"nlbl", labels("lbl")), labels("lbl")).as("lbl"))
+      // pointer jump (path compression): follow lbl -> lbl(lbl), halving
+      // chain depth each round so convergence is O(log diameter), not
+      // O(diameter)
+      val parents = propagated.select($"doc_id".as("p"), $"lbl".as("plbl"))
+      // localCheckpoint truncates the logical plan: the self-join would
+      // otherwise double the plan tree every round and planning time
+      // explodes exponentially with the round count
+      labels = propagated.as("x").join(parents, $"x.lbl" === $"p", "left")
+        .select($"x.doc_id".as("doc_id"), coalesce($"plbl", $"x.lbl").as("lbl"))
+        .localCheckpoint()
+      prevSum = currSum
+      currSum = labels.agg(sum($"lbl")).head.getLong(0)
+      rounds += 1
+    }
+    val all = docs(s, d).select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"lbl", $"doc_id").as("lbl"))
+    val sizes = all.groupBy($"lbl").agg(count(lit(1)).as("component_size"))
+    all.join(sizes, "lbl")
+      .select($"doc_id", $"lbl".as("component_id"), $"component_size")
+  }
+
+  /** DuckDB twin: the same q30 candidate CTEs, then a recursive CTE
+    * enumerating (node, reachable-label) pairs — UNION dedup bounds it
+    * at Σ|component|² rows, tiny for near-dup clusters. */
+  val q54Sql: String =
+    s"""WITH RECURSIVE $shingleCte,
+      |hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+      |sig AS (SELECT doc_id,
+      |  min(substring(h, 1, 4)) h0, min(substring(h, 5, 4)) h1,
+      |  min(substring(h, 9, 4)) h2, min(substring(h, 13, 4)) h3,
+      |  min(substring(h, 17, 4)) h4, min(substring(h, 21, 4)) h5,
+      |  min(substring(h, 25, 4)) h6, min(substring(h, 29, 4)) h7
+      |  FROM hashed GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, h0 || h1 AS bucket FROM sig
+      |  UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+      |  UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+      |  UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+      |          UNION ALL SELECT doc_b, doc_a FROM cand),
+      |reach(node, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      |comp AS (SELECT node AS doc_id, min(lbl) AS component_id FROM reach GROUP BY node)
+      |SELECT doc_id, component_id,
+      |       count(*) OVER (PARTITION BY component_id) AS component_size
+      |FROM comp""".stripMargin
+
+  /** Deterministic train/val/test split by content-independent hash
+    * bucket (80/10/10): bucket = first 16 bits of md5(doc_id). The split
+    * is a pure function of the key — stable across runs, machines, and
+    * engine versions, which is the property a training pipeline needs
+    * (no rand(), no sampling drift on re-runs). Embarrassingly parallel;
+    * no shuffle at all. */
+  def q55HashSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id", $"lang",
+        conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("long").as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 52429, "train")     // 0.8 * 65536
+          .when($"bucket" < 58982, "val")    // 0.9 * 65536
+          .otherwise("test"))
+  }
+
+  val q55Sql: String =
+    """SELECT doc_id, lang,
+      |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS bucket,
+      |  CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 52429 THEN 'train'
+      |       WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 58982 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin
+
+  /** Within-document repetition score — the boilerplate/spam quality
+    * signal: fraction of repeated 3-gram shingles inside each doc
+    * (1 - distinct/total). Pure per-row array math, no explode and no
+    * shuffle. */
+  def q56Repetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", expr(shinglesExpr).as("shs"))
+      .select($"doc_id",
+        size($"shs").cast("long").as("n_shingles"),
+        size(array_distinct($"shs")).cast("long").as("n_distinct"))
+      .withColumn("repetition_ratio",
+        when($"n_shingles" === 0, 0.0)
+          .otherwise(round(lit(1.0) - $"n_distinct" / $"n_shingles", 6)))
+  }
+
+  val q56Sql: String =
+    """WITH shs AS (SELECT doc_id,
+      |  CASE WHEN len(toks) < 3 THEN []
+      |       ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks) - 2)] END AS l
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents))
+      |SELECT doc_id,
+      |  CAST(len(l) AS BIGINT) AS n_shingles,
+      |  CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct,
+      |  CASE WHEN len(l) = 0 THEN 0.0
+      |       ELSE round(1.0 - len(list_distinct(l)) / len(l), 6) END AS repetition_ratio
+      |FROM shs""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_rolling_fingerprint" -> (q45RollingFingerprint _),
     "q47_bpe_tokens" -> (q47BpeTokens _),
@@ -367,7 +516,10 @@ object TextOps {
     "q29_fingerprint" -> (q29Fingerprint _),
     "q30_minhash_lsh" -> (q30MinHashLsh _),
     "q31_jaccard_pairs" -> (q31JaccardPairs _),
-    "q32_simhash" -> (q32SimHash _))
+    "q32_simhash" -> (q32SimHash _),
+    "q54_neardup_components" -> (q54NearDupComponents _),
+    "q55_hash_split" -> (q55HashSplit _),
+    "q56_repetition" -> (q56Repetition _))
 
   val oracleSql: Map[String, String] = Map(
     "q45_rolling_fingerprint" -> q45Sql,
@@ -379,5 +531,8 @@ object TextOps {
     "q29_fingerprint" -> q29Sql,
     "q30_minhash_lsh" -> q30Sql,
     "q31_jaccard_pairs" -> q31Sql,
-    "q32_simhash" -> q32Sql)
+    "q32_simhash" -> q32Sql,
+    "q54_neardup_components" -> q54Sql,
+    "q55_hash_split" -> q55Sql,
+    "q56_repetition" -> q56Sql)
 }
