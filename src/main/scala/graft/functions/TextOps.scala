@@ -39,14 +39,10 @@ object TextOps {
       .select($"doc_id", explode(expr(shinglesExpr)).as("shingle"))
   }
 
-  /** Distinct shingle SETS — needed where counts matter (Jaccard).
-    * MinHash does NOT need this: min over a multiset equals min over its
-    * distinct set, so q30 skips the extra shuffle. */
-  private def withShingles(s: SparkSession, d: String): DataFrame =
-    rawShingles(s, d).distinct()
-
-  /** DuckDB-side shingle CTE matching [[withShingles]] (list comprehension
-    * replaces Spark's transform+sequence). */
+  /** DuckDB-side shingle CTE: DISTINCT (doc_id, shingle) sets (list
+    * comprehension replaces Spark's transform+sequence). Consumers that
+    * are dedup-invariant (min — q30) use it interchangeably with the raw
+    * multiset. */
   private val shingleCte: String =
     """sh AS (SELECT DISTINCT doc_id,
       |  unnest(CASE WHEN len(toks) < 3 THEN []

@@ -61,6 +61,30 @@ class TopKSpec extends SparkSpec {
     assert(emitted >= 3, s"partial emitted $emitted rows")
   }
 
+  test("property: custom operator matches the window form on random data (nulls, ties, k >= group size)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = Gen.listOfN(60, for {
+      g <- Gen.choose(1, 5)
+      v <- Gen.option(Gen.choose(-10, 10)) // null order values + heavy ties
+    } yield (g, v))
+    (0 until 6).foreach { i =>
+      val rows = rowGen.apply(Gen.Parameters.default, Seed(7L + i)).get
+        .zipWithIndex.map { case ((g, v), id) => (g, v, id.toLong) } // unique tie-break
+      val df = rows.toDF("g", "v", "id")
+      val k = 1 + i % 4
+      val custom = TopK.perGroup(df, Seq("g"), Seq(("v", false), ("id", true)), k)
+        .select($"g", $"id", $"rn".cast("long"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+      val windowed = df.withColumn("rn", row_number().over(w)).where($"rn" <= k)
+        .select($"g", $"id", $"rn".cast("long"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(custom == windowed, s"seed ${7 + i}, k=$k")
+    }
+  }
+
   test("rank column is 1-based and dense within each group") {
     import spark.implicits._
     val df = Seq((1, 10), (1, 20), (1, 30), (1, 40), (2, 5)).toDF("g", "v")
