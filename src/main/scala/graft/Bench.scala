@@ -75,7 +75,8 @@ object Bench {
     // wall). A real cluster deployment makes the same split: per-job
     // parallelism × concurrent jobs ≈ total cores.
     spark.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CONC", "8"))
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CONC",
+        math.max(4, cpus.toInt / 4).toString))
 
     val t0 = System.nanoTime()
     val futures = ordered.zipWithIndex.map { case ((name, fn), i) =>

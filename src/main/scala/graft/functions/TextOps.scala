@@ -502,6 +502,32 @@ object TextOps {
       |       ELSE round(1.0 - len(list_distinct(l)) / len(l), 6) END AS repetition_ratio
       |FROM shs""".stripMargin
 
+  /** Per-language vocabulary heads: top-5 tokens by frequency — the
+    * corpus-analysis pass behind tokenizer/vocab decisions. Runs through
+    * the custom [[graft.plans.TopKPerGroup]] operator (map-side bounded
+    * heaps), composed here with an upstream aggregation: partial counts
+    * combine map-side, then the per-group heap caps what the ranking
+    * shuffle moves. Oracle is the equivalent window form. */
+  def q57TopTokensPerLang(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = docs(s, d)
+      .select($"lang", explode(tokens($"text")).as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("n"))
+    graft.plans.TopK.perGroup(counts, Seq("lang"),
+        Seq(("n", false), ("tok", true)), 5)
+      .select($"lang", $"tok", $"n", $"rn".cast("long").as("rn"))
+  }
+
+  val q57Sql: String =
+    """WITH c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+      |           FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |                 FROM documents)
+      |           GROUP BY 1, 2),
+      |r AS (SELECT lang, tok, n,
+      |             row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rn
+      |      FROM c)
+      |SELECT lang, tok, n, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_rolling_fingerprint" -> (q45RollingFingerprint _),
     "q47_bpe_tokens" -> (q47BpeTokens _),
@@ -515,7 +541,8 @@ object TextOps {
     "q32_simhash" -> (q32SimHash _),
     "q54_neardup_components" -> (q54NearDupComponents _),
     "q55_hash_split" -> (q55HashSplit _),
-    "q56_repetition" -> (q56Repetition _))
+    "q56_repetition" -> (q56Repetition _),
+    "q57_top_tokens_per_lang" -> (q57TopTokensPerLang _))
 
   val oracleSql: Map[String, String] = Map(
     "q45_rolling_fingerprint" -> q45Sql,
@@ -530,5 +557,6 @@ object TextOps {
     "q32_simhash" -> q32Sql,
     "q54_neardup_components" -> q54Sql,
     "q55_hash_split" -> q55Sql,
-    "q56_repetition" -> q56Sql)
+    "q56_repetition" -> q56Sql,
+    "q57_top_tokens_per_lang" -> q57Sql)
 }
