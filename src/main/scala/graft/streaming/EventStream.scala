@@ -56,6 +56,20 @@ object EventStream {
         mergeIntoParquet(batch, sinkPath, key)
       }
 
+  /** D2 against the TRANSACTIONAL sink: each micro-batch merges into a
+    * manifest-committed table ([[graft.sources.ManifestTable]]) — commit
+    * is an atomic pointer swap, concurrent readers keep their snapshot,
+    * and a crashed batch leaves only unreferenced garbage. This is the
+    * production form of [[upsertSink]]'s raw-parquet swap. */
+  def upsertSinkTransactional(incoming: DataFrame, tableRoot: String, key: Seq[String])
+      : DataStreamWriter[Row] =
+    incoming.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.ManifestTable.merge(batch, tableRoot, key): Unit
+      }
+
   /** Partition-scoped MERGE for a date-partitioned silver table: only
     * the partitions present in the batch are read, merged, and
     * dynamically overwritten — the whole-table path below never runs.
