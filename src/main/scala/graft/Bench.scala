@@ -97,8 +97,12 @@ object Bench {
       rs.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failures = (concurrent ++ sequential).collect { case (k, _, false) => k }
       .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val method =
+      "value = wall-clock of the concurrent throughput run (the suite-level number); " +
+        "queries = per-query seconds measured sequentially for attribution — their sum " +
+        "includes ~0.2s/query of Spark job-scheduling floor that the concurrent run amortizes"
     val json =
-      s"""{"metric":"total","value":$wall,"unit":"sec","queries":${timesJson(sequential)},"queries_concurrent":${timesJson(concurrent)},"seq_total":$seqTotal,"failures":$failures,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$wall,"unit":"sec","queries":${timesJson(sequential)},"queries_concurrent":${timesJson(concurrent)},"seq_total":$seqTotal,"failures":$failures,"sf":"$sfDir","method":"$method"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")), json)
     println(json)
