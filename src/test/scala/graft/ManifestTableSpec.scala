@@ -56,6 +56,29 @@ class ManifestTableSpec extends SparkSpec {
     assert(readSet(root) == first)
   }
 
+  test("streaming upsert commits one snapshot per micro-batch through the transactional sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-manifest-stream").toString
+    val root = s"$dir/t"
+    val ckpt = s"$dir/ckpt" // checkpoint = micro-batches carry only NEW data
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(1L -> "a", 2L -> "b")
+    EventStream.upsertSinkTransactional(mem.toDF().toDF("id", "v"), root, Seq("id"))
+      .option("checkpointLocation", ckpt)
+      .start().processAllAvailable()
+    assert(readSet(root) == Set(1L -> "a", 2L -> "b"))
+    val v1 = ManifestTable.currentVersion(root)
+    mem.addData(2L -> "B", 3L -> "c")
+    EventStream.upsertSinkTransactional(mem.toDF().toDF("id", "v"), root, Seq("id"))
+      .option("checkpointLocation", ckpt)
+      .start().processAllAvailable()
+    assert(ManifestTable.currentVersion(root) > v1)
+    assert(readSet(root) == Set(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
   test("vacuum keeps the newest snapshots readable and drops unreferenced files") {
     val root = Files.createTempDirectory("graft-manifest4").toString
     ManifestTable.merge(df(1L -> "a"), root, Seq("id"))

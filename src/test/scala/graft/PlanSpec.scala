@@ -68,6 +68,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q55/q56: per-row corpus ops plan no shuffle at all") {
+    import graft.functions.TextOps
+    Seq(TextOps.q55HashSplit(spark, sf0001), TextOps.q56Repetition(spark, sf0001))
+      .foreach { df =>
+        val plan = physical(df)
+        assert(!plan.contains("Exchange"), plan)
+      }
+  }
+
   test("q10: one-pass set ops — no joins, one wide shuffle + trivial final agg") {
     val plan = physical(Relational.q10SetOps(spark, sf0001))
     // the old intersect/except form planned semi/anti joins over repeated
