@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up experiment (dev tool): run the heavy relational shapes at
+  * 1× and N× the sf0.1 row count (fact tables unioned with shifted
+  * keys — same distributions, N× the data) and report the runtime
+  * ratio. The 100 TB claim is that these plans scale with data size,
+  * not super-linearly: partial aggs stay map-side, broadcasts stay
+  * broadcasts, shuffles stay key-partitioned.
+  *
+  *   sbt "runMain graft.ScaleProbe [N]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // N copies with disjoint key spaces: same key cardinality growth as
+    // a bigger SF (keys scale with data), same value distributions
+    def scaled(name: String, keyCols: Seq[String]): DataFrame = {
+      val base = Tables(spark, sfDir, name)
+      val shift = 100000000L
+      (0 until factor).map { i =>
+        keyCols.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(i * shift)))
+      }.reduce(_ union _)
+    }
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+
+    val li1 = Tables(spark, sfDir, "lineitem")
+    val liN = scaled("lineitem", Seq("l_orderkey"))
+    val ord1 = Tables(spark, sfDir, "orders")
+    val ordN = scaled("orders", Seq("o_orderkey", "o_custkey"))
+
+    def q1(li: DataFrame): Long = li
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity"), sum($"l_extendedprice"), count(lit(1))).count()
+
+    def joinAgg(li: DataFrame, o: DataFrame): Long = li
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority").agg(sum($"l_extendedprice")).count()
+
+    def topk(o: DataFrame): Long =
+      graft.plans.TopK.perGroup(
+        o.select($"o_custkey", $"o_orderkey", $"o_totalprice"),
+        Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3).count()
+
+    // warm codegen on the small side first
+    q1(li1); joinAgg(li1, ord1); topk(ord1)
+    time("q1_agg_1x")(q1(li1))
+    time(s"q1_agg_${factor}x")(q1(liN))
+    time("join_agg_1x")(joinAgg(li1, ord1))
+    time(s"join_agg_${factor}x")(joinAgg(liN, ordN))
+    time("topk_custom_1x")(topk(ord1))
+    time(s"topk_custom_${factor}x")(topk(ordN))
+    spark.stop()
+  }
+}
