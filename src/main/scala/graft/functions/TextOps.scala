@@ -2,7 +2,6 @@ package graft.functions
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis and document-deduplication surface for training-data
@@ -232,13 +231,18 @@ object TextOps {
     import s.implicits._
     val sh = rawShingles(s, d)
       .select($"doc_id", xxhash64($"shingle").as("shid"))
-      .distinct()
-    // df via a window over the same hash-partitioning the self-join
-    // needs — no extra join against a separate df table
-    val capped = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy($"shid")))
-      .where($"df" <= JaccardDfCap)
-      .select($"doc_id", $"shid")
+    // ONE exchange does dedup + document-frequency cap + candidate
+    // grouping: collect_set per shingle subsumes the distinct AND the
+    // df count (set size), and the explode back to rows preserves the
+    // shid partitioning, so the self-join adds no new exchange.
+    // Tradeoff, stated: a pathologically hot shingle materializes its
+    // doc set on one row before the cap filters it — at a scale where
+    // that bites, pre-filter with a combiner-friendly
+    // groupBy(shid).count() pass instead (an extra cheap exchange);
+    // the df-cap semantics and everything downstream are unchanged.
+    val byShingle = sh.groupBy($"shid").agg(collect_set($"doc_id").as("ids"))
+      .where(size($"ids") <= JaccardDfCap)
+    val capped = byShingle.select($"shid", explode($"ids").as("doc_id"))
     val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
     // merge hint: same ReusedExchange rationale as q30 — one shingle
     // build feeds both sides of the self-join
