@@ -3,8 +3,8 @@ package graft.streaming
 import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, Trigger}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger}
+import org.apache.spark.sql.{Encoders, Row}
 
 /** Per-user running state for mapGroupsWithState. */
 case class UserStats(user_id: Long, n_events: Long, total_value: Double, last_seen_epoch: Long)
@@ -179,6 +179,50 @@ object EventStream {
           state.update(next)
           next
       }
+  }
+
+  /** The same running stats on Spark 4's `transformWithState` — the
+    * successor of mapGroupsWithState (typed state handles with explicit
+    * lifecycle + TTL; requires the RocksDB state store provider). Kept
+    * alongside [[runningUserStats]] so StreamingSpec can assert the two
+    * state APIs produce identical results. At scale the TTL handle is
+    * the operational win: per-key state can expire without a custom
+    * timeout dance. */
+  class UserStatsProcessor
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Double), UserStats] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserStats] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserStats](
+        "stats", Encoders.product[UserStats], TTLConfig.NONE)
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Double)],
+        timerValues: TimerValues): Iterator[UserStats] = {
+      val prev = if (state.exists()) state.get() else UserStats(userId, 0L, 0.0, 0L)
+      var n = prev.n_events
+      var total = prev.total_value
+      var lastTs = prev.last_seen_epoch
+      rows.foreach { case (_, ts, v) =>
+        n += 1
+        total += v
+        lastTs = math.max(lastTs, ts.getTime)
+      }
+      val next = UserStats(userId, n, total, lastTs)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[runningUserStats]] re-expressed on the transformWithState API. */
+  def runningUserStatsTws(events: DataFrame): Dataset[UserStats] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .selectExpr("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** File-based streaming read of an events-shaped directory (S2's

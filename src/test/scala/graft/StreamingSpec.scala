@@ -11,6 +11,45 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("transformWithState matches mapGroupsWithState on the same stream (two state APIs, one answer)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp, Double)]
+      val stats = EventStream.runningUserStatsTws(
+        mem.toDF().toDF("user_id", "ts", "value"))
+      val q = stats.toDF().writeStream.format("memory")
+        .queryName("tws_stats").outputMode("update").start()
+      mem.addData((1L, ts("2024-01-01 10:00:00"), 5.0))
+      q.processAllAvailable()
+      mem.addData(
+        (1L, ts("2024-01-01 11:00:00"), 7.0),
+        (2L, ts("2024-01-01 11:30:00"), 1.0))
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("tws_stats")
+        .groupBy($"user_id")
+        .agg(max(struct($"n_events", $"total_value", $"last_seen_epoch")).as("s"))
+        .select($"user_id", $"s.n_events", $"s.total_value", $"s.last_seen_epoch")
+        .as[(Long, Long, Double, Long)].collect()
+        .map { case (k, n, v, t) => k -> ((n, v, t)) }.toMap
+      // identical to what the mapGroupsWithState twin produces
+      // (ExtendedSpec pins that one on the same inputs)
+      assert(last(1L) == ((2L, 12.0, ts("2024-01-01 11:00:00").getTime)))
+      assert(last(2L) == ((1L, 1.0, ts("2024-01-01 11:30:00").getTime)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("windowedAgg over a memory stream matches the batch tumbling window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
