@@ -26,11 +26,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // The suite wall is max(straggler spans): give the known-heavy
+    // queries weighted FAIR pools so contention stretches the cheap
+    // long tail (irrelevant to the wall) instead of the queries that
+    // define it. Pools not named here fall back to defaults (weight 1).
+    val fairXml = java.nio.file.Files.createTempFile("graft-fair", ".xml")
+    Files.writeString(fairXml,
+      (0 until 3).map(i =>
+        s"""<pool name="heavy$i"><weight>6</weight><minShare>4</minShare></pool>""")
+        .mkString("<?xml version=\"1.0\"?><allocations>", "", "</allocations>"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", fairXml.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -82,8 +92,10 @@ object Bench {
     val futures = ordered.zipWithIndex.map { case ((name, fn), i) =>
       Future {
         // one FAIR pool per query: without a named pool everything lands
-        // in the single default pool, which schedules FIFO internally
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"q$i")
+        // in the single default pool, which schedules FIFO internally.
+        // The first three (LPT-heaviest) get the weighted pools above.
+        val poolName = if (i < 3) s"heavy$i" else s"q$i"
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", poolName)
         val q0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         (name, (System.nanoTime() - q0) / 1e9, ok)

@@ -402,12 +402,13 @@ object TextOps {
       // chain depth each round so convergence is O(log diameter), not
       // O(diameter)
       val parents = propagated.select($"doc_id".as("p"), $"lbl".as("plbl"))
-      // localCheckpoint truncates the logical plan: the self-join would
-      // otherwise double the plan tree every round and planning time
-      // explodes exponentially with the round count
+      // LAZY localCheckpoint truncates the logical plan (the self-join
+      // would otherwise double the plan tree every round → exponential
+      // planning time) and is materialized BY the convergence-sum
+      // action — one Spark job per round, not two
       labels = propagated.as("x").join(parents, $"x.lbl" === $"p", "left")
         .select($"x.doc_id".as("doc_id"), coalesce($"plbl", $"x.lbl").as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       prevSum = currSum
       currSum = labels.agg(sum($"lbl")).head.getLong(0)
       rounds += 1
