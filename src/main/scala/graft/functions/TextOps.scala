@@ -390,7 +390,7 @@ object TextOps {
     var labels = sym.select($"src".as("doc_id")).distinct()
       .select($"doc_id", $"doc_id".as("lbl")).coalesce(1).persist()
     var prevSum = -1L
-    var currSum = labels.agg(sum($"lbl")).head.getLong(0)
+    var currSum = labels.agg(sum($"lbl")).head().getLong(0)
     var rounds = 0
     while (currSum != prevSum && rounds < 25) {
       val nmin = sym.join(labels.withColumnRenamed("doc_id", "n"), $"src" === $"n")
@@ -410,7 +410,7 @@ object TextOps {
         .select($"x.doc_id".as("doc_id"), coalesce($"plbl", $"x.lbl").as("lbl"))
         .localCheckpoint(eager = false)
       prevSum = currSum
-      currSum = labels.agg(sum($"lbl")).head.getLong(0)
+      currSum = labels.agg(sum($"lbl")).head().getLong(0)
       rounds += 1
     }
     val all = docs(s, d).select($"doc_id")

@@ -218,7 +218,14 @@ object TimeSeries {
       |GROUP BY 1, 2""".stripMargin
 
   /** Rolling 7-day mean (trend-line extension, streamlit_app.py:334-360):
-    * average daily total over the trailing week, per day. */
+    * average daily total over the trailing week, per day.
+    *
+    * The unpartitioned window is DELIBERATE and bounded: its input is
+    * the per-day aggregate — one row per calendar day (≤ ~36k rows per
+    * century), already reduced from the raw events by [[daily]]. A
+    * single-task window over a calendar axis is the correct plan at any
+    * corpus scale; if the calendar axis itself ever sharded (multi-
+    * tenant), key the window by tenant. */
   def q24RollingMean(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.orderBy($"day").rowsBetween(-6, 0)
