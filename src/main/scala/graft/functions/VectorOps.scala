@@ -264,8 +264,73 @@ object VectorOps {
       |       round(sim, 6) AS sim
       |FROM ranked WHERE rank <= 3""".stripMargin
 
+  /** K-means training (Lloyd's algorithm, the step that builds a REAL
+    * IVF coarse quantizer — q46 probes cells; this trains them):
+    * k=8 centroids seeded deterministically from the first 8 vectors,
+    * two unrolled iterations of assign-argmin + recompute-means, then
+    * per-cell stats. Engine-portability choices, stated: centroids are
+    * quantized to 6 dp after every mean (summation order across
+    * partitions must not wobble the next argmin), the argmin tie-break
+    * is (dist², cell) lexicographic, and distances go through
+    * ‖v‖²−2v·c+‖c‖² with the codegen'd dot product. At scale each
+    * iteration is one broadcast of k·dim doubles + one shuffle keyed by
+    * cell — the textbook distributed Lloyd step; more iterations are
+    * the same plan repeated. */
+  def q58KMeans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d).select($"vec_id", $"v")
+    def dist2 = dot("v", "v") - lit(2.0) * dot("v", "cv") + dot("cv", "cv")
+    def assign(centroids: DataFrame): DataFrame =
+      e.crossJoin(broadcast(centroids))
+        .withColumn("dist2", dist2)
+        .groupBy($"vec_id").agg(min(struct($"dist2", $"cell")).as("m"))
+        .select($"vec_id", $"m.cell".as("cell"), $"m.dist2".as("dist2"))
+    def recompute(assigned: DataFrame): DataFrame =
+      e.join(assigned.select($"vec_id", $"cell"), "vec_id")
+        .select($"cell", posexplode($"v").as(Seq("dim", "x")))
+        .groupBy($"cell", $"dim").agg(round(avg($"x"), 6).as("c"))
+        .groupBy($"cell")
+        .agg(array_sort(collect_list(struct($"dim", $"c"))).as("pairs"))
+        .select($"cell", expr("transform(pairs, p -> p.c)").as("cv"))
+
+    val c0 = e.where($"vec_id" < 8).select($"vec_id".as("cell"), $"v".as("cv"))
+    val c1 = recompute(assign(c0))
+    val a2 = assign(c1)
+    a2.groupBy($"cell")
+      .agg(count(lit(1)).as("n_vectors"),
+           round(avg(sqrt(greatest($"dist2", lit(0.0)))), 6).as("avg_dist"))
+  }
+
+  val q58Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+      |a1 AS (SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c0.cell,
+      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |             list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c0.cv)
+      |               + list_dot_product(c0.cv, c0.cv), cell) AS rn
+      |    FROM e CROSS JOIN c0) WHERE rn = 1),
+      |dims AS (SELECT vec_id, unnest(v) AS x,
+      |                unnest(generate_series(1, len(v))) AS dim FROM e),
+      |c1 AS (SELECT cell, list(c ORDER BY dim) AS cv FROM (
+      |    SELECT a1.cell, dims.dim, round(avg(dims.x), 6) AS c
+      |    FROM dims JOIN a1 USING (vec_id)
+      |    GROUP BY 1, 2) GROUP BY cell),
+      |a2 AS (SELECT vec_id, cell, dist2 FROM (
+      |    SELECT e.vec_id, c1.cell,
+      |           list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c1.cv)
+      |             + list_dot_product(c1.cv, c1.cv) AS dist2,
+      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |             list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c1.cv)
+      |               + list_dot_product(c1.cv, c1.cv), cell) AS rn
+      |    FROM e CROSS JOIN c1) WHERE rn = 1)
+      |SELECT cell, count(*) AS n_vectors,
+      |       round(avg(sqrt(greatest(dist2, 0.0))), 6) AS avg_dist
+      |FROM a2 GROUP BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_ivf_ann" -> (q46IvfAnn _),
+    "q58_kmeans" -> (q58KMeans _),
     "q33_knn_bruteforce" -> (q33KnnBruteForce _),
     "q34_ann_lsh" -> (q34AnnLsh _),
     "q35_cosine_neardup" -> (q35CosineNearDup _),
@@ -273,6 +338,7 @@ object VectorOps {
 
   val oracleSql: Map[String, String] = Map(
     "q46_ivf_ann" -> q46Sql,
+    "q58_kmeans" -> q58Sql,
     "q33_knn_bruteforce" -> q33Sql,
     "q34_ann_lsh" -> q34Sql,
     "q35_cosine_neardup" -> q35Sql,
