@@ -328,9 +328,51 @@ object VectorOps {
       |       round(avg(sqrt(greatest(dist2, 0.0))), 6) AS avg_dist
       |FROM a2 GROUP BY cell""".stripMargin
 
+  /** Deterministic ±1 sign for projection weight (i, j): the high bit of
+    * the first hex digit of md5("i_j"). A pure function of the indices,
+    * so the same matrix regenerates identically anywhere — the
+    * Achlioptas-style database-friendly random projection. */
+  private def projSign(i: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${i}_$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (Character.digit(hex.charAt(0), 16) >= 8) 1.0 else -1.0
+  }
+
+  /** 8 sign vectors over the corpus's 64 embedding dims (1-based i). */
+  private lazy val projWeights: Seq[Array[Double]] =
+    (0 until 8).map(j => (1 to 64).map(i => projSign(i, j)).toArray)
+
+  /** Random-projection dimensionality reduction 64 → 8 (the embedding
+    * compression step ahead of ANN indexing): r_j = v · w_j with a
+    * deterministic ±1 sign matrix. The matrix is embedded as literal
+    * arrays in BOTH plans, so the operator is a pure per-row map —
+    * zero shuffle, whole-stage codegen through `dot_native`; at 100 TB
+    * it runs at scan speed. Components are rounded to 6 dp (the usual
+    * cross-engine float-order guard). */
+  def q59RandomProjection(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d).select($"vec_id", $"v")
+    val cols = projWeights.zipWithIndex.map { case (w, j) =>
+      // the D suffix forces DoubleType literals (bare -1.0 parses as decimal)
+      round(expr(s"dot_native(v, array(${w.map(x => s"${x}D").mkString(", ")}))"), 6).as(s"r$j")
+    }
+    e.select($"vec_id" +: cols: _*)
+  }
+
+  val q59Sql: String = {
+    val cols = projWeights.zipWithIndex.map { case (w, j) =>
+      s"round(list_dot_product(v, [${w.mkString(", ")}]), 6) AS r$j"
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT vec_id,
+      |  $cols
+      |FROM e""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_ivf_ann" -> (q46IvfAnn _),
     "q58_kmeans" -> (q58KMeans _),
+    "q59_random_projection" -> (q59RandomProjection _),
     "q33_knn_bruteforce" -> (q33KnnBruteForce _),
     "q34_ann_lsh" -> (q34AnnLsh _),
     "q35_cosine_neardup" -> (q35CosineNearDup _),
@@ -339,6 +381,7 @@ object VectorOps {
   val oracleSql: Map[String, String] = Map(
     "q46_ivf_ann" -> q46Sql,
     "q58_kmeans" -> q58Sql,
+    "q59_random_projection" -> q59Sql,
     "q33_knn_bruteforce" -> q33Sql,
     "q34_ann_lsh" -> q34Sql,
     "q35_cosine_neardup" -> q35Sql,
