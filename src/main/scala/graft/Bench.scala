@@ -32,8 +32,9 @@ object Bench {
     // define it. Pools not named here fall back to defaults (weight 1).
     val fairXml = java.nio.file.Files.createTempFile("graft-fair", ".xml")
     Files.writeString(fairXml,
-      (0 until 3).map(i =>
-        s"""<pool name="heavy$i"><weight>6</weight><minShare>4</minShare></pool>""")
+      ("""<pool name="heavy0"><weight>16</weight><minShare>16</minShare></pool>""" +:
+        (1 until 3).map(i =>
+          s"""<pool name="heavy$i"><weight>6</weight><minShare>4</minShare></pool>"""))
         .mkString("<?xml version=\"1.0\"?><allocations>", "", "</allocations>"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -380,8 +380,19 @@ object TextOps {
     // 32-partition shuffle scheduling on a few thousand rows. At a scale
     // where the candidate graph itself is huge, size this by edge count
     // (and swap the propagation for large-star/small-star, below).
-    val sym = edges.select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val sym1 = edges.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(edges.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .coalesce(1).persist()
+    // one-time 2-hop closure: propagating over (edges ∪ edges²) halves
+    // the remaining diameter per round on top of pointer jumping — the
+    // round count (each round is a barrier chain of tiny jobs whose
+    // latency, not data, is the cost) drops accordingly. Σdeg² is
+    // bounded by the LSH bucket sizes, so the closure stays small.
+    val sym = sym1.as("a")
+      .join(sym1.as("b"), $"a.dst" === $"b.src" && $"a.src" =!= $"b.dst")
+      .select($"a.src".as("src"), $"b.dst".as("dst"))
+      .union(sym1)
+      .distinct()
       .coalesce(1).persist()
     // Iterate ONLY over nodes with degree ≥ 1: a singleton's label can
     // never change, so excluding the (at corpus scale, vast) singleton
