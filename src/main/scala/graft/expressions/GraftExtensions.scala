@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_native"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_native"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash_native"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash_native"),
+      (args: Seq[Expression]) => RollingHash(args(0))))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
     // custom whole-operator plan: map-side-bounded top-k per group
     // (the (c)-tier LogicalPlan + Strategy + SparkPlan path)

@@ -315,13 +315,12 @@ object TextOps {
     * (0*31 + c == c). */
   def q45RollingFingerprint(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    graft.expressions.RollingHash.register(s)
+    // the codegen'd expression replaces the interpreted HOF fold
+    // (identical values — RollingHashSpec pins the equivalence; empty
+    // string folds to the 0 seed in both forms)
     docs(s, d).select($"doc_id",
-      when(length(trim($"text")) === 0, 0L)
-        .otherwise(expr(
-          """aggregate(transform(split(trim(text), ''), c -> ascii(c)),
-            |          CAST(0 AS BIGINT),
-            |          (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin))
-        .as("rolling_hash"))
+      expr("rolling_hash_native(trim(text))").as("rolling_hash"))
   }
 
   val q45Sql: String =
