@@ -354,6 +354,70 @@ object TimeSeries {
       |FROM expanded
       |GROUP BY 1, 2""".stripMargin
 
+  /** Ordered funnel analysis over the event stream: users reaching
+    * view → click-after-view → purchase-after-click, counted per stage.
+    * Three chained conditional-min aggregations, ALL keyed on user_id —
+    * one logical shuffle key throughout, so at scale the stages reuse a
+    * single partitioning instead of re-shuffling the raw events. The
+    * strict `>` ordering makes the stage definition unambiguous (a
+    * same-timestamp click does not satisfy click-after-view). */
+  def q60Funnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, d, "events").select($"user_id", $"event_type", $"ts")
+    val v = ev.where($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+    val c = ev.join(v, "user_id")
+      .where($"event_type" === "click" && $"ts" > $"v_ts")
+      .groupBy($"user_id").agg(min($"ts").as("c_ts"))
+    val p = ev.join(c, "user_id")
+      .where($"event_type" === "purchase" && $"ts" > $"c_ts")
+      .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+    val counts = v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    counts.selectExpr(
+      "stack(3, 'view', n_view, 'view_click', n_click, 'view_click_purchase', n_purchase) AS (stage, n_users)")
+  }
+
+  val q60Sql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+      |      FROM events e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+      |      FROM events e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+      |SELECT 'view' AS stage, (SELECT count(*) FROM v) AS n_users
+      |UNION ALL SELECT 'view_click', (SELECT count(*) FROM c)
+      |UNION ALL SELECT 'view_click_purchase', (SELECT count(*) FROM p)""".stripMargin
+
+  /** Retention cohorts: users grouped by first-active day, counted at
+    * each day offset they return. The (user, day) activity set is
+    * deduped FIRST — the cohort aggregation then works on ≤ users×days
+    * rows no matter how many raw events exist, which is what makes
+    * retention computable at full event volume. */
+  def q61Retention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val act = Tables(s, d, "events")
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val first = act.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    act.join(first, "user_id")
+      .select($"cohort_day",
+        datediff($"day", $"cohort_day").cast("long").as("day_offset"))
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val q61Sql: String =
+    """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1)
+      |SELECT f.cohort_day,
+      |       CAST(date_diff('day', f.cohort_day, act.day) AS BIGINT) AS day_offset,
+      |       count(*) AS n_users
+      |FROM act JOIN f USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_session_window" -> (q48SessionWindow _),
     "q49_asof_join" -> (q49AsofJoin _),
@@ -365,7 +429,9 @@ object TimeSeries {
     "q21_latest_day" -> (q21LatestDay _),
     "q22_sessionize" -> (q22Sessionize _),
     "q23_tumbling_window" -> (q23TumblingWindow _),
-    "q24_rolling_mean" -> (q24RollingMean _))
+    "q24_rolling_mean" -> (q24RollingMean _),
+    "q60_funnel" -> (q60Funnel _),
+    "q61_retention" -> (q61Retention _))
 
   val oracleSql: Map[String, String] = Map(
     "q48_session_window" -> q48Sql,
@@ -378,5 +444,7 @@ object TimeSeries {
     "q21_latest_day" -> q21Sql,
     "q22_sessionize" -> q22Sql,
     "q23_tumbling_window" -> q23Sql,
-    "q24_rolling_mean" -> q24Sql)
+    "q24_rolling_mean" -> q24Sql,
+    "q60_funnel" -> q60Sql,
+    "q61_retention" -> q61Sql)
 }
