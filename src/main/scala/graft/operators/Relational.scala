@@ -423,6 +423,29 @@ object Relational {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
 
+  /** The salted skew join through the correctness gate: orders ⋈
+    * customer, salted 8 ways, aggregated to revenue per market segment.
+    * The oracle is the PLAIN join — salting is a physical rewrite and
+    * must be answer-transparent, so the gate proves the transparency
+    * (round-trip multiplicity, no dropped/duplicated rows), not just a
+    * spec on toy data. */
+  def q62SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    SkewJoin.saltedJoin(
+        ord(s, d).select($"o_custkey", $"o_totalprice"),
+        cust(s, d).select($"c_custkey".as("o_custkey"), $"c_mktsegment"),
+        keys = Seq("o_custkey"), salt = 8)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum($"o_totalprice"), 4).as("revenue"))
+  }
+
+  val q62Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 4) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -440,7 +463,8 @@ object Relational {
     "q18_datetime_funcs" -> (q18DatetimeFuncs _),
     "q19_json_extract" -> (q19JsonExtract _),
     "q20_rollup" -> (q20Rollup _),
-    "q53_topk_custom" -> (q53TopKCustom _))
+    "q53_topk_custom" -> (q53TopKCustom _),
+    "q62_salted_join" -> (q62SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -459,5 +483,6 @@ object Relational {
     "q18_datetime_funcs" -> q18Sql,
     "q19_json_extract" -> q19Sql,
     "q20_rollup" -> q20Sql,
-    "q53_topk_custom" -> q53Sql)
+    "q53_topk_custom" -> q53Sql,
+    "q62_salted_join" -> q62Sql)
 }
