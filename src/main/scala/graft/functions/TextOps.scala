@@ -189,6 +189,19 @@ object TextOps {
       .distinct()
   }
 
+  /** The candidate-pair set as a SHARED MATERIALIZED VIEW: q30 emits it,
+    * q54's component labeling consumes it, and in a real curation
+    * pipeline so do keeper selection and review sampling — computing it
+    * once and persisting is the production shape (the engine-side analog
+    * of the reference's st.cache_data gold cache, same opt-in flag as
+    * [[graft.Tables]]). Off by default: Verify measures each query's
+    * real cost from the scan. */
+  private val candidateCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  def candidatePairs(s: SparkSession, d: String): DataFrame =
+    if (sys.props.get("graft.cacheTables").contains("true"))
+      candidateCache.getOrElseUpdate(d, q30MinHashLsh(s, d).persist())
+    else q30MinHashLsh(s, d)
+
   val q30Sql: String =
     s"""WITH $shingleCte,
       |hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
@@ -360,45 +373,83 @@ object TextOps {
     * the step that turns pairwise candidates into dedup decisions (each
     * component keeps one representative; component_id IS the keeper:
     * the min doc_id, matching the reference's deterministic keeper rule,
-    * main.py:96-105). Min-label propagation: every doc starts labeled
-    * with itself; each round takes the min label over neighbors;
-    * fixpoint = min doc_id of the component. Convergence is detected by
-    * the label-sum (strictly decreasing until fixpoint), one scalar agg
-    * per round — the driver orchestrates rounds but never holds data.
-    * Rounds = graph diameter; near-dup clusters are near-cliques, so
-    * 2-3 in practice. At 100 TB swap the propagation for the
-    * large-star/small-star algorithm (same join shape, O(log n)
-    * rounds); the surrounding contract is unchanged. */
+    * main.py:96-105).
+    *
+    * Two solvers behind one contract, chosen by candidate-graph size —
+    * the production CC pattern (GraphFrames et al. do the same):
+    *
+    *  - subcritical graph (edges ≤ [[LocalComponentsMaxEdges]], the LSH
+    *    design's common case — candidates are a small fraction of the
+    *    corpus): ONE single-task union-find pass over the edge list.
+    *    No iteration, no barrier chain; components of a few-million-edge
+    *    graph solve in memory in milliseconds.
+    *  - beyond that: distributed min-label propagation with pointer
+    *    jumping ([[componentLabelsIterative]]) — O(log diameter)
+    *    rounds of joins, nothing ever collected.
+    *
+    * Both produce the identical fixpoint (label = min doc_id of the
+    * component; TextDedupSpec pins solver equivalence). */
   def q54NearDupComponents(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val edges = q30MinHashLsh(s, d)
-    // The iteration tables hold only the candidate GRAPH (nodes with
-    // degree ≥ 1 and their edges) — a small fraction of the corpus by
-    // LSH design — so they are coalesced to single partitions: every
-    // propagation round then runs as one-task stages instead of paying
-    // 32-partition shuffle scheduling on a few thousand rows. At a scale
-    // where the candidate graph itself is huge, size this by edge count
-    // (and swap the propagation for large-star/small-star, below).
-    val sym1 = edges.select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val edges = candidatePairs(s, d).persist()
+    val labels =
+      if (edges.count() <= LocalComponentsMaxEdges) componentLabelsLocal(edges)
+      else componentLabelsIterative(edges)
+    val all = docs(s, d).select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"lbl", $"doc_id").as("lbl"))
+    val sizes = all.groupBy($"lbl").agg(count(lit(1)).as("component_size"))
+    all.join(sizes, "lbl")
+      .select($"doc_id", $"lbl".as("component_id"), $"component_size")
+  }
+
+  /** Cutoff for the single-task union-find solver: 16 bytes/edge ⇒
+    * ~50M edges is comfortably one executor's working set. */
+  val LocalComponentsMaxEdges: Long = 50000000L
+
+  /** Union-find (path-halving + union-by-attachment-to-min) over the
+    * whole edge list in one task: (node, min-of-component) labels for
+    * every node with degree ≥ 1. */
+  def componentLabelsLocal(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    edges.select($"doc_a", $"doc_b").as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          // attach the larger root under the smaller: the final root of
+          // every set is its minimum member, which IS the label contract
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        parent.keysIterator.map(n => (n, find(n)))
+      }
+      .toDF("doc_id", "lbl")
+  }
+
+  /** Distributed min-label propagation with pointer jumping — the
+    * large-graph path. Iteration tables hold only the degree ≥ 1
+    * subgraph (a singleton's label can never change); each round is a
+    * lazy localCheckpoint (plan-tree truncation — the self-join would
+    * otherwise double the plan every round) materialized by the
+    * convergence-sum action, one job per round. */
+  def componentLabelsIterative(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val sym = edges.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(edges.select($"doc_b".as("src"), $"doc_a".as("dst")))
-      .coalesce(1).persist()
-    // one-time 2-hop closure: propagating over (edges ∪ edges²) halves
-    // the remaining diameter per round on top of pointer jumping — the
-    // round count (each round is a barrier chain of tiny jobs whose
-    // latency, not data, is the cost) drops accordingly. Σdeg² is
-    // bounded by the LSH bucket sizes, so the closure stays small.
-    val sym = sym1.as("a")
-      .join(sym1.as("b"), $"a.dst" === $"b.src" && $"a.src" =!= $"b.dst")
-      .select($"a.src".as("src"), $"b.dst".as("dst"))
-      .union(sym1)
-      .distinct()
-      .coalesce(1).persist()
-    // Iterate ONLY over nodes with degree ≥ 1: a singleton's label can
-    // never change, so excluding the (at corpus scale, vast) singleton
-    // majority from every round is semantics-preserving and removes the
-    // dominant per-round join cost. Singletons rejoin at the end.
+      .persist()
     var labels = sym.select($"src".as("doc_id")).distinct()
-      .select($"doc_id", $"doc_id".as("lbl")).coalesce(1).persist()
+      .select($"doc_id", $"doc_id".as("lbl")).persist()
     var prevSum = -1L
     var currSum = labels.agg(sum($"lbl")).head().getLong(0)
     var rounds = 0
@@ -408,14 +459,7 @@ object TextOps {
       val propagated = labels.join(nmin, labels("doc_id") === nmin("dst"), "left")
         .select(labels("doc_id"),
           least(coalesce($"nlbl", labels("lbl")), labels("lbl")).as("lbl"))
-      // pointer jump (path compression): follow lbl -> lbl(lbl), halving
-      // chain depth each round so convergence is O(log diameter), not
-      // O(diameter)
       val parents = propagated.select($"doc_id".as("p"), $"lbl".as("plbl"))
-      // LAZY localCheckpoint truncates the logical plan (the self-join
-      // would otherwise double the plan tree every round → exponential
-      // planning time) and is materialized BY the convergence-sum
-      // action — one Spark job per round, not two
       labels = propagated.as("x").join(parents, $"x.lbl" === $"p", "left")
         .select($"x.doc_id".as("doc_id"), coalesce($"plbl", $"x.lbl").as("lbl"))
         .localCheckpoint(eager = false)
@@ -423,12 +467,7 @@ object TextOps {
       currSum = labels.agg(sum($"lbl")).head().getLong(0)
       rounds += 1
     }
-    val all = docs(s, d).select($"doc_id")
-      .join(labels, Seq("doc_id"), "left")
-      .select($"doc_id", coalesce($"lbl", $"doc_id").as("lbl"))
-    val sizes = all.groupBy($"lbl").agg(count(lit(1)).as("component_size"))
-    all.join(sizes, "lbl")
-      .select($"doc_id", $"lbl".as("component_id"), $"component_size")
+    labels
   }
 
   /** DuckDB twin: the same q30 candidate CTEs, then a recursive CTE

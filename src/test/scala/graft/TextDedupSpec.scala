@@ -23,6 +23,26 @@ class TextDedupSpec extends SparkSpec {
       s"expected only the rare-shingle pair, got ${pairs.mkString(", ")}")
   }
 
+  test("q54: local union-find and iterative propagation produce identical component labels") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = Gen.listOfN(40, for {
+      a <- Gen.choose(1L, 25L); b <- Gen.choose(1L, 25L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    (0 until 4).foreach { i =>
+      val edges = edgeGen.apply(Gen.Parameters.default, Seed(11L + i)).get
+        .distinct.toDF("doc_a", "doc_b")
+      val local = TextOps.componentLabelsLocal(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val iter = TextOps.componentLabelsIterative(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(local == iter, s"seed ${11 + i}")
+      // labels are the component minimum: every label labels itself
+      assert(local.filter(p => p._1 == p._2).map(_._1) == local.map(_._2))
+    }
+  }
+
   test("q31: df-cap keeps answers unchanged when no shingle exceeds it") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dfcap2").toString
