@@ -160,9 +160,15 @@ object TopK {
       k: Int,
       rankName: String = "rn"): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    // synchronized: extraStrategies is a read-modify-write on shared
+    // session state — two queries registering concurrently (the bench's
+    // throughput pass) could otherwise lose the update and leave a
+    // TopKPerGroup node with no matching strategy
+    TopKPerGroupStrategy.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    }
     val analyzed = df.queryExecution.analyzed
     def attr(n: String): Attribute = analyzed.output.find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(
