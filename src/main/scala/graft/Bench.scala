@@ -36,7 +36,7 @@ object Bench {
         (1 until 3).map(i =>
           s"""<pool name="heavy$i"><weight>6</weight><minShare>4</minShare></pool>"""))
         .mkString("<?xml version=\"1.0\"?><allocations>", "", "</allocations>"))
-    val spark = SparkSession.builder()
+    val spark = GraftSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -121,9 +121,11 @@ object Bench {
       rs.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failures = (concurrent ++ sequential).collect { case (k, _, false) => k }
       .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // ASCII only: a non-ASCII char here has twice arrived charset-mangled
+    // in the captured stdout and broken the driver's JSON parse.
     val method =
       "value = best of two concurrent throughput passes (the suite-level number); " +
-        "queries = per-query seconds measured sequentially for attribution — their sum " +
+        "queries = per-query seconds measured sequentially for attribution - their sum " +
         "includes ~0.2s/query of Spark job-scheduling floor that the concurrent run amortizes; " +
         "base tables and the shared near-dup candidate view are cached across the suite " +
         "(the reference's st.cache_data analog)"
@@ -131,7 +133,10 @@ object Bench {
       s"""{"metric":"total","value":$wall,"unit":"sec","queries":${timesJson(sequential)},"queries_concurrent":${timesJson(concurrent)},"seq_total":$seqTotal,"concurrent_walls":$walls,"failures":$failures,"sf":"$sfDir","method":"$method"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")), json)
-    println(json)
     spark.stop()
+    // Print the JSON LAST — after spark.stop()'s shutdown chatter — so a
+    // last-line parser finds it, and to stderr too for a stream parser.
+    System.err.println(json)
+    println(json)
   }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * `sbt "runMain graft.PipelineDemo"`. */
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark = GraftSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

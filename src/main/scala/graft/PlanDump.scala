@@ -9,7 +9,7 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q1_pricing_summary")
     val exec = args.length > 1 && args(1) == "exec"
-    val spark = SparkSession.builder()
+    val spark = GraftSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -32,10 +32,14 @@ object Tables {
   private def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read nanos as long and floor-divide to micros —
-      // the same ns→µs truncation DuckDB applies, so oracle results line
-      // up exactly.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reader rejects. GraftSession presets nanosAsLong at session build
+      // (no conf mutation on the query path); the guard below only fires
+      // for externally-built sessions (e.g. the driver's smoke session)
+      // that would otherwise hard-fail on the scan.
+      if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Nanos arrive as long; floor-divide to micros — the same ns→µs
+      // truncation DuckDB applies, so oracle results line up exactly.
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else {

@@ -14,7 +14,7 @@ class ExtensionsSpec extends AnyFunSuite {
     // the extensions) when suites share the JVM — force a new session
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
+    val s = GraftSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
       // withExtensions, not config("spark.sql.extensions", ...): the
