@@ -15,6 +15,11 @@ run / fork := true
 // (LoggedOutput) prefixes every line with "[info] ", which makes the
 // bench/verify JSON lines unparseable by the driver.
 outputStrategy := Some(StdoutOutput)
+// Without this, sbt appends "[success] Total time: ..." to stdout AFTER
+// the forked program exits, so the bench JSON is never the last stdout
+// line and a last-line parser misses it.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by sbt commands, not tasks
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -133,10 +133,15 @@ object Bench {
       s"""{"metric":"total","value":$wall,"unit":"sec","queries":${timesJson(sequential)},"queries_concurrent":${timesJson(concurrent)},"seq_total":$seqTotal,"concurrent_walls":$walls,"failures":$failures,"sf":"$sfDir","method":"$method"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")), json)
-    spark.stop()
     // Print the JSON LAST — after spark.stop()'s shutdown chatter — so a
     // last-line parser finds it, and to stderr too for a stream parser.
-    System.err.println(json)
-    println(json)
+    // try/finally: even if stop() throws, the parseable line still lands
+    // on both streams (build.sbt's showSuccess := false keeps sbt from
+    // appending a "[success]" trailer after it).
+    try spark.stop()
+    finally {
+      System.err.println(json)
+      println(json)
+    }
   }
 }

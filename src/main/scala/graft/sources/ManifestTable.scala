@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import java.io.File
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
@@ -41,11 +42,40 @@ object ManifestTable {
 
   private def manifestPath(root: String, v: Int) = Paths.get(root, s"manifest-v$v.json")
 
-  private def listedFiles(root: String, v: Int): Seq[String] = {
-    // one relative path per line; a json array would need a parser dep
+  /** Manifest entry: (partition value as string, file path relative to
+    * root). Unpartitioned snapshots use partition "". Line format is
+    * `partition<TAB>path`; a line without a tab is a legacy
+    * path-only entry (partition ""). */
+  private def listedEntries(root: String, v: Int): Seq[(String, String)] =
     Files.readAllLines(manifestPath(root, v)).asScala.toSeq
       .map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        line.indexOf('\t') match {
+          case -1 => ("", line)
+          case i  => (line.substring(0, i), line.substring(i + 1))
+        }
+      }
+
+  /** The commit point, shared by all writers: write the manifest for
+    * version `v`, then atomically replace the current pointer. A crash
+    * before the final move leaves the previous version intact and only
+    * unreferenced garbage behind. */
+  private def commitEntries(root: String, v: Int, entries: Seq[(String, String)]): Int = {
+    require(entries.nonEmpty, s"commit of v$v at $root lists no data files")
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(manifestPath(root, v),
+      entries.sorted.map { case (p, f) => s"$p\t$f" }.mkString("\n"))
+    // the commit point: an atomic single-file replace of the pointer
+    val tmp = Paths.get(root, s"_current.tmp-v$v")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, currentPtr(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    v
   }
+
+  private def listParquet(dir: File): Seq[String] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSeq.sorted
 
   /** Commit `df` as the next version (full snapshot). Returns the new
     * version number. */
@@ -53,18 +83,9 @@ object ManifestTable {
     val v = currentVersion(root) + 1
     val dataDir = s"$root/data/v$v"
     df.write.mode("overwrite").parquet(dataDir)
-    val files = new File(dataDir).listFiles()
-      .filter(f => f.getName.endsWith(".parquet"))
-      .map(f => s"data/v$v/${f.getName}").sorted
+    val files = listParquet(new File(dataDir)).map(f => ("", s"data/v$v/$f"))
     require(files.nonEmpty, s"commit produced no data files under $dataDir")
-    Files.createDirectories(Paths.get(root))
-    Files.writeString(manifestPath(root, v), files.mkString("\n"))
-    // the commit point: an atomic single-file replace of the pointer
-    val tmp = Paths.get(root, s"_current.tmp-v$v")
-    Files.writeString(tmp, v.toString)
-    Files.move(tmp, currentPtr(root), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    v
+    commitEntries(root, v, files)
   }
 
   /** Read the current snapshot. */
@@ -74,7 +95,7 @@ object ManifestTable {
   /** Read a specific committed version (time travel). */
   def readVersion(spark: SparkSession, root: String, v: Int): DataFrame = {
     require(v >= 1, s"table at $root has no committed version (asked for $v)")
-    val files = listedFiles(root, v).map(rel => s"$root/$rel")
+    val files = listedEntries(root, v).map { case (_, rel) => s"$root/$rel" }
     spark.read.parquet(files: _*)
   }
 
@@ -83,7 +104,11 @@ object ManifestTable {
     * version. The previous snapshot stays intact and readable throughout
     * — a reader holding version N is never affected by the commit of
     * N+1. Idempotent: re-merging the same batch commits an identical
-    * snapshot. */
+    * snapshot.
+    *
+    * This path rewrites the WHOLE table per merge — O(table) write
+    * amplification. For a partitioned table use [[mergePartitioned]],
+    * which rewrites only the batch's partitions. */
   def merge(batch: DataFrame, root: String, key: Seq[String]): Int = {
     val spark = batch.sparkSession
     val merged =
@@ -95,13 +120,109 @@ object ManifestTable {
     commit(merged.localCheckpoint(), root)
   }
 
+  /** Spark escapes partition values Hive-style when building directory
+    * names (`%XX` uppercase hex for `/ = : ...` and control chars).
+    * Reverse it so manifest partition keys equal the value's plain
+    * string form. */
+  private[sources] def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Spark's directory name for a null partition value. */
+  private val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Partition-scoped MERGE: rewrites ONLY the partitions present in the
+    * batch; the new manifest references the PREVIOUS version's files for
+    * every untouched partition (the Delta/Iceberg shape). Write
+    * amplification is O(touched partitions), not O(table) — the 100 TB
+    * form of the reference's per-day upsert (calorista/main.py:146-161).
+    *
+    * Mechanics:
+    *  - the batch's distinct partition values are collected (bounded:
+    *    one micro-batch's partitions, not data);
+    *  - only those partitions' current files are read and merged
+    *    (incoming wins on `key`);
+    *  - the merged rows are written in ONE job via
+    *    `partitionBy(__part)` under `data/v{N}/`; `__part` is a COPY of
+    *    `partCol` cast to string, so the data files keep every original
+    *    column and readVersion needs no partition-column recovery;
+    *  - the manifest for v{N} = new files for touched partitions +
+    *    the old entries for untouched ones; the atomic pointer swap is
+    *    unchanged, so crash tolerance and snapshot isolation carry over
+    *    (a reader of v{N-1} resolves only files that are never mutated).
+    *
+    * `key` must contain `partCol`: otherwise an incoming row could move
+    * a key to a new partition while the old partition (untouched, so
+    * never rewritten) still holds the stale copy.
+    *
+    * If the current version contains unpartitioned (full-snapshot)
+    * entries, this falls back to one full merge that REWRITES the table
+    * in partitioned layout — a one-time conversion cost. */
+  def mergePartitioned(
+      batch: DataFrame, root: String, key: Seq[String], partCol: String): Int = synchronized {
+    require(key.contains(partCol),
+      s"mergePartitioned key $key must contain partition column $partCol " +
+        "(a key that can change partition would strand its old row)")
+    val spark = batch.sparkSession
+    val cur = currentVersion(root)
+    val v = cur + 1
+    val prev = if (cur >= 1) listedEntries(root, cur) else Nil
+
+    val partStr = col(partCol).cast("string")
+    def writePartitioned(df: DataFrame): Seq[(String, String)] = {
+      val dataDir = s"$root/data/v$v"
+      df.withColumn("__part", coalesce(partStr, lit(NullPartition)))
+        .write.partitionBy("__part").mode("overwrite").parquet(dataDir)
+      Option(new File(dataDir).listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("__part="))
+        .toSeq.flatMap { d =>
+          val p = unescapePathName(d.getName.stripPrefix("__part="))
+          listParquet(d).map(f => (p, s"data/v$v/${d.getName}/$f"))
+        }
+    }
+
+    if (prev.isEmpty) {
+      commitEntries(root, v, writePartitioned(batch.localCheckpoint()))
+    } else if (prev.exists(_._1.isEmpty)) {
+      // legacy full-snapshot layout: one-time conversion to partitioned
+      val merged = Dedup.merge(readVersion(spark, root, cur), batch, key)
+      commitEntries(root, v, writePartitioned(merged.localCheckpoint()))
+    } else {
+      val touched = batch.select(partStr).distinct().collect()
+        .map(r => if (r.isNullAt(0)) NullPartition else r.getString(0)).toSet
+      val existingFiles = prev.collect {
+        case (p, rel) if touched(p) => s"$root/$rel"
+      }
+      val merged =
+        if (existingFiles.isEmpty) batch
+        else Dedup.merge(
+          spark.read.parquet(existingFiles: _*)
+            .select(batch.columns.map(col).toSeq: _*),
+          batch, key)
+      val newEntries = writePartitioned(merged.localCheckpoint())
+      val untouched = prev.filterNot { case (p, _) => touched(p) }
+      commitEntries(root, v, untouched ++ newEntries)
+    }
+  }
+
   /** Drop data files and manifests not referenced by the newest
     * `keepVersions` snapshots. Never touches the current pointer. */
   def vacuum(root: String, keepVersions: Int = 1): Unit = synchronized {
     val cur = currentVersion(root)
     if (cur < 1) return
     val keep = ((cur - keepVersions + 1) max 1) to cur
-    val referenced = keep.flatMap(v => listedFiles(root, v)).toSet
+    val referenced = keep.flatMap(v => listedEntries(root, v).map(_._2)).toSet
     val dataRoot = Paths.get(root, "data")
     if (Files.exists(dataRoot)) {
       Files.walk(dataRoot).iterator().asScala.toSeq.reverse.foreach { p =>

@@ -70,6 +70,22 @@ object EventStream {
         graft.sources.ManifestTable.merge(batch, tableRoot, key): Unit
       }
 
+  /** Both at once — transactional AND partition-scoped: each micro-batch
+    * runs [[graft.sources.ManifestTable.mergePartitioned]], which rewrites
+    * only the batch's partitions and commits via the atomic pointer swap.
+    * O(touched partitions) write amplification with snapshot isolation —
+    * the production form of the per-day upsert contract
+    * (calorista/main.py:146-161). `key` must contain `partCol`. */
+  def upsertSinkTransactionalPartitioned(
+      incoming: DataFrame, tableRoot: String, key: Seq[String], partCol: String)
+      : DataStreamWriter[Row] =
+    incoming.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.ManifestTable.mergePartitioned(batch, tableRoot, key, partCol): Unit
+      }
+
   /** Partition-scoped MERGE for a date-partitioned silver table: only
     * the partitions present in the batch are read, merged, and
     * dynamically overwritten — the whole-table path below never runs.

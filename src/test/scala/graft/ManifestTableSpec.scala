@@ -79,6 +79,120 @@ class ManifestTableSpec extends SparkSpec {
     assert(readSet(root) == Set(1L -> "a", 2L -> "B", 3L -> "c"))
   }
 
+  private def pdf(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "day", "v")
+  }
+
+  private def readPSet(root: String): Set[(Long, String, String)] =
+    ManifestTable.read(spark, root).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("day"), r.getAs[String]("v"))).toSet
+
+  /** (relative path, size, mtime) of every data file the version references. */
+  private def fileState(root: String, v: Int): Map[String, (Long, Long)] = {
+    val manifest = Files.readAllLines(Paths.get(root, s"manifest-v$v.json"))
+    manifest.toArray.map(_.toString).filter(_.nonEmpty).map { line =>
+      val rel = line.split('\t').last
+      val f = new File(s"$root/$rel")
+      rel -> (f.length(), f.lastModified())
+    }.toMap
+  }
+
+  test("mergePartitioned rewrites only the batch's partitions; untouched files are " +
+    "referenced, not copied, and stay byte-identical") {
+    val root = Files.createTempDirectory("graft-manifest-part").toString
+    val key = Seq("id", "day")
+    ManifestTable.mergePartitioned(
+      pdf((1L, "d1", "a"), (2L, "d2", "b"), (3L, "d3", "c")), root, key, "day")
+    val before = fileState(root, 1)
+    val d2Before = before.filter(_._1.contains("__part=d2"))
+    val d3Before = before.filter(_._1.contains("__part=d3"))
+    assert(d2Before.nonEmpty && d3Before.nonEmpty)
+
+    // a batch touching ONLY d1
+    ManifestTable.mergePartitioned(pdf((1L, "d1", "A"), (4L, "d1", "x")), root, key, "day")
+    assert(ManifestTable.currentVersion(root) == 2)
+    assert(readPSet(root) ==
+      Set((1L, "d1", "A"), (4L, "d1", "x"), (2L, "d2", "b"), (3L, "d3", "c")))
+    val after = fileState(root, 2)
+    // untouched partitions: SAME relative paths (v1 files referenced by v2's
+    // manifest — no rewrite), same bytes, same mtime
+    (d2Before ++ d3Before).foreach { case (rel, st) =>
+      assert(after.contains(rel), s"v2 manifest must reference untouched v1 file $rel")
+      assert(after(rel) == st, s"untouched file $rel was modified")
+    }
+    // touched partition: new files under data/v2
+    assert(after.keys.exists(p => p.startsWith("data/v2/") && p.contains("__part=d1")))
+    assert(!after.keys.exists(p => p.startsWith("data/v2/") && p.contains("__part=d2")))
+  }
+
+  test("mergePartitioned crash before the pointer swap leaves the previous snapshot intact") {
+    val root = Files.createTempDirectory("graft-manifest-part2").toString
+    val key = Seq("id", "day")
+    ManifestTable.mergePartitioned(pdf((1L, "d1", "a"), (2L, "d2", "b")), root, key, "day")
+    // simulate a writer that wrote v2's data + manifest then died before
+    // the atomic move (debris: partial partition dir + manifest + tmp ptr)
+    Files.createDirectories(Paths.get(root, "data/v2/__part=d1"))
+    Files.writeString(Paths.get(root, "data/v2/__part=d1/part-dead.parquet"), "garbage")
+    Files.writeString(Paths.get(root, "manifest-v2.json"),
+      "d1\tdata/v2/__part=d1/part-dead.parquet")
+    Files.writeString(Paths.get(root, "_current.tmp-v2"), "2")
+
+    assert(ManifestTable.currentVersion(root) == 1)
+    assert(readPSet(root) == Set((1L, "d1", "a"), (2L, "d2", "b")))
+    // next writer commits over the debris; untouched d2 still referenced
+    ManifestTable.mergePartitioned(pdf((1L, "d1", "A")), root, key, "day")
+    assert(ManifestTable.currentVersion(root) == 2)
+    assert(readPSet(root) == Set((1L, "d1", "A"), (2L, "d2", "b")))
+  }
+
+  test("mergePartitioned converts a legacy full-snapshot table, handles null " +
+    "partitions, and is idempotent") {
+    val root = Files.createTempDirectory("graft-manifest-part3").toString
+    // v1: legacy unpartitioned commit
+    ManifestTable.commit(pdf((1L, "d1", "a"), (2L, "d2", "b")), root)
+    val key = Seq("id", "day")
+    val batch = pdf((2L, "d2", "B"), (3L, null, "n"))
+    ManifestTable.mergePartitioned(batch, root, key, "day")
+    assert(readPSet(root) == Set((1L, "d1", "a"), (2L, "d2", "B"), (3L, null, "n")))
+    // re-delivery of the same batch converges (snapshot N+1 == snapshot N)
+    ManifestTable.mergePartitioned(batch, root, key, "day")
+    assert(readPSet(root) == Set((1L, "d1", "a"), (2L, "d2", "B"), (3L, null, "n")))
+    // key must contain the partition column
+    assertThrows[IllegalArgumentException] {
+      ManifestTable.mergePartitioned(batch, root, Seq("id"), "day")
+    }
+  }
+
+  test("streaming upsert through the partition-scoped transactional sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-manifest-pstream").toString
+    val root = s"$dir/t"
+    val ckpt = s"$dir/ckpt"
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData((1L, "d1", "a"), (2L, "d2", "b"))
+    EventStream.upsertSinkTransactionalPartitioned(
+        mem.toDF().toDF("id", "day", "v"), root, Seq("id", "day"), "day")
+      .option("checkpointLocation", ckpt)
+      .start().processAllAvailable()
+    assert(readPSet(root) == Set((1L, "d1", "a"), (2L, "d2", "b")))
+    val v1 = ManifestTable.currentVersion(root)
+    val d2Files = fileState(root, v1).filter(_._1.contains("__part=d2"))
+    mem.addData((1L, "d1", "A"))
+    EventStream.upsertSinkTransactionalPartitioned(
+        mem.toDF().toDF("id", "day", "v"), root, Seq("id", "day"), "day")
+      .option("checkpointLocation", ckpt)
+      .start().processAllAvailable()
+    assert(readPSet(root) == Set((1L, "d1", "A"), (2L, "d2", "b")))
+    // the second micro-batch did not rewrite d2
+    d2Files.foreach { case (rel, st) =>
+      assert(fileState(root, ManifestTable.currentVersion(root))(rel) == st)
+    }
+  }
+
   test("vacuum keeps the newest snapshots readable and drops unreferenced files") {
     val root = Files.createTempDirectory("graft-manifest4").toString
     ManifestTable.merge(df(1L -> "a"), root, Seq("id"))
