@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis and document-deduplication surface for training-data
@@ -196,11 +197,16 @@ object TextOps {
     * of the reference's st.cache_data gold cache, same opt-in flag as
     * [[graft.Tables]]). Off by default: Verify measures each query's
     * real cost from the scan. */
-  private val candidateCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val candidateCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   def candidatePairs(s: SparkSession, d: String): DataFrame =
-    if (sys.props.get("graft.cacheTables").contains("true"))
-      candidateCache.getOrElseUpdate(d, q30MinHashLsh(s, d).persist())
-    else q30MinHashLsh(s, d)
+    if (sys.props.get("graft.cacheTables").contains("true")) {
+      // keyed by (session, path): a later SparkSession in the same JVM
+      // reusing the path must not get a DataFrame bound to a stopped
+      // session; entries of dead sessions are dropped on access
+      candidateCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      candidateCache.getOrElseUpdate((s, d), q30MinHashLsh(s, d).persist())
+    } else q30MinHashLsh(s, d)
 
   val q30Sql: String =
     s"""WITH $shingleCte,
@@ -244,18 +250,17 @@ object TextOps {
     import s.implicits._
     val sh = rawShingles(s, d)
       .select($"doc_id", xxhash64($"shingle").as("shid"))
-    // ONE exchange does dedup + document-frequency cap + candidate
-    // grouping: collect_set per shingle subsumes the distinct AND the
-    // df count (set size), and the explode back to rows preserves the
-    // shid partitioning, so the self-join adds no new exchange.
-    // Tradeoff, stated: a pathologically hot shingle materializes its
-    // doc set on one row before the cap filters it — at a scale where
-    // that bites, pre-filter with a combiner-friendly
-    // groupBy(shid).count() pass instead (an extra cheap exchange);
-    // the df-cap semantics and everything downstream are unchanged.
-    val byShingle = sh.groupBy($"shid").agg(collect_set($"doc_id").as("ids"))
-      .where(size($"ids") <= JaccardDfCap)
-    val capped = byShingle.select($"shid", explode($"ids").as("doc_id"))
+    // df-cap WITHOUT materializing any shingle's doc set on one row:
+    // distinct (combiner-friendly partial agg) then a count window
+    // partitioned by shid — the hot-shingle rows stream through the
+    // window's spillable buffer as ROWS, so a boilerplate shingle shared
+    // by 10M docs never becomes a multi-GB array. The window's exchange
+    // leaves the data hash-partitioned by shid, which is exactly the
+    // self-join's key — no further exchange downstream.
+    val capped = sh.distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"shid")))
+      .where($"df" <= JaccardDfCap)
+      .select($"shid", $"doc_id")
     val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
     // merge hint: same ReusedExchange rationale as q30 — one shingle
     // build feeds both sides of the self-join
@@ -391,10 +396,19 @@ object TextOps {
     * component; TextDedupSpec pins solver equivalence). */
   def q54NearDupComponents(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val edges = candidatePairs(s, d).persist()
+    val shared = sys.props.get("graft.cacheTables").contains("true")
+    // when the shared candidate view is on, reuse it (and leave its
+    // lifetime to the cache); otherwise persist privately for the two
+    // passes (count + solve) and release before returning
+    val edges = if (shared) candidatePairs(s, d) else q30MinHashLsh(s, d).persist()
     val labels =
-      if (edges.count() <= LocalComponentsMaxEdges) componentLabelsLocal(edges)
-      else componentLabelsIterative(edges)
+      if (edges.count() <= LocalComponentsMaxEdges)
+        // localCheckpoint: materialize the labels so unpersisting the
+        // edge list below cannot trigger a recompute from the scan
+        // (labels are tiny — at most 2 rows per edge)
+        componentLabelsLocal(edges).localCheckpoint()
+      else componentLabelsIterative(edges) // checkpoints + unpersists internally
+    if (!shared) edges.unpersist()
     val all = docs(s, d).select($"doc_id")
       .join(labels, Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"lbl", $"doc_id").as("lbl"))
@@ -403,35 +417,67 @@ object TextOps {
       .select($"doc_id", $"lbl".as("component_id"), $"component_size")
   }
 
-  /** Cutoff for the single-task union-find solver: 16 bytes/edge ⇒
-    * ~50M edges is comfortably one executor's working set. */
-  val LocalComponentsMaxEdges: Long = 50000000L
+  /** Cutoff for the single-task union-find solver. Peak bytes/edge in
+    * [[componentLabelsLocal]], all primitive arrays (no boxing): 16
+    * (edge buffer: two longs) + 16 (node-id array: ≤ 2 longs/edge before
+    * dedup) + 8 (parent: ≤ 2 ints/edge) ≈ 40 B/edge ⇒ ≤ ~1 GB at this
+    * gate — a bounded, predictable slice of one executor's heap. Beyond
+    * it the distributed solver takes over. */
+  val LocalComponentsMaxEdges: Long = 25000000L
 
   /** Union-find (path-halving + union-by-attachment-to-min) over the
     * whole edge list in one task: (node, min-of-component) labels for
-    * every node with degree ≥ 1. */
+    * every node with degree ≥ 1. All state is primitive arrays — edge
+    * buffers, a sorted distinct node-id array (index = dense handle,
+    * node→index by binary search), and an int parent array — so the
+    * working set is the ~40 B/edge of [[LocalComponentsMaxEdges]]'s
+    * math, not the 50–80 B/entry of a boxed HashMap. */
   def componentLabelsLocal(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     edges.select($"doc_a", $"doc_b").as[(Long, Long)]
       .coalesce(1)
       .mapPartitions { it =>
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
+        var n = 0
+        var ea = new Array[Long](1024)
+        var eb = new Array[Long](1024)
+        it.foreach { case (a, b) =>
+          if (n == ea.length) {
+            ea = java.util.Arrays.copyOf(ea, n << 1)
+            eb = java.util.Arrays.copyOf(eb, n << 1)
+          }
+          ea(n) = a; eb(n) = b; n += 1
+        }
+        // sorted distinct node ids: index in `nodes` is the dense handle
+        val nodes = new Array[Long](2 * n)
+        System.arraycopy(ea, 0, nodes, 0, n)
+        System.arraycopy(eb, 0, nodes, n, n)
+        java.util.Arrays.sort(nodes)
+        var m = 0
+        var i = 0
+        while (i < 2 * n) {
+          if (m == 0 || nodes(m - 1) != nodes(i)) { nodes(m) = nodes(i); m += 1 }
+          i += 1
+        }
+        val parent = Array.tabulate(m)(identity)
+        def find(x0: Int): Int = {
+          var r = x0
           while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
           r
         }
-        it.foreach { case (a, b) =>
-          parent.getOrElseUpdate(a, a)
-          parent.getOrElseUpdate(b, b)
-          val ra = find(a); val rb = find(b)
-          // attach the larger root under the smaller: the final root of
-          // every set is its minimum member, which IS the label contract
+        def idx(v: Long): Int = java.util.Arrays.binarySearch(nodes, 0, m, v)
+        i = 0
+        while (i < n) {
+          val ra = find(idx(ea(i)))
+          val rb = find(idx(eb(i)))
+          // `nodes` is sorted, so a smaller index IS a smaller doc_id:
+          // attaching the larger root under the smaller keeps every
+          // set's root at its minimum member — the label contract
           if (ra < rb) parent(rb) = ra
           else if (rb < ra) parent(ra) = rb
+          i += 1
         }
-        parent.keysIterator.map(n => (n, find(n)))
+        (0 until m).iterator.map(k => (nodes(k), nodes(find(k))))
       }
       .toDF("doc_id", "lbl")
   }
@@ -450,6 +496,7 @@ object TextOps {
       .persist()
     var labels = sym.select($"src".as("doc_id")).distinct()
       .select($"doc_id", $"doc_id".as("lbl")).persist()
+    val initial = labels // unpersisted once the loop is done with it
     var prevSum = -1L
     var currSum = labels.agg(sum($"lbl")).head().getLong(0)
     var rounds = 0
@@ -467,6 +514,11 @@ object TextOps {
       currSum = labels.agg(sum($"lbl")).head().getLong(0)
       rounds += 1
     }
+    // the returned labels are a materialized localCheckpoint (the
+    // convergence sum was their action), so the solver's inputs can be
+    // released here rather than leaking for the session's lifetime
+    sym.unpersist()
+    if (labels ne initial) initial.unpersist()
     labels
   }
 

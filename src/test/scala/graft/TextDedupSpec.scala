@@ -43,6 +43,29 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("q31: the df-cap is a pre-filter — no collect_set materializes a shingle's doc set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dfcap3").toString
+    Seq((1L, "one two three four")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val plan = TextOps.q31JaccardPairs(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_set"),
+      "a hot shingle must never materialize its doc set on one row:\n" + plan)
+  }
+
+  test("q54 local solver: a 1M-edge graph solves in the single-task path " +
+    "with primitive-array state") {
+    // 100k chains of 10 edges / 11 nodes each; component label = chain min
+    val edges = spark.range(1000000).selectExpr(
+      "(id div 10) * 11 + id % 10 AS doc_a",
+      "(id div 10) * 11 + id % 10 + 1 AS doc_b")
+    val labels = TextOps.componentLabelsLocal(edges)
+    assert(labels.count() == 1100000L)
+    import org.apache.spark.sql.functions.expr
+    assert(labels.filter(expr("lbl != (doc_id div 11) * 11")).count() == 0L)
+  }
+
   test("q31: df-cap keeps answers unchanged when no shingle exceeds it") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dfcap2").toString
