@@ -52,16 +52,21 @@ object VectorOps {
     * broadcast, so candidates never shuffle — at 100 TB the scan is
     * embarrassingly parallel and only k rows per query survive the
     * window. (Scale path: q34's LSH buckets.) */
-  def q33KnnBruteForce(s: SparkSession, d: String): DataFrame = {
+  def q33KnnBruteForce(s: SparkSession, d: String): DataFrame =
+    knnExact(s, d, k = 5, nQueries = 10)
+
+  /** Parameterized exact top-k (q33's shape); also the recall oracle the
+    * ANN variants are measured against in VectorOpsSpec. */
+  def knnExact(s: SparkSession, d: String, k: Int, nQueries: Int): DataFrame = {
     import s.implicits._
     val e = emb(s, d)
-    val queries = e.where($"vec_id" < 10)
+    val queries = e.where($"vec_id" < nQueries)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm".as("qnorm"))
     val scored = e.join(broadcast(queries), $"vec_id" =!= $"q_id")
       .withColumn("sim", cosineNormed("qv", "v", "qnorm", "norm"))
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
     scored.withColumn("rank", row_number().over(w))
-      .where($"rank" <= 5)
+      .where($"rank" <= k)
       .select($"q_id", $"vec_id".as("neighbor_id"), $"rank".cast("long").as("rank"),
               round($"sim", 6).as("sim"))
   }
@@ -87,17 +92,25 @@ object VectorOps {
     * join, cutting candidates ~2^8× (with real hyperplanes the projections
     * would be seeded random vectors; sign-of-component is the deterministic,
     * oracle-reproducible stand-in with identical plan shape). */
-  def q34AnnLsh(s: SparkSession, d: String): DataFrame = {
+  def q34AnnLsh(s: SparkSession, d: String): DataFrame =
+    annLsh(s, d, nBits = 8, k = 3, nQueries = 50)
+
+  /** Parameterized sign-LSH ANN (q34's shape). The recall knob is nBits:
+    * fewer bits → bigger buckets → higher recall; nBits = 0 degenerates
+    * to one bucket = the exact scan (recall 1.0) — VectorOpsSpec pins
+    * both the measured floor at 8 bits and the relaxation limit. */
+  def annLsh(s: SparkSession, d: String, nBits: Int, k: Int, nQueries: Int): DataFrame = {
     import s.implicits._
-    val bucketed = emb(s, d).withColumn("bucket", signBucket(8))
-    val queries = bucketed.where($"vec_id" < 50)
+    val bucketed = emb(s, d)
+      .withColumn("bucket", if (nBits == 0) lit("") else signBucket(nBits))
+    val queries = bucketed.where($"vec_id" < nQueries)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm".as("qnorm"), $"bucket")
     val scored = bucketed.join(queries, Seq("bucket"))
       .where($"vec_id" =!= $"q_id")
       .withColumn("sim", cosineNormed("qv", "v", "qnorm", "norm"))
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
     scored.withColumn("rank", row_number().over(w))
-      .where($"rank" <= 3)
+      .where($"rank" <= k)
       .select($"q_id", $"vec_id".as("neighbor_id"), $"rank".cast("long").as("rank"),
               round($"sim", 6).as("sim"))
   }
@@ -213,11 +226,17 @@ object VectorOps {
     * its nprobe=2 nearest cells by centroid distance, then ranks true
     * cosine only within probed cells — candidate work is
     * |cells probed| / |cells| of the corpus instead of all of it. */
-  def q46IvfAnn(s: SparkSession, d: String): DataFrame = {
+  def q46IvfAnn(s: SparkSession, d: String): DataFrame =
+    ivfAnn(s, d, nprobe = 2, k = 3, nQueries = 50)
+
+  /** Parameterized IVF probe (q46's shape). The recall knob is nprobe:
+    * probing every cell is the exact scan (recall 1.0) — VectorOpsSpec
+    * pins the measured floor at nprobe = 2 and the relaxation limit. */
+  def ivfAnn(s: SparkSession, d: String, nprobe: Int, k: Int, nQueries: Int): DataFrame = {
     import s.implicits._
     val e = emb(s, d)
     val centroids = labelCentroids(s, e).withColumnRenamed("label", "cell")
-    val queries = e.where($"vec_id" < 50)
+    val queries = e.where($"vec_id" < nQueries)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm".as("qnorm"))
     val qDist = queries.join(broadcast(centroids))
       .withColumn("dist",
@@ -225,13 +244,13 @@ object VectorOps {
           + dot("centroid", "centroid"), lit(0.0))))
     val wProbe = Window.partitionBy($"q_id").orderBy($"dist", $"cell")
     val probes = qDist.withColumn("pr", row_number().over(wProbe))
-      .where($"pr" <= 2)
+      .where($"pr" <= nprobe)
       .select($"q_id", $"qv", $"qnorm", $"cell")
     val scored = e.join(probes, $"label" === $"cell" && $"vec_id" =!= $"q_id")
       .withColumn("sim", cosineNormed("qv", "v", "qnorm", "norm"))
     val wRank = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
     scored.withColumn("rank", row_number().over(wRank))
-      .where($"rank" <= 3)
+      .where($"rank" <= k)
       .select($"q_id", $"vec_id".as("neighbor_id"), $"rank".cast("long").as("rank"),
               round($"sim", 6).as("sim"))
   }

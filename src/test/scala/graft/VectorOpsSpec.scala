@@ -14,6 +14,55 @@ class VectorOpsSpec extends SparkSpec {
       s"prefilter invented pairs: ${(bucketed -- exact).mkString(", ")}")
   }
 
+  private def neighborSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def recallAt3(dir: String): (Double, Double, Set[(Long, Long)] => Double) = {
+    val exact = neighborSet(VectorOps.knnExact(spark, dir, k = 3, nQueries = 50))
+    assert(exact.nonEmpty)
+    def recall(ann: Set[(Long, Long)]): Double = (ann & exact).size.toDouble / exact.size
+    (recall(neighborSet(VectorOps.annLsh(spark, dir, nBits = 8, k = 3, nQueries = 50))),
+     recall(neighborSet(VectorOps.ivfAnn(spark, dir, nprobe = 2, k = 3, nQueries = 50))),
+     recall)
+  }
+
+  test("ANN recall@3 on the synthetic corpus: honest floors + convergence to exact") {
+    // The sf corpus's embeddings are near-iid random, so ANY partitioned
+    // index has near-chance recall — roughly the probed fraction of the
+    // corpus (IVF probes 2 of 10 cells → ~0.2 expected; LSH 8-bit buckets
+    // hold ~1/256 of the corpus → ~0.004 by chance). The floors assert the
+    // index beats chance; the clustered test below shows real quality.
+    val (rLsh, rIvf, recall) = recallAt3(sf0001)
+    info(f"sf0.001 corpus recall@3: LSH(8 bits) = $rLsh%.3f, IVF(nprobe=2) = $rIvf%.3f")
+    assert(rIvf >= 0.20, f"IVF nprobe=2 recall@3 $rIvf%.3f below the 2-of-10-cells chance line")
+    assert(rLsh >= 0.01, f"LSH 8-bit recall@3 $rLsh%.3f below floor (chance is ~0.004)")
+    // recall converges to 1.0 as the index relaxes to the exact scan
+    val rLsh4 = recall(neighborSet(VectorOps.annLsh(spark, sf0001, nBits = 4, k = 3, nQueries = 50)))
+    assert(rLsh4 >= rLsh, f"LSH recall must not drop with fewer bits: $rLsh4%.3f < $rLsh%.3f")
+    assert(recall(neighborSet(VectorOps.annLsh(spark, sf0001, nBits = 0, k = 3, nQueries = 50))) == 1.0)
+    assert(recall(neighborSet(VectorOps.ivfAnn(spark, sf0001, nprobe = 1000, k = 3, nQueries = 50))) == 1.0)
+  }
+
+  test("ANN recall@3 on clustered embeddings: IVF >= 0.9, LSH >= 0.6") {
+    // 10 Gaussian clusters (sigma 0.15 around unit-scale centers), labels
+    // = true cluster: the near-neighbor structure ANN indexes exist for.
+    import spark.implicits._
+    val rnd = new java.util.Random(7)
+    val centers = Array.fill(10, 64)(rnd.nextGaussian())
+    val rows = for (c <- 0 until 10; i <- 0 until 60) yield (
+      i.toLong * 10 + c, // interleave ids so the 50 queries span clusters
+      centers(c).map(x => (x + 0.15 * rnd.nextGaussian()).toFloat),
+      c)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-clustered").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val (rLsh, rIvf, _) = recallAt3(dir)
+    info(f"clustered recall@3: LSH(8 bits) = $rLsh%.3f, IVF(nprobe=2) = $rIvf%.3f")
+    assert(rIvf >= 0.90, f"IVF nprobe=2 recall@3 $rIvf%.3f below 0.90 on clustered data")
+    assert(rLsh >= 0.60, f"LSH 8-bit recall@3 $rLsh%.3f below 0.60 on clustered data")
+  }
+
   test("q35: exact baseline finds pairs the 0.40 threshold admits") {
     // guards against both sides being vacuously empty at sf0.001 — the
     // subset assertion above must be exercised against real pairs
