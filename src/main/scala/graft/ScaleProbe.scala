@@ -68,6 +68,37 @@ object ScaleProbe {
     time(s"join_agg_${factor}x")(joinAgg(liN, ordN))
     time("topk_custom_1x")(topk(ord1))
     time(s"topk_custom_${factor}x")(topk(ordN))
+
+    // The text-dedup chain (q30 → q31 → q54) — where the 100 TB claims
+    // are most load-bearing. N textually-DISJOINT copies (every token
+    // gets a per-copy suffix, so shingle spaces never collide across
+    // copies): the duplicate-cluster structure per copy is identical to
+    // the original — a bigger crawl at the same dup rate — and candidate
+    // pairs grow linearly, which is exactly the property the probe must
+    // confirm the PLANS preserve (LSH bands / df-cap / union-find, not
+    // an all-pairs blowup).
+    val docsNDir = {
+      val base = Tables(spark, sfDir, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft-scale-docs").toString
+      val shift = 100000000L
+      (0 until factor).map { i =>
+        base.withColumn("doc_id", $"doc_id" + lit(i * shift))
+          .withColumn("text", regexp_replace($"text", "(\\S+)", s"$$1c$i"))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    import graft.functions.TextOps
+    def lsh(d: String): Long = TextOps.q30MinHashLsh(spark, d).count()
+    def jaccard(d: String): Long = TextOps.q31JaccardPairs(spark, d).count()
+    def components(d: String): Long = TextOps.q54NearDupComponents(spark, d).count()
+    lsh(sfDir); jaccard(sfDir); components(sfDir) // warm
+    time("minhash_lsh_1x")(lsh(sfDir))
+    time(s"minhash_lsh_${factor}x")(lsh(docsNDir))
+    time("jaccard_1x")(jaccard(sfDir))
+    time(s"jaccard_${factor}x")(jaccard(docsNDir))
+    time("components_1x")(components(sfDir))
+    time(s"components_${factor}x")(components(docsNDir))
     spark.stop()
   }
 }

@@ -43,6 +43,37 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming near-dup document dedup — the streaming twin of the batch
+    * text-dedup chain (q28/q29): the q29 content fingerprint (md5 of the
+    * whitespace-normalized lowercase text, 16 hex chars) computed per
+    * row, then `dropDuplicatesWithinWatermark` on it. A re-ingested or
+    * boilerplate-identical document arriving in a LATER micro-batch is
+    * suppressed as long as it lands inside the watermark, and the dedup
+    * state for a fingerprint is dropped once the watermark passes it —
+    * state stays bounded by (watermark window × ingest rate), never by
+    * corpus size. Expects columns (doc_id, ts, text). */
+  def dedupDocStream(docs: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .withColumn("fingerprint",
+        substring(md5(regexp_replace(lower(trim($"text")), "\\s+", " ")), 1, 16))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+  }
+
+  /** [[dedupDocStream]] composed onto the transactional sink: deduped
+    * docs MERGE into a manifest-committed table keyed by fingerprint —
+    * re-delivery converges and commits stay atomic. */
+  def dedupDocSink(docs: DataFrame, tableRoot: String, watermark: String = "2 hours")
+      : DataStreamWriter[Row] =
+    dedupDocStream(docs, watermark).writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.ManifestTable.merge(batch, tableRoot, Seq("fingerprint")): Unit
+      }
+
   /** D2 as foreachBatch: each micro-batch MERGEs into the parquet silver
     * table at `sinkPath` (keyed on `key`), giving idempotent upsert
     * semantics — re-delivery of a batch converges to the same table

@@ -89,6 +89,52 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("streaming near-dup dedup: cross-batch duplicate suppression within the " +
+    "watermark, state evicted beyond it, transactional sink") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("neardup-stream").toString
+    val root = s"$dir/t"
+    val ckpt = s"$dir/ckpt"
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    def run(): Unit = {
+      val q = EventStream.dedupDocSink(mem.toDF().toDF("doc_id", "ts", "text"), root)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    def sinkRows: Set[(Long, String)] =
+      ManifestTable.read(spark, root).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fingerprint"))).toSet
+
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), "the quick brown fox"),
+      (2L, ts("2024-01-01 10:05:00"), "lorem ipsum dolor"))
+    run()
+    assert(sinkRows.map(_._1) == Set(1L, 2L))
+
+    // a LATER micro-batch re-delivers doc 1's content (different doc_id,
+    // different whitespace — the q29 normalization catches it) inside the
+    // watermark: suppressed; a genuinely new doc passes
+    mem.addData(
+      (10L, ts("2024-01-01 10:10:00"), "  the   quick brown fox "),
+      (3L, ts("2024-01-01 10:15:00"), "fresh document three"))
+    run()
+    assert(sinkRows.map(_._1) == Set(1L, 2L, 3L), s"got $sinkRows")
+
+    // advance the watermark far past the first docs: their dedup state is
+    // dropped, so the SAME content re-arriving with a fresh timestamp is
+    // admitted again — which proves the state is watermark-bounded, not
+    // corpus-sized (it merges over the old row: same fingerprint key)
+    mem.addData((4L, ts("2024-01-01 20:00:00"), "much later document"))
+    run()
+    mem.addData((11L, ts("2024-01-01 20:05:00"), "the quick brown fox"))
+    run()
+    val rows = sinkRows
+    assert(rows.map(_._1) == Set(11L, 2L, 3L, 4L), s"got $rows")
+    assert(rows.size == 4) // one row per fingerprint: merge keyed on it
+  }
+
   test("foreachBatch merge sink: batches upsert and re-delivery converges (D2 streaming)") {
     import spark.implicits._
     val sink = java.nio.file.Files.createTempDirectory("sink").toString + "/table"
