@@ -134,6 +134,48 @@ object TimeSeries {
       |FROM daily
       |GROUP BY 1""".stripMargin
 
+  /** SURVEY §2.5's optional unification: the weekly (q14) and monthly
+    * (q15) grouping levels in ONE pass via GROUPING SETS — a single
+    * scan + daily pre-aggregate feeds an Expand into both levels, so
+    * the 100 TB report suite reads the fact table once instead of once
+    * per granularity. `level` disambiguates the output rows (the
+    * grouping-set keys of the other level are null). */
+  def q63GroupingSets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keyed = daily(s, d)
+      .withColumn("iso_year", expr("extract(YEAROFWEEK FROM day)").cast("long"))
+      .withColumn("iso_week", weekofyear($"day").cast("long"))
+      .withColumn("month_start", to_date(date_trunc("month", $"day")))
+    keyed.groupingSets(
+        Seq(Seq($"iso_year", $"iso_week"), Seq($"month_start")),
+        $"iso_year", $"iso_week", $"month_start")
+      .agg(sum($"total_value").as("total_value"),
+           sum($"n_events").cast("long").as("n_events"),
+           countDistinct($"day").as("days_logged"))
+      .withColumn("level", when($"month_start".isNull, "week").otherwise("month"))
+      // string, not date: the other level's key is NULL on every row, and
+      // a nullable date column hashes asymmetrically across engines in
+      // the driver's compare (NaT vs None); text is portable
+      .withColumn("month_start", $"month_start".cast("string"))
+  }
+
+  val q63Sql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS total_value,
+      |                      count(*) AS n_events
+      |               FROM events GROUP BY 1),
+      |keyed AS (SELECT day, total_value, n_events,
+      |                 CAST(isoyear(day) AS BIGINT) AS iso_year,
+      |                 CAST(weekofyear(day) AS BIGINT) AS iso_week,
+      |                 CAST(date_trunc('month', day) AS DATE) AS month_start
+      |          FROM daily)
+      |SELECT iso_year, iso_week, CAST(month_start AS VARCHAR) AS month_start,
+      |       sum(total_value) AS total_value,
+      |       CAST(sum(n_events) AS BIGINT) AS n_events,
+      |       count(DISTINCT day) AS days_logged,
+      |       CASE WHEN month_start IS NULL THEN 'week' ELSE 'month' END AS level
+      |FROM keyed
+      |GROUP BY GROUPING SETS ((iso_year, iso_week), (month_start))""".stripMargin
+
   /** A11/A1/P4 — latest-day metrics (streamlit_app.py:225-265): argmax of
     * the date column (max, not distinct+sort), equality filter on it,
     * global sums by type. The max-date is a scalar subquery so the filter
@@ -431,7 +473,8 @@ object TimeSeries {
     "q23_tumbling_window" -> (q23TumblingWindow _),
     "q24_rolling_mean" -> (q24RollingMean _),
     "q60_funnel" -> (q60Funnel _),
-    "q61_retention" -> (q61Retention _))
+    "q61_retention" -> (q61Retention _),
+    "q63_grouping_sets" -> (q63GroupingSets _))
 
   val oracleSql: Map[String, String] = Map(
     "q48_session_window" -> q48Sql,
@@ -446,5 +489,6 @@ object TimeSeries {
     "q23_tumbling_window" -> q23Sql,
     "q24_rolling_mean" -> q24Sql,
     "q60_funnel" -> q60Sql,
-    "q61_retention" -> q61Sql)
+    "q61_retention" -> q61Sql,
+    "q63_grouping_sets" -> q63Sql)
 }

@@ -63,6 +63,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange"), plan)
   }
 
+  test("q63: grouping sets — ONE events scan feeds both grouping levels via Expand") {
+    val plan = physical(TimeSeries.q63GroupingSets(spark, sf0001))
+    assert(plan.contains("Expand"), plan)
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events"))
+    assert(scans == 1, s"expected exactly one events scan, got $scans:\n$plan")
+  }
+
   test("q12: calendar side of densification is broadcast") {
     val plan = physical(TimeSeries.q12CalendarDensify(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan)
