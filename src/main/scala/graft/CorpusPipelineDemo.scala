@@ -2,7 +2,6 @@ package graft
 
 import graft.functions.TextOps
 import graft.sources.ManifestTable
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Executable end-to-end TRAINING-DATA slice — the corpus-side twin of

@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object EntrySmoke {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder().master("local[8]")

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev-loop timing harness: run one named SparkEntry query repeatedly
   * (cold + warm) outside the full Bench suite.

@@ -2,7 +2,6 @@ package graft
 
 import graft.operators.{Dedup, Reports}
 import graft.sources.Ingest
-import org.apache.spark.sql.SparkSession
 
 /** Executable end-to-end slice (SURVEY §7.2): raw per-day JSON envelopes
   * → bronze parse → silver (typed, deduped) → date-partitioned parquet →

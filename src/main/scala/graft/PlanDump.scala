@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev tool: print the formatted physical plan (and optionally the final
   * adaptive plan) for any SparkEntry query.

@@ -44,13 +44,19 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 object RollingHash {
   val Mod = 1000000007L
 
+  /** Folds UNICODE CODE POINTS (not UTF-16 code units): a surrogate pair
+    * contributes one term, its code point — matching both Spark's
+    * `split('') + ascii` composition and DuckDB's `string_split('') +
+    * ascii`, which are code-point based (RollingHashSpec pins a
+    * non-BMP input against both). */
   def compute(s: UTF8String): Long = {
     val str = s.toString
     var h = 0L
     var i = 0
     while (i < str.length) {
-      h = (h * 31L + str.charAt(i)) % Mod
-      i += 1
+      val cp = str.codePointAt(i)
+      h = (h * 31L + cp) % Mod
+      i += Character.charCount(cp)
     }
     h
   }

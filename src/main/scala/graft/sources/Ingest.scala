@@ -128,8 +128,10 @@ object Ingest {
   /** S5 — exercises extract (utils/api.py:147-158, `exercises.get`):
     * same envelope pattern as the food path — dict-or-list payload
     * normalization (F16), permissive parse (P1), lenient numeric casts
-    * (F12) — with the API's optional date filter expressed as a partition
-    * predicate. Returns a typed `Dataset[ExerciseEntry]`. */
+    * (F12). The optional date filter applies to a `day` column DERIVED
+    * from the file name after the scan — it does not prune the file
+    * listing; a Hive-layout partitioned read (the readSilverMonth shape)
+    * is the pruned path. Returns a typed `Dataset[ExerciseEntry]`. */
   def readExercises(spark: SparkSession, path: String,
                     date: Option[String] = None): Dataset[graft.schema.ExerciseEntry] = {
     import spark.implicits._

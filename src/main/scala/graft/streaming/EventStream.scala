@@ -151,10 +151,13 @@ object EventStream {
     * rolls the previous table back, and an interrupted swap from a
     * crashed run is repaired on the next call (the `.old` copy is
     * restored if the target vanished mid-swap). The invariant: a reader
-    * never observes a missing or half-written table, and a failure
-    * surfaces as an exception instead of silent data loss.
-    * For partitioned tables prefer [[mergePartitioned]], which touches
-    * only the batch's partitions. */
+    * never observes a HALF-WRITTEN table, and a failure surfaces as an
+    * exception instead of silent data loss. Honest limit: between the
+    * two renames of the swap there is a window where the target path
+    * does not exist — a concurrent reader can get a transient
+    * file-not-found. [[graft.sources.ManifestTable]] is the
+    * reader-ATOMIC variant (pointer swap, snapshot isolation); prefer
+    * it, or [[mergePartitioned]] for partition-scoped raw parquet. */
   def mergeIntoParquet(batch: DataFrame, sinkPath: String, key: Seq[String]): Unit = {
     val spark = batch.sparkSession
     val target = new java.io.File(sinkPath)

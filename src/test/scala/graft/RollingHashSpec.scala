@@ -18,13 +18,24 @@ class RollingHashSpec extends SparkSpec {
     val inputs = Seq(
       "", "a", "hello world", "  padded  ",
       "größe straße", "naïve café", "中文文档内容", "mixed 中文 and ascii 123",
-      "!@#$%^&*()", "a" * 5000)
+      "!@#$%^&*()", "a" * 5000,
+      "a𝄞b", "emoji 😀 doc") // astral chars: surrogate PAIRS fold as one code point
     val rows = inputs.toDF("s")
       .select(expr("rolling_hash_native(s)").as("native"), expr(hofExpr).as("hof"))
       .collect()
     rows.zip(inputs).foreach { case (r, in) =>
       assert(r.getLong(0) == r.getLong(1), s"mismatch for input '$in'")
     }
+  }
+
+  test("astral input folds code points — the DuckDB oracle's semantics") {
+    import spark.implicits._
+    RollingHash.register(spark)
+    // fold of [97, 0x1D11E, 98] — cross-checked against DuckDB's
+    // list_reduce over string_split('a𝄞b', '')
+    val h = Seq("a𝄞b").toDF("s")
+      .select(expr("rolling_hash_native(s)")).head().getLong(0)
+    assert(h == 3784485L)
   }
 
   test("rolling_hash_native stays inside whole-stage codegen") {
