@@ -2,7 +2,6 @@ package graft.functions
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis and document-deduplication surface for training-data
@@ -250,17 +249,21 @@ object TextOps {
     import s.implicits._
     val sh = rawShingles(s, d)
       .select($"doc_id", xxhash64($"shingle").as("shid"))
-    // df-cap WITHOUT materializing any shingle's doc set on one row:
-    // distinct (combiner-friendly partial agg) then a count window
-    // partitioned by shid — the hot-shingle rows stream through the
-    // window's spillable buffer as ROWS, so a boilerplate shingle shared
-    // by 10M docs never becomes a multi-GB array. The window's exchange
-    // leaves the data hash-partitioned by shid, which is exactly the
-    // self-join's key — no further exchange downstream.
-    val capped = sh.distinct()
-      .withColumn("df", count(lit(1)).over(Window.partitionBy($"shid")))
-      .where($"df" <= JaccardDfCap)
-      .select($"shid", $"doc_id")
+    // ONE exchange does dedup + df-cap + candidate grouping, with memory
+    // bounded by the CAP rather than the data: capped_collect_set (a
+    // custom TypedImperativeAggregate) behaves exactly like
+    // `collect_set(..) filtered to size <= cap`, but every aggregation
+    // buffer stops growing at cap+1 elements — a boilerplate shingle
+    // shared by 10M docs costs 31 longs, not a multi-GB array on one
+    // row. Measured against the two declarative no-giant-row forms
+    // (distinct + count window; distinct + df-count + shuffle-hash
+    // join): both pay a second full-data shuffle and ran ~2x slower at
+    // sf0.1; this keeps the original single-exchange plan.
+    graft.expressions.CappedCollectSet.register(s)
+    val byShingle = sh.groupBy($"shid")
+      .agg(expr(s"capped_collect_set(doc_id, $JaccardDfCap)").as("ids"))
+      .where($"ids".isNotNull)
+    val capped = byShingle.select($"shid", explode($"ids").as("doc_id"))
     val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
     // merge hint: same ReusedExchange rationale as q30 — one shingle
     // build feeds both sides of the self-join

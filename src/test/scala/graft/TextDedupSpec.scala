@@ -43,15 +43,35 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
-  test("q31: the df-cap is a pre-filter — no collect_set materializes a shingle's doc set") {
+  test("q31: no UNBOUNDED collect_set — doc sets go through capped_collect_set " +
+    "whose buffers stop at cap+1") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dfcap3").toString
     Seq((1L, "one two three four")).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val plan = TextOps.q31JaccardPairs(spark, dir)
       .queryExecution.optimizedPlan.toString
-    assert(!plan.contains("collect_set"),
-      "a hot shingle must never materialize its doc set on one row:\n" + plan)
+    assert("(?<!capped_)collect_set".r.findFirstIn(plan).isEmpty,
+      "a hot shingle must never materialize an unbounded doc set on one row:\n" + plan)
+    assert(plan.contains("capped_collect_set"), plan)
+  }
+
+  test("capped_collect_set: equals collect_set under the cap, NULL (poisoned) over it, " +
+    "across many partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    graft.expressions.CappedCollectSet.register(spark)
+    // key 1: 40 distinct values (> cap 30, spread over 16 partitions, with
+    // duplicates) -> NULL; key 2: 30 distinct (= cap) -> the exact set;
+    // key 3: duplicates of one value -> size-1 set
+    val rows = (1L to 40L).map(v => (1L, v)) ++ (1L to 40L).map(v => (1L, v)) ++
+      (1L to 30L).map(v => (2L, v)) ++ Seq.fill(50)((3L, 7L))
+    val out = rows.toDF("k", "v").repartition(16)
+      .groupBy($"k").agg(expr("capped_collect_set(v, 30)").as("ids"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1)).map(_.toSet)).toMap
+    assert(out(1L).isEmpty) // poisoned
+    assert(out(2L).contains((1L to 30L).toSet))
+    assert(out(3L).contains(Set(7L)))
   }
 
   test("q54 local solver: a 1M-edge graph solves in the single-task path " +
