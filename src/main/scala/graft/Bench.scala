@@ -13,7 +13,8 @@ import scala.concurrent.duration.Duration
   * belt-and-braces machine-readable copy.
   *
   * Two measurements, both reported:
-  *   - `value` — wall-clock of the 5-way-concurrent throughput run
+  *   - `value` — wall-clock of the N-way-concurrent throughput run
+  *     (default pool 10; SPARK_GRAFT_BENCH_POOL)
   *     (TPC-DS style): what a loaded single node sustains across the
   *     whole suite. Headline number.
   *   - `queries` — SEQUENTIAL per-query seconds, measured after the
