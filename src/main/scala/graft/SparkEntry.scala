@@ -22,6 +22,7 @@ object SparkEntry {
       operators.TimeSeries.queries ++
       operators.Extended.queries ++
       functions.TextOps.queries ++
+      functions.CurationOps.queries ++
       functions.VectorOps.queries ++
       multimodal.Multimodal.queries ++
       sources.IngestFixtures.queries
@@ -33,6 +34,7 @@ object SparkEntry {
       operators.TimeSeries.oracleSql ++
       operators.Extended.oracleSql ++
       functions.TextOps.oracleSql ++
+      functions.CurationOps.oracleSql ++
       functions.VectorOps.oracleSql ++
       multimodal.Multimodal.oracleSql ++
       sources.IngestFixtures.oracleSql
