@@ -235,6 +235,41 @@ object TextOps {
     * structural. */
   val JaccardDfCap = 30
 
+  /** The df-capped distinct (shid, doc_id) rows q31 builds its self-join
+    * from. ONE exchange does dedup + df-cap + candidate grouping, with
+    * memory bounded by the CAP rather than the data: capped_collect_set
+    * (a custom TypedImperativeAggregate) behaves exactly like
+    * `collect_set(..) filtered to size <= cap`, but every aggregation
+    * buffer stops growing at cap+1 elements — a boilerplate shingle
+    * shared by 10M docs costs 31 longs, not a multi-GB array on one row.
+    * (Measured against the two declarative no-giant-row forms — distinct
+    * + count window; distinct + df-count + shuffle-hash join — both pay
+    * a second full-data shuffle and ran ~2x slower at sf0.1.)
+    *
+    * Under the shared-view flag the result is persisted per (session,
+    * path): q31 consumes it FOUR times (both self-join sides + both size
+    * lookups), and the physical planner does not reuse the aggregation
+    * exchange across those subtrees — the same st.cache_data-analog
+    * treatment the q30 candidate view gets. */
+  private val cappedShingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def cappedShingles(s: SparkSession, d: String): DataFrame = {
+    def build: DataFrame = {
+      import s.implicits._
+      graft.expressions.CappedCollectSet.register(s)
+      rawShingles(s, d)
+        .select($"doc_id", xxhash64($"shingle").as("shid"))
+        .groupBy($"shid")
+        .agg(expr(s"capped_collect_set(doc_id, $JaccardDfCap)").as("ids"))
+        .where($"ids".isNotNull)
+        .select($"shid", explode($"ids").as("doc_id"))
+    }
+    if (sys.props.get("graft.cacheTables").contains("true")) {
+      cappedShingleCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      cappedShingleCache.getOrElseUpdate((s, d), build.persist())
+    } else build
+  }
+
   /** n-gram Jaccard similarity: pairs sharing ≥1 shingle, scored
     * |A∩B| / |A∪B|, thresholded. Shared-shingle join means pairwise work
     * is proportional to actual overlap, not n². Two scale levers vs the
@@ -247,23 +282,7 @@ object TextOps {
     * blowup a hot shingle causes). */
   def q31JaccardPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = rawShingles(s, d)
-      .select($"doc_id", xxhash64($"shingle").as("shid"))
-    // ONE exchange does dedup + df-cap + candidate grouping, with memory
-    // bounded by the CAP rather than the data: capped_collect_set (a
-    // custom TypedImperativeAggregate) behaves exactly like
-    // `collect_set(..) filtered to size <= cap`, but every aggregation
-    // buffer stops growing at cap+1 elements — a boilerplate shingle
-    // shared by 10M docs costs 31 longs, not a multi-GB array on one
-    // row. Measured against the two declarative no-giant-row forms
-    // (distinct + count window; distinct + df-count + shuffle-hash
-    // join): both pay a second full-data shuffle and ran ~2x slower at
-    // sf0.1; this keeps the original single-exchange plan.
-    graft.expressions.CappedCollectSet.register(s)
-    val byShingle = sh.groupBy($"shid")
-      .agg(expr(s"capped_collect_set(doc_id, $JaccardDfCap)").as("ids"))
-      .where($"ids".isNotNull)
-    val capped = byShingle.select($"shid", explode($"ids").as("doc_id"))
+    val capped = cappedShingles(s, d)
     val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
     // merge hint: same ReusedExchange rationale as q30 — one shingle
     // build feeds both sides of the self-join
