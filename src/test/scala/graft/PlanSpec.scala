@@ -71,6 +71,27 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected exactly one events scan, got $scans:\n$plan")
   }
 
+  test("q64/q65: redaction and chunking plan NO shuffle — per-row maps at scan speed") {
+    import graft.functions.CurationOps
+    Seq(CurationOps.q64PiiRedaction(spark, sf0001),
+        CurationOps.q65Chunking(spark, sf0001)).foreach { df =>
+      val plan = physical(df)
+      assert(!plan.contains("Exchange"), plan)
+    }
+  }
+
+  test("q66: stratified sample is ONE shuffle (the per-stratum rank), nothing else") {
+    val plan = physical(graft.functions.CurationOps.q66StratifiedSample(spark, sf0001))
+    assert(plan.linesIterator.count(l =>
+      l.trim.startsWith("+- Exchange") || l.trim.startsWith(": +- Exchange") ||
+        l.contains("Exchange hashpartitioning")) == 1, plan)
+  }
+
+  test("q67: the benchmark n-gram list is broadcast — the corpus never shuffles for the join") {
+    val plan = physical(graft.functions.CurationOps.q67Contamination(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q12: calendar side of densification is broadcast") {
     val plan = physical(TimeSeries.q12CalendarDensify(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan)
