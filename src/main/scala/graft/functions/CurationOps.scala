@@ -129,15 +129,64 @@ object CurationOps {
       |GROUP BY doc_id""".stripMargin
   }
 
+  /** Deterministic token-budget fill (the "cut a 10B-token training mix"
+    * step): take docs in content-free hash order until the running token
+    * count reaches 20% of the corpus. The running sum is a DISTRIBUTED
+    * two-phase prefix sum — per-bucket cumsum (256 hash-prefix buckets,
+    * each a parallel window partition) plus broadcast bucket offsets
+    * from a 256-row window — so no corpus-sized single-partition window
+    * exists in the plan (the classic global-cumsum scale trap; the
+    * DuckDB oracle runs the naive global window and must agree exactly).
+    * Bucket = first 2 hex chars of the hash, so bucket-then-hash order
+    * IS global hash order. The 20% threshold compares 5·cum ≤ total in
+    * integer arithmetic — no float wobble. */
+  def q68TokenBudget(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = docs(s, d).select(
+      $"doc_id",
+      size(TextOps.tokens($"text")).cast("long").as("n_tokens"),
+      md5($"doc_id".cast("string")).as("h"))
+      .withColumn("bucket", substring($"h", 1, 2))
+    val wIn = Window.partitionBy($"bucket").orderBy($"h", $"doc_id")
+    val inBucket = t.withColumn("cum_in", sum($"n_tokens").over(wIn))
+    val wBuckets = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy($"bucket").agg(sum($"n_tokens").as("btok"))
+      .withColumn("offset", coalesce(sum($"btok").over(wBuckets), lit(0L)))
+      .select($"bucket", $"offset")
+    val total = t.agg(sum($"n_tokens").as("total"))
+    inBucket.join(broadcast(offsets), "bucket")
+      .withColumn("cum_tokens", ($"offset" + $"cum_in").cast("long"))
+      .crossJoin(broadcast(total))
+      .where($"cum_tokens" * 5 <= $"total")
+      .select($"doc_id", $"n_tokens", $"cum_tokens")
+  }
+
+  val q68Sql: String =
+    raw"""WITH t AS (SELECT doc_id,
+      |                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |                   md5(CAST(doc_id AS VARCHAR)) AS h
+      |            FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |             CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |               AS cum_tokens
+      |      FROM t)
+      |SELECT doc_id, n_tokens, cum_tokens
+      |FROM c
+      |WHERE cum_tokens * 5 <= (SELECT sum(n_tokens) FROM t)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_pii_redaction" -> (q64PiiRedaction _),
     "q65_chunking" -> (q65Chunking _),
     "q66_stratified_sample" -> (q66StratifiedSample _),
-    "q67_contamination" -> (q67Contamination _))
+    "q67_contamination" -> (q67Contamination _),
+    "q68_token_budget" -> (q68TokenBudget _))
 
   val oracleSql: Map[String, String] = Map(
     "q64_pii_redaction" -> q64Sql,
     "q65_chunking" -> q65Sql,
     "q66_stratified_sample" -> q66Sql,
-    "q67_contamination" -> q67Sql)
+    "q67_contamination" -> q67Sql,
+    "q68_token_budget" -> q68Sql)
 }

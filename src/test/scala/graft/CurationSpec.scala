@@ -49,6 +49,33 @@ class CurationSpec extends SparkSpec {
     assert(a.forall(_._3 <= 20))
   }
 
+  test("q68: two-phase prefix sum equals the naive global cumsum, and the " +
+    "corpus-sized window is bucket-partitioned") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // naive reference: ONE global window over the whole corpus
+    val t = Tables(spark, sf0001, "documents").select(
+      $"doc_id",
+      size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"),
+      md5($"doc_id".cast("string")).as("h"))
+    val naive = t.withColumn("cum_tokens",
+        sum($"n_tokens").over(Window.orderBy($"h", $"doc_id")).cast("long"))
+      .crossJoin(broadcast(t.agg(sum($"n_tokens").as("total"))))
+      .where($"cum_tokens" * 5 <= $"total")
+      .select($"doc_id", $"n_tokens", $"cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val twoPhase = CurationOps.q68TokenBudget(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(naive.nonEmpty && twoPhase == naive)
+    // the only window over corpus-sized data is partitioned by bucket
+    val plan = CurationOps.q68TokenBudget(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.trim.startsWith("+- Window")).toSeq ++
+      plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.exists(_.contains("[bucket")), plan) // corpus cumsum: partitioned
+  }
+
   test("q67: contamination hits only docs sharing a benchmark 3-gram, with exact counts") {
     val dir = fixture(
       1L -> "prefix stream table hash suffix and also row column sort here",
