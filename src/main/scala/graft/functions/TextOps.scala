@@ -544,11 +544,12 @@ object TextOps {
     labels
   }
 
-  /** DuckDB twin: the same q30 candidate CTEs, then a recursive CTE
-    * enumerating (node, reachable-label) pairs — UNION dedup bounds it
-    * at Σ|component|² rows, tiny for near-dup clusters. */
-  val q54Sql: String =
-    s"""WITH RECURSIVE $shingleCte,
+  /** Shared DuckDB CTE chain ending in `comp(doc_id, component_id)` —
+    * the q30 candidate CTEs, then a recursive CTE enumerating (node,
+    * reachable-label) pairs; UNION dedup bounds it at Σ|component|²
+    * rows, tiny for near-dup clusters. Used by q54 and q69. */
+  private val componentsCtes: String =
+    s"""$shingleCte,
       |hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
       |sig AS (SELECT doc_id,
       |  min(substring(h, 1, 4)) h0, min(substring(h, 5, 4)) h1,
@@ -570,10 +571,47 @@ object TextOps {
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
-      |comp AS (SELECT node AS doc_id, min(lbl) AS component_id FROM reach GROUP BY node)
+      |comp AS (SELECT node AS doc_id, min(lbl) AS component_id FROM reach GROUP BY node)""".stripMargin
+
+  /** DuckDB twin of q54 (see [[componentsCtes]]). */
+  val q54Sql: String =
+    s"""WITH RECURSIVE $componentsCtes
       |SELECT doc_id, component_id,
       |       count(*) OVER (PARTITION BY component_id) AS component_size
       |FROM comp""".stripMargin
+
+  /** Keeper selection — the dedup DECISION the component step exists
+    * for: per near-dup component keep exactly one document, the longest
+    * (token count; min doc_id on ties — explicit rank, not arg_max,
+    * whose tie-break is engine-unspecified). Singletons keep themselves.
+    * One window per component after a doc-keyed join; at 100 TB both
+    * sides shuffle once on their natural keys. */
+  def q69KeeperSelection(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"component_id").orderBy($"n_tokens".desc, $"doc_id")
+    q54NearDupComponents(s, d)
+      .join(docs(s, d).select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens")),
+        "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"component_id", $"doc_id".as("keeper_id"),
+        $"n_tokens".as("keeper_tokens"), $"component_size")
+  }
+
+  val q69Sql: String =
+    raw"""WITH RECURSIVE $componentsCtes,
+      |tokd AS (SELECT doc_id,
+      |                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |         FROM documents),
+      |ranked AS (SELECT c.component_id, c.doc_id, t.n_tokens,
+      |                  row_number() OVER (PARTITION BY c.component_id
+      |                    ORDER BY t.n_tokens DESC, c.doc_id) AS rn,
+      |                  count(*) OVER (PARTITION BY c.component_id) AS component_size
+      |           FROM comp c JOIN tokd t USING (doc_id))
+      |SELECT component_id, doc_id AS keeper_id, n_tokens AS keeper_tokens,
+      |       CAST(component_size AS BIGINT) AS component_size
+      |FROM ranked WHERE rn = 1""".stripMargin
 
   /** Deterministic train/val/test split by content-independent hash
     * bucket (80/10/10): bucket = first 16 bits of md5(doc_id). The split
@@ -668,6 +706,7 @@ object TextOps {
     "q31_jaccard_pairs" -> (q31JaccardPairs _),
     "q32_simhash" -> (q32SimHash _),
     "q54_neardup_components" -> (q54NearDupComponents _),
+    "q69_keeper_selection" -> (q69KeeperSelection _),
     "q55_hash_split" -> (q55HashSplit _),
     "q56_repetition" -> (q56Repetition _),
     "q57_top_tokens_per_lang" -> (q57TopTokensPerLang _))
@@ -684,6 +723,7 @@ object TextOps {
     "q31_jaccard_pairs" -> q31Sql,
     "q32_simhash" -> q32Sql,
     "q54_neardup_components" -> q54Sql,
+    "q69_keeper_selection" -> q69Sql,
     "q55_hash_split" -> q55Sql,
     "q56_repetition" -> q56Sql,
     "q57_top_tokens_per_lang" -> q57Sql)
