@@ -129,18 +129,19 @@ object CurationOps {
       |GROUP BY doc_id""".stripMargin
   }
 
-  /** Deterministic token-budget fill (the "cut a 10B-token training mix"
-    * step): take docs in content-free hash order until the running token
-    * count reaches 20% of the corpus. The running sum is a DISTRIBUTED
-    * two-phase prefix sum — per-bucket cumsum (256 hash-prefix buckets,
-    * each a parallel window partition) plus broadcast bucket offsets
-    * from a 256-row window — so no corpus-sized single-partition window
-    * exists in the plan (the classic global-cumsum scale trap; the
-    * DuckDB oracle runs the naive global window and must agree exactly).
-    * Bucket = first 2 hex chars of the hash, so bucket-then-hash order
-    * IS global hash order. The 20% threshold compares 5·cum ≤ total in
-    * integer arithmetic — no float wobble. */
-  def q68TokenBudget(s: SparkSession, d: String): DataFrame = {
+  /** Distributed global prefix sum of per-doc token counts in
+    * content-free hash order — the shared engine under q68 (budget cut)
+    * and q71 (sequence packing). Two phases: per-bucket cumsum (256
+    * hash-prefix buckets, each a parallel window partition) plus
+    * broadcast bucket offsets from a 256-row window — so no corpus-sized
+    * single-partition window exists in the plan (the classic
+    * global-cumsum scale trap; the DuckDB oracles run the naive global
+    * window and must agree exactly). Bucket = first 2 hex chars of the
+    * hash, so bucket-then-hash order IS global hash order.
+    *
+    * Returns (t, cum): `t` = (doc_id, n_tokens, h, bucket) for cheap
+    * side-aggregates, `cum` = t + exact global `cum_tokens`. */
+  private def tokenPrefixSum(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val t = docs(s, d).select(
       $"doc_id",
@@ -154,19 +155,34 @@ object CurationOps {
     val offsets = t.groupBy($"bucket").agg(sum($"n_tokens").as("btok"))
       .withColumn("offset", coalesce(sum($"btok").over(wBuckets), lit(0L)))
       .select($"bucket", $"offset")
-    val total = t.agg(sum($"n_tokens").as("total"))
-    inBucket.join(broadcast(offsets), "bucket")
+    val cum = inBucket.join(broadcast(offsets), "bucket")
       .withColumn("cum_tokens", ($"offset" + $"cum_in").cast("long"))
-      .crossJoin(broadcast(total))
+    (t, cum)
+  }
+
+  /** The shared hash-order token CTE both prefix-sum oracles start from. */
+  private val tokenCte: String =
+    raw"""t AS (SELECT doc_id,
+      |                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |                   md5(CAST(doc_id AS VARCHAR)) AS h
+      |            FROM documents)""".stripMargin
+
+  /** Deterministic token-budget fill (the "cut a 10B-token training mix"
+    * step): take docs in content-free hash order until the running token
+    * count reaches 20% of the corpus, via [[tokenPrefixSum]]. The 20%
+    * threshold compares 5·cum ≤ total in integer arithmetic — no float
+    * wobble. */
+  def q68TokenBudget(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (t, cum) = tokenPrefixSum(s, d)
+    val total = t.agg(sum($"n_tokens").as("total"))
+    cum.crossJoin(broadcast(total))
       .where($"cum_tokens" * 5 <= $"total")
       .select($"doc_id", $"n_tokens", $"cum_tokens")
   }
 
   val q68Sql: String =
-    raw"""WITH t AS (SELECT doc_id,
-      |                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-      |                   md5(CAST(doc_id AS VARCHAR)) AS h
-      |            FROM documents),
+    s"""WITH $tokenCte,
       |c AS (SELECT doc_id, n_tokens,
       |             CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
@@ -176,17 +192,95 @@ object CurationOps {
       |FROM c
       |WHERE cum_tokens * 5 <= (SELECT sum(n_tokens) FROM t)""".stripMargin
 
+  /** Boilerplate line removal (the crawl-cleaning step that strips nav
+    * bars, cookie banners, repeated headers): a line appearing in more
+    * than one DISTINCT document is boilerplate; every doc is rewritten
+    * with only its unique lines, original order preserved. Shape at
+    * scale: explode lines → two-phase distinct-doc count per line (the
+    * line-keyed table is combiner-friendly and vocabulary-sized, never
+    * corpus-sized) → hash join back → per-doc ordered reassembly. The
+    * per-doc collect is bounded by that doc's own line count — no
+    * cross-doc state ever sits on one row. Docs whose every line is
+    * boilerplate (e.g. exact duplicates) survive with empty clean_text,
+    * so the output is always one row per input doc. */
+  def q70BoilerplateLines(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lines = docs(s, d)
+      .select($"doc_id", posexplode(split($"text", "\n")).as(Seq("pos", "line")))
+    val freq = lines.groupBy($"line")
+      .agg(countDistinct($"doc_id").as("docfreq"))
+    lines.join(freq, "line")
+      .groupBy($"doc_id")
+      .agg(
+        count(when($"docfreq" === 1, 1)).as("n_kept"),
+        count(when($"docfreq" > 1, 1)).as("n_dropped"),
+        expr("""array_join(
+                  transform(
+                    array_sort(collect_list(CASE WHEN docfreq = 1
+                                            THEN struct(pos, line) END)),
+                    x -> x.line),
+                  chr(10))""").as("clean_text"))
+  }
+
+  val q70Sql: String =
+    """WITH p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents),
+      |l AS (SELECT doc_id, pl['pos'] AS pos, pl['line'] AS line
+      |      FROM (SELECT doc_id,
+      |                   unnest([{'pos': i, 'line': parts[i]}
+      |                           FOR i IN generate_series(1, len(parts))]) AS pl
+      |            FROM p)),
+      |f AS (SELECT line, count(DISTINCT doc_id) AS docfreq FROM l GROUP BY 1)
+      |SELECT l.doc_id,
+      |       count(*) FILTER (WHERE docfreq = 1) AS n_kept,
+      |       count(*) FILTER (WHERE docfreq > 1) AS n_dropped,
+      |       coalesce(string_agg(line, chr(10) ORDER BY pos)
+      |                  FILTER (WHERE docfreq = 1), '') AS clean_text
+      |FROM l JOIN f USING (line)
+      |GROUP BY l.doc_id""".stripMargin
+
+  /** Sequence packing (the "concat then chunk into training sequences"
+    * step): docs laid end-to-end in content-free hash order are assigned
+    * to fixed 256-token sequences; a doc starts in sequence
+    * cum_before DIV 256 at offset cum_before MOD 256. Reuses
+    * [[tokenPrefixSum]], so the assignment is exact and global with no
+    * single-partition window. Pure integer arithmetic — deterministic on
+    * every engine and cluster topology. */
+  def q71SequencePack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (_, cum) = tokenPrefixSum(s, d)
+    cum.withColumn("cum_before", $"cum_tokens" - $"n_tokens")
+      .select($"doc_id", $"n_tokens",
+        expr("cum_before DIV 256").as("seq_id"),
+        ($"cum_before" % 256).as("offset_in_seq"))
+  }
+
+  val q71Sql: String =
+    s"""WITH $tokenCte,
+      |c AS (SELECT doc_id, n_tokens,
+      |             CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |               - n_tokens AS cum_before
+      |      FROM t)
+      |SELECT doc_id, n_tokens,
+      |       CAST(cum_before // 256 AS BIGINT) AS seq_id,
+      |       CAST(cum_before % 256 AS BIGINT) AS offset_in_seq
+      |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_pii_redaction" -> (q64PiiRedaction _),
     "q65_chunking" -> (q65Chunking _),
     "q66_stratified_sample" -> (q66StratifiedSample _),
     "q67_contamination" -> (q67Contamination _),
-    "q68_token_budget" -> (q68TokenBudget _))
+    "q68_token_budget" -> (q68TokenBudget _),
+    "q70_boilerplate_lines" -> (q70BoilerplateLines _),
+    "q71_sequence_pack" -> (q71SequencePack _))
 
   val oracleSql: Map[String, String] = Map(
     "q64_pii_redaction" -> q64Sql,
     "q65_chunking" -> q65Sql,
     "q66_stratified_sample" -> q66Sql,
     "q67_contamination" -> q67Sql,
-    "q68_token_budget" -> q68Sql)
+    "q68_token_budget" -> q68Sql,
+    "q70_boilerplate_lines" -> q70Sql,
+    "q71_sequence_pack" -> q71Sql)
 }

@@ -694,6 +694,51 @@ object TextOps {
       |      FROM c)
       |SELECT lang, tok, n, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin
 
+  /** Doc-level TF-IDF: top-3 most DISTINCTIVE tokens per document
+    * (tf · ln(n_docs / doc-frequency)) — the keyword-extraction
+    * complement of q57's raw frequency ranking. Shape at scale: one
+    * shuffle builds the (doc, token) term frequencies; the
+    * token-keyed document-frequency table derived from it is
+    * VOCABULARY-sized, so it broadcasts and the join back is
+    * shuffle-free; the final top-3 window repartitions only the tf
+    * rows by doc. Ranking compares the ROUNDED score in both engines
+    * so float formatting can't reorder ties; token asc breaks exact
+    * ties deterministically. */
+  def q72TfIdf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tf = docs(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    // one row per (doc, token) already, so df = plain count per token
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df_docs"))
+    val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round($"tf" * log($"n_docs" / $"df_docs"), 6))
+    // top-3 via the TopKPerGroup plan (map-side bounded heaps) — no
+    // sort-based window over the full (doc, token) matrix
+    graft.plans.TopK.perGroup(scored, Seq("doc_id"),
+        Seq(("tfidf", false), ("token", true)), 3, rankName = "rnk")
+      .select($"doc_id", $"token", $"tf", $"tfidf", $"rnk".cast("long").as("rnk"))
+  }
+
+  val q72Sql: String =
+    raw"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |             FROM documents),
+      |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf,
+      |         round(tf.tf * ln(n.n_docs / df.df_docs), 6) AS tfidf
+      |  FROM tf JOIN df USING (token) CROSS JOIN n)
+      |SELECT doc_id, token, tf, tfidf,
+      |       CAST(rnk AS BIGINT) AS rnk
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                 ORDER BY tfidf DESC, token) AS rnk
+      |      FROM scored)
+      |WHERE rnk <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_rolling_fingerprint" -> (q45RollingFingerprint _),
     "q47_bpe_tokens" -> (q47BpeTokens _),
@@ -709,7 +754,8 @@ object TextOps {
     "q69_keeper_selection" -> (q69KeeperSelection _),
     "q55_hash_split" -> (q55HashSplit _),
     "q56_repetition" -> (q56Repetition _),
-    "q57_top_tokens_per_lang" -> (q57TopTokensPerLang _))
+    "q57_top_tokens_per_lang" -> (q57TopTokensPerLang _),
+    "q72_tfidf" -> (q72TfIdf _))
 
   val oracleSql: Map[String, String] = Map(
     "q45_rolling_fingerprint" -> q45Sql,
@@ -726,5 +772,6 @@ object TextOps {
     "q69_keeper_selection" -> q69Sql,
     "q55_hash_split" -> q55Sql,
     "q56_repetition" -> q56Sql,
-    "q57_top_tokens_per_lang" -> q57Sql)
+    "q57_top_tokens_per_lang" -> q57Sql,
+    "q72_tfidf" -> q72Sql)
 }

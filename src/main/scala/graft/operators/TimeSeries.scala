@@ -460,6 +460,41 @@ object TimeSeries {
       |FROM act JOIN f USING (user_id)
       |GROUP BY 1, 2""".stripMargin
 
+  /** Daily-anomaly detection: each (event_type, day) total scored
+    * against that type's own distribution as a z-score, flagged at
+    * |z| > 2 — the monitoring query every ingestion pipeline runs over
+    * its volume metrics. The window input is the DAILY aggregate
+    * (types × days rows), so the per-type stats window is tiny no
+    * matter how many raw events exist — same pre-aggregate-first shape
+    * as retention (q61). z is rounded to 4dp in both engines (a
+    * division by stddev amplifies last-bit summation wobble past 6dp). */
+  def q73DailyAnomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dailyTotals = Tables(s, d, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(sum($"value").as("total"))
+    val byType = Window.partitionBy($"event_type")
+    dailyTotals
+      .withColumn("mu", avg($"total").over(byType))
+      .withColumn("sd", stddev_samp($"total").over(byType))
+      .withColumn("z", round(($"total" - $"mu") / $"sd", 4))
+      .select($"event_type", $"day", round($"total", 6).as("total"), $"z",
+        when(abs($"z") > 2.0, 1L).otherwise(0L).as("is_anomaly"))
+  }
+
+  val q73Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS total
+      |  FROM events GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT event_type, day, total,
+      |         round((total - avg(total) OVER (PARTITION BY event_type))
+      |               / stddev_samp(total) OVER (PARTITION BY event_type), 4) AS z
+      |  FROM daily)
+      |SELECT event_type, day, round(total, 6) AS total, z,
+      |       CAST(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      |FROM scored""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_session_window" -> (q48SessionWindow _),
     "q49_asof_join" -> (q49AsofJoin _),
@@ -474,7 +509,8 @@ object TimeSeries {
     "q24_rolling_mean" -> (q24RollingMean _),
     "q60_funnel" -> (q60Funnel _),
     "q61_retention" -> (q61Retention _),
-    "q63_grouping_sets" -> (q63GroupingSets _))
+    "q63_grouping_sets" -> (q63GroupingSets _),
+    "q73_daily_anomaly" -> (q73DailyAnomaly _))
 
   val oracleSql: Map[String, String] = Map(
     "q48_session_window" -> q48Sql,
@@ -490,5 +526,6 @@ object TimeSeries {
     "q24_rolling_mean" -> q24Sql,
     "q60_funnel" -> q60Sql,
     "q61_retention" -> q61Sql,
-    "q63_grouping_sets" -> q63Sql)
+    "q63_grouping_sets" -> q63Sql,
+    "q73_daily_anomaly" -> q73Sql)
 }

@@ -76,6 +76,60 @@ class CurationSpec extends SparkSpec {
     assert(windows.exists(_.contains("[bucket")), plan) // corpus cumsum: partitioned
   }
 
+  test("q70: cross-doc repeated lines are stripped, order preserved, " +
+    "fully-boilerplate docs survive with empty text") {
+    val dir = fixture(
+      1L -> "COOKIE BANNER\nunique one\nFOOTER",
+      2L -> "COOKIE BANNER\nunique two\nFOOTER",
+      3L -> "alpha\nCOOKIE BANNER\nomega", // boilerplate in the middle
+      4L -> "dup line only",
+      5L -> "dup line only") // exact duplicate of doc 4
+    val out = CurationOps.q70BoilerplateLines(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1L, 2L, "unique one")))
+    assert(out(2L) == ((1L, 2L, "unique two")))
+    assert(out(3L) == ((2L, 1L, "alpha\nomega"))) // order kept across the gap
+    assert(out(4L) == ((0L, 1L, "")) && out(5L) == ((0L, 1L, "")))
+    assert(out.size == 5) // one row per input doc, always
+  }
+
+  test("q71: two-phase packing equals the naive global cumsum; offsets are " +
+    "consistent with 256-token sequences") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t = Tables(spark, sf0001, "documents").select(
+      $"doc_id",
+      size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"),
+      md5($"doc_id".cast("string")).as("h"))
+    val naive = t.withColumn("cum_before",
+        sum($"n_tokens").over(Window.orderBy($"h", $"doc_id")).cast("long") - $"n_tokens")
+      .select($"doc_id", $"n_tokens",
+        expr("cum_before DIV 256").as("seq_id"), ($"cum_before" % 256).as("offset_in_seq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val packed = CurationOps.q71SequencePack(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(packed == naive && packed.nonEmpty)
+    assert(packed.forall { case (_, _, seq, off) => seq >= 0 && off >= 0 && off < 256 })
+  }
+
+  test("q72: tf-idf ranks corpus-rare tokens above ubiquitous ones with exact scores") {
+    import graft.functions.TextOps
+    val dir = fixture(
+      1L -> "apple apple banana",
+      2L -> "banana cherry",
+      3L -> "cherry durian durian durian")
+    val out = TextOps.q72TfIdf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    def doc(id: Long) = out.filter(_._1 == id).sortBy(_._5).map(r => (r._2, r._3, r._4)).toSeq
+    // n_docs = 3; df: apple 1, banana 2, cherry 2, durian 1
+    val ln3 = math.log(3.0); val ln15 = math.log(1.5)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(doc(1L) == Seq(("apple", 2L, r6(2 * ln3)), ("banana", 1L, r6(ln15))))
+    assert(doc(3L) == Seq(("durian", 3L, r6(3 * ln3)), ("cherry", 1L, r6(ln15))))
+    assert(out.forall(_._5 <= 3)) // top-3 cap
+  }
+
   test("q67: contamination hits only docs sharing a benchmark 3-gram, with exact counts") {
     val dir = fixture(
       1L -> "prefix stream table hash suffix and also row column sort here",

@@ -62,6 +62,29 @@ class ExtendedSpec extends SparkSpec {
     assert(last(2L) === ((1L, 1.0)))
   }
 
+  test("q73: z-scores match a hand-computed per-type distribution and the " +
+    "anomaly flag is exactly |z| > 2") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = operators.TimeSeries.q73DailyAnomaly(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // flag is a pure function of z
+    assert(out.forall { case (_, _, _, z, f) => (math.abs(z) > 2.0) == (f == 1L) })
+    // recompute one event_type's stats from the raw daily totals
+    val et = out.head._1
+    val daily = Tables(spark, sf0001, "events")
+      .where($"event_type" === et)
+      .groupBy(to_date($"ts").as("day")).agg(sum($"value").as("total"))
+      .collect().map(r => r.getDate(0) -> r.getDouble(1)).toMap
+    val mu = daily.values.sum / daily.size
+    val sd = math.sqrt(daily.values.map(v => (v - mu) * (v - mu)).sum / (daily.size - 1))
+    out.filter(_._1 == et).foreach { case (_, day, _, z, _) =>
+      val expected = (daily(day) - mu) / sd
+      assert(math.abs(z - expected) < 5e-4, s"$day: $z vs $expected")
+    }
+  }
+
   test("geometric mean Aggregator matches exp(avg(ln)) and skips non-positives") {
     import spark.implicits._
     val df = Seq(1.0, 10.0, 100.0, -5.0, 0.0).toDF("x")

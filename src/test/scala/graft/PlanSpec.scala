@@ -92,6 +92,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q70: boilerplate strip — no cartesian; per-doc reassembly aggregates " +
+    "partially before its shuffle") {
+    val plan = physical(graft.functions.CurationOps.q70BoilerplateLines(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // final per-doc agg is two-phase: a map-side ObjectHashAggregate feeds the Exchange
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2, plan)
+  }
+
+  test("q71: sequence packing — the corpus-sized cumsum window is bucket-partitioned") {
+    val plan = physical(graft.functions.CurationOps.q71SequencePack(spark, sf0001))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Window [") && l.contains("[bucket")), plan)
+  }
+
+  test("q72: the vocabulary-sized doc-frequency table broadcasts — tf rows " +
+    "never shuffle for the idf join") {
+    val plan = physical(graft.functions.TextOps.q72TfIdf(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q73: anomaly window reads the DAILY aggregate from ONE events scan") {
+    val plan = physical(TimeSeries.q73DailyAnomaly(spark, sf0001))
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("q12: calendar side of densification is broadcast") {
     val plan = physical(TimeSeries.q12CalendarDensify(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan)
