@@ -266,6 +266,38 @@ object CurationOps {
       |       CAST(cum_before % 256 AS BIGINT) AS offset_in_seq
       |FROM c""".stripMargin
 
+  /** Quality-weighted deterministic sampling: keep a doc with
+    * probability equal to its quality score (q26's formula), decided by
+    * comparing the score against a content-free uniform draw derived
+    * from md5(doc_id) — the hash-Bernoulli that replaces RNG sampling in
+    * a distributed pipeline (rerun-stable, topology-independent,
+    * per-row, zero shuffle). Quality-weighted mixes are how curation
+    * pipelines upsample good text without a hard threshold. */
+  def q74QualitySample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id",
+        (least(size($"toks") / 100.0, lit(1.0)) *
+          (lit(1.0) - size(expr("filter(toks, x -> x IN ('the', 'a', 'of', 'and'))"))
+            / size($"toks"))).as("quality_score"),
+        (conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("double") / 65536.0).as("sample_u"))
+      .where($"sample_u" < $"quality_score")
+  }
+
+  val q74Sql: String =
+    raw"""SELECT doc_id, quality_score, sample_u FROM (
+      |  SELECT doc_id,
+      |    least(len(toks) / 100.0, 1.0)
+      |      * (1.0 - len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and')))
+      |          / len(toks)) AS quality_score,
+      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+      |      / 65536.0 AS sample_u
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM documents))
+      |WHERE sample_u < quality_score""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_pii_redaction" -> (q64PiiRedaction _),
     "q65_chunking" -> (q65Chunking _),
@@ -273,7 +305,8 @@ object CurationOps {
     "q67_contamination" -> (q67Contamination _),
     "q68_token_budget" -> (q68TokenBudget _),
     "q70_boilerplate_lines" -> (q70BoilerplateLines _),
-    "q71_sequence_pack" -> (q71SequencePack _))
+    "q71_sequence_pack" -> (q71SequencePack _),
+    "q74_quality_sample" -> (q74QualitySample _))
 
   val oracleSql: Map[String, String] = Map(
     "q64_pii_redaction" -> q64Sql,
@@ -282,5 +315,6 @@ object CurationOps {
     "q67_contamination" -> q67Sql,
     "q68_token_budget" -> q68Sql,
     "q70_boilerplate_lines" -> q70Sql,
-    "q71_sequence_pack" -> q71Sql)
+    "q71_sequence_pack" -> q71Sql,
+    "q74_quality_sample" -> q74Sql)
 }

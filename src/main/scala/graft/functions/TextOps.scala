@@ -739,6 +739,86 @@ object TextOps {
       |      FROM scored)
       |WHERE rnk <= 3""".stripMargin
 
+  /** Source-similarity matrix: pairwise estimated Jaccard between the
+    * shingle sets of every pair of SOURCES, from one 8-slice MinHash
+    * signature per source (q30's construction lifted from doc level to
+    * source level — the "how much does crawl A overlap crawl B" question
+    * a corpus mix is designed around). Cost at 100 TB: one corpus scan
+    * with map-side combined min() into a sources-sized table, then a
+    * broadcast self-join over |sources|² pairs — the corpus itself never
+    * joins. min() is dedup-invariant, so the raw shingle multiset feeds
+    * it directly. */
+  def q75SourceSimilarity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = docs(s, d)
+      .select($"source", tokens($"text").as("toks"))
+      .select($"source", explode(expr(shinglesExpr)).as("shingle"))
+      .select($"source", md5($"shingle").as("h"))
+    val mins = (0 until 8).map(i => min(substring($"h", 1 + 4 * i, 4)).as(s"h$i"))
+    val sig = sh.groupBy($"source").agg(mins.head, mins.tail: _*)
+    // same `sig` subtree on both sides (aliases only at the join) so the
+    // signature build's exchange is REUSED — one corpus scan, not two
+    sig.as("a").join(broadcast(sig.as("b")), $"a.source" < $"b.source")
+      .withColumn("sig_matches",
+        (0 until 8).map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1L).otherwise(0L))
+          .reduce(_ + _))
+      .select($"a.source".as("source_a"), $"b.source".as("source_b"), $"sig_matches",
+        round($"sig_matches" / 8.0, 6).as("est_jaccard"))
+  }
+
+  val q75Sql: String =
+    raw"""WITH shs AS (SELECT source,
+      |  unnest(CASE WHEN len(toks) < 3 THEN []
+      |              ELSE [array_to_string(toks[i:i+2], ' ')
+      |                    FOR i IN generate_series(1, len(toks) - 2)] END) AS shingle
+      |  FROM (SELECT source, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+      |h AS (SELECT source, md5(shingle) AS h FROM shs),
+      |sig AS (SELECT source,
+      |  min(substring(h, 1, 4)) h0, min(substring(h, 5, 4)) h1,
+      |  min(substring(h, 9, 4)) h2, min(substring(h, 13, 4)) h3,
+      |  min(substring(h, 17, 4)) h4, min(substring(h, 21, 4)) h5,
+      |  min(substring(h, 25, 4)) h6, min(substring(h, 29, 4)) h7
+      |  FROM h GROUP BY source)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST((a.h0 = b.h0)::INT + (a.h1 = b.h1)::INT + (a.h2 = b.h2)::INT
+      |     + (a.h3 = b.h3)::INT + (a.h4 = b.h4)::INT + (a.h5 = b.h5)::INT
+      |     + (a.h6 = b.h6)::INT + (a.h7 = b.h7)::INT AS BIGINT) AS sig_matches,
+      |  round(((a.h0 = b.h0)::INT + (a.h1 = b.h1)::INT + (a.h2 = b.h2)::INT
+      |       + (a.h3 = b.h3)::INT + (a.h4 = b.h4)::INT + (a.h5 = b.h5)::INT
+      |       + (a.h6 = b.h6)::INT + (a.h7 = b.h7)::INT) / 8.0, 6) AS est_jaccard
+      |FROM sig a JOIN sig b ON a.source < b.source""".stripMargin
+
+  /** Unigram surprisal — the language-model-proxy quality score (the
+    * KenLM-perplexity stand-in that needs no model artifact): per doc,
+    * the mean negative log-probability of its tokens under the corpus's
+    * own unigram distribution. Rare-token-heavy docs score high,
+    * boilerplate scores low — the standard "perplexity filter" axis.
+    * Shape at scale: the unigram table is VOCABULARY-sized (broadcast);
+    * token rows join map-side and aggregate back to one row per doc —
+    * two corpus scans, zero corpus-sized shuffles beyond the (doc)
+    * combine. */
+  def q77Surprisal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, d).select($"doc_id", explode(tokens($"text")).as("token"))
+    val uni = toks.groupBy($"token").agg(count(lit(1)).as("ctf"))
+    val total = toks.agg(count(lit(1)).as("ntot"))
+    toks.join(broadcast(uni), "token")
+      .crossJoin(broadcast(total))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log($"ctf" / $"ntot")), 6).as("surprisal"))
+  }
+
+  val q77Sql: String =
+    raw"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |             FROM documents),
+      |uni AS (SELECT token, CAST(count(*) AS BIGINT) AS ctf FROM tok GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM tok)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       round(avg(-ln(ctf / ntot)), 6) AS surprisal
+      |FROM tok JOIN uni USING (token) CROSS JOIN n
+      |GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_rolling_fingerprint" -> (q45RollingFingerprint _),
     "q47_bpe_tokens" -> (q47BpeTokens _),
@@ -755,7 +835,9 @@ object TextOps {
     "q55_hash_split" -> (q55HashSplit _),
     "q56_repetition" -> (q56Repetition _),
     "q57_top_tokens_per_lang" -> (q57TopTokensPerLang _),
-    "q72_tfidf" -> (q72TfIdf _))
+    "q72_tfidf" -> (q72TfIdf _),
+    "q75_source_similarity" -> (q75SourceSimilarity _),
+    "q77_surprisal" -> (q77Surprisal _))
 
   val oracleSql: Map[String, String] = Map(
     "q45_rolling_fingerprint" -> q45Sql,
@@ -773,5 +855,7 @@ object TextOps {
     "q55_hash_split" -> q55Sql,
     "q56_repetition" -> q56Sql,
     "q57_top_tokens_per_lang" -> q57Sql,
-    "q72_tfidf" -> q72Sql)
+    "q72_tfidf" -> q72Sql,
+    "q75_source_similarity" -> q75Sql,
+    "q77_surprisal" -> q77Sql)
 }

@@ -208,6 +208,40 @@ object Extended {
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** Fixed-width histogram of event values per event type: 20 equal
+    * bins over the GLOBAL [min, max] — the distribution profile behind
+    * every data-quality dashboard. The bounds are a broadcast scalar, so
+    * binning is a per-row map and the aggregate is one combiner-friendly
+    * shuffle of (type, bin) — never a sort, never a per-type pass. The
+    * bin index clamps the value == max edge into the last bin; both
+    * engines compute bin and bounds from the same double arithmetic, so
+    * results align bit-for-bit. */
+  def q76Histogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, d, "events").select($"event_type", $"value")
+    val bounds = ev.agg(min($"value").as("lo"), max($"value").as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("w", ($"hi" - $"lo") / 20.0)
+      .withColumn("bin", least(floor(($"value" - $"lo") / $"w"), lit(19.0)).cast("long"))
+      .withColumn("bin_lo", round($"lo" + $"bin" * $"w", 6))
+      .withColumn("bin_hi", round($"lo" + ($"bin" + 1) * $"w", 6))
+      .groupBy($"event_type", $"bin", $"bin_lo", $"bin_hi")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val q76Sql: String =
+    """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+      |binned AS (
+      |  SELECT event_type,
+      |         CAST(least(floor((value - lo) / ((hi - lo) / 20.0)), 19.0) AS BIGINT) AS bin,
+      |         lo, (hi - lo) / 20.0 AS w
+      |  FROM events, b)
+      |SELECT event_type, bin,
+      |       round(lo + bin * w, 6) AS bin_lo,
+      |       round(lo + (bin + 1) * w, 6) AS bin_hi,
+      |       count(*) AS n
+      |FROM binned GROUP BY 1, 2, 3, 4""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_cube" -> (q51Cube _),
     "q38_pivot" -> (q38Pivot _),
@@ -216,7 +250,8 @@ object Extended {
     "q41_approx_aggs" -> (q41ApproxAggs _),
     "q42_string_funcs" -> (q42StringFuncs _),
     "q43_conditional_agg" -> (q43ConditionalAgg _),
-    "q44_geometric_mean" -> (q44GeometricMean _))
+    "q44_geometric_mean" -> (q44GeometricMean _),
+    "q76_histogram" -> (q76Histogram _))
 
   /** q41 intentionally omitted: approximate sketches are engine-specific. */
   val oracleSql: Map[String, String] = Map(
@@ -226,5 +261,6 @@ object Extended {
     "q40_percentiles" -> q40Sql,
     "q42_string_funcs" -> q42Sql,
     "q43_conditional_agg" -> q43Sql,
-    "q44_geometric_mean" -> q44Sql)
+    "q44_geometric_mean" -> q44Sql,
+    "q76_histogram" -> q76Sql)
 }

@@ -35,6 +35,24 @@ object EventStream {
       .select($"w.start".as("window_start"), $"event_type", $"n_events", $"total_value")
   }
 
+  /** Streaming sessionization: per-user sessions with a 30-minute
+    * inactivity gap via `session_window` — the streaming twin of
+    * TimeSeries.q48SessionWindow (same grouping expression). Sessions
+    * MERGE across micro-batches while events keep arriving inside the
+    * gap, and a session row is emitted once the watermark passes its
+    * close; state per key is one open session, bounded by the watermark
+    * — no per-event state accumulates. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window($"ts", gap).as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("session_value"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"n_events", $"session_value")
+  }
+
   /** Streaming D1: exactly-once-ish dedup on the event identity key with
     * state bounded by the watermark (the streaming form of
     * dropDuplicates, SURVEY §2.3 D1). */

@@ -130,6 +130,37 @@ class CurationSpec extends SparkSpec {
     assert(out.forall(_._5 <= 3)) // top-3 cap
   }
 
+  test("q74: hash-Bernoulli keeps every perfect-quality doc, drops every " +
+    "zero-quality doc, and is rerun-stable") {
+    val perfect = (1 to 120).map(i => s"tok$i").mkString(" ") // qs = 1.0
+    val dir = fixture(
+      1L -> perfect,
+      2L -> "the a of and the a of and", // all stopwords -> qs = 0.0
+      3L -> perfect)
+    val out = CurationOps.q74QualitySample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.map(_._1).toSet == Set(1L, 3L)) // u < 1.0 always; u < 0.0 never
+    assert(out.forall { case (_, qs, u) => u < qs && u >= 0.0 && u < 1.0 })
+    val again = CurationOps.q74QualitySample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(again.toSet == out.toSet)
+  }
+
+  test("q77: surprisal is exact for a hand-computed unigram model and ranks " +
+    "rare-token docs above common-token docs") {
+    import graft.functions.TextOps
+    val dir = fixture(
+      1L -> "common common common", // 3 tokens of the dominant type
+      2L -> "common rare") // the rare token appears once in the corpus
+    val out = TextOps.q77Surprisal(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // corpus: 5 tokens; p(common)=4/5, p(rare)=1/5
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(1L) == ((3L, r6(-math.log(0.8)))))
+    assert(out(2L) == ((2L, r6((-math.log(0.8) - math.log(0.2)) / 2.0))))
+    assert(out(2L)._2 > out(1L)._2) // the rare-token doc is more surprising
+  }
+
   test("q67: contamination hits only docs sharing a benchmark 3-gram, with exact counts") {
     val dir = fixture(
       1L -> "prefix stream table hash suffix and also row column sort here",

@@ -85,6 +85,17 @@ class ExtendedSpec extends SparkSpec {
     }
   }
 
+  test("q76: histogram bins partition all events — counts sum to the table " +
+    "size, bins stay in [0,19], widths are uniform") {
+    val out = operators.Extended.q76Histogram(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    val total = Tables(spark, sf0001, "events").count()
+    assert(out.map(_._5).sum == total)
+    assert(out.forall { case (_, bin, lo, hi, n) => bin >= 0 && bin <= 19 && hi > lo && n > 0 })
+    val widths = out.map(t => math.rint((t._4 - t._3) * 1e4) / 1e4).distinct
+    assert(widths.size == 1, widths.mkString(","))
+  }
+
   test("geometric mean Aggregator matches exp(avg(ln)) and skips non-positives") {
     import spark.implicits._
     val df = Seq(1.0, 10.0, 100.0, -5.0, 0.0).toDF("x")

@@ -118,6 +118,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("q74: quality sampling is a pure per-row map — zero shuffles") {
+    val plan = physical(graft.functions.CurationOps.q74QualitySample(spark, sf0001))
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("q75: source similarity — the signature build's exchange is REUSED " +
+    "(one corpus scan) and the pair join broadcasts the sources-sized table") {
+    val df = graft.functions.TextOps.q75SourceSimilarity(spark, sf0001)
+    df.collect() // reuse is visible in the final adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q76: histogram — bounds broadcast; ONE combiner-friendly shuffle " +
+    "of (type, bin) partials") {
+    val plan = physical(operators.Extended.q76Histogram(spark, sf0001))
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, plan)
+  }
+
+  test("q77: the unigram model broadcasts — token rows join map-side") {
+    val plan = physical(graft.functions.TextOps.q77Surprisal(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q12: calendar side of densification is broadcast") {
     val plan = physical(TimeSeries.q12CalendarDensify(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan)

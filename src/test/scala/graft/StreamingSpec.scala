@@ -74,6 +74,38 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00", 1L, 4.0)))
   }
 
+  test("sessionAgg merges a session across micro-batches and splits on the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    // batch 1: two events 10 min apart — one open session for user 7
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 7L, 1.0),
+      (ts("2024-01-01 10:10:00"), 7L, 2.0))
+    val streamed = EventStream.sessionAgg(
+      mem.toDF().toDF("ts", "user_id", "value"))
+    val q = streamed.writeStream.format("memory")
+      .queryName("session_out").outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: 10:25 is within the 30-min gap of 10:10 -> same session;
+    // 12:00 starts a new one
+    mem.addData(
+      (ts("2024-01-01 10:25:00"), 7L, 4.0),
+      (ts("2024-01-01 12:00:00"), 7L, 8.0))
+    q.processAllAvailable()
+    // batch 3: advance the watermark far enough to close both sessions
+    mem.addData((ts("2024-01-01 16:00:00"), 9L, 0.5))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("session_out")
+      .select($"user_id", $"session_start".cast("string"), $"n_events", $"session_value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // the cross-batch events merged into ONE session despite arriving separately
+    assert(out === Set(
+      (7L, "2024-01-01 10:00:00", 3L, 7.0),
+      (7L, "2024-01-01 12:00:00", 1L, 8.0)))
+  }
+
   test("dedupStream drops re-delivered events within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

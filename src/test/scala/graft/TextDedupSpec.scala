@@ -5,6 +5,24 @@ import graft.functions.TextOps
 /** Functional guards for the near-dup operators' scale levers. */
 class TextDedupSpec extends SparkSpec {
 
+  test("q75: source signatures — identical sources agree on all 8 slices, " +
+    "disjoint sources on none") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-srcsim").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon", "srcA"),
+      (2L, "alpha beta gamma delta epsilon", "srcB"), // identical shingles as srcA
+      (3L, "zeta eta theta iota kappa", "srcC")) // fully disjoint shingles
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.functions.TextOps.q75SourceSimilarity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("srcA", "srcB")) == ((8L, 1.0)))
+    assert(out(("srcA", "srcC")) == ((0L, 0.0)))
+    assert(out(("srcB", "srcC")) == ((0L, 0.0)))
+    assert(out.size == 3) // each unordered pair exactly once
+  }
+
   test("q31: document-frequency cap bounds pair expansion from hot shingles") {
     import spark.implicits._
     // A boilerplate shingle shared by M docs yields O(M²) candidate pairs;
