@@ -99,6 +99,22 @@ object ScaleProbe {
     time(s"jaccard_${factor}x")(jaccard(docsNDir))
     time("components_1x")(components(sfDir))
     time(s"components_${factor}x")(components(docsNDir))
+
+    // The curation additions with corpus-sized intermediates: q70's
+    // line-frequency join, q71's distributed prefix sum, and q77's
+    // token×unigram join — each must grow linearly, not by join blowup
+    // or single-partition collapse.
+    import graft.functions.CurationOps
+    def lines(d: String): Long = CurationOps.q70BoilerplateLines(spark, d).count()
+    def pack(d: String): Long = CurationOps.q71SequencePack(spark, d).count()
+    def surprisal(d: String): Long = TextOps.q77Surprisal(spark, d).count()
+    lines(sfDir); pack(sfDir); surprisal(sfDir) // warm
+    time("boilerplate_1x")(lines(sfDir))
+    time(s"boilerplate_${factor}x")(lines(docsNDir))
+    time("seqpack_1x")(pack(sfDir))
+    time(s"seqpack_${factor}x")(pack(docsNDir))
+    time("surprisal_1x")(surprisal(sfDir))
+    time(s"surprisal_${factor}x")(surprisal(docsNDir))
     spark.stop()
   }
 }

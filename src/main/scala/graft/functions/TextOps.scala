@@ -819,6 +819,57 @@ object TextOps {
       |FROM tok JOIN uni USING (token) CROSS JOIN n
       |GROUP BY doc_id""".stripMargin
 
+  /** Token-collocation mining: top-20 token pairs by document-level PMI
+    * (pointwise mutual information over co-occurrence in the same doc).
+    * The pair set is built by PER-ROW combinatorial expansion over each
+    * doc's sorted distinct-token array — the pairs of one doc never
+    * leave their row's task, so there is NO doc-keyed self-join and the
+    * only corpus shuffle is the combiner-friendly (tok_a, tok_b) count.
+    * Pair volume is bounded by doc length squared per row (the operator
+    * contract), not corpus size squared. The doc-frequency table is
+    * vocabulary-sized → broadcast; top-20 is TakeOrderedAndProject on
+    * the rounded score, never a global sort. */
+  def q78Collocations(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dt = docs(s, d)
+      .select($"doc_id", array_sort(array_distinct(tokens($"text"))).as("toks"))
+    // two chained codegen'd explodes, not a transform/flatten lambda —
+    // higher-order functions run interpreted (measured ~1.5x slower here)
+    val pairs = dt
+      .select($"toks", posexplode($"toks").as(Seq("i", "tok_a")))
+      .select($"tok_a",
+        explode(slice($"toks", $"i" + lit(2), size($"toks"))).as("tok_b"))
+    val co = pairs.groupBy($"tok_a", $"tok_b").agg(count(lit(1)).as("n_ab"))
+    val df = dt.select(explode($"toks").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    co.join(broadcast(df.select($"tok".as("tok_a"), $"df".as("df_a"))), "tok_a")
+      .join(broadcast(df.select($"tok".as("tok_b"), $"df".as("df_b"))), "tok_b")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi", round(log(($"n_ab" * $"n_docs") / ($"df_a" * $"df_b")), 6))
+      .select($"tok_a", $"tok_b", $"n_ab", $"pmi")
+      .orderBy($"pmi".desc, $"tok_a", $"tok_b")
+      .limit(20)
+  }
+
+  val q78Sql: String =
+    raw"""WITH dt AS (SELECT doc_id,
+      |              list_sort(list_distinct(string_split_regex(trim(text), '\s+'))) AS toks
+      |            FROM documents),
+      |tok AS (SELECT doc_id, unnest(toks) AS tok FROM dt),
+      |co AS (SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS n_ab
+      |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |       GROUP BY 1, 2),
+      |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+      |SELECT tok_a, tok_b, n_ab,
+      |       round(ln((n_ab * n_docs) / (da.df * db.df)), 6) AS pmi
+      |FROM co JOIN df da ON co.tok_a = da.tok
+      |        JOIN df db ON co.tok_b = db.tok
+      |        CROSS JOIN n
+      |ORDER BY pmi DESC, tok_a, tok_b
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_rolling_fingerprint" -> (q45RollingFingerprint _),
     "q47_bpe_tokens" -> (q47BpeTokens _),
@@ -837,7 +888,8 @@ object TextOps {
     "q57_top_tokens_per_lang" -> (q57TopTokensPerLang _),
     "q72_tfidf" -> (q72TfIdf _),
     "q75_source_similarity" -> (q75SourceSimilarity _),
-    "q77_surprisal" -> (q77Surprisal _))
+    "q77_surprisal" -> (q77Surprisal _),
+    "q78_collocations" -> (q78Collocations _))
 
   val oracleSql: Map[String, String] = Map(
     "q45_rolling_fingerprint" -> q45Sql,
@@ -857,5 +909,6 @@ object TextOps {
     "q57_top_tokens_per_lang" -> q57Sql,
     "q72_tfidf" -> q72Sql,
     "q75_source_similarity" -> q75Sql,
-    "q77_surprisal" -> q77Sql)
+    "q77_surprisal" -> q77Sql,
+    "q78_collocations" -> q78Sql)
 }

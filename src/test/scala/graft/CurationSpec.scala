@@ -161,6 +161,21 @@ class CurationSpec extends SparkSpec {
     assert(out(2L)._2 > out(1L)._2) // the rare-token doc is more surprising
   }
 
+  test("q78: PMI ranks the exclusive pair above the background pair with exact scores") {
+    import graft.functions.TextOps
+    val dir = fixture(
+      1L -> "a b",
+      2L -> "a b",
+      3L -> "c d")
+    val out = TextOps.q78Collocations(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // df: a=2 b=2 c=1 d=1; pmi(c,d)=ln(1*3/1)=ln 3 beats pmi(a,b)=ln(2*3/4)=ln 1.5
+    assert(out == Seq(
+      ("c", "d", 1L, r6(math.log(3.0))),
+      ("a", "b", 2L, r6(math.log(1.5)))))
+  }
+
   test("q67: contamination hits only docs sharing a benchmark 3-gram, with exact counts") {
     val dir = fixture(
       1L -> "prefix stream table hash suffix and also row column sort here",

@@ -143,6 +143,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q78: collocations — per-row pair expansion (no doc-keyed self-join); " +
+    "top-20 is TakeOrdered, not a global sort") {
+    val plan = physical(graft.functions.TextOps.q78Collocations(spark, sf0001))
+    assert(!plan.contains("SortMergeJoin"), plan) // pairs never self-join on doc
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("q12: calendar side of densification is broadcast") {
     val plan = physical(TimeSeries.q12CalendarDensify(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan)
