@@ -495,6 +495,37 @@ object TimeSeries {
       |       CAST(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
       |FROM scored""".stripMargin
 
+  /** Event-type transition matrix (first-order Markov view of user
+    * behavior): for each consecutive event pair on a user's timeline,
+    * count from→to transitions and the per-from transition probability.
+    * One shuffle+sort on user_id feeds the `lead`; everything after runs
+    * on the types×types grid — constant-sized however many events exist.
+    * Ordering ties break on event_id (same convention as q22), so the
+    * matrix is engine- and topology-independent. */
+  def q79Transitions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(s, d, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(byUser))
+      .where($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round($"n" / sum($"n").over(Window.partitionBy($"from_type")), 6))
+  }
+
+  val q79Sql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |c AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      |      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |       round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+      |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_session_window" -> (q48SessionWindow _),
     "q49_asof_join" -> (q49AsofJoin _),
@@ -510,7 +541,8 @@ object TimeSeries {
     "q60_funnel" -> (q60Funnel _),
     "q61_retention" -> (q61Retention _),
     "q63_grouping_sets" -> (q63GroupingSets _),
-    "q73_daily_anomaly" -> (q73DailyAnomaly _))
+    "q73_daily_anomaly" -> (q73DailyAnomaly _),
+    "q79_transitions" -> (q79Transitions _))
 
   val oracleSql: Map[String, String] = Map(
     "q48_session_window" -> q48Sql,
@@ -527,5 +559,6 @@ object TimeSeries {
     "q60_funnel" -> q60Sql,
     "q61_retention" -> q61Sql,
     "q63_grouping_sets" -> q63Sql,
-    "q73_daily_anomaly" -> q73Sql)
+    "q73_daily_anomaly" -> q73Sql,
+    "q79_transitions" -> q79Sql)
 }

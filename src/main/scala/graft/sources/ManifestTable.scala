@@ -180,17 +180,8 @@ object ManifestTable {
     val prev = if (cur >= 1) listedEntries(root, cur) else Nil
 
     val partStr = col(partCol).cast("string")
-    def writePartitioned(df: DataFrame): Seq[(String, String)] = {
-      val dataDir = s"$root/data/v$v"
-      df.withColumn("__part", coalesce(partStr, lit(NullPartition)))
-        .write.partitionBy("__part").mode("overwrite").parquet(dataDir)
-      Option(new File(dataDir).listFiles()).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.startsWith("__part="))
-        .toSeq.flatMap { d =>
-          val p = unescapePathName(d.getName.stripPrefix("__part="))
-          listParquet(d).map(f => (p, s"data/v$v/${d.getName}/$f"))
-        }
-    }
+    def writePartitioned(df: DataFrame): Seq[(String, String)] =
+      writePartitionedData(df, root, v, partCol)
 
     if (prev.isEmpty) {
       commitEntries(root, v, writePartitioned(batch.localCheckpoint()))
@@ -214,6 +205,54 @@ object ManifestTable {
       val untouched = prev.filterNot { case (p, _) => touched(p) }
       commitEntries(root, v, untouched ++ newEntries)
     }
+  }
+
+  /** Write `df` Hive-partitioned by `partCol` under `data/v{v}` and
+    * return the manifest entries. `__part` is a COPY of partCol cast to
+    * string, so data files keep every original column. */
+  private def writePartitionedData(
+      df: DataFrame, root: String, v: Int, partCol: String): Seq[(String, String)] = {
+    val dataDir = s"$root/data/v$v"
+    df.withColumn("__part", coalesce(col(partCol).cast("string"), lit(NullPartition)))
+      .write.partitionBy("__part").mode("overwrite").parquet(dataDir)
+    Option(new File(dataDir).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("__part="))
+      .toSeq.flatMap { d =>
+        val p = unescapePathName(d.getName.stripPrefix("__part="))
+        listParquet(d).map(f => (p, s"data/v$v/${d.getName}/$f"))
+      }
+  }
+
+  /** Small-file COMPACTION (the OPTIMIZE maintenance op): each
+    * partitioned merge writes up to task-count files per touched
+    * partition, so a long-running upsert stream accumulates small files.
+    * `compact` rewrites every partition holding ≥ `minFiles` files into
+    * (about) one file, commits the result as a new version whose
+    * manifest keeps the OLD entries for already-compact partitions, and
+    * leaves every previous snapshot readable (files are immutable; the
+    * rewrite only adds). Returns the new version, or the current one
+    * unchanged when nothing needs compacting — a no-op costs one
+    * metadata read. Crash tolerance is inherited from the atomic
+    * pointer-swap commit. O(data in fragmented partitions) I/O, one
+    * Spark job. */
+  def compact(
+      spark: SparkSession, root: String, partCol: String, minFiles: Int = 2): Int = synchronized {
+    val cur = currentVersion(root)
+    require(cur >= 1, s"table at $root has no committed version to compact")
+    val prev = listedEntries(root, cur)
+    require(!prev.exists(_._1.isEmpty),
+      s"table at $root has full-snapshot entries; compact expects the partitioned layout")
+    val v = cur + 1
+    val byPart = prev.groupBy(_._1)
+    val fragmented = byPart.filter(_._2.size >= minFiles).keySet
+    if (fragmented.isEmpty) return cur
+    val files = prev.collect { case (p, rel) if fragmented(p) => s"$root/$rel" }
+    val compacted = spark.read.parquet(files: _*)
+      // one task per fragmented partition → one output file per partition
+      .repartition(fragmented.size, coalesce(col(partCol).cast("string"), lit(NullPartition)))
+    val newEntries = writePartitionedData(compacted.localCheckpoint(), root, v, partCol)
+    val untouched = prev.filterNot { case (p, _) => fragmented(p) }
+    commitEntries(root, v, untouched ++ newEntries)
   }
 
   /** Drop data files and manifests not referenced by the newest

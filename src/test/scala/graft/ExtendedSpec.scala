@@ -96,6 +96,21 @@ class ExtendedSpec extends SparkSpec {
     assert(widths.size == 1, widths.mkString(","))
   }
 
+  test("q79: transition probabilities sum to 1 per from_type and counts " +
+    "cover every consecutive pair") {
+    val out = operators.TimeSeries.q79Transitions(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (from, rows) =>
+      val psum = rows.map(_._4).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"$from: $psum")
+    }
+    // total transitions = total events - number of users (one less pair per user)
+    val ev = Tables(spark, sf0001, "events")
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(out.map(_._3).sum == expected)
+  }
+
   test("geometric mean Aggregator matches exp(avg(ln)) and skips non-positives") {
     import spark.implicits._
     val df = Seq(1.0, 10.0, 100.0, -5.0, 0.0).toDF("x")

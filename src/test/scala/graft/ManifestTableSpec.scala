@@ -164,6 +164,33 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("compact coalesces fragmented partitions to one file, keeps compact " +
+    "partitions' files untouched, and preserves data + time travel") {
+    import spark.implicits._
+    val root = s"${Files.createTempDirectory("graft-manifest-compact")}/t"
+    val key = Seq("id", "day")
+    // d1's rows spread over 4 tasks -> several files; d2 stays one file
+    val frag = (1L to 8L).map(i => (i, "d1", s"v$i")).toDF("id", "day", "v").repartition(4)
+    ManifestTable.mergePartitioned(frag, root, key, "day")
+    ManifestTable.mergePartitioned(pdf((100L, "d2", "x")), root, key, "day")
+    val v2 = ManifestTable.currentVersion(root)
+    val before = fileState(root, v2)
+    val d1Before = before.keys.filter(_.contains("__part=d1"))
+    assert(d1Before.size >= 2, s"fixture should fragment d1: $before")
+    val d2Before = before.filter(_._1.contains("__part=d2"))
+    val dataBefore = readPSet(root)
+
+    val v3 = ManifestTable.compact(spark, root, "day")
+    assert(v3 == v2 + 1)
+    val after = fileState(root, v3)
+    assert(after.keys.count(_.contains("__part=d1")) == 1, after) // coalesced
+    d2Before.foreach { case (rel, st) => assert(after(rel) == st) } // untouched entry
+    assert(readPSet(root) == dataBefore) // same rows
+    assert(ManifestTable.readVersion(spark, root, v2).count() == dataBefore.size) // time travel
+    // idempotent: already-compact table -> no new version
+    assert(ManifestTable.compact(spark, root, "day") == v3)
+  }
+
   test("streaming upsert through the partition-scoped transactional sink") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStream

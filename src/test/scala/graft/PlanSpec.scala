@@ -150,6 +150,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q79: transitions — ONE events scan; the probability window runs on " +
+    "the aggregated grid, not raw events") {
+    val plan = physical(TimeSeries.q79Transitions(spark, sf0001))
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+  }
+
   test("q12: calendar side of densification is broadcast") {
     val plan = physical(TimeSeries.q12CalendarDensify(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan)
