@@ -191,6 +191,29 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.compact(spark, root, "day") == v3)
   }
 
+  test("vacuum after compact keeps carried-forward files (still referenced by " +
+    "the new manifest) and drops only the superseded fragments") {
+    import spark.implicits._
+    val root = s"${Files.createTempDirectory("graft-manifest-cv")}/t"
+    val key = Seq("id", "day")
+    val frag = (1L to 8L).map(i => (i, "d1", s"v$i")).toDF("id", "day", "v").repartition(4)
+    ManifestTable.mergePartitioned(frag, root, key, "day")
+    ManifestTable.mergePartitioned(pdf((100L, "d2", "x")), root, key, "day")
+    val v2 = ManifestTable.currentVersion(root)
+    val fragFiles = fileState(root, v2).keys.filter(_.contains("__part=d1")).toSet
+    val dataBefore = readPSet(root)
+    val v3 = ManifestTable.compact(spark, root, "day")
+    ManifestTable.vacuum(root, keepVersions = 1)
+    // d2's file was written under v2 but carried forward into v3's
+    // manifest — vacuum must treat it as referenced
+    assert(readPSet(root) == dataBefore)
+    assert(ManifestTable.currentVersion(root) == v3)
+    // the superseded v2 fragments are gone
+    fragFiles.foreach { rel =>
+      assert(!Files.exists(Paths.get(s"$root/$rel")), rel)
+    }
+  }
+
   test("streaming upsert through the partition-scoped transactional sink") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStream

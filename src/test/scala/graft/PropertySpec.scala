@@ -71,4 +71,33 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(wideSum - longSum) < 1e-6)
     }
   }
+
+  test("property: boilerplate strip accounts for every line, keeps only " +
+    "singleton-doc lines, and preserves within-doc order") {
+    val docGen: Gen[List[(Long, String)]] = Gen.nonEmptyListOf(for {
+      id <- Gen.choose(1, 12)
+      nLines <- Gen.choose(1, 6)
+      lines <- Gen.listOfN(nLines, Gen.oneOf(
+        "cookie banner", "nav", "footer", "body one", "body two",
+        "body three", "rare line"))
+    } yield (id.toLong, lines.mkString("\n"))).map(_.distinctBy(_._1))
+    samples(docGen, 5).filter(_.nonEmpty).foreach { rows =>
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop-boiler").toString
+      rows.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = graft.functions.CurationOps.q70BoilerplateLines(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      // reference model computed in plain Scala
+      val docLines = rows.toMap.view.mapValues(_.split("\n", -1).toSeq).toMap
+      val docFreq = docLines.toSeq.flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      assert(out.keySet == docLines.keySet) // every doc survives
+      docLines.foreach { case (id, ls) =>
+        val kept = ls.filter(l => docFreq(l) == 1)
+        val (nKept, nDropped, clean) = out(id)
+        assert(nKept == kept.size && nDropped == ls.size - kept.size, s"doc $id")
+        assert(clean == kept.mkString("\n"), s"doc $id order/content")
+      }
+    }
+  }
 }
