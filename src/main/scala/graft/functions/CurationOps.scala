@@ -196,9 +196,12 @@ object CurationOps {
     * bars, cookie banners, repeated headers): a line appearing in more
     * than one DISTINCT document is boilerplate; every doc is rewritten
     * with only its unique lines, original order preserved. Shape at
-    * scale: explode lines → two-phase distinct-doc count per line (the
-    * line-keyed table is combiner-friendly and vocabulary-sized, never
-    * corpus-sized) → hash join back → per-doc ordered reassembly. The
+    * scale: explode lines → two-phase distinct-doc count per line → hash
+    * join back → per-doc ordered reassembly. The line-frequency table is
+    * bounded by DISTINCT lines — corpus-proportional in the worst case
+    * (all-unique bodies), which is why the join back is key-partitioned
+    * rather than assumed broadcastable (Catalyst broadcasts it only when
+    * stats say it fits, as at test SF). The
     * per-doc collect is bounded by that doc's own line count — no
     * cross-doc state ever sits on one row. Docs whose every line is
     * boilerplate (e.g. exact duplicates) survive with empty clean_text,

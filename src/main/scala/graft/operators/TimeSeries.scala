@@ -526,6 +526,66 @@ object TimeSeries {
       |       round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
       |FROM c""".stripMargin
 
+  /** Cumulative user-growth curve: users bucketed by their first-active
+    * day, daily new-user counts, and the running total. The raw events
+    * reduce to one row per user FIRST (min day), then to one row per
+    * day — the final unpartitioned cumsum window runs on a
+    * calendar-days-sized input, which is bounded by time, not data, so
+    * the single-partition window is safe at any event volume. */
+  def q80UserGrowth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val first = Tables(s, d, "events")
+      .groupBy($"user_id").agg(min(to_date($"ts")).as("day"))
+    first.groupBy($"day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cumulative_users",
+        sum($"new_users").over(Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+  }
+
+  val q80Sql: String =
+    """WITH first AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+      |daily AS (SELECT day, count(*) AS new_users FROM first GROUP BY 1)
+      |SELECT day, new_users,
+      |       CAST(sum(new_users) OVER (ORDER BY day
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS cumulative_users
+      |FROM daily""".stripMargin
+
+  /** Inter-event gap statistics per event type (the latency/cadence
+    * profile): per-user consecutive gaps in seconds attributed to the
+    * LATER event's type, then count / mean / exact p50 / p90 per type.
+    * One shuffle+sort on user_id for the lag (shared shape with q22/q79)
+    * and one combiner shuffle on type; exact percentiles run on the
+    * per-type gap sets. Ties in ordering break on event_id. */
+  def q81EventGaps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(s, d, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .where($"prev_ts".isNotNull)
+      .withColumn("gap_s", $"ts".cast("double") - $"prev_ts".cast("double"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg($"gap_s"), 4).as("mean_gap_s"),
+        round(expr("percentile(gap_s, 0.5)"), 4).as("p50_gap_s"),
+        round(expr("percentile(gap_s, 0.9)"), 4).as("p90_gap_s"))
+  }
+
+  val q81Sql: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id)) AS gap_s
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_gaps,
+      |       round(avg(gap_s), 4) AS mean_gap_s,
+      |       round(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+      |       round(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s
+      |FROM seq WHERE gap_s IS NOT NULL
+      |GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_session_window" -> (q48SessionWindow _),
     "q49_asof_join" -> (q49AsofJoin _),
@@ -542,7 +602,9 @@ object TimeSeries {
     "q61_retention" -> (q61Retention _),
     "q63_grouping_sets" -> (q63GroupingSets _),
     "q73_daily_anomaly" -> (q73DailyAnomaly _),
-    "q79_transitions" -> (q79Transitions _))
+    "q79_transitions" -> (q79Transitions _),
+    "q80_user_growth" -> (q80UserGrowth _),
+    "q81_event_gaps" -> (q81EventGaps _))
 
   val oracleSql: Map[String, String] = Map(
     "q48_session_window" -> q48Sql,
@@ -560,5 +622,7 @@ object TimeSeries {
     "q61_retention" -> q61Sql,
     "q63_grouping_sets" -> q63Sql,
     "q73_daily_anomaly" -> q73Sql,
-    "q79_transitions" -> q79Sql)
+    "q79_transitions" -> q79Sql,
+    "q80_user_growth" -> q80Sql,
+    "q81_event_gaps" -> q81Sql)
 }
