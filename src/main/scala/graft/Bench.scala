@@ -117,8 +117,11 @@ object Bench {
     val walls = s"[$w1,$w2]"
     pool.shutdown()
 
-    def timesJson(rs: Seq[(String, Double, Boolean)]): String =
-      rs.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def timesJson(rs: Seq[(String, Double, Boolean)], key: String => String,
+                  fmt: Double => String): String =
+      rs.map { case (k, v, _) => "\"" + key(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val failures = (concurrent ++ sequential).collect { case (k, _, false) => k }
       .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     // ASCII only: a non-ASCII char here has twice arrived charset-mangled
@@ -129,10 +132,19 @@ object Bench {
         "includes ~0.2s/query of Spark job-scheduling floor that the concurrent run amortizes; " +
         "base tables and the shared near-dup candidate view are cached across the suite " +
         "(the reference's st.cache_data analog)"
-    val json =
-      s"""{"metric":"total","value":$wall,"unit":"sec","queries":${timesJson(sequential)},"queries_concurrent":${timesJson(concurrent)},"seq_total":$seqTotal,"concurrent_walls":$walls,"failures":$failures,"sf":"$sfDir","method":"$method"}"""
+    // Full record (long names, both passes, method) -> file + stderr.
+    val fullJson =
+      s"""{"metric":"total","value":$wall,"unit":"sec","queries":${timesJson(sequential, identity, _.toString)},"queries_concurrent":${timesJson(concurrent, identity, _.toString)},"seq_total":$seqTotal,"concurrent_walls":$walls,"failures":$failures,"sf":"$sfDir","method":"$method"}"""
+    // The stdout line the driver parses is read from a BOUNDED tail buffer
+    // (BENCH_r04: "tail" was exactly 2000 chars and started mid-JSON, so
+    // the ~4KB verbose line was truncated and "parsed" stayed null).
+    // Keep this line comfortably under that: short qNN keys (the contract's
+    // own example uses {"q1":sec,...}), 3-decimal values, one queries map,
+    // terse method. ~1.2KB for 79 queries.
+    val compactJson =
+      s"""{"metric":"total","value":${r3(wall)},"unit":"sec","queries":${timesJson(sequential, _.takeWhile(_ != '_'), r3)},"seq_total":${r3(seqTotal)},"failures":$failures,"sf":"$sfDir","method":"best-of-2 concurrent wall; queries=sequential sec; full detail in bench file"}"""
     Files.writeString(
-      Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")), json)
+      Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")), fullJson)
     // Print the JSON LAST — after spark.stop()'s shutdown chatter — so a
     // last-line parser finds it, and to stderr too for a stream parser.
     // try/finally: even if stop() throws, the parseable line still lands
@@ -140,8 +152,8 @@ object Bench {
     // appending a "[success]" trailer after it).
     try spark.stop()
     finally {
-      System.err.println(json)
-      println(json)
+      System.err.println(fullJson)
+      println(compactJson)
     }
   }
 }

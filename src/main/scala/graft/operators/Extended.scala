@@ -215,14 +215,19 @@ object Extended {
     * shuffle of (type, bin) — never a sort, never a per-type pass. The
     * bin index clamps the value == max edge into the last bin; both
     * engines compute bin and bounds from the same double arithmetic, so
-    * results align bit-for-bit. */
+    * results align bit-for-bit. Degenerate input (every value equal, so
+    * hi == lo and w == 0) is special-cased to bin 0 in BOTH engines —
+    * without it Spark's floor(NaN) and DuckDB's least(NaN, 19.0) paths
+    * diverge (ADVICE r4). */
   def q76Histogram(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = Tables(s, d, "events").select($"event_type", $"value")
     val bounds = ev.agg(min($"value").as("lo"), max($"value").as("hi"))
     ev.crossJoin(broadcast(bounds))
       .withColumn("w", ($"hi" - $"lo") / 20.0)
-      .withColumn("bin", least(floor(($"value" - $"lo") / $"w"), lit(19.0)).cast("long"))
+      .withColumn("bin",
+        when($"w" === 0.0, lit(0L))
+          .otherwise(least(floor(($"value" - $"lo") / $"w"), lit(19.0)).cast("long")))
       .withColumn("bin_lo", round($"lo" + $"bin" * $"w", 6))
       .withColumn("bin_hi", round($"lo" + ($"bin" + 1) * $"w", 6))
       .groupBy($"event_type", $"bin", $"bin_lo", $"bin_hi")
@@ -233,7 +238,9 @@ object Extended {
     """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
       |binned AS (
       |  SELECT event_type,
-      |         CAST(least(floor((value - lo) / ((hi - lo) / 20.0)), 19.0) AS BIGINT) AS bin,
+      |         CASE WHEN hi = lo THEN 0
+      |              ELSE CAST(least(floor((value - lo) / ((hi - lo) / 20.0)), 19.0) AS BIGINT)
+      |         END AS bin,
       |         lo, (hi - lo) / 20.0 AS w
       |  FROM events, b)
       |SELECT event_type, bin,

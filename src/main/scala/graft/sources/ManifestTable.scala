@@ -42,8 +42,14 @@ object ManifestTable {
 
   private def manifestPath(root: String, v: Int) = Paths.get(root, s"manifest-v$v.json")
 
-  /** Manifest entry: (partition value as string, file path relative to
-    * root). Unpartitioned snapshots use partition "". Line format is
+  /** Manifest entry: (partition value in ESCAPED directory-name form,
+    * file path relative to root). Storing the escaped form — exactly the
+    * `__part=` suffix Spark wrote — keeps the tab/newline-delimited
+    * manifest parseable for any partition value: a value containing a
+    * literal tab or newline is Hive-escaped to %09/%0A in the directory
+    * name, so it can never corrupt the first-tab split (ADVICE r4).
+    * Unescape only when comparing to plain batch values.
+    * Unpartitioned snapshots use partition "". Line format is
     * `partition<TAB>path`; a line without a tab is a legacy
     * path-only entry (partition ""). */
   private def listedEntries(root: String, v: Int): Seq[(String, String)] =
@@ -190,10 +196,24 @@ object ManifestTable {
       val merged = Dedup.merge(readVersion(spark, root, cur), batch, key)
       commitEntries(root, v, writePartitioned(merged.localCheckpoint()))
     } else {
-      val touched = batch.select(partStr).distinct().collect()
-        .map(r => if (r.isNullAt(0)) NullPartition else r.getString(0)).toSet
+      val touchedVals = batch.select(partStr).distinct().collect()
+        .map(r => if (r.isNullAt(0)) null else r.getString(0))
+      // Spark writes BOTH null and "" as __HIVE_DEFAULT_PARTITION__, and a
+      // literal sentinel-valued string collides with them too — distinct
+      // keys silently folding into one partition. Reject the two ambiguous
+      // string values rather than mis-merge (ADVICE r4); null itself is
+      // fine and owns the sentinel directory.
+      require(!touchedVals.contains(""),
+        s"mergePartitioned: empty-string $partCol is not supported " +
+          "(Spark conflates it with null in the partition directory name)")
+      require(!touchedVals.contains(NullPartition),
+        s"mergePartitioned: literal '$NullPartition' $partCol is not supported " +
+          "(it is Spark's null-partition directory sentinel)")
+      val touched = touchedVals.map(p => if (p == null) NullPartition else p).toSet
+      // manifest keys are escaped dir-name forms; compare via unescape
+      def isTouched(p: String): Boolean = touched(unescapePathName(p))
       val existingFiles = prev.collect {
-        case (p, rel) if touched(p) => s"$root/$rel"
+        case (p, rel) if isTouched(p) => s"$root/$rel"
       }
       val merged =
         if (existingFiles.isEmpty) batch
@@ -202,7 +222,7 @@ object ManifestTable {
             .select(batch.columns.map(col).toSeq: _*),
           batch, key)
       val newEntries = writePartitioned(merged.localCheckpoint())
-      val untouched = prev.filterNot { case (p, _) => touched(p) }
+      val untouched = prev.filterNot { case (p, _) => isTouched(p) }
       commitEntries(root, v, untouched ++ newEntries)
     }
   }
@@ -218,7 +238,10 @@ object ManifestTable {
     Option(new File(dataDir).listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith("__part="))
       .toSeq.flatMap { d =>
-        val p = unescapePathName(d.getName.stripPrefix("__part="))
+        // keep the ESCAPED dir-name form as the manifest key: control
+        // chars stay %-encoded, so the tab-delimited manifest can't be
+        // corrupted by a hostile partition value
+        val p = d.getName.stripPrefix("__part=")
         listParquet(d).map(f => (p, s"data/v$v/${d.getName}/$f"))
       }
   }

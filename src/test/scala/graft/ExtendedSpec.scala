@@ -96,6 +96,18 @@ class ExtendedSpec extends SparkSpec {
     assert(widths.size == 1, widths.mkString(","))
   }
 
+  test("q76: degenerate input (all values equal, hi == lo) lands every row in " +
+    "bin 0 instead of diverging on floor(NaN)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hist").toString
+    Seq(("a", 5.0, 1L), ("a", 5.0, 2L), ("b", 5.0, 3L))
+      .toDF("event_type", "value", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val out = operators.Extended.q76Histogram(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(out.toSet == Set(("a", 0L, 5.0, 5.0, 2L), ("b", 0L, 5.0, 5.0, 1L)))
+  }
+
   test("q79: transition probabilities sum to 1 per from_type and counts " +
     "cover every consecutive pair") {
     val out = operators.TimeSeries.q79Transitions(spark, sf0001).collect()

@@ -243,6 +243,38 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("mergePartitioned survives control-char partition values (manifest stores " +
+    "the escaped dir-name form) and rejects the ambiguous empty/sentinel values") {
+    val root = Files.createTempDirectory("graft-manifest-esc").toString
+    val key = Seq("id", "day")
+    // tab + newline + colon in partition values: Hive-escapes to %09/%0A/%3A
+    // in the directory name; the manifest stores that escaped form so its
+    // tab/newline-delimited format can't be corrupted
+    val hostile = pdf((1L, "a\tb", "x"), (2L, "c\nd", "y"), (3L, "e:f", "z"))
+    ManifestTable.mergePartitioned(hostile, root, key, "day")
+    assert(readPSet(root) == Set((1L, "a\tb", "x"), (2L, "c\nd", "y"), (3L, "e:f", "z")))
+    val manifest = Files.readString(Paths.get(root, "manifest-v1.json"))
+    assert(!manifest.contains("a\tb") && !manifest.contains("c\nd"),
+      "manifest must store escaped partition keys, not raw control chars")
+
+    // touch ONLY the tab-valued partition: the others' files stay referenced
+    val before = fileState(root, 1).filterNot(_._1.contains("%09"))
+    ManifestTable.mergePartitioned(pdf((1L, "a\tb", "X")), root, key, "day")
+    assert(readPSet(root) == Set((1L, "a\tb", "X"), (2L, "c\nd", "y"), (3L, "e:f", "z")))
+    val after = fileState(root, 2)
+    before.foreach { case (rel, st) => assert(after(rel) == st, s"$rel was rewritten") }
+
+    // ambiguous values: "" and the null-partition sentinel both collide with
+    // null's directory name -> rejected rather than silently merged
+    assertThrows[IllegalArgumentException] {
+      ManifestTable.mergePartitioned(pdf((9L, "", "e")), root, key, "day")
+    }
+    assertThrows[IllegalArgumentException] {
+      ManifestTable.mergePartitioned(
+        pdf((9L, "__HIVE_DEFAULT_PARTITION__", "e")), root, key, "day")
+    }
+  }
+
   test("vacuum keeps the newest snapshots readable and drops unreferenced files") {
     val root = Files.createTempDirectory("graft-manifest4").toString
     ManifestTable.merge(df(1L -> "a"), root, Seq("id"))
