@@ -104,21 +104,52 @@ object CurationOps {
     "stream table hash", "row column sort", "window fast query",
     "part filter scan", "value spark vector")
 
+  /** Benchmark lists up to this size are compiled into the scan as
+    * per-row substring probes; larger lists go through the exploded
+    * broadcast join. The probe path is O(list · text) per row, so the
+    * cutoff keeps the per-row work bounded. */
+  val CompiledContaminationMaxNgrams = 64
+
   /** Benchmark-contamination check: docs sharing ≥1 word-3-gram with the
     * benchmark list, with the count of DISTINCT matched benchmark
-    * n-grams. The benchmark side is a literal/broadcast table, so the
-    * check is a broadcast semi-join against exploded shingles — no
-    * shuffle of the corpus; the standard decontamination shape. */
-  def q67Contamination(s: SparkSession, d: String): DataFrame = {
+    * n-grams. Two shapes behind one contract, chosen by list size:
+    *
+    *  - small list (the common "handful of eval sets" case): each
+    *    n-gram is compiled into the scan as a token-aligned substring
+    *    probe on the whitespace-normalized text — ZERO explode, ZERO
+    *    shuffle, one whole-stage-codegen corpus pass. Token alignment
+    *    is exact: tokens are split on `\s+`, so a padded single-space
+    *    join makes " a b c " match iff [a,b,c] occur consecutively.
+    *  - large list (a real eval suite's thousands of n-grams): explode
+    *    corpus 3-grams and broadcast-semi-join the benchmark table — the
+    *    corpus still never shuffles; only the tiny hit set aggregates.
+    *
+    * CurationSpec pins path equivalence. */
+  def contamination(s: SparkSession, d: String, benchmark: Seq[String]): DataFrame = {
     import s.implicits._
-    val bench = BenchmarkShingles.toDF("shingle")
-    docs(s, d)
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
-      .select($"doc_id", explode(expr(TextOps.shinglesExpr)).as("shingle"))
-      .join(broadcast(bench), "shingle")
-      .groupBy($"doc_id")
-      .agg(countDistinct($"shingle").as("n_benchmark_hits"))
+    val ngrams = benchmark.distinct
+    if (ngrams.size <= CompiledContaminationMaxNgrams) {
+      val padded = concat(lit(" "), concat_ws(" ", TextOps.tokens($"text")), lit(" "))
+      val hits = ngrams
+        .map(b => when($"padded".contains(" " + b + " "), 1L).otherwise(0L))
+        .reduce(_ + _)
+      docs(s, d)
+        .select($"doc_id", padded.as("padded"))
+        .select($"doc_id", hits.as("n_benchmark_hits"))
+        .where($"n_benchmark_hits" > 0)
+    } else {
+      val bench = ngrams.toDF("shingle")
+      docs(s, d)
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .select($"doc_id", explode(expr(TextOps.shinglesExpr)).as("shingle"))
+        .join(broadcast(bench), "shingle")
+        .groupBy($"doc_id")
+        .agg(countDistinct($"shingle").as("n_benchmark_hits"))
+    }
   }
+
+  def q67Contamination(s: SparkSession, d: String): DataFrame =
+    contamination(s, d, BenchmarkShingles)
 
   val q67Sql: String = {
     val list = BenchmarkShingles.map(x => s"'$x'").mkString(", ")

@@ -417,6 +417,22 @@ object TextOps {
     * Both produce the identical fixpoint (label = min doc_id of the
     * component; TextDedupSpec pins solver equivalence). */
   def q54NearDupComponents(s: SparkSession, d: String): DataFrame = {
+    val shared = sys.props.get("graft.cacheTables").contains("true")
+    if (shared) {
+      // dedup decisions are consumed by more than one downstream op
+      // (q54 itself, q69 keeper selection): solve the graph once per
+      // (session, corpus) and share the labeled table, the production
+      // shape (the components table would be materialized, not re-solved
+      // per consumer). Same lifecycle rule as candidateCache.
+      componentsCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      componentsCache.getOrElseUpdate((s, d), buildNearDupComponents(s, d).persist())
+    } else buildNearDupComponents(s, d)
+  }
+
+  private val componentsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def buildNearDupComponents(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val shared = sys.props.get("graft.cacheTables").contains("true")
     // when the shared candidate view is on, reuse it (and leave its

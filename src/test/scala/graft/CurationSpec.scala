@@ -25,6 +25,26 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L, "no pii here at all")))
   }
 
+  test("q67: compiled-probe and exploded-join contamination paths agree, " +
+    "and probes are token-aligned (no partial-word or cross-boundary hits)") {
+    import graft.functions.CurationOps._
+    val dir = fixture(
+      1L -> "alpha beta gamma delta",   // contains "alpha beta gamma" + "beta gamma delta"
+      2L -> "xalpha beta gamma",        // partial-word: must NOT match "alpha beta gamma"
+      3L -> "beta gamma",               // 2-gram only: no 3-gram hit
+      4L -> "alpha beta gamma")
+    val list = Seq("alpha beta gamma", "beta gamma delta")
+    def run(bench: Seq[String]) =
+      contamination(spark, dir, bench).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val compiled = run(list)
+    assert(list.size <= CompiledContaminationMaxNgrams)
+    assert(compiled == Map(1L -> 2L, 4L -> 1L))
+    // pad with misses to force the exploded broadcast-join path
+    val padded = list ++ (1 to CompiledContaminationMaxNgrams).map(i => s"nohit$i x y")
+    assert(run(padded) == compiled, "large-list join path must agree with compiled path")
+  }
+
   test("q65: chunk boundaries — 50-token windows at stride 40, short docs = one chunk") {
     val dir = fixture(
       1L -> (1 to 95).map(i => s"w$i").mkString(" "), // 95 tokens -> starts 1, 41, 81
