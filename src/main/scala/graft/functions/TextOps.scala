@@ -247,13 +247,17 @@ object TextOps {
     * a second full-data shuffle and ran ~2x slower at sf0.1.)
     *
     * Under the shared-view flag the result is persisted per (session,
-    * path): q31 consumes it FOUR times (both self-join sides + both size
-    * lookups), and the physical planner does not reuse the aggregation
-    * exchange across those subtrees — the same st.cache_data-analog
-    * treatment the q30 candidate view gets. */
+    * path): q31 consumes it twice (pair expansion + size lookup), and
+    * the physical planner does not reuse the aggregation exchange across
+    * those subtrees — the same st.cache_data-analog treatment the q30
+    * candidate view gets.
+    *
+    * The cached form is the AGGREGATED row (shid, sorted ids array), not
+    * the exploded one: each shingle's ≤cap docs on one row is exactly
+    * the shape pair generation wants, so q31 never needs a self-join. */
   private val cappedShingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def cappedShingles(s: SparkSession, d: String): DataFrame = {
+  private def cappedShingleSets(s: SparkSession, d: String): DataFrame = {
     def build: DataFrame = {
       import s.implicits._
       graft.expressions.CappedCollectSet.register(s)
@@ -262,7 +266,7 @@ object TextOps {
         .groupBy($"shid")
         .agg(expr(s"capped_collect_set(doc_id, $JaccardDfCap)").as("ids"))
         .where($"ids".isNotNull)
-        .select($"shid", explode($"ids").as("doc_id"))
+        .select($"shid", array_sort($"ids").as("ids"))
     }
     if (sys.props.get("graft.cacheTables").contains("true")) {
       cappedShingleCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
@@ -271,24 +275,31 @@ object TextOps {
   }
 
   /** n-gram Jaccard similarity: pairs sharing ≥1 shingle, scored
-    * |A∩B| / |A∪B|, thresholded. Shared-shingle join means pairwise work
-    * is proportional to actual overlap, not n². Two scale levers vs the
-    * naive form: the join key is the 64-bit `xxhash64` of the shingle,
-    * not the raw string — the OUTPUT carries no hash values, so the
-    * engine-internal hash can be the fastest codegen'd one (the DuckDB
-    * oracle uses its own md5 prefix; both are collision-free at these
-    * cardinalities, so results coincide) — and shingles above
-    * [[JaccardDfCap]] are dropped before the self-join (bounds the
-    * blowup a hot shingle causes). */
+    * |A∩B| / |A∪B|, thresholded. Grouping by shingle first means
+    * pairwise work is proportional to actual overlap, not n². Scale
+    * levers vs the naive form: the grouping key is the 64-bit `xxhash64`
+    * of the shingle, not the raw string — the OUTPUT carries no hash
+    * values, so the engine-internal hash can be the fastest codegen'd
+    * one (the DuckDB oracle uses its own md5 prefix; both are
+    * collision-free at these cardinalities, so results coincide) —
+    * shingles above [[JaccardDfCap]] are dropped during that aggregation
+    * (bounds the blowup a hot shingle causes), and pairs are expanded
+    * directly from each shingle's co-located ≤cap doc set, so no
+    * self-join ever happens. */
   def q31JaccardPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val capped = cappedShingles(s, d)
-    val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
-    // merge hint: same ReusedExchange rationale as q30 — one shingle
-    // build feeds both sides of the self-join
-    val shared = capped.as("a").join(capped.as("b").hint("merge"),
-        $"a.shid" === $"b.shid" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    val sets = cappedShingleSets(s, d)
+    val sizes = sets.select(explode($"ids").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    // pair generation straight off the aggregated (shid, sorted ids) row
+    // — each shingle's ≤cap docs are already co-located, so the former
+    // sort-merge self-join (two sorts + an exchange of the exploded
+    // table) collapses to two chained codegen explodes; ids sorted
+    // ascending makes doc_a < doc_b by construction
+    val shared = sets
+      .select($"ids", posexplode($"ids").as(Seq("i", "doc_a")))
+      .select($"doc_a", explode(slice($"ids", $"i" + lit(2), size($"ids"))).as("doc_b"))
+      .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_shared"))
     shared
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")

@@ -87,9 +87,15 @@ class PlanSpec extends SparkSpec {
         l.contains("Exchange hashpartitioning")) == 1, plan)
   }
 
-  test("q67: the benchmark n-gram list is broadcast — the corpus never shuffles for the join") {
-    val plan = physical(graft.functions.CurationOps.q67Contamination(spark, sf0001))
-    assert(plan.contains("BroadcastHashJoin"), plan)
+  test("q67: small benchmark list compiles into the scan — zero joins, zero " +
+    "exchanges; large list broadcasts, the corpus still never shuffles") {
+    import graft.functions.CurationOps._
+    val compiled = physical(q67Contamination(spark, sf0001))
+    assert(!compiled.contains("Exchange") && !compiled.contains("Join"), compiled)
+    val big = BenchmarkShingles ++
+      (1 to CompiledContaminationMaxNgrams).map(i => s"pad$i x y")
+    val joined = physical(contamination(spark, sf0001, big))
+    assert(joined.contains("BroadcastHashJoin"), joined)
   }
 
   test("q70: boilerplate strip — no cartesian; per-doc reassembly aggregates " +
