@@ -304,30 +304,49 @@ object VectorOps {
     * partitions must not wobble the next argmin), the argmin tie-break
     * is (dist², cell) lexicographic, and distances go through
     * ‖v‖²−2v·c+‖c‖² with the codegen'd dot product. At scale each
-    * iteration is one broadcast of k·dim doubles + one shuffle keyed by
-    * cell — the textbook distributed Lloyd step; more iterations are
-    * the same plan repeated. */
+    * iteration ships k·dim doubles of driver-held centroids into the
+    * scan + one shuffle keyed by (cell, dim) — the textbook distributed
+    * Lloyd step; more iterations are the same plan repeated. */
   def q58KMeans(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = emb(s, d).select($"vec_id", $"v")
-    def dist2 = dot("v", "v") - lit(2.0) * dot("v", "cv") + dot("cv", "cv")
-    def assign(centroids: DataFrame): DataFrame =
-      e.crossJoin(broadcast(centroids))
-        .withColumn("dist2", dist2)
-        .groupBy($"vec_id").agg(min(struct($"dist2", $"cell")).as("m"))
-        .select($"vec_id", $"m.cell".as("cell"), $"m.dist2".as("dist2"))
-    def recompute(assigned: DataFrame): DataFrame =
-      e.join(assigned.select($"vec_id", $"cell"), "vec_id")
-        .select($"cell", posexplode($"v").as(Seq("dim", "x")))
-        .groupBy($"cell", $"dim").agg(round(avg($"x"), 6).as("c"))
-        .groupBy($"cell")
-        .agg(array_sort(collect_list(struct($"dim", $"c"))).as("pairs"))
-        .select($"cell", expr("transform(pairs, p -> p.c)").as("cv"))
 
-    val c0 = e.where($"vec_id" < 8).select($"vec_id".as("cell"), $"v".as("cv"))
-    val c1 = recompute(assign(c0))
-    val a2 = assign(c1)
-    a2.groupBy($"cell")
+    // Centroids are DRIVER state — k·dim doubles, bounded by the model,
+    // never by the data (the standard distributed-Lloyd split; MLlib
+    // holds its centers the same way). Each assignment is then a pure
+    // per-row argmin over k LITERAL centroid arrays: ‖c‖² folds to a
+    // compile-time constant, v·c runs through the codegen'd dot_native,
+    // and least(struct(dist², cell)) keeps the exact (dist², cell)
+    // lexicographic tie-break. No crossJoin row blowup, no
+    // groupBy(vec_id) shuffle, no join back for the mean step — the
+    // per-iteration cost is one scan plus one (cell, dim) shuffle of
+    // map-side-combined partial sums.
+    def centroidLit(cv: Array[Double]): String =
+      s"array(${cv.map(x => s"${x}D").mkString(", ")})"
+    def dist2(cv: Array[Double]): Column =
+      expr(s"dot_native(v, v) - 2.0D * dot_native(v, ${centroidLit(cv)})") +
+        lit(cv.map(x => x * x).sum)
+    def assigned(cs: Seq[(Long, Array[Double])]): DataFrame = {
+      val cands = cs.map { case (cell, cv) =>
+        struct(dist2(cv).as("dist2"), lit(cell).as("cell"))
+      }
+      e.withColumn("m", least(cands: _*))
+        .select($"vec_id", $"v", $"m.cell".as("cell"), $"m.dist2".as("dist2"))
+    }
+    def recompute(a: DataFrame): Seq[(Long, Array[Double])] =
+      a.select($"cell", posexplode($"v").as(Seq("dim", "x")))
+        .groupBy($"cell", $"dim").agg(round(avg($"x"), 6).as("c"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+        .toSeq.sortBy(_._1)
+
+    val c0 = e.where($"vec_id" < 8).select($"vec_id", $"v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq.sortBy(_._1)
+    val c1 = recompute(assigned(c0))
+    assigned(c1).groupBy($"cell")
       .agg(count(lit(1)).as("n_vectors"),
            round(avg(sqrt(greatest($"dist2", lit(0.0)))), 6).as("avg_dist"))
   }
