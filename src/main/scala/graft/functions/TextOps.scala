@@ -746,7 +746,14 @@ object TextOps {
       // every consumer sees one schema
       val withLang = if (base.columns.contains("lang")) base
         else base.withColumn("lang", lit(null).cast("string"))
-      withLang.select($"doc_id", $"lang", explode(tokens($"text")).as("token"))
+      // repartition by doc_id BEFORE the explode (docs shuffle, tokens
+      // don't): the cached view then carries HashPartitioning(doc_id),
+      // which satisfies every per-doc clustering downstream — q72's
+      // (doc_id, token) tf aggregate, its doc_id top-k, q77's per-doc
+      // surprisal sum — so none of them re-exchange the token matrix.
+      // The bucketed-table analog, paid once at view build.
+      withLang.repartition($"doc_id")
+        .select($"doc_id", $"lang", explode(tokens($"text")).as("token"))
     }
     if (sys.props.get("graft.cacheTables").contains("true")) {
       tokenTableCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
