@@ -141,8 +141,14 @@ object Bench {
     // Keep this line comfortably under that: short qNN keys (the contract's
     // own example uses {"q1":sec,...}), 3-decimal values, one queries map,
     // terse method. ~1.2KB for 79 queries.
+    // qNN shortening must stay injective — a future q31_a/q31_b pair would
+    // emit duplicate JSON keys and the driver would silently keep one
+    // timing. Fall back to full names on collision rather than lie.
+    val shortKeys = sequential.map(_._1.takeWhile(_ != '_'))
+    val shorten: String => String =
+      if (shortKeys.distinct.size == shortKeys.size) _.takeWhile(_ != '_') else identity
     val compactJson =
-      s"""{"metric":"total","value":${r3(wall)},"unit":"sec","queries":${timesJson(sequential, _.takeWhile(_ != '_'), r3)},"seq_total":${r3(seqTotal)},"failures":$failures,"sf":"$sfDir","method":"best-of-2 concurrent wall; queries=sequential sec; full detail in bench file"}"""
+      s"""{"metric":"total","value":${r3(wall)},"unit":"sec","queries":${timesJson(sequential, shorten, r3)},"seq_total":${r3(seqTotal)},"failures":$failures,"sf":"$sfDir","method":"best-of-2 concurrent wall; queries=sequential sec; full detail in bench file"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")), fullJson)
     // Print the JSON LAST — after spark.stop()'s shutdown chatter — so a

@@ -128,6 +128,12 @@ object CurationOps {
   def contamination(s: SparkSession, d: String, benchmark: Seq[String]): DataFrame = {
     import s.implicits._
     val ngrams = benchmark.distinct
+    // The contract is word-3-grams: the large-list path joins against
+    // 3-token shingles, so a 2- or 4-token entry would silently match on
+    // the probe path only (ADVICE r5). Reject it at the boundary.
+    require(ngrams.forall(_.trim.split("\\s+").length == 3),
+      "contamination: every benchmark entry must be exactly 3 whitespace-" +
+        "separated tokens (the shingle width both paths match against)")
     if (ngrams.size <= CompiledContaminationMaxNgrams) {
       val padded = concat(lit(" "), concat_ws(" ", TextOps.tokens($"text")), lit(" "))
       val hits = ngrams

@@ -321,8 +321,12 @@ object VectorOps {
     // groupBy(vec_id) shuffle, no join back for the mean step — the
     // per-iteration cost is one scan plus one (cell, dim) shuffle of
     // map-side-combined partial sums.
+    // NaN/Infinity have no bare-literal SQL form — render them via CAST so
+    // a degenerate centroid can't produce unparseable SQL (ADVICE r5).
+    def dLit(x: Double): String =
+      if (java.lang.Double.isFinite(x)) s"${x}D" else s"CAST('$x' AS DOUBLE)"
     def centroidLit(cv: Array[Double]): String =
-      s"array(${cv.map(x => s"${x}D").mkString(", ")})"
+      s"array(${cv.map(dLit).mkString(", ")})"
     def dist2(cv: Array[Double]): Column =
       expr(s"dot_native(v, v) - 2.0D * dot_native(v, ${centroidLit(cv)})") +
         lit(cv.map(x => x * x).sum)
@@ -330,7 +334,10 @@ object VectorOps {
       val cands = cs.map { case (cell, cv) =>
         struct(dist2(cv).as("dist2"), lit(cell).as("cell"))
       }
-      e.withColumn("m", least(cands: _*))
+      // Spark's least() needs >=2 args; with one surviving centroid the
+      // argmin is the candidate itself (ADVICE r5: single-cell datasets).
+      val best = if (cands.size == 1) cands.head else least(cands: _*)
+      e.withColumn("m", best)
         .select($"vec_id", $"v", $"m.cell".as("cell"), $"m.dist2".as("dist2"))
     }
     def recompute(a: DataFrame): Seq[(Long, Array[Double])] =

@@ -51,16 +51,33 @@ object ManifestTable {
     * Unescape only when comparing to plain batch values.
     * Unpartitioned snapshots use partition "". Line format is
     * `partition<TAB>path`; a line without a tab is a legacy
-    * path-only entry (partition ""). */
-  private def listedEntries(root: String, v: Int): Seq[(String, String)] =
-    Files.readAllLines(manifestPath(root, v)).asScala.toSeq
+    * path-only entry (partition "").
+    *
+    * FORMAT VERSIONING (ADVICE r5): manifests whose first line is
+    * [[FormatHeader]] store escaped keys as written. Headerless manifests
+    * predate the escaped-key change and stored PLAIN keys — re-escaping
+    * them on read migrates them, so a legacy value that merely looks
+    * escaped ("100%25") is never double-unescaped into "100%" and missed
+    * by the touched-set compare, and compact() can't see the same value
+    * as two distinct partitions. Safe because data file paths never
+    * contain tabs and always start with "data/", never '#'. */
+  private[graft] val FormatHeader = "#graft-manifest-v2"
+
+  private def listedEntries(root: String, v: Int): Seq[(String, String)] = {
+    val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
       .map(_.trim).filter(_.nonEmpty)
+    val v2 = lines.headOption.contains(FormatHeader)
+    (if (v2) lines.tail else lines)
       .map { line =>
         line.indexOf('\t') match {
           case -1 => ("", line)
           case i  => (line.substring(0, i), line.substring(i + 1))
         }
       }
+      .map { case (p, rel) =>
+        (if (v2 || p.isEmpty) p else escapePathName(p), rel)
+      }
+  }
 
   /** The commit point, shared by all writers: write the manifest for
     * version `v`, then atomically replace the current pointer. A crash
@@ -70,7 +87,7 @@ object ManifestTable {
     require(entries.nonEmpty, s"commit of v$v at $root lists no data files")
     Files.createDirectories(Paths.get(root))
     Files.writeString(manifestPath(root, v),
-      entries.sorted.map { case (p, f) => s"$p\t$f" }.mkString("\n"))
+      (FormatHeader +: entries.sorted.map { case (p, f) => s"$p\t$f" }).mkString("\n"))
     // the commit point: an atomic single-file replace of the pointer
     val tmp = Paths.get(root, s"_current.tmp-v$v")
     Files.writeString(tmp, v.toString)
@@ -130,7 +147,7 @@ object ManifestTable {
     * names (`%XX` uppercase hex for `/ = : ...` and control chars).
     * Reverse it so manifest partition keys equal the value's plain
     * string form. */
-  private[sources] def unescapePathName(s: String): String = {
+  private[graft] def unescapePathName(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -141,6 +158,28 @@ object ManifestTable {
         sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
         i += 3
       } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Spark's partition-dir escape charset (Hive FileUtils / Spark
+    * ExternalCatalogUtils: control chars 01-1F and 7F plus the listed
+    * specials), used to migrate legacy plain-key manifests to the
+    * escaped form Spark itself writes — escape(legacyKey) must equal
+    * the directory suffix Spark produced for that value. */
+  private val escapeChars: java.util.BitSet = {
+    val bs = new java.util.BitSet(128)
+    (0x01 to 0x1F).foreach(bs.set)
+    bs.set(0x7F)
+    "\"#%'*/:=?\\{[]^".foreach(c => bs.set(c.toInt))
+    bs
+  }
+
+  private[graft] def escapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach { c =>
+      if (c < 128 && escapeChars.get(c.toInt)) sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
     }
     sb.toString
   }

@@ -91,7 +91,7 @@ class ManifestTableSpec extends SparkSpec {
   /** (relative path, size, mtime) of every data file the version references. */
   private def fileState(root: String, v: Int): Map[String, (Long, Long)] = {
     val manifest = Files.readAllLines(Paths.get(root, s"manifest-v$v.json"))
-    manifest.toArray.map(_.toString).filter(_.nonEmpty).map { line =>
+    manifest.toArray.map(_.toString).filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
       val rel = line.split('\t').last
       val f = new File(s"$root/$rel")
       rel -> (f.length(), f.lastModified())
@@ -273,6 +273,35 @@ class ManifestTableSpec extends SparkSpec {
       ManifestTable.mergePartitioned(
         pdf((9L, "__HIVE_DEFAULT_PARTITION__", "e")), root, key, "day")
     }
+  }
+
+  test("a legacy (headerless, plain-key) manifest is migrated on read: a value that " +
+    "merely LOOKS escaped is not double-unescaped, so its partition still merges") {
+    val root = Files.createTempDirectory("graft-manifest-legacy").toString
+    val key = Seq("id", "day")
+    // "100%25" is a plain value containing a %XX-looking sequence — the
+    // ADVICE r5 trap: a legacy manifest stored it verbatim, and an
+    // unconditional unescape would read it back as "100%" and miss the
+    // touched set, leaving stale rows next to the merged ones.
+    ManifestTable.mergePartitioned(
+      pdf((1L, "100%25", "old"), (2L, "plain", "keep")), root, key, "day")
+    // rewrite manifest-v1 as a legacy writer would have: no format header,
+    // partition keys in PLAIN (unescaped) form
+    val m1 = Paths.get(root, "manifest-v1.json")
+    val legacy = Files.readAllLines(m1).toArray.map(_.toString)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { line =>
+        val Array(p, rel) = line.split('\t')
+        s"${ManifestTable.unescapePathName(p)}\t$rel"
+      }.mkString("\n")
+    assert(legacy.contains("100%25\t"), "fixture must exercise the plain %XX-looking key")
+    Files.writeString(m1, legacy)
+
+    ManifestTable.mergePartitioned(pdf((1L, "100%25", "new")), root, key, "day")
+    assert(readPSet(root) == Set((1L, "100%25", "new"), (2L, "plain", "keep")),
+      "legacy partition must be recognized as touched — no stale duplicate row")
+    // and compact() sees legacy + new entries of one value as ONE partition
+    assert(ManifestTable.read(spark, root).where("day = '100%25'").count() == 1)
   }
 
   test("vacuum keeps the newest snapshots readable and drops unreferenced files") {
