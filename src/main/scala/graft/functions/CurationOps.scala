@@ -338,7 +338,97 @@ object CurationOps {
       |        FROM documents))
       |WHERE sample_u < quality_score""".stripMargin
 
+  /** Length-curriculum buckets: per language, the four ntile(4) quartiles
+    * of document token count, with doc counts and length stats per
+    * quartile — the report a curriculum/batching scheduler is built from.
+    *
+    * Deliberately NOT a per-doc `ntile` window: that plan moves every doc
+    * of a language into ONE task (Spark windows don't split a partition
+    * key), the classic per-group-sort scale trap. Instead the corpus
+    * collapses to (lang, n_tokens) counts first — bounded by the number
+    * of DISTINCT lengths, not docs — and ntile's bucket arithmetic
+    * (first `n mod 4` buckets take `ceil(n/4)`, rest `floor(n/4)`) is
+    * applied to the cumulative counts: each length-group is split across
+    * the quartiles it straddles by pure arithmetic. Quartile-level
+    * aggregates (count / avg / min / max) are tie-order-free, so this is
+    * EXACTLY the naive per-doc `ntile(4) ... ORDER BY n_tokens, doc_id`
+    * the DuckDB oracle runs — at a window size of distinct-lengths
+    * instead of corpus size. */
+  def q84Curriculum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = docs(s, d).select($"lang",
+      size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+    val grp = t.groupBy($"lang", $"n_tokens").agg(count(lit(1)).as("c"))
+    val byLang = Window.partitionBy($"lang")
+    val cum = grp
+      .withColumn("cb", coalesce(
+        sum($"c").over(byLang.orderBy($"n_tokens")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum($"c").over(byLang))
+    cum
+      .select($"lang", $"n_tokens", $"c", $"cb", $"n",
+        explode(sequence(lit(1), lit(4))).as("quartile"))
+      .withColumn("base", floor($"n" / 4))
+      .withColumn("rem", $"n" % 4)
+      .withColumn("start_k",
+        ($"quartile" - 1) * $"base" + least($"quartile" - 1, $"rem") + 1)
+      .withColumn("end_k", $"quartile" * $"base" + least($"quartile", $"rem"))
+      .withColumn("take",
+        least($"end_k", $"cb" + $"c") - greatest($"start_k", $"cb" + 1) + 1)
+      .where($"take" > 0)
+      .groupBy($"lang", $"quartile".cast("long").as("quartile"))
+      .agg(sum($"take").as("n_docs"),
+           round(sum($"take" * $"n_tokens") / sum($"take"), 4).as("avg_tokens"),
+           min($"n_tokens").as("min_tokens"),
+           max($"n_tokens").as("max_tokens"))
+  }
+
+  val q84Sql: String =
+    raw"""WITH t AS (SELECT doc_id, lang,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |       FROM documents),
+      |q AS (SELECT lang, n_tokens,
+      |             ntile(4) OVER (PARTITION BY lang
+      |                            ORDER BY n_tokens, doc_id) AS quartile
+      |      FROM t)
+      |SELECT lang, CAST(quartile AS BIGINT) AS quartile,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       round(avg(n_tokens), 4) AS avg_tokens,
+      |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+      |FROM q GROUP BY 1, 2""".stripMargin
+
+  /** Padding-efficiency report for length-bucketed batching: docs land in
+    * 32-token-wide buckets (clamped at bucket 7, i.e. 224+), each padded
+    * to its bucket cap — efficiency = real tokens / padded tokens. The
+    * bucket width is a power of two ON PURPOSE: `n/32` is exact in
+    * binary, so `floor` can't straddle an engine's rounding. Per-row map
+    * + an 8-group aggregate; at 100 TB this runs at scan speed. */
+  def q85PackEfficiency(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select(size(TextOps.tokens($"text")).cast("long").as("n"))
+      .withColumn("bucket", least(floor($"n" / 32), lit(7L)))
+      .withColumn("cap", ($"bucket" + 1) * 32)
+      .groupBy($"bucket", $"cap")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n").as("sum_tokens"),
+           round(sum($"n") / sum(greatest($"cap", $"n")), 6).as("efficiency"))
+  }
+
+  val q85Sql: String =
+    raw"""WITH t AS (SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+      |       FROM documents),
+      |b AS (SELECT n, least(CAST(floor(n / 32) AS BIGINT), 7) AS bucket FROM t)
+      |SELECT bucket, (bucket + 1) * 32 AS cap,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n) AS BIGINT) AS sum_tokens,
+      |       round(CAST(sum(n) AS DOUBLE) / sum(greatest((bucket + 1) * 32, n)), 6)
+      |         AS efficiency
+      |FROM b GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_curriculum" -> (q84Curriculum _),
+    "q85_pack_efficiency" -> (q85PackEfficiency _),
     "q64_pii_redaction" -> (q64PiiRedaction _),
     "q65_chunking" -> (q65Chunking _),
     "q66_stratified_sample" -> (q66StratifiedSample _),
@@ -349,6 +439,8 @@ object CurationOps {
     "q74_quality_sample" -> (q74QualitySample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q84_curriculum" -> q84Sql,
+    "q85_pack_efficiency" -> q85Sql,
     "q64_pii_redaction" -> q64Sql,
     "q65_chunking" -> q65Sql,
     "q66_stratified_sample" -> q66Sql,

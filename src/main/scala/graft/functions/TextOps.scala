@@ -926,7 +926,80 @@ object TextOps {
       |ORDER BY pmi DESC, tok_a, tok_b
       |LIMIT 20""".stripMargin
 
+  /** Cross-source duplication matrix on PREFIX fingerprints: an md5 of
+    * each doc's first 8 tokens (the shared-header/boilerplate-start
+    * signal q29's whole-text fingerprint misses), deduped to (source,
+    * fp) and self-joined — for every source pair, how many distinct
+    * prefixes both crawls contain. The "which crawls re-serve each
+    * other's pages" audit that decides a corpus mix. Scale shape (the
+    * q31 lesson — expand pairs off grouped sets, never self-join the
+    * corpus): ONE scan collapses to per-fingerprint source SETS, whose
+    * size is bounded by |sources| (a handful), not by how many docs
+    * share the prefix; the ordered pair expansion is two chained codegen
+    * explodes over those tiny sets, and the count is one pair-keyed
+    * combiner shuffle. No second corpus scan, no fp-keyed self-join. */
+  def q86CrossSourceDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sets = docs(s, d)
+      .select($"source",
+        md5(concat_ws(" ", slice(tokens($"text"), 1, 8))).as("fp"))
+      // collect_set is dedup-invariant, so no distinct shuffle first;
+      // sort_array makes the (a, b) expansion deterministic and ordered
+      .groupBy($"fp").agg(sort_array(collect_set($"source")).as("srcs"))
+      .where(size($"srcs") >= 2)
+    sets
+      .select(posexplode($"srcs").as(Seq("i", "src_a")), $"srcs")
+      .select($"src_a",
+        explode(slice($"srcs", $"i" + 2, size($"srcs"))).as("src_b"))
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  val q86Sql: String =
+    raw"""WITH p AS (SELECT DISTINCT source,
+      |         md5(array_to_string(string_split_regex(trim(text), '\s+')[1:8], ' ')) AS fp
+      |       FROM documents)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |       CAST(count(*) AS BIGINT) AS n_shared
+      |FROM p a JOIN p b ON a.fp = b.fp AND a.source < b.source
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Zipf fit per language: rank the top-100 tokens by frequency (the
+    * TopKPerGroup plan — map-side bounded heaps, never a per-lang sort)
+    * and regress ln(count) on ln(rank); the slope is the Zipf exponent,
+    * the one-number summary of vocabulary naturalness used to flag
+    * template-generated or scrambled corpora. regr_slope is the SQL
+    * standard covar/var form in both engines; operands are O(1)-magnitude
+    * logs over ≤100 rows per group, so 6 dp rounding absorbs any
+    * summation-order wobble. */
+  def q87ZipfSlope(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = tokenTable(s, d)
+      .groupBy($"lang", $"token").agg(count(lit(1)).as("cnt"))
+    graft.plans.TopK.perGroup(c, Seq("lang"),
+        Seq(("cnt", false), ("token", true)), 100, rankName = "rnk")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_ranks"),
+           round(expr("regr_slope(ln(cast(cnt AS DOUBLE)), ln(cast(rnk AS DOUBLE)))"), 6)
+             .as("zipf_slope"))
+  }
+
+  val q87Sql: String =
+    raw"""WITH tok AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |       FROM documents),
+      |c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2),
+      |r AS (SELECT lang, cnt,
+      |             row_number() OVER (PARTITION BY lang
+      |                                ORDER BY cnt DESC, token) AS rnk
+      |      FROM c)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_ranks,
+      |       round(regr_slope(ln(CAST(cnt AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
+      |         AS zipf_slope
+      |FROM r WHERE rnk <= 100 GROUP BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_cross_source_dup" -> (q86CrossSourceDup _),
+    "q87_zipf_slope" -> (q87ZipfSlope _),
     "q45_rolling_fingerprint" -> (q45RollingFingerprint _),
     "q47_bpe_tokens" -> (q47BpeTokens _),
     "q25_doc_stats" -> (q25DocStats _),
@@ -948,6 +1021,8 @@ object TextOps {
     "q78_collocations" -> (q78Collocations _))
 
   val oracleSql: Map[String, String] = Map(
+    "q86_cross_source_dup" -> q86Sql,
+    "q87_zipf_slope" -> q87Sql,
     "q45_rolling_fingerprint" -> q45Sql,
     "q47_bpe_tokens" -> q47Sql,
     "q25_doc_stats" -> q25Sql,

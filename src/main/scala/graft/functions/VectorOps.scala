@@ -426,7 +426,78 @@ object VectorOps {
       |FROM e""".stripMargin
   }
 
+  /** Symmetric int8 scalar quantization audit (the compression step a
+    * 100 TB embedding store applies before serving): per vector, the
+    * scale `max|x|/127` and the worst-case reconstruction error
+    * `max|x - round(x/scale)*scale|`. Pure per-row map over the scan —
+    * zero shuffle, no data-dependent branching; the all-zero vector is
+    * special-cased (scale 0, error 0) so no division-by-zero semantics
+    * leak into the cross-engine compare. Both reductions are max-based,
+    * so they are summation-order-free — safe to hash-match at 6 dp.
+    * The lambdas are interpreted HOFs (Spark has no codegen for
+    * `transform`); at production scale this pairs of maxes would move
+    * into a codegen Expression like [[graft.expressions.DotProduct]] —
+    * the per-row cost here is 2·dim flops, not the hot path. */
+  def q82Int8Quant(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    emb(s, d).select($"vec_id", $"v")
+      .withColumn("maxabs", array_max(transform($"v", x => abs(x))))
+      .select(
+        $"vec_id",
+        round($"maxabs" / 127.0, 6).as("scale"),
+        when($"maxabs" === 0.0, lit(0.0)).otherwise(
+          round(array_max(transform($"v",
+            x => abs(x - round(x * 127.0 / $"maxabs") * $"maxabs" / 127.0))), 6))
+          .as("max_abs_err"))
+  }
+
+  val q82Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e)
+      |SELECT vec_id, round(maxabs/127.0, 6) AS scale,
+      |  CASE WHEN maxabs = 0 THEN 0.0
+      |       ELSE round(list_max(list_transform(v,
+      |              x -> abs(x - round(x*127.0/maxabs)*maxabs/127.0))), 6)
+      |  END AS max_abs_err
+      |FROM m""".stripMargin
+
+  /** SemDedup-shaped embedding near-dup pruning: within each cell
+    * (`label` stands in for the IVF/k-means cell a production corpus
+    * would bucket by — q58 trains exactly that), a vector is REMOVED when
+    * a lower-id cellmate has cosine ≥ 0.30; the survivor set keeps one
+    * greedy representative per duplicate neighborhood. Reported per cell:
+    * total vs kept. The 100 TB shape is q35's: the cell equi-join bounds
+    * pairwise work to Σ|cell|² (never n²), the removed-id set is
+    * duplicate-sized and broadcasts back, and the final count is one
+    * cell-keyed combiner-friendly shuffle. */
+  def q83SemDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d).select($"vec_id", $"label", $"v", $"norm")
+    val pairs = e.as("a").join(e.as("b"),
+      $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+    val removed = pairs
+      .where(expr("dot_native(a.v, b.v)") / ($"a.norm" * $"b.norm") >= 0.30)
+      .select($"b.vec_id".as("vec_id")).distinct()
+    e.join(broadcast(removed.withColumn("dup", lit(1))), Seq("vec_id"), "left")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vectors"),
+           count(when($"dup".isNull, 1)).as("n_kept"))
+  }
+
+  val q83Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+      |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |dup AS (SELECT DISTINCT b.vec_id
+      |        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.30)
+      |SELECT label, count(*) AS n_vectors,
+      |       count(*) FILTER (WHERE d.vec_id IS NULL) AS n_kept
+      |FROM n LEFT JOIN dup d USING (vec_id)
+      |GROUP BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_int8_quant" -> (q82Int8Quant _),
+    "q83_semdedup" -> (q83SemDedup _),
     "q46_ivf_ann" -> (q46IvfAnn _),
     "q58_kmeans" -> (q58KMeans _),
     "q59_random_projection" -> (q59RandomProjection _),
@@ -436,6 +507,8 @@ object VectorOps {
     "q36_label_centroid" -> (q36LabelCentroidDist _))
 
   val oracleSql: Map[String, String] = Map(
+    "q82_int8_quant" -> q82Sql,
+    "q83_semdedup" -> q83Sql,
     "q46_ivf_ann" -> q46Sql,
     "q58_kmeans" -> q58Sql,
     "q59_random_projection" -> q59Sql,

@@ -205,4 +205,43 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 2L, 3L -> 1L)) // doc 2 absent; repeats counted once
   }
+
+  test("q84: curriculum quartiles match hand-computed ntile(4) semantics, " +
+    "including the uneven-remainder split and an all-tied language") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-curric").toString
+    def doc(k: Int) = List.fill(k)("w").mkString(" ")
+    val en = (1 to 10).map(k => (k.toLong, doc(k), "en"))        // lengths 1..10
+    val fr = (11 to 14).map(i => (i.toLong, doc(5), "fr"))       // 4 tied docs
+    (en ++ fr).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CurationOps.q84Curriculum(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    // n=10 -> ntile sizes 3,3,2,2 over lengths 1..10
+    assert(out(("en", 1L)) == ((3L, 2.0, 1L, 3L)))
+    assert(out(("en", 2L)) == ((3L, 5.0, 4L, 6L)))
+    assert(out(("en", 3L)) == ((2L, 7.5, 7L, 8L)))
+    assert(out(("en", 4L)) == ((2L, 9.5, 9L, 10L)))
+    // 4 tied docs: one per quartile, stats identical
+    (1L to 4L).foreach(q => assert(out(("fr", q)) == ((1L, 5.0, 5L, 5L))))
+    assert(out.size == 8)
+  }
+
+  test("q85: pack-efficiency buckets — width 32, overflow clamps to bucket 7 and " +
+    "pads to the doc's own length when it exceeds the cap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pack").toString
+    def doc(k: Int) = List.fill(k)("w").mkString(" ")
+    Seq((1L, doc(10)), (2L, doc(40)), (3L, doc(300)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CurationOps.q85PackEfficiency(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out(0L) == ((32L, 1L, 10L, 0.3125)))
+    assert(out(1L) == ((64L, 1L, 40L, 0.625)))
+    assert(out(7L) == ((256L, 1L, 300L, 1.0))) // padded to max(cap, n) = 300
+    assert(out.size == 3)
+  }
 }

@@ -185,4 +185,26 @@ class PlanSpec extends SparkSpec {
     val single = plan.linesIterator.count(_.contains("Exchange SinglePartition"))
     assert(wide == 1 && single <= 1, s"wide=$wide single=$single\n$plan")
   }
+
+  test("q84: curriculum quartiles plan NO per-doc ntile window — the windows run " +
+    "on the (lang, n_tokens) aggregate, after the corpus collapses") {
+    val plan = physical(graft.functions.CurationOps.q84Curriculum(spark, sf0001))
+    assert(!plan.contains("ntile"), plan)
+    // corpus-sized work is exactly one combiner-friendly aggregate shuffle +
+    // the lang-keyed window/final shuffle on the collapsed table
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+  }
+
+  test("q86: cross-source dups — ONE corpus scan, zero joins: pairs expand off " +
+    "grouped per-fingerprint source sets") {
+    val plan = physical(graft.functions.TextOps.q86CrossSourceDup(spark, sf0001))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+  }
+
+  test("q87: zipf ranking goes through the TopKPerGroup plan, not a sort window") {
+    val plan = physical(graft.functions.TextOps.q87ZipfSlope(spark, sf0001))
+    assert(plan.contains("TopKPerGroup"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }

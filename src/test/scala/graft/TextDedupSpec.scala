@@ -115,4 +115,37 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)), rows.mkString(", "))
     assert(math.abs(rows.head.getDouble(3) - 1.0 / 3.0) < 1e-12)
   }
+
+  test("q86: cross-source prefix dups — shared 8-token prefix pairs sources once; " +
+    "short docs fingerprint their full text; no within-source pairs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xsrc").toString
+    Seq(
+      (1L, "p q r s t u v w extra one", "src1"),   // same 8-prefix as doc 2
+      (2L, "p q r s t u v w different tail", "src2"),
+      (3L, "p q r s t u v w third copy", "src1"),  // same prefix, SAME source as 1
+      (4L, "totally unrelated text body here now ok", "src3"),
+      (5L, "short text", "src4"),                  // < 8 tokens: full-text prefix
+      (6L, "short text", "src5"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.functions.TextOps.q86CrossSourceDup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("src1", "src2") -> 1L, ("src4", "src5") -> 1L),
+      s"got $out")
+  }
+
+  test("q87: an exactly-Zipfian vocabulary (cnt = 12/rank) regresses to slope -1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zipf").toString
+    // counts 12, 6, 4, 3 at ranks 1..4: ln(cnt) = ln(12) - ln(rank)
+    val text = (List.fill(12)("t1") ++ List.fill(6)("t2") ++
+      List.fill(4)("t3") ++ List.fill(3)("t4")).mkString(" ")
+    Seq((1L, text, "en", "src1")).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.functions.TextOps.q87ZipfSlope(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n_ranks") == 4L)
+    assert(rows.head.getAs[Double]("zipf_slope") == -1.0)
+  }
 }

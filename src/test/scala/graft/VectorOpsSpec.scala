@@ -70,4 +70,38 @@ class VectorOpsSpec extends SparkSpec {
     assert(exact.nonEmpty)
     assert(exact.forall(_.getDouble(2) >= 0.40))
   }
+
+  private def embFixture(rows: (Long, Seq[Float], Int)*): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-embfix").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("q82: int8 quantization — exact scale and reconstruction error on hand " +
+    "vectors; the all-zero vector yields scale 0 / error 0, not a NaN") {
+    val dir = embFixture(
+      (1L, Seq(1.0f, -0.5f, 0.0f), 0),
+      (2L, Seq(0.0f, 0.0f, 0.0f), 0))
+    val out = VectorOps.q82Int8Quant(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // maxabs=1: scale = 1/127 = 0.007874 (6 dp); worst dim is -0.5:
+    // round(-63.5) = -64 (half away from zero), err = |-0.5 + 64/127| = 0.003937
+    assert(out(1L) == ((0.007874, 0.003937)))
+    assert(out(2L) == ((0.0, 0.0)))
+  }
+
+  test("q83: semdedup keeps the lowest-id member of each within-cell near-dup " +
+    "group; cross-cell twins and orthogonal cellmates are kept") {
+    val dir = embFixture(
+      (1L, Seq(1.0f, 0.0f), 0),   // keeper
+      (2L, Seq(0.999f, 0.01f), 0), // near-dup of 1 (same cell)  -> removed
+      (3L, Seq(0.0f, 1.0f), 0),   // orthogonal cellmate         -> kept
+      (4L, Seq(1.0f, 0.0f), 1),   // exact twin of 1, OTHER cell -> kept
+      (5L, Seq(0.5f, 0.5f), 1))   // cos vs 4 = 0.707 >= 0.30    -> removed
+    val out = VectorOps.q83SemDedup(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(0 -> ((3L, 2L)), 1 -> ((2L, 1L))))
+  }
 }
