@@ -115,6 +115,32 @@ object ScaleProbe {
     time(s"seqpack_${factor}x")(pack(docsNDir))
     time("surprisal_1x")(surprisal(sfDir))
     time(s"surprisal_${factor}x")(surprisal(docsNDir))
+
+    // Embedding pruning (q83): labels shift per copy so CELLS scale with
+    // the data while per-cell population stays constant — the real-corpus
+    // contract (k-means k grows with the corpus; cell size is bounded by
+    // design). Σ|cell|² then grows linearly; a probe that kept 10 labels
+    // over N× vectors would instead measure the quadratic blowup the
+    // operator is explicitly not supposed to have at fixed cell size.
+    val embNDir = {
+      val base = Tables(spark, sfDir, "embeddings")
+      val dir = java.nio.file.Files.createTempDirectory("graft-scale-emb").toString
+      val shift = 100000000L
+      (0 until factor).map { i =>
+        base.withColumn("vec_id", $"vec_id" + lit(i * shift))
+          .withColumn("label", $"label" + lit(i * 1000))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    import graft.functions.VectorOps
+    def semdedup(d: String): Long = VectorOps.q83SemDedup(spark, d).count()
+    def xsrc(d: String): Long = TextOps.q86CrossSourceDup(spark, d).count()
+    semdedup(sfDir); xsrc(sfDir) // warm
+    time("semdedup_1x")(semdedup(sfDir))
+    time(s"semdedup_${factor}x")(semdedup(embNDir))
+    time("xsrc_dup_1x")(xsrc(sfDir))
+    time(s"xsrc_dup_${factor}x")(xsrc(docsNDir))
     spark.stop()
   }
 }
