@@ -997,7 +997,73 @@ object TextOps {
       |         AS zipf_slope
       |FROM r WHERE rnk <= 100 GROUP BY lang""".stripMargin
 
+  /** The curation FUNNEL — the pipeline-endpoint report every corpus
+    * build publishes: how many documents survive each stage.
+    *
+    *   1_raw             corpus size
+    *   2_exact           distinct whitespace/case-normalized text hashes
+    *   3_near_dup        q69 keepers (one per q54 near-dup component)
+    *   4_decontaminated  keepers minus q67 benchmark-contaminated docs
+    *   5_quality         of those, q26 quality score ≥ 0.5
+    *
+    * Pure composition of the already-verified stages — each count is a
+    * distributed aggregate over the stage's own scale-shaped plan
+    * (components via LSH bands + propagation, contamination via the
+    * compiled probe scan, quality per-row); the funnel adds only
+    * broadcast-sized anti-joins of keeper ids and five 1-row aggregates.
+    * The DuckDB oracle recomputes the whole chain from scratch in SQL,
+    * so this row-set cross-checks the stages' COMPOSITION, not just each
+    * stage alone. */
+  def q88DedupFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), $"n_docs")
+    val raw = docs(s, d).select($"doc_id")
+    val exact = docs(s, d)
+      .select(md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("h")).distinct()
+    val keepers = q69KeeperSelection(s, d).select($"keeper_id".as("doc_id"))
+    val clean = keepers.join(
+      CurationOps.q67Contamination(s, d).select($"doc_id"), Seq("doc_id"), "left_anti")
+    val quality = clean.join(
+      q26QualityScore(s, d).where($"quality_score" >= 0.5).select($"doc_id"), Seq("doc_id"))
+    stage("1_raw", raw)
+      .union(stage("2_exact", exact))
+      .union(stage("3_near_dup", keepers))
+      .union(stage("4_decontaminated", clean))
+      .union(stage("5_quality", quality))
+  }
+
+  val q88Sql: String = {
+    val inlist = CurationOps.BenchmarkShingles.map(b => s"'$b'").mkString(", ")
+    raw"""WITH RECURSIVE $componentsCtes,
+      |tokd AS (SELECT doc_id,
+      |                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |         FROM documents),
+      |ranked AS (SELECT c.component_id, c.doc_id,
+      |                  row_number() OVER (PARTITION BY c.component_id
+      |                    ORDER BY t.n_tokens DESC, c.doc_id) AS rn
+      |           FROM comp c JOIN tokd t USING (doc_id)),
+      |keepers AS (SELECT doc_id FROM ranked WHERE rn = 1),
+      |contaminated AS (SELECT DISTINCT doc_id FROM sh WHERE shingle IN ($inlist)),
+      |clean AS (SELECT doc_id FROM keepers
+      |          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      |quality AS (SELECT doc_id
+      |            FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |                  FROM documents)
+      |            WHERE least(len(toks) / 100.0, 1.0)
+      |                  * (1.0 - len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and')))
+      |                           / len(toks)) >= 0.5)
+      |SELECT '1_raw' AS stage, count(*) AS n_docs FROM documents
+      |UNION ALL SELECT '2_exact',
+      |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+      |  FROM documents
+      |UNION ALL SELECT '3_near_dup', count(*) FROM keepers
+      |UNION ALL SELECT '4_decontaminated', count(*) FROM clean
+      |UNION ALL SELECT '5_quality', count(*) FROM clean JOIN quality USING (doc_id)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_dedup_funnel" -> (q88DedupFunnel _),
     "q86_cross_source_dup" -> (q86CrossSourceDup _),
     "q87_zipf_slope" -> (q87ZipfSlope _),
     "q45_rolling_fingerprint" -> (q45RollingFingerprint _),
@@ -1021,6 +1087,7 @@ object TextOps {
     "q78_collocations" -> (q78Collocations _))
 
   val oracleSql: Map[String, String] = Map(
+    "q88_dedup_funnel" -> q88Sql,
     "q86_cross_source_dup" -> q86Sql,
     "q87_zipf_slope" -> q87Sql,
     "q45_rolling_fingerprint" -> q45Sql,

@@ -148,4 +148,13 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n_ranks") == 4L)
     assert(rows.head.getAs[Double]("zipf_slope") == -1.0)
   }
+
+  test("q88: funnel stages are monotone - each curation stage can only drop docs") {
+    val out = graft.functions.TextOps.q88DedupFunnel(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("1_raw", "2_exact", "3_near_dup", "4_decontaminated", "5_quality"))
+    val seq = Seq("1_raw", "2_exact", "3_near_dup", "4_decontaminated", "5_quality").map(out)
+    assert(seq.zip(seq.tail).forall { case (a, b) => a >= b }, s"not monotone: $out")
+    assert(out("1_raw") > 0 && out("5_quality") > 0)
+  }
 }
