@@ -478,7 +478,11 @@ object VectorOps {
     val removed = pairs
       .where(expr("dot_native(a.v, b.v)") / ($"a.norm" * $"b.norm") >= 0.30)
       .select($"b.vec_id".as("vec_id")).distinct()
-    e.join(broadcast(removed.withColumn("dup", lit(1))), Seq("vec_id"), "left")
+    // no broadcast hint: the removed set is duplicate-sized, usually tiny
+    // (AQE will broadcast it), but a pathologically duplicate-heavy
+    // corpus makes it corpus-sized — forcing a broadcast there is the
+    // OOM, letting AQE fall back to a shuffle join is the safety.
+    e.join(removed.withColumn("dup", lit(1)), Seq("vec_id"), "left")
       .groupBy($"label")
       .agg(count(lit(1)).as("n_vectors"),
            count(when($"dup".isNull, 1)).as("n_kept"))
