@@ -100,4 +100,42 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: q82 quantization error never exceeds scale/2 (+1 ulp of rounding)") {
+    val rows = graft.functions.VectorOps.q82Int8Quant(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (scale, err) = (r.getDouble(1), r.getDouble(2))
+      // round-to-nearest puts every dim within half a quantization step;
+      // both values are independently rounded to 6 dp, so allow 1e-6 slack
+      assert(err <= scale / 2 + 1e-6, s"vec ${r.getLong(0)}: err $err > scale/2 ${scale / 2}")
+    }
+  }
+
+  test("property: q84 quartile doc counts per language sum to the corpus count, " +
+    "and quartile length ranges are ordered and non-overlapping per language") {
+    import spark.implicits._
+    val out = graft.functions.CurationOps.q84Curriculum(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    val total = out.map(_._3).sum
+    val docs = graft.Tables(spark, sf0001, "documents").count()
+    assert(total == docs, s"quartile counts sum $total != corpus $docs")
+    out.groupBy(_._1).foreach { case (lang, qs) =>
+      val sorted = qs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"$lang quartiles")
+      // min/max ranges must be monotone across quartiles (boundary ties may touch)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._5 <= b._4 || a._5 == b._5, s"$lang: q${a._2} max ${a._5} vs q${b._2} min ${b._4}")
+      }
+    }
+  }
+
+  test("property: q85 efficiency is in (0, 1] and padded tokens >= real tokens") {
+    val rows = graft.functions.CurationOps.q85PackEfficiency(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val eff = r.getDouble(4)
+      assert(eff > 0.0 && eff <= 1.0, s"bucket ${r.getLong(0)}: efficiency $eff")
+    }
+  }
 }
