@@ -426,7 +426,69 @@ object CurationOps {
       |         AS efficiency
       |FROM b GROUP BY 1, 2""".stripMargin
 
+  /** Corpus-mix allocation under a token budget — WATER-FILLING, the
+    * exact algorithm behind "rebalance the crawl mix": with budget
+    * B = ⌊half the corpus tokens⌋, find the level L with
+    * Σ min(tokens_s, L) = B; sources under the level keep everything,
+    * sources above are capped at L. Closed form on the per-source totals
+    * sorted ascending: L is the candidate level
+    * (B − cum_before)/(remaining sources) at the FIRST source exceeding
+    * its own candidate (min_by over the unique rank — deterministic in
+    * both engines); no source exceeding means the budget isn't binding
+    * and every source keeps its tokens.
+    *
+    * Scale shape: the corpus collapses to per-source token totals in one
+    * combiner shuffle; every window after that runs on the SOURCE-count-
+    * sized table (a catalog dimension, not data) — the single-partition
+    * window is bounded by construction. The 1-row level crossJoin
+    * broadcasts. */
+  def q89CorpusMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = docs(s, d)
+      .select($"source", size(TextOps.tokens($"text")).cast("long").as("n"))
+      .groupBy($"source").agg(sum($"n").as("toks"))
+    val ord = Window.orderBy($"toks", $"source")
+    val all = Window.partitionBy()
+    val o = t
+      .withColumn("i", row_number().over(ord))
+      .withColumn("s", count(lit(1)).over(all))
+      .withColumn("total", sum($"toks").over(all))
+      .withColumn("cum_before", coalesce(
+        sum($"toks").over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("lev",
+        (floor(lit(0.5) * $"total") - $"cum_before") / ($"s" - $"i" + 1))
+    val level = o.where($"toks" > $"lev").agg(min_by($"lev", $"i").as("level"))
+    val kept = least($"toks".cast("double"),
+      coalesce($"level", $"toks".cast("double")))
+    o.crossJoin(level)
+      .select($"source", $"toks".as("tokens_avail"),
+        round(kept, 4).as("kept_tokens"),
+        round(kept / $"toks", 6).as("keep_frac"))
+  }
+
+  val q89Sql: String =
+    raw"""WITH t AS (SELECT source,
+      |         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS toks
+      |       FROM documents GROUP BY source),
+      |o AS (SELECT source, toks,
+      |             row_number() OVER (ORDER BY toks, source) AS i,
+      |             count(*) OVER () AS s,
+      |             sum(toks) OVER () AS total,
+      |             coalesce(sum(toks) OVER (ORDER BY toks, source
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |               AS cum_before
+      |      FROM t),
+      |lv AS (SELECT *, (floor(0.5 * total) - cum_before) / (s - i + 1) AS lev FROM o),
+      |sat AS (SELECT arg_min(lev, i) AS level FROM lv WHERE toks > lev)
+      |SELECT source, toks AS tokens_avail,
+      |       round(least(CAST(toks AS DOUBLE), coalesce(level, CAST(toks AS DOUBLE))), 4)
+      |         AS kept_tokens,
+      |       round(least(CAST(toks AS DOUBLE), coalesce(level, CAST(toks AS DOUBLE)))
+      |             / toks, 6) AS keep_frac
+      |FROM lv CROSS JOIN sat""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_corpus_mix" -> (q89CorpusMix _),
     "q84_curriculum" -> (q84Curriculum _),
     "q85_pack_efficiency" -> (q85PackEfficiency _),
     "q64_pii_redaction" -> (q64PiiRedaction _),
@@ -439,6 +501,7 @@ object CurationOps {
     "q74_quality_sample" -> (q74QualitySample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q89_corpus_mix" -> q89Sql,
     "q84_curriculum" -> q84Sql,
     "q85_pack_efficiency" -> q85Sql,
     "q64_pii_redaction" -> q64Sql,

@@ -244,4 +244,38 @@ class CurationSpec extends SparkSpec {
     assert(out(7L) == ((256L, 1L, 300L, 1.0))) // padded to max(cap, n) = 300
     assert(out.size == 3)
   }
+
+  test("q89: water-filling — small sources keep everything, big sources cap at " +
+    "one shared level, kept tokens sum to the budget when it binds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mix").toString
+    def doc(id: Long, k: Int, src: String) = (id, List.fill(k)("w").mkString(" "), src)
+    // totals: a=100, b=200, c=10000 -> budget = floor(0.5*10300) = 5150
+    // a, b unsaturated; c capped at (5150-300)/1 = 4850
+    (Seq(doc(1L, 100, "a"), doc(2L, 200, "b")) ++
+      (0 until 10).map(i => doc(10L + i, 1000, "c")))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CurationOps.q89CorpusMix(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("a") == ((100L, 100.0, 1.0)))
+    assert(out("b") == ((200L, 200.0, 1.0)))
+    assert(out("c") == ((10000L, 4850.0, 0.485)))
+    assert(out.values.map(_._2).sum == 5150.0, "kept tokens must exhaust the binding budget")
+  }
+
+  test("q89: the degenerate single-source corpus caps at exactly half its tokens") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mix2").toString
+    // budget floor(0.5*100)=50 < 100 -> the lone source saturates at level
+    // (50-0)/1 = 50. (A genuinely non-binding budget is impossible with
+    // B = total/2 < total by construction; the coalesce(level, toks) null
+    // path is still exercised through the oracle-free branch analysis.)
+    Seq((1L, List.fill(100)("w").mkString(" "), "solo"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = CurationOps.q89CorpusMix(spark, dir).collect().head
+    assert(r.getString(0) == "solo" && r.getLong(1) == 100L)
+    assert(r.getDouble(2) == 50.0 && r.getDouble(3) == 0.5)
+  }
 }
