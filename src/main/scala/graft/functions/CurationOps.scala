@@ -440,8 +440,10 @@ object CurationOps {
     * Scale shape: the corpus collapses to per-source token totals in one
     * combiner shuffle; every window after that runs on the SOURCE-count-
     * sized table (a catalog dimension, not data) — the single-partition
-    * window is bounded by construction. The 1-row level crossJoin
-    * broadcasts. */
+    * window is bounded by construction. The level itself is a
+    * min-of-struct window over the same frame (struct(i, lev) orders by
+    * the unique rank, so min = the first saturated source's level) — no
+    * subquery, no second corpus scan, ONE plan. */
   def q89CorpusMix(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val t = docs(s, d)
@@ -457,13 +459,13 @@ object CurationOps {
         sum($"toks").over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("lev",
         (floor(lit(0.5) * $"total") - $"cum_before") / ($"s" - $"i" + 1))
-    val level = o.where($"toks" > $"lev").agg(min_by($"lev", $"i").as("level"))
+      .withColumn("level",
+        min(when($"toks" > $"lev", struct($"i", $"lev"))).over(all).getField("lev"))
     val kept = least($"toks".cast("double"),
       coalesce($"level", $"toks".cast("double")))
-    o.crossJoin(level)
-      .select($"source", $"toks".as("tokens_avail"),
-        round(kept, 4).as("kept_tokens"),
-        round(kept / $"toks", 6).as("keep_frac"))
+    o.select($"source", $"toks".as("tokens_avail"),
+      round(kept, 4).as("kept_tokens"),
+      round(kept / $"toks", 6).as("keep_frac"))
   }
 
   val q89Sql: String =

@@ -207,4 +207,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TopKPerGroup"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("q89: corpus-mix windows run on the per-source aggregate (catalog-sized), " +
+    "after ONE corpus scan collapses to source totals") {
+    val plan = physical(graft.functions.CurationOps.q89CorpusMix(spark, sf0001))
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+    // the single-partition window is fed by the aggregated source table,
+    // never the corpus: the corpus-side aggregate must appear beneath it
+    assert(plan.contains("Window"), plan)
+  }
 }
