@@ -1033,7 +1033,9 @@ object TextOps {
       .union(stage("5_quality", quality))
   }
 
-  val q88Sql: String = {
+  // lazy: reads CurationOps.BenchmarkShingles - laziness breaks the
+  // TextOps<->CurationOps object-init cycle regardless of member order
+  lazy val q88Sql: String = {
     val inlist = CurationOps.BenchmarkShingles.map(b => s"'$b'").mkString(", ")
     raw"""WITH RECURSIVE $componentsCtes,
       |tokd AS (SELECT doc_id,
@@ -1086,7 +1088,7 @@ object TextOps {
     "q77_surprisal" -> (q77Surprisal _),
     "q78_collocations" -> (q78Collocations _))
 
-  val oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     "q88_dedup_funnel" -> q88Sql,
     "q86_cross_source_dup" -> q86Sql,
     "q87_zipf_slope" -> q87Sql,
