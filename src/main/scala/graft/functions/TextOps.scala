@@ -1064,7 +1064,56 @@ object TextOps {
       |UNION ALL SELECT '5_quality', count(*) FROM clean JOIN quality USING (doc_id)""".stripMargin
   }
 
+  /** Source drift: KL(source ‖ corpus) over unigram distributions — the
+    * domain-shift score that flags a crawl whose vocabulary departs from
+    * the corpus mix (the quantitative companion to q75's set-overlap
+    * similarity). No smoothing needed: every source token is by
+    * definition in the corpus model, so the ratio is always finite.
+    * Scale shape: ONE (source, token) combiner shuffle builds the term
+    * frequencies; the per-source totals and the corpus model are both
+    * derivatives of that aggregate (the shared exchange is reused, not
+    * rescanned), the model is vocabulary-sized and broadcasts, and the
+    * KL sum is one more combiner-friendly source-keyed aggregate. The
+    * cross-engine float-sum-order wobble is ~1e-12 relative over
+    * vocabulary-sized sums — absorbed by the 6 dp round (same argument
+    * as q44/q77). */
+  def q90SourceDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // explicit source-notnull: the join branches push isnotnull(source)
+    // into THEIR scans anyway; filtering it once up front makes every
+    // branch's subtree canonically identical, so the (source, token)
+    // exchange is built once and reused (3 consumers), not rescanned
+    val st = docs(s, d).where($"source".isNotNull)
+      .select($"source", explode(tokens($"text")).as("token"))
+      .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
+    val stot = st.groupBy($"source").agg(sum($"c").as("n"))
+    val ct = st.groupBy($"token").agg(sum($"c").as("cc"))
+    val nn = ct.agg(sum($"cc").as("nn"))
+    st.join(stot, "source")
+      .join(broadcast(ct), "token")
+      .crossJoin(broadcast(nn))
+      .groupBy($"source", $"n")
+      .agg(round(sum(($"c" / $"n") * log(($"c" / $"n") / ($"cc" / $"nn"))), 6)
+        .as("kl_vs_corpus"))
+      .select($"source", $"n".as("n_tokens"), $"kl_vs_corpus")
+  }
+
+  val q90Sql: String =
+    raw"""WITH tok AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |       FROM documents WHERE source IS NOT NULL),
+      |st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+      |stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY 1),
+      |ct AS (SELECT token, CAST(sum(c) AS BIGINT) AS cc FROM st GROUP BY 1),
+      |ctot AS (SELECT CAST(sum(cc) AS BIGINT) AS nn FROM ct)
+      |SELECT st.source, stot.n AS n_tokens,
+      |       round(sum((st.c / CAST(stot.n AS DOUBLE))
+      |                 * ln((st.c / CAST(stot.n AS DOUBLE))
+      |                      / (ct.cc / CAST(ctot.nn AS DOUBLE)))), 6) AS kl_vs_corpus
+      |FROM st JOIN stot USING (source) JOIN ct USING (token) CROSS JOIN ctot
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_source_drift" -> (q90SourceDrift _),
     "q88_dedup_funnel" -> (q88DedupFunnel _),
     "q86_cross_source_dup" -> (q86CrossSourceDup _),
     "q87_zipf_slope" -> (q87ZipfSlope _),
@@ -1089,6 +1138,7 @@ object TextOps {
     "q78_collocations" -> (q78Collocations _))
 
   lazy val oracleSql: Map[String, String] = Map(
+    "q90_source_drift" -> q90Sql,
     "q88_dedup_funnel" -> q88Sql,
     "q86_cross_source_dup" -> q86Sql,
     "q87_zipf_slope" -> q87Sql,

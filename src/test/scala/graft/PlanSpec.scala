@@ -216,4 +216,14 @@ class PlanSpec extends SparkSpec {
     // never the corpus: the corpus-side aggregate must appear beneath it
     assert(plan.contains("Window"), plan)
   }
+
+  test("q90: source drift — the (source, token) term-frequency exchange is built " +
+    "once and REUSED by the totals/model/scalar branches: one corpus scan") {
+    val df = graft.functions.TextOps.q90SourceDrift(spark, sf0001)
+    df.collect() // reuse materializes in the final adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.linesIterator.count(_.contains("FileScan parquet")) == 1, finalPlan)
+    assert(finalPlan.linesIterator.count(_.contains("ReusedExchange")) >= 2, finalPlan)
+  }
 }
