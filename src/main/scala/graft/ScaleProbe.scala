@@ -141,6 +141,14 @@ object ScaleProbe {
     time(s"semdedup_${factor}x")(semdedup(embNDir))
     time("xsrc_dup_1x")(xsrc(sfDir))
     time(s"xsrc_dup_${factor}x")(xsrc(docsNDir))
+
+    // KL drift (q90): the per-copy token suffixing grows the VOCABULARY
+    // ~10x, so this probes the vocab-sized broadcast model path — the
+    // operator's scale-sensitive half (the tf shuffle is combiner-bound).
+    def drift(d: String): Long = TextOps.q90SourceDrift(spark, d).count()
+    drift(sfDir) // warm
+    time("kl_drift_1x")(drift(sfDir))
+    time(s"kl_drift_${factor}x")(drift(docsNDir))
     spark.stop()
   }
 }
