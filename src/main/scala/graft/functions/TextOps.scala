@@ -1112,7 +1112,49 @@ object TextOps {
       |FROM st JOIN stot USING (source) JOIN ct USING (token) CROSS JOIN ctot
       |GROUP BY 1, 2""".stripMargin
 
+  /** Per-document corpus-novelty score: the fraction of a doc's distinct
+    * word-3-gram shingles that are NOT corpus-common (document frequency
+    * ≥ 5) — the "how much of this doc is boilerplate the corpus already
+    * has" signal, the intra-corpus complement of q67's external
+    * contamination check and q56's intra-doc repetition. Docs under 3
+    * tokens have no shingles and are absent by definition (both
+    * engines). Shingles join on their 64-bit md5 prefix (the q31
+    * pattern: fixed-width keys keep the shuffle narrow; both engines
+    * hash identically so any collision is shared). Scale: one distinct
+    * (doc, shingle) shuffle, a combiner-friendly df count — a count per
+    * hot shingle, never a doc-list — and one hash-keyed join back;
+    * every stage is corpus-linear. */
+  def q91Novelty(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = docs(s, d)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", explode(expr(shinglesExpr)).as("shingle"))
+      .select($"doc_id", substring(md5($"shingle"), 1, 16).as("h"))
+      .distinct()
+    val df = sh.groupBy($"h").agg(count(lit(1)).as("df"))
+    sh.join(df, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           count(when($"df" >= 5, 1)).as("n_common"),
+           round(lit(1.0) - count(when($"df" >= 5, 1)) / count(lit(1)), 6)
+             .as("novelty"))
+  }
+
+  val q91Sql: String =
+    raw"""WITH sh AS (SELECT DISTINCT doc_id,
+      |    substring(md5(unnest(CASE WHEN len(toks) < 3 THEN []
+      |                ELSE [array_to_string(toks[i:i+2], ' ')
+      |                      FOR i IN generate_series(1, len(toks) - 2)] END)), 1, 16) AS h
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+      |df AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY h)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      |       CAST(count(*) FILTER (WHERE df >= 5) AS BIGINT) AS n_common,
+      |       round(1.0 - count(*) FILTER (WHERE df >= 5) / CAST(count(*) AS DOUBLE), 6)
+      |         AS novelty
+      |FROM sh JOIN df USING (h) GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_novelty" -> (q91Novelty _),
     "q90_source_drift" -> (q90SourceDrift _),
     "q88_dedup_funnel" -> (q88DedupFunnel _),
     "q86_cross_source_dup" -> (q86CrossSourceDup _),
@@ -1138,6 +1180,7 @@ object TextOps {
     "q78_collocations" -> (q78Collocations _))
 
   lazy val oracleSql: Map[String, String] = Map(
+    "q91_novelty" -> q91Sql,
     "q90_source_drift" -> q90Sql,
     "q88_dedup_funnel" -> q88Sql,
     "q86_cross_source_dup" -> q86Sql,

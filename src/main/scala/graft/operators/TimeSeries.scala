@@ -586,7 +586,38 @@ object TimeSeries {
       |FROM seq WHERE gap_s IS NOT NULL
       |GROUP BY event_type""".stripMargin
 
+  /** Per-user event-type entropy — the behavioral-diversity score (a
+    * bot/script whose traffic is one event type scores 0; uniform mix
+    * over k types scores ln k). Shape: one combiner shuffle builds the
+    * (user, type) counts; the per-user total is a WINDOW over that
+    * aggregated table (partitioned by user — no second pass, no join),
+    * and the final per-user sum reuses the same partitioning. Entropy
+    * terms sum over ≤|event types| rows per user, so the cross-engine
+    * float-order wobble is far under the 6 dp round. */
+  def q92UserEntropy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val st = Tables(s, d, "events")
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("c"))
+    val byUser = Window.partitionBy($"user_id")
+    st.withColumn("n", sum($"c").over(byUser))
+      .groupBy($"user_id", $"n")
+      .agg(round(sum(-($"c" / $"n") * log($"c" / $"n")), 6).as("type_entropy"))
+      .select($"user_id", $"n".as("n_events"), $"type_entropy")
+  }
+
+  val q92Sql: String =
+    """WITH st AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      |       FROM events GROUP BY 1, 2),
+      |w AS (SELECT user_id, c,
+      |             CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      |      FROM st)
+      |SELECT user_id, n AS n_events,
+      |       round(sum(-(c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))), 6)
+      |         AS type_entropy
+      |FROM w GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_user_entropy" -> (q92UserEntropy _),
     "q48_session_window" -> (q48SessionWindow _),
     "q49_asof_join" -> (q49AsofJoin _),
     "q50_sliding_window" -> (q50SlidingWindow _),
@@ -607,6 +638,7 @@ object TimeSeries {
     "q81_event_gaps" -> (q81EventGaps _))
 
   val oracleSql: Map[String, String] = Map(
+    "q92_user_entropy" -> q92Sql,
     "q48_session_window" -> q48Sql,
     "q49_asof_join" -> q49Sql,
     "q50_sliding_window" -> q50Sql,

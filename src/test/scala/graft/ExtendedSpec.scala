@@ -129,4 +129,21 @@ class ExtendedSpec extends SparkSpec {
     val got = df.agg(graft.functions.TypedAggregators.geometricMean($"x")).collect().head.getDouble(0)
     assert(math.abs(got - 10.0) < 1e-9) // geo-mean of 1,10,100; -5 and 0 skipped
   }
+
+  test("q92: event-type entropy — single-type users score 0, a uniform two-type " +
+    "mix scores ln 2, skewed mixes land strictly between") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-entropy").toString
+    (Seq((1L, "click"), (1L, "click"), (1L, "click"),
+         (2L, "click"), (2L, "view"),
+         (3L, "click"), (3L, "click"), (3L, "click"), (3L, "view")))
+      .map { case (u, t) => (u, t, 1.0, 1L) }
+      .toDF("user_id", "event_type", "value", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val out = operators.TimeSeries.q92UserEntropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((3L, 0.0)))
+    assert(out(2L)._1 == 2L && math.abs(out(2L)._2 - math.log(2)) < 1e-6)
+    assert(out(3L)._1 == 4L && out(3L)._2 > 0.0 && out(3L)._2 < math.log(2))
+  }
 }

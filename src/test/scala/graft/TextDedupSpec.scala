@@ -157,4 +157,21 @@ class TextDedupSpec extends SparkSpec {
     assert(seq.zip(seq.tail).forall { case (a, b) => a >= b }, s"not monotone: $out")
     assert(out("1_raw") > 0 && out("5_quality") > 0)
   }
+
+  test("q91: novelty — shingles shared by >= 5 docs count as corpus-common; a " +
+    "unique doc scores 1.0, verbatim copies score 0.0, short docs are absent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-novelty").toString
+    val boiler = "terms of service apply to all users"
+    ((1L to 5L).map(i => (i, boiler, "s")) ++ Seq(
+      (6L, "completely original text with rare words", "s"),
+      (7L, "too short", "s")))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.functions.TextOps.q91Novelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    (1L to 5L).foreach(i => assert(out(i)._3 == 0.0, s"copy $i should be all-common"))
+    assert(out(6L)._2 == 0L && out(6L)._3 == 1.0)
+    assert(!out.contains(7L), "2-token doc has no shingles and must be absent")
+  }
 }
