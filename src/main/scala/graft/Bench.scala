@@ -62,7 +62,7 @@ object Bench {
     // q67/q69/q88 reuse, so it must not race its own consumers.
     val heavy = Seq("q54_neardup_components", "q31_jaccard_pairs", "q72_tfidf",
       "q75_source_similarity", "q88_dedup_funnel", "q46_ivf_ann", "q77_surprisal",
-      "q57_top_tokens_per_lang", "q78_collocations", "q30_minhash_lsh",
+      "q57_top_tokens_per_lang", "q78_collocations", "q91_novelty", "q30_minhash_lsh",
       "q58_kmeans", "q60_funnel", "q48_session_window", "q16_dedup_rownumber",
       "q61_retention", "q62_salted_join", "q3_revenue_by_nation", "q4_semi_join",
       "q87_zipf_slope", "q36_label_centroid", "q34_ann_lsh", "q35_cosine_neardup",

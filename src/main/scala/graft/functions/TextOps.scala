@@ -1124,13 +1124,29 @@ object TextOps {
     * (doc, shingle) shuffle, a combiner-friendly df count — a count per
     * hot shingle, never a doc-list — and one hash-keyed join back;
     * every stage is corpus-linear. */
+  /** q91's distinct (doc, shingle-hash) view — the shingle explode is the
+    * expensive half, so it gets the same opt-in persisted-view treatment
+    * (`graft.cacheTables`) as the token/candidate/capped-set views. */
+  private val docShingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def docShingles(s: SparkSession, d: String): DataFrame = {
+    def build: DataFrame = {
+      import s.implicits._
+      docs(s, d)
+        .select($"doc_id", tokens($"text").as("toks"))
+        .select($"doc_id", explode(expr(shinglesExpr)).as("shingle"))
+        .select($"doc_id", substring(md5($"shingle"), 1, 16).as("h"))
+        .distinct()
+    }
+    if (sys.props.get("graft.cacheTables").contains("true")) {
+      docShingleCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      docShingleCache.getOrElseUpdate((s, d), build.persist())
+    } else build
+  }
+
   def q91Novelty(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = docs(s, d)
-      .select($"doc_id", tokens($"text").as("toks"))
-      .select($"doc_id", explode(expr(shinglesExpr)).as("shingle"))
-      .select($"doc_id", substring(md5($"shingle"), 1, 16).as("h"))
-      .distinct()
+    val sh = docShingles(s, d)
     val df = sh.groupBy($"h").agg(count(lit(1)).as("df"))
     sh.join(df, "h")
       .groupBy($"doc_id")
