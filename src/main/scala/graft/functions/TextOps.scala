@@ -31,11 +31,24 @@ object TextOps {
       |END""".stripMargin
 
   /** Exploded (doc_id, shingle) rows, duplicates included. */
+  /** The raw (doc_id, shingle) multiset — the shared base of the whole
+    * near-dup family (q30's signatures, q31's capped sets, q91's novelty
+    * view). Under `graft.cacheTables` the explode itself is persisted
+    * once per (session, path), so the three consumers' derived views all
+    * build off one corpus pass instead of re-exploding. */
+  private val rawShingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def rawShingles(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    docs(s, d)
-      .select($"doc_id", tokens($"text").as("toks"))
-      .select($"doc_id", explode(expr(shinglesExpr)).as("shingle"))
+    def build: DataFrame = {
+      import s.implicits._
+      docs(s, d)
+        .select($"doc_id", tokens($"text").as("toks"))
+        .select($"doc_id", explode(expr(shinglesExpr)).as("shingle"))
+    }
+    if (sys.props.get("graft.cacheTables").contains("true")) {
+      rawShingleCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      rawShingleCache.getOrElseUpdate((s, d), build.persist())
+    } else build
   }
 
   /** DuckDB-side shingle CTE: DISTINCT (doc_id, shingle) sets (list
@@ -1132,9 +1145,7 @@ object TextOps {
   private def docShingles(s: SparkSession, d: String): DataFrame = {
     def build: DataFrame = {
       import s.implicits._
-      docs(s, d)
-        .select($"doc_id", tokens($"text").as("toks"))
-        .select($"doc_id", explode(expr(shinglesExpr)).as("shingle"))
+      rawShingles(s, d)
         .select($"doc_id", substring(md5($"shingle"), 1, 16).as("h"))
         .distinct()
     }
