@@ -146,9 +146,12 @@ object ScaleProbe {
     // ~10x, so this probes the vocab-sized broadcast model path — the
     // operator's scale-sensitive half (the tf shuffle is combiner-bound).
     def drift(d: String): Long = TextOps.q90SourceDrift(spark, d).count()
-    drift(sfDir) // warm
+    def novelty(d: String): Long = TextOps.q91Novelty(spark, d).count()
+    drift(sfDir); novelty(sfDir) // warm
     time("kl_drift_1x")(drift(sfDir))
     time(s"kl_drift_${factor}x")(drift(docsNDir))
+    time("novelty_1x")(novelty(sfDir))
+    time(s"novelty_${factor}x")(novelty(docsNDir))
     spark.stop()
   }
 }

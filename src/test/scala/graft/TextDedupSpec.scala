@@ -174,4 +174,25 @@ class TextDedupSpec extends SparkSpec {
     assert(out(6L)._2 == 0L && out(6L)._3 == 1.0)
     assert(!out.contains(7L), "2-token doc has no shingles and must be absent")
   }
+
+  test("q90: KL drift is exact on a hand corpus — every source concentrates its " +
+    "share by a constant factor, so KL reduces to ln of that factor") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    // srcA = srcB (identical distributions), srcC vocabulary-disjoint with
+    // the same SHAPE. Every source holds 1/3 of the tokens, so each of its
+    // tokens is exactly k-times likelier in-source than in-corpus:
+    //   A/B: p_s(t)/p_c(t) = 3/2 for every t  -> KL = ln 1.5
+    //   C:   p_s(t)/p_c(t) = 3   for every t  -> KL = ln 3
+    val common = "alpha beta gamma alpha beta alpha"
+    Seq((1L, common, "srcA"), (2L, common, "srcB"),
+        (3L, "delta epsilon zeta delta epsilon delta", "srcC"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.functions.TextOps.q90SourceDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("srcA") == out("srcB"))
+    assert(math.abs(out("srcA") - math.log(1.5)) < 1e-6, s"srcA ${out("srcA")}")
+    assert(math.abs(out("srcC") - math.log(3)) < 1e-6, s"srcC ${out("srcC")}")
+  }
 }
