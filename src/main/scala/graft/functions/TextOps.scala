@@ -310,6 +310,9 @@ object TextOps {
     // table) collapses to two chained codegen explodes; ids sorted
     // ascending makes doc_a < doc_b by construction
     val shared = sets
+      // singleton shingles (the vast majority) yield no pairs — drop them
+      // BEFORE the double explode instead of materializing their rows
+      .where(size($"ids") >= 2)
       .select($"ids", posexplode($"ids").as(Seq("i", "doc_a")))
       .select($"doc_a", explode(slice($"ids", $"i" + lit(2), size($"ids"))).as("doc_b"))
       .groupBy($"doc_a", $"doc_b")
