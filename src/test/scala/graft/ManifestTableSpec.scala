@@ -315,4 +315,21 @@ class ManifestTableSpec extends SparkSpec {
     assert(Files.notExists(Paths.get(root, "manifest-v1.json")))
     assert(Files.exists(Paths.get(root, "manifest-v3.json")))
   }
+
+  test("two writers merging DIFFERENT partitions concurrently both land: commits " +
+    "serialize, versions are distinct, and no partition's rows are lost") {
+    val root = Files.createTempDirectory("graft-manifest-conc").toString
+    val key = Seq("id", "day")
+    ManifestTable.mergePartitioned(pdf((1L, "d1", "a"), (2L, "d2", "b")), root, key, "day")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val w1 = Future(ManifestTable.mergePartitioned(pdf((1L, "d1", "A2")), root, key, "day"))
+    val w2 = Future(ManifestTable.mergePartitioned(pdf((3L, "d3", "c")), root, key, "day"))
+    val (v1, v2) = (Await.result(w1, Duration.Inf), Await.result(w2, Duration.Inf))
+    assert(Set(v1, v2) == Set(2, 3), s"writers must take distinct versions, got $v1/$v2")
+    assert(ManifestTable.currentVersion(root) == 3)
+    assert(readPSet(root) == Set((1L, "d1", "A2"), (2L, "d2", "b"), (3L, "d3", "c")),
+      "both writers' partitions and the untouched one must all survive")
+  }
 }
