@@ -278,4 +278,16 @@ class CurationSpec extends SparkSpec {
     assert(r.getString(0) == "solo" && r.getLong(1) == 100L)
     assert(r.getDouble(2) == 50.0 && r.getDouble(3) == 0.5)
   }
+
+  test("q67: a benchmark entry that is not a word-3-gram is rejected at the " +
+    "boundary (both match paths only agree on 3-token shingles)") {
+    import graft.functions.CurationOps._
+    val dir = fixture(1L -> "alpha beta gamma delta")
+    assertThrows[IllegalArgumentException] {
+      contamination(spark, dir, Seq("alpha beta"))
+    }
+    assertThrows[IllegalArgumentException] {
+      contamination(spark, dir, Seq("alpha beta gamma delta"))
+    }
+  }
 }
