@@ -130,10 +130,16 @@ object CurationOps {
     val ngrams = benchmark.distinct
     // The contract is word-3-grams: the large-list path joins against
     // 3-token shingles, so a 2- or 4-token entry would silently match on
-    // the probe path only (ADVICE r5). Reject it at the boundary.
-    require(ngrams.forall(_.trim.split("\\s+").length == 3),
+    // the probe path only (ADVICE r5). Reject it at the boundary, naming
+    // the offenders so a misconfigured benchmark list is fixable from
+    // the error alone (ADVICE r6).
+    val badEntries = ngrams.filterNot(_.trim.split("\\s+").length == 3)
+    require(badEntries.isEmpty,
       "contamination: every benchmark entry must be exactly 3 whitespace-" +
-        "separated tokens (the shingle width both paths match against)")
+        "separated tokens (the shingle width both paths match against); " +
+        s"offending entries (${badEntries.size}): " +
+        badEntries.take(5).map(e => s"'$e'").mkString(", ") +
+        (if (badEntries.size > 5) ", ..." else ""))
     if (ngrams.size <= CompiledContaminationMaxNgrams) {
       val padded = concat(lit(" "), concat_ws(" ", TextOps.tokens($"text")), lit(" "))
       val hits = ngrams

@@ -53,41 +53,97 @@ object ManifestTable {
     * `partition<TAB>path`; a line without a tab is a legacy
     * path-only entry (partition "").
     *
-    * FORMAT VERSIONING (ADVICE r5): manifests whose first line is
+    * FORMAT VERSIONING (ADVICE r5/r6): manifests whose first line is
     * [[FormatHeader]] store escaped keys as written. Headerless manifests
-    * predate the escaped-key change and stored PLAIN keys — re-escaping
-    * them on read migrates them, so a legacy value that merely looks
-    * escaped ("100%25") is never double-unescaped into "100%" and missed
-    * by the touched-set compare, and compact() can't see the same value
-    * as two distinct partitions. Safe because data file paths never
-    * contain tabs and always start with "data/", never '#'. */
+    * come from TWO earlier generations and must be disambiguated on read:
+    *
+    *  - the OLDEST writer stored PLAIN keys — migrating them means
+    *    escaping, so a legacy value that merely looks escaped ("100%25")
+    *    is never double-unescaped into "100%" and missed by the
+    *    touched-set compare;
+    *  - the IMMEDIATELY-PRIOR writer already stored ESCAPED keys (the
+    *    raw `__part=` dir suffix) without the header — escaping those
+    *    AGAIN double-escapes ("a%3Ab" → "a%253Ab"), and isTouched's
+    *    single unescape then misses the partition (ADVICE r6 high).
+    *
+    * Disambiguation is PER MANIFEST: the escaped-era writer can only
+    * emit keys in escapePathName's image (no raw escapable char, every
+    * '%' starting a two-hex-digit sequence), so a single key outside
+    * that image proves the whole manifest plain-era → escape ALL its
+    * keys. With no such evidence the manifest defaults to the newer
+    * escaped-era interpretation and keys pass through unchanged.
+    * Residual ambiguity, accepted and documented: an all-plain-era
+    * manifest whose every key happens to parse as valid escapes (a lone
+    * "100%25" table) reads as the escaped value — tables from that
+    * generation with only such values need a one-time rewrite.
+    * Safe because data file paths never contain tabs and always start
+    * with "data/", never '#'. */
   private[graft] val FormatHeader = "#graft-manifest-v2"
+
+  /** True iff `s` could be escapePathName output: no raw escapable
+    * char, and every '%' begins a two-hex-digit escape. */
+  private[graft] def isValidEscapedForm(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%') {
+        if (i + 2 >= s.length ||
+            Character.digit(s.charAt(i + 1), 16) < 0 ||
+            Character.digit(s.charAt(i + 2), 16) < 0) return false
+        i += 3
+      } else if (c < 128 && escapeChars.get(c.toInt)) return false
+      else i += 1
+    }
+    true
+  }
 
   private def listedEntries(root: String, v: Int): Seq[(String, String)] = {
     val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
       .map(_.trim).filter(_.nonEmpty)
     val v2 = lines.headOption.contains(FormatHeader)
-    (if (v2) lines.tail else lines)
+    val parsed = (if (v2) lines.tail else lines)
       .map { line =>
         line.indexOf('\t') match {
           case -1 => ("", line)
           case i  => (line.substring(0, i), line.substring(i + 1))
         }
       }
-      .map { case (p, rel) =>
-        (if (v2 || p.isEmpty) p else escapePathName(p), rel)
-      }
+    val plainEra = !v2 &&
+      parsed.exists { case (p, _) => p.nonEmpty && !isValidEscapedForm(p) }
+    if (plainEra)
+      parsed.map { case (p, rel) => (if (p.isEmpty) p else escapePathName(p), rel) }
+    else parsed
   }
 
   /** The commit point, shared by all writers: write the manifest for
     * version `v`, then atomically replace the current pointer. A crash
     * before the final move leaves the previous version intact and only
-    * unreferenced garbage behind. */
+    * unreferenced garbage behind.
+    *
+    * Version allocation is cross-process safe via CREATE_NEW (O_EXCL):
+    * within one JVM the `synchronized` writers serialize, and a writer
+    * in ANOTHER process that raced to the same version fails loudly at
+    * the manifest write — before the pointer moves — instead of silently
+    * overwriting the winner's manifest (ADVICE r6). The loser re-reads
+    * the new current version and re-runs its merge (optimistic
+    * concurrency). A writer that crashes between manifest write and
+    * pointer move leaves an orphan manifest at v > current that blocks
+    * that version number; [[vacuum]] clears such orphans. On an object
+    * store the same slot is a conditional PUT (if-none-match). */
   private def commitEntries(root: String, v: Int, entries: Seq[(String, String)]): Int = {
     require(entries.nonEmpty, s"commit of v$v at $root lists no data files")
     Files.createDirectories(Paths.get(root))
-    Files.writeString(manifestPath(root, v),
-      (FormatHeader +: entries.sorted.map { case (p, f) => s"$p\t$f" }).mkString("\n"))
+    try {
+      Files.writeString(manifestPath(root, v),
+        (FormatHeader +: entries.sorted.map { case (p, f) => s"$p\t$f" }).mkString("\n"),
+        java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"commit of v$v at $root lost a race: manifest-v$v.json already exists " +
+            "(a concurrent writer committed it, or a crashed writer left an orphan " +
+            "- vacuum() clears orphans). Re-read the current version and retry the merge.")
+    }
     // the commit point: an atomic single-file replace of the pointer
     val tmp = Paths.get(root, s"_current.tmp-v$v")
     Files.writeString(tmp, v.toString)
@@ -318,7 +374,11 @@ object ManifestTable {
   }
 
   /** Drop data files and manifests not referenced by the newest
-    * `keepVersions` snapshots. Never touches the current pointer. */
+    * `keepVersions` snapshots, plus ORPHAN manifests above the current
+    * version (left by a writer that crashed between manifest write and
+    * pointer move, or lost a cross-process race — they would otherwise
+    * block their version number forever under the CREATE_NEW commit
+    * protocol). Never touches the current pointer. */
   def vacuum(root: String, keepVersions: Int = 1): Unit = synchronized {
     val cur = currentVersion(root)
     if (cur < 1) return
@@ -334,6 +394,14 @@ object ManifestTable {
     }
     (1 until keep.start).foreach { v =>
       Files.deleteIfExists(manifestPath(root, v))
+    }
+    // orphans: manifest-vN.json with N > current was never committed
+    val Orphan = raw"manifest-v(\d+)\.json".r
+    Option(new File(root).listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case Orphan(n) if n.toInt > cur => Files.delete(f.toPath)
+        case _                          =>
+      }
     }
   }
 }

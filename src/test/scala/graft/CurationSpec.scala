@@ -280,14 +280,18 @@ class CurationSpec extends SparkSpec {
   }
 
   test("q67: a benchmark entry that is not a word-3-gram is rejected at the " +
-    "boundary (both match paths only agree on 3-token shingles)") {
+    "boundary (both match paths only agree on 3-token shingles), and the " +
+    "error names the offending entries") {
     import graft.functions.CurationOps._
     val dir = fixture(1L -> "alpha beta gamma delta")
-    assertThrows[IllegalArgumentException] {
-      contamination(spark, dir, Seq("alpha beta"))
+    val e1 = intercept[IllegalArgumentException] {
+      contamination(spark, dir, Seq("alpha beta", "ok three gram"))
     }
-    assertThrows[IllegalArgumentException] {
+    assert(e1.getMessage.contains("'alpha beta'"), s"must name the offender: ${e1.getMessage}")
+    assert(!e1.getMessage.contains("'ok three gram'"), "must not name valid entries")
+    val e2 = intercept[IllegalArgumentException] {
       contamination(spark, dir, Seq("alpha beta gamma delta"))
     }
+    assert(e2.getMessage.contains("'alpha beta gamma delta'"))
   }
 }

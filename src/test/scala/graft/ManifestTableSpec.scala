@@ -41,7 +41,13 @@ class ManifestTableSpec extends SparkSpec {
 
     assert(ManifestTable.currentVersion(root) == 1) // pointer never moved
     assert(readSet(root) == Set(1L -> "a"))
-    // the next writer simply commits over the debris
+    // CREATE_NEW makes the next writer fail LOUDLY on the debris (it
+    // can't tell a dead writer from a racing one); vacuum is the
+    // documented recovery, after which the merge lands normally
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.merge(df(2L -> "b"), root, Seq("id"))
+    }
+    ManifestTable.vacuum(root)
     ManifestTable.merge(df(2L -> "b"), root, Seq("id"))
     assert(readSet(root) == Set(1L -> "a", 2L -> "b"))
   }
@@ -140,7 +146,12 @@ class ManifestTableSpec extends SparkSpec {
 
     assert(ManifestTable.currentVersion(root) == 1)
     assert(readPSet(root) == Set((1L, "d1", "a"), (2L, "d2", "b")))
-    // next writer commits over the debris; untouched d2 still referenced
+    // CREATE_NEW: the next writer fails loudly on the debris; vacuum
+    // recovers, then the merge lands and untouched d2 stays referenced
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.mergePartitioned(pdf((1L, "d1", "A")), root, key, "day")
+    }
+    ManifestTable.vacuum(root)
     ManifestTable.mergePartitioned(pdf((1L, "d1", "A")), root, key, "day")
     assert(ManifestTable.currentVersion(root) == 2)
     assert(readPSet(root) == Set((1L, "d1", "A"), (2L, "d2", "b")))
@@ -282,9 +293,14 @@ class ManifestTableSpec extends SparkSpec {
     // "100%25" is a plain value containing a %XX-looking sequence — the
     // ADVICE r5 trap: a legacy manifest stored it verbatim, and an
     // unconditional unescape would read it back as "100%" and miss the
-    // touched set, leaving stale rows next to the merged ones.
+    // touched set, leaving stale rows next to the merged ones. The raw
+    // ':' value is the PLAIN-ERA EVIDENCE (ADVICE r6): the escaped-era
+    // headerless writer could never emit a raw escapable char, so its
+    // presence classifies the whole manifest as plain-era and "100%25"
+    // is escaped (not passed through as if it meant "100%").
     ManifestTable.mergePartitioned(
-      pdf((1L, "100%25", "old"), (2L, "plain", "keep")), root, key, "day")
+      pdf((1L, "100%25", "old"), (2L, "plain", "keep"), (3L, "e:f", "keep2")),
+      root, key, "day")
     // rewrite manifest-v1 as a legacy writer would have: no format header,
     // partition keys in PLAIN (unescaped) form
     val m1 = Paths.get(root, "manifest-v1.json")
@@ -295,13 +311,60 @@ class ManifestTableSpec extends SparkSpec {
         s"${ManifestTable.unescapePathName(p)}\t$rel"
       }.mkString("\n")
     assert(legacy.contains("100%25\t"), "fixture must exercise the plain %XX-looking key")
+    assert(legacy.contains("e:f\t"), "fixture must carry plain-era evidence (raw ':')")
     Files.writeString(m1, legacy)
 
     ManifestTable.mergePartitioned(pdf((1L, "100%25", "new")), root, key, "day")
-    assert(readPSet(root) == Set((1L, "100%25", "new"), (2L, "plain", "keep")),
+    assert(readPSet(root) ==
+      Set((1L, "100%25", "new"), (2L, "plain", "keep"), (3L, "e:f", "keep2")),
       "legacy partition must be recognized as touched — no stale duplicate row")
     // and compact() sees legacy + new entries of one value as ONE partition
     assert(ManifestTable.read(spark, root).where("day = '100%25'").count() == 1)
+  }
+
+  test("an ESCAPED-era headerless manifest (the r5 writer, pre-header) is NOT " +
+    "re-escaped: a ':'-valued partition still merges instead of going stale") {
+    val root = Files.createTempDirectory("graft-manifest-eschl").toString
+    val key = Seq("id", "day")
+    // ADVICE r6 high: the immediately-prior format wrote headerless
+    // manifests with ESCAPED keys ("a:b" stored as "a%3Ab"). Re-escaping
+    // those on read double-escapes ("a%253Ab"), isTouched's single
+    // unescape misses the partition, and mergePartitioned leaves the old
+    // row next to the merged one. With no raw-escapable evidence the
+    // manifest must default to the escaped-era interpretation.
+    ManifestTable.mergePartitioned(
+      pdf((1L, "a:b", "old"), (2L, "plain", "keep")), root, key, "day")
+    val m1 = Paths.get(root, "manifest-v1.json")
+    // simulate the escaped-era writer: strip ONLY the header, keys stay escaped
+    val headerless = Files.readAllLines(m1).toArray.map(_.toString)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).mkString("\n")
+    assert(headerless.contains("a%3Ab\t"), "fixture must exercise an escaped-era key")
+    Files.writeString(m1, headerless)
+
+    ManifestTable.mergePartitioned(pdf((1L, "a:b", "new")), root, key, "day")
+    assert(readPSet(root) == Set((1L, "a:b", "new"), (2L, "plain", "keep")),
+      "escaped-era partition must be recognized as touched — no stale duplicate row")
+    assert(ManifestTable.read(spark, root).where("day = 'a:b'").count() == 1,
+      "compact/read must see one partition, not a plain and a double-escaped twin")
+  }
+
+  test("a lost cross-process race or crashed writer's orphan manifest makes the " +
+    "next commit fail loudly (CREATE_NEW), and vacuum clears the orphan") {
+    val root = Files.createTempDirectory("graft-manifest-orphan").toString
+    val key = Seq("id", "day")
+    ManifestTable.mergePartitioned(pdf((1L, "d1", "a")), root, key, "day")
+    // simulate a writer that died between manifest write and pointer move
+    Files.writeString(Paths.get(root, "manifest-v2.json"),
+      s"${ManifestTable.FormatHeader}\nd9\tdata/v2/ghost.parquet")
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.mergePartitioned(pdf((2L, "d2", "b")), root, key, "day")
+    }
+    assert(ex.getMessage.contains("manifest-v2.json"))
+    assert(ManifestTable.currentVersion(root) == 1, "failed commit must not move the pointer")
+    ManifestTable.vacuum(root)
+    assert(Files.notExists(Paths.get(root, "manifest-v2.json")), "vacuum clears orphans")
+    ManifestTable.mergePartitioned(pdf((2L, "d2", "b")), root, key, "day")
+    assert(readPSet(root) == Set((1L, "d1", "a"), (2L, "d2", "b")))
   }
 
   test("vacuum keeps the newest snapshots readable and drops unreferenced files") {
@@ -316,8 +379,9 @@ class ManifestTableSpec extends SparkSpec {
     assert(Files.exists(Paths.get(root, "manifest-v3.json")))
   }
 
-  test("two writers merging DIFFERENT partitions concurrently both land: commits " +
-    "serialize, versions are distinct, and no partition's rows are lost") {
+  test("two SAME-PROCESS writers merging different partitions concurrently both " +
+    "land: the JVM-local synchronized serializes them (cross-process safety is " +
+    "the CREATE_NEW fail-loudly protocol, covered by the orphan spec above)") {
     val root = Files.createTempDirectory("graft-manifest-conc").toString
     val key = Seq("id", "day")
     ManifestTable.mergePartitioned(pdf((1L, "d1", "a"), (2L, "d2", "b")), root, key, "day")
