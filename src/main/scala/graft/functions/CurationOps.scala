@@ -495,7 +495,71 @@ object CurationOps {
       |             / toks, 6) AS keep_frac
       |FROM lv CROSS JOIN sat""".stripMargin
 
+  /** q96 — TEMPERATURE-weighted corpus resampling (the multilingual /
+    * multi-source mixing rule: keep probability ∝ tokens^τ with τ = 0.5,
+    * the standard up-weight-the-tail recipe), realized DETERMINISTICALLY
+    * at doc level: a doc survives iff its content-independent md5 bucket
+    * (q55's machinery) falls under its source's keep-rate — stable
+    * across runs, machines and engines; no rand(), no sampling drift.
+    * Single-shot allocation at half the corpus token budget, capped at
+    * keep-everything per source (q89's water-filling is the exact
+    * re-allocating variant; this is its cheap stochastic-realization
+    * companion — together they are the plan and the execution of a mix).
+    *
+    * 100 TB shape: one corpus scan builds (source, tokens) totals with
+    * map-side combine; the rate table is catalog-sized and broadcast
+    * back; the doc-level filter is a pure per-row predicate at scan
+    * speed. τ = 0.5 means weights are sqrt(n) — exact in both engines.
+    *
+    * Note on 0.5·ntot: Spark computes the budget as DOUBLE both sides;
+    * token totals are < 2^53, so the product is exact. */
+  def q96TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = docs(s, d).select(
+      $"source",
+      size(TextOps.tokens($"text")).cast("long").as("n_tokens"),
+      (conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10).cast("long")
+        / 65536.0).as("u"))
+    val bySrc = t.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("src_tokens"))
+    val tot = bySrc.agg(
+      sum(sqrt($"src_tokens".cast("double"))).as("sw"),
+      sum($"src_tokens").cast("double").as("ntot"))
+    val rates = bySrc.crossJoin(broadcast(tot))
+      .withColumn("keep_rate",
+        least(lit(1.0),
+          sqrt($"src_tokens".cast("double")) / $"sw" * (lit(0.5) * $"ntot") / $"src_tokens"))
+    val kept = t.join(broadcast(rates.select($"source", $"keep_rate")), "source")
+      .where($"u" < $"keep_rate")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_tokens").as("kept_tokens"))
+    rates.join(kept, Seq("source"), "left")
+      .select($"source", $"n_docs", $"src_tokens",
+        round($"keep_rate", 6).as("keep_rate"),
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"kept_tokens", lit(0L)).as("kept_tokens"))
+  }
+
+  val q96Sql: String =
+    raw"""WITH t AS (SELECT source,
+      |             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) / 65536.0 AS u
+      |           FROM documents),
+      |s AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+      |      FROM t GROUP BY 1),
+      |g AS (SELECT sum(sqrt(CAST(src_tokens AS DOUBLE))) AS sw,
+      |             CAST(sum(src_tokens) AS DOUBLE) AS ntot FROM s),
+      |r AS (SELECT source, n_docs, src_tokens,
+      |             least(1.0, sqrt(CAST(src_tokens AS DOUBLE)) / sw * (0.5 * ntot) / src_tokens) AS keep_rate
+      |      FROM s CROSS JOIN g),
+      |k AS (SELECT t.source, count(*) AS n_kept, CAST(sum(t.n_tokens) AS BIGINT) AS kept_tokens
+      |      FROM t JOIN r USING (source) WHERE t.u < r.keep_rate GROUP BY 1)
+      |SELECT r.source, r.n_docs, r.src_tokens, round(r.keep_rate, 6) AS keep_rate,
+      |       COALESCE(k.n_kept, 0) AS n_kept, COALESCE(k.kept_tokens, 0) AS kept_tokens
+      |FROM r LEFT JOIN k USING (source)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_temperature_mix" -> (q96TemperatureMix _),
     "q89_corpus_mix" -> (q89CorpusMix _),
     "q84_curriculum" -> (q84Curriculum _),
     "q85_pack_efficiency" -> (q85PackEfficiency _),
@@ -509,6 +573,7 @@ object CurationOps {
     "q74_quality_sample" -> (q74QualitySample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q96_temperature_mix" -> q96Sql,
     "q89_corpus_mix" -> q89Sql,
     "q84_curriculum" -> q84Sql,
     "q85_pack_efficiency" -> q85Sql,

@@ -184,12 +184,20 @@ object TextOps {
     * LSH shape at 1/8 the hash work and 1/8 the shuffle width — at 100 TB
     * the bucket cardinality keeps the self-join shuffle fine-grained, and
     * no pairwise work happens outside colliding buckets (the LSH point). */
-  def q30MinHashLsh(s: SparkSession, d: String): DataFrame = {
+  /** The 8-slice MinHash signature per doc (q30's construction, shared
+    * with the q95 calibration): one md5 per shingle, 8 disjoint 4-hex
+    * (16-bit) slices, min per slice. min() is dedup-invariant — no
+    * distinct shuffle before the groupBy. */
+  private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // min() is dedup-invariant — no distinct shuffle before the groupBy
     val sh = rawShingles(s, d).withColumn("h", md5($"shingle"))
     val mins = (0 until 8).map(i => min(substring($"h", 1 + 4 * i, 4)).as(s"h$i"))
-    val sig = sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  def q30MinHashLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sig = minhashSignatures(s, d)
     val bands = sig.selectExpr("doc_id",
       "stack(4, 0, concat(h0, h1), 1, concat(h2, h3), 2, concat(h4, h5), 3, concat(h6, h7)) AS (band, bucket)")
     // merge-join hint: at corpus scale the signature table (4 rows/doc)
@@ -341,6 +349,94 @@ object TextOps {
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE n_shared / (sa.n + sb.n - n_shared) >= 0.10""".stripMargin
+
+  /** q95 — MinHash CALIBRATION: for every q30 candidate pair, the
+    * estimated Jaccard (fraction of the 8 signature slices that agree)
+    * next to the EXACT distinct-shingle Jaccard, bucketed by exact-decile
+    * with the mean absolute estimation error per bucket. This is the
+    * "measure, don't guess" audit of the near-dup sketch: it tells a
+    * pipeline operator how much the 8-slice signature under/over-counts
+    * at each similarity level, i.e. what a q30/q54 threshold actually
+    * means in true-Jaccard terms.
+    *
+    * 100 TB shape: everything is candidate-bounded. The exact-Jaccard
+    * side never goes all-pairs — the candidate list (duplicate-sized,
+    * tiny next to the corpus) broadcasts into two joins against the
+    * distinct (doc, shingle-hash) view, so intersection work is
+    * O(candidates · shingles-per-doc); sizes and signatures are one
+    * combiner-friendly aggregation each. Internal keys use xxhash64 (the
+    * output carries no hash values; the oracle's md5-prefix keys build
+    * the same sets — both collision-free at these cardinalities). */
+  def q95MinhashCalibration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cand = candidatePairs(s, d)
+    // ONE distinct (doc, shingle-md5) view feeds signatures, set sizes
+    // AND intersections — min is dedup-invariant, so distinct-first
+    // leaves the q30 signature unchanged, and signature + size collapse
+    // into a single aggregate. The distinct's exchange is the only
+    // corpus-wide shuffle; its three consumers reuse it.
+    val shd = rawShingles(s, d).select($"doc_id", md5($"shingle").as("h")).distinct()
+    val aggCols = (0 until 8).map(i => min(substring($"h", 1 + 4 * i, 4)).as(s"h$i")) :+
+      count(lit(1)).as("n")
+    val stats = shd.groupBy($"doc_id").agg(aggCols.head, aggCols.tail: _*)
+    val statsA = stats.toDF(stats.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+    val statsB = stats.toDF(stats.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+    val inter = cand
+      .join(shd.toDF("doc_a", "h"), "doc_a")
+      .join(shd.toDF("doc_b", "h"), Seq("doc_b", "h"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_shared"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_shared", coalesce($"n_shared", lit(0L)))
+      .join(statsA, "doc_a").join(statsB, "doc_b")
+      .withColumn("est",
+        (0 until 8).map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+          .reduce(_ + _) / lit(8.0))
+      .withColumn("exact", $"n_shared" / ($"a_n" + $"b_n" - $"n_shared"))
+      .groupBy((floor($"exact" * 10) / 10.0).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg($"exact"), 6).as("mean_exact"),
+        round(avg($"est"), 6).as("mean_est"),
+        round(avg(abs($"est" - $"exact")), 6).as("mae"))
+  }
+
+  val q95Sql: String =
+    s"""WITH $shingleCte,
+      |hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+      |sig AS (SELECT doc_id,
+      |  min(substring(h, 1, 4)) h0, min(substring(h, 5, 4)) h1,
+      |  min(substring(h, 9, 4)) h2, min(substring(h, 13, 4)) h3,
+      |  min(substring(h, 17, 4)) h4, min(substring(h, 21, 4)) h5,
+      |  min(substring(h, 25, 4)) h6, min(substring(h, 29, 4)) h7
+      |  FROM hashed GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, h0 || h1 AS bucket FROM sig
+      |  UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+      |  UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+      |  UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |est AS (SELECT c.doc_a, c.doc_b,
+      |  ((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END)
+      |   + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END)
+      |   + (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END) + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END)
+      |   + (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END) + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END)) / 8.0 AS est
+      |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b),
+      |hd AS (SELECT DISTINCT doc_id, substring(md5(shingle), 1, 16) AS sh16 FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM hd GROUP BY 1),
+      |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+      |          FROM cand c JOIN hd a ON a.doc_id = c.doc_a
+      |                      JOIN hd b ON b.doc_id = c.doc_b AND b.sh16 = a.sh16
+      |          GROUP BY 1, 2),
+      |ex AS (SELECT e.doc_a, e.doc_b, e.est,
+      |         COALESCE(i.n_shared, 0) / (sa.n + sb.n - COALESCE(i.n_shared, 0)) AS exact
+      |       FROM est e LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+      |       JOIN sizes sa ON sa.doc_id = e.doc_a JOIN sizes sb ON sb.doc_id = e.doc_b)
+      |SELECT floor(exact * 10) / 10.0 AS bucket, count(*) AS n_pairs,
+      |       round(avg(exact), 6) AS mean_exact, round(avg(est), 6) AS mean_est,
+      |       round(avg(abs(est - exact)), 6) AS mae
+      |FROM ex GROUP BY 1""".stripMargin
 
   /** SimHash: 16-bit signature; bit i is the sign of the sum over distinct
     * tokens of ±1 by the i-th md5 nibble's high bit. Groups by signature
@@ -1185,6 +1281,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_novelty" -> (q91Novelty _),
+    "q95_minhash_calibration" -> (q95MinhashCalibration _),
     "q90_source_drift" -> (q90SourceDrift _),
     "q88_dedup_funnel" -> (q88DedupFunnel _),
     "q86_cross_source_dup" -> (q86CrossSourceDup _),
@@ -1211,6 +1308,7 @@ object TextOps {
 
   lazy val oracleSql: Map[String, String] = Map(
     "q91_novelty" -> q91Sql,
+    "q95_minhash_calibration" -> q95Sql,
     "q90_source_drift" -> q90Sql,
     "q88_dedup_funnel" -> q88Sql,
     "q86_cross_source_dup" -> q86Sql,

@@ -499,7 +499,63 @@ object VectorOps {
       |FROM n LEFT JOIN dup d USING (vec_id)
       |GROUP BY label""".stripMargin
 
+  /** Embedding table width; the synthetic corpus and the reference's
+    * vectors are fixed-width, so the per-dim aggregate can be laid out
+    * as columns at plan time. */
+  val EmbeddingDims = 64
+
+  /** Per-dimension embedding statistics (mean / std / min / max for all
+    * 64 dims) — the whitening / mean-centering precursor (the
+    * "all-but-the-top" family of embedding postprocessors starts from
+    * exactly these moments) and the drift monitor for an embedding
+    * pipeline.
+    *
+    * 100 TB shape: NOT posexplode (that shuffles n·64 rows through one
+    * exchange to build 64 groups — all the data, 64 reducers). Instead
+    * 4·64 scalar aggregates over the array columns: map-side partial
+    * merge reduces every task to ONE 257-value row, the exchange moves
+    * task-count rows, and the (dim, stats) pivot happens on the single
+    * aggregated row via one explode. Std uses the moment identity
+    * E[x²]−E[x]² (guarded at 0), matching the oracle's formula exactly
+    * rather than trusting two engines' Welford variants to agree in the
+    * last bit. */
+  def q93DimStats(s: SparkSession, d: String): DataFrame =
+    dimStats(s, d, EmbeddingDims)
+
+  /** Parameterized per-dim stats (q93's shape, any fixed width). */
+  def dimStats(s: SparkSession, d: String, dims: Int): DataFrame = {
+    import s.implicits._
+    val aggs = (0 until dims).flatMap { i =>
+      val x = $"v" (i)
+      Seq(sum(x).as(s"s$i"), sum(x * x).as(s"q$i"),
+        min(x).as(s"mn$i"), max(x).as(s"mx$i"))
+    } :+ count(lit(1)).as("n")
+    val one = emb(s, d).agg(aggs.head, aggs.tail: _*)
+    val packed = array((0 until dims).map { i =>
+      val mean = col(s"s$i") / col("n")
+      struct(
+        lit(i.toLong).as("dim"),
+        round(mean, 6).as("mean"),
+        round(sqrt(greatest(col(s"q$i") / col("n") - mean * mean, lit(0.0))), 6).as("std"),
+        round(col(s"mn$i"), 6).as("mn"),
+        round(col(s"mx$i"), 6).as("mx"))
+    }: _*)
+    one.select(explode(packed).as("st")).select($"st.*")
+  }
+
+  val q93Sql: String =
+    """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |d AS (SELECT CAST(gs AS INTEGER) AS gs FROM range(1, 65) t(gs)),
+      |m AS (SELECT gs, sum(v[gs]) AS s, sum(v[gs]*v[gs]) AS q,
+      |             min(v[gs]) AS mn, max(v[gs]) AS mx, count(*) AS n
+      |      FROM e CROSS JOIN d GROUP BY gs)
+      |SELECT CAST(gs - 1 AS BIGINT) AS dim, round(s/n, 6) AS mean,
+      |       round(sqrt(greatest(q/n - (s/n)*(s/n), 0)), 6) AS std,
+      |       round(mn, 6) AS mn, round(mx, 6) AS mx
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_dim_stats" -> (q93DimStats _),
     "q82_int8_quant" -> (q82Int8Quant _),
     "q83_semdedup" -> (q83SemDedup _),
     "q46_ivf_ann" -> (q46IvfAnn _),
@@ -511,6 +567,7 @@ object VectorOps {
     "q36_label_centroid" -> (q36LabelCentroidDist _))
 
   val oracleSql: Map[String, String] = Map(
+    "q93_dim_stats" -> q93Sql,
     "q82_int8_quant" -> q82Sql,
     "q83_semdedup" -> q83Sql,
     "q46_ivf_ann" -> q46Sql,

@@ -495,6 +495,62 @@ object TimeSeries {
       |       CAST(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
       |FROM scored""".stripMargin
 
+  /** EWMA weights: half-life decay r = 0.5, truncated at 14 observed
+    * points. 0.5^k is an exact binary double, so the Spark plan and the
+    * DuckDB oracle compute bit-identical kernels — no cross-engine pow()
+    * wobble (the reason the decay is a half-life and not, say, 0.7). */
+  private val EwmaTerms = 14
+  private val EwmaDecay = 0.5
+
+  /** q94 — exponentially weighted moving average of the per-type daily
+    * totals: the dashboard smoother (the low-lag companion to q24's flat
+    * 7-day window). Normalized truncated kernel (pandas `adjust=True`
+    * semantics): ewma_i = Σ_k r^k·x_{i-k} / Σ_k r^k over the terms that
+    * exist, so the series start is unbiased instead of damped toward 0.
+    * The kernel is truncated at 14 observed points (weight 0.5^14 ≈
+    * 6e-5 — below the output rounding), which keeps the whole smoother
+    * a FIXED composition of lag() windows: one shuffle+sort per
+    * event_type over the DAILY AGGREGATE — a calendar-bounded table, so
+    * the window input is bounded by time, not data, exactly like q80.
+    * Operates on observed rows (dashboard semantics); densify with q12
+    * first if calendar-gap-aware decay is wanted. */
+  def q94Ewma(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dailyByType = Tables(s, d, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(sum($"value").as("total_value"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    def decayK(k: Int) = lit(math.pow(EwmaDecay, k))
+    val num = (0 until EwmaTerms).map { k =>
+      decayK(k) * coalesce(lag($"total_value", k).over(w), lit(0.0))
+    }.reduce(_ + _)
+    val den = (0 until EwmaTerms).map { k =>
+      decayK(k) * when(lag($"day", k).over(w).isNotNull, lit(1.0)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    dailyByType
+      .withColumn("ewma", round(num / den, 6))
+      .select($"event_type", $"day", round($"total_value", 6).as("total_value"), $"ewma")
+  }
+
+  val q94Sql: String = {
+    // identical kernel, generated from the same constants: left-to-right
+    // addition order and exact 0.5^k literals keep both engines on the
+    // same doubles
+    val over = "OVER (PARTITION BY event_type ORDER BY day)"
+    val num = (0 until EwmaTerms).map { k =>
+      s"${math.pow(EwmaDecay, k)} * coalesce(lag(total_value, $k) $over, 0.0)"
+    }.mkString(" + ")
+    val den = (0 until EwmaTerms).map { k =>
+      s"${math.pow(EwmaDecay, k)} * (CASE WHEN lag(day, $k) $over IS NOT NULL THEN 1.0 ELSE 0.0 END)"
+    }.mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS total_value
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, day, round(total_value, 6) AS total_value,
+       |       round(($num) / ($den), 6) AS ewma
+       |FROM daily""".stripMargin
+  }
+
   /** Event-type transition matrix (first-order Markov view of user
     * behavior): for each consecutive event pair on a user's timeline,
     * count from→to transitions and the per-from transition probability.
@@ -618,6 +674,7 @@ object TimeSeries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_user_entropy" -> (q92UserEntropy _),
+    "q94_ewma" -> (q94Ewma _),
     "q48_session_window" -> (q48SessionWindow _),
     "q49_asof_join" -> (q49AsofJoin _),
     "q50_sliding_window" -> (q50SlidingWindow _),
@@ -639,6 +696,7 @@ object TimeSeries {
 
   val oracleSql: Map[String, String] = Map(
     "q92_user_entropy" -> q92Sql,
+    "q94_ewma" -> q94Sql,
     "q48_session_window" -> q48Sql,
     "q49_asof_join" -> q49Sql,
     "q50_sliding_window" -> q50Sql,

@@ -279,6 +279,46 @@ class CurationSpec extends SparkSpec {
     assert(r.getDouble(2) == 50.0 && r.getDouble(3) == 0.5)
   }
 
+  test("q96: temperature keep-rates are exact on a hand mix, the tail source " +
+    "is up-weighted, rates cap at 1.0, and the doc filter is deterministic") {
+    import spark.implicits._
+    def mixFixture(rows: (Long, String, String)*): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-tempmix").toString
+      rows.toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def toks(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // big = 400 tokens, small = 100: sw = 20 + 10, budget = 0.5·500 = 250
+    //   rate(big)   = (20/30)·250/400 = 5/12  = 0.416667
+    //   rate(small) = (10/30)·250/100 = 5/6   = 0.833333
+    val dir = mixFixture(
+      (1L, toks(100), "big"), (2L, toks(100), "big"),
+      (3L, toks(100), "big"), (4L, toks(100), "big"),
+      (5L, toks(100), "small"))
+    val out = CurationOps.q96TemperatureMix(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("big")._3 == 0.416667 && out("small")._3 == 0.833333)
+    assert(out("big")._1 == 4L && out("big")._2 == 400L)
+    out.values.foreach { case (nDocs, srcTok, rate, nKept, keptTok) =>
+      assert(nKept <= nDocs && keptTok <= srcTok && rate <= 1.0)
+      assert(keptTok == nKept * 100, "every fixture doc is 100 tokens")
+    }
+    // determinism: the md5-bucket filter gives the same sample every run
+    val again = CurationOps.q96TemperatureMix(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(out.map { case (k, v) => k -> v._4 } == again)
+
+    // a tiny tail source whose fair share exceeds its size caps at 1.0
+    // and keeps its doc with certainty (u < 1 always)
+    val dir2 = mixFixture((1L, toks(400), "bulk"), (2L, toks(4), "tail"))
+    val out2 = CurationOps.q96TemperatureMix(spark, dir2).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getLong(4)))).toMap
+    assert(out2("tail") == ((1.0, 1L)))
+    assert(out2("bulk")._1 == 0.459091)
+  }
+
   test("q67: a benchmark entry that is not a word-3-gram is rejected at the " +
     "boundary (both match paths only agree on 3-token shingles), and the " +
     "error names the offending entries") {

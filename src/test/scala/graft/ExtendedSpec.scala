@@ -146,4 +146,30 @@ class ExtendedSpec extends SparkSpec {
     assert(out(2L)._1 == 2L && math.abs(out(2L)._2 - math.log(2)) < 1e-6)
     assert(out(3L)._1 == 4L && out(3L)._2 > 0.0 && out(3L)._2 < math.log(2))
   }
+
+  test("q94: EWMA matches an independent reimplementation of the truncated " +
+    "normalized kernel, stays inside the window's value range, and equals " +
+    "the raw value on each series' first point") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = operators.TimeSeries.q94Ewma(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val byType = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    byType.foreach { case (et, series) =>
+      // independent kernel: plain Scala over the collected daily series
+      val xs = series.map(_._3)
+      series.zipWithIndex.foreach { case ((_, day, _, ewma), i) =>
+        val window = xs.slice(math.max(0, i - 13), i + 1).reverse // x_i, x_{i-1}, ...
+        val num = window.zipWithIndex.map { case (x, k) => x * math.pow(0.5, k) }.sum
+        val den = window.indices.map(k => math.pow(0.5, k)).sum
+        val expected = num / den
+        assert(math.abs(ewma - expected) < 5e-4, s"$et $day: $ewma vs $expected")
+        assert(ewma >= window.min - 1e-9 && ewma <= window.max + 1e-9,
+          s"$et $day: ewma outside the window's range")
+      }
+      // first observed point: no history, so the smoother is the identity
+      assert(math.abs(series.head._4 - series.head._3) < 1e-6)
+    }
+  }
 }

@@ -195,4 +195,27 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(out("srcA") - math.log(1.5)) < 1e-6, s"srcA ${out("srcA")}")
     assert(math.abs(out("srcC") - math.log(3)) < 1e-6, s"srcC ${out("srcC")}")
   }
+
+  test("q95: calibration on a hand pair — exact Jaccard 0.8 lands in the 0.8 " +
+    "bucket, the estimate is a valid eighth, and mae is |est - exact|") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-calib").toString
+    // doc1/doc2 share 8 of 10 distinct shingles (one trailing token
+    // differs): exact J = 8/10. doc3 is vocabulary-disjoint — no shared
+    // band, so exactly one candidate pair exists.
+    Seq(
+      (1L, "a b c d e f g h i j k"),
+      (2L, "a b c d e f g h i j z"),
+      (3L, "p q r s t u v w x y o"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.functions.TextOps.q95MinhashCalibration(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 1, s"expected one bucket, got ${rows.mkString(";")}")
+    val (bucket, nPairs, meanExact, meanEst, mae) = rows.head
+    assert(bucket == 0.8 && nPairs == 1L && meanExact == 0.8)
+    assert(meanEst >= 0.0 && meanEst <= 1.0 && (meanEst * 8).round == meanEst * 8)
+    assert(math.abs(mae - math.abs(meanEst - meanExact)) < 2e-6,
+      s"single-pair bucket must have mae == |est - exact| ($mae vs $meanEst/$meanExact)")
+  }
 }

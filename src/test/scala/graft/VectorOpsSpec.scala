@@ -104,4 +104,29 @@ class VectorOpsSpec extends SparkSpec {
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out == Map(0 -> ((3L, 2L)), 1 -> ((2L, 1L))))
   }
+
+  test("q93: per-dim stats are exact on hand vectors, and the plan is one " +
+    "columnar aggregate — no Generate below the aggregation") {
+    val dir = embFixture(
+      (1L, Seq(1.0f, -2.0f), 0),
+      (2L, Seq(3.0f, 2.0f), 0))
+    val out = VectorOps.dimStats(spark, dir, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // dim0: mean 2, E[x^2]=5, std=sqrt(5-4)=1; dim1: mean 0, std 2
+    assert(out(0L) == ((2.0, 1.0, 1.0, 3.0)))
+    assert(out(1L) == ((0.0, 2.0, -2.0, 2.0)))
+
+    // scale shape: the only Generate (explode) sits ABOVE the final
+    // aggregate, pivoting its single row — the corpus-wide path is pure
+    // HashAggregate with map-side partials, never an n·dims explode
+    val plan = VectorOps.q93DimStats(spark, sf0001).queryExecution.executedPlan.toString
+    val genIdx = plan.indexOf("Generate")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(genIdx >= 0 && aggIdx > genIdx,
+      "explode must pivot the aggregated row (Generate above HashAggregate), " +
+        s"not expand the corpus:\n$plan")
+    assert(!plan.substring(genIdx).contains("Generate explode(v"),
+      "the embedding column itself must never be exploded")
+  }
 }
