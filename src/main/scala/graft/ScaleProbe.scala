@@ -152,6 +152,22 @@ object ScaleProbe {
     time(s"kl_drift_${factor}x")(drift(docsNDir))
     time("novelty_1x")(novelty(sfDir))
     time(s"novelty_${factor}x")(novelty(docsNDir))
+
+    // Round-7 additions. q93: the columnar-moments aggregate — the whole
+    // point is that N× vectors cost N× scan and STILL one row through
+    // the exchange. q95: candidate-bounded calibration — the disjoint
+    // copies keep candidates linear, so the intersection joins must
+    // too. q96: two corpus scans + a broadcast rate table.
+    def dimstats(d: String): Long = VectorOps.q93DimStats(spark, d).count()
+    def calib(d: String): Long = TextOps.q95MinhashCalibration(spark, d).count()
+    def tempmix(d: String): Long = CurationOps.q96TemperatureMix(spark, d).count()
+    dimstats(sfDir); calib(sfDir); tempmix(sfDir) // warm
+    time("dim_stats_1x")(dimstats(sfDir))
+    time(s"dim_stats_${factor}x")(dimstats(embNDir))
+    time("minhash_calib_1x")(calib(sfDir))
+    time(s"minhash_calib_${factor}x")(calib(docsNDir))
+    time("temp_mix_1x")(tempmix(sfDir))
+    time(s"temp_mix_${factor}x")(tempmix(docsNDir))
     spark.stop()
   }
 }

@@ -367,6 +367,22 @@ object TextOps {
     * combiner-friendly aggregation each. Internal keys use xxhash64 (the
     * output carries no hash values; the oracle's md5-prefix keys build
     * the same sets — both collision-free at these cardinalities). */
+  /** The distinct (doc_id, shingle-md5) view q95 consumes three times
+    * (signatures+sizes aggregate, two intersection joins); persisted per
+    * (session, path) under the shared-view flag like the q30/q31 views. */
+  private val distinctShingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def distinctShingleMd5(s: SparkSession, d: String): DataFrame = {
+    def build: DataFrame = {
+      import s.implicits._
+      rawShingles(s, d).select($"doc_id", md5($"shingle").as("h")).distinct()
+    }
+    if (sys.props.get("graft.cacheTables").contains("true")) {
+      distinctShingleCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      distinctShingleCache.getOrElseUpdate((s, d), build.persist())
+    } else build
+  }
+
   def q95MinhashCalibration(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val cand = candidatePairs(s, d)
@@ -375,7 +391,7 @@ object TextOps {
     // leaves the q30 signature unchanged, and signature + size collapse
     // into a single aggregate. The distinct's exchange is the only
     // corpus-wide shuffle; its three consumers reuse it.
-    val shd = rawShingles(s, d).select($"doc_id", md5($"shingle").as("h")).distinct()
+    val shd = distinctShingleMd5(s, d)
     val aggCols = (0 until 8).map(i => min(substring($"h", 1 + 4 * i, 4)).as(s"h$i")) :+
       count(lit(1)).as("n")
     val stats = shd.groupBy($"doc_id").agg(aggCols.head, aggCols.tail: _*)
