@@ -551,6 +551,47 @@ object TimeSeries {
        |FROM daily""".stripMargin
   }
 
+  /** q97 — EXACT rolling 7-day distinct users per day (the DAU/WAU
+    * family): for each calendar day with activity, how many distinct
+    * users were active in the trailing 7-day window. Exact sliding
+    * distinct does NOT decompose into a window aggregate (distinct is
+    * not subtractable), so the scalable form is the contribution-range
+    * expansion: dedup to (user, day) first — the only corpus-sized
+    * shuffle, combiner-friendly — then each activity day contributes
+    * the user to the ≤7 window days it can serve, and a second
+    * (user, window_day) dedup + count finishes. Work is bounded by
+    * 7·|user-days|, never events×days; compare q41's HLL sketch for
+    * the approximate O(1)-state alternative. Window days with no
+    * activity of their own are kept when an earlier day serves them —
+    * only days inside the data's span qualify. */
+  def q97RollingDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val userDays = Tables(s, d, "events")
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val span = userDays.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val contributions = userDays
+      .select($"user_id",
+        explode(sequence($"day", date_add($"day", 6), expr("interval 1 day")))
+          .as("window_day"))
+      .distinct()
+    contributions
+      .join(broadcast(span), $"window_day".between($"lo", $"hi"))
+      .groupBy($"window_day")
+      .agg(count(lit(1)).as("rolling_7d_users"))
+  }
+
+  val q97Sql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |span AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+      |contrib AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS window_day
+      |  FROM ud)
+      |SELECT window_day, count(*) AS rolling_7d_users
+      |FROM contrib, span
+      |WHERE window_day BETWEEN lo AND hi
+      |GROUP BY 1""".stripMargin
+
   /** Event-type transition matrix (first-order Markov view of user
     * behavior): for each consecutive event pair on a user's timeline,
     * count from→to transitions and the per-from transition probability.
@@ -675,6 +716,7 @@ object TimeSeries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_user_entropy" -> (q92UserEntropy _),
     "q94_ewma" -> (q94Ewma _),
+    "q97_rolling_distinct" -> (q97RollingDistinct _),
     "q48_session_window" -> (q48SessionWindow _),
     "q49_asof_join" -> (q49AsofJoin _),
     "q50_sliding_window" -> (q50SlidingWindow _),
@@ -697,6 +739,7 @@ object TimeSeries {
   val oracleSql: Map[String, String] = Map(
     "q92_user_entropy" -> q92Sql,
     "q94_ewma" -> q94Sql,
+    "q97_rolling_distinct" -> q97Sql,
     "q48_session_window" -> q48Sql,
     "q49_asof_join" -> q49Sql,
     "q50_sliding_window" -> q50Sql,

@@ -147,6 +147,32 @@ class ExtendedSpec extends SparkSpec {
     assert(out(3L)._1 == 4L && out(3L)._2 > 0.0 && out(3L)._2 < math.log(2))
   }
 
+  test("q97: rolling 7-day distinct users — same-day and within-window repeats " +
+    "count once, gap days served by earlier activity appear, days beyond the " +
+    "span don't") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rolling").toString
+    def nanos(day: Int): Long = {
+      val d = java.time.LocalDate.of(2024, 1, day)
+      d.atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond * 1000000000L
+    }
+    // u1: d1 + d10; u2: d1 (twice — same day dedups); u3: d1 + d3
+    // (overlapping windows dedup)
+    Seq((1L, nanos(1)), (1L, nanos(10)), (2L, nanos(1)), (2L, nanos(1)),
+        (3L, nanos(1)), (3L, nanos(3)))
+      .map { case (u, t) => (u, t, "click", 1.0) }
+      .toDF("user_id", "ts", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val out = operators.TimeSeries.q97RollingDistinct(spark, dir).collect()
+      .map(r => r.getDate(0).toLocalDate.getDayOfMonth -> r.getLong(1)).toMap
+    val expected = Map(
+      1 -> 3L, 2 -> 3L,            // u1,u2,u3 from d1
+      3 -> 3L, 4 -> 3L, 5 -> 3L, 6 -> 3L, 7 -> 3L, // u3's d3 window overlaps, dedups
+      8 -> 1L, 9 -> 1L,            // only u3's d3 activity still serves
+      10 -> 1L)                    // u1's d10; d11+ outside the span
+    assert(out == expected, s"got $out")
+  }
+
   test("q94: EWMA matches an independent reimplementation of the truncated " +
     "normalized kernel, stays inside the window's value range, and equals " +
     "the raw value on each series' first point") {
