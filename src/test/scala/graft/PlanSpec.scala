@@ -226,4 +226,34 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.linesIterator.count(_.contains("FileScan parquet")) == 1, finalPlan)
     assert(finalPlan.linesIterator.count(_.contains("ReusedExchange")) >= 2, finalPlan)
   }
+
+  test("q94: EWMA runs ONE window pass over the daily aggregate — 14 lag terms " +
+    "compile into a single Window operator, not 14") {
+    val plan = physical(TimeSeries.q94Ewma(spark, sf0001))
+    assert(plan.linesIterator.count(_.trim.startsWith("Window")) <= 2, plan)
+    // the window input is the (type, day) aggregate, never raw events:
+    // an aggregate must sit beneath the window
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("q96: temperature mix — the rate table BROADCASTS back to the doc filter " +
+    "(corpus rows meet it map-side), and the doc-level predicate is applied " +
+    "inside that broadcast join, not after a shuffle") {
+    val plan = physical(graft.functions.CurationOps.q96TemperatureMix(spark, sf0001))
+    val filterJoin = plan.linesIterator.find(l =>
+      l.contains("BroadcastHashJoin") && l.contains("keep_rate"))
+    assert(filterJoin.nonEmpty, plan)
+    // the only corpus-wide shuffles are combiner-friendly per-source
+    // aggregates: every corpus-feeding exchange sits above a partial agg
+    // (the catalog-sized rates⋈kept join may shuffle its 20 rows freely)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("q97: rolling distinct — both dedups are combiner-friendly aggregates " +
+    "and the span side broadcasts (no corpus-to-corpus join)") {
+    val plan = physical(TimeSeries.q97RollingDistinct(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
 }
