@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -558,7 +558,89 @@ object CurationOps {
       |       COALESCE(k.n_kept, 0) AS n_kept, COALESCE(k.kept_tokens, 0) AS kept_tokens
       |FROM r LEFT JOIN k USING (source)""".stripMargin
 
+  /** Probes per key in the q98 bloom bitset (Kirsch–Mitzenmacher double
+    * hashing: position_i = h1 + i·h2 mod m). At ~16 bits/key and k=3 the
+    * false-positive rate is ≈1% — the exact rescore join makes the final
+    * answer independent of it. */
+  val BloomProbes = 3
+
+  /** Build the bloom bitset from xxhash64 values of the member set.
+    * Bit count is the next power of two ≥ 16 bits/key (min 64), so the
+    * filter for a 10⁶-shingle eval suite is ~2 MB — a broadcast literal,
+    * not a shuffle side. Pure driver-side bit math over hashes Spark
+    * itself computed; the probe side recomputes the same xxhash64. */
+  private[graft] def bloomBitset(hashes: Array[Long]): (Array[Long], Long) = {
+    val want = math.max(64L, hashes.length.toLong * 16L)
+    val nBits = java.lang.Long.highestOneBit(want - 1L) * 2L
+    val words = new Array[Long]((nBits >> 6).toInt)
+    var j = 0
+    while (j < hashes.length) {
+      val h = hashes(j); val h1 = h >>> 32; val h2 = h & 0xFFFFFFFFL
+      var i = 0
+      while (i < BloomProbes) {
+        val p = ((h1 + i.toLong * h2) % nBits).toInt
+        words(p >> 6) |= 1L << (p & 63)
+        i += 1
+      }
+      j += 1
+    }
+    (words, nBits)
+  }
+
+  /** Membership probe over `key = xxhash64(x)` as a pure built-in Column
+    * — array-literal indexing plus a mask lookup (no dynamic shifts), so
+    * the whole test stays inside whole-stage codegen. h1/h2 are the two
+    * 32-bit halves of the hash; both are non-negative, so plain `%` is
+    * already a floor mod. */
+  private[graft] def bloomProbe(words: Array[Long], nBits: Long, key: Column): Column = {
+    val bits = typedlit(words.toSeq)
+    val masks = typedlit(Array.tabulate(64)(i => 1L << i).toSeq)
+    val h1 = shiftrightunsigned(key, 32)
+    val h2 = key.bitwiseAND(lit(0xFFFFFFFFL))
+    (0 until BloomProbes).map { i =>
+      val p = (h1 + lit(i.toLong) * h2) % lit(nBits)
+      val word = element_at(bits, shiftrightunsigned(p, 6).cast("int") + lit(1))
+      val mask = element_at(masks, (p % 64).cast("int") + lit(1))
+      word.bitwiseAND(mask) =!= lit(0L)
+    }.reduce(_ && _)
+  }
+
+  /** Bloom-filter decontamination — the shape that makes "drop every
+    * training doc sharing a 3-gram with the eval suite" run at 100 TB.
+    * The eval set (docs with doc_id % 19 = 0 stand in for a held-out
+    * benchmark) contributes its DISTINCT shingles twice: once collected
+    * as xxhash64 values into a bitset bloom ([[bloomBitset]] — a few MB
+    * even for millions of eval n-grams) that filters the corpus-side
+    * shingle stream at scan speed, and once as the broadcast build side
+    * of the exact rescore join. The corpus side never shuffles at corpus
+    * width: scan → codegen probe (drops ~94% of rows here, ~(1−fpp) of
+    * clean rows in general) → broadcast join → partial-agg'd
+    * countDistinct on the few survivors. Bloom has no false negatives,
+    * so prefilter + exact join ≡ exact join — the DuckDB oracle runs the
+    * plain join and must hash-match. */
+  def q98BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = TextOps.rawShingles(s, d)
+    val eval = sh.where($"doc_id" % 19 === 0).select($"shingle").distinct()
+    val hashes = eval.select(xxhash64($"shingle")).as[Long].collect()
+    val (words, nBits) = bloomBitset(hashes)
+    sh.where($"doc_id" % 19 =!= 0)
+      .where(bloomProbe(words, nBits, xxhash64($"shingle")))
+      .join(broadcast(eval), "shingle")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"shingle").as("n_matched"))
+  }
+
+  val q98Sql: String =
+    s"""WITH ${TextOps.shingleCte},
+      |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 19 = 0)
+      |SELECT tr.doc_id, count(DISTINCT tr.shingle) AS n_matched
+      |FROM sh tr JOIN ev USING (shingle)
+      |WHERE tr.doc_id % 19 <> 0
+      |GROUP BY tr.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_bloom_decontaminate" -> (q98BloomDecontaminate _),
     "q96_temperature_mix" -> (q96TemperatureMix _),
     "q89_corpus_mix" -> (q89CorpusMix _),
     "q84_curriculum" -> (q84Curriculum _),
@@ -573,6 +655,7 @@ object CurationOps {
     "q74_quality_sample" -> (q74QualitySample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q98_bloom_decontaminate" -> q98Sql,
     "q96_temperature_mix" -> q96Sql,
     "q89_corpus_mix" -> q89Sql,
     "q84_curriculum" -> q84Sql,

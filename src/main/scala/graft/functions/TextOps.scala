@@ -38,7 +38,7 @@ object TextOps {
     * build off one corpus pass instead of re-exploding. */
   private val rawShingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def rawShingles(s: SparkSession, d: String): DataFrame = {
+  private[functions] def rawShingles(s: SparkSession, d: String): DataFrame = {
     def build: DataFrame = {
       import s.implicits._
       docs(s, d)

@@ -319,6 +319,44 @@ class CurationSpec extends SparkSpec {
     assert(out2("bulk")._1 == 0.459091)
   }
 
+  test("q98 bloom: inserted keys always probe true (no false negatives), " +
+    "absent keys mostly probe false (the prefilter actually prunes)") {
+    import graft.functions.CurationOps._
+    val rng = new scala.util.Random(7)
+    val members = Array.fill(2000)(rng.nextLong())
+    val (words, nBits) = bloomBitset(members)
+    assert(java.lang.Long.bitCount(nBits) == 1 && nBits >= members.length * 16L)
+    import spark.implicits._
+    val hit = members.toSeq.toDF("h")
+      .where(bloomProbe(words, nBits, org.apache.spark.sql.functions.col("h")))
+      .count()
+    assert(hit == members.length, "bloom must never drop a member")
+    val memberSet = members.toSet
+    val absent = Array.fill(20000)(rng.nextLong()).filterNot(memberSet)
+    val fp = absent.toSeq.toDF("h")
+      .where(bloomProbe(words, nBits, org.apache.spark.sql.functions.col("h")))
+      .count()
+    assert(fp < absent.length * 0.05,
+      s"fpp should be ~1% at 16 bits/key k=3; got $fp/${absent.length}")
+  }
+
+  test("q98: bloom prefilter + exact rescore equals the plain exact join " +
+    "(decontamination answer is independent of the filter)") {
+    import spark.implicits._
+    val dir = fixture(
+      19L -> "secret eval trigram plus context words",  // eval doc (19 % 19 == 0)
+      1L  -> "contains the secret eval trigram here",   // overlaps eval
+      2L  -> "totally clean training text no overlap",
+      3L  -> "eval trigram plus more shared span here") // overlaps eval
+    val out = CurationOps.q98BloomDecontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact expectation: doc1 shares "secret eval trigram" + "eval trigram plus"?
+    // doc1 3-grams: [contains the secret, the secret eval, secret eval trigram,
+    //                eval trigram here] -> matches {secret eval trigram}
+    // doc3 3-grams: [eval trigram plus, trigram plus more, ...] -> {eval trigram plus}
+    assert(out == Map(1L -> 1L, 3L -> 1L))
+  }
+
   test("q67: a benchmark entry that is not a word-3-gram is rejected at the " +
     "boundary (both match paths only agree on 3-token shingles), and the " +
     "error names the offending entries") {
