@@ -703,7 +703,9 @@ object TextOps {
     * the q30 candidate CTEs, then a recursive CTE enumerating (node,
     * reachable-label) pairs; UNION dedup bounds it at Σ|component|²
     * rows, tiny for near-dup clusters. Used by q54 and q69. */
-  private val componentsCtes: String =
+  /** The q30 candidate set + symmetrized edge list as a reusable CTE
+    * prefix (consumed by q54/q69's components and q100's PageRank). */
+  private val candidateEdgeCtes: String =
     s"""$shingleCte,
       |hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
       |sig AS (SELECT doc_id,
@@ -721,7 +723,10 @@ object TextOps {
       |         FROM bands a JOIN bands b
       |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
-      |          UNION ALL SELECT doc_b, doc_a FROM cand),
+      |          UNION ALL SELECT doc_b, doc_a FROM cand)""".stripMargin
+
+  private val componentsCtes: String =
+    s"""$candidateEdgeCtes,
       |reach(node, lbl) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
@@ -767,6 +772,90 @@ object TextOps {
       |SELECT component_id, doc_id AS keeper_id, n_tokens AS keeper_tokens,
       |       CAST(component_size AS BIGINT) AS component_size
       |FROM ranked WHERE rn = 1""".stripMargin
+
+  /** PageRank damping factor and fixed iteration count for q100. Fixed
+    * iterations (not convergence-test) keep the result a deterministic
+    * closed form both engines compute identically. */
+  val PageRankDamping = 0.85
+  val PageRankIters = 5
+
+  /** PageRank over the near-dup candidate graph — the "centrality inside
+    * a duplicate cluster" signal (which doc is the canonical hub of a
+    * template family), and the engine's representative ITERATIVE graph
+    * operator next to q54's components and q58's k-means. Semantics:
+    * symmetrized q30 edges, uniform teleport, dangling mass (docs with
+    * no near-dup edges — most of the corpus) redistributed uniformly
+    * each step, 5 fixed iterations from a uniform start.
+    *
+    * Scale shape per iteration: ranks join the edge list on src (both
+    * sides hash-partitioned on their keys), contributions combine
+    * map-side into a dst-keyed aggregate, and the dangling mass is a
+    * one-row broadcast — the classic distributed PageRank step. The
+    * iteration count is fixed, so the driver loop builds 5 plan stages;
+    * each iteration's result is persisted and the previous unpersisted,
+    * keeping lineage flat (the checkpoint discipline an unbounded
+    * iterative job needs). N arrives via one count() job up front —
+    * a scalar, not a collected dataset. */
+  def q100PageRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cand = candidatePairs(s, d)
+    val edges = cand.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(cand.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .persist()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val nodes = docs(s, d).select($"doc_id")
+    val n = nodes.count().toDouble
+    var ranks = nodes.select($"doc_id", lit(1.0 / n).as("rank"))
+    var prev: DataFrame = null
+    for (_ <- 1 to PageRankIters) {
+      val rd = ranks.join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      val dangling = rd.where($"deg".isNull)
+        .agg(coalesce(sum($"rank"), lit(0.0)).as("dm"))
+      val contrib = rd.where($"deg".isNotNull)
+        .join(edges, $"doc_id" === $"src")
+        .groupBy($"dst").agg(sum($"rank" / $"deg").as("contrib"))
+      val next = nodes
+        .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select($"doc_id",
+          (lit((1 - PageRankDamping) / n) + lit(PageRankDamping) *
+            (coalesce($"contrib", lit(0.0)) + $"dm" / n)).as("rank"))
+        .persist()
+      if (prev != null) prev.unpersist()
+      prev = ranks
+      ranks = next
+    }
+    val out = ranks.select($"doc_id", round($"rank" * n, 6).as("rank_x_n"))
+    edges.unpersist()
+    out
+  }
+
+  /** DuckDB twin of q100: the same 5 iterations unrolled as chained CTEs
+    * over the shared candidate/edge prefix. */
+  val q100Sql: String = {
+    val d = PageRankDamping
+    val iter = (i: Int) => {
+      val p = s"r${i - 1}"
+      s"""r$i AS (SELECT dd.doc_id,
+        |  (1 - $d)/n.n + $d*(COALESCE(c.contrib, 0) + dang.dm/n.n) AS rank
+        |  FROM documents dd
+        |  LEFT JOIN (SELECT e.dst AS doc_id, sum(r.rank/deg.deg) AS contrib
+        |             FROM $p r JOIN deg ON r.doc_id = deg.src
+        |                       JOIN edges e ON e.src = r.doc_id
+        |             GROUP BY 1) c USING (doc_id)
+        |  CROSS JOIN (SELECT COALESCE(sum(r.rank), 0) AS dm
+        |              FROM $p r LEFT JOIN deg ON r.doc_id = deg.src
+        |              WHERE deg.src IS NULL) dang
+        |  CROSS JOIN n)""".stripMargin
+    }
+    s"""WITH $candidateEdgeCtes,
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |r0 AS (SELECT doc_id, 1.0/n.n AS rank FROM documents CROSS JOIN n),
+      |${(1 to PageRankIters).map(iter).mkString(",\n")}
+      |SELECT r.doc_id, round(r.rank * n.n, 6) AS rank_x_n
+      |FROM r$PageRankIters r CROSS JOIN n""".stripMargin
+  }
 
   /** Deterministic train/val/test split by content-independent hash
     * bucket (80/10/10): bucket = first 16 bits of md5(doc_id). The split
@@ -1001,6 +1090,73 @@ object TextOps {
       |SELECT doc_id, count(*) AS n_tokens,
       |       round(avg(-ln(ctf / ntot)), 6) AS surprisal
       |FROM tok JOIN uni USING (token) CROSS JOIN n
+      |GROUP BY doc_id""".stripMargin
+
+  /** Bigram-LM perplexity — q77's unigram surprisal upgraded to the real
+    * "train an n-gram LM on the corpus, score every doc" loop. The three
+    * pieces a 100 TB run needs are each in their scalable form:
+    *
+    *  - vocabulary pruning: top-500 tokens by corpus frequency (ties
+    *    broken token-asc so the cut is total-ordered and engine-
+    *    portable), selected with orderBy+limit = TakeOrderedAndProject —
+    *    map-side partial top-K, never a global sort of the vocabulary;
+    *  - <unk> mapping bounds the model: every out-of-vocab token folds
+    *    into one symbol, so the bigram table is ≤(V+1)² rows regardless
+    *    of corpus size — broadcastable by construction;
+    *  - scoring: P(w2|w1) = c2(w1,w2)/c1(w1) with c1 the PREFIX count
+    *    (sum over continuations, the standard MLE conditional). Every
+    *    doc bigram was counted into the model, so no smoothing is needed
+    *    for finiteness. Per-doc ppl = exp(mean nll); the corpus side
+    *    takes two broadcast vocab joins + one broadcast model join and
+    *    one combiner-friendly per-doc aggregate — zero corpus-wide
+    *    shuffles. */
+  def q99BigramPerplexity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, d).select($"doc_id", tokens($"text").as("toks"))
+    val vocab = toks.select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"w").limit(500)
+      .select($"w")
+    val bi = toks.where(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks)-1), i -> named_struct('w1', toks[i-1], 'w2', toks[i]))"))
+        .as("p"))
+      .select($"doc_id", $"p.w1", $"p.w2")
+    val mapped = bi
+      .join(broadcast(vocab.select($"w".as("w1"), lit(1).as("in1"))), Seq("w1"), "left")
+      .join(broadcast(vocab.select($"w".as("w2"), lit(1).as("in2"))), Seq("w2"), "left")
+      .select($"doc_id",
+        when($"in1".isNotNull, $"w1").otherwise(lit("<unk>")).as("u1"),
+        when($"in2".isNotNull, $"w2").otherwise(lit("<unk>")).as("u2"))
+    val c2 = mapped.groupBy($"u1", $"u2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy($"u1").agg(sum($"c2").as("c1"))
+    val model = c2.join(c1, "u1")
+    mapped.join(broadcast(model), Seq("u1", "u2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(exp(avg(log($"c1".cast("double") / $"c2"))), 6).as("ppl"))
+  }
+
+  val q99Sql: String =
+    raw"""WITH tokd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |              FROM documents),
+      |vocab AS (SELECT w FROM (
+      |    SELECT unnest(toks) AS w FROM tokd) u
+      |  GROUP BY w ORDER BY count(*) DESC, w LIMIT 500),
+      |bi AS (SELECT doc_id,
+      |              unnest(toks[1:len(toks)-1]) AS w1,
+      |              unnest(toks[2:len(toks)]) AS w2
+      |       FROM tokd WHERE len(toks) >= 2),
+      |m AS (SELECT doc_id,
+      |             CASE WHEN v1.w IS NULL THEN '<unk>' ELSE bi.w1 END AS u1,
+      |             CASE WHEN v2.w IS NULL THEN '<unk>' ELSE bi.w2 END AS u2
+      |      FROM bi LEFT JOIN vocab v1 ON bi.w1 = v1.w
+      |               LEFT JOIN vocab v2 ON bi.w2 = v2.w),
+      |c2 AS (SELECT u1, u2, CAST(count(*) AS BIGINT) AS c2 FROM m GROUP BY 1, 2),
+      |c1 AS (SELECT u1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       round(exp(avg(ln(CAST(c1 AS DOUBLE) / c2))), 6) AS ppl
+      |FROM m JOIN c2 USING (u1, u2) JOIN c1 USING (u1)
       |GROUP BY doc_id""".stripMargin
 
   /** Token-collocation mining: top-20 token pairs by document-level PMI
@@ -1320,6 +1476,8 @@ object TextOps {
     "q72_tfidf" -> (q72TfIdf _),
     "q75_source_similarity" -> (q75SourceSimilarity _),
     "q77_surprisal" -> (q77Surprisal _),
+    "q100_pagerank" -> (q100PageRank _),
+    "q99_bigram_perplexity" -> (q99BigramPerplexity _),
     "q78_collocations" -> (q78Collocations _))
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -1347,5 +1505,7 @@ object TextOps {
     "q72_tfidf" -> q72Sql,
     "q75_source_similarity" -> q75Sql,
     "q77_surprisal" -> q77Sql,
+    "q100_pagerank" -> q100Sql,
+    "q99_bigram_perplexity" -> q99Sql,
     "q78_collocations" -> q78Sql)
 }

@@ -23,6 +23,64 @@ class TextDedupSpec extends SparkSpec {
     assert(out.size == 3) // each unordered pair exactly once
   }
 
+  test("q99: bigram perplexity is exact on a hand corpus (MLE conditional " +
+    "with prefix-count denominator)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bigram").toString
+    // doc1 bigrams: (a,b),(b,a),(a,b); doc2: (a,c)
+    // c2: (a,b)=2 (b,a)=1 (a,c)=1; prefix c1: a=3, b=1
+    // doc1 nll = avg(ln(3/2), ln(1/1), ln(3/2)) -> ppl = 1.5^(2/3)
+    // doc2 nll = ln(3/1)                        -> ppl = 3.0
+    Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.q99BigramPerplexity(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((3L, BigDecimal(math.pow(1.5, 2.0 / 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(2L) == ((1L, 3.0)))
+  }
+
+  test("q99: out-of-vocab tokens fold into <unk> — a doc of only rare tokens " +
+    "scores ppl exactly 1.0 (the unk-degeneracy artifact, pinned)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bigram-unk").toString
+    // vocab cap is 500: 'hot' (count 3) + f001..f499 make the vocab
+    // (count-1 ties break token-asc; f-tokens sort before z-tokens).
+    // Out-of-vocab: f500..f510, z01..z21. Every bigram whose tokens are
+    // both out-of-vocab is (unk,unk); the only unk-prefixed bigrams in
+    // this corpus ARE (unk,unk), so P(unk|unk)=1 and the all-rare doc
+    // scores ppl = 1.0 exactly.
+    val filler = (1 to 510).map(i => f"f$i%03d").mkString(" ")
+    val rare = (1 to 21).map(i => f"z$i%02d").mkString(" ")
+    Seq((1L, filler), (2L, rare), (3L, "hot hot hot")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.q99BigramPerplexity(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(2L) == ((20L, 1.0)), s"all-rare doc must be unk-degenerate: $out")
+    assert(out(3L) == ((2L, 1.0)), "hot-hot bigram is also deterministic")
+  }
+
+  test("q100: PageRank on a hand graph — one duplicate pair + two isolated " +
+    "docs; exact 5-iteration values, mass conserved") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pagerank").toString
+    // identical docs 1,2 -> the only candidate edge; 3,4 isolated (dangling)
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six"),
+      (4L, "seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.q100PageRank(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // hand-rolled: r_a tracks the linked pair, r_c the dangling docs;
+    // dm = 2*r_c each step; after 5 iterations r*N = 1.728882 / 0.271118
+    assert(out(1L) == 1.728882 && out(2L) == 1.728882, s"linked pair: $out")
+    assert(out(3L) == 0.271118 && out(4L) == 0.271118, s"dangling: $out")
+    assert(math.abs(out.values.sum - 4.0) < 1e-4, "PageRank mass must sum to N")
+  }
+
   test("q31: document-frequency cap bounds pair expansion from hot shingles") {
     import spark.implicits._
     // A boilerplate shingle shared by M docs yields O(M²) candidate pairs;
