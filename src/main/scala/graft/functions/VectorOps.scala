@@ -461,6 +461,44 @@ object VectorOps {
       |  END AS max_abs_err
       |FROM m""".stripMargin
 
+  /** Embedding-quality audit — the data-QA gate an embedding pipeline
+    * runs before building any index on top (q34/q46/q58/q83 all assume
+    * sane vectors): per label-cell, cardinality, dimension bounds
+    * (min=max is the "no ragged vectors" invariant), zero-vector count
+    * (un-normalizable rows that break cosine), and the norm
+    * distribution (mean + exact p05/p95 — a drifted tail is the classic
+    * symptom of a broken encoder batch). One combiner-friendly shuffle
+    * on label; norms come from the shared [[emb]] view's codegen'd
+    * dot_native pass. Exact percentiles are per-cell sorts — the same
+    * contract/fallback note as q101. */
+  def q102EmbeddingAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    emb(s, d)
+      .groupBy($"label".cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(size($"v")).cast("long").as("min_dim"),
+        max(size($"v")).cast("long").as("max_dim"),
+        sum(when($"norm" === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        round(avg($"norm"), 6).as("mean_norm"),
+        round(expr("percentile(norm, 0.05D)"), 6).as("p05_norm"),
+        round(expr("percentile(norm, 0.95D)"), 6).as("p95_norm"))
+  }
+
+  val q102Sql: String =
+    """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+      |                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |                                               x -> x*x))) AS norm,
+      |                  len(embedding) AS dim
+      |           FROM embeddings)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |       CAST(min(dim) AS BIGINT) AS min_dim,
+      |       CAST(max(dim) AS BIGINT) AS max_dim,
+      |       CAST(sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |       round(avg(norm), 6) AS mean_norm,
+      |       round(quantile_cont(norm, 0.05), 6) AS p05_norm,
+      |       round(quantile_cont(norm, 0.95), 6) AS p95_norm
+      |FROM e GROUP BY 1""".stripMargin
+
   /** SemDedup-shaped embedding near-dup pruning: within each cell
     * (`label` stands in for the IVF/k-means cell a production corpus
     * would bucket by — q58 trains exactly that), a vector is REMOVED when
@@ -557,6 +595,7 @@ object VectorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q93_dim_stats" -> (q93DimStats _),
     "q82_int8_quant" -> (q82Int8Quant _),
+    "q102_embedding_audit" -> (q102EmbeddingAudit _),
     "q83_semdedup" -> (q83SemDedup _),
     "q46_ivf_ann" -> (q46IvfAnn _),
     "q58_kmeans" -> (q58KMeans _),
@@ -569,6 +608,7 @@ object VectorOps {
   val oracleSql: Map[String, String] = Map(
     "q93_dim_stats" -> q93Sql,
     "q82_int8_quant" -> q82Sql,
+    "q102_embedding_audit" -> q102Sql,
     "q83_semdedup" -> q83Sql,
     "q46_ivf_ann" -> q46Sql,
     "q58_kmeans" -> q58Sql,

@@ -495,6 +495,53 @@ object TimeSeries {
       |       CAST(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
       |FROM scored""".stripMargin
 
+  /** q101 — robust outlier detection with median/MAD, the q73 z-score's
+    * outlier-resistant sibling (a mean/stddev gate is itself dragged by
+    * the outliers it hunts; the 1.4826·MAD scale estimator is consistent
+    * for σ under normality and breaks down only at 50% contamination).
+    * Exact medians via Spark's `percentile` (interpolating, matching
+    * DuckDB's `median` on doubles); the threshold literal 4.4478 =
+    * 3·1.4826 is written identically in both engines so no cross-engine
+    * multiplication-order wobble exists.
+    *
+    * Shape: two tiny per-type aggregates (med, then MAD over the
+    * med-joined deviations), broadcast back, one counting pass — three
+    * scans, each combiner-friendly, nothing corpus-sized shuffles except
+    * the per-type sort inside exact percentile. At 100 TB exact
+    * per-group medians mean per-group sorts; the documented scale fallback
+    * is `approx_percentile` (q40/q41 cover that family) — the exact form
+    * here IS the contract for a calibration-grade robust stat. */
+  def q101MadOutliers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, d, "events").select($"event_type", $"value")
+    val med = ev.groupBy($"event_type").agg(expr("percentile(value, 0.5D)").as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy($"event_type")
+      .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+    ev.join(broadcast(med.join(mad, "event_type")), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(first($"med"), 6).as("med"),
+        round(first($"mad"), 6).as("mad"),
+        sum(when(abs($"value" - $"med") > lit(4.4478) * $"mad", 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_frac", round($"n_outliers" / $"n_events", 6))
+  }
+
+  val q101Sql: String =
+    """WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+      |mad AS (SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+      |        FROM events e JOIN med m USING (event_type) GROUP BY 1)
+      |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |       round(any_value(m.med), 6) AS med,
+      |       round(any_value(d.mad), 6) AS mad,
+      |       CAST(sum(CASE WHEN abs(e.value - m.med) > 4.4478 * d.mad
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       round(sum(CASE WHEN abs(e.value - m.med) > 4.4478 * d.mad
+      |                      THEN 1 ELSE 0 END) / count(*), 6) AS outlier_frac
+      |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+      |GROUP BY 1""".stripMargin
+
   /** EWMA weights: half-life decay r = 0.5, truncated at 14 observed
     * points. 0.5^k is an exact binary double, so the Spark plan and the
     * DuckDB oracle compute bit-identical kernels — no cross-engine pow()
@@ -732,6 +779,7 @@ object TimeSeries {
     "q61_retention" -> (q61Retention _),
     "q63_grouping_sets" -> (q63GroupingSets _),
     "q73_daily_anomaly" -> (q73DailyAnomaly _),
+    "q101_mad_outliers" -> (q101MadOutliers _),
     "q79_transitions" -> (q79Transitions _),
     "q80_user_growth" -> (q80UserGrowth _),
     "q81_event_gaps" -> (q81EventGaps _))
@@ -755,6 +803,7 @@ object TimeSeries {
     "q61_retention" -> q61Sql,
     "q63_grouping_sets" -> q63Sql,
     "q73_daily_anomaly" -> q73Sql,
+    "q101_mad_outliers" -> q101Sql,
     "q79_transitions" -> q79Sql,
     "q80_user_growth" -> q80Sql,
     "q81_event_gaps" -> q81Sql)

@@ -108,6 +108,24 @@ class ExtendedSpec extends SparkSpec {
     assert(out.toSet == Set(("a", 0L, 5.0, 5.0, 2L), ("b", 0L, 5.0, 5.0, 1L)))
   }
 
+  test("q101: median/MAD outliers — hand values; MAD=0 (constant group) " +
+    "flags nothing instead of dividing by the degenerate scale") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mad").toString
+    // type a: med 3.5, adev sorted [.5,.5,1.5,1.5,2.5,96.5] -> mad 1.5,
+    //         threshold 4.4478*1.5 = 6.6717 -> only 100 is an outlier
+    // type b: constant -> mad 0 -> |v-med| > 0 never true
+    ((1 to 5).map(i => ("a", i.toDouble, i.toLong)) ++ Seq(("a", 100.0, 6L)) ++
+      Seq(("b", 7.0, 7L), ("b", 7.0, 8L), ("b", 7.0, 9L)))
+      .toDF("event_type", "value", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val out = operators.TimeSeries.q101MadOutliers(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out("a") == ((6L, 3.5, 1.5, 1L, 0.166667)), s"got $out")
+    assert(out("b") == ((3L, 7.0, 0.0, 0L, 0.0)), s"got $out")
+  }
+
   test("q79: transition probabilities sum to 1 per from_type and counts " +
     "cover every consecutive pair") {
     val out = operators.TimeSeries.q79Transitions(spark, sf0001).collect()

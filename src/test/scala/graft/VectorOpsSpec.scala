@@ -14,6 +14,25 @@ class VectorOpsSpec extends SparkSpec {
       s"prefilter invented pairs: ${(bucketed -- exact).mkString(", ")}")
   }
 
+  test("q102: audit counts zero vectors and ragged dims the corpus never " +
+    "exercises (hand fixture)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-embaudit").toString
+    Seq(
+      (1L, Array(3.0f, 4.0f), 0),        // norm 5
+      (2L, Array(0.0f, 0.0f), 0),        // zero vector
+      (3L, Array(1.0f, 0.0f, 0.0f), 1))  // different dim, norm 1
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.functions.VectorOps.q102EmbeddingAudit(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // label 0: 2 vecs, dims 2/2, one zero vector, mean norm (5+0)/2
+    assert(out(0L) == ((2L, 2L, 2L, 1L, 2.5)), s"got $out")
+    // label 1: clean single vector
+    assert(out(1L) == ((1L, 3L, 3L, 0L, 1.0)), s"got $out")
+  }
+
   private def neighborSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("q_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
