@@ -60,7 +60,8 @@ object Bench {
     // order = r6 sequential cost descending, except q54 stays first: it
     // materializes the shared candidate/components caches that q30/q31/
     // q67/q69/q88 reuse, so it must not race its own consumers.
-    val heavy = Seq("q54_neardup_components", "q95_minhash_calibration", "q31_jaccard_pairs", "q72_tfidf",
+    val heavy = Seq("q54_neardup_components", "q100_pagerank", "q95_minhash_calibration",
+      "q31_jaccard_pairs", "q72_tfidf", "q99_bigram_perplexity", "q98_bloom_decontaminate",
       "q75_source_similarity", "q88_dedup_funnel", "q46_ivf_ann", "q77_surprisal",
       "q57_top_tokens_per_lang", "q78_collocations", "q91_novelty", "q30_minhash_lsh",
       "q58_kmeans", "q60_funnel", "q48_session_window", "q16_dedup_rownumber",

@@ -168,6 +168,24 @@ object ScaleProbe {
     time(s"minhash_calib_${factor}x")(calib(docsNDir))
     time("temp_mix_1x")(tempmix(sfDir))
     time(s"temp_mix_${factor}x")(tempmix(docsNDir))
+
+    // Round-7 batch 2. q98: the bloom prefilter path — disjoint copies
+    // grow BOTH the eval shingle set (bigger bitset, still KB-scale) and
+    // the probed corpus linearly; the rescore join stays
+    // survivor-bounded. q99: vocab stays capped at 500 (<unk> absorbs
+    // the suffixed tokens), so the model join must stay broadcast-sized
+    // while the corpus side grows. q100: candidate edges grow linearly
+    // with the copies, and 5 iterations of rank⋈edges must too.
+    def bloom(d: String): Long = CurationOps.q98BloomDecontaminate(spark, d).count()
+    def bigram(d: String): Long = TextOps.q99BigramPerplexity(spark, d).count()
+    def pagerank(d: String): Long = TextOps.q100PageRank(spark, d).count()
+    bloom(sfDir); bigram(sfDir); pagerank(sfDir) // warm
+    time("bloom_decon_1x")(bloom(sfDir))
+    time(s"bloom_decon_${factor}x")(bloom(docsNDir))
+    time("bigram_ppl_1x")(bigram(sfDir))
+    time(s"bigram_ppl_${factor}x")(bigram(docsNDir))
+    time("pagerank_1x")(pagerank(sfDir))
+    time(s"pagerank_${factor}x")(pagerank(docsNDir))
     spark.stop()
   }
 }

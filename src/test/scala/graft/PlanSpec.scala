@@ -256,4 +256,38 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(plan.contains("HashAggregate"), plan)
   }
+
+  test("q98: the bloom probe is a scan-side Filter BENEATH the rescore join " +
+    "(corpus rows die before any exchange), and the eval side broadcasts") {
+    val plan = physical(graft.functions.CurationOps.q98BloomDecontaminate(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the probe's bit test (element_at over the bitset literal) must
+    // appear in a Filter, i.e. before the join, not as a post-join
+    // predicate
+    val probeFilter = plan.linesIterator.exists(l =>
+      l.replaceFirst("^\\[info\\]", "").trim.matches("[:+\\- ]*Filter .*") &&
+        l.contains("element_at("))
+    assert(probeFilter, plan.linesIterator.filterNot(_.contains("element_at"))
+      .mkString("\n"))
+  }
+
+  test("q99: the bigram model meets the corpus through BROADCAST joins only — " +
+    "corpus-wide exchanges are all partial-agg'd (vocab top-K via " +
+    "TakeOrderedAndProject, never a global sort)") {
+    val plan = physical(graft.functions.TextOps.q99BigramPerplexity(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial"), plan)
+  }
+
+  test("q100: PageRank iterations reuse the persisted edge list (InMemory scan, " +
+    "no re-derivation of candidates per iteration) and the dangling-mass " +
+    "scalar broadcasts") {
+    val df = graft.functions.TextOps.q100PageRank(spark, sf0001)
+    val plan = physical(df)
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
 }
