@@ -787,56 +787,64 @@ object TextOps {
     * no near-dup edges — most of the corpus) redistributed uniformly
     * each step, 5 fixed iterations from a uniform start.
     *
-    * Scale shape per iteration: ranks join the edge list on src (both
-    * sides hash-partitioned on their keys), contributions combine
-    * map-side into a dst-keyed aggregate, and the dangling mass is a
-    * one-row broadcast — the classic distributed PageRank step. The
-    * iteration count is fixed, so the driver loop builds 5 plan stages;
-    * each iteration's result is persisted and the previous unpersisted,
-    * keeping lineage flat (the checkpoint discipline an unbounded
-    * iterative job needs). N arrives via one count() job up front —
-    * a scalar, not a collected dataset. */
+    * The scale lever is the ACTIVE-SUBGRAPH reduction: in a symmetrized
+    * graph the dangling nodes are exactly the edge-less ones, and every
+    * edge-less node has the IDENTICAL rank at every iteration (it
+    * receives only teleport + dangling shares). So the corpus-sized rank
+    * vector never exists: the driver tracks the isolated-node rank and
+    * the dangling mass as two scalar recurrences, and the DataFrame
+    * iteration runs only over edge ENDPOINTS — the duplicate-cluster
+    * subgraph, tiny next to a 100 TB corpus (the same
+    * candidate-bounded contract as q54/q95). Each iteration is one
+    * rank⋈edge join + a dst-keyed combine on that small set; the corpus
+    * is touched exactly twice (N count; final left-join to emit the
+    * closed-form isolated rank). Per-iteration results are persisted and
+    * the previous unpersisted — the checkpoint discipline an unbounded
+    * iterative job needs. */
   def q100PageRank(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val dmp = PageRankDamping
     val cand = candidatePairs(s, d)
     val edges = cand.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(cand.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .persist()
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val active = edges.groupBy($"src".as("doc_id")).agg(count(lit(1)).as("deg"))
     val nodes = docs(s, d).select($"doc_id")
     val n = nodes.count().toDouble
-    var ranks = nodes.select($"doc_id", lit(1.0 / n).as("rank"))
-    var prev: DataFrame = null
+    val nIso = n - active.count().toDouble
+    var rIso = 1.0 / n
+    var ranks = active.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to PageRankIters) {
-      val rd = ranks.join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
-      val dangling = rd.where($"deg".isNull)
-        .agg(coalesce(sum($"rank"), lit(0.0)).as("dm"))
-      val contrib = rd.where($"deg".isNotNull)
-        .join(edges, $"doc_id" === $"src")
-        .groupBy($"dst").agg(sum($"rank" / $"deg").as("contrib"))
-      val next = nodes
-        .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
-        .crossJoin(broadcast(dangling))
-        .select($"doc_id",
-          (lit((1 - PageRankDamping) / n) + lit(PageRankDamping) *
-            (coalesce($"contrib", lit(0.0)) + $"dm" / n)).as("rank"))
+      val dm = nIso * rIso
+      val contrib = ranks.join(edges, $"doc_id" === $"src")
+        .groupBy($"dst".as("doc_id")).agg(sum($"rank" / $"deg").as("contrib"))
+      val next = active
+        .join(contrib, Seq("doc_id"), "left")
+        .select($"doc_id", $"deg",
+          (lit((1 - dmp) / n) + lit(dmp) *
+            (coalesce($"contrib", lit(0.0)) + lit(dm / n))).as("rank"))
         .persist()
-      if (prev != null) prev.unpersist()
-      prev = ranks
+      ranks.unpersist()
       ranks = next
+      rIso = (1 - dmp) / n + dmp * dm / n
     }
-    val out = ranks.select($"doc_id", round($"rank" * n, 6).as("rank_x_n"))
-    edges.unpersist()
+    val out = nodes.join(ranks.select($"doc_id", $"rank"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        round(coalesce($"rank", lit(rIso)) * n, 6).as("rank_x_n"))
     out
   }
 
   /** DuckDB twin of q100: the same 5 iterations unrolled as chained CTEs
-    * over the shared candidate/edge prefix. */
+    * over the shared candidate/edge prefix. Every iteration CTE is
+    * AS MATERIALIZED: each r_i is referenced twice by r_{i+1} (contrib
+    * join + dangling sum), so an inlining planner would otherwise double
+    * the whole upstream pipeline per level — 2^5 copies of the band
+    * self-join. */
   val q100Sql: String = {
     val d = PageRankDamping
     val iter = (i: Int) => {
       val p = s"r${i - 1}"
-      s"""r$i AS (SELECT dd.doc_id,
+      s"""r$i AS MATERIALIZED (SELECT dd.doc_id,
         |  (1 - $d)/n.n + $d*(COALESCE(c.contrib, 0) + dang.dm/n.n) AS rank
         |  FROM documents dd
         |  LEFT JOIN (SELECT e.dst AS doc_id, sum(r.rank/deg.deg) AS contrib
@@ -849,9 +857,11 @@ object TextOps {
         |  CROSS JOIN n)""".stripMargin
     }
     s"""WITH $candidateEdgeCtes,
-      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
-      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-      |r0 AS (SELECT doc_id, 1.0/n.n AS rank FROM documents CROSS JOIN n),
+      |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+      |                     FROM edges GROUP BY 1),
+      |n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |r0 AS MATERIALIZED (SELECT doc_id, 1.0/n.n AS rank
+      |                    FROM documents CROSS JOIN n),
       |${(1 to PageRankIters).map(iter).mkString(",\n")}
       |SELECT r.doc_id, round(r.rank * n.n, 6) AS rank_x_n
       |FROM r$PageRankIters r CROSS JOIN n""".stripMargin
