@@ -867,6 +867,60 @@ object TextOps {
       |FROM r$PageRankIters r CROSS JOIN n""".stripMargin
   }
 
+  /** Triangle counting + local clustering coefficient over the near-dup
+    * candidate graph — the third graph operator (q54 components answer
+    * "which docs form one template family", q100 PageRank "which doc is
+    * the family's hub", q103 "how CLIQUE-LIKE is each neighborhood":
+    * boilerplate families triangulate densely, chain-shaped drift
+    * families don't). Classic ordered-wedge join: candidate pairs are
+    * already oriented doc_a < doc_b, so wedges (a<b<c) join once and
+    * close against the pair set once — no triangle is generated twice
+    * and work is bounded by Σ deg² of the CANDIDATE graph (never the
+    * corpus). Per node: degree, triangle count, and lcc =
+    * 2T / (deg·(deg−1)) for deg ≥ 2. Output covers graph nodes only
+    * (the corpus-minus-graph remainder is all zeros by definition). */
+  def q103Triangles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cand = candidatePairs(s, d)
+    val deg = cand.select($"doc_a".as("node"))
+      .union(cand.select($"doc_b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val ab = cand.select($"doc_a".as("a"), $"doc_b".as("b"))
+    val bc = cand.select($"doc_a".as("b"), $"doc_b".as("c"))
+    val ac = cand.select($"doc_a".as("a"), $"doc_b".as("c"))
+    val tri = ab.join(bc, "b").join(ac, Seq("a", "c"))
+    val triPerNode = tri.select($"a".as("node"))
+      .union(tri.select($"b".as("node")))
+      .union(tri.select($"c".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("n_tri"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select($"node".as("doc_id"), $"deg",
+        coalesce($"n_tri", lit(0L)).as("n_tri"))
+      .withColumn("lcc",
+        when($"deg" >= 2, round($"n_tri" * 2.0 / ($"deg" * ($"deg" - 1)), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  val q103Sql: String =
+    s"""WITH $candidateEdgeCtes,
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |          SELECT doc_a AS node FROM cand
+      |          UNION ALL SELECT doc_b FROM cand) GROUP BY 1),
+      |tri AS (SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+      |        FROM cand ab
+      |        JOIN cand bc ON ab.doc_b = bc.doc_a
+      |        JOIN cand ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+      |tpn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+      |          SELECT a AS node FROM tri
+      |          UNION ALL SELECT b FROM tri
+      |          UNION ALL SELECT c FROM tri) GROUP BY 1)
+      |SELECT deg.node AS doc_id, deg.deg,
+      |       COALESCE(tpn.n_tri, 0) AS n_tri,
+      |       CASE WHEN deg.deg >= 2
+      |            THEN round(COALESCE(tpn.n_tri, 0) * 2.0 / (deg.deg * (deg.deg - 1)), 6)
+      |            ELSE 0.0 END AS lcc
+      |FROM deg LEFT JOIN tpn USING (node)""".stripMargin
+
   /** Deterministic train/val/test split by content-independent hash
     * bucket (80/10/10): bucket = first 16 bits of md5(doc_id). The split
     * is a pure function of the key — stable across runs, machines, and
@@ -1487,6 +1541,7 @@ object TextOps {
     "q75_source_similarity" -> (q75SourceSimilarity _),
     "q77_surprisal" -> (q77Surprisal _),
     "q100_pagerank" -> (q100PageRank _),
+    "q103_triangles" -> (q103Triangles _),
     "q99_bigram_perplexity" -> (q99BigramPerplexity _),
     "q78_collocations" -> (q78Collocations _))
 
@@ -1516,6 +1571,7 @@ object TextOps {
     "q75_source_similarity" -> q75Sql,
     "q77_surprisal" -> q77Sql,
     "q100_pagerank" -> q100Sql,
+    "q103_triangles" -> q103Sql,
     "q99_bigram_perplexity" -> q99Sql,
     "q78_collocations" -> q78Sql)
 }

@@ -670,6 +670,41 @@ object TimeSeries {
       |       round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
       |FROM c""".stripMargin
 
+  /** q104 — behavioral trigram mining: the top-20 3-step event-type
+    * sequences across user timelines (q79's transition matrix extended
+    * one step — the "what do users actually DO" patterns funnels are
+    * designed from). Both lead() terms ride ONE window pass over the
+    * (user, time) ordering; pattern counting is a combiner-friendly
+    * aggregate on a key space bounded by |event_types|³, and top-20 is
+    * orderBy+limit = TakeOrderedAndProject (map-side partial top-k),
+    * never a global sort. Deterministic total order (n desc, then the
+    * pattern lexicographically) keeps the cut engine-portable. */
+  def q104BehaviorTrigrams(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(s, d, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("t2", lead($"event_type", 1).over(byUser))
+      .withColumn("t3", lead($"event_type", 2).over(byUser))
+      .where($"t3".isNotNull)
+      .groupBy($"event_type".as("t1"), $"t2", $"t3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"t1", $"t2", $"t3")
+      .limit(20)
+  }
+
+  val q104Sql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS t1,
+      |         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+      |         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+      |  FROM events)
+      |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+      |FROM seq WHERE t3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, t1, t2, t3
+      |LIMIT 20""".stripMargin
+
   /** Cumulative user-growth curve: users bucketed by their first-active
     * day, daily new-user counts, and the running total. The raw events
     * reduce to one row per user FIRST (min day), then to one row per
@@ -780,6 +815,7 @@ object TimeSeries {
     "q63_grouping_sets" -> (q63GroupingSets _),
     "q73_daily_anomaly" -> (q73DailyAnomaly _),
     "q101_mad_outliers" -> (q101MadOutliers _),
+    "q104_behavior_trigrams" -> (q104BehaviorTrigrams _),
     "q79_transitions" -> (q79Transitions _),
     "q80_user_growth" -> (q80UserGrowth _),
     "q81_event_gaps" -> (q81EventGaps _))
@@ -804,6 +840,7 @@ object TimeSeries {
     "q63_grouping_sets" -> q63Sql,
     "q73_daily_anomaly" -> q73Sql,
     "q101_mad_outliers" -> q101Sql,
+    "q104_behavior_trigrams" -> q104Sql,
     "q79_transitions" -> q79Sql,
     "q80_user_growth" -> q80Sql,
     "q81_event_gaps" -> q81Sql)

@@ -126,6 +126,22 @@ class ExtendedSpec extends SparkSpec {
     assert(out("b") == ((3L, 7.0, 0.0, 0L, 0.0)), s"got $out")
   }
 
+  test("q104: behavior trigrams — overlapping windows per user, no " +
+    "cross-user trigrams, counts exact on a hand timeline") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-trigram").toString
+    // user 1: A B C D -> ABC, BCD; user 2: A B C -> ABC; user 3: X Y (none)
+    Seq(
+      (1L, "A", 1L, 10L), (1L, "B", 2L, 11L), (1L, "C", 3L, 12L), (1L, "D", 4L, 13L),
+      (2L, "A", 5L, 20L), (2L, "B", 6L, 21L), (2L, "C", 7L, 22L),
+      (3L, "X", 8L, 30L), (3L, "Y", 9L, 31L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+      .write.parquet(s"$dir/events.parquet")
+    val out = operators.TimeSeries.q104BehaviorTrigrams(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(out == Map(("A", "B", "C") -> 2L, ("B", "C", "D") -> 1L), s"got $out")
+  }
+
   test("q79: transition probabilities sum to 1 per from_type and counts " +
     "cover every consecutive pair") {
     val out = operators.TimeSeries.q79Transitions(spark, sf0001).collect()

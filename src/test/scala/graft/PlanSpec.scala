@@ -282,6 +282,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("partial"), plan)
   }
 
+  test("q103: the ordered-wedge triangle join has no cartesian product and " +
+    "counts aggregate with map-side partials") {
+    val plan = physical(graft.functions.TextOps.q103Triangles(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial"), plan)
+  }
+
+  test("q104: both lead() terms ride ONE window pass and top-20 compiles to " +
+    "TakeOrderedAndProject, never a global sort") {
+    val plan = physical(TimeSeries.q104BehaviorTrigrams(spark, sf0001))
+    assert(plan.linesIterator.count(_.trim.matches("[:+\\- ]*Window .*")) <= 1, plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("q100: PageRank iterations reuse the persisted edge list (InMemory scan, " +
     "no re-derivation of candidates per iteration) and the dangling-mass " +
     "scalar broadcasts") {

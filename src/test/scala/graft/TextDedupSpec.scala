@@ -81,6 +81,28 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(out.values.sum - 4.0) < 1e-4, "PageRank mass must sum to N")
   }
 
+  test("q103: triangles — a 3-clique of identical docs scores lcc 1.0, a " +
+    "plain duplicate pair has no triangle, and no triangle is double-counted") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tri").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),   // 1-2-3 triangle
+      (4L, "one two three four five six"),
+      (5L, "one two three four five six"))           // 4-5 edge only
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.q103Triangles(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id) == ((2L, 1L, 1.0)), s"clique node $id: $out")
+    }
+    Seq(4L, 5L).foreach { id =>
+      assert(out(id) == ((1L, 0L, 0.0)), s"pair node $id: $out")
+    }
+  }
+
   test("q31: document-frequency cap bounds pair expansion from hot shingles") {
     import spark.implicits._
     // A boilerplate shingle shared by M docs yields O(M²) candidate pairs;
