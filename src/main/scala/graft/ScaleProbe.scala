@@ -186,6 +186,13 @@ object ScaleProbe {
     time(s"bigram_ppl_${factor}x")(bigram(docsNDir))
     time("pagerank_1x")(pagerank(sfDir))
     time(s"pagerank_${factor}x")(pagerank(docsNDir))
+
+    // q103: triangle join bounded by the candidate graph — disjoint
+    // copies grow cliques linearly, so wedges and triangles must too.
+    def triangles(d: String): Long = TextOps.q103Triangles(spark, d).count()
+    triangles(sfDir) // warm
+    time("triangles_1x")(triangles(sfDir))
+    time(s"triangles_${factor}x")(triangles(docsNDir))
     spark.stop()
   }
 }

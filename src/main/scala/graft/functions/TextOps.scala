@@ -395,8 +395,8 @@ object TextOps {
     val aggCols = (0 until 8).map(i => min(substring($"h", 1 + 4 * i, 4)).as(s"h$i")) :+
       count(lit(1)).as("n")
     val stats = shd.groupBy($"doc_id").agg(aggCols.head, aggCols.tail: _*)
-    val statsA = stats.toDF(stats.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
-    val statsB = stats.toDF(stats.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+    val statsA = stats.toDF(stats.columns.toIndexedSeq.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+    val statsB = stats.toDF(stats.columns.toIndexedSeq.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
     val inter = cand
       .join(shd.toDF("doc_a", "h"), "doc_a")
       .join(shd.toDF("doc_b", "h"), Seq("doc_b", "h"))
