@@ -639,7 +639,44 @@ object CurationOps {
       |WHERE tr.doc_id % 19 <> 0
       |GROUP BY tr.doc_id""".stripMargin
 
+  /** q105 — weighted sampling WITHOUT replacement via exponential keys
+    * (Efraimidis–Spirakis): doc i gets key u_i^(1/w_i) — equivalently
+    * rank by ln(u_i)/w_i — and the top-k keys ARE a weighted sample
+    * without replacement. This is the standard distributed algorithm for
+    * "sample 10k docs proportional to token count from 100 TB": one
+    * scan, per-row key arithmetic, top-k via orderBy+limit =
+    * TakeOrderedAndProject (map-side partial top-k, no global sort, no
+    * rejection loop, no sequential pass). u is the content-free md5
+    * bucket of doc_id mapped to (0,1) — the q66/q96 determinism
+    * contract: same sample on every engine, run, and topology.
+    * Weight = token count (longer docs proportionally likelier). */
+  def q105WeightedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id",
+        size(TextOps.tokens($"text")).cast("long").as("n_tokens"),
+        ((conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("double") + 0.5) / 65536.0).as("u"))
+      .select($"doc_id", $"n_tokens",
+        round(log($"u") / greatest($"n_tokens", lit(1L)), 8).as("es_key"))
+      .orderBy($"es_key".desc, $"doc_id")
+      .limit(20)
+  }
+
+  val q105Sql: String =
+    raw"""WITH t AS (SELECT doc_id,
+      |             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |             (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+      |              + 0.5) / 65536.0 AS u
+      |      FROM documents)
+      |SELECT doc_id, n_tokens,
+      |       round(ln(u) / greatest(n_tokens, 1), 8) AS es_key
+      |FROM t
+      |ORDER BY es_key DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_weighted_sample" -> (q105WeightedSample _),
     "q98_bloom_decontaminate" -> (q98BloomDecontaminate _),
     "q96_temperature_mix" -> (q96TemperatureMix _),
     "q89_corpus_mix" -> (q89CorpusMix _),
@@ -655,6 +692,7 @@ object CurationOps {
     "q74_quality_sample" -> (q74QualitySample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q105_weighted_sample" -> q105Sql,
     "q98_bloom_decontaminate" -> q98Sql,
     "q96_temperature_mix" -> q96Sql,
     "q89_corpus_mix" -> q89Sql,

@@ -800,7 +800,11 @@ object TextOps {
     * is touched exactly twice (N count; final left-join to emit the
     * closed-form isolated rank). Per-iteration results are persisted and
     * the previous unpersisted — the checkpoint discipline an unbounded
-    * iterative job needs. */
+    * iterative job needs. The edge list and the LAST iteration stay
+    * cached for the returned DataFrame's lifetime (they are in its
+    * lineage); both are duplicate-graph-sized — bounded the same way as
+    * the shared [[candidatePairs]] view, and released with the
+    * session. */
   def q100PageRank(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dmp = PageRankDamping
@@ -1177,7 +1181,10 @@ object TextOps {
   def q99BigramPerplexity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = docs(s, d).select($"doc_id", tokens($"text").as("toks"))
-    val vocab = toks.select(explode($"toks").as("w"))
+    // vocab counts ride the shared exploded token view (cached once per
+    // suite under graft.cacheTables, same as q57/q72/q77); the bigram
+    // pass below still needs the ordered arrays, so it scans text itself
+    val vocab = tokenTable(s, d).select($"token".as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c"))
       .orderBy($"c".desc, $"w").limit(500)
       .select($"w")

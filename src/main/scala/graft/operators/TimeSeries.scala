@@ -705,6 +705,40 @@ object TimeSeries {
       |ORDER BY n DESC, t1, t2, t3
       |LIMIT 20""".stripMargin
 
+  /** q106 — cross-metric correlation matrix: pairwise Pearson
+    * correlation of the per-type DAILY total series (do signups move
+    * with purchases?), the dashboard's metric-relationship panel. The
+    * raw events reduce to a (day × type) aggregate FIRST — the pair
+    * join and corr() run on a calendar-bounded table (days × |types|),
+    * so the self-join is broadcast and event volume only affects the
+    * one combiner-friendly daily aggregate. Inner join on day = corr
+    * over days where BOTH series have data (identical semantics both
+    * engines); pairs are ordered t1 < t2, each emitted once. */
+  def q106MetricCorrelation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dailyByType = Tables(s, d, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(sum($"value").as("total"))
+    val a = dailyByType.select($"event_type".as("type_a"), $"day", $"total".as("ta"))
+    val b = dailyByType.select($"event_type".as("type_b"), $"day", $"total".as("tb"))
+    a.join(broadcast(b), Seq("day"))
+      .where($"type_a" < $"type_b")
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n_days"),
+        round(corr($"ta", $"tb"), 6).as("pearson_r"))
+  }
+
+  val q106Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS total
+      |  FROM events GROUP BY 1, 2)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |       CAST(count(*) AS BIGINT) AS n_days,
+      |       round(corr(a.total, b.total), 6) AS pearson_r
+      |FROM daily a JOIN daily b
+      |  ON a.day = b.day AND a.event_type < b.event_type
+      |GROUP BY 1, 2""".stripMargin
+
   /** Cumulative user-growth curve: users bucketed by their first-active
     * day, daily new-user counts, and the running total. The raw events
     * reduce to one row per user FIRST (min day), then to one row per
@@ -816,6 +850,7 @@ object TimeSeries {
     "q73_daily_anomaly" -> (q73DailyAnomaly _),
     "q101_mad_outliers" -> (q101MadOutliers _),
     "q104_behavior_trigrams" -> (q104BehaviorTrigrams _),
+    "q106_metric_correlation" -> (q106MetricCorrelation _),
     "q79_transitions" -> (q79Transitions _),
     "q80_user_growth" -> (q80UserGrowth _),
     "q81_event_gaps" -> (q81EventGaps _))
@@ -841,6 +876,7 @@ object TimeSeries {
     "q73_daily_anomaly" -> q73Sql,
     "q101_mad_outliers" -> q101Sql,
     "q104_behavior_trigrams" -> q104Sql,
+    "q106_metric_correlation" -> q106Sql,
     "q79_transitions" -> q79Sql,
     "q80_user_growth" -> q80Sql,
     "q81_event_gaps" -> q81Sql)

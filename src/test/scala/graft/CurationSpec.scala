@@ -357,6 +357,25 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 3L -> 1L))
   }
 
+  test("q105: weighted sample is a proper without-replacement top-k — 20 " +
+    "distinct docs, keys strictly decreasing, heavy docs dominate") {
+    import graft.functions.CurationOps
+    // 5 heavy docs (200 tokens) vs 20 light docs (3 tokens): exponential
+    // keys ln(u)/w concentrate heavy docs near 0, so they dominate the
+    // sample unless their u is astronomically unlucky
+    val heavy = (1L to 5L).map(i => i -> (1 to 200).map(j => s"h$j").mkString(" "))
+    val light = (6L to 25L).map(i => i -> "a b c")
+    val dir = fixture((heavy ++ light): _*)
+    val rows = CurationOps.q105WeightedSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 20)
+    assert(rows.map(_._1).distinct.length == 20, "without replacement = distinct docs")
+    val keys = rows.map(_._3)
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b }, "ordered by key desc")
+    val heavyIn = rows.count(_._2 == 200L)
+    assert(heavyIn >= 4, s"expected most heavy docs in the sample, got $heavyIn")
+  }
+
   test("q67: a benchmark entry that is not a word-3-gram is rejected at the " +
     "boundary (both match paths only agree on 3-token shingles), and the " +
     "error names the offending entries") {

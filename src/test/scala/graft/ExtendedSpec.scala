@@ -126,6 +126,26 @@ class ExtendedSpec extends SparkSpec {
     assert(out("b") == ((3L, 7.0, 0.0, 0L, 0.0)), s"got $out")
   }
 
+  test("q106: correlation matrix — hand series give r = +1 / -1, each " +
+    "unordered type pair appears once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-corr").toString
+    // daily totals: A = [1,2,3], B = [2,4,6] (r=1), C = [3,2,1] (r=-1 vs both)
+    val day = (d: Int) => d * 86400000000000L // distinct days (ns)
+    Seq(
+      ("A", 1.0, day(1)), ("A", 2.0, day(2)), ("A", 3.0, day(3)),
+      ("B", 2.0, day(1)), ("B", 4.0, day(2)), ("B", 6.0, day(3)),
+      ("C", 3.0, day(1)), ("C", 2.0, day(2)), ("C", 1.0, day(3)))
+      .toDF("event_type", "value", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val out = operators.TimeSeries.q106MetricCorrelation(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      ("A", "B") -> ((3L, 1.0)),
+      ("A", "C") -> ((3L, -1.0)),
+      ("B", "C") -> ((3L, -1.0))), s"got $out")
+  }
+
   test("q104: behavior trigrams — overlapping windows per user, no " +
     "cross-user trigrams, counts exact on a hand timeline") {
     import spark.implicits._
