@@ -297,6 +297,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q105: weighted sample compiles to TakeOrderedAndProject over a " +
+    "per-row key projection — no shuffle, no window, no global sort") {
+    val plan = physical(graft.functions.CurationOps.q105WeightedSample(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q106: correlation runs on the daily aggregate (events reduce first), " +
+    "and the self-join side is broadcast") {
+    val plan = physical(TimeSeries.q106MetricCorrelation(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // corr() must aggregate the joined DAILY table, not raw events: a
+    // partial day-level aggregate sits beneath the join
+    assert(plan.contains("partial_sum"), plan)
+  }
+
   test("q100: PageRank iterations reuse the persisted edge list (InMemory scan, " +
     "no re-derivation of candidates per iteration) and the dangling-mass " +
     "scalar broadcasts") {
