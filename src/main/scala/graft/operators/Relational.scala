@@ -104,6 +104,47 @@ object Relational {
       |JOIN region   ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name""".stripMargin
 
+  /** q107 — the TPC-H Q5 shape: local-supplier revenue per nation. Six
+    * tables, two selective filters (one region, one order-date year) and
+    * the LOCAL constraint c_nationkey = s_nationkey — the canonical
+    * join-order stress query (q3's star plus a second fact-dimension arm
+    * that must be reordered around the filters). The declarative form
+    * leaves ordering to Catalyst/CBO: both date and region predicates
+    * push to their scans, nation/region broadcast, and the
+    * customer/supplier nation equality rides the supplier join
+    * condition instead of a post-join filter. */
+  def q107LocalSupplierRevenue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    li(s, d)
+      .join(ord(s, d).where($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(cust(s, d), $"o_custkey" === $"c_custkey")
+      .join(Tables(s, d, "supplier"),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(Tables(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables(s, d, "region").where($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q107Sql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name""".stripMargin
+
   /** Semi-join (EXISTS): orders having a lineitem shipped after the order
     * date, counted by priority. left_semi never widens rows — at scale this
     * avoids materializing the join product. */
@@ -450,6 +491,7 @@ object Relational {
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_project" -> (q2FilterProject _),
     "q3_revenue_by_nation" -> (q3RevenueByNation _),
+    "q107_local_supplier_revenue" -> (q107LocalSupplierRevenue _),
     "q4_semi_join" -> (q4SemiJoin _),
     "q5_anti_join" -> (q5AntiJoin _),
     "q6_top_customers" -> (q6TopCustomers _),
@@ -470,6 +512,7 @@ object Relational {
     "q1_pricing_summary" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_revenue_by_nation" -> q3Sql,
+    "q107_local_supplier_revenue" -> q107Sql,
     "q4_semi_join" -> q4Sql,
     "q5_anti_join" -> q5Sql,
     "q6_top_customers" -> q6Sql,

@@ -297,6 +297,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q107: Q5-shape — date and region predicates push to their scans, " +
+    "dimensions broadcast, revenue aggregates with map-side partials") {
+    val plan = physical(Relational.q107LocalSupplierRevenue(spark, sf0001))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_sum") || plan.contains("partial"), plan)
+  }
+
   test("q105: weighted sample compiles to TakeOrderedAndProject over a " +
     "per-row key projection — no shuffle, no window, no global sort") {
     val plan = physical(graft.functions.CurationOps.q105WeightedSample(spark, sf0001))

@@ -130,6 +130,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: q98 bloom bitset never yields a false negative, sizes to " +
+    "a power of two >= 16 bits/key, and probes stay in-bounds") {
+    import graft.functions.CurationOps
+    val hashGen = Gen.listOfN(500, Gen.long)
+    samples(hashGen, 8).foreach { hs =>
+      val hashes = hs.toArray
+      val (words, nBits) = CurationOps.bloomBitset(hashes)
+      assert(java.lang.Long.bitCount(nBits) == 1)
+      assert(nBits >= math.max(64L, hashes.length.toLong * 16L))
+      assert(words.length.toLong * 64 == nBits)
+      // driver-side replica of the probe arithmetic: every inserted hash
+      // must find all its bits set (the no-false-negative contract the
+      // exact-rescore correctness of q98 rests on)
+      hs.foreach { h =>
+        val h1 = h >>> 32; val h2 = h & 0xFFFFFFFFL
+        (0 until CurationOps.BloomProbes).foreach { i =>
+          val p = ((h1 + i.toLong * h2) % nBits).toInt
+          assert((words(p >> 6) & (1L << (p & 63))) != 0L)
+        }
+      }
+    }
+  }
+
   test("property: q85 efficiency is in (0, 1] and padded tokens >= real tokens") {
     val rows = graft.functions.CurationOps.q85PackEfficiency(spark, sf0001).collect()
     assert(rows.nonEmpty)
