@@ -293,6 +293,71 @@ object EventStream {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** A session closed by inactivity timeout (emitted by timer expiry,
+    * not by data arrival — the piece watermarked session WINDOWS can't
+    * express, since those only close when later data raises the
+    * watermark). */
+  case class ClosedSession(
+      user_id: Long, n_events: Long, total_value: Double, closed_at_epoch: Long)
+
+  /** Timer-driven session timeout on transformWithState: each input
+    * batch slides the user's processing-time timer to now+gap; if no
+    * further events arrive the timer FIRES and the closed session is
+    * emitted and its state cleared. This is the timer half of the
+    * transformWithState API ([[UserStatsProcessor]] covers value-state +
+    * TTL): output is produced by the absence of data — a contract
+    * `session_window` (q48's shape) cannot provide, because a quiet key
+    * there stays open until some OTHER event advances the watermark.
+    * State per key is one (n, total) pair + one registered timer —
+    * bounded, RocksDB-backed, cleared on close. */
+  class SessionTimeoutProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Double), ClosedSession] {
+    @transient private var agg: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    @transient private var timer: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      agg = getHandle.getValueState[(Long, Double)](
+        "agg", Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+      timer = getHandle.getValueState[Long]("timer", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Double)],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      val (n0, v0) = if (agg.exists()) agg.get() else (0L, 0.0)
+      var n = n0; var total = v0
+      rows.foreach { case (_, _, v) => n += 1; total += v }
+      agg.update((n, total))
+      if (timer.exists()) getHandle.deleteTimer(timer.get())
+      val expiry = timerValues.getCurrentProcessingTimeInMs() + gapMs
+      getHandle.registerTimer(expiry)
+      timer.update(expiry)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(
+        userId: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[ClosedSession] = {
+      val (n, total) = if (agg.exists()) agg.get() else (0L, 0.0)
+      agg.clear()
+      timer.clear()
+      Iterator.single(
+        ClosedSession(userId, n, total, expiredTimerInfo.getExpiryTimeInMs()))
+    }
+  }
+
+  /** Inactivity-closed sessions over an events stream ([[SessionTimeoutProcessor]]). */
+  def sessionTimeouts(events: DataFrame, gapMs: Long): Dataset[ClosedSession] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .selectExpr("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimeoutProcessor(gapMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** File-based streaming read of an events-shaped directory (S2's
     * day-loop extract as a real stream source). */
   def readEventStream(spark: SparkSession, path: String): DataFrame =

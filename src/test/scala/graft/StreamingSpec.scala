@@ -50,6 +50,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sessionTimeouts: a quiet user's session is closed BY TIMER expiry " +
+    "(output from absence of data), state cleared, active users untouched") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp, Double)]
+      val closed = EventStream.sessionTimeouts(
+        mem.toDF().toDF("user_id", "ts", "value"), gapMs = 1500)
+      // paced trigger: in ProcessingTime time-mode the engine runs
+      // batches to evaluate timers even with no data — pace them instead
+      // of the default back-to-back loop, and poll the sink rather than
+      // processAllAvailable (which never settles while timers pend)
+      val q = closed.toDF().writeStream.format("memory")
+        .queryName("closed_sessions")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+        .outputMode("append").start()
+      def closedNow(): Seq[(Long, Long, Double)] = {
+        import spark.implicits._
+        spark.table("closed_sessions")
+          .as[(Long, Long, Double, Long)].collect().toSeq.map(r => (r._1, r._2, r._3))
+      }
+      def awaitClosed(n: Int, maxMs: Long = 30000): Seq[(Long, Long, Double)] = {
+        val deadline = System.currentTimeMillis() + maxMs
+        var cur = closedNow()
+        while (cur.size < n && System.currentTimeMillis() < deadline) {
+          Thread.sleep(100); cur = closedNow()
+        }
+        cur
+      }
+      // user 1 gets a 2-event session; its close must come from TIMER
+      // expiry (no further data for user 1 ever arrives in this phase)
+      mem.addData((1L, ts("2024-01-01 10:00:00"), 5.0),
+                  (1L, ts("2024-01-01 10:01:00"), 7.0))
+      val first = awaitClosed(1)
+      assert(first.toSet == Set((1L, 2L, 12.0)),
+        s"user 1 closed by inactivity: $first")
+      // user 1 returns: state was cleared on close, so the next session
+      // counts ONLY its own events
+      mem.addData((1L, ts("2024-01-01 10:20:00"), 100.0))
+      val all = awaitClosed(2)
+      q.stop()
+      assert(all.toSet == Set((1L, 2L, 12.0), (1L, 1L, 100.0)),
+        s"fresh session after close: $all")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("windowedAgg over a memory stream matches the batch tumbling window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
