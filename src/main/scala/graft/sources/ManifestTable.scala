@@ -171,11 +171,44 @@ object ManifestTable {
   def read(spark: SparkSession, root: String): DataFrame =
     readVersion(spark, root, currentVersion(root))
 
-  /** Read a specific committed version (time travel). */
+  /** Read a specific committed version (time travel). `mergeSchema`
+    * because a snapshot may mix file generations after add-column
+    * evolution ([[alignSchemas]]): untouched partitions keep their
+    * narrower files; the union schema null-fills them. */
   def readVersion(spark: SparkSession, root: String, v: Int): DataFrame = {
     require(v >= 1, s"table at $root has no committed version (asked for $v)")
     val files = listedEntries(root, v).map { case (_, rel) => s"$root/$rel" }
-    spark.read.parquet(files: _*)
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
+  }
+
+  /** Add-column schema evolution: conform BOTH sides to the union
+    * schema — the existing snapshot's columns (in their order) plus the
+    * batch's new columns appended, null-filling whichever side lacks
+    * one. Shared columns must keep their type (retyping/renaming is not
+    * evolution, it is a migration — rejected). The canonical order makes
+    * successive evolved commits write identically-shaped files.
+    *
+    * Merge keeps WHOLE-ROW semantics: a batch that omits an existing
+    * column replaces its matched rows with null there (consistent with
+    * Dedup.merge's "an incoming null must overwrite" contract) — this is
+    * row replacement, not column patching. */
+  private[graft] def alignSchemas(existing: DataFrame, batch: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val eTypes = existing.schema.map(f => f.name -> f.dataType).toMap
+    val bTypes = batch.schema.map(f => f.name -> f.dataType).toMap
+    val conflicts = (eTypes.keySet & bTypes.keySet).filter(c => eTypes(c) != bTypes(c))
+    require(conflicts.isEmpty,
+      "schema evolution supports ADDING columns, not retyping: " +
+        conflicts.toSeq.sorted
+          .map(c => s"$c: ${eTypes(c).simpleString} vs ${bTypes(c).simpleString}")
+          .mkString("; "))
+    val order = (existing.columns ++ batch.columns.filterNot(eTypes.contains)).toSeq
+    def conform(df: DataFrame, own: Set[String]) =
+      df.select(order.map { c =>
+        if (own(c)) col(c)
+        else lit(null).cast(eTypes.getOrElse(c, bTypes(c))).as(c)
+      }: _*)
+    (conform(existing, eTypes.keySet), conform(batch, bTypes.keySet))
   }
 
   /** MERGE (incoming wins on `key`) as snapshot-in → snapshot-out:
@@ -191,8 +224,10 @@ object ManifestTable {
   def merge(batch: DataFrame, root: String, key: Seq[String]): Int = {
     val spark = batch.sparkSession
     val merged =
-      if (currentVersion(root) >= 1) Dedup.merge(read(spark, root), batch, key)
-      else batch
+      if (currentVersion(root) >= 1) {
+        val (e, b) = alignSchemas(read(spark, root), batch)
+        Dedup.merge(e, b, key)
+      } else batch
     // materialize BEFORE the commit writes: `merged` lazily reads the
     // current snapshot, and writing the new version must not race the
     // read of the old one
@@ -288,7 +323,8 @@ object ManifestTable {
       commitEntries(root, v, writePartitioned(batch.localCheckpoint()))
     } else if (prev.exists(_._1.isEmpty)) {
       // legacy full-snapshot layout: one-time conversion to partitioned
-      val merged = Dedup.merge(readVersion(spark, root, cur), batch, key)
+      val (e0, b0) = alignSchemas(readVersion(spark, root, cur), batch)
+      val merged = Dedup.merge(e0, b0, key)
       commitEntries(root, v, writePartitioned(merged.localCheckpoint()))
     } else {
       val touchedVals = batch.select(partStr).distinct().collect()
@@ -312,10 +348,13 @@ object ManifestTable {
       }
       val merged =
         if (existingFiles.isEmpty) batch
-        else Dedup.merge(
-          spark.read.parquet(existingFiles: _*)
-            .select(batch.columns.map(col).toSeq: _*),
-          batch, key)
+        else {
+          // mergeSchema: touched partitions may span file generations
+          val (e0, b0) = alignSchemas(
+            spark.read.option("mergeSchema", "true").parquet(existingFiles: _*),
+            batch)
+          Dedup.merge(e0, b0, key)
+        }
       val newEntries = writePartitioned(merged.localCheckpoint())
       val untouched = prev.filterNot { case (p, _) => isTouched(p) }
       commitEntries(root, v, untouched ++ newEntries)

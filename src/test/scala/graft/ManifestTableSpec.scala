@@ -379,6 +379,52 @@ class ManifestTableSpec extends SparkSpec {
     assert(Files.exists(Paths.get(root, "manifest-v3.json")))
   }
 
+  test("schema evolution: a batch ADDING a column merges — old rows null-fill, " +
+    "untouched partitions' narrow files are referenced unmodified, time travel " +
+    "still reads the pre-evolution schema, and retyping is rejected") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-manifest-evo").toString
+    val key = Seq("id", "day")
+    ManifestTable.mergePartitioned(
+      pdf((1L, "d1", "a"), (2L, "d2", "b")), root, key, "day")
+    val narrowFiles = fileState(root, 1).filter(_._1.contains("__part=d2"))
+
+    // v2: the batch carries a NEW column `score`, touching only d1
+    val wide = Seq((1L, "d1", "A", 0.9), (3L, "d1", "x", 0.5))
+      .toDF("id", "day", "v", "score")
+    ManifestTable.mergePartitioned(wide, root, key, "day")
+    val cur = ManifestTable.read(spark, root)
+    assert(cur.columns.toSeq == Seq("id", "day", "v", "score"),
+      s"union schema in canonical order, got ${cur.columns.toSeq}")
+    val rows = cur.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("day"),
+      r.getAs[String]("v"), Option(r.getAs[java.lang.Double]("score")))).toSet
+    assert(rows == Set(
+      (1L, "d1", "A", Some(0.9)), (3L, "d1", "x", Some(0.5)),
+      (2L, "d2", "b", None)), s"old rows null-fill the new column: $rows")
+    // untouched narrow partition: same files, not rewritten to the wide schema
+    val after = fileState(root, 2)
+    narrowFiles.foreach { case (rel, st) =>
+      assert(after.get(rel).contains(st), s"untouched narrow file $rel rewritten")
+    }
+    // time travel reads v1 with its own (pre-evolution) schema
+    assert(ManifestTable.readVersion(spark, root, 1).columns.toSeq == Seq("id", "day", "v"))
+
+    // v3: a NARROW batch (no `score`) still merges; whole-row semantics
+    // replace the matched row, so its score becomes null
+    ManifestTable.mergePartitioned(pdf((1L, "d1", "A3")), root, key, "day")
+    val v3 = ManifestTable.read(spark, root).collect()
+      .map(r => (r.getAs[Long]("id"), Option(r.getAs[java.lang.Double]("score")))).toMap
+    assert(v3(1L).isEmpty && v3(3L).contains(0.5), s"whole-row replace: $v3")
+
+    // retyping a column is a migration, not evolution — rejected loudly
+    val retyped = Seq((9L, "d1", 123)).toDF("id", "day", "v")
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.mergePartitioned(retyped, root, key, "day")
+    }
+    assert(e.getMessage.contains("retyping") && e.getMessage.contains("v"),
+      e.getMessage)
+  }
+
   test("two SAME-PROCESS writers merging different partitions concurrently both " +
     "land: the JVM-local synchronized serializes them (cross-process safety is " +
     "the CREATE_NEW fail-loudly protocol, covered by the orphan spec above)") {
