@@ -249,7 +249,46 @@ object Extended {
       |       count(*) AS n
       |FROM binned GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** q108 — table column profiler (the pre-training data-quality sweep;
+    * q93 is the same idea for embedding dimensions): per numeric
+    * lineitem measure, row/null/zero counts and min/max/mean, computed
+    * in ONE aggregate pass — a single partial→final combine producing
+    * one row, melted to per-column rows AFTER the aggregate, so the
+    * reshape costs nothing at any scale. The profile of a 100 TB table
+    * is one scan, one 1-row shuffle. */
+  def q108ColumnProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"${c}_n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nnull"),
+        sum(when(col(c) === 0.0, 1L).otherwise(0L)).as(s"${c}_nzero"),
+        round(min(col(c)), 6).as(s"${c}_min"),
+        round(max(col(c)), 6).as(s"${c}_max"),
+        round(avg(col(c)), 6).as(s"${c}_mean"))
+    }
+    val one = Tables(s, d, "lineitem").agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map(c =>
+      s"'$c', ${c}_n, ${c}_nnull, ${c}_nzero, ${c}_min, ${c}_max, ${c}_mean")
+      .mkString(s"stack(${cols.size}, ", ", ", ")")
+    one.select(expr(
+      s"$stackExpr AS (column_name, n, n_null, n_zero, min_val, max_val, mean_val)"))
+  }
+
+  val q108Sql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(sum(CASE WHEN $c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  round(min($c), 6) AS min_val, round(max($c), 6) AS max_val,
+        |  round(avg($c), 6) AS mean_val
+        |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_column_profile" -> (q108ColumnProfile _),
     "q51_cube" -> (q51Cube _),
     "q38_pivot" -> (q38Pivot _),
     "q39_correlated_subquery" -> (q39CorrelatedSubquery _),
@@ -262,6 +301,7 @@ object Extended {
 
   /** q41 intentionally omitted: approximate sketches are engine-specific. */
   val oracleSql: Map[String, String] = Map(
+    "q108_column_profile" -> q108Sql,
     "q51_cube" -> q51Sql,
     "q38_pivot" -> q38Sql,
     "q39_correlated_subquery" -> q39Sql,

@@ -297,6 +297,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q108: the column profiler is ONE aggregate pass — a single scan " +
+    "feeding a partial agg; the per-column melt happens after it") {
+    val plan = physical(graft.operators.Extended.q108ColumnProfile(spark, sf0001))
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+    assert(plan.contains("partial"), plan)
+  }
+
   test("q107: Q5-shape — date and region predicates push to their scans, " +
     "dimensions broadcast, revenue aggregates with map-side partials") {
     val plan = physical(Relational.q107LocalSupplierRevenue(spark, sf0001))
