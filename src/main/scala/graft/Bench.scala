@@ -57,16 +57,17 @@ object Bench {
     // LPT packing: start the multi-stage heavyweights first so they
     // overlap the long tail of small queries instead of serializing at
     // the end of the suite.
-    // order = r6 sequential cost descending, except q54 stays first: it
+    // order = r7 sequential cost descending, except q54 stays first: it
     // materializes the shared candidate/components caches that q30/q31/
     // q67/q69/q88 reuse, so it must not race its own consumers.
-    val heavy = Seq("q54_neardup_components", "q100_pagerank", "q95_minhash_calibration",
-      "q31_jaccard_pairs", "q72_tfidf", "q99_bigram_perplexity", "q98_bloom_decontaminate",
+    val heavy = Seq("q54_neardup_components", "q99_bigram_perplexity", "q100_pagerank",
+      "q95_minhash_calibration", "q31_jaccard_pairs", "q91_novelty", "q72_tfidf",
+      "q98_bloom_decontaminate",
       "q75_source_similarity", "q88_dedup_funnel", "q46_ivf_ann", "q77_surprisal",
-      "q57_top_tokens_per_lang", "q78_collocations", "q91_novelty", "q30_minhash_lsh",
+      "q57_top_tokens_per_lang", "q78_collocations", "q87_zipf_slope", "q30_minhash_lsh",
       "q58_kmeans", "q60_funnel", "q48_session_window", "q16_dedup_rownumber",
       "q61_retention", "q62_salted_join", "q3_revenue_by_nation", "q4_semi_join",
-      "q87_zipf_slope", "q36_label_centroid", "q34_ann_lsh", "q35_cosine_neardup",
+      "q36_label_centroid", "q34_ann_lsh", "q35_cosine_neardup",
       "q10_set_ops", "q33_knn_bruteforce", "q32_simhash")
     val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
       val i = heavy.indexOf(n); if (i >= 0) i else heavy.size

@@ -739,6 +739,52 @@ object TimeSeries {
       |  ON a.day = b.day AND a.event_type < b.event_type
       |GROUP BY 1, 2""".stripMargin
 
+  /** q109 — last-touch conversion attribution: each purchase credits
+    * the user's most recent preceding NON-purchase event within 1 hour
+    * (else 'direct') — the analytics query funnels (q60) summarize.
+    * One window pass per user timeline computes both the touch type and
+    * its timestamp with `last(..., ignoreNulls)` over the same frame
+    * (both expressions are non-null on exactly the same rows, so they
+    * always read the same touch row); attribution shares are a
+    * 5-row-by-construction final aggregate, so its global-share window
+    * is bounded by |event_types|, never data. */
+  def q109Attribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when($"event_type" =!= "purchase", $"event_type")
+    val touchTs = when($"event_type" =!= "purchase", $"ts")
+    val attributed = Tables(s, d, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("ptype", last(touch, ignoreNulls = true).over(byUser))
+      .withColumn("pts", last(touchTs, ignoreNulls = true).over(byUser))
+      .where($"event_type" === "purchase")
+      .select(
+        when($"pts".isNotNull && $"pts" >= $"ts" - expr("INTERVAL 1 HOUR"), $"ptype")
+          .otherwise(lit("direct")).as("touch_type"))
+    attributed.groupBy($"touch_type")
+      .agg(count(lit(1)).as("n_purchases"))
+      .withColumn("share",
+        round($"n_purchases" / sum($"n_purchases").over(Window.partitionBy()), 6))
+  }
+
+  val q109Sql: String =
+    """WITH w AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ptype,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pts
+      |  FROM events),
+      |p AS (SELECT CASE WHEN pts IS NOT NULL AND pts >= ts - INTERVAL 1 HOUR
+      |                  THEN ptype ELSE 'direct' END AS touch_type
+      |      FROM w WHERE event_type = 'purchase')
+      |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_purchases,
+      |       round(count(*) / sum(count(*)) OVER (), 6) AS share
+      |FROM p GROUP BY 1""".stripMargin
+
   /** Cumulative user-growth curve: users bucketed by their first-active
     * day, daily new-user counts, and the running total. The raw events
     * reduce to one row per user FIRST (min day), then to one row per
@@ -851,6 +897,7 @@ object TimeSeries {
     "q101_mad_outliers" -> (q101MadOutliers _),
     "q104_behavior_trigrams" -> (q104BehaviorTrigrams _),
     "q106_metric_correlation" -> (q106MetricCorrelation _),
+    "q109_attribution" -> (q109Attribution _),
     "q79_transitions" -> (q79Transitions _),
     "q80_user_growth" -> (q80UserGrowth _),
     "q81_event_gaps" -> (q81EventGaps _))
@@ -877,6 +924,7 @@ object TimeSeries {
     "q101_mad_outliers" -> q101Sql,
     "q104_behavior_trigrams" -> q104Sql,
     "q106_metric_correlation" -> q106Sql,
+    "q109_attribution" -> q109Sql,
     "q79_transitions" -> q79Sql,
     "q80_user_growth" -> q80Sql,
     "q81_event_gaps" -> q81Sql)

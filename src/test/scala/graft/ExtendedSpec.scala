@@ -146,6 +146,27 @@ class ExtendedSpec extends SparkSpec {
       ("B", "C") -> ((3L, -1.0))), s"got $out")
   }
 
+  test("q109: last-touch attribution — credits the latest preceding " +
+    "non-purchase within 1h, stale and absent touches fall to 'direct'") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    def t(hm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hm:00").getTime * 1000000L
+    Seq(
+      (1L, "view",     t("10:00"), 1L),
+      (1L, "purchase", t("10:30"), 2L),  // within 1h of view -> view
+      (1L, "purchase", t("12:30"), 3L),  // last touch 2.5h stale -> direct
+      (2L, "purchase", t("09:00"), 4L),  // nothing precedes -> direct
+      (2L, "click",    t("09:30"), 5L),
+      (2L, "purchase", t("09:45"), 6L))  // click
+      .toDF("user_id", "event_type", "ts", "event_id")
+      .write.parquet(s"$dir/events.parquet")
+    val out = operators.TimeSeries.q109Attribution(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(
+      "view" -> ((1L, 0.25)), "click" -> ((1L, 0.25)), "direct" -> ((2L, 0.5))),
+      s"got $out")
+  }
+
   test("q104: behavior trigrams — overlapping windows per user, no " +
     "cross-user trigrams, counts exact on a hand timeline") {
     import spark.implicits._
