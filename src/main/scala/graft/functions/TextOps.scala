@@ -460,6 +460,23 @@ object TextOps {
     * explode → 16 conditional sums → bit-string concat. */
   def q32SimHash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    graft.expressions.SimHash.register(s)
+    // the codegen'd per-row sketch replaces the explode + 16-sum
+    // aggregate: zero shuffle, one scan (TextDedupSpec pins equivalence
+    // with [[simHashDeclarative]]; the DuckDB oracle is the declarative
+    // form)
+    docs(s, d).select($"doc_id",
+      expr(s"simhash_native(${tokensSqlExpr("text")})").as("simhash"))
+  }
+
+  /** SQL-text form of [[tokens]] for use inside expr(...). */
+  private def tokensSqlExpr(c: String): String = raw"split(trim($c), '\\s+')"
+
+  /** The declarative explode + 16-sum form of q32 — the shape the DuckDB
+    * oracle computes; kept as the equivalence baseline for the codegen
+    * expression. */
+  private[graft] def simHashDeclarative(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val toks = docs(s, d)
       .select($"doc_id", explode(array_distinct(tokens($"text"))).as("tok"))
       .withColumn("h", md5($"tok"))

@@ -297,6 +297,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q32: the native simhash plans ZERO exchanges — the sketch is " +
+    "computed inside the scan") {
+    val plan = physical(graft.functions.TextOps.q32SimHash(spark, sf0001))
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("simhash_native"), plan)
+  }
+
   test("q108: the column profiler is ONE aggregate pass — a single scan " +
     "feeding a partial agg; the per-column melt happens after it") {
     val plan = physical(graft.operators.Extended.q108ColumnProfile(spark, sf0001))

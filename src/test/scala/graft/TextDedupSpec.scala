@@ -103,6 +103,27 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("q32: the codegen simhash expression equals the declarative " +
+    "explode+vote form on the corpus and on dup/unicode fixtures") {
+    import spark.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nativeOut = asMap(TextOps.q32SimHash(spark, sf0001))
+    val declOut = asMap(TextOps.simHashDeclarative(spark, sf0001))
+    assert(nativeOut == declOut, "corpus equivalence")
+    assert(nativeOut.nonEmpty && nativeOut.values.forall(_.matches("[01]{16}")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-simhash").toString
+    Seq(
+      (1L, "alpha alpha alpha beta"),   // duplicate tokens vote once
+      (2L, "alpha beta"),               // same distinct set as doc 1
+      (3L, "naïve café 日本語"))          // non-ASCII md5 paths agree
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val n2 = asMap(TextOps.q32SimHash(spark, dir))
+    assert(n2 == asMap(TextOps.simHashDeclarative(spark, dir)))
+    assert(n2(1L) == n2(2L), "distinct-token sets equal -> sketches equal")
+  }
+
   test("q31: document-frequency cap bounds pair expansion from hot shingles") {
     import spark.implicits._
     // A boilerplate shingle shared by M docs yields O(M²) candidate pairs;
