@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.TimeSeries
 
 /** Scale-up experiment (dev tool): run the heavy relational shapes at
   * 1× and N× the sf0.1 row count (fact tables unioned with shifted
@@ -193,6 +194,31 @@ object ScaleProbe {
     triangles(sfDir) // warm
     time("triangles_1x")(triangles(sfDir))
     time(s"triangles_${factor}x")(triangles(docsNDir))
+
+    // Event-stream analytics: N user-disjoint copies (user_id and
+    // event_id shift; timestamps unchanged, read/written as raw nanos
+    // longs so Tables' ns→µs conversion applies to the copy too). Users
+    // scale WITH the data, so per-user window partitions keep constant
+    // width — the property the per-user window ops must preserve
+    // (more partitions, never wider ones).
+    val eventsNDir = {
+      val base = spark.read.parquet(s"$sfDir/events.parquet")
+      val dir = java.nio.file.Files.createTempDirectory("graft-scale-events").toString
+      val shift = 100000000L
+      (0 until factor).map { i =>
+        base.withColumn("event_id", $"event_id" + lit(i * shift))
+          .withColumn("user_id", $"user_id" + lit(i * shift))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    def trigramsEv(d: String): Long = TimeSeries.q104BehaviorTrigrams(spark, d).count()
+    def attribution(d: String): Long = TimeSeries.q109Attribution(spark, d).count()
+    trigramsEv(sfDir); attribution(sfDir) // warm
+    time("behavior_trigrams_1x")(trigramsEv(sfDir))
+    time(s"behavior_trigrams_${factor}x")(trigramsEv(eventsNDir))
+    time("attribution_1x")(attribution(sfDir))
+    time(s"attribution_${factor}x")(attribution(eventsNDir))
     spark.stop()
   }
 }
