@@ -1,19 +1,20 @@
 package graft
 
-import graft.functions.TextOps
+import graft.functions.{CurationOps, TextOps}
 import graft.sources.ManifestTable
 import org.apache.spark.sql.functions._
 
 /** Executable end-to-end TRAINING-DATA slice — the corpus-side twin of
   * [[PipelineDemo]]: documents → quality + repetition scoring → exact
-  * dedup → MinHash near-dup components → keeper selection → deterministic
-  * train/val/test split → transactional snapshot commit → read-back
-  * stats. Run with `sbt "runMain graft.CorpusPipelineDemo [sfDir]"`.
+  * dedup → MinHash near-dup components → keeper selection → benchmark
+  * decontamination → deterministic train/val/test split → transactional
+  * snapshot commit → read-back stats. Run with
+  * `sbt "runMain graft.CorpusPipelineDemo [sfDir]"`.
   *
   * Every stage is one of the oracle-gated operators (q26/q56/q28/q54/
-  * q55) composed as a user of the library would compose them; the sink
-  * is the manifest-committed table, so a re-run commits a new snapshot
-  * and the previous one stays readable. */
+  * q98/q55) composed as a user of the library would compose them; the
+  * sink is the manifest-committed table, so a re-run commits a new
+  * snapshot and the previous one stays readable. */
 object CorpusPipelineDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -42,17 +43,24 @@ object CorpusPipelineDemo {
       .where($"doc_id" === $"component_id")
       .select($"doc_id")
 
-    // 4. surviving docs + deterministic split (q55)
+    // 4. benchmark decontamination (q98): drop docs sharing a 3-gram
+    // with the held-out eval slice — the anti-join side is the bloom-
+    // prefiltered hit set, duplicate-bounded and broadcastable
+    val contaminated = CurationOps.q98BloomDecontaminate(spark, sfDir)
+      .select($"doc_id")
+
+    // 5. surviving docs + deterministic split (q55)
     val survivors = Tables(spark, sfDir, "documents")
       .join(quality.select($"doc_id"), "doc_id")
       .join(exactKeepers, "doc_id")
       .join(nearKeepers, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
     val split = TextOps.q55HashSplit(spark, sfDir)
       .select($"doc_id", $"split")
     val curated = survivors.join(split, "doc_id")
       .select($"doc_id", $"lang", $"split", $"n_chars", $"text")
 
-    // 5. transactional snapshot commit + read-back
+    // 6. transactional snapshot commit + read-back
     val v = ManifestTable.merge(curated, s"$work/curated", Seq("doc_id"))
     val back = ManifestTable.read(spark, s"$work/curated")
     val total = Tables(spark, sfDir, "documents").count()
