@@ -21,7 +21,13 @@ class SqlSurfaceSpec extends SparkSpec {
     ("q16", Relational.q16DedupRowNumber _, Relational.q16Sql),
     ("q17", Relational.q17MergeUpsert _, Relational.q17Sql),
     ("q39", Extended.q39CorrelatedSubquery _, Extended.q39Sql),
-    ("q43", Extended.q43ConditionalAgg _, Extended.q43Sql))
+    ("q43", Extended.q43ConditionalAgg _, Extended.q43Sql),
+    ("q104", graft.operators.TimeSeries.q104BehaviorTrigrams _,
+      graft.operators.TimeSeries.q104Sql),
+    ("q106", graft.operators.TimeSeries.q106MetricCorrelation _,
+      graft.operators.TimeSeries.q106Sql),
+    ("q107", Relational.q107LocalSupplierRevenue _, Relational.q107Sql),
+    ("q108", Extended.q108ColumnProfile _, Extended.q108Sql))
 
   neutral.foreach { case (name, fn, sqlText) =>
     test(s"$name: spark.sql(oracle text) ≡ DataFrame plan") {
