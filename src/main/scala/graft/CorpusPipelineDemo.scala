@@ -49,8 +49,13 @@ object CorpusPipelineDemo {
     val contaminated = CurationOps.q98BloomDecontaminate(spark, sfDir)
       .select($"doc_id")
 
-    // 5. surviving docs + deterministic split (q55)
+    // 5. surviving docs + deterministic split (q55). The held-out eval
+    // slice itself (q98's doc_id % 19 == 0 stand-in benchmark) is ALSO
+    // excluded: decontamination only removes TRAINING docs that overlap
+    // it — committing the eval docs themselves would defeat the held-out
+    // premise the stage demonstrates (ADVICE r7)
     val survivors = Tables(spark, sfDir, "documents")
+      .where($"doc_id" % 19 =!= 0)
       .join(quality.select($"doc_id"), "doc_id")
       .join(exactKeepers, "doc_id")
       .join(nearKeepers, "doc_id")

@@ -455,9 +455,10 @@ object TextOps {
       |FROM ex GROUP BY 1""".stripMargin
 
   /** SimHash: 16-bit signature; bit i is the sign of the sum over distinct
-    * tokens of ±1 by the i-th md5 nibble's high bit. Groups by signature
-    * to surface hash-bucket sizes (near-dup docs collide). All built-ins:
-    * explode → 16 conditional sums → bit-string concat. */
+    * tokens of ±1 by the i-th md5 nibble's high bit. Returns one
+    * (doc_id, simhash) sketch row per doc, computed by the codegen
+    * expression inside the scan (near-dup docs collide on the value;
+    * bucketing/grouping is the caller's downstream step). */
   def q32SimHash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.expressions.SimHash.register(s)
@@ -1070,7 +1071,14 @@ object TextOps {
     // one row per (doc, token) already, so df = plain count per token
     val df = tf.groupBy($"token").agg(count(lit(1)).as("df_docs"))
     val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(df), "token")
+    // the df table is VOCABULARY-sized — unbounded on a web corpus
+    // (URLs/hashes/numbers push distinct tokens into the billions), so
+    // the join strategy is deliberately LEFT TO AQE: at any sane SF the
+    // runtime size is tiny and AQE broadcasts it (PlanSpec pins this);
+    // past the broadcast threshold Spark falls back to a shuffled join
+    // instead of OOMing the driver, which a forced broadcast() forbids.
+    // Only the 1-row count scalar is hinted — bounded by construction.
+    val scored = tf.join(df, "token")
       .crossJoin(broadcast(n))
       .withColumn("tfidf", round($"tf" * log($"n_docs" / $"df_docs"), 6))
     // top-3 via the TopKPerGroup plan (map-side bounded heaps) — no
@@ -1151,16 +1159,20 @@ object TextOps {
     * the mean negative log-probability of its tokens under the corpus's
     * own unigram distribution. Rare-token-heavy docs score high,
     * boilerplate scores low — the standard "perplexity filter" axis.
-    * Shape at scale: the unigram table is VOCABULARY-sized (broadcast);
-    * token rows join map-side and aggregate back to one row per doc —
-    * two corpus scans, zero corpus-sized shuffles beyond the (doc)
-    * combine. */
+    * Shape at scale: the unigram table is VOCABULARY-sized — AQE
+    * broadcasts it while it fits, so token rows join map-side and
+    * aggregate back to one row per doc — two corpus scans, zero
+    * corpus-sized shuffles beyond the (doc) combine. */
   def q77Surprisal(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = tokenTable(s, d).select($"doc_id", $"token")
     val uni = toks.groupBy($"token").agg(count(lit(1)).as("ctf"))
     val total = toks.agg(count(lit(1)).as("ntot"))
-    toks.join(broadcast(uni), "token")
+    // unigram table is vocabulary-sized → unbounded at web scale; no
+    // broadcast hint — AQE broadcasts it while it fits (PlanSpec pins
+    // this at test SF) and degrades to a shuffled join past the
+    // threshold instead of OOMing. The 1-row total stays hinted.
+    toks.join(uni, "token")
       .crossJoin(broadcast(total))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"),
@@ -1255,8 +1267,8 @@ object TextOps {
     * only corpus shuffle is the combiner-friendly (tok_a, tok_b) count.
     * Pair volume is bounded by doc length squared per row (the operator
     * contract), not corpus size squared. The doc-frequency table is
-    * vocabulary-sized → broadcast; top-20 is TakeOrderedAndProject on
-    * the rounded score, never a global sort. */
+    * vocabulary-sized → AQE-broadcast while it fits; top-20 is
+    * TakeOrderedAndProject on the rounded score, never a global sort. */
   def q78Collocations(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dt = docs(s, d)
@@ -1271,8 +1283,12 @@ object TextOps {
     val df = dt.select(explode($"toks").as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("df"))
     val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
-    co.join(broadcast(df.select($"tok".as("tok_a"), $"df".as("df_a"))), "tok_a")
-      .join(broadcast(df.select($"tok".as("tok_b"), $"df".as("df_b"))), "tok_b")
+    // both df lookups are vocabulary-sized → no broadcast hint; AQE
+    // broadcasts them while small (PlanSpec pins this at test SF) and
+    // falls back to a shuffled join past the threshold. Only the 1-row
+    // doc count is hinted.
+    co.join(df.select($"tok".as("tok_a"), $"df".as("df_a")), "tok_a")
+      .join(df.select($"tok".as("tok_b"), $"df".as("df_b")), "tok_b")
       .crossJoin(broadcast(n))
       .withColumn("pmi", round(log(($"n_ab" * $"n_docs") / ($"df_a" * $"df_b")), 6))
       .select($"tok_a", $"tok_b", $"n_ab", $"pmi")

@@ -47,7 +47,8 @@ class ManifestTableSpec extends SparkSpec {
     intercept[java.util.ConcurrentModificationException] {
       ManifestTable.merge(df(2L -> "b"), root, Seq("id"))
     }
-    ManifestTable.vacuum(root)
+    // grace 0: this recovery KNOWS no concurrent writer exists
+    ManifestTable.vacuum(root, orphanGraceMs = 0L)
     ManifestTable.merge(df(2L -> "b"), root, Seq("id"))
     assert(readSet(root) == Set(1L -> "a", 2L -> "b"))
   }
@@ -127,9 +128,10 @@ class ManifestTableSpec extends SparkSpec {
       assert(after.contains(rel), s"v2 manifest must reference untouched v1 file $rel")
       assert(after(rel) == st, s"untouched file $rel was modified")
     }
-    // touched partition: new files under data/v2
-    assert(after.keys.exists(p => p.startsWith("data/v2/") && p.contains("__part=d1")))
-    assert(!after.keys.exists(p => p.startsWith("data/v2/") && p.contains("__part=d2")))
+    // touched partition: new files under v2's (writer-unique) data dir
+    assert(after.keys.exists(p => p.startsWith("data/v2-") && p.contains("__part=d1")))
+    assert(after.keys.filter(_.contains("__part=d2")).forall(_.startsWith("data/v1-")),
+      "untouched d2 must not be rewritten under a v2 data dir")
   }
 
   test("mergePartitioned crash before the pointer swap leaves the previous snapshot intact") {
@@ -151,7 +153,7 @@ class ManifestTableSpec extends SparkSpec {
     intercept[java.util.ConcurrentModificationException] {
       ManifestTable.mergePartitioned(pdf((1L, "d1", "A")), root, key, "day")
     }
-    ManifestTable.vacuum(root)
+    ManifestTable.vacuum(root, orphanGraceMs = 0L)
     ManifestTable.mergePartitioned(pdf((1L, "d1", "A")), root, key, "day")
     assert(ManifestTable.currentVersion(root) == 2)
     assert(readPSet(root) == Set((1L, "d1", "A"), (2L, "d2", "b")))
@@ -361,7 +363,13 @@ class ManifestTableSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("manifest-v2.json"))
     assert(ManifestTable.currentVersion(root) == 1, "failed commit must not move the pointer")
+    // default vacuum AGE-GATES orphans: a fresh manifest above current may
+    // be an in-flight cross-process commit, so it survives (ADVICE r7)...
     ManifestTable.vacuum(root)
+    assert(Files.exists(Paths.get(root, "manifest-v2.json")),
+      "a fresh orphan (possible in-flight commit) must survive default vacuum")
+    // ...and only an explicit zero grace (single-writer recovery) clears it
+    ManifestTable.vacuum(root, orphanGraceMs = 0L)
     assert(Files.notExists(Paths.get(root, "manifest-v2.json")), "vacuum clears orphans")
     ManifestTable.mergePartitioned(pdf((2L, "d2", "b")), root, key, "day")
     assert(readPSet(root) == Set((1L, "d1", "a"), (2L, "d2", "b")))
@@ -374,7 +382,10 @@ class ManifestTableSpec extends SparkSpec {
     ManifestTable.merge(df(3L -> "c"), root, Seq("id"))
     ManifestTable.vacuum(root, keepVersions = 1)
     assert(readSet(root) == Set(1L -> "a", 2L -> "b", 3L -> "c"))
-    assert(!new File(s"$root/data/v1").exists() || new File(s"$root/data/v1").listFiles().isEmpty)
+    val v1Dirs = Option(new File(s"$root/data").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("v1-"))
+    assert(v1Dirs.forall(d => Option(d.listFiles()).getOrElse(Array.empty).isEmpty),
+      s"v1 data files must be vacuumed: ${v1Dirs.mkString(", ")}")
     assert(Files.notExists(Paths.get(root, "manifest-v1.json")))
     assert(Files.exists(Paths.get(root, "manifest-v3.json")))
   }
@@ -427,7 +438,7 @@ class ManifestTableSpec extends SparkSpec {
 
   test("two SAME-PROCESS writers merging different partitions concurrently both " +
     "land: the JVM-local synchronized serializes them (cross-process safety is " +
-    "the CREATE_NEW fail-loudly protocol, covered by the orphan spec above)") {
+    "the CREATE_NEW + rebase protocol, covered by the race specs below)") {
     val root = Files.createTempDirectory("graft-manifest-conc").toString
     val key = Seq("id", "day")
     ManifestTable.mergePartitioned(pdf((1L, "d1", "a"), (2L, "d2", "b")), root, key, "day")
@@ -441,5 +452,69 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(root) == 3)
     assert(readPSet(root) == Set((1L, "d1", "A2"), (2L, "d2", "b"), (3L, "d3", "c")),
       "both writers' partitions and the untouched one must all survive")
+  }
+
+  test("cross-process-shaped race on DISJOINT partitions: the losing writer " +
+    "REBASES onto the winner's commit and BOTH merges land") {
+    val root = Files.createTempDirectory("graft-manifest-rebase").toString
+    val key = Seq("id", "day")
+    ManifestTable.mergePartitioned(pdf((1L, "d1", "a"), (2L, "d2", "b")), root, key, "day")
+    // writer A merges d1; in the window between A's data write and its
+    // commit (where a real cross-process race lands), writer B commits a
+    // d3 merge and wins version 2
+    ManifestTable.raceHookForTests = () => {
+      ManifestTable.raceHookForTests = () => ()
+      ManifestTable.mergePartitioned(pdf((3L, "d3", "c")), root, key, "day"): Unit
+    }
+    try {
+      val v = ManifestTable.mergePartitioned(pdf((1L, "d1", "A")), root, key, "day")
+      assert(v == 3, s"the loser must rebase onto v2 and commit v3, got $v")
+    } finally ManifestTable.raceHookForTests = () => ()
+    assert(ManifestTable.currentVersion(root) == 3)
+    assert(readPSet(root) ==
+      Set((1L, "d1", "A"), (2L, "d2", "b"), (3L, "d3", "c")),
+      "both racing writers' partitions and the untouched one must all survive")
+  }
+
+  test("cross-process-shaped race on the SAME partition: the loser ABORTS loudly " +
+    "naming the overlapping partition; the winner's commit is untouched") {
+    val root = Files.createTempDirectory("graft-manifest-rebase2").toString
+    val key = Seq("id", "day")
+    ManifestTable.mergePartitioned(pdf((1L, "d1", "a"), (2L, "d2", "b")), root, key, "day")
+    ManifestTable.raceHookForTests = () => {
+      ManifestTable.raceHookForTests = () => ()
+      ManifestTable.mergePartitioned(pdf((9L, "d1", "winner")), root, key, "day"): Unit
+    }
+    val ex = try {
+      intercept[java.util.ConcurrentModificationException] {
+        ManifestTable.mergePartitioned(pdf((1L, "d1", "loser")), root, key, "day")
+      }
+    } finally ManifestTable.raceHookForTests = () => ()
+    assert(ex.getMessage.contains("d1"), ex.getMessage)
+    assert(ManifestTable.currentVersion(root) == 2, "the loser must not commit")
+    assert(readPSet(root) == Set((1L, "d1", "a"), (9L, "d1", "winner"), (2L, "d2", "b")),
+      "the winner's merge result must be exactly what readers see")
+  }
+
+  test("a merge batch MISSING A KEY COLUMN fails loudly instead of null-filling " +
+    "the key and collapsing rows (schema evolution adds non-key columns only)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-manifest-keyguard").toString
+    ManifestTable.merge(df(1L -> "a"), root, Seq("id"))
+    val noKey = Seq("zz").toDF("v") // carries v but not the id key
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.merge(noKey, root, Seq("id"))
+    }
+    assert(e.getMessage.contains("id"), e.getMessage)
+    assert(readSet(root) == Set(1L -> "a"), "the rejected merge must not commit")
+
+    val root2 = Files.createTempDirectory("graft-manifest-keyguard2").toString
+    val pkey = Seq("id", "day")
+    ManifestTable.mergePartitioned(pdf((1L, "d1", "a")), root2, pkey, "day")
+    val noKey2 = Seq(("d1", "x")).toDF("day", "v") // day present, id missing
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestTable.mergePartitioned(noKey2, root2, pkey, "day")
+    }
+    assert(e2.getMessage.contains("id"), e2.getMessage)
   }
 }

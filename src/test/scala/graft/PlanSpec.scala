@@ -112,9 +112,18 @@ class PlanSpec extends SparkSpec {
       l.contains("Window [") && l.contains("[bucket")), plan)
   }
 
-  test("q72: the vocabulary-sized doc-frequency table broadcasts — tf rows " +
-    "never shuffle for the idf join") {
-    val plan = physical(graft.functions.TextOps.q72TfIdf(spark, sf0001))
+  test("q72: the vocabulary-sized df table carries NO forced broadcast hint " +
+    "(only the 1-row scalar is hinted) — AQE still broadcasts it at this SF") {
+    val df = graft.functions.TextOps.q72TfIdf(spark, sf0001)
+    // exactly one ResolvedHint in the logical plan: the bounded 1-row
+    // count scalar. A second hint would mean the unbounded vocab table
+    // is force-broadcast again (the 100 TB OOM the hint-drop removed).
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 1, df.queryExecution.analyzed.toString)
+    df.collect() // AQE's runtime choice lands in the final plan
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
@@ -144,15 +153,29 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, plan)
   }
 
-  test("q77: the unigram model broadcasts — token rows join map-side") {
-    val plan = physical(graft.functions.TextOps.q77Surprisal(spark, sf0001))
+  test("q77: the unigram model carries NO forced broadcast hint (only the " +
+    "1-row total) — AQE still joins token rows map-side at this SF") {
+    val df = graft.functions.TextOps.q77Surprisal(spark, sf0001)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 1, df.queryExecution.analyzed.toString)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
   test("q78: collocations — per-row pair expansion (no doc-keyed self-join); " +
-    "top-20 is TakeOrdered, not a global sort") {
-    val plan = physical(graft.functions.TextOps.q78Collocations(spark, sf0001))
+    "df lookups carry NO forced broadcast hint; top-20 is TakeOrdered") {
+    val df = graft.functions.TextOps.q78Collocations(spark, sf0001)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 1, df.queryExecution.analyzed.toString) // the 1-row n_docs only
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"), plan) // pairs never self-join on doc
+    assert(plan.contains("BroadcastHashJoin"), plan) // AQE's choice at this SF
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
