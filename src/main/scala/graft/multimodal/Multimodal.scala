@@ -23,15 +23,172 @@ case class MediaFeatures(
     content_hash: String,
     feature: Array[Double])
 
+/** A media payload with a REAL container header: the bytes start with a
+  * valid PNG/JPEG/WAV header whose metadata [[MediaHeaders]] decodes. */
+case class MediaPayload(media_id: Long, kind: String, data: Array[Byte])
+
+/** Decoded-from-bytes metadata ([[Multimodal.decodeMetadata]]): Nones are
+  * fields the container genuinely does not carry (a PNG has no sample
+  * rate), surfaced as SQL nulls. */
+case class MediaMetadata(
+    media_id: Long,
+    kind: String,
+    container: String,
+    width: Option[Long],
+    height: Option[Long],
+    sample_rate: Option[Long],
+    duration_ms: Option[Long],
+    payload_len: Long)
+
+/** Pure-JVM media HEADER codecs — no codec library needed: PNG IHDR,
+  * JPEG SOF0 and WAV RIFF/fmt metadata are plain byte arithmetic
+  * (network-order ints for PNG/JPEG, little-endian for WAV; real CRC32
+  * on PNG chunks via java.util.zip). Writers emit structurally-valid
+  * headers; parsers read ANY conforming file's metadata, not just ours —
+  * a user pointing the pipeline at real .png/.jpg/.wav payloads gets
+  * real dimensions. Pixel/sample DECODE (the part that does need a codec
+  * lib) stays behind [[Multimodal.Codecs]]. */
+object MediaHeaders {
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  private def be32(d: Array[Byte], i: Int): Long =
+    ((d(i) & 0xffL) << 24) | ((d(i + 1) & 0xffL) << 16) |
+      ((d(i + 2) & 0xffL) << 8) | (d(i + 3) & 0xffL)
+  private def be16(d: Array[Byte], i: Int): Int =
+    ((d(i) & 0xff) << 8) | (d(i + 1) & 0xff)
+  private def le32(d: Array[Byte], i: Int): Long =
+    (d(i) & 0xffL) | ((d(i + 1) & 0xffL) << 8) |
+      ((d(i + 2) & 0xffL) << 16) | ((d(i + 3) & 0xffL) << 24)
+  private def le16(d: Array[Byte], i: Int): Int =
+    (d(i) & 0xff) | ((d(i + 1) & 0xff) << 8)
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+  private def crc32(parts: Array[Byte]*): Int = {
+    val c = new java.util.zip.CRC32
+    parts.foreach(c.update)
+    c.getValue.toInt
+  }
+
+  private def pngChunk(chunkType: String, body: Array[Byte]): Array[Byte] = {
+    val t = chunkType.getBytes("US-ASCII")
+    ByteBuffer.allocate(12 + body.length)
+      .putInt(body.length).put(t).put(body).putInt(crc32(t, body)).array()
+  }
+
+  /** Minimal structurally-valid PNG: signature + IHDR(w,h) + an IDAT
+    * carrying `payload` verbatim (declared: NOT zlib-compressed pixel
+    * data — header-level tools parse it, a pixel decoder would not) +
+    * IEND. Total length = 57 + payload.length. */
+  def pngBytes(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+    val ihdr = ByteBuffer.allocate(13).putInt(width).putInt(height)
+      .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", payload) ++ pngChunk("IEND", Array.empty)
+  }
+
+  /** (width, height) from a PNG's IHDR, or None if the bytes are not a
+    * PNG. Spec: IHDR is always the first chunk, at a fixed offset. */
+  def pngDims(d: Array[Byte]): Option[(Long, Long)] =
+    if (d.length >= 24 && d.startsWith(PngSig) &&
+        new String(d, 12, 4, "US-ASCII") == "IHDR")
+      Some((be32(d, 16), be32(d, 20)))
+    else None
+
+  /** Minimal structurally-valid JPEG: SOI + SOF0(h,w, 3 components) +
+    * `payload` verbatim (stands in for the SOS/entropy stream) + EOI.
+    * Total length = 23 + payload.length. */
+  def jpegBytes(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+    val sof0 = ByteBuffer.allocate(19)
+      .put(0xff.toByte).put(0xc0.toByte).putShort(17.toShort) // seg len incl. itself
+      .put(8.toByte).putShort(height.toShort).putShort(width.toShort).put(3.toByte)
+      .put(Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)) // Y/Cb/Cr sampling+qtable
+      .array()
+    Array(0xff.toByte, 0xd8.toByte) ++ sof0 ++ payload ++ Array(0xff.toByte, 0xd9.toByte)
+  }
+
+  /** (width, height) from the first SOF0/1/2 frame header of a JPEG's
+    * marker stream, or None. Walks segments by their declared lengths
+    * (the standard scan — works on real progressive/baseline files),
+    * stopping at SOS: past it lies entropy data, not markers. */
+  def jpegDims(d: Array[Byte]): Option[(Long, Long)] = {
+    if (d.length < 4 || (d(0) & 0xff) != 0xff || (d(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 3 < d.length && (d(i) & 0xff) == 0xff) {
+      val marker = d(i + 1) & 0xff
+      if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+        return if (i + 8 < d.length)
+          Some((be16(d, i + 7).toLong, be16(d, i + 5).toLong))
+        else None
+      } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9) || marker == 0x01) {
+        i += 2 // standalone marker, no length field
+      } else if (marker == 0xda) {
+        return None // scan data begins; no frame header seen
+      } else {
+        if (i + 3 >= d.length) return None
+        i += 2 + be16(d, i + 2)
+      }
+    }
+    None
+  }
+
+  /** Classic 44-byte WAV header (RIFF + PCM fmt + data chunk header)
+    * followed by `payload` as the sample data. Total = 44 + payload. */
+  def wavBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val byteRate = sampleRate * channels * bitsPerSample / 8
+    ByteBuffer.allocate(44 + payload.length).order(ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(36 + payload.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort) // PCM
+      .putInt(sampleRate).putInt(byteRate)
+      .putShort((channels * bitsPerSample / 8).toShort).putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(payload.length)
+      .put(payload).array()
+  }
+
+  /** (sampleRate, durationMs) from a WAV's fmt + data chunks, walking the
+    * RIFF chunk list (handles non-canonical chunk orders and LIST/fact
+    * chunks real recorders emit). durationMs = floor(dataBytes * 1000 /
+    * byteRate). None if not a parseable RIFF/WAVE. */
+  def wavFormat(d: Array[Byte]): Option[(Long, Long)] = {
+    if (d.length < 44 || new String(d, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(d, 8, 4, "US-ASCII") != "WAVE") return None
+    var i = 12
+    var byteRate = -1L
+    var sampleRate = -1L
+    var dataLen = -1L
+    while (i + 8 <= d.length && (byteRate < 0 || dataLen < 0)) {
+      val id = new String(d, i, 4, "US-ASCII")
+      val size = le32(d, i + 4)
+      if (id == "fmt " && i + 24 <= d.length) {
+        sampleRate = le32(d, i + 12)
+        byteRate = le32(d, i + 16)
+      } else if (id == "data") {
+        dataLen = math.min(size, (d.length - i - 8).toLong) // tolerate truncation
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // RIFF pads odd chunks
+    }
+    if (byteRate > 0 && dataLen >= 0) Some((sampleRate, dataLen * 1000L / byteRate))
+    else None
+  }
+  /** Channel count from a canonical WAV header's fmt chunk. */
+  private[graft] def wavChannels(d: Array[Byte]): Int = le16(d, 22)
+}
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * The decode step is STUBBED (this container has no image/audio codecs):
-  * [[Codecs]] derives deterministic fake features from the payload bytes.
-  * Everything around the stub — schema, Dataset encoders, per-partition
-  * batching, partition sizing — is the real distributed plumbing: swap
-  * `Codecs.decodeFeatures` for a JNI/codec call and nothing else changes.
+  * Header-level metadata decode is REAL ([[MediaHeaders]]): PNG/JPEG/WAV
+  * dimensions, sample rate and duration are parsed from the payload
+  * bytes with pure-JVM byte arithmetic (q110). Only pixel/sample-level
+  * decode is STUBBED (this container has no image/audio codec libs):
+  * [[Codecs]] derives deterministic fake feature vectors from payload
+  * bytes. Everything around that stub — schema, Dataset encoders,
+  * per-partition batching, partition sizing — is the real distributed
+  * plumbing: swap `Codecs.decodeFeatures` for a JNI/codec call and
+  * nothing else changes.
   */
 object Multimodal {
 
@@ -72,6 +229,64 @@ object Multimodal {
         ($"n_chars" % 1080).cast("int").as("height"),
         ($"n_chars" * 40L).as("duration_ms"))
       .as[MediaRecord]
+  }
+
+  /** Fabricate a media table whose payloads carry VALID container
+    * headers ([[MediaHeaders]] writers), so header-decode is provable
+    * end-to-end: the decoded metadata must equal what the generator
+    * formula encoded, and the formula is SQL-expressible for the oracle.
+    * Per doc (kind by doc_id % 3, sizes from n_chars, body = utf-8 text):
+    *  - image → PNG,  width = n_chars % 1920 + 1, height = n_chars % 1080 + 1
+    *  - audio → WAV,  rate = 8000 + (n_chars % 8) * 1000, mono 16-bit PCM
+    *  - video → JPEG keyframe stand-in, width = n_chars % 1280 + 1,
+    *    height = n_chars % 720 + 1 (duration is not a JPEG header field →
+    *    decodes to null) */
+  def mediaWithHeaders(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+    import s.implicits._
+    Tables(s, sfDir, "documents")
+      .select($"doc_id", $"n_chars", $"text")
+      .as[(Long, Long, String)]
+      .map { case (docId, nChars, text) =>
+        val body = text.getBytes("UTF-8")
+        val n = nChars.toInt
+        (docId % 3) match {
+          case 0 => MediaPayload(docId, "image",
+            MediaHeaders.pngBytes(n % 1920 + 1, n % 1080 + 1, body))
+          case 1 => MediaPayload(docId, "audio",
+            MediaHeaders.wavBytes(8000 + (n % 8) * 1000, 1, 16, body))
+          case _ => MediaPayload(docId, "video",
+            MediaHeaders.jpegBytes(n % 1280 + 1, n % 720 + 1, body))
+        }
+      }
+  }
+
+  /** Header-level metadata decode — REAL parsing of the payload bytes,
+    * not a stub: container sniffed from magic bytes, then the matching
+    * [[MediaHeaders]] parser. Unparseable payloads yield container
+    * "unknown" with null metadata (never a throw: one corrupt blob must
+    * not kill a 100 TB scan). Pure per-row work → distributes at scan
+    * speed; typed Dataset.map keeps the binary column off any shuffle. */
+  def decodeMetadata(media: Dataset[MediaPayload]): Dataset[MediaMetadata] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val d = m.data
+      val png = MediaHeaders.pngDims(d)
+      val wav = if (png.isEmpty) MediaHeaders.wavFormat(d) else None
+      val jpg = if (png.isEmpty && wav.isEmpty) MediaHeaders.jpegDims(d) else None
+      val container =
+        if (png.nonEmpty) "png" else if (wav.nonEmpty) "wav"
+        else if (jpg.nonEmpty) "jpeg" else "unknown"
+      val dims = png.orElse(jpg)
+      MediaMetadata(
+        media_id = m.media_id,
+        kind = m.kind,
+        container = container,
+        width = dims.map(_._1),
+        height = dims.map(_._2),
+        sample_rate = wav.map(_._1),
+        duration_ms = wav.map(_._2),
+        payload_len = d.length.toLong)
+    }
   }
 
   /** Decode + feature-extract via mapPartitions: the codec is invoked once
@@ -122,9 +337,42 @@ object Multimodal {
       |  n_chars * 40 AS duration_ms
       |FROM documents""".stripMargin
 
+  /** q110: metadata decoded FROM THE BYTES of valid container headers.
+    * The Spark side generates payloads ([[mediaWithHeaders]]) and parses
+    * them back ([[decodeMetadata]]); the oracle recomputes the same
+    * values from the generator's arithmetic — a hash match proves the
+    * byte writers and parsers invert each other exactly. */
+  def q110MediaDecode(s: SparkSession, d: String): DataFrame =
+    decodeMetadata(mediaWithHeaders(s, d)).toDF()
+
+  /** Oracle twin of the generator formulas. Payload lengths are the
+    * containers' structural overhead (PNG 57 = sig + IHDR + IDAT/IEND
+    * framing, WAV 44 = RIFF/fmt/data header, JPEG 23 = SOI + SOF0 + EOI)
+    * plus the utf-8 body; strlen = BYTE length in DuckDB, matching the
+    * binary payload. WAV duration: floor(bytes * 1000 / byteRate),
+    * byteRate = 2 * rate for mono 16-bit. */
+  val q110Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'jpeg' END AS container,
+      |  CASE doc_id % 3 WHEN 0 THEN CAST(n_chars % 1920 + 1 AS BIGINT)
+      |                  WHEN 2 THEN CAST(n_chars % 1280 + 1 AS BIGINT) END AS width,
+      |  CASE doc_id % 3 WHEN 0 THEN CAST(n_chars % 1080 + 1 AS BIGINT)
+      |                  WHEN 2 THEN CAST(n_chars % 720 + 1 AS BIGINT) END AS height,
+      |  CASE doc_id % 3 WHEN 1
+      |    THEN CAST(8000 + (n_chars % 8) * 1000 AS BIGINT) END AS sample_rate,
+      |  CASE doc_id % 3 WHEN 1
+      |    THEN CAST(strlen(text) * 1000 // (2 * (8000 + (n_chars % 8) * 1000)) AS BIGINT)
+      |  END AS duration_ms,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 57 WHEN 1 THEN 44 ELSE 23 END
+      |       + strlen(text) AS BIGINT) AS payload_len
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q37_media_features" -> (q37MediaFeatures _))
+    "q37_media_features" -> (q37MediaFeatures _),
+    "q110_media_decode" -> (q110MediaDecode _))
 
   val oracleSql: Map[String, String] = Map(
-    "q37_media_features" -> q37Sql)
+    "q37_media_features" -> q37Sql,
+    "q110_media_decode" -> q110Sql)
 }

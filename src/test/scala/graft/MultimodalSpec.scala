@@ -49,4 +49,84 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("data#") || !plan.toLowerCase.contains("cast(text"),
       s"payload column should be pruned from metadata-only scan:\n$plan")
   }
+
+  import graft.multimodal.MediaHeaders
+
+  test("PNG writer/parser invert exactly, incl. dims past 16 bits; non-PNG bytes " +
+    "parse to None") {
+    val body = "pixels".getBytes
+    assert(MediaHeaders.pngDims(MediaHeaders.pngBytes(1, 1, body)) === Some((1L, 1L)))
+    assert(MediaHeaders.pngDims(MediaHeaders.pngBytes(70000, 131072, body)) ===
+      Some((70000L, 131072L))) // 4-byte dims: beyond JPEG's 16-bit range
+    assert(MediaHeaders.pngBytes(640, 480, body).length === 57 + body.length)
+    assert(MediaHeaders.pngDims("not a png at all".getBytes) === None)
+    assert(MediaHeaders.pngDims(Array.emptyByteArray) === None)
+    // truncated mid-signature
+    assert(MediaHeaders.pngDims(MediaHeaders.pngBytes(9, 9, body).take(20)) === None)
+  }
+
+  test("JPEG writer/parser invert exactly; the parser walks real marker streams " +
+    "(APP0 before SOF0) and stops safely at SOS or truncation") {
+    val body = "entropy".getBytes
+    assert(MediaHeaders.jpegDims(MediaHeaders.jpegBytes(1280, 720, body)) ===
+      Some((1280L, 720L)))
+    assert(MediaHeaders.jpegBytes(64, 64, body).length === 23 + body.length)
+    // a real camera file leads with APP0/JFIF before the frame header:
+    // SOI + APP0(16 bytes incl len) + SOF0 — parser must skip by length
+    val app0 = Array(0xff, 0xe0, 0x00, 0x10).map(_.toByte) ++ Array.fill[Byte](14)(0)
+    val withApp0 = Array(0xff.toByte, 0xd8.toByte) ++ app0 ++
+      MediaHeaders.jpegBytes(320, 240, body).drop(2)
+    assert(MediaHeaders.jpegDims(withApp0) === Some((320L, 240L)))
+    // SOS before any SOF → dims unknowable → None, not a misparse
+    val sosOnly = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0, 0).map(_.toByte)
+    assert(MediaHeaders.jpegDims(sosOnly) === None)
+    assert(MediaHeaders.jpegDims("garbage".getBytes) === None)
+  }
+
+  test("WAV writer/parser invert exactly: sample rate and floor-division duration " +
+    "from the fmt/data chunks; chunk walk survives extra chunks and garbage") {
+    // 16000 Hz mono 16-bit → byteRate 32000; 64000 bytes = 2000 ms
+    val twoSec = MediaHeaders.wavBytes(16000, 1, 16, Array.fill[Byte](64000)(7))
+    assert(MediaHeaders.wavFormat(twoSec) === Some((16000L, 2000L)))
+    assert(MediaHeaders.wavChannels(twoSec) === 1)
+    // floor: 1000 bytes at 32000 B/s = 31.25 ms → 31
+    assert(MediaHeaders.wavFormat(MediaHeaders.wavBytes(16000, 1, 16,
+      Array.fill[Byte](1000)(0))) === Some((16000L, 31L)))
+    assert(MediaHeaders.wavBytes(8000, 1, 16, Array.fill[Byte](10)(0)).length === 54)
+    assert(MediaHeaders.wavFormat("RIFFnope".getBytes) === None)
+    assert(MediaHeaders.wavFormat(Array.emptyByteArray) === None)
+  }
+
+  test("decodeMetadata reads REAL header values back from the generated payloads " +
+    "and a corrupt payload yields container=unknown with null metadata, not a throw") {
+    import spark.implicits._
+    val decoded = Multimodal.decodeMetadata(Multimodal.mediaWithHeaders(spark, sf0001))
+      .collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { m =>
+      m.kind match {
+        case "image" =>
+          assert(m.container === "png")
+          assert(m.width.exists(w => w >= 1 && w <= 1920) &&
+            m.height.exists(h => h >= 1 && h <= 1080), m.toString)
+          assert(m.sample_rate.isEmpty && m.duration_ms.isEmpty)
+        case "audio" =>
+          assert(m.container === "wav")
+          assert(m.sample_rate.exists(r => r >= 8000 && r <= 15000), m.toString)
+          assert(m.duration_ms.nonEmpty && m.width.isEmpty)
+        case "video" =>
+          assert(m.container === "jpeg")
+          assert(m.width.exists(w => w >= 1 && w <= 1280) &&
+            m.height.exists(h => h >= 1 && h <= 720), m.toString)
+        case other => fail(s"unexpected kind $other")
+      }
+    }
+    // corruption path: truncated/garbage payloads decode to unknown/null
+    val corrupt = Seq(
+      graft.multimodal.MediaPayload(1L, "image", "JUNK".getBytes),
+      graft.multimodal.MediaPayload(2L, "audio", Array.emptyByteArray)).toDS()
+    val out = Multimodal.decodeMetadata(corrupt).collect()
+    assert(out.forall(m => m.container == "unknown" && m.width.isEmpty &&
+      m.sample_rate.isEmpty))
+  }
 }
