@@ -618,11 +618,32 @@ object CurationOps {
     * countDistinct on the few survivors. Bloom has no false negatives,
     * so prefilter + exact join ≡ exact join — the DuckDB oracle runs the
     * plain join and must hash-match. */
-  def q98BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+  def q98BloomDecontaminate(s: SparkSession, d: String): DataFrame =
+    bloomDecontaminate(s, d, MaxEvalBloomHashes)
+
+  /** Driver-side bloom builds collect the eval hash set — safe ONLY while
+    * the eval suite is benchmark-sized. 16M distinct shingles ≈ 128 MB of
+    * hashes (and a 32 MB bitset): comfortably driver-sized, far beyond
+    * any real benchmark, and a hard wall against a misconfigured eval
+    * predicate silently collecting half the corpus (VERDICT r7). */
+  private[graft] val MaxEvalBloomHashes: Int = 16 << 20
+
+  /** [[q98BloomDecontaminate]] with the eval-set cap explicit. The
+    * collect is bounded BY CONSTRUCTION — `limit(max + 1)` caps what can
+    * reach the driver regardless of how wrong the eval predicate is —
+    * and overflow fails loudly instead of OOMing. */
+  private[graft] def bloomDecontaminate(
+      s: SparkSession, d: String, maxHashes: Int): DataFrame = {
     import s.implicits._
     val sh = TextOps.rawShingles(s, d)
     val eval = sh.where($"doc_id" % 19 === 0).select($"shingle").distinct()
-    val hashes = eval.select(xxhash64($"shingle")).as[Long].collect()
+    val hashes = eval.select(xxhash64($"shingle"))
+      .limit(maxHashes + 1).as[Long].collect()
+    require(hashes.length <= maxHashes,
+      s"bloom decontamination: eval suite exceeds $maxHashes distinct shingles - " +
+        "that is corpus-scale, not benchmark-scale (misconfigured eval predicate?). " +
+        "Past this size build the filter distributed (bloom_filter_agg) instead " +
+        "of collecting it to the driver.")
     val (words, nBits) = bloomBitset(hashes)
     sh.where($"doc_id" % 19 =!= 0)
       .where(bloomProbe(words, nBits, xxhash64($"shingle")))

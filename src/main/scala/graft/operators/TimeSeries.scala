@@ -679,10 +679,17 @@ object TimeSeries {
     * orderBy+limit = TakeOrderedAndProject (map-side partial top-k),
     * never a global sort. Deterministic total order (n desc, then the
     * pattern lexicographically) keeps the cut engine-portable. */
-  def q104BehaviorTrigrams(s: SparkSession, d: String): DataFrame = {
+  def q104BehaviorTrigrams(s: SparkSession, d: String): DataFrame =
+    behaviorTrigrams(Tables(s, d, "events"))
+
+  /** q104's core on any events-shaped DataFrame — shared with the
+    * streaming twin's parity spec ([[graft.streaming.EventStream
+    * .trigramStream]] emits the same pattern multiset incrementally). */
+  def behaviorTrigrams(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
     import s.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    Tables(s, d, "events")
+    events
       .select($"user_id", $"ts", $"event_id", $"event_type")
       .withColumn("t2", lead($"event_type", 1).over(byUser))
       .withColumn("t3", lead($"event_type", 2).over(byUser))
@@ -748,13 +755,21 @@ object TimeSeries {
     * always read the same touch row); attribution shares are a
     * 5-row-by-construction final aggregate, so its global-share window
     * is bounded by |event_types|, never data. */
-  def q109Attribution(s: SparkSession, d: String): DataFrame = {
+  def q109Attribution(s: SparkSession, d: String): DataFrame =
+    attribution(Tables(s, d, "events"))
+
+  /** q109's core on any events-shaped DataFrame — shared with the
+    * streaming twin's parity spec ([[graft.streaming.EventStream
+    * .attributionStream]] emits the same per-purchase credits
+    * incrementally). */
+  def attribution(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
     import s.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val touch = when($"event_type" =!= "purchase", $"event_type")
     val touchTs = when($"event_type" =!= "purchase", $"ts")
-    val attributed = Tables(s, d, "events")
+    val attributed = events
       .select($"user_id", $"ts", $"event_id", $"event_type")
       .withColumn("ptype", last(touch, ignoreNulls = true).over(byUser))
       .withColumn("pts", last(touchTs, ignoreNulls = true).over(byUser))

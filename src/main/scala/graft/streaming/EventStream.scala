@@ -358,6 +358,98 @@ object EventStream {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  /** One 3-step pattern occurrence on a user timeline — the unit q104
+    * counts; emitted incrementally by [[TrigramProcessor]]. */
+  case class TrigramHit(user_id: Long, t1: String, t2: String, t3: String)
+
+  /** Streaming twin of q104's trigram mining on `transformWithState`:
+    * per-user ordered state is just the LAST TWO event types — O(1) per
+    * key regardless of timeline length — and every arriving event closes
+    * exactly one new trigram. Rows within a micro-batch are sorted by
+    * (ts, event_id) per key (a micro-batch's iterator has no order
+    * contract); cross-batch order is the stream's delivery order, the
+    * standard per-key append contract. Downstream counting is the same
+    * combiner-friendly (t1,t2,t3) aggregate the batch query runs —
+    * StreamingSpec proves multiset parity with
+    * [[graft.operators.TimeSeries.behaviorTrigrams]]. */
+  class TrigramProcessor
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Long, String), TrigramHit] {
+    @transient private var tail: org.apache.spark.sql.streaming.ValueState[(String, String)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      tail = getHandle.getValueState[(String, String)](
+        "tail", Encoders.tuple(Encoders.STRING, Encoders.STRING), TTLConfig.NONE)
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+        timerValues: TimerValues): Iterator[TrigramHit] = {
+      var (p2, p1) = if (tail.exists()) tail.get() else (null: String, null: String)
+      val out = Seq.newBuilder[TrigramHit]
+      rows.toArray.sortBy(r => (r._2.getTime, r._3)).foreach { case (_, _, _, t) =>
+        if (p2 != null) out += TrigramHit(userId, p2, p1, t)
+        p2 = p1
+        p1 = t
+      }
+      tail.update((p2, p1))
+      out.result().iterator
+    }
+  }
+
+  /** q104 as a stream: events in, closed trigram occurrences out. */
+  def trigramStream(events: DataFrame): Dataset[TrigramHit] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.selectExpr("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TrigramProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** One attributed purchase (q109's unit) as emitted by
+    * [[LastTouchProcessor]]. */
+  case class AttributedPurchase(user_id: Long, purchase_epoch: Long, touch_type: String)
+
+  /** Streaming twin of q109's last-touch attribution: per-user state is
+    * the most recent NON-purchase (type, ts) — O(1) per key. A purchase
+    * credits that touch when it is within `windowMs`, else 'direct', at
+    * the moment the purchase arrives — no window over the timeline, no
+    * buffering. Share computation stays a downstream bounded aggregate
+    * (|event_types| rows), exactly as in the batch query. */
+  class LastTouchProcessor(windowMs: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Long, String), AttributedPurchase] {
+    @transient private var lastTouch: org.apache.spark.sql.streaming.ValueState[(String, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastTouch = getHandle.getValueState[(String, Long)](
+        "lastTouch", Encoders.tuple(Encoders.STRING, Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+        timerValues: TimerValues): Iterator[AttributedPurchase] = {
+      val out = Seq.newBuilder[AttributedPurchase]
+      rows.toArray.sortBy(r => (r._2.getTime, r._3)).foreach { case (_, ts, _, t) =>
+        if (t == "purchase") {
+          val credit =
+            if (lastTouch.exists() && lastTouch.get()._2 >= ts.getTime - windowMs)
+              lastTouch.get()._1
+            else "direct"
+          out += AttributedPurchase(userId, ts.getTime, credit)
+        } else lastTouch.update((t, ts.getTime))
+      }
+      out.result().iterator
+    }
+  }
+
+  /** q109 as a stream: events in, per-purchase last-touch credits out. */
+  def attributionStream(events: DataFrame, windowMs: Long = 3600000L)
+      : Dataset[AttributedPurchase] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.selectExpr("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new LastTouchProcessor(windowMs),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** File-based streaming read of an events-shaped directory (S2's
     * day-loop extract as a real stream source). */
   def readEventStream(spark: SparkSession, path: String): DataFrame =

@@ -357,6 +357,26 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 3L -> 1L))
   }
 
+  test("q98: an eval set larger than the driver-side cap fails LOUDLY before " +
+    "collecting it (the limit bounds the collect by construction), and answers " +
+    "below the cap are unchanged") {
+    import spark.implicits._
+    val dir = fixture(
+      19L -> "secret eval trigram plus context words",
+      1L  -> "contains the secret eval trigram here",
+      2L  -> "totally clean training text no overlap",
+      3L  -> "eval trigram plus more shared span here")
+    // the eval doc yields 5 distinct 3-grams > cap of 2 → guard trips
+    val e = intercept[IllegalArgumentException] {
+      CurationOps.bloomDecontaminate(spark, dir, maxHashes = 2).collect()
+    }
+    assert(e.getMessage.contains("bloom_filter_agg"), e.getMessage)
+    // one above the real count → same answer as the default-capped query
+    val capped = CurationOps.bloomDecontaminate(spark, dir, maxHashes = 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(1L -> 1L, 3L -> 1L))
+  }
+
   test("q105: weighted sample is a proper without-replacement top-k — 20 " +
     "distinct docs, keys strictly decreasing, heavy docs dominate") {
     import graft.functions.CurationOps

@@ -105,6 +105,89 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  /** Run `body` with the RocksDB state store provider (required by
+    * transformWithState), restoring the previous provider after. */
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  // one fixture for both q104/q109 streaming-twin parity tests; split
+  // MID-TIMELINE into two micro-batches so cross-batch state is exercised
+  private lazy val twinBatch1 = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 1L, "click"),
+    (1L, ts("2024-01-01 10:10:00"), 2L, "view"),
+    (2L, ts("2024-01-01 09:00:00"), 6L, "purchase"))
+  private lazy val twinBatch2 = Seq(
+    (1L, ts("2024-01-01 10:30:00"), 3L, "purchase"), // 20 min after view → credited
+    (1L, ts("2024-01-01 12:00:00"), 4L, "click"),
+    (1L, ts("2024-01-01 13:30:00"), 5L, "purchase"), // 90 min after click → direct
+    (2L, ts("2024-01-01 09:30:00"), 7L, "view"),
+    (2L, ts("2024-01-01 10:00:00"), 8L, "purchase")) // 30 min after view → credited
+
+  test("trigramStream (transformWithState) emits exactly the batch q104 trigram " +
+    "multiset, including the trigram that SPANS two micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[(Long, Timestamp, Long, String)]
+      val q = EventStream.trigramStream(
+          mem.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+        .toDF().writeStream.format("memory")
+        .queryName("trigram_out").outputMode("append").start()
+      mem.addData(twinBatch1: _*)
+      q.processAllAvailable()
+      mem.addData(twinBatch2: _*)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("trigram_out")
+        .groupBy($"t1", $"t2", $"t3").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+        .toMap
+      val batch = graft.operators.TimeSeries.behaviorTrigrams(
+          (twinBatch1 ++ twinBatch2).toDF("user_id", "ts", "event_id", "event_type"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+        .toMap
+      assert(streamed === batch, s"stream $streamed vs batch $batch")
+      // the cross-batch pattern is present (click,view in batch 1, purchase in 2)
+      assert(streamed(("click", "view", "purchase")) === 1L)
+    }
+  }
+
+  test("attributionStream (transformWithState) credits every purchase exactly as " +
+    "batch q109 does — including the window-expired 'direct' and the touch " +
+    "carried across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[(Long, Timestamp, Long, String)]
+      val q = EventStream.attributionStream(
+          mem.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+        .toDF().writeStream.format("memory")
+        .queryName("attr_out").outputMode("append").start()
+      mem.addData(twinBatch1: _*)
+      q.processAllAvailable()
+      mem.addData(twinBatch2: _*)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("attr_out")
+        .groupBy($"touch_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.operators.TimeSeries.attribution(
+          (twinBatch1 ++ twinBatch2).toDF("user_id", "ts", "event_id", "event_type"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed === batch, s"stream $streamed vs batch $batch")
+      assert(streamed === Map("view" -> 2L, "direct" -> 2L))
+    }
+  }
+
   test("windowedAgg over a memory stream matches the batch tumbling window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
