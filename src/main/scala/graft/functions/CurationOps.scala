@@ -92,7 +92,7 @@ object CurationOps {
     """SELECT doc_id, lang, sample_rank FROM (
       |  SELECT doc_id, lang,
       |         CAST(row_number() OVER (PARTITION BY lang
-      |                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+      |                ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS BIGINT) AS sample_rank
       |  FROM documents)
       |WHERE sample_rank <= 20""".stripMargin
 

@@ -168,7 +168,7 @@ object TimeSeries {
       |                 CAST(weekofyear(day) AS BIGINT) AS iso_week,
       |                 CAST(date_trunc('month', day) AS DATE) AS month_start
       |          FROM daily)
-      |SELECT iso_year, iso_week, CAST(month_start AS VARCHAR) AS month_start,
+      |SELECT iso_year, iso_week, CAST(month_start AS STRING) AS month_start,
       |       sum(total_value) AS total_value,
       |       CAST(sum(n_events) AS BIGINT) AS n_events,
       |       count(DISTINCT day) AS days_logged,

@@ -1,38 +1,75 @@
 package graft
 
-import graft.operators.{Extended, Relational}
-
-/** The engine's SQL face: the same ANSI SQL text the DuckDB oracle runs
-  * also runs through spark.sql over registered views and agrees with the
-  * DataFrame-API plan. (Engine-neutral queries only — the oracle texts
-  * using DuckDB-specific functions are covered by the driver's DuckDB
-  * side instead.) */
+/** The engine's SQL face: every ENGINE-NEUTRAL oracle text — the same
+  * ANSI SQL the DuckDB oracle runs — also runs through `spark.sql` over
+  * registered views and agrees with the DataFrame-API plan row-for-row.
+  *
+  * The spec enumerates `SparkEntry.oracleSql` itself, so a new query is
+  * SQL-surface-covered by default; texts using DuckDB-specific dialect
+  * are excluded EXPLICITLY below, each with the blocking construct named
+  * (those texts are exercised on the DuckDB side by the driver's
+  * correctness gate instead). */
 class SqlSurfaceSpec extends SparkSpec {
 
-  private val neutral: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame, String)] = Seq(
-    ("q1", Relational.q1PricingSummary _, Relational.q1Sql),
-    ("q3", Relational.q3RevenueByNation _, Relational.q3Sql),
-    ("q4", Relational.q4SemiJoin _, Relational.q4Sql),
-    ("q5", Relational.q5AntiJoin _, Relational.q5Sql),
-    ("q6", Relational.q6TopCustomers _, Relational.q6Sql),
-    ("q7", Relational.q7TopOrdersPerCustomer _, Relational.q7Sql),
-    ("q8", Relational.q8DistinctAgg _, Relational.q8Sql),
-    ("q10", Relational.q10SetOps _, Relational.q10Sql),
-    ("q16", Relational.q16DedupRowNumber _, Relational.q16Sql),
-    ("q17", Relational.q17MergeUpsert _, Relational.q17Sql),
-    ("q39", Extended.q39CorrelatedSubquery _, Extended.q39Sql),
-    ("q43", Extended.q43ConditionalAgg _, Extended.q43Sql),
-    ("q104", graft.operators.TimeSeries.q104BehaviorTrigrams _,
-      graft.operators.TimeSeries.q104Sql),
-    ("q106", graft.operators.TimeSeries.q106MetricCorrelation _,
-      graft.operators.TimeSeries.q106Sql),
-    ("q107", Relational.q107LocalSupplierRevenue _, Relational.q107Sql),
-    ("q108", Extended.q108ColumnProfile _, Extended.q108Sql))
+  /** Oracle texts that cannot run on Spark SQL, keyed by query name with
+    * the DuckDB-only construct that blocks them. */
+  private val duckdbOnly: Map[String, String] = {
+    def m(reason: String)(names: String*): Seq[(String, String)] =
+      names.map(_ -> reason)
+    (m("unnest/string_split_regex/generate_series (DuckDB array dialect)")(
+      "q12_calendar_densify", "q25_doc_stats", "q26_quality_score", "q27_lang_id",
+      "q30_minhash_lsh", "q31_jaccard_pairs", "q32_simhash", "q36_label_centroid",
+      "q46_ivf_ann", "q47_bpe_tokens", "q50_sliding_window", "q52_ingest_silver",
+      "q54_neardup_components", "q56_repetition", "q57_top_tokens_per_lang",
+      "q58_kmeans", "q65_chunking", "q67_contamination", "q68_token_budget",
+      "q69_keeper_selection", "q70_boilerplate_lines", "q71_sequence_pack",
+      "q72_tfidf", "q74_quality_sample", "q75_source_similarity", "q77_surprisal",
+      "q78_collocations", "q84_curriculum", "q85_pack_efficiency",
+      "q86_cross_source_dup", "q87_zipf_slope", "q88_dedup_funnel",
+      "q89_corpus_mix", "q90_source_drift", "q91_novelty",
+      "q95_minhash_calibration", "q96_temperature_mix", "q97_rolling_distinct",
+      "q98_bloom_decontaminate", "q99_bigram_perplexity", "q100_pagerank",
+      "q103_triangles", "q105_weighted_sample") ++
+    m("list_* functions on array<double> embeddings")(
+      "q33_knn_bruteforce", "q34_ann_lsh", "q35_cosine_neardup",
+      "q45_rolling_fingerprint", "q59_random_projection", "q82_int8_quant",
+      "q83_semdedup") ++
+    m("quantile_cont (DuckDB name for percentile_cont)")(
+      "q40_percentiles", "q81_event_gaps", "q102_embedding_audit") ++
+    m("strftime date formatting")("q15_monthly_summary", "q18_datetime_funcs") ++
+    m("->> JSON extraction operator")("q19_json_extract") ++
+    m("epoch() timestamp extraction")("q22_sessionize", "q48_session_window") ++
+    m("regexp_replace 'g' flag / len() on lists")(
+      "q29_fingerprint", "q64_pii_redaction") ++
+    m("list comprehension [expr FOR x IN list]")("q42_string_funcs") ++
+    m("ASOF JOIN syntax")("q49_asof_join") ++
+    m("'0x'-prefixed hex string cast to BIGINT")("q55_hash_split") ++
+    m("IGNORE NULLS placement (DuckDB: inside the call parens; Spark: after)")(
+      "q109_attribution") ++
+    m("3-arg date_diff('day', a, b)")("q61_retention") ++
+    m("isoyear() extraction (Spark spells it extract(YEAROFWEEK), DuckDB " +
+      "has no such field)")("q14_weekly_summary", "q63_grouping_sets") ++
+    m("range() table function")("q93_dim_stats") ++
+    m("strlen()/'//' integer division")("q110_media_decode")).toMap
+  }
 
-  neutral.foreach { case (name, fn, sqlText) =>
+  test("the exclusion list names only real oracle entries (no stale keys)") {
+    val stale = duckdbOnly.keySet -- SparkEntry.oracleSql.keySet
+    assert(stale.isEmpty, s"excluded-but-nonexistent: $stale")
+  }
+
+  private val neutral: Seq[String] =
+    SparkEntry.oracleSql.keys.toSeq.sorted.filterNot(duckdbOnly.contains)
+
+  test(s"the neutral set is the full oracle map minus the explicit exclusions " +
+    s"(${neutral.size} covered / ${duckdbOnly.size} excluded)") {
+    assert(neutral.size + duckdbOnly.size == SparkEntry.oracleSql.size)
+  }
+
+  neutral.foreach { name =>
     test(s"$name: spark.sql(oracle text) ≡ DataFrame plan") {
-      val viaDf = fn(spark, sf0001)
-      val viaSql = SqlSurface.sql(spark, sf0001, sqlText)
+      val viaDf = SparkEntry.queries(name)(spark, sf0001)
+      val viaSql = SqlSurface.sql(spark, sf0001, SparkEntry.oracleSql(name))
       assert(viaSql.columns.toSeq === viaDf.columns.toSeq)
       assert(viaSql.exceptAll(viaDf).count() === 0, s"$name sql-only rows")
       assert(viaDf.exceptAll(viaSql).count() === 0, s"$name df-only rows")
