@@ -137,8 +137,13 @@ object Bench {
       "value = best of two concurrent throughput passes (the suite-level number); " +
         "queries = per-query seconds measured sequentially for attribution - their sum " +
         "includes ~0.2s/query of Spark job-scheduling floor that the concurrent run amortizes; " +
-        "base tables and the shared near-dup candidate view are cached across the suite " +
-        "(the reference's st.cache_data analog)"
+        "base tables and the shared views (token matrix, raw/capped/distinct shingles, " +
+        "near-dup candidates, components) are cached suite-wide (the reference's " +
+        "st.cache_data analog) and ALL materialize in the untimed warmup pass - a " +
+        "sequential number only includes a view (re)build if memory pressure evicted it, " +
+        "repaid by the first consumer in run order (q54 candidates/components, q99 token " +
+        "matrix, q31 capped shingles, q95 distinct shingles), so diff those four against " +
+        "seq_total before calling a regression"
     // Full record (long names, both passes, method) -> file + stderr.
     val fullJson =
       s"""{"metric":"total","value":$wall,"unit":"sec","queries":${timesJson(sequential, identity, _.toString)},"queries_concurrent":${timesJson(concurrent, identity, _.toString)},"seq_total":$seqTotal,"concurrent_walls":$walls,"failures":$failures,"sf":"$sfDir","method":"$method"}"""

@@ -4,12 +4,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.TimeSeries
 
-/** Scale-up experiment (dev tool): run the heavy relational shapes at
-  * 1× and N× the sf0.1 row count (fact tables unioned with shifted
-  * keys — same distributions, N× the data) and report the runtime
-  * ratio. The 100 TB claim is that these plans scale with data size,
-  * not super-linearly: partial aggs stay map-side, broadcasts stay
-  * broadcasts, shuffles stay key-partitioned.
+/** Scale-up experiment: run the heavy shapes at 1× and N× the sf0.1 row
+  * count (fact tables unioned with shifted keys — same distributions, N×
+  * the data) and ASSERT the runtime ratio. The 100 TB claim is that
+  * these plans scale with data size, not super-linearly: partial aggs
+  * stay map-side, broadcasts stay broadcasts, shuffles stay
+  * key-partitioned. An all-pairs / join-blowup regression shows up as
+  * time ratio ≈ factor² — far above the gate — so a plan regression now
+  * EXITS NON-ZERO (VERDICT r7 #8) instead of relying on a human reading
+  * the printed ratios.
+  *
+  * Gate: timeNx / max(time1x, 0.3 s) ≤ factor — "N× data may cost at
+  * most N× time". The 0.3 s floor keeps sub-second 1× probes (fixed
+  * job-scheduling overhead dominates them) from tripping the gate on
+  * noise; observed healthy ratios at 10× are 1.2–3.3 because the 1×
+  * run underutilizes the 32 cores. Disable with
+  * SPARK_GRAFT_SCALE_ASSERT=false (plain measurement mode).
   *
   *   sbt "runMain graft.ScaleProbe [N]"
   */
@@ -17,6 +27,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val assertGate = sys.env.getOrElse("SPARK_GRAFT_SCALE_ASSERT", "true") == "true"
     val spark = GraftSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -37,9 +48,19 @@ object ScaleProbe {
       }.reduce(_ union _)
     }
 
-    def time(name: String)(f: => Long): Unit = {
+    def time(name: String)(f: => Long): Double = {
       val t0 = System.nanoTime(); val n = f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"$name: $sec%.2f s ($n rows)")
+      sec
+    }
+
+    // every probe records (name, t1x, tNx) for the end-of-run gate
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    def probe(name: String)(f1: => Long)(fN: => Long): Unit = {
+      val t1 = time(s"${name}_1x")(f1)
+      val tN = time(s"${name}_${factor}x")(fN)
+      results += ((name, t1, tN))
     }
 
     val li1 = Tables(spark, sfDir, "lineitem")
@@ -63,12 +84,9 @@ object ScaleProbe {
 
     // warm codegen on the small side first
     q1(li1); joinAgg(li1, ord1); topk(ord1)
-    time("q1_agg_1x")(q1(li1))
-    time(s"q1_agg_${factor}x")(q1(liN))
-    time("join_agg_1x")(joinAgg(li1, ord1))
-    time(s"join_agg_${factor}x")(joinAgg(liN, ordN))
-    time("topk_custom_1x")(topk(ord1))
-    time(s"topk_custom_${factor}x")(topk(ordN))
+    probe("q1_agg")(q1(li1))(q1(liN))
+    probe("join_agg")(joinAgg(li1, ord1))(joinAgg(liN, ordN))
+    probe("topk_custom")(topk(ord1))(topk(ordN))
 
     // The text-dedup chain (q30 → q31 → q54) — where the 100 TB claims
     // are most load-bearing. N textually-DISJOINT copies (every token
@@ -94,12 +112,9 @@ object ScaleProbe {
     def jaccard(d: String): Long = TextOps.q31JaccardPairs(spark, d).count()
     def components(d: String): Long = TextOps.q54NearDupComponents(spark, d).count()
     lsh(sfDir); jaccard(sfDir); components(sfDir) // warm
-    time("minhash_lsh_1x")(lsh(sfDir))
-    time(s"minhash_lsh_${factor}x")(lsh(docsNDir))
-    time("jaccard_1x")(jaccard(sfDir))
-    time(s"jaccard_${factor}x")(jaccard(docsNDir))
-    time("components_1x")(components(sfDir))
-    time(s"components_${factor}x")(components(docsNDir))
+    probe("minhash_lsh")(lsh(sfDir))(lsh(docsNDir))
+    probe("jaccard")(jaccard(sfDir))(jaccard(docsNDir))
+    probe("components")(components(sfDir))(components(docsNDir))
 
     // The curation additions with corpus-sized intermediates: q70's
     // line-frequency join, q71's distributed prefix sum, and q77's
@@ -110,12 +125,9 @@ object ScaleProbe {
     def pack(d: String): Long = CurationOps.q71SequencePack(spark, d).count()
     def surprisal(d: String): Long = TextOps.q77Surprisal(spark, d).count()
     lines(sfDir); pack(sfDir); surprisal(sfDir) // warm
-    time("boilerplate_1x")(lines(sfDir))
-    time(s"boilerplate_${factor}x")(lines(docsNDir))
-    time("seqpack_1x")(pack(sfDir))
-    time(s"seqpack_${factor}x")(pack(docsNDir))
-    time("surprisal_1x")(surprisal(sfDir))
-    time(s"surprisal_${factor}x")(surprisal(docsNDir))
+    probe("boilerplate")(lines(sfDir))(lines(docsNDir))
+    probe("seqpack")(pack(sfDir))(pack(docsNDir))
+    probe("surprisal")(surprisal(sfDir))(surprisal(docsNDir))
 
     // Embedding pruning (q83): labels shift per copy so CELLS scale with
     // the data while per-cell population stays constant — the real-corpus
@@ -138,21 +150,17 @@ object ScaleProbe {
     def semdedup(d: String): Long = VectorOps.q83SemDedup(spark, d).count()
     def xsrc(d: String): Long = TextOps.q86CrossSourceDup(spark, d).count()
     semdedup(sfDir); xsrc(sfDir) // warm
-    time("semdedup_1x")(semdedup(sfDir))
-    time(s"semdedup_${factor}x")(semdedup(embNDir))
-    time("xsrc_dup_1x")(xsrc(sfDir))
-    time(s"xsrc_dup_${factor}x")(xsrc(docsNDir))
+    probe("semdedup")(semdedup(sfDir))(semdedup(embNDir))
+    probe("xsrc_dup")(xsrc(sfDir))(xsrc(docsNDir))
 
     // KL drift (q90): the per-copy token suffixing grows the VOCABULARY
-    // ~10x, so this probes the vocab-sized broadcast model path — the
+    // ~10x, so this probes the vocab-sized model-join path — the
     // operator's scale-sensitive half (the tf shuffle is combiner-bound).
     def drift(d: String): Long = TextOps.q90SourceDrift(spark, d).count()
     def novelty(d: String): Long = TextOps.q91Novelty(spark, d).count()
     drift(sfDir); novelty(sfDir) // warm
-    time("kl_drift_1x")(drift(sfDir))
-    time(s"kl_drift_${factor}x")(drift(docsNDir))
-    time("novelty_1x")(novelty(sfDir))
-    time(s"novelty_${factor}x")(novelty(docsNDir))
+    probe("kl_drift")(drift(sfDir))(drift(docsNDir))
+    probe("novelty")(novelty(sfDir))(novelty(docsNDir))
 
     // Round-7 additions. q93: the columnar-moments aggregate — the whole
     // point is that N× vectors cost N× scan and STILL one row through
@@ -163,12 +171,9 @@ object ScaleProbe {
     def calib(d: String): Long = TextOps.q95MinhashCalibration(spark, d).count()
     def tempmix(d: String): Long = CurationOps.q96TemperatureMix(spark, d).count()
     dimstats(sfDir); calib(sfDir); tempmix(sfDir) // warm
-    time("dim_stats_1x")(dimstats(sfDir))
-    time(s"dim_stats_${factor}x")(dimstats(embNDir))
-    time("minhash_calib_1x")(calib(sfDir))
-    time(s"minhash_calib_${factor}x")(calib(docsNDir))
-    time("temp_mix_1x")(tempmix(sfDir))
-    time(s"temp_mix_${factor}x")(tempmix(docsNDir))
+    probe("dim_stats")(dimstats(sfDir))(dimstats(embNDir))
+    probe("minhash_calib")(calib(sfDir))(calib(docsNDir))
+    probe("temp_mix")(tempmix(sfDir))(tempmix(docsNDir))
 
     // Round-7 batch 2. q98: the bloom prefilter path — disjoint copies
     // grow BOTH the eval shingle set (bigger bitset, still KB-scale) and
@@ -181,19 +186,15 @@ object ScaleProbe {
     def bigram(d: String): Long = TextOps.q99BigramPerplexity(spark, d).count()
     def pagerank(d: String): Long = TextOps.q100PageRank(spark, d).count()
     bloom(sfDir); bigram(sfDir); pagerank(sfDir) // warm
-    time("bloom_decon_1x")(bloom(sfDir))
-    time(s"bloom_decon_${factor}x")(bloom(docsNDir))
-    time("bigram_ppl_1x")(bigram(sfDir))
-    time(s"bigram_ppl_${factor}x")(bigram(docsNDir))
-    time("pagerank_1x")(pagerank(sfDir))
-    time(s"pagerank_${factor}x")(pagerank(docsNDir))
+    probe("bloom_decon")(bloom(sfDir))(bloom(docsNDir))
+    probe("bigram_ppl")(bigram(sfDir))(bigram(docsNDir))
+    probe("pagerank")(pagerank(sfDir))(pagerank(docsNDir))
 
     // q103: triangle join bounded by the candidate graph — disjoint
     // copies grow cliques linearly, so wedges and triangles must too.
     def triangles(d: String): Long = TextOps.q103Triangles(spark, d).count()
     triangles(sfDir) // warm
-    time("triangles_1x")(triangles(sfDir))
-    time(s"triangles_${factor}x")(triangles(docsNDir))
+    probe("triangles")(triangles(sfDir))(triangles(docsNDir))
 
     // Event-stream analytics: N user-disjoint copies (user_id and
     // event_id shift; timestamps unchanged, read/written as raw nanos
@@ -215,10 +216,26 @@ object ScaleProbe {
     def trigramsEv(d: String): Long = TimeSeries.q104BehaviorTrigrams(spark, d).count()
     def attribution(d: String): Long = TimeSeries.q109Attribution(spark, d).count()
     trigramsEv(sfDir); attribution(sfDir) // warm
-    time("behavior_trigrams_1x")(trigramsEv(sfDir))
-    time(s"behavior_trigrams_${factor}x")(trigramsEv(eventsNDir))
-    time("attribution_1x")(attribution(sfDir))
-    time(s"attribution_${factor}x")(attribution(eventsNDir))
+    probe("behavior_trigrams")(trigramsEv(sfDir))(trigramsEv(eventsNDir))
+    probe("attribution")(attribution(sfDir))(attribution(eventsNDir))
     spark.stop()
+
+    // ---- the gate: time must grow at most linearly with data ----
+    val gated = results.toSeq.map { case (n, t1, tN) =>
+      (n, t1, tN, tN / math.max(t1, 0.3))
+    }
+    val ratios = gated.map { case (n, _, _, r) =>
+      "\"" + n + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(r))
+    }.mkString("{", ",", "}")
+    println(s"""SCALEPROBE_RATIOS={"factor":$factor,"gate":$factor,"ratios":$ratios}""")
+    val over = gated.filter(_._4 > factor)
+    over.foreach { case (n, t1, tN, r) =>
+      println(f"SCALEPROBE_FAIL $n: ${factor}x data took $r%.1fx time ($t1%.2f s -> $tN%.2f s)")
+    }
+    if (assertGate && over.nonEmpty) {
+      println(s"SCALEPROBE_VERDICT=FAIL (${over.size} shapes super-linear)")
+      sys.exit(2)
+    }
+    println("SCALEPROBE_VERDICT=PASS")
   }
 }
