@@ -1555,7 +1555,108 @@ object TextOps {
       |         AS novelty
       |FROM sh JOIN df USING (h) GROUP BY doc_id""".stripMargin
 
+  /** q111 — Gopher-style quality-rule audit (Rae et al. 2021's repetition
+    * /length/stopword heuristics, the standard pre-training filter
+    * battery): per doc, the signal values AND one 0/1 flag per rule so a
+    * pipeline can report WHY a doc fails, not just that it failed.
+    * Rules: token count in [5, 10000]; mean word length in [3, 10];
+    * type-token ratio ≥ 0.3 (the repetition axis); ≥ 1 function word
+    * (q26's stopword list). Rule thresholds compare the ROUNDED signals
+    * so both engines make identical boundary calls. Pure per-row array
+    * math — zero shuffles, scan-speed at any corpus size (PlanSpec). */
+  def q111GopherRules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        expr("aggregate(toks, 0L, (a, x) -> a + length(x))").as("sum_len"),
+        size(array_distinct($"toks")).cast("long").as("n_distinct"),
+        size(expr("filter(toks, x -> x IN ('the', 'a', 'of', 'and'))"))
+          .cast("long").as("n_stop"))
+      .withColumn("mean_word_len", round($"sum_len" / $"n_tokens", 6))
+      .withColumn("ttr", round($"n_distinct" / $"n_tokens", 6))
+      .withColumn("r_len", ($"n_tokens" >= 5 && $"n_tokens" <= 10000).cast("long"))
+      .withColumn("r_wordlen",
+        ($"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0).cast("long"))
+      .withColumn("r_ttr", ($"ttr" >= 0.3).cast("long"))
+      .withColumn("r_stop", ($"n_stop" >= 1).cast("long"))
+      .withColumn("keep",
+        ($"r_len" + $"r_wordlen" + $"r_ttr" + $"r_stop" === 4).cast("long"))
+      .select($"doc_id", $"n_tokens", $"mean_word_len", $"ttr", $"n_stop",
+        $"r_len", $"r_wordlen", $"r_ttr", $"r_stop", $"keep")
+  }
+
+  val q111Sql: String =
+    raw"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |            FROM documents),
+      |m AS (SELECT doc_id,
+      |        CAST(len(toks) AS BIGINT) AS n_tokens,
+      |        round(list_sum(list_transform(toks, x -> length(x)))
+      |              / len(toks), 6) AS mean_word_len,
+      |        round(len(list_distinct(toks)) / len(toks), 6) AS ttr,
+      |        CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and')))
+      |             AS BIGINT) AS n_stop
+      |      FROM t),
+      |r AS (SELECT *,
+      |        CAST(CASE WHEN n_tokens BETWEEN 5 AND 10000 THEN 1 ELSE 0 END AS BIGINT) AS r_len,
+      |        CAST(CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS BIGINT) AS r_wordlen,
+      |        CAST(CASE WHEN ttr >= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS r_ttr,
+      |        CAST(CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END AS BIGINT) AS r_stop
+      |      FROM m)
+      |SELECT doc_id, n_tokens, mean_word_len, ttr, n_stop,
+      |       r_len, r_wordlen, r_ttr, r_stop,
+      |       CAST(CASE WHEN r_len + r_wordlen + r_ttr + r_stop = 4
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM r""".stripMargin
+
+  /** q112 — train/test LEAKAGE audit: for every pair of splits, how many
+    * distinct 8-token-prefix fingerprints (q86's shared-boilerplate
+    * signal) appear in BOTH — the "is my eval split contaminated by my
+    * own training split" check that must gate every release of a split
+    * assignment. Same scale shape as q86: ONE corpus scan collapses to
+    * per-fingerprint SPLIT SETS (bounded by |splits| = 3, regardless of
+    * how many docs share the prefix), pairs expand per-row from those
+    * tiny sets, and the count is one pair-keyed combiner shuffle — no
+    * fp-keyed self-join of the corpus. */
+  def q112SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assigned = docs(s, d)
+      .select($"doc_id",
+        md5(concat_ws(" ", slice(tokens($"text"), 1, 8))).as("fp"),
+        conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("long").as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 52429, "train")
+          .when($"bucket" < 58982, "val")
+          .otherwise("test"))
+    val sets = assigned
+      .groupBy($"fp").agg(sort_array(collect_set($"split")).as("splits"))
+      .where(size($"splits") >= 2)
+    sets
+      .select(posexplode($"splits").as(Seq("i", "split_a")), $"splits")
+      .select($"split_a",
+        explode(slice($"splits", $"i" + 2, size($"splits"))).as("split_b"))
+      .groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("n_fingerprints"))
+  }
+
+  val q112Sql: String =
+    raw"""WITH f AS (SELECT doc_id,
+      |         md5(array_to_string(string_split_regex(trim(text), '\s+')[1:8], ' ')) AS fp,
+      |         CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 52429 THEN 'train'
+      |              WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 58982 THEN 'val'
+      |              ELSE 'test' END AS split
+      |       FROM documents),
+      |d AS (SELECT DISTINCT fp, split FROM f)
+      |SELECT a.split AS split_a, b.split AS split_b,
+      |       CAST(count(*) AS BIGINT) AS n_fingerprints
+      |FROM d a JOIN d b ON a.fp = b.fp AND a.split < b.split
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_gopher_rules" -> (q111GopherRules _),
+    "q112_split_leakage" -> (q112SplitLeakage _),
     "q91_novelty" -> (q91Novelty _),
     "q95_minhash_calibration" -> (q95MinhashCalibration _),
     "q90_source_drift" -> (q90SourceDrift _),
@@ -1586,6 +1687,8 @@ object TextOps {
     "q78_collocations" -> (q78Collocations _))
 
   lazy val oracleSql: Map[String, String] = Map(
+    "q111_gopher_rules" -> q111Sql,
+    "q112_split_leakage" -> q112Sql,
     "q91_novelty" -> q91Sql,
     "q95_minhash_calibration" -> q95Sql,
     "q90_source_drift" -> q90Sql,

@@ -592,7 +592,49 @@ object VectorOps {
       |       round(mn, 6) AS mn, round(mx, 6) AS mx
       |FROM m""".stripMargin
 
+  /** q113 — hard-negative mining for contrastive training: for each
+    * query vector, the top-3 most-similar candidates with a DIFFERENT
+    * label — the "closest wrong answers" a retrieval/embedding trainer
+    * pairs against each anchor. Same scale shape as q33: the query side
+    * broadcasts so the corpus never shuffles, the label predicate prunes
+    * inside the broadcast join, and only k rows per query survive the
+    * rank window (bounded by |queries| × k). At 100 TB the candidate
+    * scan is embarrassingly parallel; the LSH/IVF variants (q34/q46)
+    * are the same upgrade path. */
+  def q113HardNegatives(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    val queries = e.where($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"v".as("qv"), $"norm".as("qnorm"))
+    val scored = e.join(broadcast(queries),
+        $"vec_id" =!= $"q_id" && $"label" =!= $"q_label")
+      .withColumn("sim", cosineNormed("qv", "v", "qnorm", "norm"))
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .where($"rank" <= 3)
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        $"label".cast("long").as("neighbor_label"),
+        $"rank".cast("long").as("rank"), round($"sim", 6).as("sim"))
+  }
+
+  val q113Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.q_id, e.vec_id, e.label,
+      |         list_dot_product(q.qv, e.v)
+      |           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+      |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id AND e.label <> q.q_label),
+      |ranked AS (SELECT q_id, vec_id, label, sim,
+      |                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |           FROM scored)
+      |SELECT q_id, vec_id AS neighbor_id, CAST(label AS BIGINT) AS neighbor_label,
+      |       CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
+      |FROM ranked WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_hard_negatives" -> (q113HardNegatives _),
     "q93_dim_stats" -> (q93DimStats _),
     "q82_int8_quant" -> (q82Int8Quant _),
     "q102_embedding_audit" -> (q102EmbeddingAudit _),
@@ -606,6 +648,7 @@ object VectorOps {
     "q36_label_centroid" -> (q36LabelCentroidDist _))
 
   val oracleSql: Map[String, String] = Map(
+    "q113_hard_negatives" -> q113Sql,
     "q93_dim_stats" -> q93Sql,
     "q82_int8_quant" -> q82Sql,
     "q102_embedding_audit" -> q102Sql,

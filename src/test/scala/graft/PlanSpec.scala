@@ -362,6 +362,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), plan)
   }
 
+  test("q111: the Gopher rule battery is pure per-row math — zero exchanges, " +
+    "scan-speed at any corpus size") {
+    val plan = physical(graft.functions.TextOps.q111GopherRules(spark, sf0001))
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("q112: split leakage — ONE corpus scan, zero joins: pairs expand off " +
+    "per-fingerprint split sets (q86's shape)") {
+    val plan = physical(graft.functions.TextOps.q112SplitLeakage(spark, sf0001))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+  }
+
+  test("q113: hard negatives broadcast the query side — candidates never " +
+    "shuffle; only k rows per query reach the rank window") {
+    val plan = physical(graft.functions.VectorOps.q113HardNegatives(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("q100: PageRank iterations reuse the persisted edge list (InMemory scan, " +
     "no re-derivation of candidates per iteration) and the dangling-mass " +
     "scalar broadcasts") {

@@ -5,6 +5,68 @@ import graft.functions.TextOps
 /** Functional guards for the near-dup operators' scale levers. */
 class TextDedupSpec extends SparkSpec {
 
+  test("q111: each Gopher rule trips on exactly its engineered doc and the " +
+    "clean doc keeps (hand-computed signals)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gopher").toString
+    Seq(
+      1L -> "the quick brown fox jumps over that lazy dog", // all rules pass
+      2L -> "a bb",                                         // too short + mean wordlen 1.5
+      3L -> "the spam spam spam spam spam spam spam spam spam", // ttr 0.2 < 0.3
+      4L -> "zebra yak xylophone walrus vulture",            // no stopword
+      5L -> ("the extraordinarily incomprehensibilities overqualification " +
+        "hippopotomonstrosesquipedalian"))                   // mean wordlen 17.2 > 10
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.q111GopherRules(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9)))).toMap
+    assert(out(1L) == ((1L, 1L, 1L, 1L, 1L)), s"clean doc: ${out(1L)}")
+    assert(out(2L) == ((0L, 0L, 1L, 1L, 0L)), s"short doc: ${out(2L)}")
+    assert(out(3L) == ((1L, 1L, 0L, 1L, 0L)), s"repetitive doc: ${out(3L)}")
+    assert(out(4L) == ((1L, 1L, 1L, 0L, 0L)), s"stopword-free doc: ${out(4L)}")
+    assert(out(5L) == ((1L, 0L, 1L, 1L, 0L)), s"long-word doc: ${out(5L)}")
+    // hand-check one signal column: doc 1 mean word length = 36/9 = 4.0
+    val m = TextOps.q111GopherRules(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(1L) == 4.0 && m(2L) == 1.5, m.toString)
+  }
+
+  test("q112: leakage pairs equal an independent per-fingerprint recomputation " +
+    "from the actual split assignment (engineered shared prefixes)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-leak").toString
+    val prefixA = "alpha beta gamma delta epsilon zeta eta theta"
+    val prefixB = "iota kappa lambda mu nu xi omicron pi"
+    // doc_ids chosen so the md5 buckets SPAN splits (1=train, 3=test,
+    // 5=val, 2=train, 10=val); the recomputation below still derives the
+    // expected pairs from the ACTUAL assignment, so the test would catch
+    // a split-formula drift rather than silently go vacuous
+    val docsRows = Seq(
+      1L -> s"$prefixA one", 3L -> s"$prefixA two", 5L -> s"$prefixA three",
+      2L -> s"$prefixB tail", 10L -> s"$prefixB other",
+      600000L -> "totally different words with no shared prefix here now")
+    docsRows.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val split = TextOps.q55HashSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // independent recomputation: group docs by engineered prefix, count
+    // distinct ordered split pairs per group
+    val groups = Seq(Seq(1L, 3L, 5L), Seq(2L, 10L))
+    val expected = groups
+      .flatMap { g =>
+        val ss = g.map(split).distinct.sorted
+        for (a <- ss; b <- ss if a < b) yield (a, b)
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val out = TextOps.q112SplitLeakage(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == expected, s"q112 $out vs recomputed $expected (splits: $split)")
+    assert(out.size == 3 && out(("train", "val")) == 2L,
+      s"fixture must exercise multiple pair types: $out") // guards vacuity
+  }
+
   test("q75: source signatures — identical sources agree on all 8 slices, " +
     "disjoint sources on none") {
     import spark.implicits._

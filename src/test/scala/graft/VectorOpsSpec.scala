@@ -33,6 +33,35 @@ class VectorOpsSpec extends SparkSpec {
     assert(out(1L) == ((1L, 3L, 3L, 0L, 1.0)), s"got $out")
   }
 
+  test("q113: hard negatives match a driver-side brute force — every neighbor " +
+    "has a different label and is the true label-filtered cosine top-3") {
+    import spark.implicits._
+    val all = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>"), $"label")
+      .as[(Long, Array[Double], Int)].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val expected = all.filter(_._1 < 10).flatMap { case (qId, qv, qLabel) =>
+      all.filter(c => c._1 != qId && c._3 != qLabel)
+        .map(c => (c._1, cos(qv, c._2)))
+        .sortBy { case (id, sim) => (-sim, id) }
+        .take(3).zipWithIndex
+        .map { case ((nId, _), i) => (qId, nId, i + 1L) }
+    }.toSet
+    val out = VectorOps.q113HardNegatives(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(out == expected, s"missing=${expected -- out} extra=${out -- expected}")
+    // and the label constraint holds structurally
+    val labels = all.map(e => e._1 -> e._3).toMap
+    VectorOps.q113HardNegatives(spark, sf0001).collect().foreach { r =>
+      assert(labels(r.getLong(1)).toLong == r.getLong(2) &&
+        labels(r.getLong(1)) != labels(r.getLong(0)), r.toString)
+    }
+  }
+
   private def neighborSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("q_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
