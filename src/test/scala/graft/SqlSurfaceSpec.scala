@@ -29,11 +29,12 @@ class SqlSurfaceSpec extends SparkSpec {
       "q89_corpus_mix", "q90_source_drift", "q91_novelty",
       "q95_minhash_calibration", "q96_temperature_mix", "q97_rolling_distinct",
       "q98_bloom_decontaminate", "q99_bigram_perplexity", "q100_pagerank",
-      "q103_triangles", "q105_weighted_sample") ++
+      "q103_triangles", "q105_weighted_sample", "q111_gopher_rules",
+      "q112_split_leakage") ++
     m("list_* functions on array<double> embeddings")(
       "q33_knn_bruteforce", "q34_ann_lsh", "q35_cosine_neardup",
       "q45_rolling_fingerprint", "q59_random_projection", "q82_int8_quant",
-      "q83_semdedup") ++
+      "q83_semdedup", "q113_hard_negatives") ++
     m("quantile_cont (DuckDB name for percentile_cont)")(
       "q40_percentiles", "q81_event_gaps", "q102_embedding_audit") ++
     m("strftime date formatting")("q15_monthly_summary", "q18_datetime_funcs") ++
