@@ -505,8 +505,44 @@ object ManifestTable {
       // one task per fragmented partition → one output file per partition
       .repartition(fragmented.size, coalesce(col(partCol).cast("string"), lit(NullPartition)))
     val newEntries = writePartitionedData(compacted.localCheckpoint(), root, v, partCol)
-    val untouched = prev.filterNot { case (p, _) => fragmented(p) }
-    commitEntries(root, v, untouched ++ newEntries)
+    // same optimistic protocol as mergePartitioned: a maintenance job
+    // racing a writer only aborts if the writer touched a partition
+    // being compacted; disjoint activity rebases and both land
+    commitRebasing(root, prev, newEntries)
+  }
+
+  /** One retained commit of a table ([[history]]). `timestamp` is the
+    * manifest file's mtime — written moments before the pointer swap, so
+    * it is the commit time up to the swap latency; on an object store it
+    * maps to the manifest object's creation time. */
+  case class CommitInfo(version: Int, timestamp: Long, nFiles: Int, nPartitions: Int)
+
+  /** DESCRIBE HISTORY analog: every RETAINED version (vacuum may have
+    * dropped older manifests), newest first, with commit time and
+    * file/partition counts — the audit surface an operator reads before
+    * a time-travel query or an incident rollback. Metadata-only: reads
+    * manifests, never data files. */
+  def history(root: String): Seq[CommitInfo] = {
+    (1 to currentVersion(root)).flatMap { v =>
+      val p = manifestPath(root, v)
+      if (Files.exists(p)) {
+        val es = listedEntries(root, v)
+        Some(CommitInfo(v, Files.getLastModifiedTime(p).toMillis,
+          es.size, es.map(_._1).distinct.size))
+      } else None
+    }.reverse
+  }
+
+  /** TIMESTAMP AS OF time travel: read the newest version committed at
+    * or before `tsMillis` (Delta's `timestampAsOf`). Fails loudly when
+    * the timestamp predates every retained commit — answering from a
+    * LATER snapshot would silently lie about history. */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame = {
+    val at = history(root).find(_.timestamp <= tsMillis)
+    require(at.nonEmpty,
+      s"table at $root has no retained commit at or before $tsMillis " +
+        "(vacuumed, or the timestamp predates the table)")
+    readVersion(spark, root, at.get.version)
   }
 
   /** Drop data files and manifests not referenced by the newest

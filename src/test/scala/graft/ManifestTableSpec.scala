@@ -496,6 +496,64 @@ class ManifestTableSpec extends SparkSpec {
       "the winner's merge result must be exactly what readers see")
   }
 
+  test("history lists retained commits newest-first with file/partition counts; " +
+    "readAsOf time-travels by timestamp and refuses a pre-table timestamp") {
+    val root = Files.createTempDirectory("graft-manifest-hist").toString
+    val key = Seq("id", "day")
+    ManifestTable.mergePartitioned(pdf((1L, "d1", "a")), root, key, "day")
+    ManifestTable.mergePartitioned(pdf((2L, "d2", "b")), root, key, "day")
+    ManifestTable.mergePartitioned(pdf((1L, "d1", "A")), root, key, "day")
+    // pin distinct commit timestamps so the AS OF cuts are unambiguous
+    Seq(1 -> 1000L, 2 -> 2000L, 3 -> 3000L).foreach { case (v, t) =>
+      java.nio.file.Files.setLastModifiedTime(Paths.get(root, s"manifest-v$v.json"),
+        java.nio.file.attribute.FileTime.fromMillis(t))
+    }
+    val h = ManifestTable.history(root)
+    assert(h.map(_.version) == Seq(3, 2, 1), h.toString)
+    assert(h.map(_.timestamp) == Seq(3000L, 2000L, 1000L))
+    assert(h.find(_.version == 2).get.nPartitions == 2) // d1 + d2
+    // AS OF: between v2 and v3 → v2's content; at v3 → current
+    val atV2 = ManifestTable.readAsOf(spark, root, 2500L).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSet
+    assert(atV2 == Set(1L -> "a", 2L -> "b"))
+    val atV3 = ManifestTable.readAsOf(spark, root, 3000L).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSet
+    assert(atV3 == Set(1L -> "A", 2L -> "b"))
+    assertThrows[IllegalArgumentException] {
+      ManifestTable.readAsOf(spark, root, 999L) // predates the table
+    }
+    // vacuumed versions drop out of history; AS OF then refuses them too
+    ManifestTable.vacuum(root, keepVersions = 1, orphanGraceMs = 0L)
+    assert(ManifestTable.history(root).map(_.version) == Seq(3))
+    assertThrows[IllegalArgumentException] {
+      ManifestTable.readAsOf(spark, root, 2500L)
+    }
+  }
+
+  test("compact racing a DISJOINT-partition merge rebases like a writer: both " +
+    "the compaction and the merge land") {
+    import spark.implicits._
+    val root = s"${Files.createTempDirectory("graft-manifest-cr")}/t"
+    val key = Seq("id", "day")
+    val frag = (1L to 8L).map(i => (i, "d1", s"v$i")).toDF("id", "day", "v").repartition(4)
+    ManifestTable.mergePartitioned(frag, root, key, "day")
+    val vBefore = ManifestTable.currentVersion(root)
+    ManifestTable.raceHookForTests = () => {
+      ManifestTable.raceHookForTests = () => ()
+      ManifestTable.mergePartitioned(pdf((100L, "d2", "x")), root, key, "day"): Unit
+    }
+    try {
+      val v = ManifestTable.compact(spark, root, "day")
+      assert(v == vBefore + 2, s"compact must rebase past the racing merge, got $v")
+    } finally ManifestTable.raceHookForTests = () => ()
+    val rows = readPSet(root)
+    assert(rows == ((1L to 8L).map(i => (i, "d1", s"v$i")).toSet + ((100L, "d2", "x"))),
+      "both the compacted partition and the racing merge's partition must survive")
+    val d1Files = fileState(root, ManifestTable.currentVersion(root))
+      .keys.count(_.contains("__part=d1"))
+    assert(d1Files == 1, s"d1 must be compacted to one file, got $d1Files")
+  }
+
   test("a merge batch MISSING A KEY COLUMN fails loudly instead of null-filling " +
     "the key and collapsing rows (schema evolution adds non-key columns only)") {
     import spark.implicits._

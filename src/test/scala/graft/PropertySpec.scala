@@ -161,4 +161,40 @@ class PropertySpec extends SparkSpec {
       assert(eff > 0.0 && eff <= 1.0, s"bucket ${r.getLong(0)}: efficiency $eff")
     }
   }
+
+  test("property: media header writers and parsers invert for arbitrary dims, " +
+    "rates and payloads (incl. empty and FF-heavy payloads for the JPEG walk)") {
+    import graft.multimodal.MediaHeaders
+    val dimGen = Gen.choose(1, 1 << 20)
+    val payloadGen = Gen.oneOf(
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      Gen.listOf(Gen.oneOf(0xff.toByte, 0xd8.toByte, 0xda.toByte)).map(_.toArray),
+      Gen.const(Array.emptyByteArray))
+    val caseGen = for { w <- dimGen; h <- dimGen; p <- payloadGen } yield (w, h, p)
+    samples(caseGen, 40).foreach { case (w, h, p) =>
+      assert(MediaHeaders.pngDims(MediaHeaders.pngBytes(w, h, p)) ===
+        Some((w.toLong, h.toLong)))
+      assert(MediaHeaders.pngBytes(w, h, p).length === 57 + p.length)
+      // JPEG dims are 16-bit fields — clamp the gen range accordingly.
+      // The payload stands in for the entropy stream, which the parser
+      // never walks (SOF0 precedes it), so FF-heavy bytes must not
+      // confuse the marker scan.
+      val (jw, jh) = (1 + w % 65535, 1 + h % 65535)
+      assert(MediaHeaders.jpegDims(MediaHeaders.jpegBytes(jw, jh, p)) ===
+        Some((jw.toLong, jh.toLong)))
+      val rate = 8000 + w % 40000
+      val wav = MediaHeaders.wavBytes(rate, 1, 16, p)
+      assert(MediaHeaders.wavFormat(wav) ===
+        Some((rate.toLong, p.length.toLong * 1000L / (rate * 2L))))
+      // parsers never throw on arbitrary byte soup (the corrupt-blob
+      // contract of decodeMetadata): truncations of valid files parse
+      // to None or the correct dims, never an exception
+      Seq(8, 16, 20).foreach { cut =>
+        MediaHeaders.pngDims(MediaHeaders.pngBytes(w, h, p).take(cut))
+        MediaHeaders.jpegDims(MediaHeaders.jpegBytes(jw, jh, p).take(cut))
+        MediaHeaders.wavFormat(wav.take(cut))
+      }
+      MediaHeaders.pngDims(p); MediaHeaders.jpegDims(p); MediaHeaders.wavFormat(p)
+    }
+  }
 }
