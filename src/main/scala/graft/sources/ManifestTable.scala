@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 import java.io.File
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
@@ -543,6 +543,84 @@ object ManifestTable {
       s"table at $root has no retained commit at or before $tsMillis " +
         "(vacuumed, or the timestamp predates the table)")
     readVersion(spark, root, at.get.version)
+  }
+
+  /** Partitions whose file sets DIFFER between two retained manifests.
+    * Data files are immutable, so identical file sets prove identical
+    * content — the metadata-only pruning that makes [[readChanges]]
+    * O(changed partitions) instead of O(table). */
+  private[graft] def changedPartitions(root: String, fromV: Int, toV: Int): Set[String] = {
+    def byPart(v: Int): Map[String, Set[String]] =
+      (if (v >= 1) listedEntries(root, v) else Nil)
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (f, t) = (byPart(fromV), byPart(toV))
+    (f.keySet ++ t.keySet).filter(p => f.get(p) != t.get(p))
+  }
+
+  /** Incremental read (Delta CDF / Iceberg incremental-scan analog):
+    * row-level changes between retained versions `fromV` → `toV`, as the
+    * table's columns plus a `_change_type` column of
+    * `insert` / `update_postimage` / `delete` (updates carry the NEW
+    * image; preimages are a [[readVersion]] on `fromV` away). `key` is
+    * the table's merge key — rows pair across versions by null-safe key
+    * equality, exactly as [[Dedup.merge]] matched them.
+    *
+    * Scale shape: manifests are compared first and partitions with
+    * IDENTICAL file sets are pruned without touching data (immutable
+    * files ⇒ identical content), so a 10k-partition table with one
+    * upserted day reads two single-partition slices, not two snapshots.
+    * The remaining work is ONE key-partitioned full-outer join over the
+    * changed slices; rows whose images match drop out (a compaction —
+    * new files, same rows — diffs to zero). `fromV = 0` reads the whole
+    * of `toV` as inserts (bootstrap). Both manifests must be retained
+    * ([[vacuum]] may have dropped old ones) — fails loudly otherwise. */
+  def readChanges(spark: SparkSession, root: String,
+      fromV: Int, toV: Int, key: Seq[String]): DataFrame = {
+    require(fromV >= 0 && toV >= fromV,
+      s"readChanges needs 0 <= fromV <= toV, got $fromV..$toV")
+    require(fromV == 0 || Files.exists(manifestPath(root, fromV)),
+      s"version $fromV at $root is not retained (vacuumed?) - cannot diff from it")
+    require(toV == 0 || Files.exists(manifestPath(root, toV)),
+      s"version $toV at $root is not retained (vacuumed?) - cannot diff to it")
+    val changed = changedPartitions(root, fromV, toV)
+    def slice(v: Int): Option[DataFrame] = {
+      val files = (if (v >= 1) listedEntries(root, v) else Nil)
+        .collect { case (p, rel) if changed(p) => s"$root/$rel" }
+      if (files.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true").parquet(files: _*))
+    }
+    (slice(fromV), slice(toV)) match {
+      case (None, None) =>
+        // nothing changed: empty frame in the current snapshot's shape
+        val shape = readVersion(spark, root, toV max 1).limit(0)
+        shape.withColumn("_change_type", lit("insert")).limit(0)
+      case (None, Some(n)) => n.withColumn("_change_type", lit("insert"))
+      case (Some(o), None) => o.withColumn("_change_type", lit("delete"))
+      case (Some(o0), Some(n0)) =>
+        val (o, n) = alignSchemas(o0, n0)
+        require(key.forall(o.columns.contains),
+          s"key $key not in table columns ${o.columns.toSeq}")
+        // presence flags, not key-null checks: a null KEY value is legal
+        // under the null-safe match and must not read as "row absent"
+        val ol = o.withColumn("__o", lit(true)).as("o")
+        val nl = n.withColumn("__n", lit(true)).as("n")
+        val on = key.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _)
+        val joined = ol.join(nl, on, "full_outer")
+        val dataCols = o.columns.filterNot(key.contains)
+        val sameImage = dataCols.foldLeft(lit(true))((acc, c) =>
+          acc && (col(s"o.$c") <=> col(s"n.$c")))
+        joined
+          .select(
+            when(col("n.__n").isNotNull,
+              when(col("o.__o").isNotNull,
+                when(sameImage, lit(null)).otherwise(lit("update_postimage")))
+                .otherwise(lit("insert")))
+              .otherwise(lit("delete")).as("_change_type") +:
+            o.columns.map(c =>
+              when(col("n.__n").isNotNull, col(s"n.$c")).otherwise(col(s"o.$c")).as(c)): _*)
+          .where(col("_change_type").isNotNull)
+          .select(o.columns.map(col).toSeq :+ col("_change_type"): _*)
+    }
   }
 
   /** Drop data files and manifests not referenced by the newest

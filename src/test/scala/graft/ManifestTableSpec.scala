@@ -554,6 +554,69 @@ class ManifestTableSpec extends SparkSpec {
     assert(d1Files == 1, s"d1 must be compacted to one file, got $d1Files")
   }
 
+  test("readChanges classifies insert/update/delete between versions, reads ONLY " +
+    "changed partitions, and a compaction (same rows, new files) diffs to zero") {
+    val root = s"${Files.createTempDirectory("graft-manifest-cdc")}/t"
+    val key = Seq("id", "day")
+    ManifestTable.mergePartitioned(
+      pdf((1L, "d1", "a"), (2L, "d2", "b"), (3L, "d3", "c")), root, key, "day")
+    ManifestTable.mergePartitioned(
+      pdf((1L, "d1", "A"), (4L, "d4", "d")), root, key, "day") // update + insert
+    val ch12 = ManifestTable.readChanges(spark, root, 1, 2, key)
+    // d2/d3 untouched between v1 and v2: manifest pruning must keep their
+    // files out of the scan entirely, not just out of the result
+    assert(ch12.inputFiles.forall(f => !f.contains("__part=d2") && !f.contains("__part=d3")),
+      s"untouched partitions leaked into the CDC scan: ${ch12.inputFiles.toSeq}")
+    assert(ch12.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v"),
+      r.getAs[String]("_change_type"))).toSet ==
+      Set((1L, "A", "update_postimage"), (4L, "d", "insert")))
+    // bootstrap: fromV=0 reads the whole snapshot as inserts
+    val boot = ManifestTable.readChanges(spark, root, 0, 1, key)
+    assert(boot.collect().map(_.getAs[String]("_change_type")).toSet == Set("insert"))
+    assert(boot.count() == 3)
+    // same version → empty, correct shape
+    val same = ManifestTable.readChanges(spark, root, 2, 2, key)
+    assert(same.isEmpty && same.columns.last == "_change_type")
+    // compaction rewrites files without changing rows: row-level diff is 0
+    ManifestTable.mergePartitioned(
+      pdf((5L, "d5", "e"), (6L, "d5", "f"), (7L, "d5", "g"), (8L, "d5", "h"))
+        .repartition(4), root, key, "day")
+    val vPre = ManifestTable.currentVersion(root)
+    val vPost = ManifestTable.compact(spark, root, "day")
+    assert(vPost > vPre, "d5 holds 4 files; compact must produce a new version")
+    assert(ManifestTable.readChanges(spark, root, vPre, vPost, key).isEmpty,
+      "compaction must be invisible at the row level")
+    // a vacuumed fromV refuses instead of answering from the wrong base
+    ManifestTable.vacuum(root, keepVersions = 1, orphanGraceMs = 0L)
+    assertThrows[IllegalArgumentException] {
+      ManifestTable.readChanges(spark, root, 1, vPost, key)
+    }
+  }
+
+  test("readChanges pairs rows by NULL-SAFE key equality and surfaces deletes " +
+    "across full-snapshot commits") {
+    import spark.implicits._
+    val root = s"${Files.createTempDirectory("graft-manifest-cdc2")}/t"
+    // full-snapshot commits CAN drop rows — the delete path
+    ManifestTable.commit(Seq((1L, "x"), (2L, "y")).toDF("id", "v"), root)
+    ManifestTable.commit(Seq((1L, "x"), (3L, "z")).toDF("id", "v"), root)
+    val ch = ManifestTable.readChanges(spark, root, 1, 2, Seq("id")).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"))).toSet
+    assert(ch == Set((2L, "delete"), (3L, "insert")),
+      "unchanged row 1 must drop out; 2 deleted; 3 inserted")
+    // null keys: (null,"p") at v1 → (null,"q") at v2 is ONE update, not
+    // an unmatched delete+insert pair
+    val root2 = s"${Files.createTempDirectory("graft-manifest-cdc3")}/t"
+    ManifestTable.commit(
+      Seq((Option.empty[Long], "p"), (Some(7L), "r")).toDF("id", "v"), root2)
+    ManifestTable.commit(
+      Seq((Option.empty[Long], "q"), (Some(7L), "r")).toDF("id", "v"), root2)
+    val ch2 = ManifestTable.readChanges(spark, root2, 1, 2, Seq("id")).collect()
+      .map(r => (Option(r.get(r.fieldIndex("id"))), r.getAs[String]("v"),
+        r.getAs[String]("_change_type"))).toSet
+    assert(ch2 == Set((None, "q", "update_postimage")))
+  }
+
   test("a merge batch MISSING A KEY COLUMN fails loudly instead of null-filling " +
     "the key and collapsing rows (schema evolution adds non-key columns only)") {
     import spark.implicits._
