@@ -1654,7 +1654,113 @@ object TextOps {
       |FROM d a JOIN d b ON a.fp = b.fp AND a.split < b.split
       |GROUP BY 1, 2""".stripMargin
 
+  /** q114 — hashed-feature LINEAR CLASSIFIER inference (the fastText /
+    * quality-classifier scoring pass every curation pipeline runs over
+    * its full corpus): binary bag-of-words over distinct tokens, each
+    * token hashed into one of 256 buckets (md5's first two hex digits —
+    * the q32/q112 engine-portable hash idiom), a fixed weight per bucket,
+    * score = sigmoid(mean bucket weight). The weight table here is a
+    * deterministic stand-in for trained weights — crucially it is DYADIC
+    * ((2k-255)/1024), so the fold's partial sums are exact in IEEE
+    * double and the score is order-independent across engines.
+    *
+    * Scale shape: the model lives INSIDE the row expression (256 weights
+    * by construction), so inference is pure per-row math — zero
+    * exchanges, scan-speed at any corpus size (PlanSpec), the same
+    * reason fastText inference shards embarrassingly. A real trained
+    * model swaps the weight formula for a 256-entry lookup broadcast to
+    * every executor; nothing else changes. */
+  def q114QualityClassifier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id", array_distinct(tokens($"text")).as("feats"))
+      .select($"doc_id",
+        size($"feats").cast("long").as("n_feats"),
+        // 127.5D/512D: bare decimal literals inside expr() make the
+        // division DECIMAL (scale-rounded) instead of exact IEEE double
+        expr("""aggregate(feats, 0D, (a, x) ->
+            a + ((cast(conv(substring(md5(x), 1, 2), 16, 10) as bigint) * 37 + 11) % 256
+                 - 127.5D) / 512D)""").as("logit_sum"))
+      .withColumn("logit", round($"logit_sum" / $"n_feats", 6))
+      .withColumn("score",
+        round(lit(1.0) / (lit(1.0) + exp(-$"logit_sum" / $"n_feats")), 6))
+      .withColumn("keep", ($"score" >= 0.5).cast("long"))
+      .select($"doc_id", $"n_feats", $"logit", $"score", $"keep")
+  }
+
+  val q114Sql: String =
+    raw"""WITH f AS (SELECT doc_id,
+      |         list_distinct(string_split_regex(trim(text), '\s+')) AS feats
+      |       FROM documents),
+      |m AS (SELECT doc_id,
+      |        CAST(len(feats) AS BIGINT) AS n_feats,
+      |        list_sum(list_transform(feats, x ->
+      |          ((CAST('0x' || substring(md5(x), 1, 2) AS BIGINT) * 37 + 11) % 256
+      |           - 127.5) / 512)) AS logit_sum
+      |      FROM f)
+      |SELECT doc_id, n_feats,
+      |       round(logit_sum / n_feats, 6) AS logit,
+      |       round(1.0 / (1.0 + exp(-logit_sum / n_feats)), 6) AS score,
+      |       CAST(CASE WHEN round(1.0 / (1.0 + exp(-logit_sum / n_feats)), 6) >= 0.5
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM m""".stripMargin
+
+  /** q115 — PSI (population stability index) DRIFT MONITOR: how far each
+    * source's doc-length distribution sits from the corpus-wide one —
+    * the standard production gate for "did this week's crawl shift"
+    * (PSI > 0.25 = investigate). Bins are DIGIT COUNTS of n_chars
+    * (decimal log bins via pure string length — no floating log2 whose
+    * last-ulp behavior differs between engines), add-one smoothed so
+    * empty cells contribute finite terms.
+    *
+    * Scale shape: ONE corpus scan collapses to (source × digit-bin)
+    * counts — a combiner-friendly aggregate whose result is
+    * catalog-sized (|sources| · ≤ ~12 bins) — and every join below it
+    * (the zero-cell grid, the corpus marginals, the scalar totals) runs
+    * on that tiny table with broadcast fan-out. The crossJoins are
+    * bounded by construction: |sources| × |bins| cells. */
+  def q115PsiDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // persisted: four downstream branches (source totals, bin marginals,
+    // scalars, the grid join) read this catalog-sized table — without the
+    // persist each branch would RE-SCAN the corpus (PlanSpec pins it)
+    val counts = docs(s, d)
+      .select($"source", length($"n_chars".cast("string")).cast("long").as("bin"))
+      .groupBy($"source", $"bin").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val srcTotals = counts.groupBy($"source").agg(sum($"cnt").as("n_s"))
+    val binTotals = counts.groupBy($"bin").agg(sum($"cnt").as("c_b"))
+    val scalars = binTotals.agg(count(lit(1)).as("nb"), sum($"c_b").as("n"))
+    val grid = srcTotals
+      .crossJoin(broadcast(binTotals))
+      .crossJoin(broadcast(scalars))
+      .join(counts, Seq("source", "bin"), "left")
+      .na.fill(0L, Seq("cnt"))
+    val p = ($"cnt" + 1.0) / ($"n_s" + $"nb")
+    val q = ($"c_b" + 1.0) / ($"n" + $"nb")
+    grid.groupBy($"source", $"n_s")
+      .agg(round(sum((p - q) * log(p / q)), 6).as("psi"))
+      .select($"source", $"n_s".cast("long").as("n_docs"), $"psi")
+  }
+
+  val q115Sql: String =
+    """WITH b AS (SELECT source, CAST(length(CAST(n_chars AS STRING)) AS BIGINT) AS bin
+      |           FROM documents),
+      |c AS (SELECT source, bin, count(*) AS cnt FROM b GROUP BY source, bin),
+      |s AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s FROM c GROUP BY source),
+      |t AS (SELECT bin, CAST(sum(cnt) AS BIGINT) AS c_b FROM c GROUP BY bin),
+      |k AS (SELECT CAST(count(*) AS BIGINT) AS nb, CAST(sum(c_b) AS BIGINT) AS n FROM t),
+      |g AS (SELECT s.source, s.n_s, t.bin, t.c_b, k.nb, k.n, coalesce(c.cnt, 0) AS cnt
+      |      FROM s CROSS JOIN t CROSS JOIN k
+      |      LEFT JOIN c ON c.source = s.source AND c.bin = t.bin)
+      |SELECT source, n_s AS n_docs,
+      |       round(sum(((cnt + 1.0) / (n_s + nb) - (c_b + 1.0) / (n + nb))
+      |                 * ln(((cnt + 1.0) / (n_s + nb)) / ((c_b + 1.0) / (n + nb)))), 6) AS psi
+      |FROM g GROUP BY source, n_s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_quality_classifier" -> (q114QualityClassifier _),
+    "q115_psi_drift" -> (q115PsiDrift _),
     "q111_gopher_rules" -> (q111GopherRules _),
     "q112_split_leakage" -> (q112SplitLeakage _),
     "q91_novelty" -> (q91Novelty _),
@@ -1687,6 +1793,8 @@ object TextOps {
     "q78_collocations" -> (q78Collocations _))
 
   lazy val oracleSql: Map[String, String] = Map(
+    "q114_quality_classifier" -> q114Sql,
+    "q115_psi_drift" -> q115Sql,
     "q111_gopher_rules" -> q111Sql,
     "q112_split_leakage" -> q112Sql,
     "q91_novelty" -> q91Sql,

@@ -375,6 +375,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
   }
 
+  test("q114: classifier inference is pure per-row math — the 256-weight model " +
+    "lives inside the row expression, zero exchanges") {
+    val plan = physical(graft.functions.TextOps.q114QualityClassifier(spark, sf0001))
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("q115: PSI — the corpus collapses ONCE to persisted (source × digit-bin) " +
+    "counts; every downstream branch reads the in-memory table and the " +
+    "grid/marginal/scalar joins all broadcast") {
+    val plan = physical(graft.functions.TextOps.q115PsiDrift(spark, sf0001))
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("q113: hard negatives broadcast the query side — candidates never " +
     "shuffle; only k rows per query reach the rank window") {
     val plan = physical(graft.functions.VectorOps.q113HardNegatives(spark, sf0001))

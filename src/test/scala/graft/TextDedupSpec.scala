@@ -32,6 +32,47 @@ class TextDedupSpec extends SparkSpec {
     assert(m(1L) == 4.0 && m(2L) == 1.5, m.toString)
   }
 
+  test("q114: the classifier score is sigmoid of the mean bucket weight — " +
+    "exact on a hand-computed doc, and identical token MULTISETS score " +
+    "identically (binary bag-of-words)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-clf").toString
+    Seq(1L -> "join join join", 2L -> "join", 3L -> "join filter")
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.q114QualityClassifier(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // md5("join") starts "73" = bucket 115 → ((115*37+11)%256-127.5)/512 =
+    // 42.5/512; sigmoid(0.083008) = 0.520740 (hand math)
+    assert(out(1L) == out(2L), "duplicate tokens are ONE binary feature")
+    assert(out(2L)._1 == 1L && out(2L)._2 == 0.083008 && out(2L)._3 == 0.520740, out(2L).toString)
+    // doc 3 averages join (42.5/512) and filter ("b2"=178 → 69.5/512):
+    // logit = 56/512 = 0.109375, sigmoid = 0.527317
+    assert(out(3L) == ((2L, 0.109375, 0.527317)), out(3L).toString)
+  }
+
+  test("q115: a source matching the corpus length mix scores PSI near zero; a " +
+    "shifted source scores higher, and all PSI values are non-negative") {
+    import spark.implicits._
+    // balanced: two sources with the SAME digit-count mix (10 one-digit,
+    // 10 two-digit chars); drifted: all docs in a third bin
+    val dir = java.nio.file.Files.createTempDirectory("graft-psi").toString
+    val mk = (src: String, n1: Int, n2: Int, n3: Int) =>
+      (1 to n1).map(i => (s"$src-a$i", src, 5L)) ++
+        (1 to n2).map(i => (s"$src-b$i", src, 50L)) ++
+        (1 to n3).map(i => (s"$src-c$i", src, 500L))
+    (mk("even1", 10, 10, 0) ++ mk("even2", 10, 10, 0) ++ mk("drift", 0, 0, 20))
+      .zipWithIndex.map { case ((_, src, nc), i) => (i.toLong, "x", src, nc) }
+      .toSeq.toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val psi = TextOps.q115PsiDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(psi.values.forall(_ >= 0.0), psi.toString)
+    assert(psi("even1") == psi("even2"), "identical mixes must score identically")
+    assert(psi("drift") > psi("even1") + 0.5,
+      s"fully-shifted source must dominate: $psi")
+  }
+
   test("q112: leakage pairs equal an independent per-fingerprint recomputation " +
     "from the actual split assignment (engineered shared prefixes)") {
     import spark.implicits._
