@@ -561,9 +561,12 @@ object ManifestTable {
     * row-level changes between retained versions `fromV` → `toV`, as the
     * table's columns plus a `_change_type` column of
     * `insert` / `update_postimage` / `delete` (updates carry the NEW
-    * image; preimages are a [[readVersion]] on `fromV` away). `key` is
-    * the table's merge key — rows pair across versions by null-safe key
-    * equality, exactly as [[Dedup.merge]] matched them.
+    * image). `key` is the table's merge key — rows pair across versions
+    * by null-safe key equality, exactly as [[Dedup.merge]] matched them.
+    * `preimages = true` additionally emits an `update_preimage` row (the
+    * OLD image) per update — the full Delta-CDF event set, which an
+    * incremental consumer ([[IncrementalView]]) needs to SUBTRACT a
+    * replaced row's old contribution.
     *
     * Scale shape: manifests are compared first and partitions with
     * IDENTICAL file sets are pruned without touching data (immutable
@@ -575,7 +578,7 @@ object ManifestTable {
     * of `toV` as inserts (bootstrap). Both manifests must be retained
     * ([[vacuum]] may have dropped old ones) — fails loudly otherwise. */
   def readChanges(spark: SparkSession, root: String,
-      fromV: Int, toV: Int, key: Seq[String]): DataFrame = {
+      fromV: Int, toV: Int, key: Seq[String], preimages: Boolean = false): DataFrame = {
     require(fromV >= 0 && toV >= fromV,
       s"readChanges needs 0 <= fromV <= toV, got $fromV..$toV")
     require(fromV == 0 || Files.exists(manifestPath(root, fromV)),
@@ -609,17 +612,27 @@ object ManifestTable {
         val dataCols = o.columns.filterNot(key.contains)
         val sameImage = dataCols.foldLeft(lit(true))((acc, c) =>
           acc && (col(s"o.$c") <=> col(s"n.$c")))
-        joined
-          .select(
+        val typed = joined
+          .withColumn("_ct",
             when(col("n.__n").isNotNull,
               when(col("o.__o").isNotNull,
-                when(sameImage, lit(null)).otherwise(lit("update_postimage")))
-                .otherwise(lit("insert")))
-              .otherwise(lit("delete")).as("_change_type") +:
-            o.columns.map(c =>
-              when(col("n.__n").isNotNull, col(s"n.$c")).otherwise(col(s"o.$c")).as(c)): _*)
-          .where(col("_change_type").isNotNull)
-          .select(o.columns.map(col).toSeq :+ col("_change_type"): _*)
+                when(sameImage, lit(null)).otherwise(lit("u")))
+                .otherwise(lit("i")))
+              .otherwise(lit("d")))
+          .where(col("_ct").isNotNull)
+        val posts = typed.where(col("_ct") =!= "d")
+          .select(o.columns.map(c => col(s"n.$c").as(c)) :+
+            when(col("_ct") === "u", "update_postimage").otherwise("insert")
+              .as("_change_type"): _*)
+        val dels = typed.where(col("_ct") === "d")
+          .select(o.columns.map(c => col(s"o.$c").as(c)) :+
+            lit("delete").as("_change_type"): _*)
+        val pres =
+          if (!preimages) None
+          else Some(typed.where(col("_ct") === "u")
+            .select(o.columns.map(c => col(s"o.$c").as(c)) :+
+              lit("update_preimage").as("_change_type"): _*))
+        (Seq(posts, dels) ++ pres).reduce(_ union _)
     }
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.ManifestTable
+import graft.sources.{IncrementalView, ManifestTable}
 import java.io.File
 import java.nio.file.{Files, Paths}
 
@@ -615,6 +615,68 @@ class ManifestTableSpec extends SparkSpec {
       .map(r => (Option(r.get(r.fieldIndex("id"))), r.getAs[String]("v"),
         r.getAs[String]("_change_type"))).toSet
     assert(ch2 == Set((None, "q", "update_postimage")))
+  }
+
+  test("readChanges preimages=true emits a matched update_preimage/postimage " +
+    "pair per update (Delta-CDF event set)") {
+    val root = s"${Files.createTempDirectory("graft-cdc-pre")}/t"
+    val key = Seq("id", "day")
+    ManifestTable.mergePartitioned(pdf((1L, "d1", "a"), (2L, "d1", "b")), root, key, "day")
+    ManifestTable.mergePartitioned(pdf((1L, "d1", "A"), (3L, "d1", "c")), root, key, "day")
+    val ev = ManifestTable.readChanges(spark, root, 1, 2, key, preimages = true)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v"),
+        r.getAs[String]("_change_type"))).toSet
+    assert(ev == Set(
+      (1L, "a", "update_preimage"), (1L, "A", "update_postimage"),
+      (3L, "c", "insert")), ev.toString)
+    assert(IncrementalView.hasPreimageContract(
+      ManifestTable.readChanges(spark, root, 1, 2, key, preimages = true)))
+    assert(!IncrementalView.hasPreimageContract(
+      ManifestTable.readChanges(spark, root, 1, 2, key)))
+  }
+
+  test("IncrementalView: CDC-maintained count/sum state equals a full recompute " +
+    "after updates, inserts and full-snapshot deletes; retracted groups drop out; " +
+    "the state side is never shuffled (delta broadcasts)") {
+    import spark.implicits._
+    val root = s"${Files.createTempDirectory("graft-mv")}/t"
+    val key = Seq("id", "day")
+    def doc(id: Long, day: String, x: Long) = (id, day, x)
+    val v1 = Seq(doc(1, "d1", 10), doc(2, "d1", 20), doc(3, "d2", 30))
+      .toDF("id", "day", "x")
+    ManifestTable.mergePartitioned(v1, root, key, "day")
+    var state = IncrementalView.compute(
+      ManifestTable.read(spark, root), Seq("day"), "x").localCheckpoint()
+    // v2: update one d1 row, insert a d3 row
+    ManifestTable.mergePartitioned(
+      Seq(doc(1, "d1", 15), doc(4, "d3", 40)).toDF("id", "day", "x"), root, key, "day")
+    // v3: another d1-only merge
+    ManifestTable.mergePartitioned(
+      Seq(doc(2, "d1", 25)).toDF("id", "day", "x"), root, key, "day")
+    state = IncrementalView.refresh(state, root, 1, 3, key, Seq("day"), "x")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("day") -> ((r.getAs[Long]("n_rows"), r.getAs[Long]("sum_x"))))
+      .toMap
+    val truth = asMap(IncrementalView.compute(ManifestTable.read(spark, root), Seq("day"), "x"))
+    assert(asMap(state) == truth, s"incremental $state vs recompute $truth")
+    assert(truth == Map("d1" -> ((2L, 40L)), "d2" -> ((1L, 30L)), "d3" -> ((1L, 40L))))
+    // plan: the maintained state joins a BROADCAST delta, never a shuffle.
+    // Checkpoint the inputs so the plan shows maintain's OWN joins, not
+    // the upstream CDC diff (whose full-outer pairing join is scoped to
+    // changed slices by design)
+    val ch = ManifestTable.readChanges(spark, root, 2, 3, key, preimages = true)
+      .localCheckpoint()
+    val plan = IncrementalView.maintain(state.localCheckpoint(), ch, Seq("day"), "x")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // full-snapshot commit dropping every d2 row: the group retracts
+    val rows = ManifestTable.read(spark, root).where($"day" =!= "d2")
+    val vPre = ManifestTable.currentVersion(root)
+    ManifestTable.commit(rows.localCheckpoint(), root)
+    val st2 = IncrementalView.refresh(
+      state, root, vPre, vPre + 1, Seq("id"), Seq("day"), "x")
+    assert(asMap(st2) == truth - "d2", s"d2 must retract fully: ${asMap(st2)}")
   }
 
   test("a merge batch MISSING A KEY COLUMN fails loudly instead of null-filling " +
