@@ -636,6 +636,28 @@ object ManifestTable {
     }
   }
 
+  /** RESTORE (Delta's `RESTORE TABLE … TO VERSION`): make the current
+    * state equal a retained earlier version by committing a NEW version
+    * whose manifest references the old version's files. Nothing is
+    * deleted — the rolled-back commits stay readable for forensics
+    * (and [[readChanges]] across the restore commit yields exactly the
+    * "undo" events, so downstream incremental views retract cleanly);
+    * [[vacuum]] ages them out later, and keeps the restored version's
+    * data files alive because the NEW head references them. Metadata-
+    * only: O(manifest) regardless of table size. Goes through the same
+    * CREATE_NEW commit slot as every writer, so a racing merge either
+    * lands before (restore undoes it too — it targets a VERSION, not a
+    * diff) or aborts the restore's slot and the caller retries. */
+  def restore(root: String, toVersion: Int): Int = synchronized {
+    val cur = currentVersion(root)
+    require(toVersion >= 1 && toVersion <= cur,
+      s"cannot restore $root to v$toVersion: table is at v$cur")
+    require(Files.exists(manifestPath(root, toVersion)),
+      s"version $toVersion at $root is not retained (vacuumed?)")
+    if (toVersion == cur) cur
+    else commitEntries(root, cur + 1, listedEntries(root, toVersion))
+  }
+
   /** Drop data files and manifests not referenced by the newest
     * `keepVersions` snapshots, plus ORPHAN manifests above the current
     * version (left by a writer that crashed between manifest write and

@@ -679,6 +679,74 @@ class ManifestTableSpec extends SparkSpec {
     assert(asMap(st2) == truth - "d2", s"d2 must retract fully: ${asMap(st2)}")
   }
 
+  test("end-to-end: streaming micro-batches through the transactional sink, a " +
+    "CDC-maintained aggregate view refreshed per commit tracks the stream " +
+    "exactly (stream → MERGE → readChanges → IncrementalView)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-mv").toString
+    val root = s"$dir/t"
+    val ckpt = s"$dir/ckpt"
+    val key = Seq("id", "day")
+    def drain(mem: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]): Unit =
+      graft.streaming.EventStream.upsertSinkTransactionalPartitioned(
+          mem.toDF().toDF("id", "day", "x"), root, key, "day")
+        .option("checkpointLocation", ckpt)
+        .start().processAllAvailable()
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    mem.addData((1L, "d1", 10L), (2L, "d2", 20L))
+    drain(mem)
+    val viewAt = ManifestTable.currentVersion(root)
+    var view = IncrementalView.compute(
+      ManifestTable.read(spark, root), Seq("day"), "x").localCheckpoint()
+    // two more micro-batch commits: an update and a new partition
+    mem.addData((1L, "d1", 15L))
+    mem.addData((3L, "d3", 30L))
+    drain(mem)
+    val head = ManifestTable.currentVersion(root)
+    assert(head > viewAt, "the stream must have committed new versions")
+    view = IncrementalView.refresh(view, root, viewAt, head, key, Seq("day"), "x")
+    val got = view.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = IncrementalView.compute(
+      ManifestTable.read(spark, root), Seq("day"), "x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"view $got must track the streamed table $want")
+    assert(got == Set(("d1", 1L, 15L), ("d2", 1L, 20L), ("d3", 1L, 30L)), got.toString)
+  }
+
+  test("restore rolls the table back METADATA-ONLY: content equals the target " +
+    "version, history is preserved, CDC yields the undo events, and vacuum " +
+    "keeps the restored files alive") {
+    val root = s"${Files.createTempDirectory("graft-restore")}/t"
+    val key = Seq("id", "day")
+    ManifestTable.mergePartitioned(pdf((1L, "d1", "a"), (2L, "d2", "b")), root, key, "day")
+    ManifestTable.mergePartitioned(pdf((1L, "d1", "BAD"), (9L, "d9", "junk")), root, key, "day")
+    val filesBefore = fileState(root, 1).keySet ++ fileState(root, 2).keySet
+    val v3 = ManifestTable.restore(root, 1)
+    assert(v3 == 3, "restore commits a NEW version")
+    assert(readPSet(root) == Set((1L, "d1", "a"), (2L, "d2", "b")))
+    // metadata-only: the new head references v1's existing files verbatim
+    assert(fileState(root, 3).keySet == fileState(root, 1).keySet)
+    assert(fileState(root, 3).keySet.subsetOf(filesBefore))
+    // the bad commit stays readable for forensics
+    assert(ManifestTable.readVersion(spark, root, 2).count() == 3)
+    assert(ManifestTable.history(root).map(_.version) == Seq(3, 2, 1))
+    // CDC across the restore = the undo events
+    val undo = ManifestTable.readChanges(spark, root, 2, 3, key).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"),
+        r.getAs[String]("_change_type"))).toSet
+    assert(undo == Set((1L, "a", "update_postimage"), (9L, "junk", "delete")), undo.toString)
+    // restoring to the current version is a no-op
+    assert(ManifestTable.restore(root, 3) == 3)
+    assertThrows[IllegalArgumentException](ManifestTable.restore(root, 99))
+    // vacuum to head only: restored data files survive (the head references them)
+    ManifestTable.vacuum(root, keepVersions = 1, orphanGraceMs = 0L)
+    assert(readPSet(root) == Set((1L, "d1", "a"), (2L, "d2", "b")),
+      "vacuum must not delete files the restored head references")
+    assertThrows[IllegalArgumentException](ManifestTable.restore(root, 2)) // vacuumed
+  }
+
   test("a merge batch MISSING A KEY COLUMN fails loudly instead of null-filling " +
     "the key and collapsing rows (schema evolution adds non-key columns only)") {
     import spark.implicits._

@@ -162,6 +162,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: incremental CDC view maintenance equals full recompute over " +
+    "arbitrary merge sequences (bootstrap at v1, refresh to head)") {
+    import graft.sources.{IncrementalView, ManifestTable}
+    import spark.implicits._
+    val batchGen: Gen[List[(Long, String, Long)]] =
+      Gen.nonEmptyListOf(for {
+        id <- Gen.choose(1L, 10L)
+        day <- Gen.oneOf("d1", "d2", "d3")
+        x <- Gen.choose(-50L, 50L)
+      } yield (id, day, x)).map(_.distinctBy(r => (r._1, r._2)))
+    val seqGen = for {
+      n <- Gen.choose(2, 4)
+      bs <- Gen.listOfN(n, batchGen)
+    } yield bs
+    samples(seqGen, 4).zipWithIndex.foreach { case (batches, i) =>
+      val root = s"${java.nio.file.Files.createTempDirectory(s"graft-mv-prop$i")}/t"
+      val key = Seq("id", "day")
+      batches.foreach { b =>
+        ManifestTable.mergePartitioned(b.toDF("id", "day", "x"), root, key, "day"): Unit
+      }
+      val head = ManifestTable.currentVersion(root)
+      val boot = IncrementalView.compute(
+        ManifestTable.readVersion(spark, root, 1), Seq("day"), "x").localCheckpoint()
+      val incr = IncrementalView.refresh(boot, root, 1, head, key, Seq("day"), "x")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val full = IncrementalView.compute(
+        ManifestTable.read(spark, root), Seq("day"), "x")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(incr == full, s"sample $i: incremental $incr != recompute $full " +
+        s"over ${batches.map(_.size)} batch sizes")
+    }
+  }
+
   test("property: media header writers and parsers invert for arbitrary dims, " +
     "rates and payloads (incl. empty and FF-heavy payloads for the JPEG walk)") {
     import graft.multimodal.MediaHeaders
