@@ -5,16 +5,18 @@ import graft.sources.ManifestTable
 import org.apache.spark.sql.functions._
 
 /** Executable end-to-end TRAINING-DATA slice — the corpus-side twin of
-  * [[PipelineDemo]]: documents → quality + repetition scoring → exact
-  * dedup → MinHash near-dup components → keeper selection → benchmark
-  * decontamination → deterministic train/val/test split → transactional
-  * snapshot commit → read-back stats. Run with
+  * [[PipelineDemo]]: documents → quality + repetition scoring →
+  * classifier gate → exact dedup → MinHash near-dup components →
+  * keeper selection → benchmark decontamination → deterministic
+  * train/val/test split → transactional snapshot commit → PSI drift
+  * check → CDC-maintained per-split stats that an incremental second
+  * commit refreshes without recomputing. Run with
   * `sbt "runMain graft.CorpusPipelineDemo [sfDir]"`.
   *
-  * Every stage is one of the oracle-gated operators (q26/q56/q28/q54/
-  * q98/q55) composed as a user of the library would compose them; the
-  * sink is the manifest-committed table, so a re-run commits a new
-  * snapshot and the previous one stays readable. */
+  * Every stage is one of the oracle-gated operators (q26/q56/q114/q28/
+  * q54/q98/q55/q115) composed as a user of the library would compose
+  * them; the sink is the manifest-committed table, so a re-run commits
+  * a new snapshot and the previous one stays readable. */
 object CorpusPipelineDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -33,6 +35,12 @@ object CorpusPipelineDemo {
     val quality = TextOps.q26QualityScore(spark, sfDir)
       .join(TextOps.q56Repetition(spark, sfDir), "doc_id")
       .where($"quality_score" > 0.05 && $"repetition_ratio" < 0.95)
+
+    // 1b. model-based quality gate (q114): hashed-feature linear
+    // classifier inference — per-row scoring, the fastText-filter shape
+    val classifierPass = TextOps.q114QualityClassifier(spark, sfDir)
+      .where($"score" >= 0.45)
+      .select($"doc_id")
 
     // 2. exact dedup keepers (q28)
     val exactKeepers = TextOps.q28ExactDedup(spark, sfDir)
@@ -57,6 +65,7 @@ object CorpusPipelineDemo {
     val survivors = Tables(spark, sfDir, "documents")
       .where($"doc_id" % 19 =!= 0)
       .join(quality.select($"doc_id"), "doc_id")
+      .join(classifierPass, "doc_id")
       .join(exactKeepers, "doc_id")
       .join(nearKeepers, "doc_id")
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -76,6 +85,36 @@ object CorpusPipelineDemo {
       sum($"n_chars").as("n_chars")).orderBy($"split").show()
     println("== per-language survivors ==")
     back.groupBy($"lang").agg(count(lit(1)).as("n_docs")).orderBy($"lang").show()
+
+    // 7. release gate: PSI drift of the CURATED corpus per source vs the
+    // raw corpus mix (q115's shape on the committed snapshot) — did
+    // curation skew any source's length profile?
+    val curatedDir = s"$work/curated_view"
+    back.select($"doc_id", $"text", $"lang", lit("curated").as("source"), $"n_chars")
+      .union(Tables(spark, sfDir, "documents")
+        .select($"doc_id", $"text", $"lang", lit("raw").as("source"), $"n_chars"))
+      .write.mode("overwrite").parquet(s"$curatedDir/documents.parquet")
+    println("== PSI drift: curated vs raw length profile ==")
+    TextOps.q115PsiDrift(spark, curatedDir).orderBy($"source").show()
+
+    // 8. incremental stats maintenance: a second (late-data) commit
+    // refreshes the per-split stats view from the CDC delta alone —
+    // the O(changed rows) refresh, not a snapshot recompute
+    val stats0 = graft.sources.IncrementalView.compute(
+      back.select($"split", $"n_chars"), Seq("split"), "n_chars").localCheckpoint()
+    val late = curated.limit(50)
+      .withColumn("n_chars", $"n_chars" + 1000L) // re-curated docs grew
+    val v2 = ManifestTable.merge(late, s"$work/curated", Seq("doc_id"))
+    val stats1 = graft.sources.IncrementalView.refresh(
+      stats0, s"$work/curated", v, v2, Seq("doc_id"), Seq("split"), "n_chars")
+    println("== per-split stats AFTER incremental CDC refresh ==")
+    stats1.orderBy($"split").show()
+    val recheck = graft.sources.IncrementalView.compute(
+      ManifestTable.read(spark, s"$work/curated").select($"split", $"n_chars"),
+      Seq("split"), "n_chars")
+    val match_ = stats1.orderBy($"split").collect().sameElements(
+      recheck.orderBy($"split").collect())
+    println(s"INCREMENTAL_EQUALS_RECOMPUTE=$match_")
     spark.stop()
   }
 }
