@@ -97,22 +97,49 @@ object ManifestTable {
     true
   }
 
-  private def listedEntries(root: String, v: Int): Seq[(String, String)] = {
+  /** One manifest line: partition key (escaped dir-name form), data
+    * file path relative to root, and — when the table declares a STATS
+    * COLUMN — that file's min/max of it, enabling file-level DATA
+    * SKIPPING ([[readWhere]], the Delta/Iceberg stats-pruning shape).
+    * Line shapes are self-describing: `part\trel` (no stats) or
+    * `part\trel\tlo\thi` (stats; lo/hi are plain decimal strings —
+    * stats columns are numeric by contract, see [[statsColumn]]). A
+    * file whose stats column is all-null carries no stats and is never
+    * pruned. */
+  private[graft] case class FileEntry(part: String, rel: String,
+      lo: Option[String] = None, hi: Option[String] = None)
+
+  private def listedEntries(root: String, v: Int): Seq[FileEntry] = {
     val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
       .map(_.trim).filter(_.nonEmpty)
-    val v2 = lines.headOption.contains(FormatHeader)
+    val v2 = lines.headOption.exists(_.startsWith(FormatHeader))
     val parsed = (if (v2) lines.tail else lines)
       .map { line =>
-        line.indexOf('\t') match {
-          case -1 => ("", line)
-          case i  => (line.substring(0, i), line.substring(i + 1))
+        line.split('\t') match {
+          case Array(rel)              => FileEntry("", rel)
+          case Array(p, rel)           => FileEntry(p, rel)
+          case Array(p, rel, lo, hi)   => FileEntry(p, rel, Some(lo), Some(hi))
+          case _ => throw new IllegalStateException(
+            s"manifest-v$v at $root has a malformed line: $line")
         }
       }
     val plainEra = !v2 &&
-      parsed.exists { case (p, _) => p.nonEmpty && !isValidEscapedForm(p) }
+      parsed.exists(e => e.part.nonEmpty && !isValidEscapedForm(e.part))
     if (plainEra)
-      parsed.map { case (p, rel) => (if (p.isEmpty) p else escapePathName(p), rel) }
+      parsed.map(e => if (e.part.isEmpty) e else e.copy(part = escapePathName(e.part)))
     else parsed
+  }
+
+  /** The stats column this version's manifest declares (header suffix
+    * `;stats=<col>`), if any. Numeric-by-contract: lo/hi are compared
+    * as decimals by [[readWhere]]; declaring a non-numeric column is
+    * rejected at write time. */
+  private[graft] def statsColumn(root: String, v: Int): Option[String] = {
+    if (v < 1 || !Files.exists(manifestPath(root, v))) return None
+    val head = Files.readAllLines(manifestPath(root, v)).asScala.headOption.getOrElse("")
+    if (head.startsWith(FormatHeader + ";stats="))
+      Some(head.stripPrefix(FormatHeader + ";stats="))
+    else None
   }
 
   /** The commit point, shared by all writers: write the manifest for
@@ -130,12 +157,22 @@ object ManifestTable {
     * pointer move leaves an orphan manifest at v > current that blocks
     * that version number; [[vacuum]] clears such orphans. On an object
     * store the same slot is a conditional PUT (if-none-match). */
-  private def commitEntries(root: String, v: Int, entries: Seq[(String, String)]): Int = {
+  private def commitEntries(root: String, v: Int, entries: Seq[FileEntry],
+      statsCol: Option[String] = None): Int = {
     require(entries.nonEmpty, s"commit of v$v at $root lists no data files")
+    require(statsCol.forall(c => !c.contains('\n') && !c.contains('\t')),
+      s"stats column name $statsCol must not contain tab/newline")
     Files.createDirectories(Paths.get(root))
+    val header = statsCol.fold(FormatHeader)(c => s"$FormatHeader;stats=$c")
+    val lines = entries.sortBy(e => (e.part, e.rel)).map { e =>
+      (e.lo, e.hi) match {
+        case (Some(lo), Some(hi)) => s"${e.part}\t${e.rel}\t$lo\t$hi"
+        case _                    => s"${e.part}\t${e.rel}"
+      }
+    }
     try {
       Files.writeString(manifestPath(root, v),
-        (FormatHeader +: entries.sorted.map { case (p, f) => s"$p\t$f" }).mkString("\n"),
+        (header +: lines).mkString("\n"),
         java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -182,17 +219,63 @@ object ManifestTable {
         "key would collapse rows on null and corrupt the snapshot")
   }
 
-  /** Commit `df` as the next version (full snapshot). Returns the new
-    * version number. */
-  def commit(df: DataFrame, root: String): Int = synchronized {
-    val v = currentVersion(root) + 1
-    val dirName = newDataDirName(v)
-    val dataDir = s"$root/data/$dirName"
-    df.write.mode("overwrite").parquet(dataDir)
-    val files = listParquet(new File(dataDir)).map(f => ("", s"data/$dirName/$f"))
-    require(files.nonEmpty, s"commit produced no data files under $dataDir")
-    commitEntries(root, v, files)
+  /** Per-file min/max of `statsCol` for freshly written `entries`, for
+    * the manifest's data-skipping fields. One Spark job per partition
+    * DIRECTORY (the merge's own touched-partition bound): part-file
+    * names are unique within a directory but can repeat across them
+    * (task 0 writes part-00000-… into EVERY partition it holds), and
+    * `input_file_name`'s URI encoding of %-escaped partition dirs is
+    * not worth depending on — per-dir jobs make filename matching
+    * exact. Driver-side result is one row per new file (metadata-
+    * scale). Files whose stats column is absent (pre-evolution
+    * generations) or all-null keep no stats and are never pruned. */
+  private def withStats(spark: SparkSession, root: String,
+      entries: Seq[FileEntry], statsCol: String): Seq[FileEntry] = {
+    import org.apache.spark.sql.functions.{input_file_name, max, min, regexp_extract}
+    entries.groupBy(_.part).toSeq.sortBy(_._1).flatMap { case (_, es) =>
+      val df = spark.read.parquet(es.map(e => s"$root/${e.rel}"): _*)
+      if (!df.columns.contains(statsCol)) es
+      else {
+        require(df.schema(statsCol).dataType
+            .isInstanceOf[org.apache.spark.sql.types.NumericType],
+          s"stats column $statsCol must be numeric, got " +
+            df.schema(statsCol).dataType.simpleString)
+        val stats = df
+          .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("__f"),
+            col(statsCol).as("__v"))
+          .groupBy(col("__f")).agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+          .collect()
+          .map(r => r.getString(0) ->
+            ((Option(r.get(1)).map(_.toString), Option(r.get(2)).map(_.toString))))
+          .toMap
+        es.map { e =>
+          stats.get(e.rel.substring(e.rel.lastIndexOf('/') + 1)) match {
+            case Some((Some(lo), Some(hi))) => e.copy(lo = Some(lo), hi = Some(hi))
+            case _                          => e
+          }
+        }
+      }
+    }
   }
+
+  /** Commit `df` as the next version (full snapshot). Returns the new
+    * version number. `statsCol` (sticky: later commits inherit it from
+    * the manifest header) declares a numeric column whose per-file
+    * min/max is recorded for [[readWhere]] data skipping. */
+  def commit(df: DataFrame, root: String, statsCol: Option[String] = None): Int =
+    synchronized {
+      val cur = currentVersion(root)
+      val v = cur + 1
+      val effStats = statsCol.orElse(statsColumn(root, cur))
+      val dirName = newDataDirName(v)
+      val dataDir = s"$root/data/$dirName"
+      df.write.mode("overwrite").parquet(dataDir)
+      val files = listParquet(new File(dataDir))
+        .map(f => FileEntry("", s"data/$dirName/$f"))
+      require(files.nonEmpty, s"commit produced no data files under $dataDir")
+      val entries = effStats.fold(files)(withStats(df.sparkSession, root, files, _))
+      commitEntries(root, v, entries, effStats)
+    }
 
   /** Read the current snapshot. */
   def read(spark: SparkSession, root: String): DataFrame =
@@ -204,7 +287,7 @@ object ManifestTable {
     * narrower files; the union schema null-fills them. */
   def readVersion(spark: SparkSession, root: String, v: Int): DataFrame = {
     require(v >= 1, s"table at $root has no committed version (asked for $v)")
-    val files = listedEntries(root, v).map { case (_, rel) => s"$root/$rel" }
+    val files = listedEntries(root, v).map(e => s"$root/${e.rel}")
     spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
@@ -332,9 +415,15 @@ object ManifestTable {
     *
     * If the current version contains unpartitioned (full-snapshot)
     * entries, this falls back to one full merge that REWRITES the table
-    * in partitioned layout — a one-time conversion cost. */
+    * in partitioned layout — a one-time conversion cost.
+    *
+    * `statsCol` declares (sticky, inherited from the manifest header on
+    * later merges) a numeric column whose per-file min/max is recorded
+    * for [[readWhere]] data skipping; untouched partitions keep their
+    * previously recorded stats verbatim. */
   def mergePartitioned(
-      batch: DataFrame, root: String, key: Seq[String], partCol: String): Int = synchronized {
+      batch: DataFrame, root: String, key: Seq[String], partCol: String,
+      statsCol: Option[String] = None): Int = synchronized {
     require(key.contains(partCol),
       s"mergePartitioned key $key must contain partition column $partCol " +
         "(a key that can change partition would strand its old row)")
@@ -343,20 +432,23 @@ object ManifestTable {
     val cur = currentVersion(root)
     val v = cur + 1
     val prev = if (cur >= 1) listedEntries(root, cur) else Nil
+    val effStats = statsCol.orElse(statsColumn(root, cur))
 
     val partStr = col(partCol).cast("string")
-    def writePartitioned(df: DataFrame): Seq[(String, String)] =
-      writePartitionedData(df, root, v, partCol)
+    def writePartitioned(df: DataFrame): Seq[FileEntry] = {
+      val es = writePartitionedData(df, root, v, partCol)
+      effStats.fold(es)(withStats(spark, root, es, _))
+    }
 
     if (prev.isEmpty) {
-      commitRebasing(root, prev, writePartitioned(batch.localCheckpoint()))
-    } else if (prev.exists(_._1.isEmpty)) {
+      commitRebasing(root, prev, writePartitioned(batch.localCheckpoint()), effStats)
+    } else if (prev.exists(_.part.isEmpty)) {
       // legacy full-snapshot layout: one-time conversion to partitioned.
       // A full rewrite has no rebase (its data depends on EVERY
       // partition), so a lost race aborts via commitEntries directly.
       val (e0, b0) = alignSchemas(readVersion(spark, root, cur), batch)
       val merged = Dedup.merge(e0, b0, key)
-      commitEntries(root, v, writePartitioned(merged.localCheckpoint()))
+      commitEntries(root, v, writePartitioned(merged.localCheckpoint()), effStats)
     } else {
       val touchedVals = batch.select(partStr).distinct().collect()
         .map(r => if (r.isNullAt(0)) null else r.getString(0))
@@ -375,7 +467,7 @@ object ManifestTable {
       // manifest keys are escaped dir-name forms; compare via unescape
       def isTouched(p: String): Boolean = touched(unescapePathName(p))
       val existingFiles = prev.collect {
-        case (p, rel) if isTouched(p) => s"$root/$rel"
+        case e if isTouched(e.part) => s"$root/${e.rel}"
       }
       val merged =
         if (existingFiles.isEmpty) batch
@@ -387,7 +479,7 @@ object ManifestTable {
           Dedup.merge(e0, b0, key)
         }
       val newEntries = writePartitioned(merged.localCheckpoint())
-      commitRebasing(root, prev, newEntries)
+      commitRebasing(root, prev, newEntries, effStats)
     }
   }
 
@@ -417,19 +509,20 @@ object ManifestTable {
     *
     * On an object store the same loop runs on conditional-PUT failures. */
   private def commitRebasing(
-      root: String, baseEntries: Seq[(String, String)],
-      newEntries: Seq[(String, String)], maxAttempts: Int = 10): Int = {
+      root: String, baseEntries: Seq[FileEntry],
+      newEntries: Seq[FileEntry], statsCol: Option[String] = None,
+      maxAttempts: Int = 10): Int = {
     raceHookForTests()
-    val touched = newEntries.map(_._1).toSet
-    def byPart(es: Seq[(String, String)]): Map[String, Set[String]] =
-      es.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val touched = newEntries.map(_.part).toSet
+    def byPart(es: Seq[FileEntry]): Map[String, Set[String]] =
+      es.groupBy(_.part).view.mapValues(_.map(_.rel).toSet).toMap
     val base = byPart(baseEntries)
     var attempt = 0
     while (true) {
       attempt += 1
       val cur = currentVersion(root)
       val curEntries = if (cur >= 1) listedEntries(root, cur) else Nil
-      if (curEntries.exists(_._1.isEmpty))
+      if (curEntries.exists(_.part.isEmpty))
         throw new java.util.ConcurrentModificationException(
           s"merge at $root lost a race to a FULL-SNAPSHOT commit (unpartitioned " +
             "entries in the current manifest): cannot rebase a partition-scoped " +
@@ -443,9 +536,9 @@ object ManifestTable {
             overlap.toSeq.sorted.map(unescapePathName).mkString("[", ", ", "]") +
             ": a concurrent commit rewrote them after this merge read its base " +
             "version. Re-run the merge against the current version.")
-      val untouchedNow = curEntries.filterNot { case (p, _) => touched(p) }
+      val untouchedNow = curEntries.filterNot(e => touched(e.part))
       try {
-        return commitEntries(root, cur + 1, untouchedNow ++ newEntries)
+        return commitEntries(root, cur + 1, untouchedNow ++ newEntries, statsCol)
       } catch {
         case e: java.util.ConcurrentModificationException =>
           if (attempt >= maxAttempts) throw e
@@ -461,7 +554,7 @@ object ManifestTable {
     * entries. `__part` is a COPY of partCol cast to string, so data files
     * keep every original column. */
   private def writePartitionedData(
-      df: DataFrame, root: String, v: Int, partCol: String): Seq[(String, String)] = {
+      df: DataFrame, root: String, v: Int, partCol: String): Seq[FileEntry] = {
     val dirName = newDataDirName(v)
     val dataDir = s"$root/data/$dirName"
     df.withColumn("__part", coalesce(col(partCol).cast("string"), lit(NullPartition)))
@@ -473,7 +566,7 @@ object ManifestTable {
         // chars stay %-encoded, so the tab-delimited manifest can't be
         // corrupted by a hostile partition value
         val p = d.getName.stripPrefix("__part=")
-        listParquet(d).map(f => (p, s"data/$dirName/${d.getName}/$f"))
+        listParquet(d).map(f => FileEntry(p, s"data/$dirName/${d.getName}/$f"))
       }
   }
 
@@ -494,21 +587,23 @@ object ManifestTable {
     val cur = currentVersion(root)
     require(cur >= 1, s"table at $root has no committed version to compact")
     val prev = listedEntries(root, cur)
-    require(!prev.exists(_._1.isEmpty),
+    require(!prev.exists(_.part.isEmpty),
       s"table at $root has full-snapshot entries; compact expects the partitioned layout")
     val v = cur + 1
-    val byPart = prev.groupBy(_._1)
+    val effStats = statsColumn(root, cur)
+    val byPart = prev.groupBy(_.part)
     val fragmented = byPart.filter(_._2.size >= minFiles).keySet
     if (fragmented.isEmpty) return cur
-    val files = prev.collect { case (p, rel) if fragmented(p) => s"$root/$rel" }
+    val files = prev.collect { case e if fragmented(e.part) => s"$root/${e.rel}" }
     val compacted = spark.read.parquet(files: _*)
       // one task per fragmented partition → one output file per partition
       .repartition(fragmented.size, coalesce(col(partCol).cast("string"), lit(NullPartition)))
-    val newEntries = writePartitionedData(compacted.localCheckpoint(), root, v, partCol)
+    val newEntries0 = writePartitionedData(compacted.localCheckpoint(), root, v, partCol)
+    val newEntries = effStats.fold(newEntries0)(withStats(spark, root, newEntries0, _))
     // same optimistic protocol as mergePartitioned: a maintenance job
     // racing a writer only aborts if the writer touched a partition
     // being compacted; disjoint activity rebases and both land
-    commitRebasing(root, prev, newEntries)
+    commitRebasing(root, prev, newEntries, effStats)
   }
 
   /** One retained commit of a table ([[history]]). `timestamp` is the
@@ -528,7 +623,7 @@ object ManifestTable {
       if (Files.exists(p)) {
         val es = listedEntries(root, v)
         Some(CommitInfo(v, Files.getLastModifiedTime(p).toMillis,
-          es.size, es.map(_._1).distinct.size))
+          es.size, es.map(_.part).distinct.size))
       } else None
     }.reverse
   }
@@ -552,7 +647,7 @@ object ManifestTable {
   private[graft] def changedPartitions(root: String, fromV: Int, toV: Int): Set[String] = {
     def byPart(v: Int): Map[String, Set[String]] =
       (if (v >= 1) listedEntries(root, v) else Nil)
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        .groupBy(_.part).view.mapValues(_.map(_.rel).toSet).toMap
     val (f, t) = (byPart(fromV), byPart(toV))
     (f.keySet ++ t.keySet).filter(p => f.get(p) != t.get(p))
   }
@@ -588,7 +683,7 @@ object ManifestTable {
     val changed = changedPartitions(root, fromV, toV)
     def slice(v: Int): Option[DataFrame] = {
       val files = (if (v >= 1) listedEntries(root, v) else Nil)
-        .collect { case (p, rel) if changed(p) => s"$root/$rel" }
+        .collect { case e if changed(e.part) => s"$root/${e.rel}" }
       if (files.isEmpty) None
       else Some(spark.read.option("mergeSchema", "true").parquet(files: _*))
     }
@@ -655,7 +750,41 @@ object ManifestTable {
     require(Files.exists(manifestPath(root, toVersion)),
       s"version $toVersion at $root is not retained (vacuumed?)")
     if (toVersion == cur) cur
-    else commitEntries(root, cur + 1, listedEntries(root, toVersion))
+    else commitEntries(root, cur + 1, listedEntries(root, toVersion),
+      statsColumn(root, toVersion))
+  }
+
+  /** DATA-SKIPPING read: rows of the current snapshot with the table's
+    * stats column in `[lo, hi]`, opening ONLY files whose recorded
+    * min/max intersects the range — the Delta/Iceberg file-pruning
+    * shape, decided entirely from the manifest (no footer reads, no
+    * listing). On a 100 TB table clustered by the stats column (e.g.
+    * epoch day, doc_id range per ingest batch) a narrow range touches a
+    * handful of files. Files WITHOUT stats (written before the column
+    * was declared, schema-evolved, or all-null) are always read — the
+    * pruning is conservative, never wrong — and the range predicate is
+    * re-applied row-level, so the result is exact regardless of how
+    * much was pruned. Requires the table to declare a stats column
+    * ([[commit]]/[[mergePartitioned]] `statsCol`). */
+  def readWhere(spark: SparkSession, root: String, lo: Long, hi: Long): DataFrame = {
+    val cur = currentVersion(root)
+    require(cur >= 1, s"table at $root has no committed version")
+    val colName = statsColumn(root, cur).getOrElse(throw new IllegalArgumentException(
+      s"table at $root declares no stats column - commit with statsCol to enable " +
+        "data skipping"))
+    val es = listedEntries(root, cur)
+    val keep = es.filter { e =>
+      (e.lo, e.hi) match {
+        case (Some(l), Some(h)) =>
+          BigDecimal(h) >= BigDecimal(lo) && BigDecimal(l) <= BigDecimal(hi)
+        case _ => true // stats-free file: cannot prune safely
+      }
+    }
+    val pred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
+    if (keep.isEmpty) readVersion(spark, root, cur).where(pred).limit(0)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(keep.map(e => s"$root/${e.rel}"): _*)
+      .where(pred)
   }
 
   /** Drop data files and manifests not referenced by the newest
@@ -679,7 +808,7 @@ object ManifestTable {
     val cur = currentVersion(root)
     if (cur < 1) return
     val keep = ((cur - keepVersions + 1) max 1) to cur
-    val referenced = keep.flatMap(v => listedEntries(root, v).map(_._2)).toSet
+    val referenced = keep.flatMap(v => listedEntries(root, v).map(_.rel)).toSet
     val dataRoot = Paths.get(root, "data")
     if (Files.exists(dataRoot)) {
       Files.walk(dataRoot).iterator().asScala.toSeq.reverse.foreach { p =>

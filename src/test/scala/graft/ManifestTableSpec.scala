@@ -747,6 +747,89 @@ class ManifestTableSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](ManifestTable.restore(root, 2)) // vacuumed
   }
 
+  /** (rel → (lo, hi)) for every stats-carrying line of version v. */
+  private def statsOf(root: String, v: Int): Map[String, (String, String)] =
+    Files.readAllLines(Paths.get(root, s"manifest-v$v.json")).toArray.map(_.toString)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .flatMap { l =>
+        l.split('\t') match {
+          case Array(_, rel, lo, hi) => Some(rel -> ((lo, hi)))
+          case _                     => None
+        }
+      }.toMap
+
+  test("file-level stats + readWhere data skipping: a range query opens ONLY " +
+    "files whose recorded min/max intersects it, the stats column is sticky " +
+    "across merges, untouched partitions keep their stats, and results stay " +
+    "EXACT (row-level re-filter)") {
+    import spark.implicits._
+    val root = s"${Files.createTempDirectory("graft-stats")}/t"
+    val key = Seq("id", "day")
+    def batch(day: String, xs: Range) =
+      xs.map(i => (i.toLong, day, i.toLong)).toDF("id", "day", "x")
+    ManifestTable.mergePartitioned(
+      batch("d1", 0 until 100).union(batch("d2", 100 until 200)),
+      root, key, "day", statsCol = Some("x"))
+    // sticky: the second merge inherits the stats column from the header
+    ManifestTable.mergePartitioned(batch("d3", 200 until 300), root, key, "day")
+    val v = ManifestTable.currentVersion(root)
+    val st = statsOf(root, v)
+    assert(st.nonEmpty && st.values.forall { case (lo, hi) => lo.toLong <= hi.toLong })
+    // d1's entries were carried forward by the d3 merge WITH their stats
+    assert(st.keys.exists(_.contains("__part=d1")), st.toString)
+    // pruning: a range inside d2 touches no d1/d3 file
+    val mid = ManifestTable.readWhere(spark, root, 150, 160)
+    assert(mid.inputFiles.forall(f => f.contains("__part=d2")),
+      s"pruning must drop d1/d3 files: ${mid.inputFiles.toSeq}")
+    assert(mid.collect().map(_.getAs[Long]("x")).sorted.toSeq == (150L to 160L))
+    // exactness vs the unpruned read
+    val full = ManifestTable.read(spark, root).where($"x" >= 150 && $"x" <= 160)
+    assert(mid.count() == full.count())
+    // stats survive compact (recomputed for rewritten files)
+    ManifestTable.mergePartitioned(batch("d1", 50 until 60), root, key, "day")
+    val vc = ManifestTable.compact(spark, root, "day")
+    assert(vc > v, "d1 must have been fragmented and compacted")
+    assert(statsOf(root, vc).keys.exists(_.contains("__part=d1")),
+      "compacted d1 file must carry recomputed stats")
+    assert(ManifestTable.readWhere(spark, root, 0, 10).inputFiles
+      .forall(f => f.contains("__part=d1")))
+    // restore keeps the stats header alive
+    ManifestTable.restore(root, v)
+    assert(ManifestTable.readWhere(spark, root, 250, 260).count() == 11)
+    // a table with no declared stats column refuses readWhere
+    val plain = s"${Files.createTempDirectory("graft-nostats")}/t"
+    ManifestTable.mergePartitioned(batch("d1", 0 until 5), plain, key, "day")
+    assertThrows[IllegalArgumentException] {
+      ManifestTable.readWhere(spark, plain, 0, 1)
+    }
+    // a non-numeric stats column is rejected at write time
+    assertThrows[IllegalArgumentException] {
+      ManifestTable.mergePartitioned(batch("d9", 0 until 5),
+        s"${Files.createTempDirectory("graft-badstats")}/t", key, "day",
+        statsCol = Some("day"))
+    }
+  }
+
+  test("stats-free files (declared AFTER their commit) are never pruned — " +
+    "conservative skipping keeps old generations correct") {
+    import spark.implicits._
+    val root = s"${Files.createTempDirectory("graft-stats-mixed")}/t"
+    val key = Seq("id", "day")
+    def batch(day: String, xs: Range) =
+      xs.map(i => (i.toLong, day, i.toLong)).toDF("id", "day", "x")
+    ManifestTable.mergePartitioned(batch("d1", 0 until 10), root, key, "day")
+    // declare stats only on the SECOND merge: d1's files stay stats-free
+    ManifestTable.mergePartitioned(batch("d2", 100 until 110), root, key, "day",
+      statsCol = Some("x"))
+    val pruned = ManifestTable.readWhere(spark, root, 500, 600)
+    // d2's file is skippable (100..109 misses 500..600); d1's is not
+    assert(pruned.inputFiles.exists(_.contains("__part=d1")),
+      "stats-free d1 files must still be read")
+    assert(pruned.inputFiles.forall(f => !f.contains("__part=d2")),
+      s"d2 must be pruned by its stats: ${pruned.inputFiles.toSeq}")
+    assert(pruned.count() == 0, "row-level filter keeps the answer exact")
+  }
+
   test("a merge batch MISSING A KEY COLUMN fails loudly instead of null-filling " +
     "the key and collapsing rows (schema evolution adds non-key columns only)") {
     import spark.implicits._
