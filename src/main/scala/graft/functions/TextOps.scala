@@ -309,14 +309,24 @@ object TextOps {
     * self-join ever happens. */
   def q31JaccardPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    cappedPairStats(s, d)
+      .withColumn("jaccard", $"n_shared" / ($"na" + $"nb" - $"n_shared"))
+      .where($"jaccard" >= 0.10)
+      .select($"doc_a", $"doc_b", $"n_shared", $"jaccard")
+  }
+
+  /** (doc_a < doc_b, |A∩B|, |A|, |B|) over the df-capped shingle sets —
+    * the shared spine of q31 (Jaccard) and q116 (containment). Pair
+    * generation runs straight off the aggregated (shid, sorted ids) row
+    * — each shingle's ≤cap docs are already co-located, so the former
+    * sort-merge self-join (two sorts + an exchange of the exploded
+    * table) collapses to two chained codegen explodes; ids sorted
+    * ascending makes doc_a < doc_b by construction. */
+  private def cappedPairStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val sets = cappedShingleSets(s, d)
     val sizes = sets.select(explode($"ids").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
-    // pair generation straight off the aggregated (shid, sorted ids) row
-    // — each shingle's ≤cap docs are already co-located, so the former
-    // sort-merge self-join (two sorts + an exchange of the exploded
-    // table) collapses to two chained codegen explodes; ids sorted
-    // ascending makes doc_a < doc_b by construction
     val shared = sets
       // singleton shingles (the vast majority) yield no pairs — drop them
       // BEFORE the double explode instead of materializing their rows
@@ -328,10 +338,50 @@ object TextOps {
     shared
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
-      .withColumn("jaccard", $"n_shared" / ($"na" + $"nb" - $"n_shared"))
-      .where($"jaccard" >= 0.10)
-      .select($"doc_a", $"doc_b", $"n_shared", $"jaccard")
   }
+
+  /** q116 — shingle CONTAINMENT pairs (Broder's containment
+    * coefficient, |A∩B| / min(|A|,|B|)): the asymmetric near-dup
+    * measure that catches a SHORT doc embedded in a LONG one — a quote,
+    * a syndicated excerpt, a README pasted into a larger page — where
+    * symmetric Jaccard stays low (the union is dominated by the long
+    * doc) and q31-style dedup never fires. Output names the contained
+    * (smaller-set) side and carries BOTH scores so a pipeline can see
+    * exactly which pairs containment adds over Jaccard; pairs are
+    * containment ≥ 0.8. Rides q31's df-capped co-located pair spine
+    * ([[cappedPairStats]]): same ONE-exchange scale shape, no self-join,
+    * blowup bounded by [[JaccardDfCap]]. */
+  def q116ContainmentPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    cappedPairStats(s, d)
+      .withColumn("containment", $"n_shared" / least($"na", $"nb"))
+      .where($"containment" >= 0.8)
+      .select(
+        when($"nb" < $"na", $"doc_b").otherwise($"doc_a").as("doc_contained"),
+        when($"nb" < $"na", $"doc_a").otherwise($"doc_b").as("doc_container"),
+        $"n_shared", $"containment",
+        ($"n_shared" / ($"na" + $"nb" - $"n_shared")).as("jaccard"))
+  }
+
+  val q116Sql: String =
+    s"""WITH $shingleCte,
+      |h AS (SELECT DISTINCT doc_id, substring(md5(shingle), 1, 16) AS sh16 FROM sh),
+      |capped AS (SELECT doc_id, sh16 FROM (
+      |    SELECT doc_id, sh16, count(*) OVER (PARTITION BY sh16) AS df FROM h)
+      |  WHERE df <= 30),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+      |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      |           FROM capped a JOIN capped b ON a.sh16 = b.sh16 AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2)
+      |SELECT CASE WHEN sb.n < sa.n THEN doc_b ELSE doc_a END AS doc_contained,
+      |       CASE WHEN sb.n < sa.n THEN doc_a ELSE doc_b END AS doc_container,
+      |       n_shared,
+      |       n_shared / least(sa.n, sb.n) AS containment,
+      |       n_shared / (sa.n + sb.n - n_shared) AS jaccard
+      |FROM shared
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE n_shared / least(sa.n, sb.n) >= 0.8""".stripMargin
 
   val q31Sql: String =
     s"""WITH $shingleCte,
@@ -1761,6 +1811,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_quality_classifier" -> (q114QualityClassifier _),
     "q115_psi_drift" -> (q115PsiDrift _),
+    "q116_containment_pairs" -> (q116ContainmentPairs _),
     "q111_gopher_rules" -> (q111GopherRules _),
     "q112_split_leakage" -> (q112SplitLeakage _),
     "q91_novelty" -> (q91Novelty _),
@@ -1795,6 +1846,7 @@ object TextOps {
   lazy val oracleSql: Map[String, String] = Map(
     "q114_quality_classifier" -> q114Sql,
     "q115_psi_drift" -> q115Sql,
+    "q116_containment_pairs" -> q116Sql,
     "q111_gopher_rules" -> q111Sql,
     "q112_split_leakage" -> q112Sql,
     "q91_novelty" -> q91Sql,

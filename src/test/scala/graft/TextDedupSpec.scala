@@ -227,6 +227,32 @@ class TextDedupSpec extends SparkSpec {
     assert(n2(1L) == n2(2L), "distinct-token sets equal -> sketches equal")
   }
 
+  test("q116: containment catches a short doc EMBEDDED in a long one that " +
+    "Jaccard-threshold dedup misses, and names the contained side") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-containment").toString
+    val quote = "alpha beta gamma delta epsilon zeta"       // 4 shingles
+    val host = (1 to 60).map(i => s"w$i").mkString(" ")      // 58 shingles of filler
+    Seq(
+      1L -> quote,                         // the short doc
+      2L -> s"$host $quote end marker x",  // contains every shingle of doc 1
+      3L -> "totally unrelated words here")
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = TextOps.q116ContainmentPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_contained"), r.getAs[Long]("doc_container"),
+        r.getAs[Double]("containment"), r.getAs[Double]("jaccard")))
+    val hit = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(hit.nonEmpty, s"doc 1 must be detected inside doc 2: ${pairs.toSeq}")
+    assert(hit.get._3 == 1.0, s"full containment expected: $hit")
+    assert(hit.get._4 < 0.10,
+      s"the pair must sit BELOW q31's Jaccard threshold (that's the point): $hit")
+    // and q31 indeed does not report it
+    val jac = TextOps.q31JaccardPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(!jac.contains((1L, 2L)), jac.toString)
+  }
+
   test("q31: document-frequency cap bounds pair expansion from hot shingles") {
     import spark.implicits._
     // A boilerplate shingle shared by M docs yields O(M²) candidate pairs;
