@@ -828,6 +828,20 @@ class ManifestTableSpec extends SparkSpec {
     assert(pruned.inputFiles.forall(f => !f.contains("__part=d2")),
       s"d2 must be pruned by its stats: ${pruned.inputFiles.toSeq}")
     assert(pruned.count() == 0, "row-level filter keeps the answer exact")
+    // an ALL-NULL stats column in a file → no stats recorded → never
+    // pruned, and the row filter keeps the answer exact (nulls never
+    // match a BETWEEN)
+    ManifestTable.mergePartitioned(
+      Seq((900L, "d3", Option.empty[Long]), (901L, "d3", Option.empty[Long]))
+        .toDF("id", "day", "x"),
+      root, key, "day")
+    val v = ManifestTable.currentVersion(root)
+    assert(!statsOf(root, v).keys.exists(_.contains("__part=d3")),
+      "all-null file must carry no stats")
+    val wide = ManifestTable.readWhere(spark, root, 0, 1000)
+    assert(wide.inputFiles.exists(_.contains("__part=d3")),
+      "stats-free d3 must be read")
+    assert(wide.count() == 20, "null-x rows drop out row-level; 10+10 survive")
   }
 
   test("a merge batch MISSING A KEY COLUMN fails loudly instead of null-filling " +
