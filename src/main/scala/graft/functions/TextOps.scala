@@ -321,23 +321,35 @@ object TextOps {
     * — each shingle's ≤cap docs are already co-located, so the former
     * sort-merge self-join (two sorts + an exchange of the exploded
     * table) collapses to two chained codegen explodes; ids sorted
-    * ascending makes doc_a < doc_b by construction. */
+    * ascending makes doc_a < doc_b by construction. The pair expansion
+    * and its shuffle dominate both consumers' cost, so under the
+    * shared-view flag the RESULT (not just the input sets) is persisted
+    * per (session, path) — q31 and q116 then differ only in the final
+    * per-row score. */
+  private val pairStatsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def cappedPairStats(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val sets = cappedShingleSets(s, d)
-    val sizes = sets.select(explode($"ids").as("doc_id"))
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
-    val shared = sets
-      // singleton shingles (the vast majority) yield no pairs — drop them
-      // BEFORE the double explode instead of materializing their rows
-      .where(size($"ids") >= 2)
-      .select($"ids", posexplode($"ids").as(Seq("i", "doc_a")))
-      .select($"doc_a", explode(slice($"ids", $"i" + lit(2), size($"ids"))).as("doc_b"))
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+    def build: DataFrame = {
+      import s.implicits._
+      val sets = cappedShingleSets(s, d)
+      val sizes = sets.select(explode($"ids").as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      val shared = sets
+        // singleton shingles (the vast majority) yield no pairs — drop them
+        // BEFORE the double explode instead of materializing their rows
+        .where(size($"ids") >= 2)
+        .select($"ids", posexplode($"ids").as(Seq("i", "doc_a")))
+        .select($"doc_a", explode(slice($"ids", $"i" + lit(2), size($"ids"))).as("doc_b"))
+        .groupBy($"doc_a", $"doc_b")
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+    }
+    if (sys.props.get("graft.cacheTables").contains("true")) {
+      pairStatsCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      pairStatsCache.getOrElseUpdate((s, d), build.persist())
+    } else build
   }
 
   /** q116 — shingle CONTAINMENT pairs (Broder's containment
