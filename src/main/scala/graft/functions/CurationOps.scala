@@ -696,7 +696,56 @@ object CurationOps {
       |ORDER BY es_key DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  /** Per-source adaptive quality gate: each source keeps docs at or
+    * above its OWN 25th-percentile quality score (q26's formula) — the
+    * per-domain threshold calibration curation pipelines use so a
+    * uniformly-good source isn't decimated by a global bar tuned for
+    * web crawl (and a junk source isn't waved through by one). The
+    * threshold is the EXACT interpolated percentile (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`, both
+    * `lower + frac·(upper−lower)`), computed in one aggregation; the
+    * threshold table is bounded by |sources| BY CONSTRUCTION, so the
+    * `broadcast` hint back onto the corpus is scale-safe at any corpus
+    * size — the legitimate counterpart of the unbounded-vocab hints
+    * round 8 removed from q72/q77/q78. Keep/drop compares the ROUNDED
+    * score to the ROUNDED threshold so the flag is a pure function of
+    * the two displayed columns (engine-portable: interpolation differs
+    * in the last ulp across engines). */
+  def q117AdaptiveQualityGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = docs(s, d)
+      .select($"doc_id", $"source", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", $"source",
+        (least(size($"toks") / 100.0, lit(1.0)) *
+          (lit(1.0) - size(expr("filter(toks, x -> x IN ('the', 'a', 'of', 'and'))"))
+            / size($"toks"))).as("quality_score"))
+    val thresholds = scored.groupBy($"source")
+      .agg(expr("percentile(quality_score, 0.25)").as("src_p25"))
+    scored.join(broadcast(thresholds), "source")
+      .select($"doc_id", $"source",
+        round($"quality_score", 6).as("quality_score"),
+        round($"src_p25", 6).as("src_p25"))
+      .withColumn("keep", $"quality_score" >= $"src_p25")
+  }
+
+  val q117Sql: String =
+    raw"""WITH sc AS (
+      |  SELECT doc_id, source,
+      |    least(len(toks) / 100.0, 1.0)
+      |      * (1.0 - len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and')))
+      |          / len(toks)) AS quality_score
+      |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM documents)),
+      |th AS (SELECT source, quantile_cont(quality_score, 0.25) AS src_p25
+      |       FROM sc GROUP BY source)
+      |SELECT sc.doc_id, sc.source,
+      |       round(sc.quality_score, 6) AS quality_score,
+      |       round(th.src_p25, 6) AS src_p25,
+      |       round(sc.quality_score, 6) >= round(th.src_p25, 6) AS keep
+      |FROM sc JOIN th ON th.source = sc.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_adaptive_quality_gate" -> (q117AdaptiveQualityGate _),
     "q105_weighted_sample" -> (q105WeightedSample _),
     "q98_bloom_decontaminate" -> (q98BloomDecontaminate _),
     "q96_temperature_mix" -> (q96TemperatureMix _),
@@ -713,6 +762,7 @@ object CurationOps {
     "q74_quality_sample" -> (q74QualitySample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q117_adaptive_quality_gate" -> q117Sql,
     "q105_weighted_sample" -> q105Sql,
     "q98_bloom_decontaminate" -> q98Sql,
     "q96_temperature_mix" -> q96Sql,

@@ -395,6 +395,73 @@ object TextOps {
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE n_shared / least(sa.n, sb.n) >= 0.8""".stripMargin
 
+  /** q118 — repeated token-SPAN detection by WINNOWING (Schleimer,
+    * Wilkerson & Aiken, SIGMOD'02 — the MOSS fingerprinter; span-granular
+    * kin of "Deduplicating Training Data Makes Language Models Better"
+    * suffix dedup): hash every 8-token window, then per doc select the
+    * MINIMUM hash in each sliding window of w=4 consecutive span hashes.
+    * Selection is CONTENT-defined, so two docs sharing a verbatim run
+    * pick identical fingerprints inside it no matter where the run sits
+    * in either doc — the winnowing theorem guarantees any shared run of
+    * ≥ w+L−1 = 11 tokens yields at least one common selected span.
+    * (Position-strided sampling, the tempting cheap alternative, has NO
+    * such guarantee: its samples only align when the run's offsets agree
+    * mod the stride.) Per doc: how many selected fingerprints, and how
+    * many also occur in ANOTHER doc — catching partial boilerplate /
+    * quotation overlap that whole-doc fingerprints (q28/q29) miss and
+    * shingle-Jaccard (q31) underweights on long docs.
+    *
+    * Scale shape: selected spans per doc ≈ 2/(w+1) of positions (~2.5×
+    * reduction), one shuffle keyed by span hash for document frequency;
+    * the spans⋈df join is hint-free — AQE broadcasts the df side at
+    * test SF (observed plan), and at corpus scale both sides
+    * hash-partition on span_hash, which stays skew-safe under AQE where
+    * a window-count alternative would serialize a hot boilerplate span
+    * into one task. Never a doc-pair expansion, so cost stays linear in
+    * corpus tokens however duplicated the corpus is. Docs under 11
+    * tokens (< w spans) have no winnow window and drop out (both
+    * engines agree). */
+  def q118RepeatedSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spans = docs(s, d)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .where(size($"toks") >= 11)
+      .select($"doc_id", expr(
+        "transform(sequence(0, size(toks) - 8), i -> md5(array_join(slice(toks, i + 1, 8), ' ')))"
+      ).as("hashes"))
+      .select($"doc_id", explode(array_distinct(expr(
+        "transform(sequence(0, size(hashes) - 4), j -> array_min(slice(hashes, j + 1, 4)))"
+      ))).as("span_hash"))
+    val df = spans.groupBy($"span_hash")
+      .agg(countDistinct($"doc_id").as("span_df"))
+    spans.join(df, "span_hash")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when($"span_df" >= 2, 1L).otherwise(0L)).as("n_shared_spans"))
+      .withColumn("shared_ratio", round($"n_shared_spans" / $"n_spans", 6))
+  }
+
+  val q118Sql: String =
+    raw"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |           FROM documents),
+      |h AS (SELECT doc_id,
+      |             list_transform(generate_series(1, len(toks) - 7),
+      |               i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))) AS hashes
+      |      FROM t WHERE len(toks) >= 11),
+      |w AS (SELECT doc_id,
+      |             unnest(list_distinct(list_transform(generate_series(1, len(hashes) - 3),
+      |               j -> list_aggregate(list_slice(hashes, j, j + 3), 'min')))) AS span_hash
+      |      FROM h),
+      |df AS (SELECT span_hash, count(DISTINCT doc_id) AS span_df
+      |       FROM w GROUP BY span_hash)
+      |SELECT w.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_spans,
+      |       CAST(sum(CASE WHEN df.span_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans,
+      |       round(sum(CASE WHEN df.span_df >= 2 THEN 1 ELSE 0 END) / count(*), 6) AS shared_ratio
+      |FROM w JOIN df USING (span_hash)
+      |GROUP BY w.doc_id""".stripMargin
+
   val q31Sql: String =
     s"""WITH $shingleCte,
       |h AS (SELECT DISTINCT doc_id, substring(md5(shingle), 1, 16) AS sh16 FROM sh),
@@ -1824,6 +1891,7 @@ object TextOps {
     "q114_quality_classifier" -> (q114QualityClassifier _),
     "q115_psi_drift" -> (q115PsiDrift _),
     "q116_containment_pairs" -> (q116ContainmentPairs _),
+    "q118_repeated_spans" -> (q118RepeatedSpans _),
     "q111_gopher_rules" -> (q111GopherRules _),
     "q112_split_leakage" -> (q112SplitLeakage _),
     "q91_novelty" -> (q91Novelty _),
@@ -1859,6 +1927,7 @@ object TextOps {
     "q114_quality_classifier" -> q114Sql,
     "q115_psi_drift" -> q115Sql,
     "q116_containment_pairs" -> q116Sql,
+    "q118_repeated_spans" -> q118Sql,
     "q111_gopher_rules" -> q111Sql,
     "q112_split_leakage" -> q112Sql,
     "q91_novelty" -> q91Sql,

@@ -166,6 +166,29 @@ class CurationSpec extends SparkSpec {
     assert(again.toSet == out.toSet)
   }
 
+  test("q117: each source's gate is its OWN exact interpolated p25 — a doc " +
+    "that one source keeps, a stricter source would drop") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-adaptive").toString
+    // stopword-free docs of t tokens score exactly t/100: hand-computable
+    def doc(t: Int) = (1 to t).map(_ => "w").mkString(" ")
+    // source A scores (.1 .2 .3 .4): p25 = .1 + .75*(.2-.1) = .175
+    // source B scores (.5 .6 .7 .8): p25 = .575
+    val rows = Seq(
+      (1L, doc(10), "A"), (2L, doc(20), "A"), (3L, doc(30), "A"), (4L, doc(40), "A"),
+      (5L, doc(50), "B"), (6L, doc(60), "B"), (7L, doc(70), "B"), (8L, doc(80), "B"))
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CurationOps.q117AdaptiveQualityGate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("src_p25"), r.getAs[Boolean]("keep")))).toMap
+    assert(out(1L) == ((0.175, false)) && out(2L) == ((0.175, true)))
+    assert(out(5L) == ((0.575, false)) && out(6L) == ((0.575, true)))
+    // the adaptive point: doc 5 (score .5) outscores EVERYTHING source A
+    // keeps, yet is dropped by B's own bar
+    assert(out(3L)._2 && out(4L)._2 && out(7L)._2 && out(8L)._2)
+  }
+
   test("q77: surprisal is exact for a hand-computed unigram model and ranks " +
     "rare-token docs above common-token docs") {
     import graft.functions.TextOps

@@ -253,6 +253,33 @@ class TextDedupSpec extends SparkSpec {
     assert(!jac.contains((1L, 2L)), jac.toString)
   }
 
+  test("q118: winnowed span fingerprints catch an 11-token shared run at ANY " +
+    "alignment; a 7-token overlap and sub-minimum docs never fire") {
+    import spark.implicits._
+    val run = (1 to 11).map(i => s"r$i").mkString(" ") // the shared verbatim run
+    val short = (1 to 7).map(i => s"r$i").mkString(" ") // below one 8-window
+    // the winnowing guarantee is alignment-free: shift the run's offset in
+    // doc 2 across every residue of the old stride-4 trap
+    (0 to 4).foreach { shift =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+      val pad = (1 to (3 + shift)).map(i => s"p$i").mkString(" ")
+      Seq(
+        1L -> s"$run ${(1 to 9).map(i => s"a$i").mkString(" ")}",
+        2L -> s"$pad $run ${(1 to 6).map(i => s"b$i").mkString(" ")}",
+        3L -> s"$short ${(1 to 10).map(i => s"c$i").mkString(" ")}",
+        4L -> (1 to 10).map(i => s"d$i").mkString(" ")) // < 11 tokens: no winnow window
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = TextOps.q118RepeatedSpans(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_spans")).toMap
+      assert(out.getOrElse(1L, 0L) >= 1L && out.getOrElse(2L, 0L) >= 1L,
+        s"shift=$shift: the 11-token run must be detected in both docs: $out")
+      assert(out(3L) == 0L,
+        s"shift=$shift: a 7-token overlap spans no full 8-window: $out")
+      assert(!out.contains(4L), s"shift=$shift: 10-token doc has no winnow window: $out")
+    }
+  }
+
   test("q31: document-frequency cap bounds pair expansion from hot shingles") {
     import spark.implicits._
     // A boilerplate shingle shared by M docs yields O(M²) candidate pairs;
