@@ -111,10 +111,15 @@ object ScaleProbe {
     def lsh(d: String): Long = TextOps.q30MinHashLsh(spark, d).count()
     def jaccard(d: String): Long = TextOps.q31JaccardPairs(spark, d).count()
     def components(d: String): Long = TextOps.q54NearDupComponents(spark, d).count()
-    lsh(sfDir); jaccard(sfDir); components(sfDir) // warm
+    // q118: span hashes are per-copy disjoint (suffixed tokens), so the
+    // df shuffle and spans⋈df join must grow linearly — the winnow step
+    // is per-row and can't blow up by construction.
+    def spans(d: String): Long = TextOps.q118RepeatedSpans(spark, d).count()
+    lsh(sfDir); jaccard(sfDir); components(sfDir); spans(sfDir) // warm
     probe("minhash_lsh")(lsh(sfDir))(lsh(docsNDir))
     probe("jaccard")(jaccard(sfDir))(jaccard(docsNDir))
     probe("components")(components(sfDir))(components(docsNDir))
+    probe("winnow_spans")(spans(sfDir))(spans(docsNDir))
 
     // The curation additions with corpus-sized intermediates: q70's
     // line-frequency join, q71's distributed prefix sum, and q77's
