@@ -6,17 +6,18 @@ import org.apache.spark.sql.functions._
 
 /** Executable end-to-end TRAINING-DATA slice — the corpus-side twin of
   * [[PipelineDemo]]: documents → quality + repetition scoring →
-  * classifier gate → exact dedup → MinHash near-dup components →
-  * keeper selection → benchmark decontamination → deterministic
-  * train/val/test split → transactional snapshot commit → PSI drift
-  * check → CDC-maintained per-split stats that an incremental second
-  * commit refreshes without recomputing. Run with
+  * classifier gate → per-source adaptive quality bar → exact dedup →
+  * MinHash near-dup components → keeper selection → benchmark
+  * decontamination → deterministic train/val/test split → transactional
+  * snapshot commit → PSI drift check → residual span-overlap audit →
+  * CDC-maintained per-split stats that an incremental second commit
+  * refreshes without recomputing. Run with
   * `sbt "runMain graft.CorpusPipelineDemo [sfDir]"`.
   *
-  * Every stage is one of the oracle-gated operators (q26/q56/q114/q28/
-  * q54/q98/q55/q115) composed as a user of the library would compose
-  * them; the sink is the manifest-committed table, so a re-run commits
-  * a new snapshot and the previous one stays readable. */
+  * Every stage is one of the oracle-gated operators (q26/q56/q114/q117/
+  * q28/q54/q98/q55/q115/q118) composed as a user of the library would
+  * compose them; the sink is the manifest-committed table, so a re-run
+  * commits a new snapshot and the previous one stays readable. */
 object CorpusPipelineDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -40,6 +41,13 @@ object CorpusPipelineDemo {
     // classifier inference — per-row scoring, the fastText-filter shape
     val classifierPass = TextOps.q114QualityClassifier(spark, sfDir)
       .where($"score" >= 0.45)
+      .select($"doc_id")
+
+    // 1c. per-source ADAPTIVE gate (q117): each source's own p25 quality
+    // bar, so the fixed floor above can't silently decimate a uniformly
+    // weaker-scoring source
+    val adaptivePass = CurationOps.q117AdaptiveQualityGate(spark, sfDir)
+      .where($"keep")
       .select($"doc_id")
 
     // 2. exact dedup keepers (q28)
@@ -66,6 +74,7 @@ object CorpusPipelineDemo {
       .where($"doc_id" % 19 =!= 0)
       .join(quality.select($"doc_id"), "doc_id")
       .join(classifierPass, "doc_id")
+      .join(adaptivePass, "doc_id")
       .join(exactKeepers, "doc_id")
       .join(nearKeepers, "doc_id")
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -96,6 +105,25 @@ object CorpusPipelineDemo {
       .write.mode("overwrite").parquet(s"$curatedDir/documents.parquet")
     println("== PSI drift: curated vs raw length profile ==")
     TextOps.q115PsiDrift(spark, curatedDir).orderBy($"source").show()
+
+    // 7b. residual-overlap audit (q118): winnowed span fingerprints on
+    // the CURATED snapshot vs the raw corpus — the "did dedup actually
+    // work" number a release review reads. Whole-doc dedup (q28/q54)
+    // removes the clustered duplicates, so the curated corpus's
+    // cross-doc span overlap must come out far below raw.
+    def spanOverlap(dir: String): (Long, Double) = {
+      val r = TextOps.q118RepeatedSpans(spark, dir)
+        .agg(sum(when($"shared_ratio" >= 0.5, 1L).otherwise(0L)),
+          avg($"shared_ratio")).head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    val spanViewDir = s"$work/span_view"
+    back.select($"doc_id", $"text")
+      .write.mode("overwrite").parquet(s"$spanViewDir/documents.parquet")
+    val (rawHi, rawAvg) = spanOverlap(sfDir)
+    val (curHi, curAvg) = spanOverlap(spanViewDir)
+    println(f"SPAN_OVERLAP raw: $rawHi docs >=0.5 shared, mean $rawAvg%.4f; " +
+      f"curated: $curHi docs, mean $curAvg%.4f")
 
     // 8. incremental stats maintenance: a second (late-data) commit
     // refreshes the per-split stats view from the CDC delta alone —
