@@ -110,8 +110,11 @@ object ManifestTable {
       lo: Option[String] = None, hi: Option[String] = None)
 
   private def listedEntries(root: String, v: Int): Seq[FileEntry] = {
+    // right-trim ONLY: an unpartitioned entry's part field is the empty
+    // string BEFORE the first tab ("\trel\tlo\thi") — a full trim would
+    // eat that tab and shift every remaining field one slot left
     val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
-      .map(_.trim).filter(_.nonEmpty)
+      .map(_.stripTrailing).filter(_.nonEmpty)
     val v2 = lines.headOption.exists(_.startsWith(FormatHeader))
     val parsed = (if (v2) lines.tail else lines)
       .map { line =>
@@ -276,6 +279,29 @@ object ManifestTable {
       val entries = effStats.fold(files)(withStats(df.sparkSession, root, files, _))
       commitEntries(root, v, entries, effStats)
     }
+
+  /** Commit with the data CLUSTERED on the stats column — the 1-D
+    * OPTIMIZE-ZORDER analog that makes [[readWhere]]'s file skipping
+    * actually selective. `repartitionByRange` gives every output file a
+    * DISJOINT value range (so the recorded min/max stats don't overlap
+    * and a point/range predicate keeps ~1 file instead of all of them);
+    * the within-partition sort additionally orders rows inside each
+    * file so parquet row-group stats nest inside the file stats on a
+    * real lake. Without clustering, a uniformly-distributed column puts
+    * the FULL value range in every file and stats-based skipping keeps
+    * everything — recorded stats are only as good as the layout under
+    * them. `numFiles` ≤ 0 uses the session's shuffle parallelism. At
+    * cluster scale this is one range-shuffle of the batch — the same
+    * cost Spark pays for any global sort, paid once at write time and
+    * repaid on every selective read. */
+  def commitClustered(df: DataFrame, root: String, statsCol: String,
+      numFiles: Int = 0): Int = {
+    val n = if (numFiles > 0) numFiles
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val clustered = df.repartitionByRange(n, col(statsCol))
+      .sortWithinPartitions(col(statsCol))
+    commit(clustered, root, Some(statsCol))
+  }
 
   /** Read the current snapshot. */
   def read(spark: SparkSession, root: String): DataFrame =

@@ -810,6 +810,37 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("commitClustered: range-clustered layout makes stats DISJOINT so a " +
+    "narrow readWhere opens ~1 file, where the same data round-robin keeps " +
+    "every file; answers identical") {
+    import spark.implicits._
+    // shuffled uniform data: every round-robin file spans the full range
+    val rows = scala.util.Random.shuffle((0L until 8000L).toList)
+      .map(i => (i, i)).toDF("id", "x")
+    val flat = s"${Files.createTempDirectory("graft-flat")}/t"
+    ManifestTable.commit(rows.repartition(8), flat, statsCol = Some("x"))
+    val clus = s"${Files.createTempDirectory("graft-clustered")}/t"
+    ManifestTable.commitClustered(rows, clus, "x", numFiles = 8)
+    val stF = statsOf(flat, 1)
+    val stC = statsOf(clus, 1)
+    assert(stF.size == 8 && stC.size == 8)
+    // clustered stats are disjoint: total covered width == data width;
+    // round-robin files each cover (nearly) everything
+    def width(st: Map[String, (String, String)]) =
+      st.values.map { case (lo, hi) => hi.toLong - lo.toLong }.sum
+    assert(width(stC) < 8100, s"clustered ranges must tile the domain: $stC")
+    assert(width(stF) > 8000L * 4, s"round-robin ranges must overlap: $stF")
+    val narrowC = ManifestTable.readWhere(spark, clus, 4000, 4099)
+    val narrowF = ManifestTable.readWhere(spark, flat, 4000, 4099)
+    assert(narrowC.inputFiles.length <= 2,
+      s"clustered read must skip to ~1 file: ${narrowC.inputFiles.length}")
+    assert(narrowF.inputFiles.length == 8,
+      "overlapping layout cannot skip anything")
+    assert(narrowC.collect().map(_.getAs[Long]("x")).sorted.toSeq ==
+      (4000L to 4099L))
+    assert(narrowF.count() == narrowC.count())
+  }
+
   test("stats-free files (declared AFTER their commit) are never pruned — " +
     "conservative skipping keeps old generations correct") {
     import spark.implicits._
