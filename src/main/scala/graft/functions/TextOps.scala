@@ -421,17 +421,19 @@ object TextOps {
     * corpus tokens however duplicated the corpus is. Docs under 11
     * tokens (< w spans) have no winnow window and drop out (both
     * engines agree). */
+  /** All 8-token span hashes of a `toks` array column (every position). */
+  val spanHashesExpr: String =
+    "transform(sequence(0, size(toks) - 8), i -> md5(array_join(slice(toks, i + 1, 8), ' ')))"
+
+  /** Winnow selection over a `hashes` array column: min hash per sliding
+    * window of 4, deduplicated. Shared by q118 and the streaming twin so
+    * the two can never drift on the fingerprint definition. */
+  val winnowExpr: String =
+    "array_distinct(transform(sequence(0, size(hashes) - 4), j -> array_min(slice(hashes, j + 1, 4))))"
+
   def q118RepeatedSpans(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val spans = docs(s, d)
-      .select($"doc_id", tokens($"text").as("toks"))
-      .where(size($"toks") >= 11)
-      .select($"doc_id", expr(
-        "transform(sequence(0, size(toks) - 8), i -> md5(array_join(slice(toks, i + 1, 8), ' ')))"
-      ).as("hashes"))
-      .select($"doc_id", explode(array_distinct(expr(
-        "transform(sequence(0, size(hashes) - 4), j -> array_min(slice(hashes, j + 1, 4)))"
-      ))).as("span_hash"))
+    val spans = winnowedSpans(docs(s, d))
     val df = spans.groupBy($"span_hash")
       .agg(countDistinct($"doc_id").as("span_df"))
     spans.join(df, "span_hash")
@@ -440,6 +442,19 @@ object TextOps {
         count(lit(1)).as("n_spans"),
         sum(when($"span_df" >= 2, 1L).otherwise(0L)).as("n_shared_spans"))
       .withColumn("shared_ratio", round($"n_shared_spans" / $"n_spans", 6))
+  }
+
+  /** (doc_id, span_hash) winnowed fingerprints of a (doc_id, text, …)
+    * frame — q118's selection step, shared with the streaming twin
+    * ([[graft.streaming.EventStream.spanOverlapStream]]). */
+  def winnowedSpans(docFrame: DataFrame): DataFrame = {
+    val s = docFrame.sparkSession
+    import s.implicits._
+    docFrame
+      .select($"doc_id", tokens($"text").as("toks"))
+      .where(size($"toks") >= 11)
+      .select($"doc_id", expr(spanHashesExpr).as("hashes"))
+      .select($"doc_id", explode(expr(winnowExpr)).as("span_hash"))
   }
 
   val q118Sql: String =

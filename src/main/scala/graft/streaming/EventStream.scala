@@ -450,6 +450,51 @@ object EventStream {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** One cross-doc span overlap as emitted by [[SpanOverlapProcessor]]:
+    * `doc_id` repeats a span first seen in `first_doc`. */
+  case class SpanHit(doc_id: Long, span_hash: String, first_doc: Long)
+
+  /** Streaming twin of q118's winnowed span-overlap detection: state per
+    * span fingerprint is ONE long — the first document that carried it —
+    * and every later document repeating the span emits a [[SpanHit]] the
+    * moment it arrives. Within a micro-batch the first-seen doc is the
+    * smallest doc_id (a batch iterator has no order contract; the
+    * tie-break makes replays deterministic), and docs after the first
+    * emit against it — so two docs sharing a span in ONE batch are
+    * caught, not just cross-batch repeats. State grows with DISTINCT
+    * fingerprints seen; an ingest pipeline that only cares about
+    * near-in-time overlap bounds it with a TTL on the value state (the
+    * [[dedupDocStream]] watermark analog) — left off here so the spec
+    * can prove exact parity with the batch query's corpus-wide answer. */
+  class SpanOverlapProcessor extends StatefulProcessor[String, (String, Long), SpanHit] {
+    @transient private var first: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      first = getHandle.getValueState[Long]("first", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        spanHash: String,
+        rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[SpanHit] = {
+      val docs = rows.map(_._2).toArray.distinct.sorted
+      val firstDoc =
+        if (first.exists()) first.get()
+        else { first.update(docs.head); docs.head }
+      docs.iterator.filter(_ != firstDoc).map(d => SpanHit(d, spanHash, firstDoc))
+    }
+  }
+
+  /** q118 as a stream: docs (doc_id, text) in, span-repeat hits out.
+    * The fingerprint step is [[graft.functions.TextOps.winnowedSpans]] —
+    * the SAME expression the batch query selects with, so the two
+    * surfaces cannot drift. */
+  def spanOverlapStream(docs: DataFrame): Dataset[SpanHit] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.TextOps.winnowedSpans(docs)
+      .select($"span_hash", $"doc_id").as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SpanOverlapProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** File-based streaming read of an events-shaped directory (S2's
     * day-loop extract as a real stream source). */
   def readEventStream(spark: SparkSession, path: String): DataFrame =

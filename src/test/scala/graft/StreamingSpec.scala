@@ -188,6 +188,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("spanOverlapStream (transformWithState) flags exactly the docs batch " +
+    "q118 flags — same-batch sharers, cross-batch repeats, and never a " +
+    "7-token overlap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val run = (1 to 11).map(i => s"r$i").mkString(" ")
+      val doc1 = s"$run ${(1 to 9).map(i => s"a$i").mkString(" ")}"
+      val doc2 = s"p1 p2 p3 $run ${(1 to 6).map(i => s"b$i").mkString(" ")}"
+      // doc 5 shares the run too and lands in the SAME batch as doc 1
+      val doc5 = s"x1 $run ${(1 to 7).map(i => s"e$i").mkString(" ")}"
+      val doc3 = s"${(1 to 7).map(i => s"r$i").mkString(" ")} " +
+        (1 to 10).map(i => s"c$i").mkString(" ")
+      val mem = MemoryStream[(Long, String)]
+      val q = EventStream.spanOverlapStream(mem.toDF().toDF("doc_id", "text"))
+        .toDF().writeStream.format("memory")
+        .queryName("span_out").outputMode("append").start()
+      mem.addData(1L -> doc1, 5L -> doc5, 3L -> doc3)
+      q.processAllAvailable()
+      mem.addData(2L -> doc2) // cross-batch repeat
+      q.processAllAvailable()
+      q.stop()
+      val hits = spark.table("span_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("first_doc")))
+      // same-batch: doc 5 hits against first-seen doc 1; cross-batch: doc 2
+      assert(hits.exists(h => h._1 == 5L && h._2 == 1L), hits.toSeq.toString)
+      assert(hits.exists(h => h._1 == 2L && h._2 == 1L), hits.toSeq.toString)
+      assert(!hits.exists(h => h._1 == 3L || h._2 == 3L), hits.toSeq.toString)
+      // parity: the docs the STREAM flags (plus the first carrier) are
+      // exactly the docs the BATCH query reports as sharing spans
+      val dir = java.nio.file.Files.createTempDirectory("graft-spanstream").toString
+      Seq(1L -> doc1, 5L -> doc5, 3L -> doc3, 2L -> doc2).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val batchShared = graft.functions.TextOps.q118RepeatedSpans(spark, dir)
+        .where($"n_shared_spans" > 0).collect().map(_.getAs[Long]("doc_id")).toSet
+      val streamShared = hits.map(_._1).toSet ++ hits.map(_._2).toSet
+      assert(streamShared == batchShared, s"stream $streamShared vs batch $batchShared")
+    }
+  }
+
   test("windowedAgg over a memory stream matches the batch tumbling window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
