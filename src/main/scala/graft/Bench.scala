@@ -142,8 +142,8 @@ object Bench {
         "st.cache_data analog) and ALL materialize in the untimed warmup pass - a " +
         "sequential number only includes a view (re)build if memory pressure evicted it, " +
         "repaid by the first consumer in run order (q54 candidates/components, q99 token " +
-        "matrix, q31-or-q116 capped shingles, q95 distinct shingles), so diff those " +
-        "against seq_total before calling a regression"
+        "matrix, q31-or-q116 capped shingles, q95 distinct shingles, q118 winnowed " +
+        "spans), so diff those against seq_total before calling a regression"
     // Full record (long names, both passes, method) -> file + stderr.
     val fullJson =
       s"""{"metric":"total","value":$wall,"unit":"sec","queries":${timesJson(sequential, identity, _.toString)},"queries_concurrent":${timesJson(concurrent, identity, _.toString)},"seq_total":$seqTotal,"concurrent_walls":$walls,"failures":$failures,"sf":"$sfDir","method":"$method"}"""

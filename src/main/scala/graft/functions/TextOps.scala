@@ -431,9 +431,20 @@ object TextOps {
   val winnowExpr: String =
     "array_distinct(transform(sequence(0, size(hashes) - 4), j -> array_min(slice(hashes, j + 1, 4))))"
 
+  /** Under the suite-wide cache flag the winnowed (doc_id, span_hash)
+    * table is persisted per (session, path): q118 consumes it twice (df
+    * aggregation + the join back), so sharing saves a full re-derivation
+    * of every span hash. */
+  private val winnowCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def q118RepeatedSpans(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val spans = winnowedSpans(docs(s, d))
+    val spans =
+      if (sys.props.get("graft.cacheTables").contains("true")) {
+        winnowCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+        winnowCache.getOrElseUpdate((s, d), winnowedSpans(docs(s, d)).persist())
+      } else winnowedSpans(docs(s, d))
     val df = spans.groupBy($"span_hash")
       .agg(countDistinct($"doc_id").as("span_df"))
     spans.join(df, "span_hash")
