@@ -946,6 +946,46 @@ object TextOps {
       |       CAST(component_size AS BIGINT) AS component_size
       |FROM ranked WHERE rn = 1""".stripMargin
 
+  /** q119 — dedup-SAVINGS report: the cluster-size distribution of the
+    * near-dup components with, per size, how many tokens deduplication
+    * would remove (every doc's tokens except the longest-doc keeper —
+    * q69's keeper convention, computed as sum−max so length ties still
+    * charge exactly one keeper). This is the number a capacity review
+    * asks for BEFORE running dedup — "what does it buy us" — and the
+    * histogram shape (many pairs vs a few giant clusters) decides
+    * whether clustering thresholds need tightening. Rides q54's shared
+    * component spine; past it the report is two aggregations whose
+    * output is bounded by |distinct cluster sizes|. */
+  def q119DedupSavings(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perComp = q54NearDupComponents(s, d)
+      .join(docs(s, d).select($"doc_id",
+        size(tokens($"text")).cast("long").as("n_tokens")), "doc_id")
+      .groupBy($"component_id")
+      .agg(count(lit(1)).as("component_size"),
+        sum($"n_tokens").as("total_tokens"),
+        max($"n_tokens").as("keeper_tokens"))
+    perComp.groupBy($"component_size")
+      .agg(count(lit(1)).as("n_components"),
+        sum($"component_size").as("n_docs"),
+        sum($"total_tokens" - $"keeper_tokens").as("removable_tokens"))
+  }
+
+  val q119Sql: String =
+    raw"""WITH RECURSIVE $componentsCtes,
+      |tokd AS (SELECT doc_id,
+      |                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |         FROM documents),
+      |pc AS (SELECT c.component_id, CAST(count(*) AS BIGINT) AS component_size,
+      |              CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+      |              CAST(max(t.n_tokens) AS BIGINT) AS keeper_tokens
+      |       FROM comp c JOIN tokd t USING (doc_id) GROUP BY c.component_id)
+      |SELECT component_size,
+      |       CAST(count(*) AS BIGINT) AS n_components,
+      |       CAST(sum(component_size) AS BIGINT) AS n_docs,
+      |       CAST(sum(total_tokens - keeper_tokens) AS BIGINT) AS removable_tokens
+      |FROM pc GROUP BY component_size""".stripMargin
+
   /** PageRank damping factor and fixed iteration count for q100. Fixed
     * iterations (not convergence-test) keep the result a deterministic
     * closed form both engines compute identically. */
@@ -1918,6 +1958,7 @@ object TextOps {
     "q115_psi_drift" -> (q115PsiDrift _),
     "q116_containment_pairs" -> (q116ContainmentPairs _),
     "q118_repeated_spans" -> (q118RepeatedSpans _),
+    "q119_dedup_savings" -> (q119DedupSavings _),
     "q111_gopher_rules" -> (q111GopherRules _),
     "q112_split_leakage" -> (q112SplitLeakage _),
     "q91_novelty" -> (q91Novelty _),
@@ -1954,6 +1995,7 @@ object TextOps {
     "q115_psi_drift" -> q115Sql,
     "q116_containment_pairs" -> q116Sql,
     "q118_repeated_spans" -> q118Sql,
+    "q119_dedup_savings" -> q119Sql,
     "q111_gopher_rules" -> q111Sql,
     "q112_split_leakage" -> q112Sql,
     "q91_novelty" -> q91Sql,

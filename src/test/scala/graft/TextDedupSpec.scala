@@ -280,6 +280,25 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("q119: removable tokens charge exactly one keeper even on length " +
+    "ties, and singletons report zero savings") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-savings").toString
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(
+      1L -> dup, 2L -> dup, // a 2-cluster of EQUAL lengths (8 tokens each)
+      3L -> "totally different words in this one here now")
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.q119DedupSavings(spark, dir).collect()
+      .map(r => r.getAs[Long]("component_size") ->
+        ((r.getAs[Long]("n_components"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("removable_tokens")))).toMap
+    // sum - max = 16 - 8: the tie still keeps exactly one doc
+    assert(out(2L) == ((1L, 2L, 8L)), out.toString)
+    assert(out(1L)._3 == 0L, s"singletons must report zero savings: $out")
+  }
+
   test("q31: document-frequency cap bounds pair expansion from hot shingles") {
     import spark.implicits._
     // A boilerplate shingle shared by M docs yields O(M²) candidate pairs;
