@@ -621,9 +621,15 @@ object ManifestTable {
     val fragmented = byPart.filter(_._2.size >= minFiles).keySet
     if (fragmented.isEmpty) return cur
     val files = prev.collect { case e if fragmented(e.part) => s"$root/${e.rel}" }
-    val compacted = spark.read.parquet(files: _*)
+    val compacted0 = spark.read.parquet(files: _*)
       // one task per fragmented partition → one output file per partition
       .repartition(fragmented.size, coalesce(col(partCol).cast("string"), lit(NullPartition)))
+    // a stats-declaring table gets its rewrite ROW-GROUP-clustered: file
+    // stats can't tighten (one file spans its whole partition) but the
+    // within-file sort nests tight parquet row-group min/max under them,
+    // so the pushed-down range predicate skips pages on read
+    val compacted = effStats.filter(compacted0.columns.contains)
+      .fold(compacted0)(c => compacted0.sortWithinPartitions(col(c)))
     val newEntries0 = writePartitionedData(compacted.localCheckpoint(), root, v, partCol)
     val newEntries = effStats.fold(newEntries0)(withStats(spark, root, newEntries0, _))
     // same optimistic protocol as mergePartitioned: a maintenance job
