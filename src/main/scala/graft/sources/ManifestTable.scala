@@ -293,7 +293,11 @@ object ManifestTable {
     * them. `numFiles` ≤ 0 uses the session's shuffle parallelism. At
     * cluster scale this is one range-shuffle of the batch — the same
     * cost Spark pays for any global sort, paid once at write time and
-    * repaid on every selective read. */
+    * repaid on every selective read. NOTE: [[merge]] rewrites the
+    * snapshot without re-clustering (its stats stay correct but turn
+    * loose); re-cluster with `commitClustered(read(...), …)` — or rely
+    * on [[compact]], which row-group-sorts its rewrites — when merges
+    * have eroded the layout. */
   def commitClustered(df: DataFrame, root: String, statsCol: String,
       numFiles: Int = 0): Int = {
     val n = if (numFiles > 0) numFiles

@@ -280,6 +280,24 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("winnow density: selection keeps ~2/(w+1) of span positions on " +
+    "hash-random text (the ~2.5x reduction the README claims)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-density").toString
+    // deterministic pseudo-random tokens: md5 spans behave as random
+    // hashes, which is all the winnowing density theorem needs
+    val text = (1 to 2000).map(i => s"t${(i * 2654435761L) % 100000}").mkString(" ")
+    Seq(1L -> text).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val selected = TextOps.winnowedSpans(
+      spark.read.parquet(s"$dir/documents.parquet")).count()
+    val positions = 2000 - 7
+    val density = selected.toDouble / positions
+    // E[density] = 2/(w+1) = 0.4 for w=4; wide tolerance for variance
+    assert(density > 0.30 && density < 0.50,
+      f"winnow density $density%.3f should be near 0.4")
+  }
+
   test("q119: removable tokens charge exactly one keeper even on length " +
     "ties, and singletons report zero savings") {
     import spark.implicits._
