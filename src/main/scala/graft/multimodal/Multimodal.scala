@@ -174,6 +174,34 @@ object MediaHeaders {
   }
   /** Channel count from a canonical WAV header's fmt chunk. */
   private[graft] def wavChannels(d: Array[Byte]): Int = le16(d, 22)
+
+  /** MJPEG "container": a motion-JPEG stream IS concatenated JPEG frames
+    * — there is no outer wrapper to invent. */
+  def mjpegBytes(frames: Seq[Array[Byte]]): Array[Byte] = frames.flatten.toArray
+
+  /** Split an MJPEG stream into complete SOI..EOI frames. Boundary
+    * detection on the bare markers is sound because conforming JPEG
+    * writers byte-stuff 0xFF in entropy data as FF00 (so a raw FFD9 can
+    * only be EOI); [[jpegBytes]]' ASCII payloads contain no 0xFF at all,
+    * and the SOF0 field values it can emit (dims ≤ 1920, sampling
+    * constants) never form an FFD8/FFD9 pair either. Trailing bytes
+    * after the last complete frame are dropped (truncation-tolerant). */
+  def mjpegFrames(d: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var i = 0
+    var start = -1
+    while (i + 1 < d.length) {
+      val a = d(i) & 0xff
+      val b = d(i + 1) & 0xff
+      if (a == 0xff && b == 0xd8 && start < 0) { start = i; i += 2 }
+      else if (a == 0xff && b == 0xd9 && start >= 0) {
+        out += java.util.Arrays.copyOfRange(d, start, i + 2)
+        start = -1
+        i += 2
+      } else i += 1
+    }
+    out.result()
+  }
 }
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
@@ -208,11 +236,17 @@ object Multimodal {
 
     /** Stand-in for resize: truncate payload to `maxBytes`. */
     def resize(data: Array[Byte], maxBytes: Int): Array[Byte] = data.take(maxBytes)
-
-    /** Stand-in for video frame sampling: every `stride`-th byte. */
-    def frameSample(data: Array[Byte], stride: Int): Array[Byte] =
-      data.indices.by(stride).map(data).toArray
   }
+
+  /** REAL frame sampling (not a stub): parse the MJPEG frame boundaries
+    * ([[MediaHeaders.mjpegFrames]]) and keep every `stride`-th complete
+    * frame, first frame always retained — the decode-free keyframe
+    * thinning a video ingest pipeline runs before feature extraction.
+    * Pure per-row byte work; q120 oracle-gates it end-to-end. */
+  def frameSample(data: Array[Byte], stride: Int): Array[Byte] =
+    MediaHeaders.mjpegBytes(
+      MediaHeaders.mjpegFrames(data).zipWithIndex
+        .collect { case (f, i) if i % stride == 0 => f })
 
   /** Fabricate a media table from `documents` (payload = utf-8 bytes of
     * text) — the testdata has no binary column, so the plumbing is proven
@@ -368,11 +402,66 @@ object Multimodal {
       |       + strlen(text) AS BIGINT) AS payload_len
       |FROM documents""".stripMargin
 
+  /** Fabricate MJPEG "videos" from every doc_id % 3 == 2 doc: K =
+    * n_chars % 7 + 2 keyframes, frame j sized ((n_chars + j) % 1280 + 1,
+    * (n_chars + j) % 720 + 1), payload = the doc's utf-8 text (ASCII ⇒
+    * marker-safe by construction, see [[MediaHeaders.mjpegFrames]]). */
+  def videosWithFrames(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+    import s.implicits._
+    Tables(s, sfDir, "documents")
+      .where(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("n_chars"), col("text")).as[(Long, Long, String)]
+      .map { case (docId, nChars, text) =>
+        val n = nChars.toInt
+        val k = n % 7 + 2
+        val frames = (0 until k).map(j => MediaHeaders.jpegBytes(
+          (n + j) % 1280 + 1, (n + j) % 720 + 1, text.getBytes("UTF-8")))
+        MediaPayload(docId, "video", MediaHeaders.mjpegBytes(frames))
+      }
+  }
+
+  /** q120: frame sampling proven END-TO-END from the bytes — generate
+    * multi-frame MJPEG, thin to every 2nd frame with the real marker
+    * walk, re-parse the SAMPLED stream, and report counts/lengths/dims
+    * of what survived; the oracle recomputes every value from the
+    * generator arithmetic, so a hash match proves split∘concat inversion
+    * and the sampling policy at once. Per-row byte work — scan-speed at
+    * any scale, binary never crosses a shuffle. */
+  def q120FrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    videosWithFrames(s, d).map { p =>
+      val orig = MediaHeaders.mjpegFrames(p.data)
+      val sampledBytes = frameSample(p.data, 2)
+      val kept = MediaHeaders.mjpegFrames(sampledBytes)
+      val (fw, fh) = MediaHeaders.jpegDims(kept.head).getOrElse((-1L, -1L))
+      val (lw, lh) = MediaHeaders.jpegDims(kept.last).getOrElse((-1L, -1L))
+      (p.media_id, orig.size.toLong, kept.size.toLong, sampledBytes.length.toLong,
+        fw, fh, lw, lh)
+    }.toDF("media_id", "n_frames", "n_kept", "kept_len",
+      "first_w", "first_h", "last_w", "last_h")
+  }
+
+  /** Oracle twin of [[q120FrameSample]]: K = n_chars%7+2 frames of
+    * 23+strlen(text) bytes each; stride-2 keeps ceil(K/2) frames, the
+    * last kept being index 2·⌊(K−1)/2⌋. */
+  val q120Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(n_chars % 7 + 2 AS BIGINT) AS n_frames,
+      |  CAST((n_chars % 7 + 3) // 2 AS BIGINT) AS n_kept,
+      |  CAST(((n_chars % 7 + 3) // 2) * (23 + strlen(text)) AS BIGINT) AS kept_len,
+      |  CAST(n_chars % 1280 + 1 AS BIGINT) AS first_w,
+      |  CAST(n_chars % 720 + 1 AS BIGINT) AS first_h,
+      |  CAST((n_chars + 2 * ((n_chars % 7 + 1) // 2)) % 1280 + 1 AS BIGINT) AS last_w,
+      |  CAST((n_chars + 2 * ((n_chars % 7 + 1) // 2)) % 720 + 1 AS BIGINT) AS last_h
+      |FROM documents WHERE doc_id % 3 = 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_media_features" -> (q37MediaFeatures _),
-    "q110_media_decode" -> (q110MediaDecode _))
+    "q110_media_decode" -> (q110MediaDecode _),
+    "q120_frame_sample" -> (q120FrameSample _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_media_features" -> q37Sql,
-    "q110_media_decode" -> q110Sql)
+    "q110_media_decode" -> q110Sql,
+    "q120_frame_sample" -> q120Sql)
 }

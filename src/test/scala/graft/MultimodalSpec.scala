@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{MediaRecord, Multimodal}
+import graft.multimodal.{MediaHeaders, MediaRecord, Multimodal}
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing: the typed mapPartitions pipeline agrees with the
@@ -24,9 +24,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Codecs.decodeFeatures(Array.emptyByteArray).toSeq === Seq(0.0, 0.0, 0.0, 0.0))
   }
 
-  test("resize/frameSample stubs: batch shapes") {
+  test("resize stub: batch shape") {
     assert(Multimodal.Codecs.resize("abcdef".getBytes, 3).toSeq === "abc".getBytes.toSeq)
-    assert(Multimodal.Codecs.frameSample("abcdef".getBytes, 2).toSeq === "ace".getBytes.toSeq)
+  }
+
+  test("MJPEG frame split/sample: real marker-walk frame extraction — " +
+    "split inverts concat, sampling keeps every stride-th frame, and " +
+    "trailing garbage is dropped") {
+    val frames = (0 until 5).map(i =>
+      MediaHeaders.jpegBytes(100 + i, 50 + i, s"frame$i".getBytes("US-ASCII")))
+    val stream = MediaHeaders.mjpegBytes(frames)
+    val split = MediaHeaders.mjpegFrames(stream)
+    assert(split.size == 5)
+    assert(split.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    // dims of each recovered frame decode independently
+    assert(split.zipWithIndex.forall { case (f, i) =>
+      MediaHeaders.jpegDims(f).contains((100L + i, 50L + i)) })
+    val sampled = MediaHeaders.mjpegFrames(Multimodal.frameSample(stream, 2))
+    assert(sampled.size == 3) // frames 0, 2, 4
+    assert(MediaHeaders.jpegDims(sampled.last).contains((104L, 54L)))
+    // a truncated tail (half a frame) must not break the earlier frames
+    val truncated = stream.dropRight(3)
+    assert(MediaHeaders.mjpegFrames(truncated).size == 4)
   }
 
   test("binary payloads roundtrip through parquet and features survive") {

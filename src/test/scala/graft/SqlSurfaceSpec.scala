@@ -53,7 +53,8 @@ class SqlSurfaceSpec extends SparkSpec {
     m("isoyear() extraction (Spark spells it extract(YEAROFWEEK), DuckDB " +
       "has no such field)")("q14_weekly_summary", "q63_grouping_sets") ++
     m("range() table function")("q93_dim_stats") ++
-    m("strlen()/'//' integer division")("q110_media_decode")).toMap
+    m("strlen()/'//' integer division")("q110_media_decode",
+      "q120_frame_sample")).toMap
   }
 
   test("the exclusion list names only real oracle entries (no stale keys)") {
