@@ -890,7 +890,45 @@ object TimeSeries {
       |         AS type_entropy
       |FROM w GROUP BY 1, 2""".stripMargin
 
+  /** Interval (time-bounded) join — every view matched to the SAME
+    * user's purchases inside the following hour. This is the batch twin
+    * of [[graft.streaming.EventStream.intervalJoinStream]]'s
+    * stream-stream join: identical predicate, so the spec can pin the
+    * two surfaces to one answer. Unlike q109's last-touch attribution
+    * (one credit per purchase) this keeps EVERY qualifying pair — the
+    * click-through / conversion-candidate shape.
+    *
+    * Scale: the equality on `user_id` makes this a plain shuffle
+    * hash/sort-merge join with the time bound as a cheap post-filter —
+    * never a broadcast-nested-loop (the trap with pure range
+    * conditions). State per key is bounded by a user's events in one
+    * hour; in the streaming twin the same bound is what lets Spark
+    * evict join state by watermark. */
+  def q121IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, d, "events")
+    val views = ev.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+        $"ts".as("purchase_ts"), $"value".as("amount"))
+    views.join(purchases,
+        $"user_id" === $"p_user" &&
+          $"purchase_ts" >= $"view_ts" &&
+          $"purchase_ts" < $"view_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"user_id", $"view_id", $"purchase_id", $"amount")
+  }
+
+  val q121Sql: String =
+    """SELECT v.user_id, v.event_id AS view_id,
+      |       p.event_id AS purchase_id, p.value AS amount
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_interval_join" -> (q121IntervalJoin _),
     "q92_user_entropy" -> (q92UserEntropy _),
     "q94_ewma" -> (q94Ewma _),
     "q97_rolling_distinct" -> (q97RollingDistinct _),
@@ -918,6 +956,7 @@ object TimeSeries {
     "q81_event_gaps" -> (q81EventGaps _))
 
   val oracleSql: Map[String, String] = Map(
+    "q121_interval_join" -> q121Sql,
     "q92_user_entropy" -> q92Sql,
     "q94_ewma" -> q94Sql,
     "q97_rolling_distinct" -> q97Sql,

@@ -495,6 +495,35 @@ object EventStream {
       .transformWithState(new SpanOverlapProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  /** STREAM-STREAM interval join — q121's conversion-candidate pairs
+    * computed continuously: views and purchases arrive as two streams,
+    * and each view matches the same user's purchases in the following
+    * hour. Both sides carry a watermark and the join condition bounds
+    * event time in BOTH directions, which is exactly what lets Spark
+    * evict buffered rows: a view older than watermark−1h can never
+    * match a future purchase and its state is dropped, so state size
+    * tracks the time bound, not the stream length.
+    *
+    * `joinType = "leftOuter"` additionally emits unconverted views
+    * (null purchase columns) once the watermark proves no match can
+    * still arrive — the streaming version of a conversion-funnel
+    * left join. Outer results are therefore DELAYED by the watermark,
+    * not wrong; the spec drives the watermark forward to observe them.
+    *
+    * Columns: views(user_id, view_id, view_ts),
+    * purchases(p_user, purchase_id, purchase_ts, amount) — the same
+    * shapes the batch twin builds from `events`. */
+  def intervalJoinStream(views: DataFrame, purchases: DataFrame,
+      joinType: String = "inner", watermark: String = "2 hours"): DataFrame = {
+    val v = views.withWatermark("view_ts", watermark)
+    val p = purchases.withWatermark("purchase_ts", watermark)
+    v.join(p,
+        expr("user_id = p_user AND " +
+          "purchase_ts >= view_ts AND purchase_ts < view_ts + INTERVAL 1 HOUR"),
+        joinType)
+      .select(col("user_id"), col("view_id"), col("purchase_id"), col("amount"))
+  }
+
   /** File-based streaming read of an events-shaped directory (S2's
     * day-loop extract as a real stream source). */
   def readEventStream(spark: SparkSession, path: String): DataFrame =

@@ -413,6 +413,79 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set((200L, 100L)))
   }
 
+  test("intervalJoinStream: inner join matches the q121 batch twin on the same rows; " +
+    "left-outer emits the unconverted view AFTER the watermark proves no match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // view 10 converts (purchase 20 at +30 min); purchase 21 at +2h is
+    // outside the hour; view 11 never converts
+    val viewRows = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 11L, ts("2024-01-01 10:05:00")))
+    val purchRows = Seq(
+      (1L, 20L, ts("2024-01-01 10:30:00"), 9.5),
+      (1L, 21L, ts("2024-01-01 12:00:00"), 1.0))
+
+    // inner: stream answer ≡ batch answer from the identical predicate
+    val vMem = MemoryStream[(Long, Long, Timestamp)]
+    val pMem = MemoryStream[(Long, Long, Timestamp, Double)]
+    val joined = EventStream.intervalJoinStream(
+      vMem.toDF().toDF("user_id", "view_id", "view_ts"),
+      pMem.toDF().toDF("p_user", "purchase_id", "purchase_ts", "amount"))
+    val q = joined.writeStream.format("memory")
+      .queryName("ivj_inner").outputMode("append").start()
+    vMem.addData(viewRows: _*)
+    pMem.addData(purchRows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ivj_inner")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = viewRows.toDF("user_id", "view_id", "view_ts").join(
+        purchRows.toDF("p_user", "purchase_id", "purchase_ts", "amount"),
+        expr("user_id = p_user AND purchase_ts >= view_ts AND " +
+          "purchase_ts < view_ts + INTERVAL 1 HOUR"))
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("view_id"), r.getAs[Long]("purchase_id"))).toSet
+    assert(streamed === batch)
+    assert(streamed === Set((1L, 10L, 20L)))
+
+    // left outer: view 11's null-padded row appears only once BOTH
+    // watermarks pass view_ts + 1h (outer emission is delayed, not lost)
+    val vMem2 = MemoryStream[(Long, Long, Timestamp)]
+    val pMem2 = MemoryStream[(Long, Long, Timestamp, Double)]
+    val outer = EventStream.intervalJoinStream(
+      vMem2.toDF().toDF("user_id", "view_id", "view_ts"),
+      pMem2.toDF().toDF("p_user", "purchase_id", "purchase_ts", "amount"),
+      joinType = "leftOuter", watermark = "10 minutes")
+    val q2 = outer.writeStream.format("memory")
+      .queryName("ivj_outer").outputMode("append").start()
+    vMem2.addData(viewRows: _*)
+    pMem2.addData(purchRows.head) // only the 10:30 purchase for now
+    q2.processAllAvailable()
+    val early = spark.table("ivj_outer").where($"purchase_id".isNull).count()
+    assert(early === 0, "outer null row must not emit before the watermark allows it")
+    // push both watermarks past 11:05 + 10 min: view 11 is now provably
+    // unmatched (its hour ended 12:05 > watermark? use far-future rows)
+    vMem2.addData((9L, 99L, ts("2024-01-02 00:00:00")))
+    pMem2.addData((9L, 98L, ts("2024-01-02 00:00:00"), 0.0))
+    q2.processAllAvailable()
+    // outer rows are evicted-then-emitted by a FOLLOWING batch; nudge one
+    vMem2.addData((9L, 97L, ts("2024-01-02 01:00:00")))
+    pMem2.addData((9L, 96L, ts("2024-01-02 01:00:00"), 0.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val unconverted = spark.table("ivj_outer")
+      .where($"purchase_id".isNull && $"user_id" === 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unconverted === Set((2L, 11L)))
+    // and the matched pair came through exactly once (user 9's
+    // watermark-advancing rows match each other — ignore them here)
+    val matched = spark.table("ivj_outer")
+      .where($"purchase_id".isNotNull && $"user_id" === 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(matched === Set((1L, 10L, 20L)))
+  }
+
   test("file stream end-to-end: json events → windowed agg → memory sink") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evts").toString
