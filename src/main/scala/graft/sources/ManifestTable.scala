@@ -1,8 +1,8 @@
 package graft.sources
 
 import graft.operators.Dedup
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, floor, greatest, least, lit, max, min, shiftleft, when}
 import java.io.File
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
@@ -98,16 +98,23 @@ object ManifestTable {
   }
 
   /** One manifest line: partition key (escaped dir-name form), data
-    * file path relative to root, and — when the table declares a STATS
-    * COLUMN — that file's min/max of it, enabling file-level DATA
-    * SKIPPING ([[readWhere]], the Delta/Iceberg stats-pruning shape).
-    * Line shapes are self-describing: `part\trel` (no stats) or
-    * `part\trel\tlo\thi` (stats; lo/hi are plain decimal strings —
-    * stats columns are numeric by contract, see [[statsColumn]]). A
-    * file whose stats column is all-null carries no stats and is never
-    * pruned. */
+    * file path relative to root, and — when the table declares STATS
+    * COLUMNS — that file's per-column min/max, enabling file-level DATA
+    * SKIPPING ([[readWhere]]/[[readWhereBox]], the Delta/Iceberg
+    * stats-pruning shape). Line shapes are self-describing:
+    * `part\trel` (no stats), `part\trel\tlo\thi` (one column), or
+    * `part\trel\tlo1\thi1\tlo2\thi2…` (one lo/hi pair per declared
+    * column, in declaration order; pairs are plain decimal strings —
+    * stats columns are numeric by contract, see [[statsColumns]]). A
+    * file may carry pairs for a PREFIX of the declared columns only
+    * (schema evolution, all-null trailing column): it is then prunable
+    * on the columns it has stats for and conservatively kept for the
+    * rest. `stats` is that prefix, aligned to [[statsColumns]]. */
   private[graft] case class FileEntry(part: String, rel: String,
-      lo: Option[String] = None, hi: Option[String] = None)
+      stats: Vector[(String, String)] = Vector.empty) {
+    def lo: Option[String] = stats.headOption.map(_._1)
+    def hi: Option[String] = stats.headOption.map(_._2)
+  }
 
   private def listedEntries(root: String, v: Int): Seq[FileEntry] = {
     // right-trim ONLY: an unpartitioned entry's part field is the empty
@@ -121,7 +128,8 @@ object ManifestTable {
         line.split('\t') match {
           case Array(rel)              => FileEntry("", rel)
           case Array(p, rel)           => FileEntry(p, rel)
-          case Array(p, rel, lo, hi)   => FileEntry(p, rel, Some(lo), Some(hi))
+          case Array(p, rel, rest @ _*) if rest.size % 2 == 0 =>
+            FileEntry(p, rel, rest.grouped(2).map(g => (g(0), g(1))).toVector)
           case _ => throw new IllegalStateException(
             s"manifest-v$v at $root has a malformed line: $line")
         }
@@ -133,17 +141,24 @@ object ManifestTable {
     else parsed
   }
 
-  /** The stats column this version's manifest declares (header suffix
-    * `;stats=<col>`), if any. Numeric-by-contract: lo/hi are compared
-    * as decimals by [[readWhere]]; declaring a non-numeric column is
-    * rejected at write time. */
-  private[graft] def statsColumn(root: String, v: Int): Option[String] = {
-    if (v < 1 || !Files.exists(manifestPath(root, v))) return None
+  /** The stats columns this version's manifest declares (header suffix
+    * `;stats=<col>[,<col>…]`, declaration order = per-line pair order),
+    * empty if none. Numeric-by-contract: lo/hi are compared as decimals
+    * by [[readWhere]]/[[readWhereBox]]; declaring a non-numeric column
+    * is rejected at write time. Multi-column stats are what make a
+    * Z-ORDER clustered layout ([[commitZOrdered]]) prunable on EVERY
+    * clustered dimension, not just the first. */
+  private[graft] def statsColumns(root: String, v: Int): Seq[String] = {
+    if (v < 1 || !Files.exists(manifestPath(root, v))) return Nil
     val head = Files.readAllLines(manifestPath(root, v)).asScala.headOption.getOrElse("")
     if (head.startsWith(FormatHeader + ";stats="))
-      Some(head.stripPrefix(FormatHeader + ";stats="))
-    else None
+      head.stripPrefix(FormatHeader + ";stats=").split(',').toSeq
+    else Nil
   }
+
+  /** First declared stats column ([[statsColumns]]) — the 1-D surface. */
+  private[graft] def statsColumn(root: String, v: Int): Option[String] =
+    statsColumns(root, v).headOption
 
   /** The commit point, shared by all writers: write the manifest for
     * version `v`, then atomically replace the current pointer. A crash
@@ -161,17 +176,19 @@ object ManifestTable {
     * that version number; [[vacuum]] clears such orphans. On an object
     * store the same slot is a conditional PUT (if-none-match). */
   private def commitEntries(root: String, v: Int, entries: Seq[FileEntry],
-      statsCol: Option[String] = None): Int = {
+      statsCols: Seq[String] = Nil): Int = {
     require(entries.nonEmpty, s"commit of v$v at $root lists no data files")
-    require(statsCol.forall(c => !c.contains('\n') && !c.contains('\t')),
-      s"stats column name $statsCol must not contain tab/newline")
+    require(statsCols.forall(c =>
+        !c.contains('\n') && !c.contains('\t') && !c.contains(',') && c.nonEmpty),
+      s"stats column names $statsCols must not contain tab/newline/comma")
     Files.createDirectories(Paths.get(root))
-    val header = statsCol.fold(FormatHeader)(c => s"$FormatHeader;stats=$c")
+    val header =
+      if (statsCols.isEmpty) FormatHeader
+      else s"$FormatHeader;stats=${statsCols.mkString(",")}"
     val lines = entries.sortBy(e => (e.part, e.rel)).map { e =>
-      (e.lo, e.hi) match {
-        case (Some(lo), Some(hi)) => s"${e.part}\t${e.rel}\t$lo\t$hi"
-        case _                    => s"${e.part}\t${e.rel}"
-      }
+      if (e.stats.isEmpty) s"${e.part}\t${e.rel}"
+      else s"${e.part}\t${e.rel}\t" +
+        e.stats.map { case (lo, hi) => s"$lo\t$hi" }.mkString("\t")
     }
     try {
       Files.writeString(manifestPath(root, v),
@@ -222,39 +239,56 @@ object ManifestTable {
         "key would collapse rows on null and corrupt the snapshot")
   }
 
-  /** Per-file min/max of `statsCol` for freshly written `entries`, for
-    * the manifest's data-skipping fields. One Spark job per partition
-    * DIRECTORY (the merge's own touched-partition bound): part-file
-    * names are unique within a directory but can repeat across them
-    * (task 0 writes part-00000-… into EVERY partition it holds), and
-    * `input_file_name`'s URI encoding of %-escaped partition dirs is
-    * not worth depending on — per-dir jobs make filename matching
-    * exact. Driver-side result is one row per new file (metadata-
-    * scale). Files whose stats column is absent (pre-evolution
-    * generations) or all-null keep no stats and are never pruned. */
+  /** Per-file min/max of each of `statsCols` for freshly written
+    * `entries`, for the manifest's data-skipping fields. One Spark job
+    * per partition DIRECTORY (the merge's own touched-partition bound):
+    * part-file names are unique within a directory but can repeat
+    * across them (task 0 writes part-00000-… into EVERY partition it
+    * holds), and `input_file_name`'s URI encoding of %-escaped
+    * partition dirs is not worth depending on — per-dir jobs make
+    * filename matching exact. Driver-side result is one row per new
+    * file (metadata-scale). A file records pairs for the longest
+    * PREFIX of declared columns that are present and not all-null
+    * (manifest pairs are positional, so a gap cannot be represented —
+    * the prefix rule keeps the common single-column and fully-stated
+    * cases exact and degrades conservatively otherwise). */
   private def withStats(spark: SparkSession, root: String,
-      entries: Seq[FileEntry], statsCol: String): Seq[FileEntry] = {
+      entries: Seq[FileEntry], statsCols: Seq[String]): Seq[FileEntry] = {
     import org.apache.spark.sql.functions.{input_file_name, max, min, regexp_extract}
+    if (statsCols.isEmpty) return entries
     entries.groupBy(_.part).toSeq.sortBy(_._1).flatMap { case (_, es) =>
       val df = spark.read.parquet(es.map(e => s"$root/${e.rel}"): _*)
-      if (!df.columns.contains(statsCol)) es
+      val present = statsCols.takeWhile(df.columns.contains)
+      if (present.isEmpty) es
       else {
-        require(df.schema(statsCol).dataType
-            .isInstanceOf[org.apache.spark.sql.types.NumericType],
-          s"stats column $statsCol must be numeric, got " +
-            df.schema(statsCol).dataType.simpleString)
+        present.foreach { c =>
+          require(df.schema(c).dataType
+              .isInstanceOf[org.apache.spark.sql.types.NumericType],
+            s"stats column $c must be numeric, got " +
+              df.schema(c).dataType.simpleString)
+        }
+        val aggs = present.flatMap(c =>
+          Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))
         val stats = df
-          .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("__f"),
-            col(statsCol).as("__v"))
-          .groupBy(col("__f")).agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+          .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("__f") +:
+            present.map(col): _*)
+          .groupBy(col("__f")).agg(aggs.head, aggs.tail: _*)
           .collect()
-          .map(r => r.getString(0) ->
-            ((Option(r.get(1)).map(_.toString), Option(r.get(2)).map(_.toString))))
+          .map { r =>
+            val pairs = present.indices.map { i =>
+              (Option(r.get(1 + 2 * i)).map(_.toString),
+                Option(r.get(2 + 2 * i)).map(_.toString))
+            }
+            r.getString(0) -> pairs
+          }
           .toMap
         es.map { e =>
           stats.get(e.rel.substring(e.rel.lastIndexOf('/') + 1)) match {
-            case Some((Some(lo), Some(hi))) => e.copy(lo = Some(lo), hi = Some(hi))
-            case _                          => e
+            case Some(pairs) =>
+              val prefix = pairs.takeWhile(p => p._1.nonEmpty && p._2.nonEmpty)
+                .map(p => (p._1.get, p._2.get)).toVector
+              if (prefix.isEmpty) e else e.copy(stats = prefix)
+            case _ => e
           }
         }
       }
@@ -266,17 +300,24 @@ object ManifestTable {
     * the manifest header) declares a numeric column whose per-file
     * min/max is recorded for [[readWhere]] data skipping. */
   def commit(df: DataFrame, root: String, statsCol: Option[String] = None): Int =
+    commitSnapshot(df, root, statsCol.toSeq)
+
+  /** [[commit]] with any number of declared stats columns (the
+    * multi-column Delta/Iceberg stats shape [[commitZOrdered]] relies
+    * on). Sticky like the 1-column form: an empty `statsCols` inherits
+    * the previous manifest's declaration. */
+  def commitSnapshot(df: DataFrame, root: String, statsCols: Seq[String]): Int =
     synchronized {
       val cur = currentVersion(root)
       val v = cur + 1
-      val effStats = statsCol.orElse(statsColumn(root, cur))
+      val effStats = if (statsCols.nonEmpty) statsCols else statsColumns(root, cur)
       val dirName = newDataDirName(v)
       val dataDir = s"$root/data/$dirName"
       df.write.mode("overwrite").parquet(dataDir)
       val files = listParquet(new File(dataDir))
         .map(f => FileEntry("", s"data/$dirName/$f"))
       require(files.nonEmpty, s"commit produced no data files under $dataDir")
-      val entries = effStats.fold(files)(withStats(df.sparkSession, root, files, _))
+      val entries = withStats(df.sparkSession, root, files, effStats)
       commitEntries(root, v, entries, effStats)
     }
 
@@ -305,6 +346,66 @@ object ManifestTable {
     val clustered = df.repartitionByRange(n, col(statsCol))
       .sortWithinPartitions(col(statsCol))
     commit(clustered, root, Some(statsCol))
+  }
+
+  /** Interleave the bits of two 16-bit bucket numbers into one Morton
+    * (Z-curve) value — pure `shiftleft`/bitwise column arithmetic, so
+    * the whole computation stays inside whole-stage codegen. The
+    * classic mask-spread: each input's bits move to the even positions,
+    * the second input shifts onto the odd ones. */
+  private[graft] def mortonInterleave(a: Column, b: Column): Column = {
+    def spread(x0: Column): Column = {
+      var x = x0.cast("long")
+      x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FFL))
+      x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+      x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(0x33333333L))
+      x = (x.bitwiseOR(shiftleft(x, 1))).bitwiseAND(lit(0x55555555L))
+      x
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Z-ORDER clustered commit (Delta's `OPTIMIZE … ZORDER BY (a, b)`):
+    * range-partition and sort the snapshot by the MORTON interleave of
+    * the two columns' 16-bit rank buckets, then record BOTH columns'
+    * per-file min/max. The Z-curve keeps points close in (a, b) close
+    * in the sort order, so every file covers a roughly square tile of
+    * the 2-D value space — and a box predicate on the two columns
+    * ([[readWhereBox]]) prunes on BOTH dimensions. A 1-D clustered
+    * layout can only ever prune on its sort column: the other
+    * dimension's per-file range spans the whole data and keeps every
+    * file. Cost at cluster scale: the min/max probe (one cheap agg)
+    * plus one range shuffle — the same as any global sort, paid once at
+    * write, repaid on every selective 2-D read (time × tenant,
+    * date × user-bucket, source × quality-band …).
+    *
+    * Bucket numbers come from min/max-scaling each column into
+    * [0, 65535]; 16+16 bits fill the 32-bit Morton value. Scaling (not
+    * exact ranks) keeps the probe metadata-cheap; heavy value skew in a
+    * dimension degrades tile balance, not correctness — the recorded
+    * stats stay exact. */
+  def commitZOrdered(df: DataFrame, root: String, colA: String, colB: String,
+      numFiles: Int = 0): Int = {
+    val n = if (numFiles > 0) numFiles
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val Seq(a, b) = Seq(colA, colB).map(col)
+    val bounds = df.agg(
+      min(a).cast("double"), max(a).cast("double"),
+      min(b).cast("double"), max(b).cast("double")).head()
+    require(!bounds.anyNull,
+      s"commitZOrdered: $colA/$colB have no non-null values to cluster on")
+    def bucket(c: Column, lo: Double, hi: Double): Column =
+      if (hi == lo) lit(0L)
+      else least(lit(65535L), greatest(lit(0L),
+        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(65535.0d)).cast("long")))
+    val z = mortonInterleave(
+      bucket(a, bounds.getDouble(0), bounds.getDouble(1)),
+      bucket(b, bounds.getDouble(2), bounds.getDouble(3)))
+    val clustered = df.withColumn("__z", z)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    commitSnapshot(clustered, root, Seq(colA, colB))
   }
 
   /** Read the current snapshot. */
@@ -462,12 +563,12 @@ object ManifestTable {
     val cur = currentVersion(root)
     val v = cur + 1
     val prev = if (cur >= 1) listedEntries(root, cur) else Nil
-    val effStats = statsCol.orElse(statsColumn(root, cur))
+    val effStats = statsCol.map(Seq(_)).getOrElse(statsColumns(root, cur))
 
     val partStr = col(partCol).cast("string")
     def writePartitioned(df: DataFrame): Seq[FileEntry] = {
       val es = writePartitionedData(df, root, v, partCol)
-      effStats.fold(es)(withStats(spark, root, es, _))
+      withStats(spark, root, es, effStats)
     }
 
     if (prev.isEmpty) {
@@ -540,7 +641,7 @@ object ManifestTable {
     * On an object store the same loop runs on conditional-PUT failures. */
   private def commitRebasing(
       root: String, baseEntries: Seq[FileEntry],
-      newEntries: Seq[FileEntry], statsCol: Option[String] = None,
+      newEntries: Seq[FileEntry], statsCols: Seq[String] = Nil,
       maxAttempts: Int = 10): Int = {
     raceHookForTests()
     val touched = newEntries.map(_.part).toSet
@@ -568,7 +669,7 @@ object ManifestTable {
             "version. Re-run the merge against the current version.")
       val untouchedNow = curEntries.filterNot(e => touched(e.part))
       try {
-        return commitEntries(root, cur + 1, untouchedNow ++ newEntries, statsCol)
+        return commitEntries(root, cur + 1, untouchedNow ++ newEntries, statsCols)
       } catch {
         case e: java.util.ConcurrentModificationException =>
           if (attempt >= maxAttempts) throw e
@@ -620,7 +721,7 @@ object ManifestTable {
     require(!prev.exists(_.part.isEmpty),
       s"table at $root has full-snapshot entries; compact expects the partitioned layout")
     val v = cur + 1
-    val effStats = statsColumn(root, cur)
+    val effStats = statsColumns(root, cur)
     val byPart = prev.groupBy(_.part)
     val fragmented = byPart.filter(_._2.size >= minFiles).keySet
     if (fragmented.isEmpty) return cur
@@ -632,10 +733,12 @@ object ManifestTable {
     // stats can't tighten (one file spans its whole partition) but the
     // within-file sort nests tight parquet row-group min/max under them,
     // so the pushed-down range predicate skips pages on read
-    val compacted = effStats.filter(compacted0.columns.contains)
-      .fold(compacted0)(c => compacted0.sortWithinPartitions(col(c)))
+    val sortCols = effStats.filter(compacted0.columns.contains).map(col)
+    val compacted =
+      if (sortCols.isEmpty) compacted0
+      else compacted0.sortWithinPartitions(sortCols: _*)
     val newEntries0 = writePartitionedData(compacted.localCheckpoint(), root, v, partCol)
-    val newEntries = effStats.fold(newEntries0)(withStats(spark, root, newEntries0, _))
+    val newEntries = withStats(spark, root, newEntries0, effStats)
     // same optimistic protocol as mergePartitioned: a maintenance job
     // racing a writer only aborts if the writer touched a partition
     // being compacted; disjoint activity rebases and both land
@@ -787,7 +890,7 @@ object ManifestTable {
       s"version $toVersion at $root is not retained (vacuumed?)")
     if (toVersion == cur) cur
     else commitEntries(root, cur + 1, listedEntries(root, toVersion),
-      statsColumn(root, toVersion))
+      statsColumns(root, toVersion))
   }
 
   /** DATA-SKIPPING read: rows of the current snapshot with the table's
@@ -808,15 +911,43 @@ object ManifestTable {
     val colName = statsColumn(root, cur).getOrElse(throw new IllegalArgumentException(
       s"table at $root declares no stats column - commit with statsCol to enable " +
         "data skipping"))
+    readWhereBox(spark, root, Seq((colName, lo, hi)))
+  }
+
+  /** Multi-dimension DATA-SKIPPING read: rows with EVERY listed stats
+    * column inside its `[lo, hi]` bound, opening only files whose
+    * recorded per-column min/max intersects ALL bounds. On a
+    * [[commitZOrdered]] layout each file covers a small tile of the 2-D
+    * value space, so a selective box keeps a handful of files — where a
+    * 1-D clustered layout prunes only on its sort column and a
+    * heap layout prunes nothing. Bounded columns must be among the
+    * manifest's declared [[statsColumns]]; a file missing the pair for
+    * a bounded column (stats-prefix, pre-declaration generation) is
+    * conservatively read. Exact: every bound is re-applied row-level. */
+  def readWhereBox(spark: SparkSession, root: String,
+      bounds: Seq[(String, Long, Long)]): DataFrame = {
+    val cur = currentVersion(root)
+    require(cur >= 1, s"table at $root has no committed version")
+    require(bounds.nonEmpty, "readWhereBox needs at least one (column, lo, hi) bound")
+    val declared = statsColumns(root, cur)
+    val missing = bounds.map(_._1).filterNot(declared.contains)
+    require(missing.isEmpty,
+      s"table at $root records no stats for ${missing.mkString(", ")} " +
+        s"(declared: ${if (declared.isEmpty) "none" else declared.mkString(", ")}) - " +
+        "commit with the column in statsCols to enable skipping on it")
+    val idx = bounds.map { case (c, lo, hi) => (declared.indexOf(c), lo, hi) }
     val es = listedEntries(root, cur)
     val keep = es.filter { e =>
-      (e.lo, e.hi) match {
-        case (Some(l), Some(h)) =>
+      idx.forall { case (i, lo, hi) =>
+        if (i >= e.stats.size) true // no recorded pair: cannot prune safely
+        else {
+          val (l, h) = e.stats(i)
           BigDecimal(h) >= BigDecimal(lo) && BigDecimal(l) <= BigDecimal(hi)
-        case _ => true // stats-free file: cannot prune safely
+        }
       }
     }
-    val pred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
+    val pred = bounds.map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
+      .reduce(_ && _)
     if (keep.isEmpty) readVersion(spark, root, cur).where(pred).limit(0)
     else spark.read.option("mergeSchema", "true")
       .parquet(keep.map(e => s"$root/${e.rel}"): _*)

@@ -3,6 +3,7 @@ package graft
 import graft.sources.{IncrementalView, ManifestTable}
 import java.io.File
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.lit
 
 /** The manifest-committed table's transactional contract: atomic
   * visibility, crash tolerance, snapshot isolation, idempotent merge,
@@ -839,6 +840,60 @@ class ManifestTableSpec extends SparkSpec {
     assert(narrowC.collect().map(_.getAs[Long]("x")).sorted.toSeq ==
       (4000L to 4099L))
     assert(narrowF.count() == narrowC.count())
+  }
+
+  test("commitZOrdered: Morton-interleave layout + two-column stats let a 2-D " +
+    "box prune on BOTH dimensions; a 1-D clustered layout with the same " +
+    "declared stats prunes only on its sort column; answers identical") {
+    import spark.implicits._
+    // Morton pin: x=3 (0b011) ⊗ y=5 (0b101) interleaves to 0b100111 = 39
+    val m = spark.range(1)
+      .select(ManifestTable.mortonInterleave(lit(3L), lit(5L)).as("z"))
+      .head().getLong(0)
+    assert(m == 39L, s"mortonInterleave(3,5) must be 39, got $m")
+
+    // x and y independent pseudo-shuffles of 0..4095: no correlation a
+    // 1-D sort could exploit on the other column
+    val rows = spark.range(0, 4096).select(
+      (($"id" * 2654435761L) % 4096).as("x"),
+      (($"id" * 40503L) % 4096).as("y"),
+      $"id".as("payload"))
+    val zroot = s"${Files.createTempDirectory("graft-zorder")}/t"
+    ManifestTable.commitZOrdered(rows, zroot, "x", "y", numFiles = 64)
+    // 1-D baseline clustered by x, but declaring the SAME two stats
+    // columns — the layout, not the metadata, is what differs
+    val xroot = s"${Files.createTempDirectory("graft-xorder")}/t"
+    ManifestTable.commitSnapshot(
+      rows.repartitionByRange(64, $"x").sortWithinPartitions($"x"),
+      xroot, Seq("x", "y"))
+
+    // two-column manifest lines: part, rel, loX, hiX, loY, hiY
+    val line = Files.readAllLines(
+        Paths.get(zroot, "manifest-v1.json")).toArray.map(_.toString)
+      .find(l => l.nonEmpty && !l.startsWith("#")).get
+    assert(line.split('\t').length == 6, s"expected 6 fields: $line")
+
+    val box = Seq(("x", 0L, 511L), ("y", 0L, 511L)) // a 1/8 × 1/8 tile
+    val zRead = ManifestTable.readWhereBox(spark, zroot, box)
+    val xRead = ManifestTable.readWhereBox(spark, xroot, box)
+    // 64 z-files tile 8×8 in (x, y): the box lands in ~1 tile (+ edge
+    // neighbours); the x-sorted layout keeps every file whose x-slice
+    // meets [0, 511] — 1/8 of 64 ≈ 8 — because each such file's y range
+    // spans the whole domain
+    assert(zRead.inputFiles.length <= 4,
+      s"z-order must keep ~1 tile, got ${zRead.inputFiles.length}")
+    assert(xRead.inputFiles.length >= zRead.inputFiles.length * 2,
+      s"1-D layout must open ≥2× the files of z-order on a 2-D box: " +
+        s"x=${xRead.inputFiles.length} z=${zRead.inputFiles.length}")
+    // exactness: both equal the unpruned filter
+    val expect = rows.where($"x" <= 511 && $"y" <= 511)
+      .select($"payload").collect().map(_.getLong(0)).sorted.toSeq
+    assert(zRead.select($"payload").collect().map(_.getLong(0)).sorted.toSeq == expect)
+    assert(xRead.select($"payload").collect().map(_.getLong(0)).sorted.toSeq == expect)
+    // a bound on an undeclared column is refused loudly (no silent scan)
+    assertThrows[IllegalArgumentException] {
+      ManifestTable.readWhereBox(spark, zroot, Seq(("payload", 0L, 1L)))
+    }
   }
 
   test("stats-free files (declared AFTER their commit) are never pruned — " +
