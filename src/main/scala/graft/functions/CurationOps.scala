@@ -744,7 +744,38 @@ object CurationOps {
       |       round(sc.quality_score, 6) >= round(th.src_p25, 6) AS keep
       |FROM sc JOIN th ON th.source = sc.source""".stripMargin
 
+  /** Re-aggregatable DISTINCT counting via HLL sketches (DataSketches,
+    * the engine ships them): one pass builds a per-source sketch of the
+    * document texts; the GLOBAL distinct count is a metadata-cheap MERGE
+    * of those sketches — never a re-scan. This is the 100 TB pattern for
+    * every "how many unique X" dashboard: per-partition/per-day sketches
+    * are tiny (2^lgK registers), stored next to the data, and any
+    * rollup (per source, per month, corpus-wide) is a union of
+    * sketches. `approx_count_distinct` alone can't do this — its
+    * partials aren't user-visible values; `hll_sketch_agg`'s are, which
+    * makes the partial aggregate a first-class TABLE.
+    *
+    * Like q41, intentionally NOT oracle-gated (sketch estimates are
+    * engine-specific); CurationSpec bounds the error vs exact and pins
+    * that merging per-source sketches gives the IDENTICAL estimate to
+    * sketching the whole corpus in one pass — the losslessness that
+    * makes pre-aggregation safe. */
+  def q122HllRollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perSource = docs(s, d).groupBy($"source")
+      .agg(expr("hll_sketch_agg(text, 12)").as("sk"),
+        count(lit(1)).as("n_docs"))
+    val global = perSource.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("distinct_est"),
+      sum($"n_docs").as("n_docs"))
+      .select(lit("__all__").as("source"), $"distinct_est", $"n_docs")
+    perSource
+      .select($"source", expr("hll_sketch_estimate(sk)").as("distinct_est"), $"n_docs")
+      .unionByName(global)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_hll_rollup" -> (q122HllRollup _),
     "q117_adaptive_quality_gate" -> (q117AdaptiveQualityGate _),
     "q105_weighted_sample" -> (q105WeightedSample _),
     "q98_bloom_decontaminate" -> (q98BloomDecontaminate _),
@@ -761,6 +792,8 @@ object CurationOps {
     "q71_sequence_pack" -> (q71SequencePack _),
     "q74_quality_sample" -> (q74QualitySample _))
 
+  /** q122 intentionally omitted (like q41): sketch estimates are
+    * engine-specific; CurationSpec error-bounds it instead. */
   val oracleSql: Map[String, String] = Map(
     "q117_adaptive_quality_gate" -> q117Sql,
     "q105_weighted_sample" -> q105Sql,

@@ -25,6 +25,40 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L, "no pii here at all")))
   }
 
+  test("q122: per-source HLL estimates are error-bounded vs exact, and the " +
+    "MERGED global estimate is IDENTICAL to a one-pass corpus sketch " +
+    "(pre-aggregation is lossless)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    // 3000 docs, 1100 distinct texts, spread over 3 sources
+    val rows = (0 until 3000).map(i =>
+      (i.toLong, s"document body number ${i % 1100}", s"src${i % 3}"))
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    val out = CurationOps.q122HllRollup(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exact = docs.groupBy($"source")
+      .agg(countDistinct($"text").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (src, n) =>
+      val est = out(src)._1
+      assert(math.abs(est - n) <= n * 0.05,
+        s"$src: estimate $est vs exact $n exceeds 5%")
+    }
+    val globalExact = docs.agg(countDistinct($"text")).head().getLong(0)
+    assert(math.abs(out("__all__")._1 - globalExact) <= globalExact * 0.05)
+    assert(out("__all__")._2 == 3000L, "global n_docs must sum the sources")
+
+    // losslessness: union of per-source sketches ≡ one-pass corpus sketch
+    val onePass = docs
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(text, 12))")).head().getLong(0)
+    assert(out("__all__")._1 == onePass,
+      s"merged-sketch estimate ${out("__all__")._1} must equal one-pass $onePass")
+  }
+
   test("q67: compiled-probe and exploded-join contamination paths agree, " +
     "and probes are token-aligned (no partial-word or cross-boundary hits)") {
     import graft.functions.CurationOps._
