@@ -175,6 +175,39 @@ object MediaHeaders {
   /** Channel count from a canonical WAV header's fmt chunk. */
   private[graft] def wavChannels(d: Array[Byte]): Int = le16(d, 22)
 
+  /** PCM samples from a 16-bit WAV's data chunk (channels interleaved
+    * as written), walking the RIFF chunk list like [[wavFormat]] —
+    * sample-level decode, not header sniffing. Little-endian signed
+    * 16-bit per the PCM spec; truncated data chunks yield the complete
+    * prefix. Empty if not parseable 16-bit PCM. */
+  def wavSamples(d: Array[Byte]): Array[Short] = {
+    if (d.length < 44 || new String(d, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(d, 8, 4, "US-ASCII") != "WAVE") return Array.empty
+    var i = 12
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (i + 8 <= d.length && (bits < 0 || dataOff < 0)) {
+      val id = new String(d, i, 4, "US-ASCII")
+      val size = le32(d, i + 4).toInt
+      if (id == "fmt " && i + 24 <= d.length) bits = le16(d, i + 22)
+      else if (id == "data") {
+        dataOff = i + 8
+        dataLen = math.min(size, d.length - i - 8)
+      }
+      i += 8 + size + (size & 1) // RIFF pads odd chunks
+    }
+    if (bits != 16 || dataOff < 0) return Array.empty
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var j = 0
+    while (j < n) {
+      out(j) = ((d(dataOff + 2 * j) & 0xff) | (d(dataOff + 2 * j + 1) << 8)).toShort
+      j += 1
+    }
+    out
+  }
+
   /** MJPEG "container": a motion-JPEG stream IS concatenated JPEG frames
     * — there is no outer wrapper to invent. */
   def mjpegBytes(frames: Seq[Array[Byte]]): Array[Byte] = frames.flatten.toArray
@@ -455,13 +488,85 @@ object Multimodal {
       |  CAST((n_chars + 2 * ((n_chars % 7 + 1) // 2)) % 720 + 1 AS BIGINT) AS last_h
       |FROM documents WHERE doc_id % 3 = 2""".stripMargin
 
+  /** Fabricate WAVs with REAL PCM payloads from every audio-kind doc
+    * (doc_id % 3 == 1): 768 mono 16-bit samples, sample i =
+    * ((doc_id·31 + i·17) mod 65536) − 32768 — spans the full signed
+    * range and is SQL-expressible for the oracle. Rate follows q110's
+    * formula, so header- and sample-level decode share one generator. */
+  def audioWithPcm(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+    import s.implicits._
+    Tables(s, sfDir, "documents")
+      .where(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (docId, nChars) =>
+        val bb = java.nio.ByteBuffer.allocate(768 * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < 768) {
+          bb.putShort((((docId * 31 + i * 17) % 65536) - 32768).toShort)
+          i += 1
+        }
+        MediaPayload(docId, "audio",
+          MediaHeaders.wavBytes(8000 + (nChars.toInt % 8) * 1000, 1, 16, bb.array()))
+      }
+  }
+
+  /** q123: SAMPLE-level audio decode — windowed RMS/peak energy from
+    * the PCM bytes (the silence-trim / loudness-bucket primitive an
+    * audio ingest pipeline runs before transcription). The WAV data
+    * chunk is decoded back to int16 ([[MediaHeaders.wavSamples]]),
+    * split into 256-sample windows, and each window reports RMS and
+    * peak; rate/duration come from the fmt-chunk header decode. Exact
+    * cross-engine: v² ≤ 2³⁰ and 256 terms keep every intermediate sum
+    * an exact double, so the oracle's re-generated arithmetic matches
+    * to the last bit before the shared round(…, 4). Per-row byte work,
+    * no shuffle — scan-speed on a 100 TB audio corpus. */
+  def q123AudioEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    audioWithPcm(s, d).flatMap { m =>
+      val fmt = MediaHeaders.wavFormat(m.data)
+      val samples = MediaHeaders.wavSamples(m.data)
+      fmt.toSeq.flatMap { case (rate, durMs) =>
+        samples.grouped(256).zipWithIndex.map { case (w, wi) =>
+          var sumSq = 0.0
+          var peak = 0L
+          w.foreach { sv =>
+            val v = sv.toDouble
+            sumSq += v * v
+            peak = math.max(peak, math.abs(sv.toLong))
+          }
+          (m.media_id, wi.toLong, math.sqrt(sumSq / w.length), peak, rate, durMs)
+        }
+      }
+    }.toDF("media_id", "window_idx", "rms", "peak", "sample_rate", "duration_ms")
+      .withColumn("rms", round(col("rms"), 4))
+  }
+
+  /** Oracle twin of [[q123AudioEnergy]]: regenerate the PCM formula,
+    * window by i // 256, and recompute RMS/peak — a hash match proves
+    * the LE int16 writer and reader invert each other on every sample. */
+  val q123Sql: String =
+    """WITH a AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 1),
+      |s AS (SELECT a.doc_id, a.n_chars, g.i,
+      |        CAST(((a.doc_id * 31 + g.i * 17) % 65536) - 32768 AS DOUBLE) AS v
+      |      FROM a, (SELECT unnest(generate_series(0, 767)) AS i) g)
+      |SELECT doc_id AS media_id,
+      |  CAST(i // 256 AS BIGINT) AS window_idx,
+      |  round(sqrt(avg(v * v)), 4) AS rms,
+      |  CAST(max(CAST(abs(v) AS BIGINT)) AS BIGINT) AS peak,
+      |  CAST(8000 + (n_chars % 8) * 1000 AS BIGINT) AS sample_rate,
+      |  CAST(1536000 // (2 * (8000 + (n_chars % 8) * 1000)) AS BIGINT) AS duration_ms
+      |FROM s GROUP BY doc_id, n_chars, i // 256""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_media_features" -> (q37MediaFeatures _),
     "q110_media_decode" -> (q110MediaDecode _),
-    "q120_frame_sample" -> (q120FrameSample _))
+    "q120_frame_sample" -> (q120FrameSample _),
+    "q123_audio_energy" -> (q123AudioEnergy _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_media_features" -> q37Sql,
     "q110_media_decode" -> q110Sql,
-    "q120_frame_sample" -> q120Sql)
+    "q120_frame_sample" -> q120Sql,
+    "q123_audio_energy" -> q123Sql)
 }

@@ -116,6 +116,23 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaHeaders.wavFormat(Array.emptyByteArray) === None)
   }
 
+  test("wavSamples: LE int16 PCM decode inverts the writer on the full signed " +
+    "range; truncated data yields the complete prefix; non-16-bit refused") {
+    val vals = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val bb = java.nio.ByteBuffer.allocate(vals.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(bb.putShort)
+    val wav = MediaHeaders.wavBytes(8000, 1, 16, bb.array())
+    assert(MediaHeaders.wavSamples(wav).toSeq === vals.toSeq)
+    // truncation: drop the last byte → last (half) sample is dropped
+    assert(MediaHeaders.wavSamples(wav.dropRight(1)).toSeq === vals.init.toSeq)
+    // 8-bit WAV: sample decode refuses (the 16-bit contract), header still parses
+    val wav8 = MediaHeaders.wavBytes(8000, 1, 8, Array.fill[Byte](16)(3))
+    assert(MediaHeaders.wavSamples(wav8).isEmpty)
+    assert(MediaHeaders.wavFormat(wav8).nonEmpty)
+    assert(MediaHeaders.wavSamples("not a wav at all".getBytes).isEmpty)
+  }
+
   test("decodeMetadata reads REAL header values back from the generated payloads " +
     "and a corrupt payload yields container=unknown with null metadata, not a throw") {
     import spark.implicits._
