@@ -134,6 +134,18 @@ object ScaleProbe {
     probe("seqpack")(pack(sfDir))(pack(docsNDir))
     probe("surprisal")(surprisal(sfDir))(surprisal(docsNDir))
 
+    // q124 expands pairs over the WORD-FREQUENCY table: the per-copy
+    // token suffixes grow the vocab ~linearly with the data, so the
+    // pair aggregation must too (the corpus-side work is one combiner
+    // groupBy). q125's fingerprint index likewise grows linearly
+    // (suffixed texts are copy-disjoint) and the probe confirms the
+    // index build + probe join stays a linear pass, not a blowup.
+    def bpe(d: String): Long = TextOps.q124BpePairs(spark, d).count()
+    def incdedup(d: String): Long = TextOps.q125IncrementalDedup(spark, d).count()
+    bpe(sfDir); incdedup(sfDir) // warm
+    probe("bpe_pairs")(bpe(sfDir))(bpe(docsNDir))
+    probe("incremental_dedup")(incdedup(sfDir))(incdedup(docsNDir))
+
     // Embedding pruning (q83): labels shift per copy so CELLS scale with
     // the data while per-cell population stays constant — the real-corpus
     // contract (k-means k grows with the corpus; cell size is bounded by

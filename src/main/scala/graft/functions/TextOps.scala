@@ -1953,7 +1953,70 @@ object TextOps {
       |                 * ln(((cnt + 1.0) / (n_s + nb)) / ((c_b + 1.0) / (n + nb)))), 6) AS psi
       |FROM g GROUP BY source, n_s""".stripMargin
 
+  /** q124 — BPE MERGE INDUCTION (first iteration) at corpus scale: the
+    * most frequent adjacent character pairs, which is exactly the merge
+    * a byte-pair tokenizer would learn next. The classic scale trick:
+    * collapse the corpus to the WORD-FREQUENCY table first (vocab-sized,
+    * zipf-bounded), then expand each distinct word's ≤len−1 pairs
+    * weighted by its frequency — pair expansion runs over the vocab, not
+    * the corpus, so 100× more text with the same vocabulary costs one
+    * bigger pre-aggregation and nothing downstream. Top-50 under the
+    * total order (freq DESC, pair) → a deterministic set for the oracle.
+    * Iterating = re-running with the winning pair fused into the vocab
+    * table (vocab-sized state, never a corpus re-scan). */
+  def q124BpePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wf = docs(s, d)
+      .select(explode(tokens($"text")).as("w"))
+      .where(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+    wf.select($"w", $"f",
+        explode(sequence(lit(1), length($"w") - 1)).as("i"))
+      .select(expr("substr(w, i, 2)").as("pair"), $"f")
+      .groupBy($"pair").agg(sum($"f").as("freq"))
+      .orderBy($"freq".desc, $"pair")
+      .limit(50)
+  }
+
+  val q124Sql: String =
+    raw"""WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |              FROM documents),
+      |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks
+      |       WHERE length(w) >= 2 GROUP BY w),
+      |p AS (SELECT substr(w, g.i, 2) AS pair, f
+      |      FROM wf, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) g)
+      |SELECT pair, CAST(sum(f) AS BIGINT) AS freq
+      |FROM p GROUP BY pair ORDER BY freq DESC, pair LIMIT 50""".stripMargin
+
+  /** q125 — INCREMENTAL dedup: flag new-batch docs whose exact content
+    * fingerprint already exists in the committed corpus. This is the
+    * ingest shape that never re-dedups the lake: the corpus collapses
+    * once to a distinct-fingerprint INDEX (maintained incrementally as
+    * batches commit — on a real deployment a ManifestTable bucketed by
+    * fingerprint, so this join co-partitions instead of reshuffling the
+    * index), and each arriving batch probes it. Batch = doc_id % 10 == 9
+    * as the stand-in split. AQE picks the join side to build: the batch
+    * is the small side at production ratios. */
+  def q125IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = docs(s, d).select($"doc_id", md5($"text").as("fp"))
+    val idx = all.where($"doc_id" % 10 =!= 9).select($"fp").distinct()
+      .withColumn("known", lit(1L))
+    all.where($"doc_id" % 10 === 9)
+      .join(idx, Seq("fp"), "left")
+      .select($"doc_id", $"fp", $"known".isNotNull.as("is_known_dup"))
+  }
+
+  val q125Sql: String =
+    """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |idx AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 <> 9)
+      |SELECT b.doc_id, b.fp, (idx.fp IS NOT NULL) AS is_known_dup
+      |FROM f b LEFT JOIN idx ON idx.fp = b.fp
+      |WHERE b.doc_id % 10 = 9""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_bpe_pairs" -> (q124BpePairs _),
+    "q125_incremental_dedup" -> (q125IncrementalDedup _),
     "q114_quality_classifier" -> (q114QualityClassifier _),
     "q115_psi_drift" -> (q115PsiDrift _),
     "q116_containment_pairs" -> (q116ContainmentPairs _),
@@ -1991,6 +2054,8 @@ object TextOps {
     "q78_collocations" -> (q78Collocations _))
 
   lazy val oracleSql: Map[String, String] = Map(
+    "q124_bpe_pairs" -> q124Sql,
+    "q125_incremental_dedup" -> q125Sql,
     "q114_quality_classifier" -> q114Sql,
     "q115_psi_drift" -> q115Sql,
     "q116_containment_pairs" -> q116Sql,

@@ -32,7 +32,8 @@ class SqlSurfaceSpec extends SparkSpec {
       "q103_triangles", "q105_weighted_sample", "q111_gopher_rules",
       "q112_split_leakage", "q114_quality_classifier",
       "q116_containment_pairs", "q117_adaptive_quality_gate",
-      "q118_repeated_spans", "q119_dedup_savings") ++
+      "q118_repeated_spans", "q119_dedup_savings",
+      "q123_audio_energy", "q124_bpe_pairs") ++
     m("list_* functions on array<double> embeddings")(
       "q33_knn_bruteforce", "q34_ann_lsh", "q35_cosine_neardup",
       "q45_rolling_fingerprint", "q59_random_projection", "q82_int8_quant",
