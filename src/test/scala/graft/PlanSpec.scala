@@ -404,4 +404,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("InMemoryTableScan"), plan)
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("q121: the interval join keys on user_id equality — an equi join with " +
+    "the time bound as post-filter, never a nested-loop over pure ranges") {
+    val plan = physical(graft.operators.TimeSeries.q121IntervalJoin(spark, sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+    assert(plan.contains("Join"), plan)
+  }
+
+  test("q124: BPE pair counts run over the vocab (two combiner aggregations: " +
+    "word freq, then pair freq) and the top-50 is TakeOrdered, not a global sort") {
+    val plan = physical(graft.functions.TextOps.q124BpePairs(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected <=2 shuffles (word agg, pair agg):\n$plan")
+    assert(plan.contains("partial"), plan) // map-side combine on both aggs
+  }
+
+  test("q125: the corpus fingerprint index probe is an equi join on fp — " +
+    "no nested loop, and the md5 projection reaches both sides as scans") {
+    val plan = physical(graft.functions.TextOps.q125IncrementalDedup(spark, sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
 }
