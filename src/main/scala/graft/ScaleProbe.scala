@@ -55,9 +55,12 @@ object ScaleProbe {
       sec
     }
 
-    // every probe records (name, t1x, tNx) for the end-of-run gate
+    // every probe records (name, t1x, tNx) for the end-of-run gate, and
+    // keeps its thunks so a gate failure can be re-measured (below)
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    val thunks = scala.collection.mutable.Map.empty[String, (() => Long, () => Long)]
     def probe(name: String)(f1: => Long)(fN: => Long): Unit = {
+      thunks(name) = (() => f1, () => fN)
       val t1 = time(s"${name}_1x")(f1)
       val tN = time(s"${name}_${factor}x")(fN)
       results += ((name, t1, tN))
@@ -235,7 +238,6 @@ object ScaleProbe {
     trigramsEv(sfDir); attribution(sfDir) // warm
     probe("behavior_trigrams")(trigramsEv(sfDir))(trigramsEv(eventsNDir))
     probe("attribution")(attribution(sfDir))(attribution(eventsNDir))
-    spark.stop()
 
     // ---- the gate: time must grow at most linearly with data ----
     val gated = results.toSeq.map { case (n, t1, tN) =>
@@ -245,7 +247,21 @@ object ScaleProbe {
       "\"" + n + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(r))
     }.mkString("{", ",", "}")
     println(s"""SCALEPROBE_RATIOS={"factor":$factor,"gate":$factor,"ratios":$ratios}""")
-    val over = gated.filter(_._4 > factor)
+    // A shape fails only if a CONFIRMING re-measurement also exceeds the
+    // gate: each side is timed once, so an external load spike landing in
+    // one window reads as a fake 10x+ ratio (observed: the same probe
+    // swinging 5x <-> 20x run-to-run on the shared box). A structural
+    // blowup (quadratic join, collapsed partitioning) reproduces on
+    // retry; interference does not. The retry reuses the same thunks,
+    // warm from the first pass.
+    val over = gated.filter(_._4 > factor).filter { case (n, t1, tN, r) =>
+      println(f"SCALEPROBE_SUSPECT $n: $r%.1fx ($t1%.2f s -> $tN%.2f s), re-measuring")
+      val (f1, fN) = thunks(n)
+      val t1b = time(s"${n}_1x_retry")(f1())
+      val tNb = time(s"${n}_${factor}x_retry")(fN())
+      tNb / math.max(t1b, 0.3) > factor
+    }
+    spark.stop()
     over.foreach { case (n, t1, tN, r) =>
       println(f"SCALEPROBE_FAIL $n: ${factor}x data took $r%.1fx time ($t1%.2f s -> $tN%.2f s)")
     }

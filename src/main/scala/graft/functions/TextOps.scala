@@ -1727,7 +1727,15 @@ object TextOps {
 
   def q91Novelty(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = docShingles(s, d)
+    // persisted: the distinct (doc, shingle) view is consumed TWICE (df
+    // build + join back), and without materialization AQE sometimes
+    // re-derives the whole shingle-explode subtree instead of reusing
+    // the exchange — a runtime coin-flip that showed up as a 28x swing
+    // on the 10x scale probe. One materialization pins the cost and
+    // lets the join strategy be chosen from the REAL table size.
+    // (No-op under graft.cacheTables, where docShingles is already the
+    // persisted shared view.)
+    val sh = docShingles(s, d).persist()
     val df = sh.groupBy($"h").agg(count(lit(1)).as("df"))
     sh.join(df, "h")
       .groupBy($"doc_id")
@@ -2014,9 +2022,54 @@ object TextOps {
       |FROM f b LEFT JOIN idx ON idx.fp = b.fp
       |WHERE b.doc_id % 10 = 9""".stripMargin
 
+  /** q126 — INCREMENTAL near-dup: q125's ingest shape upgraded from
+    * exact fingerprints to LSH — new-batch docs (doc_id % 10 == 9 as
+    * the stand-in) that share a MinHash band bucket with any committed
+    * corpus doc. The corpus side is the band-bucket INDEX q30 already
+    * builds (same signatures, same 4 bands of 2 slices); in production
+    * it is maintained incrementally as batches commit (4 small rows per
+    * doc, bucketed by (band, bucket) so probes co-locate — the
+    * [[graft.sources.ManifestTable]] analog of q125's fingerprint
+    * index), and each arriving batch only hashes ITSELF and joins the
+    * bucketed index: the 100 TB corpus is never re-shingled. Here both
+    * sides derive from one signature build (the split is a filter), so
+    * the plan reuses a single exchange exactly like q30's self-join. */
+  def q126IncrementalNeardup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sig = minhashSignatures(s, d)
+    val bands = sig.selectExpr("doc_id",
+      "stack(4, 0, concat(h0, h1), 1, concat(h2, h3), 2, concat(h4, h5), 3, concat(h6, h7)) AS (band, bucket)")
+    val idx = bands.where($"doc_id" % 10 =!= 9)
+    val probe = bands.where($"doc_id" % 10 === 9)
+    probe.as("a").join(idx.as("b").hint("merge"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket")
+      .select($"a.doc_id".as("batch_doc"), $"b.doc_id".as("corpus_doc"))
+      .distinct()
+  }
+
+  val q126Sql: String =
+    s"""WITH $shingleCte,
+      |hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+      |sig AS (SELECT doc_id,
+      |  min(substring(h, 1, 4)) h0, min(substring(h, 5, 4)) h1,
+      |  min(substring(h, 9, 4)) h2, min(substring(h, 13, 4)) h3,
+      |  min(substring(h, 17, 4)) h4, min(substring(h, 21, 4)) h5,
+      |  min(substring(h, 25, 4)) h6, min(substring(h, 29, 4)) h7
+      |  FROM hashed GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, h0 || h1 AS bucket FROM sig
+      |  UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+      |  UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+      |  UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig)
+      |SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_doc
+      |FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.bucket = b.bucket
+      |WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 <> 9""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_bpe_pairs" -> (q124BpePairs _),
     "q125_incremental_dedup" -> (q125IncrementalDedup _),
+    "q126_incremental_neardup" -> (q126IncrementalNeardup _),
     "q114_quality_classifier" -> (q114QualityClassifier _),
     "q115_psi_drift" -> (q115PsiDrift _),
     "q116_containment_pairs" -> (q116ContainmentPairs _),
@@ -2056,6 +2109,7 @@ object TextOps {
   lazy val oracleSql: Map[String, String] = Map(
     "q124_bpe_pairs" -> q124Sql,
     "q125_incremental_dedup" -> q125Sql,
+    "q126_incremental_neardup" -> q126Sql,
     "q114_quality_classifier" -> q114Sql,
     "q115_psi_drift" -> q115Sql,
     "q116_containment_pairs" -> q116Sql,
