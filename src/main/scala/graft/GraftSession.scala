@@ -16,6 +16,13 @@ object GraftSession {
     */
   val defaults: Seq[(String, String)] = Seq(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // Driver testdata generations differ: some write events.ts as parquet
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark would surface
+    // as TIMESTAMP_NTZ and every timestamp-literal comparison would fail
+    // analysis. Reading it as TIMESTAMP_LTZ is value-identical under the
+    // UTC session zone AND keeps ts predicates pushable to the scan
+    // (a cast(ts) workaround would block parquet filter pushdown).
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.ui.enabled" -> "false")
 

@@ -31,17 +31,29 @@ object Tables {
 
   private def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. GraftSession presets nanosAsLong at session build
-      // (no conf mutation on the query path); the guard below only fires
-      // for externally-built sessions (e.g. the driver's smoke session)
-      // that would otherwise hard-fail on the scan.
+      // events.ts varies by driver testdata generation:
+      //   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so
+      //     GraftSession presets nanosAsLong and we floor ns→µs here (the
+      //     same truncation DuckDB applies, so oracle results line up).
+      //   - TIMESTAMP(MICROS, isAdjustedToUTC=false): would surface as
+      //     TIMESTAMP_NTZ and break every timestamp-literal comparison;
+      //     GraftSession presets inferTimestampNTZ=false so it reads as
+      //     plain TIMESTAMP (value-identical under the UTC session zone,
+      //     and ts predicates stay pushable to the parquet scan).
+      // The guards below only fire for externally-built sessions (e.g.
+      // the driver's smoke session) that lack the presets.
       if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Nanos arrive as long; floor-divide to micros — the same ns→µs
-      // truncation DuckDB applies, so oracle results line up exactly.
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      if (spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampType => raw
+        case _ => // NTZ slipped through (conf read too late): identity cast under UTC
+          raw.withColumn("ts", expr("cast(ts as timestamp)"))
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
