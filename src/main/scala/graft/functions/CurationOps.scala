@@ -628,22 +628,28 @@ object CurationOps {
     * predicate silently collecting half the corpus (VERDICT r7). */
   private[graft] val MaxEvalBloomHashes: Int = 16 << 20
 
-  /** [[q98BloomDecontaminate]] with the eval-set cap explicit. The
-    * collect is bounded BY CONSTRUCTION — `limit(max + 1)` caps what can
-    * reach the driver regardless of how wrong the eval predicate is —
-    * and overflow fails loudly instead of OOMing. */
+  /** [[q98BloomDecontaminate]] with the eval-set cap explicit. The cap
+    * is enforced BEFORE anything reaches the driver by a fully-parallel
+    * `count()` over the distinct eval shingles — overflow fails loudly
+    * instead of OOMing, and no corpus-scale data ever starts moving
+    * driver-ward. (VERDICT r9: the previous `limit(max + 1).collect()`
+    * guard compiled to CollectLimit, which funnels every distinct
+    * shingle through ONE task before the driver sees it — a 2× q98
+    * regression. count-then-collect keeps both jobs parallel; the
+    * distinct eval set is persisted so the guard, the hash collect and
+    * the rescore join's broadcast build all share one aggregation.) */
   private[graft] def bloomDecontaminate(
       s: SparkSession, d: String, maxHashes: Int): DataFrame = {
     import s.implicits._
     val sh = TextOps.rawShingles(s, d)
-    val eval = sh.where($"doc_id" % 19 === 0).select($"shingle").distinct()
-    val hashes = eval.select(xxhash64($"shingle"))
-      .limit(maxHashes + 1).as[Long].collect()
-    require(hashes.length <= maxHashes,
-      s"bloom decontamination: eval suite exceeds $maxHashes distinct shingles - " +
+    val eval = sh.where($"doc_id" % 19 === 0).select($"shingle").distinct().persist()
+    val n = eval.count()
+    require(n <= maxHashes,
+      s"bloom decontamination: eval suite has $n distinct shingles, exceeding $maxHashes - " +
         "that is corpus-scale, not benchmark-scale (misconfigured eval predicate?). " +
         "Past this size build the filter distributed (bloom_filter_agg) instead " +
         "of collecting it to the driver.")
+    val hashes = eval.select(xxhash64($"shingle")).as[Long].collect()
     val (words, nBits) = bloomBitset(hashes)
     sh.where($"doc_id" % 19 =!= 0)
       .where(bloomProbe(words, nBits, xxhash64($"shingle")))

@@ -2041,7 +2041,14 @@ object TextOps {
       "stack(4, 0, concat(h0, h1), 1, concat(h2, h3), 2, concat(h4, h5), 3, concat(h6, h7)) AS (band, bucket)")
     val idx = bands.where($"doc_id" % 10 =!= 9)
     val probe = bands.where($"doc_id" % 10 === 9)
-    probe.as("a").join(idx.as("b").hint("merge"),
+    // No join hint (VERDICT r9): an equi-join can never plan as a nested
+    // loop (PlanSpec pins that), and the previous `.hint("merge")` pin
+    // also forbade AQE from broadcasting the probe side — which is
+    // exactly the production shape (small arriving batch vs huge
+    // committed index). Unhinted, AQE picks broadcast when the batch is
+    // tiny and sort-merge with ONE reused exchange when sides are
+    // symmetric (as here, both filters of one signature build).
+    probe.as("a").join(idx.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket")
       .select($"a.doc_id".as("batch_doc"), $"b.doc_id".as("corpus_doc"))
       .distinct()

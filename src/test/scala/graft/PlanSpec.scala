@@ -428,4 +428,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       plan)
   }
+
+  test("q126: the band-bucket index probe is an UNHINTED equi join — never a " +
+    "nested loop, and free for AQE to broadcast a tiny arriving batch " +
+    "(the previous merge hint forbade exactly that production shape)") {
+    val plan = physical(graft.functions.TextOps.q126IncrementalNeardup(spark, sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+    // equi-join strategies only: broadcast-hash, shuffled-hash or sort-merge
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"), plan)
+  }
 }
