@@ -143,6 +143,35 @@ object CorpusPipelineDemo {
     val match_ = stats1.orderBy($"split").collect().sameElements(
       recheck.orderBy($"split").collect())
     println(s"INCREMENTAL_EQUALS_RECOMPUTE=$match_")
+
+    // 9. incremental DEDUP-INDEX lifecycle (the maintained form of
+    // q125/q126): the corpus lands as two commits on a ManifestTable,
+    // the exact-fingerprint and LSH band-bucket indexes absorb each
+    // commit's CDC delta (only the changed docs are re-hashed — never
+    // the lake), and the next arriving batch probes the MAINTAINED
+    // indexes before it commits
+    val corpusRoot = s"$work/corpus"
+    val fpIdx = s"$work/fp_idx"
+    val bandIdx = s"$work/band_idx"
+    val allDocs = Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+    val c1 = ManifestTable.merge(
+      allDocs.where($"doc_id" % 10 =!= 9 && $"doc_id" % 2 === 0),
+      corpusRoot, Seq("doc_id"))
+    graft.sources.DedupIndex.refreshIndexes(spark, corpusRoot, fpIdx, bandIdx, 0, c1)
+    val c2 = ManifestTable.merge(
+      allDocs.where($"doc_id" % 10 =!= 9 && $"doc_id" % 2 === 1),
+      corpusRoot, Seq("doc_id"))
+    graft.sources.DedupIndex.refreshIndexes(spark, corpusRoot, fpIdx, bandIdx, c1, c2)
+    val arriving = allDocs.where($"doc_id" % 10 === 9)
+    val exactDups = graft.sources.DedupIndex.probeExact(arriving, spark, fpIdx)
+      .where($"is_known_dup").count()
+    val nearHits = graft.sources.DedupIndex.probeNearDup(arriving, spark, bandIdx).count()
+    val idxOk = graft.sources.DedupIndex.readFpIndex(spark, fpIdx)
+      .orderBy($"fp").collect().sameElements(
+        graft.sources.DedupIndex.computeFpIndex(
+          ManifestTable.read(spark, corpusRoot)).orderBy($"fp").collect())
+    println(s"DEDUP_INDEX exact_dups_in_batch=$exactDups near_dup_hits=$nearHits " +
+      s"maintained_equals_recompute=$idxOk")
     spark.stop()
   }
 }

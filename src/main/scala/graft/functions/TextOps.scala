@@ -39,12 +39,7 @@ object TextOps {
   private val rawShingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private[functions] def rawShingles(s: SparkSession, d: String): DataFrame = {
-    def build: DataFrame = {
-      import s.implicits._
-      docs(s, d)
-        .select($"doc_id", tokens($"text").as("toks"))
-        .select($"doc_id", explode(expr(shinglesExpr)).as("shingle"))
-    }
+    def build: DataFrame = shinglesOf(docs(s, d))
     if (sys.props.get("graft.cacheTables").contains("true")) {
       rawShingleCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
       rawShingleCache.getOrElseUpdate((s, d), build.persist())
@@ -188,18 +183,77 @@ object TextOps {
     * with the q95 calibration): one md5 per shingle, 8 disjoint 4-hex
     * (16-bit) slices, min per slice. min() is dedup-invariant — no
     * distinct shuffle before the groupBy. */
-  private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val sh = rawShingles(s, d).withColumn("h", md5($"shingle"))
-    val mins = (0 until 8).map(i => min(substring($"h", 1 + 4 * i, 4)).as(s"h$i"))
-    sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+  private def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    minhashSignaturesOf(rawShingles(s, d))
+
+  /** The signature aggregation over an arbitrary (doc_id, shingle)
+    * frame — shared by the path-based view above and the incremental
+    * index maintenance ([[graft.sources.DedupIndex]]), so the
+    * maintained index and the recompute provably hash the same way. */
+  private[graft] def minhashSignaturesOf(shingleRows: DataFrame): DataFrame = {
+    val sh = shingleRows.withColumn("h", md5(col("shingle")))
+    val mins = (0 until 8).map(i => min(substring(col("h"), 1 + 4 * i, 4)).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Exploded (doc_id, shingle) rows of an arbitrary (doc_id, text, …)
+    * frame — [[rawShingles]] without the path/view machinery, for
+    * callers that shingle a CHANGED-ROWS delta rather than a table
+    * (the "never re-shingle the lake" ingest path). */
+  private[graft] def shinglesOf(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
+
+  /** Append the exact content fingerprint `fp` to an arbitrary docs
+    * frame (columns preserved) — q125's fingerprint and
+    * [[graft.sources.DedupIndex]]'s maintained exact index share this
+    * single definition. */
+  private[graft] def withFingerprint(docsDf: DataFrame): DataFrame =
+    docsDf.withColumn("fp", md5(col("text")))
+
+  /** Just (doc_id, fp) — [[withFingerprint]] projected to the probe shape. */
+  private[graft] def fingerprintsOf(docsDf: DataFrame): DataFrame =
+    withFingerprint(docsDf).select(col("doc_id"), col("fp"))
+
+  /** The 4-band LSH rows (doc_id, band, bucket) of an arbitrary docs
+    * frame — q30/q126's banding over [[minhashSignaturesOf]], shared
+    * with the maintained band-bucket index. Docs with fewer than 3
+    * tokens have no shingles, hence no signature and NO band rows —
+    * identically on the query and index paths. */
+  private[graft] def bandRowsOf(docsDf: DataFrame): DataFrame =
+    minhashSignaturesOf(shinglesOf(docsDf)).selectExpr("doc_id", bandStackExpr)
+
+  /** The 4-bands-of-2-slices banding, shared verbatim by q30, q126 and
+    * [[bandRowsOf]] so every LSH surface buckets identically. */
+  private[graft] val bandStackExpr: String =
+    "stack(4, 0, concat(h0, h1), 1, concat(h2, h3), 2, concat(h4, h5), 3, concat(h6, h7)) AS (band, bucket)"
+
+  /** Per-row (non-aggregating) form of [[bandRowsOf]] for STREAMS: the
+    * signature min runs over each row's own shingle ARRAY (`array_min`
+    * of the same md5 slices) instead of a groupBy — legal before a
+    * stateful streaming operator, and value-identical, because min over
+    * a doc's exploded shingle rows ≡ array_min over its shingle array.
+    * Docs under 3 tokens drop out exactly as on the batch path (empty
+    * array → filtered). Extra input columns are preserved so a stream's
+    * routing flags ride along. */
+  private[graft] def bandRowsPerRow(docsDf: DataFrame): DataFrame = {
+    val extra = docsDf.columns.filterNot(Set("doc_id", "text")).toSeq
+    val mins = (0 until 8).map(i =>
+      expr(s"array_min(transform(hs, h -> substring(h, ${1 + 4 * i}, 4)))").as(s"h$i"))
+    docsDf
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", expr(shinglesExpr))
+      .where(size(col("sh")) > 0)
+      .withColumn("hs", expr("transform(sh, x -> md5(x))"))
+      .select((col("doc_id") +: mins) ++ extra.map(col): _*)
+      .selectExpr(Seq("doc_id", bandStackExpr) ++ extra: _*)
   }
 
   def q30MinHashLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sig = minhashSignatures(s, d)
-    val bands = sig.selectExpr("doc_id",
-      "stack(4, 0, concat(h0, h1), 1, concat(h2, h3), 2, concat(h4, h5), 3, concat(h6, h7)) AS (band, bucket)")
+    val bands = sig.selectExpr("doc_id", bandStackExpr)
     // merge-join hint: at corpus scale the signature table (4 rows/doc)
     // is never broadcastable, and with both sides shuffled identically
     // Spark reuses ONE exchange — the shingle+minhash build runs once,
@@ -1999,15 +2053,20 @@ object TextOps {
   /** q125 — INCREMENTAL dedup: flag new-batch docs whose exact content
     * fingerprint already exists in the committed corpus. This is the
     * ingest shape that never re-dedups the lake: the corpus collapses
-    * once to a distinct-fingerprint INDEX (maintained incrementally as
-    * batches commit — on a real deployment a ManifestTable bucketed by
-    * fingerprint, so this join co-partitions instead of reshuffling the
-    * index), and each arriving batch probes it. Batch = doc_id % 10 == 9
-    * as the stand-in split. AQE picks the join side to build: the batch
-    * is the small side at production ratios. */
+    * once to a distinct-fingerprint INDEX and each arriving batch
+    * probes it. The MAINTAINED form of that index is real code, not a
+    * comment: [[graft.sources.DedupIndex]] keeps it as a
+    * fingerprint-bucketed ManifestTable updated from readChanges CDC
+    * deltas ([[graft.sources.DedupIndex.maintainFpIndex]]), sharing
+    * [[withFingerprint]] with this query so both hash identically —
+    * DedupIndexSpec pins maintained ≡ recomputed, probe included.
+    * Here (single-shot oracle form) batch = doc_id % 10 == 9 as the
+    * stand-in split and the index is derived in-query. AQE picks the
+    * join side to build: the batch is the small side at production
+    * ratios. */
   def q125IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val all = docs(s, d).select($"doc_id", md5($"text").as("fp"))
+    val all = fingerprintsOf(docs(s, d))
     val idx = all.where($"doc_id" % 10 =!= 9).select($"fp").distinct()
       .withColumn("known", lit(1L))
     all.where($"doc_id" % 10 === 9)
@@ -2026,19 +2085,21 @@ object TextOps {
     * exact fingerprints to LSH — new-batch docs (doc_id % 10 == 9 as
     * the stand-in) that share a MinHash band bucket with any committed
     * corpus doc. The corpus side is the band-bucket INDEX q30 already
-    * builds (same signatures, same 4 bands of 2 slices); in production
-    * it is maintained incrementally as batches commit (4 small rows per
-    * doc, bucketed by (band, bucket) so probes co-locate — the
-    * [[graft.sources.ManifestTable]] analog of q125's fingerprint
-    * index), and each arriving batch only hashes ITSELF and joins the
-    * bucketed index: the 100 TB corpus is never re-shingled. Here both
-    * sides derive from one signature build (the split is a filter), so
-    * the plan reuses a single exchange exactly like q30's self-join. */
+    * builds (same signatures, same [[bandStackExpr]] banding). The
+    * MAINTAINED form is [[graft.sources.DedupIndex]]: 4 stored rows per
+    * doc in a bucketed ManifestTable updated from readChanges CDC
+    * deltas ([[graft.sources.DedupIndex.maintainBandIndex]]), so an
+    * arriving batch only shingles ITSELF and joins the stored index —
+    * the 100 TB corpus is never re-shingled (DedupIndexSpec pins
+    * maintained ≡ recomputed across commits incl. update/delete; the
+    * streaming face is EventStream.nearDupProbeStream). Here (the
+    * single-shot oracle form) both sides derive from one signature
+    * build (the split is a filter), so the plan reuses a single
+    * exchange exactly like q30's self-join. */
   def q126IncrementalNeardup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sig = minhashSignatures(s, d)
-    val bands = sig.selectExpr("doc_id",
-      "stack(4, 0, concat(h0, h1), 1, concat(h2, h3), 2, concat(h4, h5), 3, concat(h6, h7)) AS (band, bucket)")
+    val bands = sig.selectExpr("doc_id", bandStackExpr)
     val idx = bands.where($"doc_id" % 10 =!= 9)
     val probe = bands.where($"doc_id" % 10 === 9)
     // No join hint (VERDICT r9): an equi-join can never plan as a nested

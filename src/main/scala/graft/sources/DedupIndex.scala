@@ -1,0 +1,195 @@
+package graft.sources
+
+import graft.functions.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained DEDUP INDEXES over a [[ManifestTable]]
+  * corpus — the ingest lifecycle q125/q126 describe, as code:
+  *
+  *  - an EXACT index: one row per distinct content fingerprint with a
+  *    document ref-count — q125's probe target;
+  *  - a NEAR-DUP index: the MinHash band-bucket rows (4 per doc, q30's
+  *    construction via [[TextOps.bandRowsOf]]) — q126's probe target.
+  *
+  * Both live as hash-bucketed ManifestTables of their own and are
+  * maintained from the corpus table's CDC stream
+  * ([[ManifestTable.readChanges]] with preimages, the
+  * [[IncrementalView]] pattern): when a batch commits to the corpus,
+  * ONLY the changed rows are re-fingerprinted / re-shingled and the
+  * index absorbs their delta. The 100 TB corpus is never re-hashed —
+  * maintenance cost is O(changed docs), and [[DedupIndexSpec]] pins
+  * maintained ≡ recomputed across commits including update + delete.
+  *
+  * Scale shape of one maintenance pass:
+  *  - the delta (one commit's changed docs) is aggregated first and is
+  *    the BROADCAST side everywhere it meets the index — the index,
+  *    arbitrarily large, is never shuffled;
+  *  - index writes go through [[ManifestTable.mergePartitioned]] keyed
+  *    by a stable hash bucket, so write amplification is O(touched
+  *    buckets), not O(index) — and exact-probe joins against the stored
+  *    layout meet co-bucketed files (the "fingerprint-bucketed
+  *    ManifestTable" q125's Scaladoc promises);
+  *  - deletions retract via the ref-count (exact index) or a `live`
+  *    tombstone flag (band index): MERGE upserts rows, it cannot remove
+  *    them, and a tombstone row is one fixed-width record — readers
+  *    filter them, compaction ages them out.
+  */
+object DedupIndex {
+
+  /** Stable hash-bucket count for the index tables' partition layout.
+    * Tests use few buckets; a production deployment sizes this so one
+    * bucket ≈ one comfortable file-group (e.g. 4096 at 100 TB). A
+    * batch's merge rewrites at most min(buckets, |changed keys|)
+    * partitions. */
+  val IndexBuckets = 16
+
+  private def sign = when(
+    col("_change_type").isin("insert", "update_postimage"), 1L)
+    .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+
+  // ---------------------------------------------------------------- exact
+
+  /** The exact index of a corpus snapshot — the bootstrap, and the
+    * spec's ground truth: (bucket, fp, n_docs). */
+  def computeFpIndex(docs: DataFrame): DataFrame =
+    TextOps.fingerprintsOf(docs)
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("bucket", pmod(xxhash64(col("fp")), lit(IndexBuckets.toLong)))
+      .select(col("bucket"), col("fp"), col("n_docs"))
+
+  /** Bootstrap the exact index table from a corpus snapshot. */
+  def bootstrapFpIndex(docs: DataFrame, idxRoot: String): Int =
+    ManifestTable.mergePartitioned(
+      computeFpIndex(docs), idxRoot, Seq("bucket", "fp"), "bucket")
+
+  /** Apply ONE corpus version's CDC events to the exact index table.
+    * `changes` must carry preimages ([[ManifestTable.readChanges]]
+    * `preimages = true`): an update's old fingerprint must decrement,
+    * or the index drifts. Only the changed docs are fingerprinted; the
+    * index contributes only the delta-touched rows (semi join against
+    * the BROADCAST delta), and the merge rewrites only their buckets. */
+  def maintainFpIndex(spark: SparkSession, changes: DataFrame, idxRoot: String): Int = {
+    // a no-op commit (compaction, idempotent re-merge) diffs to zero
+    // rows: nothing to merge, and a bootstrap from it would have no
+    // files to commit — the check is one job over the delta, never the index
+    if (changes.isEmpty) return ManifestTable.currentVersion(idxRoot)
+    val d = TextOps.withFingerprint(changes)
+      .select(col("fp"), sign.as("__sgn"))
+      .groupBy(col("fp"))
+      .agg(sum(col("__sgn")).as("d_docs"))
+      .where(col("d_docs") =!= 0L)
+    val updated =
+      if (ManifestTable.currentVersion(idxRoot) < 1)
+        d.select(col("fp"), col("d_docs").as("n_docs"))
+      else {
+        // touched index rows only: index SEMI broadcast(delta) — the big
+        // index streams once, result is delta-bounded
+        val idx = ManifestTable.read(spark, idxRoot)
+        val touched = idx.join(broadcast(d.select(col("fp"))), Seq("fp"), "left_semi")
+          .select(col("fp"), col("n_docs"))
+        d.as("d").join(broadcast(touched.as("t")), Seq("fp"), "left_outer")
+          .select(col("fp"),
+            (coalesce(col("t.n_docs"), lit(0L)) + col("d.d_docs")).as("n_docs"))
+      }
+    // rows reaching n_docs = 0 are written as tombstones (merge cannot
+    // delete); readFpIndex filters them
+    val rows = updated
+      .withColumn("bucket", pmod(xxhash64(col("fp")), lit(IndexBuckets.toLong)))
+      .select(col("bucket"), col("fp"), col("n_docs"))
+    ManifestTable.mergePartitioned(rows, idxRoot, Seq("bucket", "fp"), "bucket")
+  }
+
+  /** The live exact index (tombstones filtered). */
+  def readFpIndex(spark: SparkSession, idxRoot: String): DataFrame =
+    ManifestTable.read(spark, idxRoot).where(col("n_docs") > 0L)
+
+  /** q125's probe against the MAINTAINED index: flag arriving docs whose
+    * content fingerprint is already committed. The batch side is small
+    * by nature (one ingest batch) — AQE broadcasts it; the index is
+    * read from its bucketed layout. Output schema = q125's. */
+  def probeExact(batch: DataFrame, spark: SparkSession, idxRoot: String): DataFrame =
+    TextOps.fingerprintsOf(batch)
+      .join(readFpIndex(spark, idxRoot).select(col("fp"), lit(1L).as("known")),
+        Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"), col("known").isNotNull.as("is_known_dup"))
+
+  // ------------------------------------------------------------- near-dup
+
+  /** The band-bucket index of a corpus snapshot: (pbucket, doc_id, band,
+    * bucket, live). Ground truth for the maintained form. */
+  def computeBandIndex(docs: DataFrame): DataFrame =
+    withPBucket(TextOps.bandRowsOf(docs).withColumn("live", lit(true)))
+
+  private def withPBucket(df: DataFrame): DataFrame =
+    df.withColumn("pbucket", pmod(xxhash64(col("doc_id")), lit(IndexBuckets.toLong)))
+      .select(col("pbucket"), col("doc_id"), col("band"), col("bucket"), col("live"))
+
+  /** Bootstrap the band index table from a corpus snapshot. */
+  def bootstrapBandIndex(docs: DataFrame, idxRoot: String): Int =
+    ManifestTable.mergePartitioned(
+      computeBandIndex(docs), idxRoot, Seq("pbucket", "doc_id", "band"), "pbucket")
+
+  /** Apply ONE corpus version's CDC events to the band index. Only the
+    * changed docs are re-shingled ([[TextOps.bandRowsOf]] on the delta).
+    * Every changed doc emits its FULL key-set of 4 (doc_id, band) rows —
+    * live rows where the new image has a signature, tombstones where it
+    * doesn't (deleted doc, or an update shrunk below 3 tokens) — so an
+    * upsert-only merge can never leave a stale band row behind. */
+  def maintainBandIndex(spark: SparkSession, changes: DataFrame, idxRoot: String): Int = {
+    if (changes.isEmpty) return ManifestTable.currentVersion(idxRoot)
+    // one row per changed doc: latest image wins (delete rows have no
+    // successor; update pre/post pairs collapse to the postimage)
+    val changed = changes
+      .select(col("doc_id"), col("text"), col("_change_type"))
+      .where(col("_change_type").isin("insert", "update_postimage", "delete"))
+    val liveRows = TextOps.bandRowsOf(
+      changed.where(col("_change_type") =!= "delete").select(col("doc_id"), col("text")))
+      .withColumn("live", lit(true))
+    // full key coverage: 4 tombstone keys per changed doc, overridden by
+    // the computed live rows where they exist
+    val keys = changed.select(col("doc_id")).distinct()
+      .select(col("doc_id"), explode(lit(Array(0, 1, 2, 3))).as("band"))
+    val rows = keys.as("k")
+      .join(liveRows.as("l"), Seq("doc_id", "band"), "left_outer")
+      .select(col("doc_id"), col("band"),
+        coalesce(col("l.bucket"), lit("")).as("bucket"),
+        coalesce(col("l.live"), lit(false)).as("live"))
+    ManifestTable.mergePartitioned(
+      withPBucket(rows), idxRoot, Seq("pbucket", "doc_id", "band"), "pbucket")
+  }
+
+  /** The live band rows (tombstones filtered). */
+  def readBandIndex(spark: SparkSession, idxRoot: String): DataFrame =
+    ManifestTable.read(spark, idxRoot).where(col("live"))
+      .select(col("doc_id"), col("band"), col("bucket"))
+
+  /** q126's probe against the MAINTAINED index: arriving docs that share
+    * a MinHash band bucket with any committed doc. Only the BATCH is
+    * shingled; the index side is 4 stored rows per corpus doc. Unhinted
+    * equi join: AQE broadcasts the batch side at production ratios.
+    * Output schema = q126's. */
+  def probeNearDup(batch: DataFrame, spark: SparkSession, idxRoot: String): DataFrame =
+    TextOps.bandRowsOf(batch).as("a")
+      .join(readBandIndex(spark, idxRoot).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("corpus_doc"))
+      .distinct()
+
+  // ------------------------------------------------------------ lifecycle
+
+  /** Roll BOTH indexes forward across corpus versions `(fromV, toV]` —
+    * what a scheduled index-maintenance job runs after ingest commits
+    * land. One CDC read per version keeps each delta minimal (that
+    * commit's changed partitions only, pruned by manifest diff). */
+  def refreshIndexes(spark: SparkSession, corpusRoot: String,
+      fpRoot: String, bandRoot: String, fromV: Int, toV: Int): Unit =
+    (fromV until toV).foreach { v =>
+      val ch = ManifestTable.readChanges(
+        spark, corpusRoot, v, v + 1, Seq("doc_id"), preimages = true)
+        .localCheckpoint() // one materialization feeds both maintenance passes
+      maintainFpIndex(spark, ch, fpRoot)
+      maintainBandIndex(spark, ch, bandRoot)
+    }
+}

@@ -495,6 +495,64 @@ object EventStream {
       .transformWithState(new SpanOverlapProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  /** One near-dup probe hit: an arriving doc shares a MinHash band
+    * bucket with a committed corpus doc — the unit q126 reports. */
+  case class NearDupHit(batch_doc: Long, corpus_doc: Long)
+
+  /** Streaming face of the maintained band-bucket index
+    * ([[graft.sources.DedupIndex]]): state per LSH (band, bucket) key is
+    * the list of COMMITTED corpus doc_ids in that bucket. Corpus rows
+    * (`is_probe = false`) append to their bucket's state; probe rows
+    * (`is_probe = true`) emit a [[NearDupHit]] per committed member and
+    * are NOT added — so probes never match each other, exactly q126's
+    * batch-vs-corpus semantics, and corpus rows arriving in the same
+    * micro-batch as a probe are still seen (state updates first).
+    *
+    * State is 4 longs per committed doc spread across bucket keys — the
+    * same 4-rows-per-doc index [[graft.sources.DedupIndex]] stores on
+    * disk, held here by the state store (RocksDB at scale). A pair
+    * colliding in several bands emits once per band; the consumer
+    * applies `dropDuplicates` (or tolerates re-flagging) — the spec
+    * compares sets against the batch answer. */
+  class NearDupProbeProcessor
+      extends StatefulProcessor[String, (String, Long, Boolean), NearDupHit] {
+    @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[Long]("members", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, Long, Boolean)],
+        timerValues: TimerValues): Iterator[NearDupHit] = {
+      val rs = rows.toArray
+      val arriving = rs.collect { case (_, id, false) => id }.distinct.sorted
+      if (arriving.nonEmpty) members.appendList(arriving)
+      val probes = rs.collect { case (_, id, true) => id }.distinct.sorted
+      if (probes.isEmpty) Iterator.empty
+      else {
+        val committed = members.get().toArray
+        probes.iterator.flatMap(p => committed.iterator.map(c => NearDupHit(p, c)))
+      }
+    }
+  }
+
+  /** q126 as a stream: docs (doc_id, text, is_probe) in, near-dup hits
+    * out. The banding is [[graft.functions.TextOps.bandRowsPerRow]] —
+    * the same slices and [[graft.functions.TextOps.bandStackExpr]]
+    * banding the batch query and the on-disk index use, in per-row form
+    * (streaming-legal, value-identical), so the three surfaces cannot
+    * drift. StreamingSpec proves set parity with q126's batch answer on
+    * a corpus split across micro-batches. */
+  def nearDupProbeStream(docs: DataFrame): Dataset[NearDupHit] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.TextOps.bandRowsPerRow(docs)
+      .select(concat_ws(":", col("band"), col("bucket")).as("k"),
+        col("doc_id"), col("is_probe"))
+      .as[(String, Long, Boolean)]
+      .groupByKey(_._1)
+      .transformWithState(new NearDupProbeProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** STREAM-STREAM interval join — q121's conversion-candidate pairs
     * computed continuously: views and purchases arrive as two streams,
     * and each view matches the same user's purchases in the following

@@ -228,6 +228,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("nearDupProbeStream (transformWithState): the band-bucket state probe " +
+    "answers exactly like the q126 batch query on the same corpus/batch split, " +
+    "with the corpus spread across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tA = "alpha beta gamma delta epsilon zeta"
+    val tB = "one two three four five six seven"
+    val tC = "red orange yellow green blue indigo"
+    val tNew = "totally novel unique words nobody committed"
+    // q126's stand-in split: corpus = doc_id % 10 != 9, batch = == 9.
+    // Identical texts guarantee band collisions (9→1, 9→12, 19→2).
+    val corpusDocs = Seq(1L -> tA, 2L -> tB, 3L -> tC, 12L -> tA)
+    val probeDocs = Seq(9L -> tA, 19L -> tB, 29L -> tNew)
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardupstream").toString
+    (corpusDocs ++ probeDocs).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val batchAnswer = graft.functions.TextOps.q126IncrementalNeardup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    withRocksDb {
+      val mem = MemoryStream[(Long, String, Boolean)]
+      val q = EventStream.nearDupProbeStream(
+          mem.toDF().toDF("doc_id", "text", "is_probe"))
+        .toDF().writeStream.format("memory")
+        .queryName("neardup_probe_out").outputMode("append").start()
+      // corpus commits land across two micro-batches (cross-batch state);
+      // the arriving batch probes in a third
+      mem.addData((1L, tA, false), (2L, tB, false))
+      q.processAllAvailable()
+      mem.addData((3L, tC, false), (12L, tA, false))
+      q.processAllAvailable()
+      mem.addData(probeDocs.map { case (id, t) => (id, t, true) }: _*)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("neardup_probe_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batchAnswer, s"stream $streamed vs batch $batchAnswer")
+      assert(streamed((9L, 1L)) && streamed((9L, 12L)) && streamed((19L, 2L)),
+        streamed.toString)
+      assert(!streamed.exists(_._1 == 29L), streamed.toString) // novel doc: no hits
+    }
+  }
+
   test("windowedAgg over a memory stream matches the batch tumbling window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
