@@ -46,8 +46,11 @@ case class MediaMetadata(
   * on PNG chunks via java.util.zip). Writers emit structurally-valid
   * headers; parsers read ANY conforming file's metadata, not just ours —
   * a user pointing the pipeline at real .png/.jpg/.wav payloads gets
-  * real dimensions. Pixel/sample DECODE (the part that does need a codec
-  * lib) stays behind [[Multimodal.Codecs]]. */
+  * real dimensions. Sample/pixel decode is real too where no codec
+  * library is needed: 16-bit PCM ([[wavSamples]]) and 8-bit grayscale
+  * PNG ([[pngPixels]] — IDAT is just a zlib stream plus per-scanline
+  * filters); only JPEG entropy decode stays behind
+  * [[Multimodal.Codecs]]' fallback. */
 object MediaHeaders {
   import java.nio.{ByteBuffer, ByteOrder}
 
@@ -208,6 +211,133 @@ object MediaHeaders {
     out
   }
 
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a)
+    val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** REAL pixel-level PNG writer: grayscale 8-bit (color type 0), each
+    * scanline filtered per the PNG spec with filter type `y % 5` — so a
+    * written image exercises None/Sub/Up/Average/Paeth — and the
+    * filtered stream zlib-DEFLATED into IDAT (java.util.zip.Deflater;
+    * PNG's IDAT *is* a zlib stream, no codec library involved). Any
+    * conforming PNG reader decodes these; [[pngPixels]] is the inverse. */
+  def pngPixelBytes(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height,
+      s"pngPixelBytes: ${pixels.length} pixels for ${width}x$height")
+    val raw = new Array[Byte]((width + 1) * height)
+    var y = 0
+    while (y < height) {
+      val f = y % 5
+      raw(y * (width + 1)) = f.toByte
+      var x = 0
+      while (x < width) {
+        val orig = pixels(y * width + x) & 0xff
+        val left = if (x > 0) pixels(y * width + x - 1) & 0xff else 0
+        val up = if (y > 0) pixels((y - 1) * width + x) & 0xff else 0
+        val ul = if (x > 0 && y > 0) pixels((y - 1) * width + x - 1) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ => paeth(left, up, ul)
+        }
+        raw(y * (width + 1) + 1 + x) = ((orig - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = ByteBuffer.allocate(13).putInt(width).putInt(height)
+      .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", out.toByteArray) ++
+      pngChunk("IEND", Array.empty)
+  }
+
+  /** REAL pixel-level PNG decode for 8-bit grayscale: walk the chunk
+    * list (IDAT may be split across chunks — all bodies concatenate into
+    * one zlib stream), INFLATE it, and reverse each scanline's filter
+    * (all five types, reconstructing against already-decoded neighbors
+    * as the spec requires). Returns (width, height, pixels row-major),
+    * or None for anything unparseable — other color types / bit depths,
+    * truncated or corrupt streams — never a throw: one bad blob must
+    * not kill a 100 TB scan. */
+  def pngPixels(d: Array[Byte]): Option[(Long, Long, Array[Int])] = {
+    if (d.length < 45 || !d.startsWith(PngSig)) return None
+    var i = 8
+    var w = -1
+    var h = -1
+    var bitDepth = -1
+    var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    while (i + 8 <= d.length) {
+      val len = be32(d, i).toInt
+      if (len < 0 || i + 12 + len > d.length) return None // truncated chunk
+      val typ = new String(d, i + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = be32(d, i + 8).toInt
+          h = be32(d, i + 12).toInt
+          bitDepth = d(i + 16) & 0xff
+          colorType = d(i + 17) & 0xff
+        case "IDAT" => idat.write(d, i + 8, len)
+        case _ => ()
+      }
+      i += 12 + len // length + type + body + crc
+    }
+    if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 0 || idat.size() == 0)
+      return None
+    val raw = new Array[Byte]((w + 1) * h)
+    val inflater = new java.util.zip.Inflater()
+    try {
+      inflater.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off != raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inflater.end()
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (w + 1)) & 0xff
+      if (f > 4) return None
+      var x = 0
+      while (x < w) {
+        val filt = raw(y * (w + 1) + 1 + x) & 0xff
+        val left = if (x > 0) px(y * w + x - 1) else 0
+        val up = if (y > 0) px((y - 1) * w + x) else 0
+        val ul = if (x > 0 && y > 0) px((y - 1) * w + x - 1) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ => paeth(left, up, ul)
+        }
+        px(y * w + x) = (filt + pred) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    Some((w.toLong, h.toLong, px))
+  }
+
   /** MJPEG "container": a motion-JPEG stream IS concatenated JPEG frames
     * — there is no outer wrapper to invent. */
   def mjpegBytes(frames: Seq[Array[Byte]]): Array[Byte] = frames.flatten.toArray
@@ -241,31 +371,51 @@ object MediaHeaders {
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * Header-level metadata decode is REAL ([[MediaHeaders]]): PNG/JPEG/WAV
-  * dimensions, sample rate and duration are parsed from the payload
-  * bytes with pure-JVM byte arithmetic (q110). Only pixel/sample-level
-  * decode is STUBBED (this container has no image/audio codec libs):
-  * [[Codecs]] derives deterministic fake feature vectors from payload
-  * bytes. Everything around that stub — schema, Dataset encoders,
-  * per-partition batching, partition sizing — is the real distributed
-  * plumbing: swap `Codecs.decodeFeatures` for a JNI/codec call and
-  * nothing else changes.
+  * Decode depth, all pure-JVM ([[MediaHeaders]], no codec library):
+  *  - header-level metadata is REAL for PNG/JPEG/WAV (q110);
+  *  - SAMPLE-level audio decode is real (16-bit PCM, q123);
+  *  - PIXEL-level image decode is real for 8-bit grayscale PNG (zlib
+  *    inflate + scanline unfilter, q127);
+  *  - MJPEG frame split/sampling is real (q120).
+  * The one remaining stand-in is [[Codecs]]' non-PNG fallback (JPEG
+  * entropy decode genuinely needs a codec library): byte-statistic
+  * features, deterministic so specs and oracles can pin them. The
+  * surrounding plumbing — schema, Dataset encoders, per-partition
+  * batching, partition sizing — is the real distributed shape: swap the
+  * fallback for a JNI/codec call and nothing else changes.
   */
 object Multimodal {
 
-  /** STUB codec layer — deterministic fakes standing in for real decoders. */
+  /** Codec layer. Image pixel decode is REAL for PNG payloads
+    * ([[MediaHeaders.pngPixels]]: zlib inflate + scanline unfilter, no
+    * codec library needed — q127 oracle-gates it end-to-end); WAV sample
+    * decode is real elsewhere ([[MediaHeaders.wavSamples]], q123). The
+    * only remaining stand-in is the non-PNG fallback below: JPEG entropy
+    * decode genuinely needs a codec library this container lacks, so
+    * non-PNG payloads get deterministic byte statistics instead. */
   object Codecs {
-    /** Stand-in for image decode + feature extraction: 4 pseudo-features
-      * from stable byte statistics. Deterministic, so specs and oracles
-      * can pin outputs. */
-    def decodeFeatures(data: Array[Byte]): Array[Double] = {
-      if (data.isEmpty) Array.fill(4)(0.0)
-      else {
-        val n = data.length.toDouble
-        val sum = data.foldLeft(0L)((a, b) => a + (b & 0xff))
-        Array(n, sum / n, (data.head & 0xff).toDouble, (data.last & 0xff).toDouble)
+    /** Image feature extraction: for a decodable 8-bit grayscale PNG,
+      * REAL pixel features — [n_pixels, mean luminance, luminance
+      * variance, width] from the actual decoded pixels. For anything
+      * else, the byte-statistic stand-in [len, mean byte, first, last]
+      * (deterministic, so specs and oracles can pin outputs). */
+    def decodeFeatures(data: Array[Byte]): Array[Double] =
+      MediaHeaders.pngPixels(data) match {
+        case Some((w, _, px)) =>
+          var s = 0L
+          var ss = 0L
+          px.foreach { v => s += v; ss += v.toLong * v }
+          val n = px.length.toDouble
+          val mean = s / n
+          Array(px.length.toDouble, mean, ss / n - mean * mean, w.toDouble)
+        case None =>
+          if (data.isEmpty) Array.fill(4)(0.0)
+          else {
+            val n = data.length.toDouble
+            val sum = data.foldLeft(0L)((a, b) => a + (b & 0xff))
+            Array(n, sum / n, (data.head & 0xff).toDouble, (data.last & 0xff).toDouble)
+          }
       }
-    }
 
     /** Stand-in for resize: truncate payload to `maxBytes`. */
     def resize(data: Array[Byte], maxBytes: Int): Array[Byte] = data.take(maxBytes)
@@ -558,15 +708,93 @@ object Multimodal {
       |  CAST(1536000 // (2 * (8000 + (n_chars % 8) * 1000)) AS BIGINT) AS duration_ms
       |FROM s GROUP BY doc_id, n_chars, i // 256""".stripMargin
 
+  /** Fabricate PNGs with REAL zlib-compressed filtered pixel data from
+    * every image-kind doc (doc_id % 3 == 0): w = n_chars % 24 + 8,
+    * h = n_chars % 16 + 8, pixel(x, y) = (doc_id·7 + y·13 + x·31) mod
+    * 256 — SQL-expressible for the oracle, and spanning all scanline
+    * filter types via the writer's y % 5 policy. */
+  def imagesWithPixels(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+    import s.implicits._
+    Tables(s, sfDir, "documents")
+      .where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (docId, nChars) =>
+        val w = (nChars % 24 + 8).toInt
+        val h = (nChars % 16 + 8).toInt
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            px(y * w + x) = ((docId * 7 + y * 13 + x * 31) % 256).toInt
+            x += 1
+          }
+          y += 1
+        }
+        MediaPayload(docId, "image", MediaHeaders.pngPixelBytes(w, h, px))
+      }
+  }
+
+  /** q127: PIXEL-level image decode — mean/variance luminance computed
+    * from pixels reconstructed out of the PNG's zlib stream
+    * ([[MediaHeaders.pngPixels]]), the brightness/contrast screen an
+    * image ingest pipeline runs before a model sees the data. The
+    * oracle regenerates the pixel formula and recomputes both moments,
+    * so a hash match proves deflate∘inflate AND filter∘unfilter invert
+    * on every pixel of every image (the writer cycles all 5 filter
+    * types). Exact cross-engine: pixel sums (< 2¹⁸) and square sums
+    * (< 2²⁶) are exact doubles, and both engines compute
+    * s/n then ss/n − mean² in the same order before the shared
+    * round(…, 4). Per-row byte work, no shuffle — scan-speed at 100 TB,
+    * binary never leaves its task. */
+  def q127PngPixels(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    imagesWithPixels(s, d).flatMap { m =>
+      MediaHeaders.pngPixels(m.data).map { case (w, h, px) =>
+        var sum = 0L
+        var sumSq = 0L
+        px.foreach { v => sum += v; sumSq += v.toLong * v }
+        val n = px.length
+        val mean = sum.toDouble / n
+        (m.media_id, w, h, mean, sumSq.toDouble / n - mean * mean)
+      }
+    }.toDF("media_id", "width", "height", "mean_lum", "var_lum")
+      .withColumn("mean_lum", round(col("mean_lum"), 4))
+      .withColumn("var_lum", round(col("var_lum"), 4))
+  }
+
+  /** Oracle twin of [[q127PngPixels]]: regenerate pixel(x, y) over
+    * constant-bounded series (w ≤ 31, h ≤ 23) and recompute the
+    * moments with the same expression order. */
+  val q127Sql: String =
+    """WITH im AS (SELECT doc_id, CAST(n_chars % 24 + 8 AS BIGINT) AS w,
+      |                   CAST(n_chars % 16 + 8 AS BIGINT) AS h
+      |            FROM documents WHERE doc_id % 3 = 0),
+      |px AS (SELECT im.doc_id, im.w, im.h,
+      |              CAST((im.doc_id * 7 + y.g * 13 + x.g * 31) % 256 AS BIGINT) AS v
+      |       FROM im,
+      |            (SELECT unnest(generate_series(0, 22)) AS g) y,
+      |            (SELECT unnest(generate_series(0, 30)) AS g) x
+      |       WHERE y.g < im.h AND x.g < im.w),
+      |a AS (SELECT doc_id, w, h, CAST(sum(v) AS DOUBLE) AS s,
+      |             CAST(sum(v * v) AS DOUBLE) AS ss, count(*) AS n
+      |      FROM px GROUP BY doc_id, w, h)
+      |SELECT doc_id AS media_id, w AS width, h AS height,
+      |  round(s / n, 4) AS mean_lum,
+      |  round(ss / n - (s / n) * (s / n), 4) AS var_lum
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_media_features" -> (q37MediaFeatures _),
     "q110_media_decode" -> (q110MediaDecode _),
     "q120_frame_sample" -> (q120FrameSample _),
-    "q123_audio_energy" -> (q123AudioEnergy _))
+    "q123_audio_energy" -> (q123AudioEnergy _),
+    "q127_png_pixels" -> (q127PngPixels _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_media_features" -> q37Sql,
     "q110_media_decode" -> q110Sql,
     "q120_frame_sample" -> q120Sql,
-    "q123_audio_energy" -> q123Sql)
+    "q123_audio_energy" -> q123Sql,
+    "q127_png_pixels" -> q127Sql)
 }

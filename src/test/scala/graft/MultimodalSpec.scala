@@ -18,10 +18,43 @@ class MultimodalSpec extends SparkSpec {
     assert(viaSql.except(viaDs).count() === 0)
   }
 
-  test("decode stub: deterministic features from bytes") {
+  test("decode fallback: deterministic byte-statistic features for non-PNG bytes") {
     val f = Multimodal.Codecs.decodeFeatures("abc".getBytes)
     assert(f.toSeq === Seq(3.0, (97 + 98 + 99) / 3.0, 97.0, 99.0))
     assert(Multimodal.Codecs.decodeFeatures(Array.emptyByteArray).toSeq === Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("pngPixelBytes/pngPixels invert exactly across all 5 scanline filter types " +
+    "and a multi-IDAT stream; corrupt/foreign bytes decode to None, not a throw") {
+    // 6 rows ⇒ filter types 0,1,2,3,4,0 all exercised; adversarial pixel
+    // pattern spans the byte range so filter deltas wrap mod 256
+    val (w, h) = (7, 6)
+    val px = Array.tabulate(w * h)(i => (i * 37 + (i * i) % 251) % 256)
+    val png = MediaHeaders.pngPixelBytes(w, h, px)
+    val Some((dw, dh, dpx)) = MediaHeaders.pngPixels(png)
+    assert((dw, dh) === (w.toLong, h.toLong))
+    assert(dpx.toSeq === px.toSeq)
+    // header-level parser agrees on the dims of a pixel-bearing PNG
+    assert(MediaHeaders.pngDims(png) === Some((w.toLong, h.toLong)))
+    // a 1x1 image (no left/up neighbors anywhere) roundtrips too
+    assert(MediaHeaders.pngPixels(MediaHeaders.pngPixelBytes(1, 1, Array(200)))
+      .get._3.toSeq === Seq(200))
+    // failure paths: truncated zlib stream, non-PNG, header-only PNG
+    // (q110's uncompressed-IDAT writer), unsupported color type
+    assert(MediaHeaders.pngPixels(png.dropRight(30)) === None)
+    assert(MediaHeaders.pngPixels("not a png".getBytes) === None)
+    assert(MediaHeaders.pngPixels(MediaHeaders.pngBytes(4, 4, "xx".getBytes)) === None)
+    assert(MediaHeaders.pngPixels(Array.emptyByteArray) === None)
+  }
+
+  test("Codecs.decodeFeatures on a decodable PNG returns REAL pixel moments, " +
+    "not byte statistics") {
+    val px = Array.tabulate(12)(i => i * 20) // 4x3, mean 110, known variance
+    val png = MediaHeaders.pngPixelBytes(4, 3, px)
+    val f = Multimodal.Codecs.decodeFeatures(png)
+    val mean = px.sum.toDouble / px.length
+    val variance = px.map(v => v.toDouble * v).sum / px.length - mean * mean
+    assert(f.toSeq === Seq(12.0, mean, variance, 4.0))
   }
 
   test("resize stub: batch shape") {
