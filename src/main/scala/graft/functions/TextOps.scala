@@ -492,13 +492,15 @@ object TextOps {
   private val winnowCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  private def winnowedSpansView(s: SparkSession, d: String): DataFrame =
+    if (sys.props.get("graft.cacheTables").contains("true")) {
+      winnowCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      winnowCache.getOrElseUpdate((s, d), winnowedSpans(docs(s, d)).persist())
+    } else winnowedSpans(docs(s, d))
+
   def q118RepeatedSpans(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val spans =
-      if (sys.props.get("graft.cacheTables").contains("true")) {
-        winnowCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-        winnowCache.getOrElseUpdate((s, d), winnowedSpans(docs(s, d)).persist())
-      } else winnowedSpans(docs(s, d))
+    val spans = winnowedSpansView(s, d)
     val df = spans.groupBy($"span_hash")
       .agg(countDistinct($"doc_id").as("span_df"))
     spans.join(df, "span_hash")
@@ -2133,6 +2135,27 @@ object TextOps {
       |FROM bands a JOIN bands b
       |  ON a.band = b.band AND a.bucket = b.bucket
       |WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 <> 9""".stripMargin
+
+  /** Every suite-shared persisted view, by name, with a thunk forcing
+    * its materialization — Bench times these as named `view:<name>`
+    * entries BEFORE the per-query passes, so a query's sequential number
+    * stops silently absorbing a view (re)build when memory pressure
+    * evicts one mid-suite (VERDICT r9: q58/q87/q30-class numbers tripled
+    * on eviction noise). Listed in dependency order (capped/distinct/
+    * candidate views all derive from raw_shingles; components from
+    * candidates), so each thunk's time is its OWN build, not a hidden
+    * upstream build. Only meaningful under `graft.cacheTables`. */
+  private[graft] def sharedViewBuilders(
+      s: SparkSession, d: String): Seq[(String, () => Long)] = Seq(
+    "raw_shingles" -> (() => rawShingles(s, d).count()),
+    "capped_shingles" -> (() => cappedShingleSets(s, d).count()),
+    "pair_stats" -> (() => cappedPairStats(s, d).count()),
+    "distinct_shingles" -> (() => distinctShingleMd5(s, d).count()),
+    "candidates" -> (() => candidatePairs(s, d).count()),
+    "components" -> (() => q54NearDupComponents(s, d).count()),
+    "winnowed_spans" -> (() => winnowedSpansView(s, d).count()),
+    "doc_shingles" -> (() => docShingles(s, d).count()),
+    "token_matrix" -> (() => tokenTable(s, d).count()))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_bpe_pairs" -> (q124BpePairs _),

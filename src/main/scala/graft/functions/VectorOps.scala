@@ -41,6 +41,12 @@ object VectorOps {
     } else build
   }
 
+  /** The module's suite-shared views for Bench's attributed warmup
+    * (same contract as TextOps.sharedViewBuilders). */
+  private[graft] def sharedViewBuilders(
+      s: SparkSession, d: String): Seq[(String, () => Long)] = Seq(
+    "embeddings_normed" -> (() => emb(s, d).count()))
+
   /** dot(a, b) via the custom codegen expression. */
   def dot(a: String, b: String): Column = expr(s"dot_native($a, $b)")
 
