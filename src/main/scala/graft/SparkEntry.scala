@@ -38,4 +38,9 @@ object SparkEntry {
       functions.VectorOps.oracleSql ++
       multimodal.Multimodal.oracleSql ++
       sources.IngestFixtures.oracleSql
+
+  /** Spark-dialect twins for oracle texts that are DuckDB-only
+    * ([[SparkSqlTwins]]); SqlSurfaceSpec proves each ≡ the DataFrame
+    * plan, widening the `spark.sql` face past the engine-neutral set. */
+  def sparkSql: Map[String, String] = SparkSqlTwins.texts
 }

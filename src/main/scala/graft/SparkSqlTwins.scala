@@ -1,0 +1,318 @@
+package graft
+
+/** Spark-dialect SQL TWINS for oracle texts that cannot run on Spark SQL
+  * verbatim (SqlSurfaceSpec's exclusion list): the same query, written in
+  * Spark's dialect, so the half of the engine a BI user touches first —
+  * `spark.sql` over registered views — covers the high-traffic shapes
+  * too. Each twin must produce row-for-row the DataFrame plan's answer
+  * (SqlSurfaceSpec proves it), which the DuckDB oracle already
+  * hash-matches — so the three faces (DataFrame, DuckDB SQL, Spark SQL)
+  * agree pairwise.
+  *
+  * Dialect mappings used (DuckDB → Spark):
+  *  - `isoyear(d)` → `extract(YEAROFWEEK FROM d)`
+  *  - `strftime(d, '%b %Y' / '%Y-%m-%d')` → `date_format(d, 'MMM yyyy' / 'yyyy-MM-dd')`
+  *  - `epoch(ts)` → `CAST(ts AS DOUBLE)` (keeps fractional seconds)
+  *  - `date_diff('day', a, b)` → `datediff(b, a)`; `d - 6` → `date_sub(d, 6)`
+  *  - `props->>'$.k'` → `get_json_object(props, '$.k')`
+  *  - `quantile_cont(x, p)` → `percentile(x, pD)` (both exact interpolating)
+  *  - `'0x' || hex` cast → `conv(hex, 16, 10)`
+  *  - `ASOF LEFT JOIN` → union + `last(x, true)` carry-forward window
+  *    (the same one-shuffle trick the DataFrame plan uses)
+  *  - `range(1, 65)` / `unnest(generate_series(lo, hi))` → `explode(sequence(…))`
+  *  - `v[i]` → `element_at(v, i)`; `len`/`list_*` → `size`/`filter`/`aggregate`
+  *  - `string_split_regex` → `split`; `strlen` → `octet_length`; `//` → `div`
+  *  - `IGNORE NULLS` clause → `last(x, true)` 2-arg form
+  *  - regex literals double their backslashes (Spark's single-quoted SQL
+  *    strings process escapes; DuckDB's do not); Spark regexp_replace is
+  *    global by default, so the 'g' flag just drops.
+  */
+object SparkSqlTwins {
+
+  val texts: Map[String, String] = Map(
+    "q12_calendar_densify" ->
+      """WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+        |cal AS (SELECT explode(sequence(lo, hi, interval 1 day)) AS day FROM bounds),
+        |daily AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS total_value,
+        |                 count(*) AS n_events
+        |          FROM events GROUP BY 1)
+        |SELECT cal.day, daily.total_value, daily.n_events
+        |FROM cal LEFT JOIN daily ON cal.day = daily.day""".stripMargin,
+
+    "q14_weekly_summary" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS total_value,
+        |                      count(*) AS n_events
+        |               FROM events GROUP BY 1)
+        |SELECT CAST(extract(YEAROFWEEK FROM day) AS BIGINT) AS iso_year,
+        |       CAST(weekofyear(day) AS BIGINT) AS iso_week,
+        |       min(day) AS week_start,
+        |       count(DISTINCT day) AS days_logged,
+        |       sum(total_value) AS total_value,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events,
+        |       sum(total_value) / 7.0D AS avg_per_day_fixed7
+        |FROM daily
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q15_monthly_summary" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS total_value,
+        |                      count(*) AS n_events
+        |               FROM events GROUP BY 1)
+        |SELECT CAST(date_trunc('month', day) AS DATE) AS month_start,
+        |       sum(total_value) AS total_value,
+        |       count(DISTINCT day) AS days_logged,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events,
+        |       date_format(CAST(date_trunc('month', day) AS DATE), 'MMM yyyy') AS month_label,
+        |       sum(total_value) / day(last_day(CAST(date_trunc('month', day) AS DATE))) AS avg_per_month_day
+        |FROM daily
+        |GROUP BY 1""".stripMargin,
+
+    "q18_datetime_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS odate,
+        |  CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS epoch_day,
+        |  date_add(DATE '1970-01-01', datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')) AS roundtrip_date,
+        |  date_format(CAST(o_orderdate AS DATE), 'yyyy-MM-dd') AS fmt_iso,
+        |  date_format(CAST(o_orderdate AS DATE), 'MMM yyyy') AS fmt_month_label,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(day(last_day(CAST(o_orderdate AS DATE))) AS BIGINT) AS days_in_month,
+        |  date_sub(CAST(o_orderdate AS DATE), 6) AS week_ago,
+        |  greatest(CAST(date_trunc('month', o_orderdate) AS DATE),
+        |           date_sub(CAST(o_orderdate AS DATE), 6)) AS clamped_start,
+        |  coalesce(CAST(NULL AS DOUBLE), 0.0D) AS lenient_zero,
+        |  coalesce(CAST(o_totalprice AS DOUBLE), 0.0D) AS price_coerced
+        |FROM orders""".stripMargin,
+
+    "q19_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  count(CASE WHEN k > 50 THEN 1 END) AS n_high,
+        |  round(avg(k), 6) AS avg_k
+        |FROM (SELECT event_type, CAST(get_json_object(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type""".stripMargin,
+
+    "q22_sessionize" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, value,
+        |         CASE WHEN prev_ts IS NULL OR CAST(ts AS DOUBLE) - CAST(prev_ts AS DOUBLE) > 1800.0D
+        |              THEN 1 ELSE 0 END AS is_new_session,
+        |         ts
+        |  FROM seq),
+        |sessions AS (
+        |  SELECT user_id, value,
+        |         CAST(sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_id, count(*) AS n_events, sum(value) AS session_value
+        |  FROM sessions GROUP BY 1, 2)
+        |SELECT user_id, max(session_id) AS n_sessions,
+        |       avg(n_events) AS avg_events_per_session,
+        |       sum(session_value) AS total_value
+        |FROM per_session GROUP BY user_id""".stripMargin,
+
+    "q25_doc_stats" ->
+      raw"""SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(size(split(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+        |  avg(size(split(trim(text), '\\s+'))) AS avg_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  avg(length(text)) AS avg_text_len
+        |FROM documents
+        |GROUP BY lang""".stripMargin,
+
+    "q26_quality_score" ->
+      raw"""SELECT doc_id,
+        |  CAST(size(toks) AS BIGINT) AS n_tokens,
+        |  CAST(size(filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_stopwords,
+        |  size(filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) / size(toks) AS stopword_ratio,
+        |  least(size(toks) / 100.0D, 1.0D)
+        |    * (1.0D - size(filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) / size(toks)) AS quality_score
+        |FROM (SELECT doc_id, split(trim(text), '\\s+') AS toks FROM documents)""".stripMargin,
+
+    "q29_fingerprint" ->
+      raw"""SELECT doc_id,
+        |  substring(md5(regexp_replace(lower(trim(text)), '\\s+', ' ')), 1, 16) AS fingerprint,
+        |  source
+        |FROM documents""".stripMargin,
+
+    "q40_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(percentile(o_totalprice, 0.5D), 4) AS p50,
+        |  round(percentile(o_totalprice, 0.9D), 4) AS p90,
+        |  round(stddev(o_totalprice), 4) AS sd,
+        |  round(var_samp(o_totalprice), 2) AS variance,
+        |  round(corr(o_totalprice, o_custkey), 6) AS price_cust_corr,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q48_session_window" ->
+      """WITH seq AS (
+        |  SELECT user_id, ts, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+        |         event_id
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, value, event_id,
+        |         CASE WHEN prev_ts IS NULL OR CAST(ts AS DOUBLE) - CAST(prev_ts AS DOUBLE) >= 1800.0D
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM seq),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |       count(*) AS n_events, sum(value) AS session_value
+        |FROM sessions GROUP BY user_id, sid""".stripMargin,
+
+    "q49_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 0 AS side, event_id AS click_id, value AS click_value,
+        |         CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS DOUBLE) AS purchase_value
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        |         event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    last(click_id, true) OVER (PARTITION BY user_id
+        |      ORDER BY ts, side, coalesce(click_id, purchase_id)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id,
+        |    last(click_value, true) OVER (PARTITION BY user_id
+        |      ORDER BY ts, side, coalesce(click_id, purchase_id)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_value
+        |  FROM u)
+        |SELECT user_id, purchase_id, purchase_value, asof_click_id, asof_click_value
+        |FROM w WHERE side = 1""".stripMargin,
+
+    "q55_hash_split" ->
+      """SELECT doc_id, lang,
+        |  CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) AS bucket,
+        |  CASE WHEN CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) < 52429 THEN 'train'
+        |       WHEN CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) < 58982 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    "q61_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1)
+        |SELECT f.cohort_day,
+        |       CAST(datediff(act.day, f.cohort_day) AS BIGINT) AS day_offset,
+        |       count(*) AS n_users
+        |FROM act JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q63_grouping_sets" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS total_value,
+        |                      count(*) AS n_events
+        |               FROM events GROUP BY 1),
+        |keyed AS (SELECT day, total_value, n_events,
+        |                 CAST(extract(YEAROFWEEK FROM day) AS BIGINT) AS iso_year,
+        |                 CAST(weekofyear(day) AS BIGINT) AS iso_week,
+        |                 CAST(date_trunc('month', day) AS DATE) AS month_start
+        |          FROM daily)
+        |SELECT iso_year, iso_week, CAST(month_start AS STRING) AS month_start,
+        |       sum(total_value) AS total_value,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events,
+        |       count(DISTINCT day) AS days_logged,
+        |       CASE WHEN month_start IS NULL THEN 'week' ELSE 'month' END AS level
+        |FROM keyed
+        |GROUP BY GROUPING SETS ((iso_year, iso_week), (month_start))""".stripMargin,
+
+    "q64_pii_redaction" ->
+      raw"""SELECT doc_id,
+        |  CAST(size(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+')) AS BIGINT) AS n_emails,
+        |  CAST(size(regexp_extract_all(text, '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+', '<EMAIL>'),
+        |                 '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>') AS redacted
+        |FROM documents""".stripMargin,
+
+    "q81_event_gaps" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |         CAST(ts AS DOUBLE) - CAST(lag(ts) OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS DOUBLE) AS gap_s
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |       round(avg(gap_s), 4) AS mean_gap_s,
+        |       round(percentile(gap_s, 0.5D), 4) AS p50_gap_s,
+        |       round(percentile(gap_s, 0.9D), 4) AS p90_gap_s
+        |FROM seq WHERE gap_s IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
+
+    "q93_dim_stats" ->
+      """WITH e AS (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+        |d AS (SELECT explode(sequence(1, 64)) AS gs),
+        |m AS (SELECT gs, sum(element_at(v, gs)) AS s, sum(element_at(v, gs) * element_at(v, gs)) AS q,
+        |             min(element_at(v, gs)) AS mn, max(element_at(v, gs)) AS mx, count(*) AS n
+        |      FROM e CROSS JOIN d GROUP BY gs)
+        |SELECT CAST(gs - 1 AS BIGINT) AS dim, round(s/n, 6) AS mean,
+        |       round(sqrt(greatest(q/n - (s/n)*(s/n), 0D)), 6) AS std,
+        |       round(mn, 6) AS mn, round(mx, 6) AS mx
+        |FROM m""".stripMargin,
+
+    "q102_embedding_audit" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+        |                  sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D,
+        |                                 (acc, x) -> acc + x * x)) AS norm,
+        |                  size(embedding) AS dim
+        |           FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(min(dim) AS BIGINT) AS min_dim,
+        |       CAST(max(dim) AS BIGINT) AS max_dim,
+        |       CAST(sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |       round(avg(norm), 6) AS mean_norm,
+        |       round(percentile(norm, 0.05D), 6) AS p05_norm,
+        |       round(percentile(norm, 0.95D), 6) AS p95_norm
+        |FROM e GROUP BY 1""".stripMargin,
+
+    "q109_attribution" ->
+      """WITH w AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    last(CASE WHEN event_type <> 'purchase' THEN event_type END, true)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ptype,
+        |    last(CASE WHEN event_type <> 'purchase' THEN ts END, true)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pts
+        |  FROM events),
+        |p AS (SELECT CASE WHEN pts IS NOT NULL AND pts >= ts - INTERVAL 1 HOUR
+        |                  THEN ptype ELSE 'direct' END AS touch_type
+        |      FROM w WHERE event_type = 'purchase')
+        |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_purchases,
+        |       round(count(*) / sum(count(*)) OVER (), 6) AS share
+        |FROM p GROUP BY 1""".stripMargin,
+
+    "q110_media_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'jpeg' END AS container,
+        |  CASE doc_id % 3 WHEN 0 THEN CAST(n_chars % 1920 + 1 AS BIGINT)
+        |                  WHEN 2 THEN CAST(n_chars % 1280 + 1 AS BIGINT) END AS width,
+        |  CASE doc_id % 3 WHEN 0 THEN CAST(n_chars % 1080 + 1 AS BIGINT)
+        |                  WHEN 2 THEN CAST(n_chars % 720 + 1 AS BIGINT) END AS height,
+        |  CASE doc_id % 3 WHEN 1
+        |    THEN CAST(8000 + (n_chars % 8) * 1000 AS BIGINT) END AS sample_rate,
+        |  CASE doc_id % 3 WHEN 1
+        |    THEN CAST((octet_length(text) * 1000) div (2 * (8000 + (n_chars % 8) * 1000)) AS BIGINT)
+        |  END AS duration_ms,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 57 WHEN 1 THEN 44 ELSE 23 END
+        |       + octet_length(text) AS BIGINT) AS payload_len
+        |FROM documents""".stripMargin,
+
+    "q120_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(n_chars % 7 + 2 AS BIGINT) AS n_frames,
+        |  CAST((n_chars % 7 + 3) div 2 AS BIGINT) AS n_kept,
+        |  CAST(((n_chars % 7 + 3) div 2) * (23 + octet_length(text)) AS BIGINT) AS kept_len,
+        |  CAST(n_chars % 1280 + 1 AS BIGINT) AS first_w,
+        |  CAST(n_chars % 720 + 1 AS BIGINT) AS first_h,
+        |  CAST((n_chars + 2 * ((n_chars % 7 + 1) div 2)) % 1280 + 1 AS BIGINT) AS last_w,
+        |  CAST((n_chars + 2 * ((n_chars % 7 + 1) div 2)) % 720 + 1 AS BIGINT) AS last_h
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin)
+}

@@ -81,4 +81,28 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(viaDf.exceptAll(viaSql).count() === 0, s"$name df-only rows")
     }
   }
+
+  // ---- Spark-dialect twins ([[SparkSqlTwins]]) for excluded texts ----
+
+  test("every Spark-dialect twin covers an EXCLUDED text (a twin for a neutral " +
+    "text would shadow the shared-SQL gate) and names a real query") {
+    val twinKeys = SparkEntry.sparkSql.keySet
+    assert((twinKeys -- duckdbOnly.keySet).isEmpty,
+      s"twin for non-excluded/unknown: ${twinKeys -- duckdbOnly.keySet}")
+  }
+
+  test(s"combined spark.sql coverage (neutral + twins) reaches at least 60 texts " +
+    s"(${neutral.size} neutral + ${SparkEntry.sparkSql.size} twins)") {
+    assert(neutral.size + SparkEntry.sparkSql.size >= 60)
+  }
+
+  SparkEntry.sparkSql.keys.toSeq.sorted.foreach { name =>
+    test(s"$name: spark.sql(Spark-dialect twin) ≡ DataFrame plan") {
+      val viaDf = SparkEntry.queries(name)(spark, sf0001)
+      val viaSql = SqlSurface.sql(spark, sf0001, SparkEntry.sparkSql(name))
+      assert(viaSql.columns.toSeq === viaDf.columns.toSeq)
+      assert(viaSql.exceptAll(viaDf).count() === 0, s"$name sql-only rows")
+      assert(viaDf.exceptAll(viaSql).count() === 0, s"$name df-only rows")
+    }
+  }
 }
