@@ -639,7 +639,86 @@ object VectorOps {
       |       CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
       |FROM ranked WHERE rank <= 3""".stripMargin
 
+  /** q128 — HYBRID RETRIEVAL with Reciprocal Rank Fusion: the standard
+    * two-tower serving shape (BM25-family keyword list + dense vector
+    * list, fused by RRF) run as one batch query. Doc 0 plays the query:
+    * its embedding scores the vector list (q33's broadcast-cosine shape)
+    * and its distinct tokens, idf-weighted, score the keyword list.
+    *
+    * Exactness across engines is engineered, not hoped for:
+    *  - the keyword score is an INTEGER — Σ (1e6 div df) per matched
+    *    query term — because a float Σ(1/df) sums in engine-dependent
+    *    order and two docs matching the same term set could swap ranks
+    *    on a last-ulp difference; integer sums cannot;
+    *  - the RRF score 1/(60+rank) has exactly two terms added in the
+    *    same written order in both engines → identical doubles;
+    *  - every rank order carries a doc_id tie-break.
+    *
+    * Scale shape: the two candidate lists are TakeOrderedAndProject
+    * top-50s (map-side partial top-k, no global sort); the only
+    * unpartitioned windows run AFTER the limit, over ≤50 rows by
+    * construction. The query-term table is broadcast (one doc's
+    * distinct tokens); the df join is the vocabulary-sized aggregation
+    * q72 already runs. At 100 TB nothing here shuffles the corpus more
+    * than once. */
+  def q128HybridRrf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = 50
+    val e = emb(s, d)
+    val q = e.where($"vec_id" === 0).select($"v".as("qv"), $"norm".as("qnorm"))
+    val vecTop = e.where($"vec_id" =!= 0).join(broadcast(q))
+      .withColumn("sim", cosineNormed("qv", "v", "qnorm", "norm"))
+      .orderBy($"sim".desc, $"vec_id").limit(K)
+      .withColumn("vec_rank",
+        row_number().over(Window.orderBy($"sim".desc, $"vec_id")).cast("long"))
+      .select($"vec_id".as("doc_id"), $"vec_rank")
+    val toks = graft.Tables(s, d, "documents")
+      .select($"doc_id",
+        explode(array_distinct(TextOps.tokens($"text"))).as("tok"))
+    val dfv = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val qTerms = toks.where($"doc_id" === 0).select($"tok").join(dfv, "tok")
+    val kwTop = toks.where($"doc_id" =!= 0)
+      .join(broadcast(qTerms), "tok")
+      .groupBy($"doc_id")
+      .agg(sum(expr("1000000 div df")).as("kw_score"))
+      .orderBy($"kw_score".desc, $"doc_id").limit(K)
+      .withColumn("kw_rank",
+        row_number().over(Window.orderBy($"kw_score".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"kw_rank")
+    vecTop.join(kwTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / ($"kw_rank" + 60), lit(0.0)) +
+          coalesce(lit(1.0) / ($"vec_rank" + 60), lit(0.0)), 6))
+      .orderBy($"rrf".desc, $"doc_id").limit(20)
+      .select($"doc_id", $"kw_rank", $"vec_rank", $"rrf")
+  }
+
+  val q128Sql: String =
+    raw"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |vsc AS (SELECT e.vec_id AS doc_id,
+      |          list_dot_product(q.qv, e.v)
+      |            / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+      |        FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+      |vrank AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS vec_rank FROM vsc),
+      |vtop AS (SELECT doc_id, CAST(vec_rank AS BIGINT) AS vec_rank FROM vrank WHERE vec_rank <= 50),
+      |toks AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+      |         FROM documents),
+      |dfv AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+      |qt AS (SELECT t.tok, dfv.df FROM toks t JOIN dfv USING (tok) WHERE t.doc_id = 0),
+      |ksc AS (SELECT t.doc_id, CAST(sum(1000000 // qt.df) AS BIGINT) AS kw_score
+      |        FROM toks t JOIN qt USING (tok) WHERE t.doc_id <> 0 GROUP BY t.doc_id),
+      |krank AS (SELECT doc_id, row_number() OVER (ORDER BY kw_score DESC, doc_id) AS kw_rank FROM ksc),
+      |ktop AS (SELECT doc_id, CAST(kw_rank AS BIGINT) AS kw_rank FROM krank WHERE kw_rank <= 50),
+      |fused AS (
+      |  SELECT coalesce(v.doc_id, k.doc_id) AS doc_id, k.kw_rank, v.vec_rank,
+      |         round(coalesce(CAST(1 AS DOUBLE) / (k.kw_rank + 60), 0)
+      |               + coalesce(CAST(1 AS DOUBLE) / (v.vec_rank + 60), 0), 6) AS rrf
+      |  FROM vtop v FULL OUTER JOIN ktop k ON v.doc_id = k.doc_id)
+      |SELECT doc_id, kw_rank, vec_rank, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_hybrid_rrf" -> (q128HybridRrf _),
     "q113_hard_negatives" -> (q113HardNegatives _),
     "q93_dim_stats" -> (q93DimStats _),
     "q82_int8_quant" -> (q82Int8Quant _),
@@ -654,6 +733,7 @@ object VectorOps {
     "q36_label_centroid" -> (q36LabelCentroidDist _))
 
   val oracleSql: Map[String, String] = Map(
+    "q128_hybrid_rrf" -> q128Sql,
     "q113_hard_negatives" -> q113Sql,
     "q93_dim_stats" -> q93Sql,
     "q82_int8_quant" -> q82Sql,

@@ -439,4 +439,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
       plan.contains("ShuffledHashJoin"), plan)
   }
+
+  test("q128: both hybrid-retrieval candidate lists are TakeOrderedAndProject " +
+    "top-50s (map-side partial top-k) — the corpus is never globally sorted, " +
+    "and the query-term join side is broadcast") {
+    val plan = physical(graft.functions.VectorOps.q128HybridRrf(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+  }
 }

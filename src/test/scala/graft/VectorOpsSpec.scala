@@ -177,4 +177,29 @@ class VectorOpsSpec extends SparkSpec {
     assert(!plan.substring(genIdx).contains("Generate explode(v"),
       "the embedding column itself must never be exploded")
   }
+
+  test("q128: every fused row's rrf equals the rank formula, ranks are valid " +
+    "top-50 positions, the query doc never retrieves itself, and at least " +
+    "one doc is found by BOTH lists") {
+    val rows = VectorOps.q128HybridRrf(spark, sf0001).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(r => r.getLong(0) != 0L)) // doc 0 is the query
+    var both = 0
+    rows.foreach { r =>
+      val kw = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val vec = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(kw.nonEmpty || vec.nonEmpty)
+      assert(kw.forall(k => k >= 1 && k <= 50) && vec.forall(v => v >= 1 && v <= 50))
+      val expected = BigDecimal(
+        kw.map(k => 1.0 / (k + 60)).getOrElse(0.0) +
+          vec.map(v => 1.0 / (v + 60)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expected) < 1e-9, r.toString)
+      if (kw.nonEmpty && vec.nonEmpty) both += 1
+    }
+    assert(both >= 1, "no doc retrieved by both lists - fusion untested")
+    // fused order is by rrf desc (doc_id tie-break) - monotone down the list
+    val rrfs = rows.map(_.getDouble(3)).toSeq
+    assert(rrfs == rrfs.sorted.reverse)
+  }
 }
