@@ -314,5 +314,141 @@ object SparkSqlTwins {
         |  CAST(n_chars % 720 + 1 AS BIGINT) AS first_h,
         |  CAST((n_chars + 2 * ((n_chars % 7 + 1) div 2)) % 1280 + 1 AS BIGINT) AS last_w,
         |  CAST((n_chars + 2 * ((n_chars % 7 + 1) div 2)) % 720 + 1 AS BIGINT) AS last_h
-        |FROM documents WHERE doc_id % 3 = 2""".stripMargin)
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    "q27_lang_id" ->
+      raw"""SELECT doc_id, lang,
+        |  CAST(size(filter(toks, x -> x IN ('the', 'a', 'of'))) AS BIGINT) AS en_hits,
+        |  CAST(size(filter(toks, x -> x IN ('der', 'die', 'und'))) AS BIGINT) AS de_hits,
+        |  CAST(size(filter(toks, x -> x IN ('el', 'la', 'de'))) AS BIGINT) AS es_hits,
+        |  CASE WHEN size(filter(toks, x -> x IN ('the', 'a', 'of'))) >= size(filter(toks, x -> x IN ('der', 'die', 'und')))
+        |        AND size(filter(toks, x -> x IN ('the', 'a', 'of'))) >= size(filter(toks, x -> x IN ('el', 'la', 'de')))
+        |       THEN 'en'
+        |       WHEN size(filter(toks, x -> x IN ('der', 'die', 'und'))) >= size(filter(toks, x -> x IN ('el', 'la', 'de')))
+        |       THEN 'de' ELSE 'es' END AS lang_guess
+        |FROM (SELECT doc_id, lang, split(trim(text), '\\s+') AS toks FROM documents)""".stripMargin,
+
+    "q47_bpe_tokens" ->
+      raw"""SELECT doc_id, lang,
+        |  CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(size(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  round(length(text) / size(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)), 6) AS chars_per_bpe_token
+        |FROM documents""".stripMargin,
+
+    "q50_sliding_window" ->
+      """WITH expanded AS (
+        |  SELECT event_type, value,
+        |         explode(sequence(
+        |           date_trunc('hour', ts) - interval 45 minutes
+        |             + CAST(floor(minute(ts) / 15) AS INT) * interval 15 minutes,
+        |           date_trunc('hour', ts)
+        |             + CAST(floor(minute(ts) / 15) AS INT) * interval 15 minutes,
+        |           interval 15 minutes)) AS window_start
+        |  FROM events)
+        |SELECT window_start, event_type,
+        |       count(*) AS n_events, round(sum(value), 6) AS total_value
+        |FROM expanded
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q56_repetition" ->
+      raw"""WITH shs AS (SELECT doc_id,
+        |  CASE WHEN size(toks) < 3 THEN array()
+        |       ELSE transform(sequence(1, size(toks) - 2),
+        |                      i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])) END AS l
+        |  FROM (SELECT doc_id, split(trim(text), '\\s+') AS toks FROM documents))
+        |SELECT doc_id,
+        |  CAST(size(l) AS BIGINT) AS n_shingles,
+        |  CAST(size(array_distinct(l)) AS BIGINT) AS n_distinct,
+        |  CASE WHEN size(l) = 0 THEN 0.0D
+        |       ELSE round(1.0D - size(array_distinct(l)) / size(l), 6) END AS repetition_ratio
+        |FROM shs""".stripMargin,
+
+    "q65_chunking" ->
+      raw"""WITH tokd AS (SELECT doc_id, split(trim(text), '\\s+') AS toks
+        |              FROM documents),
+        |starts AS (SELECT doc_id, toks,
+        |                  explode(sequence(1, greatest(size(toks) - 10, 1), 40)) AS i
+        |           FROM tokd)
+        |SELECT doc_id,
+        |       CAST((i - 1) div 40 AS BIGINT) AS chunk_id,
+        |       CAST(size(slice(toks, i, 50)) AS BIGINT) AS chunk_tokens,
+        |       array_join(slice(toks, i, 50), ' ') AS chunk
+        |FROM starts""".stripMargin,
+
+    "q74_quality_sample" ->
+      raw"""SELECT doc_id, quality_score, sample_u FROM (
+        |  SELECT doc_id,
+        |    least(size(toks) / 100.0D, 1.0D)
+        |      * (1.0D - size(filter(toks, x -> x IN ('the', 'a', 'of', 'and')))
+        |          / size(toks)) AS quality_score,
+        |    CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)
+        |      / 65536.0D AS sample_u
+        |  FROM (SELECT doc_id, split(trim(text), '\\s+') AS toks
+        |        FROM documents))
+        |WHERE sample_u < quality_score""".stripMargin,
+
+    "q105_weighted_sample" ->
+      raw"""WITH t AS (SELECT doc_id,
+        |             CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+        |             (CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)
+        |              + 0.5D) / 65536.0D AS u
+        |      FROM documents)
+        |SELECT doc_id, n_tokens,
+        |       round(log(u) / greatest(n_tokens, 1L), 8) AS es_key
+        |FROM t
+        |ORDER BY es_key DESC, doc_id
+        |LIMIT 20""".stripMargin,
+
+    "q89_corpus_mix" ->
+      raw"""WITH t AS (SELECT source,
+        |         CAST(sum(size(split(trim(text), '\\s+'))) AS BIGINT) AS toks
+        |       FROM documents GROUP BY source),
+        |o AS (SELECT source, toks,
+        |             row_number() OVER (ORDER BY toks, source) AS i,
+        |             count(*) OVER () AS s,
+        |             sum(toks) OVER () AS total,
+        |             coalesce(sum(toks) OVER (ORDER BY toks, source
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)
+        |               AS cum_before
+        |      FROM t),
+        |lv AS (SELECT *, (floor(0.5D * total) - cum_before) / (s - i + 1) AS lev FROM o),
+        |sat AS (SELECT min_by(lev, i) AS level FROM lv WHERE toks > lev)
+        |SELECT source, toks AS tokens_avail,
+        |       round(least(CAST(toks AS DOUBLE), coalesce(level, CAST(toks AS DOUBLE))), 4)
+        |         AS kept_tokens,
+        |       round(least(CAST(toks AS DOUBLE), coalesce(level, CAST(toks AS DOUBLE)))
+        |             / toks, 6) AS keep_frac
+        |FROM lv CROSS JOIN sat""".stripMargin,
+
+    "q96_temperature_mix" ->
+      raw"""WITH t AS (SELECT source,
+        |             CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+        |             CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) / 65536.0D AS u
+        |           FROM documents),
+        |s AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |      FROM t GROUP BY 1),
+        |g AS (SELECT sum(sqrt(CAST(src_tokens AS DOUBLE))) AS sw,
+        |             CAST(sum(src_tokens) AS DOUBLE) AS ntot FROM s),
+        |r AS (SELECT source, n_docs, src_tokens,
+        |             least(1.0D, sqrt(CAST(src_tokens AS DOUBLE)) / sw * (0.5D * ntot) / src_tokens) AS keep_rate
+        |      FROM s CROSS JOIN g),
+        |k AS (SELECT t.source, count(*) AS n_kept, CAST(sum(t.n_tokens) AS BIGINT) AS kept_tokens
+        |      FROM t JOIN r USING (source) WHERE t.u < r.keep_rate GROUP BY 1)
+        |SELECT r.source, r.n_docs, r.src_tokens, round(r.keep_rate, 6) AS keep_rate,
+        |       coalesce(k.n_kept, 0L) AS n_kept, coalesce(k.kept_tokens, 0L) AS kept_tokens
+        |FROM r LEFT JOIN k USING (source)""".stripMargin,
+
+    "q97_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |span AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+        |contrib AS (
+        |  SELECT DISTINCT user_id, window_day FROM (
+        |    SELECT user_id,
+        |           explode(sequence(day, date_add(day, 6), interval 1 day)) AS window_day
+        |    FROM ud))
+        |SELECT window_day, count(*) AS rolling_7d_users
+        |FROM contrib, span
+        |WHERE window_day BETWEEN lo AND hi
+        |GROUP BY 1""".stripMargin)
 }
