@@ -172,6 +172,22 @@ object CorpusPipelineDemo {
           ManifestTable.read(spark, corpusRoot)).orderBy($"fp").collect())
     println(s"DEDUP_INDEX exact_dups_in_batch=$exactDups near_dup_hits=$nearHits " +
       s"maintained_equals_recompute=$idxOk")
+
+    // 10. the same lifecycle for the VECTOR modality (q129's maintained
+    // form): embeddings corpus committed, frozen IVF quantizer + cell
+    // index bootstrapped, arriving batch probes its 2 nearest cells
+    val vecCorpus = s"$work/vec_corpus"
+    val centRoot = s"$work/vec_cent"
+    val vecIdx = s"$work/vec_idx"
+    val allVecs = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding", $"label")
+    ManifestTable.merge(allVecs.where($"vec_id" % 10 =!= 9), vecCorpus, Seq("vec_id"))
+    graft.sources.VecIndex.bootstrap(
+      ManifestTable.read(spark, vecCorpus), centRoot, vecIdx)
+    val annHits = graft.sources.VecIndex.probe(
+      allVecs.where($"vec_id" % 10 === 9).select($"vec_id", $"embedding"),
+      spark, centRoot, vecIdx, nprobe = 2, k = 3).count()
+    println(s"VEC_INDEX ann_probe_results=$annHits")
     spark.stop()
   }
 }

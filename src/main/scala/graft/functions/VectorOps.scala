@@ -41,6 +41,17 @@ object VectorOps {
     } else build
   }
 
+  /** Cast + norm projection of an arbitrary (vec_id, embedding, …)
+    * frame — [[emb]] without the table/view machinery, shared with
+    * [[graft.sources.VecIndex]] so the maintained index and the
+    * queries normalize identically. */
+  private[graft] def withVecNorm(df: DataFrame): DataFrame = {
+    DotProduct.register(df.sparkSession)
+    df.withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("norm", sqrt(expr("dot_native(v, v)")))
+      .drop("embedding")
+  }
+
   /** The module's suite-shared views for Bench's attributed warmup
     * (same contract as TextOps.sharedViewBuilders). */
   private[graft] def sharedViewBuilders(
@@ -51,12 +62,14 @@ object VectorOps {
   def dot(a: String, b: String): Column = expr(s"dot_native($a, $b)")
 
   /** cosine from a precomputed-norm pair of sides. */
-  private def cosineNormed(a: String, b: String, normA: String, normB: String): Column =
+  private[graft] def cosineNormed(a: String, b: String, normA: String, normB: String): Column =
     dot(a, b) / (col(normA) * col(normB))
 
   /** Per-label mean vector (the IVF coarse-quantizer build): posexplode
-    * to (label, dim, x), average per dim, reassemble ordered arrays. */
-  private def labelCentroids(s: SparkSession, e: DataFrame): DataFrame = {
+    * to (label, dim, x), average per dim, reassemble ordered arrays.
+    * private[graft]: [[graft.sources.VecIndex]] freezes these as its
+    * stored quantizer. */
+  private[graft] def labelCentroids(s: SparkSession, e: DataFrame): DataFrame = {
     import s.implicits._
     e.select($"label", posexplode($"v").as(Seq("dim", "x")))
       .groupBy($"label", $"dim").agg(avg($"x").as("c"))
@@ -717,7 +730,101 @@ object VectorOps {
       |  FROM vtop v FULL OUTER JOIN ktop k ON v.doc_id = k.doc_id)
       |SELECT doc_id, kw_rank, vec_rank, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Euclidean distance to a centroid column (the IVF coarse-quantizer
+    * metric, shared by q46, q129 and [[graft.sources.VecIndex]]). */
+  private[graft] def centroidDist(qcol: String, ccol: String) =
+    sqrt(greatest(dot(qcol, qcol) - lit(2.0) * dot(qcol, ccol)
+      + dot(ccol, ccol), lit(0.0)))
+
+  /** Nearest-centroid cell assignment of an arbitrary (vec_id, v, …)
+    * frame against a (cell, centroid) quantizer — broadcast centroids,
+    * k rows per vector before the argmin window (k-bounded). Shared by
+    * q129's single-shot form and [[graft.sources.VecIndex]]'s
+    * maintenance so both assign identically; ties break on cell id. */
+  private[graft] def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"vec_id").orderBy($"dist", $"cell")
+    emb.join(broadcast(centroids))
+      .withColumn("dist", centroidDist("v", "centroid"))
+      .withColumn("pr", row_number().over(w))
+      .where($"pr" === 1)
+      .drop("dist", "pr", "centroid")
+  }
+
+  /** q129 — INCREMENTAL ANN: q125/q126's ingest split applied to the
+    * vector modality. The committed corpus (vec_id % 10 != 9) owns a
+    * FROZEN IVF quantizer (its per-label centroids) and a cell-assigned
+    * index; each arriving batch vector (vec_id % 10 == 9) probes its
+    * nprobe=2 nearest cells and ranks only their members — the corpus
+    * is never re-embedded or re-assigned when a batch arrives. The
+    * MAINTAINED form is [[graft.sources.VecIndex]]: quantizer + cell
+    * index as ManifestTables, the index updated from readChanges CDC
+    * deltas (only changed vectors re-assign); VecIndexSpec pins
+    * maintained ≡ recomputed and probe parity with this query. */
+  def q129IncrementalIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    val corpus = e.where($"vec_id" % 10 =!= 9)
+    val cent = labelCentroids(s, corpus).withColumnRenamed("label", "cell")
+      .select($"cell".cast("long").as("cell"), $"centroid")
+    val idx = assignCells(corpus.select($"vec_id", $"v", $"norm"), cent)
+    val batch = e.where($"vec_id" % 10 === 9)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    val wProbe = Window.partitionBy($"q_id").orderBy($"dist", $"cell")
+    val probes = batch.join(broadcast(cent))
+      .withColumn("dist", centroidDist("qv", "centroid"))
+      .withColumn("pr", row_number().over(wProbe))
+      .where($"pr" <= 2)
+      .select($"q_id", $"qv", $"qnorm", $"cell")
+    val wRank = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+    idx.join(probes, "cell")
+      .withColumn("sim", cosineNormed("qv", "v", "qnorm", "norm"))
+      .withColumn("rank", row_number().over(wRank))
+      .where($"rank" <= 3)
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        $"rank".cast("long").as("rank"), round($"sim", 6).as("sim"))
+  }
+
+  val q129Sql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |corpus AS (SELECT * FROM e WHERE vec_id % 10 <> 9),
+      |dims AS (SELECT label, vec_id, unnest(v) AS x,
+      |                unnest(generate_series(1, len(v))) AS dim FROM corpus),
+      |cent AS (SELECT CAST(label AS BIGINT) AS cell, list(c ORDER BY dim) AS cv
+      |         FROM (SELECT label, dim, avg(x) AS c FROM dims GROUP BY 1, 2)
+      |         GROUP BY label),
+      |adist AS (
+      |  SELECT c.vec_id, c.v, cent.cell,
+      |         sqrt(greatest(list_dot_product(c.v, c.v) - 2 * list_dot_product(c.v, cent.cv)
+      |              + list_dot_product(cent.cv, cent.cv), 0)) AS dist
+      |  FROM corpus c CROSS JOIN cent),
+      |idx AS (SELECT vec_id, v, cell FROM (
+      |    SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS pr
+      |    FROM adist) WHERE pr = 1),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 10 = 9),
+      |qdist AS (
+      |  SELECT q_id, qv, cell,
+      |         sqrt(greatest(list_dot_product(qv, qv) - 2 * list_dot_product(qv, cv)
+      |              + list_dot_product(cv, cv), 0)) AS dist
+      |  FROM q CROSS JOIN cent),
+      |probes AS (SELECT q_id, qv, cell FROM (
+      |    SELECT q_id, qv, cell, row_number() OVER (PARTITION BY q_id ORDER BY dist, cell) AS pr
+      |    FROM qdist) WHERE pr <= 2),
+      |scored AS (
+      |  SELECT p.q_id, i.vec_id,
+      |         list_dot_product(p.qv, i.v)
+      |           / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(i.v, i.v))) AS sim
+      |  FROM idx i JOIN probes p USING (cell)),
+      |ranked AS (SELECT q_id, vec_id, sim,
+      |                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |           FROM scored)
+      |SELECT q_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+      |       round(sim, 6) AS sim
+      |FROM ranked WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_incremental_ivf" -> (q129IncrementalIvf _),
     "q128_hybrid_rrf" -> (q128HybridRrf _),
     "q113_hard_negatives" -> (q113HardNegatives _),
     "q93_dim_stats" -> (q93DimStats _),
@@ -733,6 +840,7 @@ object VectorOps {
     "q36_label_centroid" -> (q36LabelCentroidDist _))
 
   val oracleSql: Map[String, String] = Map(
+    "q129_incremental_ivf" -> q129Sql,
     "q128_hybrid_rrf" -> q128Sql,
     "q113_hard_negatives" -> q113Sql,
     "q93_dim_stats" -> q93Sql,
