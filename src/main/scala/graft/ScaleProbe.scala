@@ -239,6 +239,22 @@ object ScaleProbe {
     probe("behavior_trigrams")(trigramsEv(sfDir))(trigramsEv(eventsNDir))
     probe("attribution")(attribution(sfDir))(attribution(eventsNDir))
 
+    // Round-10 operators: PNG pixel decode is per-row byte work (must be
+    // flat-linear); hybrid RRF's two candidate lists are TakeOrdered
+    // scans (top-50 never grows with data, the scan does, linearly); the
+    // IVF probe scores only its nprobe cells — embNDir's label shift
+    // makes CELLS scale with data at constant per-cell population, so
+    // scored candidates grow linearly, never as corpus × corpus.
+    spark.read.parquet(s"$embNDir/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$docsNDir/embeddings.parquet")
+    def png(d: String): Long = graft.multimodal.Multimodal.q127PngPixels(spark, d).count()
+    def rrf(d: String): Long = VectorOps.q128HybridRrf(spark, d).count()
+    def ivf(d: String): Long = VectorOps.q129IncrementalIvf(spark, d).count()
+    png(sfDir); rrf(sfDir); ivf(sfDir) // warm
+    probe("png_pixels")(png(sfDir))(png(docsNDir))
+    probe("hybrid_rrf")(rrf(sfDir))(rrf(docsNDir))
+    probe("incremental_ivf")(ivf(sfDir))(ivf(embNDir))
+
     // ---- the gate: time must grow at most linearly with data ----
     val gated = results.toSeq.map { case (n, t1, tN) =>
       (n, t1, tN, tN / math.max(t1, 0.3))
