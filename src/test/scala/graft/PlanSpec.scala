@@ -447,4 +447,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
   }
+
+  test("q129: the frozen quantizer is BROADCAST to both the assignment and the " +
+    "probe sides (k rows), and the cell join is an equi join — never a " +
+    "cartesian of corpus × batch") {
+    val plan = physical(graft.functions.VectorOps.q129IncrementalIvf(spark, sf0001))
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
