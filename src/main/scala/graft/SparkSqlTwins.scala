@@ -439,6 +439,107 @@ object SparkSqlTwins {
         |       coalesce(k.n_kept, 0L) AS n_kept, coalesce(k.kept_tokens, 0L) AS kept_tokens
         |FROM r LEFT JOIN k USING (source)""".stripMargin,
 
+    "q30_minhash_lsh" ->
+      raw"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, explode(CASE WHEN size(toks) < 3 THEN array()
+        |         ELSE transform(sequence(1, size(toks) - 2),
+        |                        i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])) END) AS shingle
+        |  FROM (SELECT doc_id, split(trim(text), '\\s+') AS toks FROM documents))),
+        |hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+        |sig AS (SELECT doc_id,
+        |  min(substring(h, 1, 4)) h0, min(substring(h, 5, 4)) h1,
+        |  min(substring(h, 9, 4)) h2, min(substring(h, 13, 4)) h3,
+        |  min(substring(h, 17, 4)) h4, min(substring(h, 21, 4)) h5,
+        |  min(substring(h, 25, 4)) h6, min(substring(h, 29, 4)) h7
+        |  FROM hashed GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, h0 || h1 AS bucket FROM sig
+        |  UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+        |  UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+        |  UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q57_top_tokens_per_lang" ->
+      raw"""WITH c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+        |           FROM (SELECT lang, explode(split(trim(text), '\\s+')) AS tok
+        |                 FROM documents)
+        |           GROUP BY 1, 2),
+        |r AS (SELECT lang, tok, n,
+        |             row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rn
+        |      FROM c)
+        |SELECT lang, tok, n, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin,
+
+    "q67_contamination" ->
+      raw"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, explode(CASE WHEN size(toks) < 3 THEN array()
+        |         ELSE transform(sequence(1, size(toks) - 2),
+        |                        i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])) END) AS shingle
+        |  FROM (SELECT doc_id, split(trim(text), '\\s+') AS toks FROM documents)))
+        |SELECT doc_id, count(DISTINCT shingle) AS n_benchmark_hits
+        |FROM sh
+        |WHERE shingle IN ('stream table hash', 'row column sort', 'window fast query', 'part filter scan', 'value spark vector')
+        |GROUP BY doc_id""".stripMargin,
+
+    "q68_token_budget" ->
+      raw"""WITH t AS (SELECT doc_id,
+        |                   CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+        |                   md5(CAST(doc_id AS STRING)) AS h
+        |            FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |             CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |               AS cum_tokens
+        |      FROM t)
+        |SELECT doc_id, n_tokens, cum_tokens
+        |FROM c
+        |WHERE cum_tokens * 5 <= (SELECT sum(n_tokens) FROM t)""".stripMargin,
+
+    "q70_boilerplate_lines" ->
+      """WITH p AS (SELECT doc_id, split(text, chr(10)) AS parts FROM documents),
+        |l AS (SELECT doc_id, posexplode(parts) AS (pos, line) FROM p),
+        |f AS (SELECT line, count(DISTINCT doc_id) AS docfreq FROM l GROUP BY 1)
+        |SELECT l.doc_id,
+        |       count(*) FILTER (WHERE docfreq = 1) AS n_kept,
+        |       count(*) FILTER (WHERE docfreq > 1) AS n_dropped,
+        |       coalesce(listagg(line, chr(10)) WITHIN GROUP (ORDER BY pos)
+        |                  FILTER (WHERE docfreq = 1), '') AS clean_text
+        |FROM l JOIN f USING (line)
+        |GROUP BY l.doc_id""".stripMargin,
+
+    "q71_sequence_pack" ->
+      raw"""WITH t AS (SELECT doc_id,
+        |                   CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+        |                   md5(CAST(doc_id AS STRING)) AS h
+        |            FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |             CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |               - n_tokens AS cum_before
+        |      FROM t)
+        |SELECT doc_id, n_tokens,
+        |       CAST(cum_before div 256 AS BIGINT) AS seq_id,
+        |       CAST(cum_before % 256 AS BIGINT) AS offset_in_seq
+        |FROM c""".stripMargin,
+
+    "q72_tfidf" ->
+      raw"""WITH tok AS (SELECT doc_id, explode(split(trim(text), '\\s+')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |         round(tf.tf * log(n.n_docs / df.df_docs), 6) AS tfidf
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tf, tfidf,
+        |       CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                 ORDER BY tfidf DESC, token) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 3""".stripMargin,
+
     "q97_rolling_distinct" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |span AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
