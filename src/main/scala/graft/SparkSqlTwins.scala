@@ -29,7 +29,401 @@ package graft
   */
 object SparkSqlTwins {
 
+  /** DuckDB's `list_dot_product(a, b)` in neutral Spark SQL: the
+    * higher-order-function composition [[graft.expressions.RewriteHofDotProduct]]
+    * rewrites to the codegen'd `dot_native` — so the twin and the
+    * DataFrame plan run the SAME sequential summation, bit for bit. */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, w) -> acc + w)"
+
+  /** Cosine with both norms recomputed in place (the twins' spelling of
+    * the precomputed-norm pair: same values, same multiply order). */
+  private def cosine(a: String, b: String): String =
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  /** The sign-LSH bucket over the first 8 components (0-based in Spark's
+    * bracket indexing; the oracle's v[i] is 1-based). */
+  private val signBucket8: String =
+    (0 until 8).map(i => s"CASE WHEN v[$i] >= 0D THEN '1' ELSE '0' END").mkString(" || ")
+
   val texts: Map[String, String] = Map(
+    "q75_source_similarity" ->
+      raw"""WITH td AS (SELECT source, split(trim(text), '\\s+') AS toks FROM documents),
+         |shs AS (SELECT source, shingle FROM td
+         |        LATERAL VIEW explode(CASE WHEN size(toks) < 3 THEN array()
+         |          ELSE transform(sequence(1, size(toks) - 2),
+         |               i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])) END) t AS shingle),
+         |h AS (SELECT source, md5(shingle) AS h FROM shs),
+         |sig AS (SELECT source,
+         |  min(substring(h, 1, 4)) h0, min(substring(h, 5, 4)) h1,
+         |  min(substring(h, 9, 4)) h2, min(substring(h, 13, 4)) h3,
+         |  min(substring(h, 17, 4)) h4, min(substring(h, 21, 4)) h5,
+         |  min(substring(h, 25, 4)) h6, min(substring(h, 29, 4)) h7
+         |  FROM h GROUP BY source),
+         |m AS (SELECT a.source AS source_a, b.source AS source_b,
+         |        CAST(a.h0 = b.h0 AS BIGINT) + CAST(a.h1 = b.h1 AS BIGINT)
+         |        + CAST(a.h2 = b.h2 AS BIGINT) + CAST(a.h3 = b.h3 AS BIGINT)
+         |        + CAST(a.h4 = b.h4 AS BIGINT) + CAST(a.h5 = b.h5 AS BIGINT)
+         |        + CAST(a.h6 = b.h6 AS BIGINT) + CAST(a.h7 = b.h7 AS BIGINT) AS sig_matches
+         |      FROM sig a JOIN sig b ON a.source < b.source)
+         |SELECT source_a, source_b, sig_matches,
+         |       round(sig_matches / 8.0D, 6) AS est_jaccard
+         |FROM m""".stripMargin,
+
+    "q77_surprisal" ->
+      raw"""WITH td AS (SELECT doc_id, split(trim(text), '\\s+') AS toks FROM documents),
+         |tok AS (SELECT doc_id, token FROM td LATERAL VIEW explode(toks) t AS token),
+         |uni AS (SELECT token, count(*) AS ctf FROM tok GROUP BY token),
+         |n AS (SELECT count(*) AS ntot FROM tok)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       round(avg(-ln(ctf / ntot)), 6) AS surprisal
+         |FROM tok JOIN uni USING (token) CROSS JOIN n
+         |GROUP BY doc_id""".stripMargin,
+
+    "q86_cross_source_dup" ->
+      raw"""WITH p AS (SELECT DISTINCT source,
+         |         md5(concat_ws(' ', slice(split(trim(text), '\\s+'), 1, 8))) AS fp
+         |       FROM documents)
+         |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+         |FROM p a JOIN p b ON a.fp = b.fp AND a.source < b.source
+         |GROUP BY a.source, b.source""".stripMargin,
+
+    "q87_zipf_slope" ->
+      raw"""WITH td AS (SELECT lang, split(trim(text), '\\s+') AS toks FROM documents),
+         |tok AS (SELECT lang, token FROM td LATERAL VIEW explode(toks) t AS token),
+         |c AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token),
+         |r AS (SELECT lang, cnt,
+         |        row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
+         |      FROM c)
+         |SELECT lang, count(*) AS n_ranks,
+         |       round(regr_slope(ln(CAST(cnt AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
+         |         AS zipf_slope
+         |FROM r WHERE rnk <= 100 GROUP BY lang""".stripMargin,
+
+    "q90_source_drift" ->
+      raw"""WITH td AS (SELECT source, split(trim(text), '\\s+') AS toks
+         |            FROM documents WHERE source IS NOT NULL),
+         |tok AS (SELECT source, token FROM td LATERAL VIEW explode(toks) t AS token),
+         |st AS (SELECT source, token, count(*) AS c FROM tok GROUP BY source, token),
+         |stot AS (SELECT source, sum(c) AS n FROM st GROUP BY source),
+         |ct AS (SELECT token, sum(c) AS cc FROM st GROUP BY token),
+         |ctot AS (SELECT sum(cc) AS nn FROM ct)
+         |SELECT st.source, stot.n AS n_tokens,
+         |       round(sum((st.c / stot.n) * ln((st.c / stot.n) / (ct.cc / ctot.nn))), 6)
+         |         AS kl_vs_corpus
+         |FROM st JOIN stot USING (source) JOIN ct USING (token) CROSS JOIN ctot
+         |GROUP BY st.source, stot.n""".stripMargin,
+
+    "q91_novelty" ->
+      raw"""WITH td AS (SELECT doc_id, split(trim(text), '\\s+') AS toks FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, substring(md5(shingle), 1, 16) AS h
+         |       FROM td LATERAL VIEW explode(CASE WHEN size(toks) < 3 THEN array()
+         |          ELSE transform(sequence(1, size(toks) - 2),
+         |               i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])) END) t AS shingle),
+         |df AS (SELECT h, count(*) AS df FROM sh GROUP BY h)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |       count(if(df >= 5, 1, NULL)) AS n_common,
+         |       round(1.0D - count(if(df >= 5, 1, NULL)) / count(*), 6) AS novelty
+         |FROM sh JOIN df USING (h) GROUP BY doc_id""".stripMargin,
+
+    "q99_bigram_perplexity" ->
+      raw"""WITH tokd AS (SELECT doc_id, split(trim(text), '\\s+') AS toks FROM documents),
+         |vocab AS (SELECT w FROM (
+         |    SELECT tk AS w FROM tokd LATERAL VIEW explode(toks) t AS tk) u
+         |  GROUP BY w ORDER BY count(*) DESC, w LIMIT 500),
+         |bi AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+         |       FROM (SELECT doc_id, toks FROM tokd WHERE size(toks) >= 2) f
+         |       LATERAL VIEW explode(transform(sequence(1, size(toks) - 1),
+         |         i -> named_struct('w1', toks[i-1], 'w2', toks[i]))) t AS p),
+         |m AS (SELECT doc_id,
+         |             CASE WHEN v1.w IS NULL THEN '<unk>' ELSE bi.w1 END AS u1,
+         |             CASE WHEN v2.w IS NULL THEN '<unk>' ELSE bi.w2 END AS u2
+         |      FROM bi LEFT JOIN vocab v1 ON bi.w1 = v1.w
+         |               LEFT JOIN vocab v2 ON bi.w2 = v2.w),
+         |c2 AS (SELECT u1, u2, count(*) AS c2 FROM m GROUP BY u1, u2),
+         |c1 AS (SELECT u1, sum(c2) AS c1 FROM c2 GROUP BY u1)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       round(exp(avg(ln(CAST(c1 AS DOUBLE) / c2))), 6) AS ppl
+         |FROM m JOIN c2 USING (u1, u2) JOIN c1 USING (u1)
+         |GROUP BY doc_id""".stripMargin,
+
+    "q111_gopher_rules" ->
+      raw"""WITH t AS (SELECT doc_id, split(trim(text), '\\s+') AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |        CAST(size(toks) AS BIGINT) AS n_tokens,
+         |        aggregate(toks, 0L, (a, x) -> a + length(x)) AS sum_len,
+         |        CAST(size(array_distinct(toks)) AS BIGINT) AS n_distinct,
+         |        CAST(size(filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT)
+         |          AS n_stop
+         |      FROM t),
+         |r AS (SELECT *, round(sum_len / n_tokens, 6) AS mean_word_len,
+         |             round(n_distinct / n_tokens, 6) AS ttr
+         |      FROM m),
+         |r2 AS (SELECT *,
+         |        CAST(n_tokens >= 5 AND n_tokens <= 10000 AS BIGINT) AS r_len,
+         |        CAST(mean_word_len >= 3.0D AND mean_word_len <= 10.0D AS BIGINT) AS r_wordlen,
+         |        CAST(ttr >= 0.3D AS BIGINT) AS r_ttr,
+         |        CAST(n_stop >= 1 AS BIGINT) AS r_stop
+         |      FROM r)
+         |SELECT doc_id, n_tokens, mean_word_len, ttr, n_stop,
+         |       r_len, r_wordlen, r_ttr, r_stop,
+         |       CAST(r_len + r_wordlen + r_ttr + r_stop = 4 AS BIGINT) AS keep
+         |FROM r2""".stripMargin,
+
+    "q112_split_leakage" ->
+      raw"""WITH f AS (SELECT doc_id,
+         |         md5(concat_ws(' ', slice(split(trim(text), '\\s+'), 1, 8))) AS fp,
+         |         CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)
+         |           AS bucket
+         |       FROM documents),
+         |a AS (SELECT fp, CASE WHEN bucket < 52429 THEN 'train'
+         |                     WHEN bucket < 58982 THEN 'val'
+         |                     ELSE 'test' END AS split
+         |      FROM f),
+         |d AS (SELECT DISTINCT fp, split FROM a)
+         |SELECT a.split AS split_a, b.split AS split_b, count(*) AS n_fingerprints
+         |FROM d a JOIN d b ON a.fp = b.fp AND a.split < b.split
+         |GROUP BY a.split, b.split""".stripMargin,
+
+    "q114_quality_classifier" ->
+      raw"""WITH f AS (SELECT doc_id, array_distinct(split(trim(text), '\\s+')) AS feats
+         |       FROM documents),
+         |m AS (SELECT doc_id,
+         |        CAST(size(feats) AS BIGINT) AS n_feats,
+         |        aggregate(feats, 0D, (a, x) ->
+         |          a + ((CAST(conv(substring(md5(x), 1, 2), 16, 10) AS BIGINT) * 37 + 11) % 256
+         |               - 127.5D) / 512D) AS logit_sum
+         |      FROM f)
+         |SELECT doc_id, n_feats,
+         |       round(logit_sum / n_feats, 6) AS logit,
+         |       round(1.0D / (1.0D + exp(-logit_sum / n_feats)), 6) AS score,
+         |       CAST(round(1.0D / (1.0D + exp(-logit_sum / n_feats)), 6) >= 0.5D AS BIGINT)
+         |         AS keep
+         |FROM m""".stripMargin,
+
+    "q124_bpe_pairs" ->
+      raw"""WITH td AS (SELECT split(trim(text), '\\s+') AS toks FROM documents),
+         |tok AS (SELECT w FROM td LATERAL VIEW explode(toks) t AS w),
+         |wf AS (SELECT w, count(*) AS f FROM tok WHERE length(w) >= 2 GROUP BY w),
+         |p AS (SELECT substr(w, i, 2) AS pair, f FROM wf
+         |      LATERAL VIEW explode(sequence(1, length(w) - 1)) g AS i)
+         |SELECT pair, sum(f) AS freq
+         |FROM p GROUP BY pair ORDER BY freq DESC, pair LIMIT 50""".stripMargin,
+
+    "q33_knn_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id, ${cosine("q.qv", "e.v")} AS sim
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, vec_id, sim,
+         |                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+         |           FROM scored)
+         |SELECT q_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+         |       round(sim, 6) AS sim
+         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q34_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $signBucket8 AS bucket FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 50),
+         |scored AS (
+         |  SELECT q.q_id, b.vec_id, ${cosine("q.qv", "b.v")} AS sim
+         |  FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, vec_id, sim,
+         |                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+         |           FROM scored)
+         |SELECT q_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+         |       round(sim, 6) AS sim
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q35_cosine_neardup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $signBucket8 AS bucket FROM e)
+         |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |       round(${cosine("a.v", "c.v")}, 6) AS sim
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |WHERE ${cosine("a.v", "c.v")} >= 0.40D""".stripMargin,
+
+    "q36_label_centroid" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+         |dims AS (SELECT label, vec_id, dim, x FROM e LATERAL VIEW posexplode(v) t AS dim, x),
+         |cd AS (SELECT label, dim, avg(x) AS c FROM dims GROUP BY label, dim),
+         |cent AS (SELECT label,
+         |           transform(array_sort(collect_list(struct(dim, c))), p -> p.c) AS cv
+         |         FROM cd GROUP BY label),
+         |dist AS (
+         |  SELECT e.label, e.vec_id,
+         |         sqrt(greatest(${dot("e.v", "e.v")} - 2.0D * ${dot("e.v", "cent.cv")}
+         |           + ${dot("cent.cv", "cent.cv")}, 0D)) AS dist
+         |  FROM e JOIN cent ON e.label = cent.label)
+         |SELECT label, count(1) AS n_vectors,
+         |       round(avg(dist), 6) AS avg_dist_to_centroid,
+         |       round(max(dist), 6) AS max_dist_to_centroid
+         |FROM dist GROUP BY label""".stripMargin,
+
+    "q46_ivf_ann" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+         |dims AS (SELECT label, vec_id, dim, x FROM e LATERAL VIEW posexplode(v) t AS dim, x),
+         |cd AS (SELECT label, dim, avg(x) AS c FROM dims GROUP BY label, dim),
+         |cent AS (SELECT label AS cell,
+         |           transform(array_sort(collect_list(struct(dim, c))), p -> p.c) AS cv
+         |         FROM cd GROUP BY label),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 50),
+         |qdist AS (
+         |  SELECT q_id, qv, cell,
+         |         sqrt(greatest(${dot("qv", "qv")} - 2.0D * ${dot("qv", "cv")}
+         |           + ${dot("cv", "cv")}, 0D)) AS dist
+         |  FROM q CROSS JOIN cent),
+         |probes AS (SELECT q_id, qv, cell FROM (
+         |    SELECT q_id, qv, cell,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY dist, cell) AS pr
+         |    FROM qdist) WHERE pr <= 2),
+         |scored AS (
+         |  SELECT p.q_id, e.vec_id, ${cosine("p.qv", "e.v")} AS sim
+         |  FROM e JOIN probes p ON e.label = p.cell AND e.vec_id <> p.q_id),
+         |ranked AS (SELECT q_id, vec_id, sim,
+         |                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+         |           FROM scored)
+         |SELECT q_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+         |       round(sim, 6) AS sim
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q58_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+         |a1 AS (SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c0.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |             ${dot("e.v", "e.v")} - 2 * ${dot("e.v", "c0.cv")}
+         |               + ${dot("c0.cv", "c0.cv")}, cell) AS rn
+         |    FROM e CROSS JOIN c0) WHERE rn = 1),
+         |dims AS (SELECT vec_id, dim, x FROM e LATERAL VIEW posexplode(v) t AS dim, x),
+         |c1 AS (SELECT cell,
+         |           transform(array_sort(collect_list(struct(dim, c))), p -> p.c) AS cv
+         |       FROM (SELECT a1.cell, dims.dim, round(avg(dims.x), 6) AS c
+         |             FROM dims JOIN a1 USING (vec_id)
+         |             GROUP BY a1.cell, dims.dim) GROUP BY cell),
+         |a2 AS (SELECT vec_id, cell, dist2 FROM (
+         |    SELECT e.vec_id, c1.cell,
+         |           ${dot("e.v", "e.v")} - 2 * ${dot("e.v", "c1.cv")}
+         |             + ${dot("c1.cv", "c1.cv")} AS dist2,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |             ${dot("e.v", "e.v")} - 2 * ${dot("e.v", "c1.cv")}
+         |               + ${dot("c1.cv", "c1.cv")}, cell) AS rn
+         |    FROM e CROSS JOIN c1) WHERE rn = 1)
+         |SELECT cell, count(1) AS n_vectors,
+         |       round(avg(sqrt(greatest(dist2, 0D))), 6) AS avg_dist
+         |FROM a2 GROUP BY cell""".stripMargin,
+
+    "q59_random_projection" -> {
+      val cols = functions.VectorOps.projWeights.zipWithIndex.map { case (w, j) =>
+        val arr = s"array(${w.map(x => s"${x}D").mkString(", ")})"
+        s"round(${dot("v", arr)}, 6) AS r$j"
+      }.mkString(",\n  ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings)
+         |SELECT vec_id,
+         |  $cols
+         |FROM e""".stripMargin
+    },
+
+    "q82_int8_quant" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, array_max(transform(v, x -> abs(x))) AS maxabs FROM e)
+        |SELECT vec_id, round(maxabs / 127.0D, 6) AS scale,
+        |  CASE WHEN maxabs = 0D THEN 0.0D
+        |       ELSE round(array_max(transform(v,
+        |              x -> abs(x - round(x * 127.0D / maxabs) * maxabs / 127.0D))), 6)
+        |  END AS max_abs_err
+        |FROM m""".stripMargin,
+
+    "q83_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v, label FROM embeddings),
+         |n AS (SELECT vec_id, label, v, sqrt(${dot("v", "v")}) AS nrm FROM e),
+         |dup AS (SELECT DISTINCT b.vec_id
+         |        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |        WHERE ${dot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.30D)
+         |SELECT label, count(1) AS n_vectors,
+         |       count(1) FILTER (WHERE d.vec_id IS NULL) AS n_kept
+         |FROM n LEFT JOIN dup d ON n.vec_id = d.vec_id
+         |GROUP BY label""".stripMargin,
+
+    "q113_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v, label FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id, e.label, ${cosine("q.qv", "e.v")} AS sim
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id AND e.label <> q.q_label),
+         |ranked AS (SELECT q_id, vec_id, label, sim,
+         |                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+         |           FROM scored)
+         |SELECT q_id, vec_id AS neighbor_id, CAST(label AS BIGINT) AS neighbor_label,
+         |       CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q130_image_ahash" ->
+      """WITH im AS (SELECT doc_id, CAST(n_chars % 24 + 8 AS BIGINT) AS w,
+        |                   CAST(n_chars % 16 + 8 AS BIGINT) AS h
+        |            FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT im.doc_id, im.w, im.h,
+        |              CAST(y.g * 8 AS BIGINT) div im.h AS cy,
+        |              CAST(x.g * 8 AS BIGINT) div im.w AS cx,
+        |              CAST((im.doc_id * 7 + y.g * 13 + x.g * 31) % 256 AS BIGINT) AS v
+        |       FROM im,
+        |            (SELECT explode(sequence(0, 22)) AS g) y,
+        |            (SELECT explode(sequence(0, 30)) AS g) x
+        |       WHERE y.g < im.h AND x.g < im.w),
+        |cell AS (SELECT doc_id, w, h, cy * 8 + cx AS idx,
+        |                sum(v) AS cs, count(1) AS cc
+        |         FROM px GROUP BY doc_id, w, h, cy, cx),
+        |tot AS (SELECT doc_id, sum(cs) AS ts, sum(cc) AS tc
+        |        FROM cell GROUP BY doc_id),
+        |bits AS (SELECT cell.doc_id, w, h, idx,
+        |                CASE WHEN cs * tc >= ts * cc THEN 1L ELSE 0L END AS b
+        |         FROM cell JOIN tot ON cell.doc_id = tot.doc_id),
+        |hash AS (SELECT doc_id, w, h,
+        |    sum(CASE WHEN idx >= 32 THEN b * shiftleft(1L, CAST(idx - 32 AS INT)) ELSE 0L END) AS hi,
+        |    sum(CASE WHEN idx < 32 THEN b * shiftleft(1L, CAST(idx AS INT)) ELSE 0L END) AS lo,
+        |    sum(b) AS n
+        |  FROM bits GROUP BY doc_id, w, h)
+        |SELECT doc_id AS media_id, w AS width, h AS height,
+        |  hi AS ahash_hi, lo AS ahash_lo, CAST(n AS INT) AS n_set
+        |FROM hash""".stripMargin,
+
+    "q131_image_neardup" ->
+      """WITH im AS (SELECT doc_id, CAST(n_chars % 24 + 8 AS BIGINT) AS w,
+        |                   CAST(n_chars % 16 + 8 AS BIGINT) AS h
+        |            FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT im.doc_id, im.w, im.h,
+        |              CAST(y.g * 8 AS BIGINT) div im.h AS cy,
+        |              CAST(x.g * 8 AS BIGINT) div im.w AS cx,
+        |              CAST((im.doc_id * 7 + y.g * 13 + x.g * 31) % 256 AS BIGINT) AS v
+        |       FROM im,
+        |            (SELECT explode(sequence(0, 22)) AS g) y,
+        |            (SELECT explode(sequence(0, 30)) AS g) x
+        |       WHERE y.g < im.h AND x.g < im.w),
+        |cell AS (SELECT doc_id, cy * 8 + cx AS idx, sum(v) AS cs, count(1) AS cc
+        |         FROM px GROUP BY doc_id, cy, cx),
+        |tot AS (SELECT doc_id, sum(cs) AS ts, sum(cc) AS tc
+        |        FROM cell GROUP BY doc_id),
+        |bits AS (SELECT cell.doc_id, idx,
+        |                CASE WHEN cs * tc >= ts * cc THEN 1L ELSE 0L END AS b
+        |         FROM cell JOIN tot ON cell.doc_id = tot.doc_id),
+        |hash AS (SELECT doc_id,
+        |    sum(CASE WHEN idx >= 32 THEN b * shiftleft(1L, CAST(idx - 32 AS INT)) ELSE 0L END) AS hi,
+        |    sum(CASE WHEN idx < 32 THEN b * shiftleft(1L, CAST(idx AS INT)) ELSE 0L END) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |band AS (SELECT doc_id, hi, lo, g.b,
+        |    CASE g.b WHEN 0 THEN lo & 65535L
+        |             WHEN 1 THEN shiftright(lo, 16) & 65535L
+        |             WHEN 2 THEN hi & 65535L
+        |             ELSE shiftright(hi, 16) & 65535L END AS v
+        |  FROM hash, (SELECT explode(array(0, 1, 2, 3)) AS b) g)
+        |SELECT DISTINCT a.doc_id AS media_id_a, c.doc_id AS media_id_b,
+        |  CAST(bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) AS INT) AS hamming
+        |FROM band a JOIN band c ON a.b = c.b AND a.v = c.v
+        |  AND a.doc_id < c.doc_id
+        |WHERE bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) <= 3""".stripMargin,
     "q12_calendar_densify" ->
       """WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
         |cal AS (SELECT explode(sequence(lo, hi, interval 1 day)) AS day FROM bounds),

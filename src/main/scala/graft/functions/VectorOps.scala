@@ -414,8 +414,9 @@ object VectorOps {
     if (Character.digit(hex.charAt(0), 16) >= 8) 1.0 else -1.0
   }
 
-  /** 8 sign vectors over the corpus's 64 embedding dims (1-based i). */
-  private lazy val projWeights: Seq[Array[Double]] =
+  /** 8 sign vectors over the corpus's 64 embedding dims (1-based i);
+    * private[graft]: [[graft.SparkSqlTwins]] embeds the same matrix. */
+  private[graft] lazy val projWeights: Seq[Array[Double]] =
     (0 until 8).map(j => (1 to 64).map(i => projSign(i, j)).toArray)
 
   /** Random-projection dimensionality reduction 64 → 8 (the embedding

@@ -784,17 +784,166 @@ object Multimodal {
       |  round(ss / n - (s / n) * (s / n), 4) AS var_lum
       |FROM a""".stripMargin
 
+  /** 64-bit perceptual AVERAGE HASH of a grayscale image: block-average
+    * the pixels onto an 8×8 grid (cell (cx, cy) collects pixels with
+    * cx = ⌊x·8/w⌋, cy = ⌊y·8/h⌋ — every cell non-empty for w, h ≥ 8),
+    * then set bit cy·8+cx iff the cell mean ≥ the IMAGE mean. The
+    * comparison is integer cross-multiplication (cellSum·nTotal ≥
+    * totalSum·cellCount), so it is exact and reproducible by any engine
+    * with 64-bit integers — no float mean ever compared. Returned split
+    * as (bits 32..63, bits 0..31, popcount): two non-negative < 2³²
+    * BIGINTs survive every engine's signed-long arithmetic, where a
+    * packed bit 63 would go negative. */
+  private[graft] def ahash64(w: Int, h: Int, px: Array[Int]): (Long, Long, Int) = {
+    val cs = new Array[Long](64)
+    val cc = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val i = cy * 8 + x * 8 / w
+        cs(i) += px(y * w + x)
+        cc(i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var ts = 0L; var tc = 0L
+    var i = 0
+    while (i < 64) { ts += cs(i); tc += cc(i); i += 1 }
+    var hi = 0L; var lo = 0L; var n = 0
+    i = 0
+    while (i < 64) {
+      if (cs(i) * tc >= ts * cc(i)) { // exact: cell mean ≥ image mean
+        n += 1
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo, n)
+  }
+
+  /** q130: perceptual average-hash extraction — the image analogue of the
+    * text fingerprints (q28/q45): a 64-bit aHash per image computed from
+    * REAL decoded PNG pixels, the standard screen for visually-identical
+    * or near-identical images in a multimodal training corpus (resize +
+    * mean-threshold, cf. the classic aHash/pHash family). Per-row byte
+    * work at scan speed — the blob never crosses a shuffle; only the
+    * 3-BIGINT hash row does. The oracle regenerates the pixel formula and
+    * recomputes the same integer-exact hash, so a match proves the whole
+    * decode→downsample→threshold→pack chain bit-for-bit. */
+  def q130ImageAhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    imagesWithPixels(s, d).flatMap { m =>
+      MediaHeaders.pngPixels(m.data).map { case (w, h, px) =>
+        val (hi, lo, n) = ahash64(w.toInt, h.toInt, px)
+        (m.media_id, w, h, hi, lo, n)
+      }
+    }.toDF("media_id", "width", "height", "ahash_hi", "ahash_lo", "n_set")
+  }
+
+  /** Shared oracle prefix: regenerate pixels, assign 8×8 grid cells, and
+    * pack the integer-exact aHash per image — DuckDB side of [[ahash64]]. */
+  private val ahashCte: String =
+    """WITH im AS (SELECT doc_id, CAST(n_chars % 24 + 8 AS BIGINT) AS w,
+      |                   CAST(n_chars % 16 + 8 AS BIGINT) AS h
+      |            FROM documents WHERE doc_id % 3 = 0),
+      |px AS (SELECT im.doc_id, im.w, im.h,
+      |              (y.g * 8) // im.h AS cy, (x.g * 8) // im.w AS cx,
+      |              CAST((im.doc_id * 7 + y.g * 13 + x.g * 31) % 256 AS BIGINT) AS v
+      |       FROM im,
+      |            (SELECT unnest(generate_series(0, 22)) AS g) y,
+      |            (SELECT unnest(generate_series(0, 30)) AS g) x
+      |       WHERE y.g < im.h AND x.g < im.w),
+      |cell AS (SELECT doc_id, w, h, cy * 8 + cx AS idx,
+      |                sum(v) AS cs, count(*) AS cc
+      |         FROM px GROUP BY doc_id, w, h, cy, cx),
+      |tot AS (SELECT doc_id, sum(cs) AS ts, sum(cc) AS tc
+      |        FROM cell GROUP BY doc_id),
+      |bits AS (SELECT cell.doc_id, w, h, idx,
+      |                CASE WHEN cs * tc >= ts * cc THEN 1 ELSE 0 END AS b
+      |         FROM cell JOIN tot ON cell.doc_id = tot.doc_id),
+      |hash AS (SELECT doc_id, w, h,
+      |    sum(CASE WHEN idx >= 32 THEN b * (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END) AS hi,
+      |    sum(CASE WHEN idx < 32 THEN b * (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS lo,
+      |    sum(b) AS n
+      |  FROM bits GROUP BY doc_id, w, h)""".stripMargin
+
+  /** Oracle twin of [[q130ImageAhash]]. */
+  val q130Sql: String =
+    s"""$ahashCte
+       |SELECT doc_id AS media_id, w AS width, h AS height,
+       |  CAST(hi AS BIGINT) AS ahash_hi, CAST(lo AS BIGINT) AS ahash_lo,
+       |  CAST(n AS BIGINT) AS n_set
+       |FROM hash""".stripMargin
+
+  /** q131: VISUAL near-dup pairs by banded perceptual hash — the image
+    * face of q30's MinHash LSH. The 64-bit aHash splits into four 16-bit
+    * bands; images sharing ANY band become candidates (pigeonhole: a pair
+    * at Hamming distance ≤ 3 differs in at most 3 bands, so at least one
+    * band matches — recall 1.0 at the ≤ 3 threshold, NO all-pairs scan),
+    * and candidates are rescored with the exact popcount Hamming
+    * distance. At 100 TB this is one exchange on (band, value); a hot
+    * band value (many visually-flat images) concentrates like any LSH
+    * bucket and caps the same way q30's bands do. */
+  def q131ImageNeardup(s: SparkSession, d: String): DataFrame = {
+    val hashes = q130ImageAhash(s, d).select("media_id", "ahash_hi", "ahash_lo")
+    val bands = hashes.select(
+      col("media_id"), col("ahash_hi"), col("ahash_lo"),
+      explode(array(
+        struct(lit(0).as("b"), col("ahash_lo").bitwiseAND(65535).as("v")),
+        struct(lit(1).as("b"), shiftright(col("ahash_lo"), 16).bitwiseAND(65535).as("v")),
+        struct(lit(2).as("b"), col("ahash_hi").bitwiseAND(65535).as("v")),
+        struct(lit(3).as("b"), shiftright(col("ahash_hi"), 16).bitwiseAND(65535).as("v"))))
+        .as("band"))
+    val l = bands.select(col("media_id").as("media_id_a"),
+      col("ahash_hi").as("hi_a"), col("ahash_lo").as("lo_a"),
+      col("band.b").as("b"), col("band.v").as("v"))
+    val r = bands.select(col("media_id").as("media_id_b"),
+      col("ahash_hi").as("hi_b"), col("ahash_lo").as("lo_b"),
+      col("band.b").as("b"), col("band.v").as("v"))
+    l.join(r, Seq("b", "v"))
+      .where(col("media_id_a") < col("media_id_b"))
+      .select(col("media_id_a"), col("media_id_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).as("hamming"))
+      .where(col("hamming") <= 3) // rescore BEFORE the distinct exchange
+      .distinct()
+  }
+
+  /** Oracle twin of [[q131ImageNeardup]]: same banded-candidate plan in
+    * SQL — band explode via a 4-row VALUES join, exact Hamming rescore
+    * with xor + bit_count on the split halves. */
+  val q131Sql: String =
+    s"""$ahashCte,
+       |band AS (SELECT doc_id, hi, lo, g.b,
+       |    CASE g.b WHEN 0 THEN lo & 65535
+       |             WHEN 1 THEN (lo >> 16) & 65535
+       |             WHEN 2 THEN hi & 65535
+       |             ELSE (hi >> 16) & 65535 END AS v
+       |  FROM hash, (VALUES (0), (1), (2), (3)) g(b))
+       |SELECT DISTINCT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+       |  bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+       |FROM band a JOIN band b ON a.b = b.b AND a.v = b.v
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_media_features" -> (q37MediaFeatures _),
     "q110_media_decode" -> (q110MediaDecode _),
     "q120_frame_sample" -> (q120FrameSample _),
     "q123_audio_energy" -> (q123AudioEnergy _),
-    "q127_png_pixels" -> (q127PngPixels _))
+    "q127_png_pixels" -> (q127PngPixels _),
+    "q130_image_ahash" -> (q130ImageAhash _),
+    "q131_image_neardup" -> (q131ImageNeardup _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_media_features" -> q37Sql,
     "q110_media_decode" -> q110Sql,
     "q120_frame_sample" -> q120Sql,
     "q123_audio_energy" -> q123Sql,
-    "q127_png_pixels" -> q127Sql)
+    "q127_png_pixels" -> q127Sql,
+    "q130_image_ahash" -> q130Sql,
+    "q131_image_neardup" -> q131Sql)
 }

@@ -198,4 +198,38 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(m => m.container == "unknown" && m.width.isEmpty &&
       m.sample_rate.isEmpty))
   }
+
+  test("ahash64: uniform image sets all 64 bits; a vertical half-split sets " +
+    "exactly the bright half; the comparison is integer-exact") {
+    // 16×16 uniform: every cell mean equals the image mean → every bit set.
+    val (uhi, ulo, un) = Multimodal.ahash64(16, 16, Array.fill(256)(77))
+    assert((uhi, ulo, un) === (0xFFFFFFFFL, 0xFFFFFFFFL, 64))
+    // left half 255, right half 0 (w=h=16 → each 8×8 cell is a 2×2 block):
+    // cells with cx < 4 are all-bright → bit set; cx ≥ 4 all-dark → clear.
+    val split = Array.tabulate(256)(i => if (i % 16 < 8) 255 else 0)
+    val (shi, slo, sn) = Multimodal.ahash64(16, 16, split)
+    assert(sn === 32)
+    assert(slo === 0x0F0F0F0FL && shi === 0x0F0F0F0FL) // low nibble per row of cells
+    // inverting the image complements the hash up to ≥-vs-< ties (none here).
+    val inv = split.map(255 - _)
+    val (ihi, ilo, in_) = Multimodal.ahash64(16, 16, inv)
+    assert((ihi & shi) === 0L && (ilo & slo) === 0L && in_ === 32)
+  }
+
+  test("q131 banding is exact at the ≤3 threshold: pairs equal the brute-force " +
+    "all-pairs Hamming scan over q130's hashes (pigeonhole recall = 1)") {
+    val hashes = Multimodal.q130ImageAhash(spark, sf0001)
+      .select("media_id", "ahash_hi", "ahash_lo")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hashes.length > 5, "fixture should decode several images")
+    val brute = (for {
+      (a, ahi, alo) <- hashes; (b, bhi, blo) <- hashes if a < b
+      d = java.lang.Long.bitCount(ahi ^ bhi) + java.lang.Long.bitCount(alo ^ blo)
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val banded = Multimodal.q131ImageNeardup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.get(2).asInstanceOf[Number].longValue)).toSet
+    assert(banded === brute)
+  }
 }

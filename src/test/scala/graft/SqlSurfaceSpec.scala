@@ -35,7 +35,7 @@ class SqlSurfaceSpec extends SparkSpec {
       "q118_repeated_spans", "q119_dedup_savings",
       "q123_audio_energy", "q124_bpe_pairs",
       "q126_incremental_neardup", "q127_png_pixels", "q128_hybrid_rrf",
-      "q129_incremental_ivf") ++
+      "q129_incremental_ivf", "q130_image_ahash", "q131_image_neardup") ++
     m("list_* functions on array<double> embeddings")(
       "q33_knn_bruteforce", "q34_ann_lsh", "q35_cosine_neardup",
       "q45_rolling_fingerprint", "q59_random_projection", "q82_int8_quant",
