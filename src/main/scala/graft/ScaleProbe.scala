@@ -250,8 +250,16 @@ object ScaleProbe {
     def png(d: String): Long = graft.multimodal.Multimodal.q127PngPixels(spark, d).count()
     def rrf(d: String): Long = VectorOps.q128HybridRrf(spark, d).count()
     def ivf(d: String): Long = VectorOps.q129IncrementalIvf(spark, d).count()
-    png(sfDir); rrf(sfDir); ivf(sfDir) // warm
+    // q130 aHash is per-row byte work like q127 — must be flat-linear.
+    // q131 (the banded pair report) is deliberately NOT probed here: the
+    // N× fixture shifts doc_id by a multiple of 256, so every copy
+    // regenerates IDENTICAL images and the true near-dup pair set grows
+    // as copies² — a correct pair report on that corpus is quadratic by
+    // definition, which says nothing about the band join's plan shape.
+    def ahash(d: String): Long = graft.multimodal.Multimodal.q130ImageAhash(spark, d).count()
+    png(sfDir); rrf(sfDir); ivf(sfDir); ahash(sfDir) // warm
     probe("png_pixels")(png(sfDir))(png(docsNDir))
+    probe("image_ahash")(ahash(sfDir))(ahash(docsNDir))
     probe("hybrid_rrf")(rrf(sfDir))(rrf(docsNDir))
     probe("incremental_ivf")(ivf(sfDir))(ivf(embNDir))
 

@@ -46,7 +46,311 @@ object SparkSqlTwins {
   private val signBucket8: String =
     (0 until 8).map(i => s"CASE WHEN v[$i] >= 0D THEN '1' ELSE '0' END").mkString(" || ")
 
+  /** The word-3-gram shingle array over `toks` (Spark spelling of the
+    * oracle's list comprehension; the DataFrame plans build the same
+    * expression via TextOps.shinglesExpr). */
+  private val shingleCase: String =
+    """CASE WHEN size(toks) < 3 THEN array()
+      |          ELSE transform(sequence(1, size(toks) - 2),
+      |               i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])) END""".stripMargin
+
+  /** The 8-slice MinHash signature CTE chain over distinct doc shingles
+    * (shared by the q95/q126 twins, same shape the q30 family builds). */
+  private val minhashSigCtes: String =
+    raw"""td AS (SELECT doc_id, split(trim(text), '\\s+') AS toks FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM td
+       |       LATERAL VIEW explode($shingleCase) t AS shingle),
+       |hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+       |sig AS (SELECT doc_id,
+       |  min(substring(h, 1, 4)) h0, min(substring(h, 5, 4)) h1,
+       |  min(substring(h, 9, 4)) h2, min(substring(h, 13, 4)) h3,
+       |  min(substring(h, 17, 4)) h4, min(substring(h, 21, 4)) h5,
+       |  min(substring(h, 25, 4)) h6, min(substring(h, 29, 4)) h7
+       |  FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, h0 || h1 AS bucket FROM sig
+       |  UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+       |  UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+       |  UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig)""".stripMargin
+
+  /** The df-capped distinct-shingle view + per-doc set sizes (q31/q116
+    * twins — the capped pair spine in SQL form). */
+  private val cappedCtes: String =
+    raw"""td AS (SELECT doc_id, split(trim(text), '\\s+') AS toks FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM td
+       |       LATERAL VIEW explode($shingleCase) t AS shingle),
+       |h AS (SELECT DISTINCT doc_id, substring(md5(shingle), 1, 16) AS sh16 FROM sh),
+       |capped AS (SELECT doc_id, sh16 FROM (
+       |    SELECT doc_id, sh16, count(*) OVER (PARTITION BY sh16) AS df FROM h)
+       |  WHERE df <= 30),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+       |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |           FROM capped a JOIN capped b ON a.sh16 = b.sh16 AND a.doc_id < b.doc_id
+       |           GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
   val texts: Map[String, String] = Map(
+    "q31_jaccard_pairs" ->
+      s"""WITH $cappedCtes
+         |SELECT doc_a, doc_b, n_shared,
+         |       n_shared / (sa.n + sb.n - n_shared) AS jaccard
+         |FROM shared
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE n_shared / (sa.n + sb.n - n_shared) >= 0.10D""".stripMargin,
+
+    "q116_containment_pairs" ->
+      s"""WITH $cappedCtes
+         |SELECT CASE WHEN sb.n < sa.n THEN doc_b ELSE doc_a END AS doc_contained,
+         |       CASE WHEN sb.n < sa.n THEN doc_a ELSE doc_b END AS doc_container,
+         |       n_shared,
+         |       n_shared / least(sa.n, sb.n) AS containment,
+         |       n_shared / (sa.n + sb.n - n_shared) AS jaccard
+         |FROM shared
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE n_shared / least(sa.n, sb.n) >= 0.8D""".stripMargin,
+
+    "q32_simhash" ->
+      raw"""SELECT doc_id, simhash_native(split(trim(text), '\\s+')) AS simhash
+         |FROM documents""".stripMargin,
+
+    "q45_rolling_fingerprint" ->
+      """SELECT doc_id, rolling_hash_native(trim(text)) AS rolling_hash
+        |FROM documents""".stripMargin,
+
+    "q42_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS uname,
+        |  lower(p_type) AS ltype,
+        |  lpad(CAST(p_partkey AS STRING), 8, '0') AS padded_key,
+        |  regexp_replace(p_name, ' ', '_') AS snake_name,
+        |  substring_index(p_brand, '#', -1) AS brand_num,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+        |  levenshtein(p_name, 'small widget') AS edit_dist,
+        |  format_string('%s [%s]', p_name, p_brand) AS label,
+        |  reverse(p_name) AS rname,
+        |  initcap(regexp_replace(p_type, 'PROMO', 'promoted')) AS type_label,
+        |  CAST(length(p_name) AS BIGINT) AS name_len
+        |FROM part""".stripMargin,
+
+    "q78_collocations" ->
+      raw"""WITH dt AS (SELECT doc_id,
+         |              array_sort(array_distinct(split(trim(text), '\\s+'))) AS toks
+         |            FROM documents),
+         |tok AS (SELECT doc_id, tok FROM dt LATERAL VIEW explode(toks) t AS tok),
+         |co AS (SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
+         |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |       GROUP BY a.tok, b.tok),
+         |df AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT tok_a, tok_b, n_ab,
+         |       round(ln((n_ab * n_docs) / (da.df * db.df)), 6) AS pmi
+         |FROM co JOIN df da ON co.tok_a = da.tok
+         |        JOIN df db ON co.tok_b = db.tok
+         |        CROSS JOIN n
+         |ORDER BY pmi DESC, tok_a, tok_b
+         |LIMIT 20""".stripMargin,
+
+    "q84_curriculum" ->
+      raw"""WITH t AS (SELECT doc_id, lang,
+         |         CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |       FROM documents),
+         |q AS (SELECT lang, n_tokens,
+         |             ntile(4) OVER (PARTITION BY lang
+         |                            ORDER BY n_tokens, doc_id) AS quartile
+         |      FROM t)
+         |SELECT lang, CAST(quartile AS BIGINT) AS quartile,
+         |       count(*) AS n_docs,
+         |       round(avg(n_tokens), 4) AS avg_tokens,
+         |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+         |FROM q GROUP BY lang, quartile""".stripMargin,
+
+    "q85_pack_efficiency" ->
+      raw"""WITH t AS (SELECT CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n
+         |       FROM documents),
+         |b AS (SELECT n, least(CAST(floor(n / 32) AS BIGINT), 7L) AS bucket FROM t)
+         |SELECT bucket, (bucket + 1) * 32 AS cap,
+         |       count(*) AS n_docs, sum(n) AS sum_tokens,
+         |       round(sum(n) / sum(greatest((bucket + 1) * 32, n)), 6) AS efficiency
+         |FROM b GROUP BY bucket, cap""".stripMargin,
+
+    "q95_minhash_calibration" ->
+      s"""WITH $minhashSigCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |est AS (SELECT c.doc_a, c.doc_b,
+         |  (CAST(sa.h0 = sb.h0 AS INT) + CAST(sa.h1 = sb.h1 AS INT)
+         |   + CAST(sa.h2 = sb.h2 AS INT) + CAST(sa.h3 = sb.h3 AS INT)
+         |   + CAST(sa.h4 = sb.h4 AS INT) + CAST(sa.h5 = sb.h5 AS INT)
+         |   + CAST(sa.h6 = sb.h6 AS INT) + CAST(sa.h7 = sb.h7 AS INT)) / 8.0D AS est
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+         |              JOIN sig sb ON sb.doc_id = c.doc_b),
+         |hd AS (SELECT DISTINCT doc_id, substring(md5(shingle), 1, 16) AS sh16 FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM hd GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+         |          FROM cand c JOIN hd a ON a.doc_id = c.doc_a
+         |                      JOIN hd b ON b.doc_id = c.doc_b AND b.sh16 = a.sh16
+         |          GROUP BY c.doc_a, c.doc_b),
+         |ex AS (SELECT e.doc_a, e.doc_b, e.est,
+         |         COALESCE(i.n_shared, 0L) / (sa.n + sb.n - COALESCE(i.n_shared, 0L)) AS exact
+         |       FROM est e LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+         |       JOIN sizes sa ON sa.doc_id = e.doc_a JOIN sizes sb ON sb.doc_id = e.doc_b)
+         |SELECT floor(exact * 10) / 10.0D AS bucket, count(*) AS n_pairs,
+         |       round(avg(exact), 6) AS mean_exact, round(avg(est), 6) AS mean_est,
+         |       round(avg(abs(est - exact)), 6) AS mae
+         |FROM ex GROUP BY bucket""".stripMargin,
+
+    "q126_incremental_neardup" ->
+      s"""WITH $minhashSigCtes
+         |SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_doc
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bucket = b.bucket
+         |WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 <> 9""".stripMargin,
+
+    "q98_bloom_decontaminate" ->
+      raw"""WITH td AS (SELECT doc_id, split(trim(text), '\\s+') AS toks FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM td
+         |       LATERAL VIEW explode($shingleCase) t AS shingle),
+         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 19 = 0)
+         |SELECT tr.doc_id, count(DISTINCT tr.shingle) AS n_matched
+         |FROM sh tr JOIN ev USING (shingle)
+         |WHERE tr.doc_id % 19 <> 0
+         |GROUP BY tr.doc_id""".stripMargin,
+
+    "q117_adaptive_quality_gate" ->
+      raw"""WITH sc AS (
+         |  SELECT doc_id, source,
+         |    least(size(toks) / 100.0D, 1.0D)
+         |      * (1.0D - size(filter(toks, x -> x IN ('the', 'a', 'of', 'and')))
+         |          / size(toks)) AS quality_score
+         |  FROM (SELECT doc_id, source, split(trim(text), '\\s+') AS toks
+         |        FROM documents)),
+         |th AS (SELECT source, percentile(quality_score, 0.25D) AS src_p25
+         |       FROM sc GROUP BY source)
+         |SELECT sc.doc_id, sc.source,
+         |       round(sc.quality_score, 6) AS quality_score,
+         |       round(th.src_p25, 6) AS src_p25,
+         |       round(sc.quality_score, 6) >= round(th.src_p25, 6) AS keep
+         |FROM sc JOIN th ON th.source = sc.source""".stripMargin,
+
+    "q118_repeated_spans" ->
+      raw"""WITH t AS (SELECT doc_id, split(trim(text), '\\s+') AS toks FROM documents),
+         |h AS (SELECT doc_id,
+         |             transform(sequence(1, size(toks) - 7),
+         |               i -> md5(concat_ws(' ', slice(toks, i, 8)))) AS hashes
+         |      FROM t WHERE size(toks) >= 11),
+         |w AS (SELECT doc_id, span_hash
+         |      FROM h LATERAL VIEW explode(array_distinct(
+         |        transform(sequence(1, size(hashes) - 3),
+         |          j -> array_min(slice(hashes, j, 4))))) t2 AS span_hash),
+         |df AS (SELECT span_hash, count(DISTINCT doc_id) AS span_df
+         |       FROM w GROUP BY span_hash)
+         |SELECT w.doc_id,
+         |       count(*) AS n_spans,
+         |       sum(CASE WHEN df.span_df >= 2 THEN 1L ELSE 0L END) AS n_shared_spans,
+         |       round(sum(CASE WHEN df.span_df >= 2 THEN 1 ELSE 0 END) / count(*), 6)
+         |         AS shared_ratio
+         |FROM w JOIN df USING (span_hash)
+         |GROUP BY w.doc_id""".stripMargin,
+
+    "q123_audio_energy" ->
+      """WITH a AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT a.doc_id, a.n_chars, g.i,
+        |        CAST(((a.doc_id * 31 + g.i * 17) % 65536) - 32768 AS DOUBLE) AS v
+        |      FROM a, (SELECT explode(sequence(0, 767)) AS i) g)
+        |SELECT doc_id AS media_id,
+        |  CAST(i div 256 AS BIGINT) AS window_idx,
+        |  round(sqrt(avg(v * v)), 4) AS rms,
+        |  CAST(max(CAST(abs(v) AS BIGINT)) AS BIGINT) AS peak,
+        |  CAST(8000 + (n_chars % 8) * 1000 AS BIGINT) AS sample_rate,
+        |  CAST(1536000 div (2 * (8000 + (n_chars % 8) * 1000)) AS BIGINT) AS duration_ms
+        |FROM s GROUP BY doc_id, n_chars, i div 256""".stripMargin,
+
+    "q127_png_pixels" ->
+      """WITH im AS (SELECT doc_id, CAST(n_chars % 24 + 8 AS BIGINT) AS w,
+        |                   CAST(n_chars % 16 + 8 AS BIGINT) AS h
+        |            FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT im.doc_id, im.w, im.h,
+        |              CAST((im.doc_id * 7 + y.g * 13 + x.g * 31) % 256 AS BIGINT) AS v
+        |       FROM im,
+        |            (SELECT explode(sequence(0, 22)) AS g) y,
+        |            (SELECT explode(sequence(0, 30)) AS g) x
+        |       WHERE y.g < im.h AND x.g < im.w),
+        |a AS (SELECT doc_id, w, h, CAST(sum(v) AS DOUBLE) AS s,
+        |             CAST(sum(v * v) AS DOUBLE) AS ss, count(*) AS n
+        |      FROM px GROUP BY doc_id, w, h)
+        |SELECT doc_id AS media_id, w AS width, h AS height,
+        |  round(s / n, 4) AS mean_lum,
+        |  round(ss / n - (s / n) * (s / n), 4) AS var_lum
+        |FROM a""".stripMargin,
+
+    "q128_hybrid_rrf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |vsc AS (SELECT e.vec_id AS doc_id, ${cosine("q.qv", "e.v")} AS sim
+         |        FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+         |vrank AS (SELECT doc_id,
+         |            row_number() OVER (ORDER BY sim DESC, doc_id) AS vec_rank FROM vsc),
+         |vtop AS (SELECT doc_id, CAST(vec_rank AS BIGINT) AS vec_rank
+         |         FROM vrank WHERE vec_rank <= 50),
+         |toksrc AS (SELECT doc_id,
+         |             array_distinct(split(trim(text), '\\\\s+')) AS tk FROM documents),
+         |toks AS (SELECT doc_id, tok FROM toksrc LATERAL VIEW explode(tk) t AS tok),
+         |dfv AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+         |qt AS (SELECT t.tok, dfv.df FROM toks t JOIN dfv USING (tok) WHERE t.doc_id = 0),
+         |ksc AS (SELECT t.doc_id, sum(1000000 div qt.df) AS kw_score
+         |        FROM toks t JOIN qt USING (tok) WHERE t.doc_id <> 0 GROUP BY t.doc_id),
+         |krank AS (SELECT doc_id,
+         |            row_number() OVER (ORDER BY kw_score DESC, doc_id) AS kw_rank FROM ksc),
+         |ktop AS (SELECT doc_id, CAST(kw_rank AS BIGINT) AS kw_rank
+         |         FROM krank WHERE kw_rank <= 50),
+         |fused AS (
+         |  SELECT coalesce(v.doc_id, k.doc_id) AS doc_id, k.kw_rank, v.vec_rank,
+         |         round(coalesce(CAST(1 AS DOUBLE) / (k.kw_rank + 60), 0D)
+         |               + coalesce(CAST(1 AS DOUBLE) / (v.vec_rank + 60), 0D), 6) AS rrf
+         |  FROM vtop v FULL OUTER JOIN ktop k ON v.doc_id = k.doc_id)
+         |SELECT doc_id, kw_rank, vec_rank, rrf
+         |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q129_incremental_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+         |corpus AS (SELECT * FROM e WHERE vec_id % 10 <> 9),
+         |dims AS (SELECT label, vec_id, dim, x
+         |         FROM corpus LATERAL VIEW posexplode(v) t AS dim, x),
+         |cd AS (SELECT label, dim, avg(x) AS c FROM dims GROUP BY label, dim),
+         |cent AS (SELECT CAST(label AS BIGINT) AS cell,
+         |           transform(array_sort(collect_list(struct(dim, c))), p -> p.c) AS cv
+         |         FROM cd GROUP BY label),
+         |adist AS (
+         |  SELECT c.vec_id, c.v, cent.cell,
+         |         sqrt(greatest(${dot("c.v", "c.v")} - 2 * ${dot("c.v", "cent.cv")}
+         |              + ${dot("cent.cv", "cent.cv")}, 0D)) AS dist
+         |  FROM corpus c CROSS JOIN cent),
+         |idx AS (SELECT vec_id, v, cell FROM (
+         |    SELECT vec_id, v, cell,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS pr
+         |    FROM adist) WHERE pr = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 10 = 9),
+         |qdist AS (
+         |  SELECT q_id, qv, cell,
+         |         sqrt(greatest(${dot("qv", "qv")} - 2 * ${dot("qv", "cv")}
+         |              + ${dot("cv", "cv")}, 0D)) AS dist
+         |  FROM q CROSS JOIN cent),
+         |probes AS (SELECT q_id, qv, cell FROM (
+         |    SELECT q_id, qv, cell,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY dist, cell) AS pr
+         |    FROM qdist) WHERE pr <= 2),
+         |scored AS (
+         |  SELECT p.q_id, i.vec_id, ${cosine("p.qv", "i.v")} AS sim
+         |  FROM idx i JOIN probes p USING (cell)),
+         |ranked AS (SELECT q_id, vec_id, sim,
+         |                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+         |           FROM scored)
+         |SELECT q_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+         |       round(sim, 6) AS sim
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+
     "q75_source_similarity" ->
       raw"""WITH td AS (SELECT source, split(trim(text), '\\s+') AS toks FROM documents),
          |shs AS (SELECT source, shingle FROM td

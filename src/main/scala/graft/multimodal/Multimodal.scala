@@ -886,7 +886,12 @@ object Multimodal {
     * and candidates are rescored with the exact popcount Hamming
     * distance. At 100 TB this is one exchange on (band, value); a hot
     * band value (many visually-flat images) concentrates like any LSH
-    * bucket and caps the same way q30's bands do. */
+    * bucket and caps the same way q30's bands do. Like every pair
+    * REPORT, output cardinality is data-dependent: a corpus that is
+    * mostly copies has quadratically many true pairs, and no plan makes
+    * enumerating them sub-quadratic — the production levers are the
+    * band-frequency cap above and grouping into components (q54)
+    * instead of listing pairs. */
   def q131ImageNeardup(s: SparkSession, d: String): DataFrame = {
     val hashes = q130ImageAhash(s, d).select("media_id", "ahash_hi", "ahash_lo")
     val bands = hashes.select(

@@ -455,4 +455,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q131: the perceptual-hash candidate join is an EQUI join on " +
+    "(band, value) — never a nested-loop/cartesian all-pairs scan — and " +
+    "the Hamming rescore filters BEFORE the distinct exchange") {
+    val df = graft.multimodal.Multimodal.q131ImageNeardup(spark, sf0001)
+    val plan = physical(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+    // the distinct aggregate must sit above the hamming filter, so the
+    // exchange only carries surviving pairs: optimized plan has the
+    // Filter below the Aggregate (no Filter parent of Aggregate).
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val aggIdx = optimized.indexOf("Aggregate")
+    val filterIdx = optimized.indexOf("Filter")
+    assert(aggIdx >= 0 && filterIdx > aggIdx,
+      s"expected hamming Filter below the distinct Aggregate:\n$optimized")
+  }
 }

@@ -19,23 +19,32 @@ class SqlSurfaceSpec extends SparkSpec {
     (m("unnest/string_split_regex/generate_series (DuckDB array dialect)")(
       "q12_calendar_densify", "q25_doc_stats", "q26_quality_score", "q27_lang_id",
       "q30_minhash_lsh", "q31_jaccard_pairs", "q32_simhash", "q36_label_centroid",
-      "q46_ivf_ann", "q47_bpe_tokens", "q50_sliding_window", "q52_ingest_silver",
-      "q54_neardup_components", "q56_repetition", "q57_top_tokens_per_lang",
+      "q46_ivf_ann", "q47_bpe_tokens", "q50_sliding_window",
+      "q56_repetition", "q57_top_tokens_per_lang",
       "q58_kmeans", "q65_chunking", "q67_contamination", "q68_token_budget",
-      "q69_keeper_selection", "q70_boilerplate_lines", "q71_sequence_pack",
+      "q70_boilerplate_lines", "q71_sequence_pack",
       "q72_tfidf", "q74_quality_sample", "q75_source_similarity", "q77_surprisal",
       "q78_collocations", "q84_curriculum", "q85_pack_efficiency",
-      "q86_cross_source_dup", "q87_zipf_slope", "q88_dedup_funnel",
+      "q86_cross_source_dup", "q87_zipf_slope",
       "q89_corpus_mix", "q90_source_drift", "q91_novelty",
       "q95_minhash_calibration", "q96_temperature_mix", "q97_rolling_distinct",
-      "q98_bloom_decontaminate", "q99_bigram_perplexity", "q100_pagerank",
-      "q103_triangles", "q105_weighted_sample", "q111_gopher_rules",
+      "q98_bloom_decontaminate", "q99_bigram_perplexity",
+      "q105_weighted_sample", "q111_gopher_rules",
       "q112_split_leakage", "q114_quality_classifier",
       "q116_containment_pairs", "q117_adaptive_quality_gate",
-      "q118_repeated_spans", "q119_dedup_savings",
+      "q118_repeated_spans",
       "q123_audio_energy", "q124_bpe_pairs",
       "q126_incremental_neardup", "q127_png_pixels", "q128_hybrid_rrf",
       "q129_incremental_ivf", "q130_image_ahash", "q131_image_neardup") ++
+    m("WITH RECURSIVE … UNION (distinct) — Spark 4.1 recursion accepts only " +
+      "UNION ALL, and UNION ALL label propagation enumerates paths " +
+      "(exponential on cyclic near-dup graphs), so the component family " +
+      "stays DataFrame-only")(
+      "q54_neardup_components", "q69_keeper_selection", "q88_dedup_funnel",
+      "q100_pagerank", "q103_triangles", "q119_dedup_savings") ++
+    m("read_json() over the raw JSON fixture (DuckDB table function; the " +
+      "Spark side is the Ingest module, not a SQL text)")(
+      "q52_ingest_silver") ++
     m("list_* functions on array<double> embeddings")(
       "q33_knn_bruteforce", "q34_ann_lsh", "q35_cosine_neardup",
       "q45_rolling_fingerprint", "q59_random_projection", "q82_int8_quant",
