@@ -588,4 +588,74 @@ object EventStream {
     spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .json(path)
+
+  case class ImageDupHit(probe_id: Long, corpus_id: Long, hamming: Int)
+
+  /** A committed image's identity in one perceptual-hash band bucket. */
+  case class ImageBandMember(id: Long, hi: Long, lo: Long)
+
+  /** Streaming face of q131's VISUAL near-dup detection: state per
+    * aHash (band, value) key is the committed corpus images in that
+    * bucket (id + full split hash, so the exact Hamming rescore runs
+    * in-state). Corpus rows (`is_probe = false`) append; probe rows emit
+    * an [[ImageDupHit]] per committed member within Hamming ≤ 3 and are
+    * NOT added — probes never match each other, and corpus rows in the
+    * same micro-batch are still seen (state updates first), the
+    * [[NearDupProbeProcessor]] contract. Pigeonhole recall is preserved
+    * per band: a ≤3-distance pair agrees on ≥1 of the 4 16-bit bands,
+    * so it collides on at least one state key. A pair sharing several
+    * bands emits once per band; consumers dedup (the spec compares
+    * sets). State is 4 × 24 bytes per committed image — RocksDB-ready. */
+  class ImageDupProbeProcessor
+      extends StatefulProcessor[String, (String, Long, Long, Long, Boolean), ImageDupHit] {
+    @transient private var members: org.apache.spark.sql.streaming.ListState[ImageBandMember] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[ImageBandMember](
+        "members", Encoders.product[ImageBandMember], TTLConfig.NONE)
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, Long, Long, Long, Boolean)],
+        timerValues: TimerValues): Iterator[ImageDupHit] = {
+      val rs = rows.toArray
+      val arriving = rs.collect { case (_, id, hi, lo, false) => ImageBandMember(id, hi, lo) }
+        .distinctBy(_.id).sortBy(_.id)
+      if (arriving.nonEmpty) members.appendList(arriving.toArray)
+      val probes = rs.collect { case (_, id, hi, lo, true) => (id, hi, lo) }.distinct.sorted
+      if (probes.isEmpty) Iterator.empty
+      else {
+        val committed = members.get().toArray
+        probes.iterator.flatMap { case (pid, phi, plo) =>
+          committed.iterator.flatMap { m =>
+            val d = java.lang.Long.bitCount(phi ^ m.hi) + java.lang.Long.bitCount(plo ^ m.lo)
+            if (d <= 3) Some(ImageDupHit(pid, m.id, d)) else None
+          }
+        }
+      }
+    }
+  }
+
+  /** q131 as a stream: media payloads (media_id, data, is_probe) in,
+    * visual near-dup hits out. Decode + hash is the SAME pure-JVM chain
+    * the batch query runs ([[graft.multimodal.MediaHeaders.pngPixels]] →
+    * [[graft.multimodal.Multimodal.ahash64]]) inside the per-row
+    * flatMap, so the two surfaces cannot drift; undecodable payloads
+    * drop silently (the q110 corruption contract). The blob never
+    * reaches the state store — only the 3-long hash row fans out to its
+    * 4 band keys. */
+  def imageDupProbeStream(media: DataFrame): Dataset[ImageDupHit] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id"), col("data"), col("is_probe"))
+      .as[(Long, Array[Byte], Boolean)]
+      .flatMap { case (id, bytes, isProbe) =>
+        graft.multimodal.MediaHeaders.pngPixels(bytes).toSeq.flatMap { case (w, h, px) =>
+          val (hi, lo, _) = graft.multimodal.Multimodal.ahash64(w.toInt, h.toInt, px)
+          Seq((0, lo & 0xFFFFL), (1, (lo >> 16) & 0xFFFFL),
+              (2, hi & 0xFFFFL), (3, (hi >> 16) & 0xFFFFL))
+            .map { case (b, v) => (s"$b:$v", id, hi, lo, isProbe) }
+        }
+      }
+      .groupByKey(_._1)
+      .transformWithState(new ImageDupProbeProcessor, TimeMode.None(), OutputMode.Append())
+  }
 }

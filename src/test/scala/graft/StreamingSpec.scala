@@ -270,6 +270,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("imageDupProbeStream (transformWithState): visual near-dup hits equal the " +
+    "brute-force Hamming<=3 probe-vs-corpus set, across micro-batches, probes " +
+    "never matching each other, corrupt payloads dropped") {
+    import spark.implicits._
+    import graft.multimodal.{MediaHeaders, Multimodal}
+    implicit val sqlCtx = spark.sqlContext
+    // 16×16 grayscale fixtures with controlled aHash geometry:
+    //   split  — left half 255 / right half 0 (bits 0x0F0F0F0F|0x0F0F0F0F)
+    //   dent   — split with the top-left 2×2 block darkened → Hamming 1
+    //   inv    — inverted split → Hamming 64 from split (no hit)
+    val split = Array.tabulate(256)(i => if (i % 16 < 8) 255 else 0)
+    val dent = split.clone()
+    for (y <- 0 until 2; x <- 0 until 2) dent(y * 16 + x) = 0
+    val inv = split.map(255 - _)
+    def png(px: Array[Int]) = MediaHeaders.pngPixelBytes(16, 16, px)
+    val corpus = Seq(1L -> split, 2L -> inv)
+    val probes = Seq(9L -> split, 19L -> dent, 29L -> inv)
+    // expected: brute-force Hamming over the same ahash64 chain
+    def hash(px: Array[Int]) = Multimodal.ahash64(16, 16, px)
+    val expected = (for {
+      (pid, ppx) <- probes; (cid, cpx) <- corpus
+      (phi, plo, _) = hash(ppx); (chi, clo, _) = hash(cpx)
+      d = java.lang.Long.bitCount(phi ^ chi) + java.lang.Long.bitCount(plo ^ clo)
+      if d <= 3
+    } yield (pid, cid, d)).toSet
+    assert(expected === Set((9L, 1L, 0), (19L, 1L, 1), (29L, 2L, 0)), expected.toString)
+    withRocksDb {
+      val mem = MemoryStream[(Long, Array[Byte], Boolean)]
+      val q = EventStream.imageDupProbeStream(
+          mem.toDF().toDF("media_id", "data", "is_probe"))
+        .toDF().writeStream.format("memory")
+        .queryName("imagedup_out").outputMode("append").start()
+      // corpus commits across two micro-batches; one corrupt payload
+      mem.addData((1L, png(split), false), (50L, "JUNK".getBytes, false))
+      q.processAllAvailable()
+      mem.addData((2L, png(inv), false))
+      q.processAllAvailable()
+      mem.addData(probes.map { case (id, px) => (id, png(px), true) }: _*)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("imagedup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed === expected, s"stream $streamed vs expected $expected")
+    }
+  }
+
   test("windowedAgg over a memory stream matches the batch tumbling window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
