@@ -88,6 +88,44 @@ object SparkSqlTwins {
        |           FROM capped a JOIN capped b ON a.sh16 = b.sh16 AND a.doc_id < b.doc_id
        |           GROUP BY a.doc_id, b.doc_id)""".stripMargin
 
+  /** The q130 perceptual-hash build in Spark SQL (pixel regeneration →
+    * 8×8 cell moments → integer-exact threshold bits → packed halves),
+    * shared by the q130/q131/q132 twins. */
+  private val ahashSparkCtes: String =
+    """im AS (SELECT doc_id, CAST(n_chars % 24 + 8 AS BIGINT) AS w,
+      |                   CAST(n_chars % 16 + 8 AS BIGINT) AS h
+      |            FROM documents WHERE doc_id % 3 = 0),
+      |px AS (SELECT im.doc_id, im.w, im.h,
+      |              CAST(y.g * 8 AS BIGINT) div im.h AS cy,
+      |              CAST(x.g * 8 AS BIGINT) div im.w AS cx,
+      |              CAST((im.doc_id * 7 + y.g * 13 + x.g * 31) % 256 AS BIGINT) AS v
+      |       FROM im,
+      |            (SELECT explode(sequence(0, 22)) AS g) y,
+      |            (SELECT explode(sequence(0, 30)) AS g) x
+      |       WHERE y.g < im.h AND x.g < im.w),
+      |cell AS (SELECT doc_id, w, h, cy * 8 + cx AS idx,
+      |                sum(v) AS cs, count(1) AS cc
+      |         FROM px GROUP BY doc_id, w, h, cy, cx),
+      |tot AS (SELECT doc_id, sum(cs) AS ts, sum(cc) AS tc
+      |        FROM cell GROUP BY doc_id),
+      |bits AS (SELECT cell.doc_id, w, h, idx,
+      |                CASE WHEN cs * tc >= ts * cc THEN 1L ELSE 0L END AS b
+      |         FROM cell JOIN tot ON cell.doc_id = tot.doc_id),
+      |hash AS (SELECT doc_id, w, h,
+      |    sum(CASE WHEN idx >= 32 THEN b * shiftleft(1L, CAST(idx - 32 AS INT)) ELSE 0L END) AS hi,
+      |    sum(CASE WHEN idx < 32 THEN b * shiftleft(1L, CAST(idx AS INT)) ELSE 0L END) AS lo,
+      |    sum(b) AS n
+      |  FROM bits GROUP BY doc_id, w, h)""".stripMargin
+
+  /** The 4×16-bit band explode over `hash` (q131/q132 twins). */
+  private val ahashBandCte: String =
+    """band AS (SELECT doc_id, hi, lo, g.b,
+      |    CASE g.b WHEN 0 THEN lo & 65535L
+      |             WHEN 1 THEN shiftright(lo, 16) & 65535L
+      |             WHEN 2 THEN hi & 65535L
+      |             ELSE shiftright(hi, 16) & 65535L END AS v
+      |  FROM hash, (SELECT explode(array(0, 1, 2, 3)) AS b) g)""".stripMargin
+
   val texts: Map[String, String] = Map(
     "q31_jaccard_pairs" ->
       s"""WITH $cappedCtes
@@ -666,68 +704,46 @@ object SparkSqlTwins {
          |FROM ranked WHERE rank <= 3""".stripMargin,
 
     "q130_image_ahash" ->
-      """WITH im AS (SELECT doc_id, CAST(n_chars % 24 + 8 AS BIGINT) AS w,
-        |                   CAST(n_chars % 16 + 8 AS BIGINT) AS h
-        |            FROM documents WHERE doc_id % 3 = 0),
-        |px AS (SELECT im.doc_id, im.w, im.h,
-        |              CAST(y.g * 8 AS BIGINT) div im.h AS cy,
-        |              CAST(x.g * 8 AS BIGINT) div im.w AS cx,
-        |              CAST((im.doc_id * 7 + y.g * 13 + x.g * 31) % 256 AS BIGINT) AS v
-        |       FROM im,
-        |            (SELECT explode(sequence(0, 22)) AS g) y,
-        |            (SELECT explode(sequence(0, 30)) AS g) x
-        |       WHERE y.g < im.h AND x.g < im.w),
-        |cell AS (SELECT doc_id, w, h, cy * 8 + cx AS idx,
-        |                sum(v) AS cs, count(1) AS cc
-        |         FROM px GROUP BY doc_id, w, h, cy, cx),
-        |tot AS (SELECT doc_id, sum(cs) AS ts, sum(cc) AS tc
-        |        FROM cell GROUP BY doc_id),
-        |bits AS (SELECT cell.doc_id, w, h, idx,
-        |                CASE WHEN cs * tc >= ts * cc THEN 1L ELSE 0L END AS b
-        |         FROM cell JOIN tot ON cell.doc_id = tot.doc_id),
-        |hash AS (SELECT doc_id, w, h,
-        |    sum(CASE WHEN idx >= 32 THEN b * shiftleft(1L, CAST(idx - 32 AS INT)) ELSE 0L END) AS hi,
-        |    sum(CASE WHEN idx < 32 THEN b * shiftleft(1L, CAST(idx AS INT)) ELSE 0L END) AS lo,
-        |    sum(b) AS n
-        |  FROM bits GROUP BY doc_id, w, h)
-        |SELECT doc_id AS media_id, w AS width, h AS height,
-        |  hi AS ahash_hi, lo AS ahash_lo, CAST(n AS INT) AS n_set
-        |FROM hash""".stripMargin,
+      s"""WITH $ahashSparkCtes
+         |SELECT doc_id AS media_id, w AS width, h AS height,
+         |  hi AS ahash_hi, lo AS ahash_lo, CAST(n AS INT) AS n_set
+         |FROM hash""".stripMargin,
 
     "q131_image_neardup" ->
-      """WITH im AS (SELECT doc_id, CAST(n_chars % 24 + 8 AS BIGINT) AS w,
-        |                   CAST(n_chars % 16 + 8 AS BIGINT) AS h
-        |            FROM documents WHERE doc_id % 3 = 0),
-        |px AS (SELECT im.doc_id, im.w, im.h,
-        |              CAST(y.g * 8 AS BIGINT) div im.h AS cy,
-        |              CAST(x.g * 8 AS BIGINT) div im.w AS cx,
-        |              CAST((im.doc_id * 7 + y.g * 13 + x.g * 31) % 256 AS BIGINT) AS v
-        |       FROM im,
-        |            (SELECT explode(sequence(0, 22)) AS g) y,
-        |            (SELECT explode(sequence(0, 30)) AS g) x
-        |       WHERE y.g < im.h AND x.g < im.w),
-        |cell AS (SELECT doc_id, cy * 8 + cx AS idx, sum(v) AS cs, count(1) AS cc
-        |         FROM px GROUP BY doc_id, cy, cx),
-        |tot AS (SELECT doc_id, sum(cs) AS ts, sum(cc) AS tc
-        |        FROM cell GROUP BY doc_id),
-        |bits AS (SELECT cell.doc_id, idx,
-        |                CASE WHEN cs * tc >= ts * cc THEN 1L ELSE 0L END AS b
-        |         FROM cell JOIN tot ON cell.doc_id = tot.doc_id),
-        |hash AS (SELECT doc_id,
-        |    sum(CASE WHEN idx >= 32 THEN b * shiftleft(1L, CAST(idx - 32 AS INT)) ELSE 0L END) AS hi,
-        |    sum(CASE WHEN idx < 32 THEN b * shiftleft(1L, CAST(idx AS INT)) ELSE 0L END) AS lo
-        |  FROM bits GROUP BY doc_id),
-        |band AS (SELECT doc_id, hi, lo, g.b,
-        |    CASE g.b WHEN 0 THEN lo & 65535L
-        |             WHEN 1 THEN shiftright(lo, 16) & 65535L
-        |             WHEN 2 THEN hi & 65535L
-        |             ELSE shiftright(hi, 16) & 65535L END AS v
-        |  FROM hash, (SELECT explode(array(0, 1, 2, 3)) AS b) g)
-        |SELECT DISTINCT a.doc_id AS media_id_a, c.doc_id AS media_id_b,
-        |  CAST(bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) AS INT) AS hamming
-        |FROM band a JOIN band c ON a.b = c.b AND a.v = c.v
-        |  AND a.doc_id < c.doc_id
-        |WHERE bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) <= 3""".stripMargin,
+      s"""WITH $ahashSparkCtes,
+         |$ahashBandCte
+         |SELECT DISTINCT a.doc_id AS media_id_a, c.doc_id AS media_id_b,
+         |  CAST(bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) AS INT) AS hamming
+         |FROM band a JOIN band c ON a.b = c.b AND a.v = c.v
+         |  AND a.doc_id < c.doc_id
+         |WHERE bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) <= 3""".stripMargin,
+
+    "q132_image_dedup_keep" ->
+      s"""WITH $ahashSparkCtes,
+         |$ahashBandCte,
+         |removed AS (SELECT DISTINCT c.doc_id
+         |            FROM band a JOIN band c ON a.b = c.b AND a.v = c.v
+         |              AND a.doc_id < c.doc_id
+         |            WHERE bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) <= 3)
+         |SELECT h.doc_id AS media_id, h.hi AS ahash_hi, h.lo AS ahash_lo,
+         |  r.doc_id IS NULL AS keep
+         |FROM hash h LEFT JOIN removed r ON h.doc_id = r.doc_id""".stripMargin,
+
+    "q133_audio_energy_gate" ->
+      """WITH a AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT a.doc_id, g.i,
+        |        CAST(((a.doc_id * 31 + g.i * 17) % 65536) - 32768 AS DOUBLE) AS v
+        |      FROM a, (SELECT explode(sequence(0, 767)) AS i) g),
+        |w AS (SELECT doc_id, i div 256 AS window_idx, round(sqrt(avg(v * v)), 4) AS rms
+        |      FROM s GROUP BY doc_id, i div 256),
+        |med AS (SELECT percentile(rms, 0.5D) AS med FROM w)
+        |SELECT doc_id AS media_id,
+        |  count(*) AS n_windows,
+        |  sum(CASE WHEN rms >= med THEN 1L ELSE 0L END) AS n_active,
+        |  round(max(rms), 4) AS peak_rms,
+        |  sum(CASE WHEN rms >= med THEN 1 ELSE 0 END) >= 2 AS keep
+        |FROM w CROSS JOIN med
+        |GROUP BY doc_id""".stripMargin,
     "q12_calendar_densify" ->
       """WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
         |cal AS (SELECT explode(sequence(lo, hi, interval 1 day)) AS day FROM bounds),

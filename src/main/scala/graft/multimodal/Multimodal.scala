@@ -934,6 +934,84 @@ object Multimodal {
        |  AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin
 
+  /** q132: the image-dedup DECISION over q131's pair report — q83's
+    * greedy SemDedup convention lifted to the visual domain: an image is
+    * DROPPED when a lower-id image sits within Hamming ≤ 3 of its
+    * aHash; the survivor set keeps one representative per duplicate
+    * neighborhood. Per-image verdict row (the thing a curation pipeline
+    * joins back onto the media table), not just pairs. Scale shape: the
+    * removed-id set is duplicate-sized (AQE broadcasts it while small —
+    * forcing a hint would be the q83 OOM trap on a copy-heavy corpus);
+    * everything upstream rides q131's banded candidate plan. */
+  def q132ImageDedupKeep(s: SparkSession, d: String): DataFrame = {
+    val hashes = q130ImageAhash(s, d).select(
+      col("media_id"), col("ahash_hi"), col("ahash_lo"))
+    val removed = q131ImageNeardup(s, d)
+      .select(col("media_id_b").as("media_id")).distinct()
+    hashes.join(removed.withColumn("dup", lit(1)), Seq("media_id"), "left")
+      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+        col("dup").isNull.as("keep"))
+  }
+
+  /** Oracle twin of [[q132ImageDedupKeep]]: q131's pair chain, then a
+    * left anti membership flag. */
+  val q132Sql: String =
+    s"""$ahashCte,
+       |band AS (SELECT doc_id, hi, lo, g.b,
+       |    CASE g.b WHEN 0 THEN lo & 65535
+       |             WHEN 1 THEN (lo >> 16) & 65535
+       |             WHEN 2 THEN hi & 65535
+       |             ELSE (hi >> 16) & 65535 END AS v
+       |  FROM hash, (VALUES (0), (1), (2), (3)) g(b)),
+       |removed AS (SELECT DISTINCT b.doc_id
+       |            FROM band a JOIN band b ON a.b = b.b AND a.v = b.v
+       |              AND a.doc_id < b.doc_id
+       |            WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3)
+       |SELECT h.doc_id AS media_id,
+       |  CAST(h.hi AS BIGINT) AS ahash_hi, CAST(h.lo AS BIGINT) AS ahash_lo,
+       |  r.doc_id IS NULL AS keep
+       |FROM hash h LEFT JOIN removed r ON h.doc_id = r.doc_id""".stripMargin
+
+  /** q133: AUDIO ENERGY GATE — the silence/activity screen an audio
+    * ingest pipeline runs before paying for transcription or feature
+    * extraction: a clip's 256-sample RMS windows (q123's real PCM
+    * decode) are compared against the CORPUS-median window RMS, and the
+    * clip keeps iff ≥ 2 of its 3 windows are at or above that bar (the
+    * data-derived threshold makes the gate self-calibrating — no magic
+    * constant to drift as the corpus changes). Exact cross-engine: both
+    * sides compare the same round(·,4) RMS values against the same
+    * interpolated median (Spark `percentile` ≡ DuckDB `quantile_cont`).
+    * Scale shape: windows are per-row work; the median is ONE scalar
+    * broadcast back; the verdict is a clip-keyed combiner aggregate. */
+  def q133AudioEnergyGate(s: SparkSession, d: String): DataFrame = {
+    val wins = q123AudioEnergy(s, d).select(col("media_id"), col("rms"))
+    val med = wins.agg(expr("percentile(rms, 0.5D)").as("med"))
+    wins.join(broadcast(med))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("rms") >= col("med"), 1L).otherwise(0L)).as("n_active"),
+        round(max(col("rms")), 4).as("peak_rms"))
+      .withColumn("keep", col("n_active") >= 2)
+  }
+
+  /** Oracle twin of [[q133AudioEnergyGate]]: q123's PCM regeneration,
+    * window RMS, corpus median, per-clip gate. */
+  val q133Sql: String =
+    """WITH a AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 1),
+      |s AS (SELECT a.doc_id, g.i,
+      |        CAST(((a.doc_id * 31 + g.i * 17) % 65536) - 32768 AS DOUBLE) AS v
+      |      FROM a, (SELECT unnest(generate_series(0, 767)) AS i) g),
+      |w AS (SELECT doc_id, i // 256 AS window_idx, round(sqrt(avg(v * v)), 4) AS rms
+      |      FROM s GROUP BY doc_id, i // 256),
+      |med AS (SELECT quantile_cont(rms, 0.5) AS med FROM w)
+      |SELECT doc_id AS media_id,
+      |  CAST(count(*) AS BIGINT) AS n_windows,
+      |  CAST(sum(CASE WHEN rms >= med THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+      |  round(max(rms), 4) AS peak_rms,
+      |  sum(CASE WHEN rms >= med THEN 1 ELSE 0 END) >= 2 AS keep
+      |FROM w CROSS JOIN med
+      |GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_media_features" -> (q37MediaFeatures _),
     "q110_media_decode" -> (q110MediaDecode _),
@@ -941,7 +1019,9 @@ object Multimodal {
     "q123_audio_energy" -> (q123AudioEnergy _),
     "q127_png_pixels" -> (q127PngPixels _),
     "q130_image_ahash" -> (q130ImageAhash _),
-    "q131_image_neardup" -> (q131ImageNeardup _))
+    "q131_image_neardup" -> (q131ImageNeardup _),
+    "q132_image_dedup_keep" -> (q132ImageDedupKeep _),
+    "q133_audio_energy_gate" -> (q133AudioEnergyGate _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_media_features" -> q37Sql,
@@ -950,5 +1030,7 @@ object Multimodal {
     "q123_audio_energy" -> q123Sql,
     "q127_png_pixels" -> q127Sql,
     "q130_image_ahash" -> q130Sql,
-    "q131_image_neardup" -> q131Sql)
+    "q131_image_neardup" -> q131Sql,
+    "q132_image_dedup_keep" -> q132Sql,
+    "q133_audio_energy_gate" -> q133Sql)
 }

@@ -216,6 +216,32 @@ class MultimodalSpec extends SparkSpec {
     assert((ihi & shi) === 0L && (ilo & slo) === 0L && in_ === 32)
   }
 
+  test("q132 drops exactly the images that appear as the larger id of a q131 " +
+    "pair (greedy lower-id-keeper convention), keeps everything else") {
+    val dropped = Multimodal.q131ImageNeardup(spark, sf0001)
+      .collect().map(_.getLong(1)).toSet
+    val verdicts = Multimodal.q132ImageDedupKeep(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(verdicts.nonEmpty)
+    verdicts.foreach { case (id, keep) =>
+      assert(keep === !dropped(id), s"media $id keep=$keep dropped=${dropped(id)}")
+    }
+  }
+
+  test("q133: every clip reports its 3 PCM windows, keep is n_active >= 2, and " +
+    "the median bar splits the corpus (not all kept, not all dropped, unless " +
+    "degenerate)") {
+    val rows = Multimodal.q133AudioEnergyGate(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 3L, s"n_windows: $r")
+      assert(r.getBoolean(4) === (r.getLong(2) >= 2L), s"keep flag: $r")
+    }
+    val kept = rows.count(_.getBoolean(4))
+    assert(kept > 0 && kept < rows.length,
+      s"median gate should split the corpus: $kept of ${rows.length}")
+  }
+
   test("q131 banding is exact at the ≤3 threshold: pairs equal the brute-force " +
     "all-pairs Hamming scan over q130's hashes (pigeonhole recall = 1)") {
     val hashes = Multimodal.q130ImageAhash(spark, sf0001)
