@@ -188,6 +188,20 @@ object CorpusPipelineDemo {
       allVecs.where($"vec_id" % 10 === 9).select($"vec_id", $"embedding"),
       spark, centRoot, vecIdx, nprobe = 2, k = 3).count()
     println(s"VEC_INDEX ann_probe_results=$annHits")
+
+    // 11. the MULTIMODAL gate: images decode to real pixels and dedup on
+    // the perceptual hash (q130→q131→q132 verdicts), audio clips decode
+    // to real PCM and gate on corpus-median window energy (q133) — the
+    // curation screen a mixed-modality corpus runs before any model
+    // sees a blob
+    val imgVerdicts = graft.multimodal.Multimodal.q132ImageDedupKeep(spark, sfDir)
+    val imgKept = imgVerdicts.where($"keep").count()
+    val imgTotal = imgVerdicts.count()
+    val audioVerdicts = graft.multimodal.Multimodal.q133AudioEnergyGate(spark, sfDir)
+    val audioKept = audioVerdicts.where($"keep").count()
+    val audioTotal = audioVerdicts.count()
+    println(s"MULTIMODAL_GATE images_kept=$imgKept/$imgTotal " +
+      s"audio_kept=$audioKept/$audioTotal")
     spark.stop()
   }
 }

@@ -892,8 +892,14 @@ object Multimodal {
     * enumerating them sub-quadratic — the production levers are the
     * band-frequency cap above and grouping into components (q54)
     * instead of listing pairs. */
-  def q131ImageNeardup(s: SparkSession, d: String): DataFrame = {
-    val hashes = q130ImageAhash(s, d).select("media_id", "ahash_hi", "ahash_lo")
+  def q131ImageNeardup(s: SparkSession, d: String): DataFrame =
+    neardupPairs(q130ImageAhash(s, d).select("media_id", "ahash_hi", "ahash_lo"))
+
+  /** The banded-Hamming pair plan over an arbitrary (media_id, ahash_hi,
+    * ahash_lo) frame — shared by q131 and q132 so the decision query
+    * decodes every PNG exactly ONCE (its verdict join reuses the same
+    * `hashes` subtree the pairs come from). */
+  private def neardupPairs(hashes: DataFrame): DataFrame = {
     val bands = hashes.select(
       col("media_id"), col("ahash_hi"), col("ahash_lo"),
       explode(array(
@@ -944,9 +950,13 @@ object Multimodal {
     * forcing a hint would be the q83 OOM trap on a copy-heavy corpus);
     * everything upstream rides q131's banded candidate plan. */
   def q132ImageDedupKeep(s: SparkSession, d: String): DataFrame = {
-    val hashes = q130ImageAhash(s, d).select(
-      col("media_id"), col("ahash_hi"), col("ahash_lo"))
-    val removed = q131ImageNeardup(s, d)
+    // one decode pass: pairs derive from the SAME hashes subtree the
+    // verdict join reads (persist pins the reuse — without it AQE may
+    // re-derive the whole decode for each consumer)
+    val hashes = q130ImageAhash(s, d)
+      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"))
+      .persist()
+    val removed = neardupPairs(hashes)
       .select(col("media_id_b").as("media_id")).distinct()
     hashes.join(removed.withColumn("dup", lit(1)), Seq("media_id"), "left")
       .select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
