@@ -263,6 +263,15 @@ object ScaleProbe {
     probe("hybrid_rrf")(rrf(sfDir))(rrf(docsNDir))
     probe("incremental_ivf")(ivf(sfDir))(ivf(embNDir))
 
+    // q134 DSIR: the importance model is 256 hashed buckets BY
+    // CONSTRUCTION — the suffixed copies grow the vocabulary ~10x, but
+    // every new token folds into the same 256 cells, so the model join
+    // stays broadcast-sized and both token passes must scale linearly
+    // (the q77 envelope with a constant-size model).
+    def dsir(d: String): Long = CurationOps.q134DsirWeights(spark, d).count()
+    dsir(sfDir) // warm
+    probe("dsir_weights")(dsir(sfDir))(dsir(docsNDir))
+
     // ---- the gate: time must grow at most linearly with data ----
     val gated = results.toSeq.map { case (n, t1, tN) =>
       (n, t1, tN, tN / math.max(t1, 0.3))

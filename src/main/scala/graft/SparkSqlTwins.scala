@@ -127,6 +127,26 @@ object SparkSqlTwins {
       |  FROM hash, (SELECT explode(array(0, 1, 2, 3)) AS b) g)""".stripMargin
 
   val texts: Map[String, String] = Map(
+    "q134_dsir_weights" ->
+      raw"""WITH tok AS (SELECT doc_id, source, token
+         |       FROM documents LATERAL VIEW explode(split(trim(text), '\\s+')) t AS token),
+         |tb AS (SELECT doc_id, source,
+         |         CAST(conv(substring(md5(token), 1, 4), 16, 10) AS BIGINT) % 256 AS b
+         |       FROM tok),
+         |bc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+         |         CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |       FROM tb GROUP BY b),
+         |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS r_tot, CAST(sum(ct) AS BIGINT) AS t_tot
+         |        FROM bc),
+         |lw AS (SELECT b, ln(((ct + 1.0D) * (r_tot + 256)) / ((cr + 1.0D) * (t_tot + 256))) AS lw
+         |       FROM bc CROSS JOIN tot)
+         |SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       round(sum(lw.lw), 6) AS logw,
+         |       round(sum(lw.lw) / count(*), 6) AS avg_lw,
+         |       CAST(CASE WHEN round(sum(lw.lw), 6) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM tb JOIN lw USING (b)
+         |GROUP BY tb.doc_id""".stripMargin,
+
     "q31_jaccard_pairs" ->
       s"""WITH $cappedCtes
          |SELECT doc_a, doc_b, n_shared,

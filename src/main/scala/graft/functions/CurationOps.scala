@@ -780,7 +780,76 @@ object CurationOps {
       .unionByName(global)
   }
 
+  /** q134 — DSIR-shaped DATA SELECTION (importance resampling over
+    * hashed n-gram features, Xie et al. 2023, arXiv:2302.03169): score
+    * every raw document by how much more likely its tokens are under a
+    * TARGET distribution (here: the `src0` slice standing in for
+    * "looks like Wikipedia") than under the raw-corpus distribution.
+    * Features are hashed unigrams — each token md5-bucketed into one of
+    * 256 cells via the engine-portable q114 idiom — so BOTH
+    * distributions are 256-cell categorical models estimated from ONE
+    * pass over the token matrix, add-one smoothed. A document's log
+    * importance weight is the sum of its tokens' per-bucket log-ratios;
+    * `keep = logw > 0` is the resampling decision (more target-like
+    * than raw).
+    *
+    * Cross-engine determinism: each bucket's log-ratio is
+    * ln(((ct+1)·(R+256)) / ((cr+1)·(T+256))) — products of exact
+    * integers well under 2^53, so both engines take ln of the SAME
+    * double; the per-doc sum then follows the q77 surprisal rounding
+    * precedent (round 6 after engine-order summation).
+    *
+    * Scale shape: the model is 256 rows BY CONSTRUCTION — broadcast is
+    * safe at any corpus size (unlike a vocabulary-sized table, which
+    * this engine never force-broadcasts). Cost is two passes over the
+    * exploded token matrix (count buckets, score docs) and a per-doc
+    * combine — the same envelope as q77; nothing global, nothing
+    * collected, no rank over floats (a threshold verdict, not a top-k,
+    * so ulp-order ties cannot flip the output across engines). */
+  def q134DsirWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, d).select($"doc_id", $"source",
+        explode(TextOps.tokens($"text")).as("token"))
+      .withColumn("b", conv(substring(md5($"token"), 1, 4), 16, 10)
+        .cast("long") % 256)
+    val bc = toks.groupBy($"b").agg(
+      count(lit(1)).as("cr"),
+      sum(when($"source" === "src0", 1L).otherwise(0L)).as("ct"))
+    val tot = bc.agg(sum($"cr").as("r_tot"), sum($"ct").as("t_tot"))
+    val model = bc.crossJoin(broadcast(tot))
+      .select($"b", log((($"ct" + lit(1.0)) * ($"r_tot" + lit(256))) /
+        (($"cr" + lit(1.0)) * ($"t_tot" + lit(256)))).as("lw"))
+    toks.join(broadcast(model), "b") // 256 rows by construction
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum($"lw"), 6).as("logw"),
+        round(sum($"lw") / count(lit(1)), 6).as("avg_lw"))
+      .withColumn("keep", ($"logw" > 0).cast("long"))
+  }
+
+  val q134Sql: String =
+    raw"""WITH tok AS (SELECT doc_id, source,
+      |         unnest(string_split_regex(trim(text), '\s+')) AS token
+      |       FROM documents),
+      |tb AS (SELECT doc_id, source,
+      |         CAST(('0x' || substring(md5(token), 1, 4)) AS BIGINT) % 256 AS b
+      |       FROM tok),
+      |bc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+      |         CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      |       FROM tb GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS r_tot, CAST(sum(ct) AS BIGINT) AS t_tot
+      |        FROM bc),
+      |lw AS (SELECT b, ln(((ct + 1.0) * (r_tot + 256)) / ((cr + 1.0) * (t_tot + 256))) AS lw
+      |       FROM bc CROSS JOIN tot)
+      |SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       round(sum(lw.lw), 6) AS logw,
+      |       round(sum(lw.lw) / count(*), 6) AS avg_lw,
+      |       CAST(CASE WHEN round(sum(lw.lw), 6) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM tb JOIN lw USING (b)
+      |GROUP BY tb.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_dsir_weights" -> (q134DsirWeights _),
     "q122_hll_rollup" -> (q122HllRollup _),
     "q117_adaptive_quality_gate" -> (q117AdaptiveQualityGate _),
     "q105_weighted_sample" -> (q105WeightedSample _),
@@ -801,6 +870,7 @@ object CurationOps {
   /** q122 intentionally omitted (like q41): sketch estimates are
     * engine-specific; CurationSpec error-bounds it instead. */
   val oracleSql: Map[String, String] = Map(
+    "q134_dsir_weights" -> q134Sql,
     "q117_adaptive_quality_gate" -> q117Sql,
     "q105_weighted_sample" -> q105Sql,
     "q98_bloom_decontaminate" -> q98Sql,

@@ -116,7 +116,7 @@ object ManifestTable {
     def hi: Option[String] = stats.headOption.map(_._2)
   }
 
-  private def listedEntries(root: String, v: Int): Seq[FileEntry] = {
+  private[sources] def listedEntries(root: String, v: Int): Seq[FileEntry] = {
     // right-trim ONLY: an unpartitioned entry's part field is the empty
     // string BEFORE the first tab ("\trel\tlo\thi") — a full trim would
     // eat that tab and shift every remaining field one slot left

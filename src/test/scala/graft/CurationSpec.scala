@@ -468,4 +468,25 @@ class CurationSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("'alpha beta gamma delta'"))
   }
+
+  test("q134 DSIR: target-source docs score higher per-token than the rest " +
+    "(the importance weights discriminate), and totals are consistent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val w = CurationOps.q134DsirWeights(spark, sf0001)
+      .join(Tables(spark, sf0001, "documents").select($"doc_id", $"source"), "doc_id")
+    val Array(tgt, rest) = w
+      .groupBy(($"source" === "src0").as("is_target"))
+      .agg(avg($"avg_lw").as("m"))
+      .orderBy($"is_target".desc)
+      .as[(Boolean, Double)].collect().map(_._2)
+    // the estimated importance model must rate its own estimation slice
+    // above the raw mix — the DSIR selection property
+    assert(tgt > rest,
+      s"src0 docs should score higher under their own target model: $tgt <= $rest")
+    // avg_lw is logw/n_tokens (same rounding discipline both columns)
+    val bad = CurationOps.q134DsirWeights(spark, sf0001)
+      .where(abs($"avg_lw" - $"logw" / $"n_tokens") > 2e-6).count()
+    assert(bad == 0L)
+  }
 }

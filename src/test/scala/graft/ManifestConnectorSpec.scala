@@ -1,0 +1,148 @@
+package graft
+
+import graft.sources.{ManifestFileIndex, ManifestTable}
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** The `format("graft-manifest")` connector: snapshot/time-travel
+  * parity with the ManifestTable API, and — the point of the custom
+  * FileIndex — file-level stats skipping driven by the PLAN'S OWN
+  * pushed data filters, with exact answers regardless of pruning. */
+class ManifestConnectorSpec extends SparkSpec {
+
+  private def readFmt(root: String): DataFrame =
+    spark.read.format("graft-manifest").load(root)
+
+  /** numFiles actually scanned, from the executed plan's file-scan
+    * metric (runs the query). */
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec leaf")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  test("snapshot read parity with ManifestTable.read, and time travel via options") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-conn1").toString
+    ManifestTable.merge(Seq(1L -> "a", 2L -> "b").toDF("id", "v"), root, Seq("id"))
+    ManifestTable.merge(Seq(2L -> "B", 3L -> "c").toDF("id", "v"), root, Seq("id"))
+
+    def s(df: DataFrame) = df.as[(Long, String)].collect().toSet
+    assert(s(readFmt(root)) == Set(1L -> "a", 2L -> "B", 3L -> "c"))
+    assert(s(readFmt(root)) == s(ManifestTable.read(spark, root)))
+    assert(s(spark.read.format("graft-manifest").option("versionAsOf", "1").load(root))
+      == Set(1L -> "a", 2L -> "b"))
+    // timestampAsOf: the commit time of v1 resolves to v1
+    val t1 = ManifestTable.history(root).find(_.version == 1).get.timestamp
+    assert(s(spark.read.format("graft-manifest")
+      .option("timestampAsOf", t1.toString).load(root)) == Set(1L -> "a", 2L -> "b"))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-manifest").option("versionAsOf", "1")
+        .option("timestampAsOf", t1.toString).load(root)
+    }
+  }
+
+  test("a plain WHERE on a clustered table skips files from manifest stats") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-conn2").toString
+    // 0..999 clustered into 8 range files: each file owns a ~125-wide slice
+    val data = (0L until 1000L).map(i => (i, s"row$i")).toDF("x", "v")
+    ManifestTable.commitClustered(data, root, "x", numFiles = 8)
+    val total = readFmt(root).inputFiles.length
+    assert(total >= 6, s"expected ~8 clustered files, got $total")
+
+    val filtered = readFmt(root).where($"x" >= 250L && $"x" <= 260L)
+    val n = scannedFiles(filtered)
+    assert(n < total, s"expected stats pruning: scanned $n of $total files")
+    assert(n <= 2, s"an 11-value range on a clustered layout should open ~1 file, got $n")
+    // exactness: parity with both the bespoke API and a full-scan filter
+    val expect = (250L to 260L).map(i => (i, s"row$i")).toSet
+    assert(filtered.as[(Long, String)].collect().toSet == expect)
+    assert(ManifestTable.readWhere(spark, root, 250L, 260L)
+      .as[(Long, String)].collect().toSet == expect)
+  }
+
+  test("strict bounds prune conservatively and stay exact row-level") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-conn3").toString
+    ManifestTable.commitClustered(
+      (0L until 400L).toDF("x").withColumn("v", col("x") * 2), root, "x", numFiles = 4)
+    // x in (99, 200): strict lower bound — 100..199
+    val df = readFmt(root).where($"x" > 99L && $"x" < 200L)
+    assert(df.agg(count(lit(1)), sum($"v")).as[(Long, Long)].head()
+      == ((100L, (100L until 200L).map(_ * 2).sum)))
+    val n = scannedFiles(df)
+    val total = readFmt(root).inputFiles.length
+    assert(n < total, s"expected pruning on strict bounds: $n of $total")
+  }
+
+  test("tables without declared stats read everything but answer correctly") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-conn4").toString
+    ManifestTable.merge((0L until 100L).map(i => (i, i % 7)).toDF("id", "m"),
+      root, Seq("id"))
+    val df = readFmt(root).where($"id" < 10L)
+    assert(df.count() == 10L)
+    // no stats declared: listFiles must keep every file (conservative)
+    assert(scannedFiles(df) == readFmt(root).inputFiles.length.toLong)
+  }
+
+  test("filters still push down to the parquet scan beneath the manifest index") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-conn5").toString
+    ManifestTable.commitClustered((0L until 500L).toDF("x"), root, "x", numFiles = 4)
+    val df = readFmt(root).where($"x" >= 100L).select($"x")
+    val scan = df.queryExecution.executedPlan.collectLeaves().collect {
+      case s: FileSourceScanExec => s
+    }.head
+    val meta = scan.metadata
+    assert(meta.get("PushedFilters").exists(_.contains("GreaterThanOrEqual(x,100)")),
+      s"parquet pushdown lost: ${meta.get("PushedFilters")}")
+    assert(scan.requiredSchema.fieldNames.sameElements(Array("x")),
+      "column pruning lost through the connector")
+  }
+
+  test("the connector is a first-class SQL table: CREATE TABLE ... USING graft-manifest") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-conn6").toString
+    ManifestTable.commitClustered((0L until 300L).toDF("x"), root, "x", numFiles = 3)
+    spark.sql(
+      s"CREATE TABLE conn_sql_face USING `graft-manifest` OPTIONS (path '$root')")
+    try {
+      assert(spark.sql(
+        "SELECT count(*) AS c FROM conn_sql_face WHERE x BETWEEN 10 AND 19")
+        .as[Long].head() == 10L)
+    } finally spark.sql("DROP TABLE conn_sql_face")
+  }
+
+  test("an add-column evolved snapshot reads through the connector with the " +
+    "union schema (old files null-filled)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-conn7").toString
+    ManifestTable.merge(Seq(1L -> "a", 2L -> "b").toDF("id", "v"), root, Seq("id"))
+    ManifestTable.merge(Seq((3L, "c", 30L)).toDF("id", "v", "extra"), root, Seq("id"))
+    val df = readFmt(root)
+    assert(df.columns.toSet == Set("id", "v", "extra"))
+    assert(df.where($"extra".isNull).count() == 2L)
+    assert(df.where($"id" === 3L).select($"extra").as[Long].head() == 30L)
+  }
+
+  test("extractBounds recognizes comparison shapes and ignores the rest") {
+    import org.apache.spark.sql.catalyst.dsl.expressions._
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    val x = AttributeReference("x", LongType)()
+    val y = AttributeReference("y", LongType)()
+    val b = ManifestFileIndex.extractBounds(
+      Seq(GreaterThanOrEqual(x, Literal(5L)), LessThan(x, Literal(9L)),
+        IsNotNull(x), EqualTo(y, Literal(3L)),
+        GreaterThan(Literal(100L), x)), // reversed: x < 100
+      Seq("x"))
+    assert(b == Seq((0, Some(BigDecimal(5)), Some(BigDecimal(9)))))
+  }
+}
