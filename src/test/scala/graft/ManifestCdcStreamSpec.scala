@@ -1,0 +1,143 @@
+package graft
+
+import graft.sources.ManifestTable
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** ManifestTable as a structured-streaming CDC source
+  * (`readStream.format("graft-manifest-cdc")`): commits become
+  * micro-batches, offsets are table versions, restarts resume from the
+  * sink checkpoint. */
+class ManifestCdcStreamSpec extends SparkSpec {
+
+  private def mk(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "v")
+  }
+
+  test("each commit is a micro-batch of CDC events; a restarted stream " +
+    "resumes from the checkpointed VERSION and emits only what it missed") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cdcsrc").toString
+    val ckpt = Files.createTempDirectory("graft-cdcsrc-ckpt").toString
+    val out = Files.createTempDirectory("graft-cdcsrc-out").toString
+    ManifestTable.merge(mk(1L -> "a", 2L -> "b"), root, Seq("id"))
+
+    def start(): StreamingQuery = spark.readStream
+      .format("graft-manifest-cdc")
+      .option("path", root).option("key", "id").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+
+    def sunk(): Set[(Long, String, String)] = spark.read.parquet(out)
+      .selectExpr("id", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+
+    val q = start()
+    q.processAllAvailable()
+    assert(sunk() == Set((1L, "a", "insert"), (2L, "b", "insert")),
+      "bootstrap batch = the starting snapshot as inserts")
+
+    ManifestTable.merge(mk(2L -> "B", 3L -> "c"), root, Seq("id"))
+    q.processAllAvailable()
+    assert(sunk() == Set((1L, "a", "insert"), (2L, "b", "insert"),
+      (2L, "B", "update_postimage"), (3L, "c", "insert")),
+      "second micro-batch = exactly the v1→v2 delta")
+    q.stop()
+
+    // a commit landing while the stream is DOWN is picked up on restart —
+    // and ONLY it (the checkpoint pins the resume version)
+    ManifestTable.merge(mk(1L -> "A2"), root, Seq("id"))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(sunk() == Set((1L, "a", "insert"), (2L, "b", "insert"),
+      (2L, "B", "update_postimage"), (3L, "c", "insert"),
+      (1L, "A2", "update_postimage")),
+      "restart emits only the offline v2→v3 delta, no replay, no gap")
+  }
+
+  test("startingVersion skips the bootstrap; preimages add the Delta-CDF " +
+    "old-image events") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cdcsrc2").toString
+    val ckpt = Files.createTempDirectory("graft-cdcsrc2-ckpt").toString
+    val out = Files.createTempDirectory("graft-cdcsrc2-out").toString
+    ManifestTable.merge(mk(1L -> "a", 2L -> "b"), root, Seq("id"))
+    ManifestTable.merge(mk(2L -> "B"), root, Seq("id"))
+
+    val q = spark.readStream
+      .format("graft-manifest-cdc")
+      .option("path", root).option("key", "id")
+      .option("startingVersion", "1").option("preimages", "true").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out)
+      .selectExpr("id", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((2L, "B", "update_postimage"), (2L, "b", "update_preimage")),
+      s"from v1, with preimages, the only events are 2's update pair; got $got")
+  }
+
+  test("the CDC stream drives IncrementalView maintenance: a foreachBatch " +
+    "consumer folding maintain() over the micro-batches ends at exactly the " +
+    "full recompute — the streaming face of the maintained-view story") {
+    import graft.sources.IncrementalView
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cdcsrc-iv").toString
+    val ckpt = Files.createTempDirectory("graft-cdcsrc-iv-ckpt").toString
+    ManifestTable.merge(
+      Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g2", 5L)).toDF("id", "g", "x"),
+      root, Seq("id"))
+
+    // state starts empty (same shape compute() emits)
+    @volatile var state = IncrementalView.compute(
+      Seq.empty[(Long, String, Long)].toDF("id", "g", "x"), Seq("g"), "x")
+
+    val q = spark.readStream
+      .format("graft-manifest-cdc")
+      .option("path", root).option("key", "id").option("preimages", "true").load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = IncrementalView.maintain(state, batch, Seq("g"), "x")
+          .localCheckpoint() // pin each fold so state never replans the chain
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    // more commits while the stream runs: an update that moves a row across
+    // groups, a delete-shaped retraction via group emptying, a new group
+    ManifestTable.merge(Seq((3L, "g1", 7L)).toDF("id", "g", "x"), root, Seq("id"))
+    q.processAllAvailable()
+    ManifestTable.merge(Seq((4L, "g3", 100L)).toDF("id", "g", "x"), root, Seq("id"))
+    q.processAllAvailable()
+    q.stop()
+
+    val expect = IncrementalView.compute(
+      ManifestTable.read(spark, root), Seq("g"), "x")
+      .as[(String, Long, Long)].collect().toSet
+    val got = state.as[(String, Long, Long)].collect().toSet
+    assert(got == expect, s"streamed maintain drifted: $got vs $expect")
+    // g2 emptied when row 3 hopped to g1 — retraction must drop the group
+    assert(!got.exists(_._1 == "g2"))
+  }
+
+  test("the source refuses to start on an empty root, and requires the key option") {
+    val empty = Files.createTempDirectory("graft-cdcsrc3").toString
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-manifest-cdc")
+        .option("path", empty).option("key", "id").load()
+    }
+    assert(e.getMessage.contains("no committed version"))
+    ManifestTable.merge(mk(1L -> "a"), empty, Seq("id"))
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft-manifest-cdc").option("path", empty).load()
+    }
+    assert(e2.getMessage.contains("'key'"))
+  }
+}

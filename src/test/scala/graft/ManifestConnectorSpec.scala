@@ -107,6 +107,27 @@ class ManifestConnectorSpec extends SparkSpec {
       "column pruning lost through the connector")
   }
 
+  test("a 2-D box predicate on a Z-ordered table prunes on BOTH stats " +
+    "columns through the plan's own filters (the readWhereBox face, free)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-conn8").toString
+    // 64x64 grid Z-ordered into 16 tiles: a small (x,y) box intersects few
+    val grid = for { x <- 0L until 64L; y <- 0L until 64L } yield (x, y, x * 64 + y)
+    ManifestTable.commitZOrdered(grid.toDF("x", "y", "payload"), root, "x", "y",
+      numFiles = 16)
+    val total = readFmt(root).inputFiles.length
+    val boxed = readFmt(root)
+      .where($"x" >= 10L && $"x" <= 13L && $"y" >= 20L && $"y" <= 23L)
+    val n = scannedFiles(boxed)
+    assert(n < total, s"expected 2-D stats pruning: $n of $total")
+    val expect = (for { x <- 10L to 13L; y <- 20L to 23L } yield (x, y, x * 64 + y)).toSet
+    assert(boxed.as[(Long, Long, Long)].collect().toSet == expect)
+    // parity with the bespoke API on the same box
+    assert(ManifestTable.readWhereBox(spark, root,
+      Seq(("x", 10L, 13L), ("y", 20L, 23L))).as[(Long, Long, Long)]
+      .collect().toSet == expect)
+  }
+
   test("the connector is a first-class SQL table: CREATE TABLE ... USING graft-manifest") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-conn6").toString
