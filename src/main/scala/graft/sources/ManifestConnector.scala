@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 import org.apache.spark.sql.types.{ByteType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 
 /** The Spark-native FACE of [[ManifestTable]]: a custom [[FileIndex]]
@@ -151,25 +152,58 @@ object ManifestFileIndex {
   * files' footers (mergeSchema — a snapshot may mix file generations
   * after add-column evolution), and returns a stock parquet
   * [[HadoopFsRelation]] over the manifest-backed index. */
-class ManifestSourceProvider extends RelationProvider with DataSourceRegister {
+class ManifestSourceProvider extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-manifest"
+
+  /** The catalog hands CREATE TABLE paths URI-qualified ("file:/tmp/x");
+    * the manifest layer is java.nio-based, so normalize to a plain
+    * local path and refuse non-local schemes loudly (the manifest
+    * protocol itself is object-store-ready, this LOCAL provider isn't). */
+  private def rootOf(parameters: Map[String, String]): String = {
+    val raw = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-manifest: a table root path is required (.load(root)/.save(root))"))
+    val uri = new Path(raw).toUri
+    if (uri.getScheme == null || uri.getScheme == "file") uri.getPath
+    else throw new IllegalArgumentException(
+      s"graft-manifest: only local filesystem roots are supported, got $raw")
+  }
+
+  /** WRITE face — `df.write.format("graft-manifest").mode(…).save(root)`:
+    * Overwrite commits a new full snapshot, Append is the blind-append
+    * fast path ([[ManifestTable.append]] — new manifest references the
+    * old files plus the batch's, O(batch) I/O), ErrorIfExists/Ignore
+    * follow their SaveMode contracts against the committed version.
+    * `.option("statsCols", "a,b")` declares data-skipping columns
+    * (sticky thereafter). Every mode lands through the same atomic
+    * pointer-swap commit, so readers — including a live
+    * `graft-manifest-cdc` stream, which sees the commit as its next
+    * micro-batch — never observe a partial write. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: org.apache.spark.sql.DataFrame)
+      : BaseRelation = {
+    val root = rootOf(parameters)
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val exists = ManifestTable.currentVersion(root) >= 1
+    mode match {
+      case SaveMode.Overwrite => ManifestTable.commitSnapshot(data, root, statsCols)
+      case SaveMode.Append => ManifestTable.append(data, root, statsCols)
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graft-manifest: table at $root already exists (mode ErrorIfExists)")
+      case SaveMode.ErrorIfExists => ManifestTable.commitSnapshot(data, root, statsCols)
+      case SaveMode.Ignore =>
+        if (!exists) ManifestTable.commitSnapshot(data, root, statsCols)
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
-    // The catalog hands CREATE TABLE paths URI-qualified ("file:/tmp/x");
-    // the manifest reader is java.nio-based, so normalize to a plain
-    // local path and refuse non-local schemes loudly (the manifest
-    // protocol itself is object-store-ready, this LOCAL provider isn't).
-    val root = {
-      val raw = parameters.getOrElse("path", throw new IllegalArgumentException(
-        "graft-manifest: .load(<table root>) is required"))
-      val uri = new Path(raw).toUri
-      if (uri.getScheme == null || uri.getScheme == "file") uri.getPath
-      else throw new IllegalArgumentException(
-        s"graft-manifest: only local filesystem roots are supported, got $raw")
-    }
+    val root = rootOf(parameters)
     val cur = ManifestTable.currentVersion(root)
     require(cur >= 1, s"graft-manifest: no committed version at $root")
     val v = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {

@@ -321,6 +321,42 @@ object ManifestTable {
       commitEntries(root, v, entries, effStats)
     }
 
+  /** BLIND-APPEND commit: write only the batch's data files and commit
+    * a manifest referencing the previous snapshot's files PLUS the new
+    * ones — O(batch) data I/O, O(manifest) metadata, no
+    * read-modify-write of existing data (the ingest fast path; row
+    * dedup/replacement belongs to [[merge]]). Shared columns must keep
+    * their types ([[alignSchemas]] validates against the current
+    * snapshot — retype/rename is a migration, rejected; at lake scale
+    * the schema would live in the manifest header rather than be
+    * re-inferred from footers). Stats columns inherit stickily like
+    * [[commit]]; each append's files carry their OWN min/max, so
+    * time/id-ordered ingest yields naturally disjoint per-batch stats
+    * and [[readWhere]]-style skipping works across append generations
+    * without any clustering pass. Appends entries in the unpartitioned
+    * ("" part) form — a table maintained by [[mergePartitioned]]
+    * should keep using it (a mixed layout triggers its legacy
+    * full-rewrite conversion on the next partitioned merge). */
+  def append(df: DataFrame, root: String, statsCols: Seq[String] = Nil): Int =
+    synchronized {
+      val cur = currentVersion(root)
+      if (cur < 1) commitSnapshot(df, root, statsCols)
+      else {
+        val effStats = if (statsCols.nonEmpty) statsCols else statsColumns(root, cur)
+        alignSchemas(readVersion(df.sparkSession, root, cur), df) // type-compat gate
+        val prev = listedEntries(root, cur)
+        val v = cur + 1
+        val dirName = newDataDirName(v)
+        val dataDir = s"$root/data/$dirName"
+        df.write.mode("overwrite").parquet(dataDir)
+        val files = listParquet(new File(dataDir))
+          .map(f => FileEntry("", s"data/$dirName/$f"))
+        require(files.nonEmpty, s"append produced no data files under $dataDir")
+        commitEntries(root, v,
+          prev ++ withStats(df.sparkSession, root, files, effStats), effStats)
+      }
+    }
+
   /** Commit with the data CLUSTERED on the stats column — the 1-D
     * OPTIMIZE-ZORDER analog that makes [[readWhere]]'s file skipping
     * actually selective. `repartitionByRange` gives every output file a

@@ -153,6 +153,41 @@ class ManifestConnectorSpec extends SparkSpec {
     assert(df.where($"id" === 3L).select($"extra").as[Long].head() == 30L)
   }
 
+  test("write face: Overwrite then Append commit through the format; append " +
+    "references old files (no rewrite) and per-batch stats still skip") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-conn9").toString
+    (0L until 100L).toDF("x").write.format("graft-manifest")
+      .option("statsCols", "x").mode("overwrite").save(root)
+    assert(ManifestTable.currentVersion(root) == 1)
+    val v1Files = readFmt(root).inputFiles.toSet
+
+    (100L until 200L).toDF("x").write.format("graft-manifest")
+      .mode("append").save(root)
+    assert(ManifestTable.currentVersion(root) == 2)
+    val v2Files = readFmt(root).inputFiles.toSet
+    assert(v1Files.subsetOf(v2Files),
+      "append must reference the previous snapshot's files, not rewrite them")
+    assert(readFmt(root).count() == 200L)
+
+    // each append's files carry their own min/max (stats col is sticky),
+    // so a narrow filter skips the other generation's files entirely
+    val narrow = readFmt(root).where($"x" >= 150L)
+    assert(narrow.count() == 50L)
+    assert(scannedFiles(narrow) < v2Files.size.toLong,
+      "expected cross-generation stats skipping on appended batches")
+
+    intercept[IllegalStateException] {
+      (0L until 5L).toDF("x").write.format("graft-manifest").save(root) // default EIE
+    }
+    (0L until 5L).toDF("x").write.format("graft-manifest")
+      .mode("ignore").save(root)
+    assert(ManifestTable.currentVersion(root) == 2, "Ignore must be a no-op")
+    // time travel still sees the pre-append snapshot
+    assert(spark.read.format("graft-manifest").option("versionAsOf", "1")
+      .load(root).count() == 100L)
+  }
+
   test("extractBounds recognizes comparison shapes and ignores the rest") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     import org.apache.spark.sql.catalyst.expressions._
