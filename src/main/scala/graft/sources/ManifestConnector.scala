@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.SaveMode
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{ByteType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 
 /** The Spark-native FACE of [[ManifestTable]]: a custom [[FileIndex]]
@@ -153,9 +155,24 @@ object ManifestFileIndex {
   * after add-column evolution), and returns a stock parquet
   * [[HadoopFsRelation]] over the manifest-backed index. */
 class ManifestSourceProvider extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-manifest"
+
+  /** STREAMING SINK face — `writeStream.format("graft-manifest")`:
+    * each micro-batch is one transactional commit ([[ManifestStreamSink]]
+    * — merge by `key`, `sinkMode=append`, or Complete-mode snapshot),
+    * with replayed batches skipped via a checkpoint-derived transaction
+    * marker. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-manifest sink: partitionBy is not supported - snapshot commits " +
+        "are unpartitioned; use ManifestTable.mergePartitioned for a " +
+        "partition-scoped upsert table")
+    ManifestStreamSink.fromOptions(parameters, outputMode, rootOf(parameters))
+  }
 
   /** The catalog hands CREATE TABLE paths URI-qualified ("file:/tmp/x");
     * the manifest layer is java.nio-based, so normalize to a plain

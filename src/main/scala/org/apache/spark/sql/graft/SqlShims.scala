@@ -18,4 +18,15 @@ object SqlShims {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The sink-side counterpart: a V1 `Sink.addBatch` receives a frame
+    * still flagged as streaming, on which batch writers (and the
+    * manifest commit path) refuse to run. Re-root its rows as a plain
+    * batch frame — distributed (no driver collect); rows are copied
+    * because the scan reuses `InternalRow` buffers. */
+  def asBatchFrame(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd.map(_.copy()), df.schema, isStreaming = false)
+  }
 }

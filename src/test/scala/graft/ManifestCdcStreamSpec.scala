@@ -127,6 +127,65 @@ class ManifestCdcStreamSpec extends SparkSpec {
     assert(!got.exists(_._1 == "g2"))
   }
 
+  test("lake-to-lake: CDC source → transform → manifest SINK keeps a derived " +
+    "table current across commits AND a stream restart (offsets in the " +
+    "checkpoint, commits via the atomic pointer swap)") {
+    import spark.implicits._
+    val a = Files.createTempDirectory("graft-l2l-a").toString
+    val b = Files.createTempDirectory("graft-l2l-b").toString
+    val ckpt = Files.createTempDirectory("graft-l2l-ckpt").toString
+    ManifestTable.merge(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "x"), a, Seq("id"))
+
+    def start(): StreamingQuery = spark.readStream
+      .format("graft-manifest-cdc")
+      .option("path", a).option("key", "id").load()
+      .where($"_change_type" =!= "delete")
+      .selectExpr("id", "x * 2 AS y")
+      .writeStream.format("graft-manifest")
+      .option("path", b).option("key", "id")
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    def derived(): Set[(Long, Long)] =
+      ManifestTable.read(spark, b).as[(Long, Long)].collect().toSet
+
+    val q = start()
+    q.processAllAvailable()
+    assert(derived() == Set(1L -> 20L, 2L -> 40L))
+
+    ManifestTable.merge(Seq((2L, 25L), (3L, 5L)).toDF("id", "x"), a, Seq("id"))
+    q.processAllAvailable()
+    assert(derived() == Set(1L -> 20L, 2L -> 50L, 3L -> 10L),
+      "the derived table must absorb the upstream upsert incrementally")
+    q.stop()
+
+    ManifestTable.merge(Seq((1L, 100L)).toDF("id", "x"), a, Seq("id"))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(derived() == Set(1L -> 200L, 2L -> 50L, 3L -> 10L),
+      "restart consumes exactly the offline delta into the derived table")
+  }
+
+  test("sink replay protection: an addBatch replay with an already-committed " +
+    "batch id is a no-op (no table version bump)") {
+    import graft.sources.ManifestStreamSink
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-sink-replay").toString
+    val sink = new ManifestStreamSink(root, Seq("id"), OutputMode.Append(),
+      txnId = "testq", appendOnly = false)
+    sink.addBatch(0L, mk(1L -> "a"))
+    assert(ManifestTable.currentVersion(root) == 1)
+    sink.addBatch(0L, mk(1L -> "REPLAYED"))
+    assert(ManifestTable.currentVersion(root) == 1, "replayed batch must be skipped")
+    assert(ManifestTable.read(spark, root).as[(Long, String)].collect().toSet
+      == Set(1L -> "a"))
+    sink.addBatch(1L, mk(2L -> "b"))
+    assert(ManifestTable.currentVersion(root) == 2)
+  }
+
   test("the source refuses to start on an empty root, and requires the key option") {
     val empty = Files.createTempDirectory("graft-cdcsrc3").toString
     val e = intercept[Exception] {
