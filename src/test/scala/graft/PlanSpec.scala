@@ -472,4 +472,16 @@ class PlanSpec extends SparkSpec {
     assert(aggIdx >= 0 && filterIdx > aggIdx,
       s"expected hamming Filter below the distinct Aggregate:\n$optimized")
   }
+
+  test("q134: the DSIR importance model meets the token matrix ONLY through " +
+    "broadcast joins (256 rows + 1 scalar, bounded by construction) — no " +
+    "vocabulary-sized shuffle join, no cartesian") {
+    val plan = physical(graft.functions.CurationOps.q134DsirWeights(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    // scoring join (tokens ⋈ model) must be broadcast-hash, never a
+    // sort-merge over the exploded token matrix
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
