@@ -83,12 +83,29 @@ object CorpusPipelineDemo {
     val curated = survivors.join(split, "doc_id")
       .select($"doc_id", $"lang", $"split", $"n_chars", $"text")
 
+    // 5b. DSIR data-selection signal (q134): per-token importance of
+    // each survivor under the src0-estimated target model — the score a
+    // mixture-reweighting stage resamples on (here reported per split;
+    // on this word-soup corpus the absolute level sits below 0, the
+    // per-source ORDERING is what a real pipeline consumes)
+    val dsir = CurationOps.q134DsirWeights(spark, sfDir)
+      .select($"doc_id", $"avg_lw")
+
     // 6. transactional snapshot commit + read-back
     val v = ManifestTable.merge(curated, s"$work/curated", Seq("doc_id"))
     val back = ManifestTable.read(spark, s"$work/curated")
     val total = Tables(spark, sfDir, "documents").count()
     println(s"CURATED_VERSION=$v")
     println(s"DOCS_IN=$total DOCS_OUT=${back.count()}")
+    println("== DSIR mean per-token importance of curated docs, by split ==")
+    back.join(dsir, "doc_id").groupBy($"split")
+      .agg(round(avg($"avg_lw"), 4).as("mean_avg_lw")).orderBy($"split").show()
+    // 6b. the same table through the REGISTERED format: plain
+    // spark.read, plus time travel by option — no bespoke API at the
+    // consumption edge
+    val viaFormat = spark.read.format("graft-manifest")
+      .load(s"$work/curated").count()
+    println(s"FORMAT_READ rows=$viaFormat parity=${viaFormat == back.count()}")
     println("== split sizes ==")
     back.groupBy($"split").agg(count(lit(1)).as("n_docs"),
       sum($"n_chars").as("n_chars")).orderBy($"split").show()
@@ -143,6 +160,30 @@ object CorpusPipelineDemo {
     val match_ = stats1.orderBy($"split").collect().sameElements(
       recheck.orderBy($"split").collect())
     println(s"INCREMENTAL_EQUALS_RECOMPUTE=$match_")
+
+    // 8b. the lake-to-lake STREAMING leg: the curated table's CDC feeds
+    // a derived registry table through the REGISTERED source and sink
+    // formats — offsets live in the checkpoint, every micro-batch is one
+    // transactional commit, and BOTH commits above (v and the late-data
+    // v2) arrive as change events, the second as update_postimages
+    val registry = s"$work/registry"
+    val regCkpt = s"$work/registry_ckpt"
+    val sq = spark.readStream.format("graft-manifest-cdc")
+      .option("path", s"$work/curated").option("key", "doc_id").load()
+      .where($"_change_type" =!= "delete")
+      .select($"doc_id", $"split", $"n_chars")
+      .writeStream.format("graft-manifest")
+      .option("path", registry).option("key", "doc_id")
+      .option("checkpointLocation", regCkpt)
+      .start()
+    sq.processAllAvailable()
+    sq.stop()
+    val regRows = ManifestTable.read(spark, registry).count()
+    val curRows = ManifestTable.read(spark, s"$work/curated").count()
+    val tt = spark.read.format("graft-manifest")
+      .option("versionAsOf", v.toString).load(s"$work/curated").count()
+    println(s"LAKE_TO_LAKE registry_rows=$regRows curated_rows=$curRows " +
+      s"parity=${regRows == curRows} time_travel_v$v=$tt")
 
     // 9. incremental DEDUP-INDEX lifecycle (the maintained form of
     // q125/q126): the corpus lands as two commits on a ManifestTable,
