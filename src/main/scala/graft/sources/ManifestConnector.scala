@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.SaveMode
@@ -51,6 +51,7 @@ class ManifestFileIndex(spark: SparkSession, root: String, val version: Int)
 
   private val entries = ManifestTable.listedEntries(root, version)
   private val statsCols: Seq[String] = ManifestTable.statsColumns(root, version)
+  private val bloomCol: Option[String] = ManifestBloom.bloomColumn(root)
 
   // One metadata stat per listed file, taken at snapshot resolution —
   // manifest-bounded work (no recursive directory walk), and the
@@ -96,12 +97,41 @@ class ManifestFileIndex(spark: SparkSession, root: String, val version: Int)
           }
         }
       }
-    lastListedCount = kept.size
-    Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2).toArray))
+    // bloom sidecar probe for POINT predicates on the declared column —
+    // the skip modality range stats can't provide on an unclustered
+    // layout. Each conjunct is an alternative set (EqualTo = one value,
+    // In = any-of); a file survives a conjunct if ANY alternative might
+    // be present, and files without a sidecar are always kept.
+    val pointProbes: Seq[Seq[Literal]] =
+      ManifestFileIndex.extractPointProbes(dataFilters, bloomCol)
+    val kept2 =
+      if (pointProbes.isEmpty) kept
+      else kept.filter { case (e, _) =>
+        pointProbes.forall(_.exists(l =>
+          ManifestBloom.mightContain(root, e.rel, l).getOrElse(true)))
+      }
+    lastListedCount = kept2.size
+    Seq(PartitionDirectory(InternalRow.empty, kept2.map(_._2).toArray))
   }
 }
 
 object ManifestFileIndex {
+  /** Point-lookup probes on the bloom column: one inner Seq per
+    * recognized conjunct — EqualTo contributes a single-literal
+    * alternative set, In contributes its whole literal list (any-of).
+    * Other shapes contribute nothing (conservative). */
+  private[graft] def extractPointProbes(filters: Seq[Expression],
+      bloomCol: Option[String]): Seq[Seq[Literal]] = bloomCol match {
+    case None => Nil
+    case Some(bc) => filters.collect {
+      case EqualTo(a: Attribute, l: Literal) if a.name == bc => Seq(l)
+      case EqualTo(l: Literal, a: Attribute) if a.name == bc => Seq(l)
+      case In(a: Attribute, vs) if a.name == bc &&
+          vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        vs.map(_.asInstanceOf[Literal])
+    }
+  }
+
   /** Per bounded stats column: (index in the manifest's declared stats
     * order, optional lower bound, optional upper bound), folded over
     * every recognized conjunct. Unrecognized expression shapes are
@@ -203,6 +233,9 @@ class ManifestSourceProvider extends RelationProvider
     val root = rootOf(parameters)
     val statsCols = parameters.get("statsCols")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    // `.option("bloomCol", "id")` declares (sticky) per-file bloom
+    // sidecars for point-lookup skipping on that column
+    parameters.get("bloomCol").foreach(c => ManifestBloom.declare(root, c))
     val exists = ManifestTable.currentVersion(root) >= 1
     mode match {
       case SaveMode.Overwrite => ManifestTable.commitSnapshot(data, root, statsCols)

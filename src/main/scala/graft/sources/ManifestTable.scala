@@ -318,6 +318,10 @@ object ManifestTable {
         .map(f => FileEntry("", s"data/$dirName/$f"))
       require(files.nonEmpty, s"commit produced no data files under $dataDir")
       val entries = withStats(df.sparkSession, root, files, effStats)
+      // sticky bloom sidecars ([[ManifestBloom]]): point-lookup skipping
+      // for the declared column on every new file of this commit
+      ManifestBloom.bloomColumn(root).foreach(c =>
+        ManifestBloom.writeSidecars(df.sparkSession, root, entries, c))
       commitEntries(root, v, entries, effStats)
     }
 
@@ -352,8 +356,10 @@ object ManifestTable {
         val files = listParquet(new File(dataDir))
           .map(f => FileEntry("", s"data/$dirName/$f"))
         require(files.nonEmpty, s"append produced no data files under $dataDir")
-        commitEntries(root, v,
-          prev ++ withStats(df.sparkSession, root, files, effStats), effStats)
+        val entries = withStats(df.sparkSession, root, files, effStats)
+        ManifestBloom.bloomColumn(root).foreach(c => // sidecars for NEW files only
+          ManifestBloom.writeSidecars(df.sparkSession, root, entries, c))
+        commitEntries(root, v, prev ++ entries, effStats)
       }
     }
 

@@ -188,6 +188,88 @@ class ManifestConnectorSpec extends SparkSpec {
       .load(root).count() == 100L)
   }
 
+  test("bloom sidecars: a point lookup on an UNCLUSTERED high-cardinality " +
+    "column skips to ~1 file where range stats keep everything, and a " +
+    "missing key reads ~0 files — answers exact either way") {
+    import graft.sources.ManifestBloom
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-bloom1").toString
+    // round-robin into 8 files: every file's [min,max] spans the whole
+    // id domain, so min/max stats are useless by construction
+    val data = (0L until 800L).map(i => (i, s"payload$i")).toDF("id", "v")
+      .repartition(8)
+    ManifestBloom.declare(root, "id")
+    ManifestTable.commitSnapshot(data, root, Seq("id"))
+    val total = readFmt(root).inputFiles.length
+    assert(total >= 6)
+
+    // range stats alone cannot prune this layout (sanity of the setup)
+    val range = readFmt(root).where($"id" >= 100L && $"id" <= 110L)
+    assert(scannedFiles(range) == total.toLong,
+      "setup must be stats-unprunable so the bloom is what's being tested")
+
+    val hit = readFmt(root).where($"id" === 123L)
+    assert(hit.as[(Long, String)].collect().toSeq == Seq(123L -> "payload123"))
+    val nHit = scannedFiles(hit)
+    assert(nHit <= 2, s"bloom should keep ~1 of $total files, kept $nHit")
+
+    val miss = readFmt(root).where($"id" === 999999L)
+    assert(miss.count() == 0L)
+    assert(scannedFiles(miss) <= 1, "a definite miss should read ~no files")
+
+    // IN probes: any-of semantics, still pruned below the full set
+    val in3 = readFmt(root).where($"id".isin(5L, 205L, 405L))
+    assert(in3.count() == 3L)
+    assert(scannedFiles(in3) < total.toLong)
+  }
+
+  test("bloom sidecars are sticky across APPEND generations and conservative " +
+    "for pre-declaration files (no sidecar = always read, never wrong)") {
+    import graft.sources.ManifestBloom
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-bloom2").toString
+    // generation 0: committed BEFORE any bloom declaration — no sidecars
+    ManifestTable.commitSnapshot(
+      (0L until 100L).map(i => (i, "old")).toDF("id", "v").repartition(2), root, Nil)
+    val gen0 = readFmt(root).inputFiles.length
+    // declare, then append two more generations (writer-option path)
+    (100L until 200L).map(i => (i, "g1")).toDF("id", "v").repartition(2)
+      .write.format("graft-manifest").option("bloomCol", "id")
+      .mode("append").save(root)
+    (200L until 300L).map(i => (i, "g2")).toDF("id", "v").repartition(2)
+      .write.format("graft-manifest").mode("append").save(root) // sticky
+    val total = readFmt(root).inputFiles.length
+
+    // a key from the LAST generation: its bloom keeps its file, the other
+    // bloomed generation is pruned, the sidecar-less gen0 files are kept
+    val hit = readFmt(root).where($"id" === 250L)
+    assert(hit.as[(Long, String)].collect().toSeq == Seq(250L -> "g2"))
+    val n = scannedFiles(hit)
+    assert(n < total.toLong, s"expected bloomed generations pruned: $n of $total")
+    assert(n >= gen0.toLong, "pre-declaration files must always be read")
+
+    // a pre-declaration key still answers exactly (its files have no
+    // sidecar and are kept unconditionally)
+    assert(readFmt(root).where($"id" === 50L).as[(Long, String)]
+      .collect().toSeq == Seq(50L -> "old"))
+  }
+
+  test("bloom probe hashing: string keys work through the same Catalyst " +
+    "hash on both commit and probe sides") {
+    import graft.sources.ManifestBloom
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-bloom3").toString
+    val data = (0 until 400).map(i => (s"key-$i", i)).toDF("k", "n").repartition(4)
+    ManifestBloom.declare(root, "k")
+    ManifestTable.commitSnapshot(data, root, Nil)
+    val total = readFmt(root).inputFiles.length
+    val hit = readFmt(root).where($"k" === "key-37")
+    assert(hit.as[(String, Int)].collect().toSeq == Seq("key-37" -> 37))
+    assert(scannedFiles(hit) <= 2)
+    assert(scannedFiles(readFmt(root).where($"k" === "no-such-key")) <= 1)
+    assert(total >= 3)
+  }
+
   test("extractBounds recognizes comparison shapes and ignores the rest") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     import org.apache.spark.sql.catalyst.expressions._
