@@ -1020,9 +1020,14 @@ object ManifestTable {
     val referenced = keep.flatMap(v => listedEntries(root, v).map(_.rel)).toSet
     val dataRoot = Paths.get(root, "data")
     if (Files.exists(dataRoot)) {
+      // a bloom sidecar lives or dies WITH its data file: "<rel>.bloom"
+      // is live iff rel is referenced (deleting live sidecars would
+      // silently degrade point-lookup skipping to full scans)
+      def live(rel: String): Boolean = referenced.contains(rel) ||
+        (rel.endsWith(".bloom") && referenced.contains(rel.stripSuffix(".bloom")))
       Files.walk(dataRoot).iterator().asScala.toSeq.reverse.foreach { p =>
         val rel = Paths.get(root).relativize(p).toString
-        if (Files.isRegularFile(p) && !referenced.contains(rel)) Files.delete(p)
+        if (Files.isRegularFile(p) && !live(rel)) Files.delete(p)
         else if (Files.isDirectory(p) && p.toFile.listFiles().isEmpty) Files.delete(p)
       }
     }

@@ -270,6 +270,37 @@ class ManifestConnectorSpec extends SparkSpec {
     assert(total >= 3)
   }
 
+  test("vacuum keeps LIVE bloom sidecars (skipping still works after) and " +
+    "deletes orphaned ones with their dead data files") {
+    import graft.sources.ManifestBloom
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-bloom4").toString
+    ManifestBloom.declare(root, "id")
+    ManifestTable.commitSnapshot(
+      (0L until 200L).map(i => (i, "v1")).toDF("id", "v").repartition(4), root, Nil)
+    ManifestTable.commitSnapshot(
+      (0L until 200L).map(i => (i, "v2")).toDF("id", "v").repartition(4), root, Nil)
+    def sidecars(): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data"))
+      try s.iterator().asScala.filter(_.toString.endsWith(".bloom")).toSeq
+      finally s.close()
+    }
+    assert(sidecars().size >= 8, "both generations should carry sidecars")
+    ManifestTable.vacuum(root, keepVersions = 1, orphanGraceMs = 0)
+    val left = sidecars()
+    val liveFiles = readFmt(root).inputFiles.map(f =>
+      f.stripPrefix("file:")).toSet
+    assert(left.nonEmpty && left.forall(p =>
+      liveFiles.contains(p.toString.stripSuffix(".bloom"))),
+      s"every surviving sidecar must belong to a live file: $left")
+    assert(left.size >= 4, "live generation's sidecars must survive vacuum")
+    // and skipping still engages on the survivor snapshot
+    val hit = readFmt(root).where($"id" === 42L)
+    assert(hit.as[(Long, String)].collect().toSeq == Seq(42L -> "v2"))
+    assert(scannedFiles(hit) <= 2)
+  }
+
   test("extractBounds recognizes comparison shapes and ignores the rest") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     import org.apache.spark.sql.catalyst.expressions._
