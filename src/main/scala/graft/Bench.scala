@@ -64,6 +64,7 @@ object Bench {
       "q95_minhash_calibration", "q31_jaccard_pairs", "q91_novelty", "q72_tfidf",
       "q98_bloom_decontaminate",
       "q75_source_similarity", "q88_dedup_funnel", "q46_ivf_ann", "q77_surprisal",
+      "q134_dsir_weights", "q129_incremental_ivf", "q126_incremental_neardup",
       "q57_top_tokens_per_lang", "q78_collocations", "q87_zipf_slope", "q30_minhash_lsh",
       "q58_kmeans", "q60_funnel", "q48_session_window", "q16_dedup_rownumber",
       "q61_retention", "q62_salted_join", "q3_revenue_by_nation", "q4_semi_join",

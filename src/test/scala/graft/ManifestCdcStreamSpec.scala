@@ -186,6 +186,34 @@ class ManifestCdcStreamSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(root) == 2)
   }
 
+  test("a restart whose checkpointed version was VACUUMED fails loudly — " +
+    "never silently skips the missing changes") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cdcsrc-vac").toString
+    val ckpt = Files.createTempDirectory("graft-cdcsrc-vac-ckpt").toString
+    val out = Files.createTempDirectory("graft-cdcsrc-vac-out").toString
+    ManifestTable.merge(mk(1L -> "a"), root, Seq("id"))
+    ManifestTable.merge(mk(2L -> "b"), root, Seq("id"))
+    def start(): StreamingQuery = spark.readStream
+      .format("graft-manifest-cdc")
+      .option("path", root).option("key", "id").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    val q = start()
+    q.processAllAvailable() // checkpoint now at v2
+    q.stop()
+    ManifestTable.merge(mk(3L -> "c"), root, Seq("id")) // v3
+    ManifestTable.vacuum(root, keepVersions = 1, orphanGraceMs = 0) // drops v1, v2
+    val q2 = start()
+    val e = intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("not retained"))),
+      s"expected a loud not-retained failure, got $e")
+  }
+
   test("the source refuses to start on an empty root, and requires the key option") {
     val empty = Files.createTempDirectory("graft-cdcsrc3").toString
     val e = intercept[Exception] {

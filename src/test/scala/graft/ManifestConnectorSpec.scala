@@ -301,6 +301,19 @@ class ManifestConnectorSpec extends SparkSpec {
     assert(scannedFiles(hit) <= 2)
   }
 
+  test("snapshot isolation: a loaded frame keeps reading ITS version even " +
+    "after later commits land (file list pinned at load)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-conn-iso").toString
+    ManifestTable.merge(Seq(1L -> "a").toDF("id", "v"), root, Seq("id"))
+    val pinned = readFmt(root)
+    assert(pinned.count() == 1L)
+    ManifestTable.merge(Seq(2L -> "b", 3L -> "c").toDF("id", "v"), root, Seq("id"))
+    // the already-loaded frame is the v1 snapshot; a fresh load sees v2
+    assert(pinned.count() == 1L, "pinned snapshot must not see the later commit")
+    assert(readFmt(root).count() == 3L)
+  }
+
   test("extractBounds recognizes comparison shapes and ignores the rest") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     import org.apache.spark.sql.catalyst.expressions._
