@@ -91,8 +91,17 @@ object CorpusPipelineDemo {
     val dsir = CurationOps.q134DsirWeights(spark, sfDir)
       .select($"doc_id", $"avg_lw")
 
-    // 6. transactional snapshot commit + read-back
-    val v = ManifestTable.merge(curated, s"$work/curated", Seq("doc_id"))
+    // 6. transactional snapshot commit + read-back. The funnel metrics
+    // ride the COMMIT's own job via observe() (Spark's observable
+    // metrics — accumulator-backed, zero extra scans), the idiomatic
+    // way a production pipeline reports stage health
+    val obs = org.apache.spark.sql.Observation("curated_funnel")
+    val curatedObserved = curated.observe(obs,
+      count(lit(1)).as("n_docs"),
+      sum($"n_chars").as("n_chars"),
+      round(avg($"n_chars"), 1).as("mean_chars"))
+    val v = ManifestTable.merge(curatedObserved, s"$work/curated", Seq("doc_id"))
+    println(s"OBSERVED_FUNNEL=${obs.get}")
     val back = ManifestTable.read(spark, s"$work/curated")
     val total = Tables(spark, sfDir, "documents").count()
     println(s"CURATED_VERSION=$v")

@@ -168,7 +168,14 @@ object ManifestFileIndex {
       case LessThanOrEqual(l: Literal, a: Attribute)    => add(a.name, num(l), None)
       case LessThan(l: Literal, a: Attribute)           => add(a.name, num(l), None)
       case EqualTo(l: Literal, a: Attribute)            => add(a.name, num(l), num(l))
-      case _ => () // IsNotNull, In, OR-trees, UDF-ish — no metadata bound
+      case In(a: Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        // an IN-list bounds the column to [min(vs), max(vs)] — coarser
+        // than per-value checks but free, and the bloom probe (when
+        // declared) refines it per value
+        val nums = vs.map(v => num(v.asInstanceOf[Literal]))
+        if (nums.forall(_.nonEmpty))
+          add(a.name, Some(nums.flatten.min), Some(nums.flatten.max))
+      case _ => () // IsNotNull, OR-trees, UDF-ish — no metadata bound
     }
     acc.toSeq.map { case (name, (los, his)) =>
       (statsCols.indexOf(name),

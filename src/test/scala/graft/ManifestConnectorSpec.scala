@@ -65,6 +65,10 @@ class ManifestConnectorSpec extends SparkSpec {
     assert(filtered.as[(Long, String)].collect().toSet == expect)
     assert(ManifestTable.readWhere(spark, root, 250L, 260L)
       .as[(Long, String)].collect().toSet == expect)
+    // IN-list prunes via its [min, max] envelope on the same layout
+    val in2 = readFmt(root).where($"x".isin(251L, 255L))
+    assert(in2.count() == 2L)
+    assert(scannedFiles(in2) <= 2)
   }
 
   test("strict bounds prune conservatively and stay exact row-level") {
@@ -326,5 +330,9 @@ class ManifestConnectorSpec extends SparkSpec {
         GreaterThan(Literal(100L), x)), // reversed: x < 100
       Seq("x"))
     assert(b == Seq((0, Some(BigDecimal(5)), Some(BigDecimal(9)))))
+    // IN-list → [min, max] envelope bound
+    val bin = ManifestFileIndex.extractBounds(
+      Seq(In(x, Seq(Literal(30L), Literal(7L), Literal(19L)))), Seq("x"))
+    assert(bin == Seq((0, Some(BigDecimal(7)), Some(BigDecimal(30)))))
   }
 }
