@@ -93,6 +93,58 @@ object IncrementalView {
       maintain(st, ch, groupCols, valueCol)
     }
 
+  /** EXACTLY-ONCE streaming maintenance step: apply one CDC micro-batch
+    * to a ManifestTable-BACKED state and commit the result with the
+    * batch id as the commit's transaction tag. Tag and state land in
+    * the SAME atomic pointer swap ([[ManifestTable.commitTag]]), so a
+    * replayed batch — delivered again after a crash anywhere between
+    * sink commit and checkpoint write — reads its own id back from the
+    * current state version and SKIPS. No marker-after-commit window,
+    * no double-applied delta: the non-idempotence of `maintain` (a
+    * delta applied twice double-counts) is exactly why the tag must be
+    * inside the commit, not beside it.
+    *
+    * Scale: reads only the state snapshot (group-cardinality-sized) and
+    * the batch; the commit rewrites state files — for a state large
+    * enough that rewriting dominates, the same tag protocol composes
+    * with a partitioned state table. */
+  def applyBatch(stateRoot: String, batch: DataFrame, batchId: Long,
+      groupCols: Seq[String], valueCol: String): Unit = {
+    val spark = batch.sparkSession
+    val cur = ManifestTable.currentVersion(stateRoot)
+    val lastApplied =
+      if (cur < 1) -1L
+      else ManifestTable.commitTag(stateRoot, cur)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+        .getOrElse(-1L)
+    if (batchId <= lastApplied) return // replay: this batch already produced a state
+    val state =
+      if (cur >= 1) ManifestTable.read(spark, stateRoot)
+      else compute( // empty state in the right shape, derived from the batch
+        batch.where(lit(false))
+          .select((groupCols :+ valueCol).map(col): _*), groupCols, valueCol)
+    val next = maintain(state, batch, groupCols, valueCol)
+    ManifestTable.commitSnapshot(next, stateRoot, Nil, Some(s"batch=$batchId"))
+  }
+
+  /** The turnkey form: a streaming query that keeps `stateRoot` equal
+    * to the incremental aggregate of the [[ManifestTable]] at
+    * `corpusRoot`, fed by the `graft-manifest-cdc` source (offsets in
+    * `checkpoint`) and committed exactly-once via [[applyBatch]]. */
+  def startMaintenance(spark: org.apache.spark.sql.SparkSession,
+      corpusRoot: String, stateRoot: String, key: Seq[String],
+      groupCols: Seq[String], valueCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft-manifest-cdc")
+      .option("path", corpusRoot).option("key", key.mkString(","))
+      .option("preimages", "true").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        applyBatch(stateRoot, b, id, groupCols, valueCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Guard against the silent-drift footgun named in [[maintain]]'s
     * doc: a changes frame produced WITHOUT preimages. Used by specs. */
   private[graft] def hasPreimageContract(changes: DataFrame): Boolean = {

@@ -148,13 +148,29 @@ object ManifestTable {
     * is rejected at write time. Multi-column stats are what make a
     * Z-ORDER clustered layout ([[commitZOrdered]]) prunable on EVERY
     * clustered dimension, not just the first. */
-  private[graft] def statsColumns(root: String, v: Int): Seq[String] = {
+  /** Header fields after the format marker — `stats=<cols>` and/or
+    * `txn=<tag>`, `;`-separated in either order. */
+  private def headerFields(root: String, v: Int): Seq[String] = {
     if (v < 1 || !Files.exists(manifestPath(root, v))) return Nil
     val head = Files.readAllLines(manifestPath(root, v)).asScala.headOption.getOrElse("")
-    if (head.startsWith(FormatHeader + ";stats="))
-      head.stripPrefix(FormatHeader + ";stats=").split(',').toSeq
+    if (head.startsWith(FormatHeader))
+      head.stripPrefix(FormatHeader).split(';').toSeq.filter(_.nonEmpty)
     else Nil
   }
+
+  private[graft] def statsColumns(root: String, v: Int): Seq[String] =
+    headerFields(root, v).find(_.startsWith("stats="))
+      .map(_.stripPrefix("stats=").split(',').toSeq).getOrElse(Nil)
+
+  /** The transaction TAG a commit carried (`commitSnapshot(…, tag)`),
+    * if any — written in the manifest header, so tag and data become
+    * visible in the SAME atomic pointer swap. This is what makes
+    * [[IncrementalView.applyBatch]] exactly-once: a consumer records
+    * "which input batch produced this state" inside the state commit
+    * itself, and a replay reads the tag back before re-applying. */
+  private[graft] def commitTag(root: String, v: Int): Option[String] =
+    headerFields(root, v).find(_.startsWith("txn="))
+      .map(_.stripPrefix("txn="))
 
   /** First declared stats column ([[statsColumns]]) — the 1-D surface. */
   private[graft] def statsColumn(root: String, v: Int): Option[String] =
@@ -176,15 +192,17 @@ object ManifestTable {
     * that version number; [[vacuum]] clears such orphans. On an object
     * store the same slot is a conditional PUT (if-none-match). */
   private def commitEntries(root: String, v: Int, entries: Seq[FileEntry],
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil, tag: Option[String] = None): Int = {
     require(entries.nonEmpty, s"commit of v$v at $root lists no data files")
     require(statsCols.forall(c =>
         !c.contains('\n') && !c.contains('\t') && !c.contains(',') && c.nonEmpty),
       s"stats column names $statsCols must not contain tab/newline/comma")
+    require(tag.forall(t => t.nonEmpty && !t.contains(';') && !t.contains('\n')),
+      s"commit tag $tag must be non-empty without ';' or newline")
     Files.createDirectories(Paths.get(root))
-    val header =
-      if (statsCols.isEmpty) FormatHeader
-      else s"$FormatHeader;stats=${statsCols.mkString(",")}"
+    val header = FormatHeader +
+      (if (statsCols.isEmpty) "" else s";stats=${statsCols.mkString(",")}") +
+      tag.fold("")(t => s";txn=$t")
     val lines = entries.sortBy(e => (e.part, e.rel)).map { e =>
       if (e.stats.isEmpty) s"${e.part}\t${e.rel}"
       else s"${e.part}\t${e.rel}\t" +
@@ -306,23 +324,34 @@ object ManifestTable {
     * multi-column Delta/Iceberg stats shape [[commitZOrdered]] relies
     * on). Sticky like the 1-column form: an empty `statsCols` inherits
     * the previous manifest's declaration. */
-  def commitSnapshot(df: DataFrame, root: String, statsCols: Seq[String]): Int =
+  def commitSnapshot(df: DataFrame, root: String, statsCols: Seq[String],
+      tag: Option[String] = None): Int =
     synchronized {
       val cur = currentVersion(root)
       val v = cur + 1
       val effStats = if (statsCols.nonEmpty) statsCols else statsColumns(root, cur)
       val dirName = newDataDirName(v)
       val dataDir = s"$root/data/$dirName"
+      // coalesce-safe empty commit: a legitimately EMPTY snapshot (e.g. a
+      // maintained aggregate whose last group retracted) must still land
+      // so its txn tag records progress — one task guarantees one
+      // (possibly zero-row) parquet file
       df.write.mode("overwrite").parquet(dataDir)
       val files = listParquet(new File(dataDir))
         .map(f => FileEntry("", s"data/$dirName/$f"))
-      require(files.nonEmpty, s"commit produced no data files under $dataDir")
-      val entries = withStats(df.sparkSession, root, files, effStats)
+      val entries =
+        if (files.nonEmpty) withStats(df.sparkSession, root, files, effStats)
+        else {
+          df.limit(0).coalesce(1).write.mode("overwrite").parquet(dataDir)
+          val fs = listParquet(new File(dataDir)).map(f => FileEntry("", s"data/$dirName/$f"))
+          require(fs.nonEmpty, s"commit produced no data files under $dataDir")
+          fs
+        }
       // sticky bloom sidecars ([[ManifestBloom]]): point-lookup skipping
       // for the declared column on every new file of this commit
       ManifestBloom.bloomColumn(root).foreach(c =>
         ManifestBloom.writeSidecars(df.sparkSession, root, entries, c))
-      commitEntries(root, v, entries, effStats)
+      commitEntries(root, v, entries, effStats, tag)
     }
 
   /** BLIND-APPEND commit: write only the batch's data files and commit

@@ -186,6 +186,53 @@ class ManifestCdcStreamSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(root) == 2)
   }
 
+  test("exactly-once maintained view: startMaintenance keeps a ManifestTable " +
+    "state equal to the full recompute across insert/update/delete commits " +
+    "and a restart, and a REPLAYED batch id is a no-op (tag inside the commit)") {
+    import graft.sources.IncrementalView
+    import spark.implicits._
+    val corpus = Files.createTempDirectory("graft-eo-corpus").toString
+    val state = Files.createTempDirectory("graft-eo-state").toString
+    val ckpt = Files.createTempDirectory("graft-eo-ckpt").toString
+    ManifestTable.merge(
+      Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g2", 5L)).toDF("id", "g", "x"),
+      corpus, Seq("id"))
+
+    def stateSet(): Set[(String, Long, Long)] =
+      ManifestTable.read(spark, state).as[(String, Long, Long)].collect().toSet
+    def expect(): Set[(String, Long, Long)] = IncrementalView.compute(
+      ManifestTable.read(spark, corpus).select($"g", $"x"), Seq("g"), "x")
+      .as[(String, Long, Long)].collect().toSet
+
+    val q = IncrementalView.startMaintenance(
+      spark, corpus, state, Seq("id"), Seq("g"), "x", ckpt)
+    q.processAllAvailable()
+    assert(stateSet() == expect())
+
+    ManifestTable.merge(Seq((3L, "g1", 7L)).toDF("id", "g", "x"), corpus, Seq("id"))
+    q.processAllAvailable()
+    assert(stateSet() == expect(), "group-hopping update must retract g2")
+    q.stop()
+
+    // offline DELETE (snapshot recommit without id=2) + restart
+    ManifestTable.commitSnapshot(
+      ManifestTable.read(spark, corpus).where($"id" =!= 2L), corpus, Nil)
+    val q2 = IncrementalView.startMaintenance(
+      spark, corpus, state, Seq("id"), Seq("g"), "x", ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(stateSet() == expect(), "restart must absorb the offline delete")
+
+    // replay: re-deliver an OLD batch id with a poisoned delta — the tag
+    // read from the current state commit must reject it untouched
+    val vBefore = ManifestTable.currentVersion(state)
+    val poisoned = Seq(("g1", 999L, "insert")).toDF("g", "x", "_change_type")
+    IncrementalView.applyBatch(state, poisoned, batchId = 0L, Seq("g"), "x")
+    assert(ManifestTable.currentVersion(state) == vBefore,
+      "a replayed batch id must not commit a new state version")
+    assert(stateSet() == expect())
+  }
+
   test("a restart whose checkpointed version was VACUUMED fails loudly — " +
     "never silently skips the missing changes") {
     import spark.implicits._
