@@ -820,20 +820,23 @@ object ManifestTable {
     * manifest file's mtime — written moments before the pointer swap, so
     * it is the commit time up to the swap latency; on an object store it
     * maps to the manifest object's creation time. */
-  case class CommitInfo(version: Int, timestamp: Long, nFiles: Int, nPartitions: Int)
+  case class CommitInfo(version: Int, timestamp: Long, nFiles: Int, nPartitions: Int,
+      tag: Option[String] = None)
 
   /** DESCRIBE HISTORY analog: every RETAINED version (vacuum may have
-    * dropped older manifests), newest first, with commit time and
-    * file/partition counts — the audit surface an operator reads before
-    * a time-travel query or an incident rollback. Metadata-only: reads
-    * manifests, never data files. */
+    * dropped older manifests), newest first, with commit time,
+    * file/partition counts, and the commit's transaction tag if one was
+    * recorded ([[commitSnapshot]] `tag` — e.g. which streaming batch
+    * produced a maintained state version) — the audit surface an
+    * operator reads before a time-travel query or an incident rollback.
+    * Metadata-only: reads manifests, never data files. */
   def history(root: String): Seq[CommitInfo] = {
     (1 to currentVersion(root)).flatMap { v =>
       val p = manifestPath(root, v)
       if (Files.exists(p)) {
         val es = listedEntries(root, v)
         Some(CommitInfo(v, Files.getLastModifiedTime(p).toMillis,
-          es.size, es.map(_.part).distinct.size))
+          es.size, es.map(_.part).distinct.size, commitTag(root, v)))
       } else None
     }.reverse
   }

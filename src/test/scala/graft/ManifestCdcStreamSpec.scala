@@ -231,6 +231,10 @@ class ManifestCdcStreamSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(state) == vBefore,
       "a replayed batch id must not commit a new state version")
     assert(stateSet() == expect())
+    // the audit surface: every state version's history row names the
+    // batch that produced it
+    val tags = ManifestTable.history(state).flatMap(_.tag)
+    assert(tags.nonEmpty && tags.forall(_.startsWith("batch=")), tags.toString)
   }
 
   test("a restart whose checkpointed version was VACUUMED fails loudly — " +
