@@ -2,13 +2,14 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.classic.{DataFrame, SparkSession}
 
-/** The one `private[sql]` reach-in this engine needs (the same shim
+/** The streaming-connector `private[sql]` reach-in (the same shim
   * every Spark streaming connector ships — Delta's DeltaSource does the
   * identical call): a V1 streaming `Source.getBatch` must return a
   * frame flagged `isStreaming=true` or MicroBatchExecution rejects it,
   * and the only constructor for that flag is
-  * `SparkSession.internalCreateDataFrame`. Nothing else in the engine
-  * uses package-private Spark API. */
+  * `SparkSession.internalCreateDataFrame`. The engine's only other
+  * reach-in is the sibling [[Bridge]] (`Dataset.ofRows` for the custom
+  * LogicalPlan builders). */
 object SqlShims {
   /** Re-root `df`'s physical rows as a streaming-flagged DataFrame with
     * the same schema (lazy — nothing executes until the micro-batch
