@@ -101,7 +101,7 @@ object ManifestBloom {
   /** Membership probe against a file's sidecar: `None` when the file
     * has no sidecar (caller must keep it), otherwise whether ALL k bits
     * for the literal are set (false ⇒ the key is definitely absent). */
-  private[sources] def mightContain(root: String, rel: String, l: Literal): Option[Boolean] = {
+  private[graft] def mightContain(root: String, rel: String, l: Literal): Option[Boolean] = {
     val p = Paths.get(root, rel + ".bloom")
     if (!Files.exists(p)) None
     else {

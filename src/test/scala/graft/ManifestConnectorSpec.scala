@@ -318,6 +318,48 @@ class ManifestConnectorSpec extends SparkSpec {
     assert(readFmt(root).count() == 3L)
   }
 
+  test("bloom invariant: NO inserted key is ever pruned (false-negative " +
+    "freedom over 500 keys), and the measured false-positive rate on " +
+    "absent keys stays near the sizing estimate") {
+    import graft.sources.{ManifestBloom, ManifestTable => MT}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-bloom5").toString
+    val rnd = new scala.util.Random(42)
+    val keys = Seq.fill(500)(rnd.nextLong()).distinct
+    ManifestBloom.declare(root, "id")
+    MT.commitSnapshot(keys.toDF("id").coalesce(1), root, Nil)
+    val full = MT.read(spark, root).inputFiles.head // "file:///…/data/vN-…/part-…"
+    val rel = full.substring(full.indexOf("/data/") + 1)
+    // every inserted key must probe present
+    keys.foreach { k =>
+      assert(ManifestBloom.mightContain(root, rel, Literal(k)) == Some(true),
+        s"false negative for inserted key $k")
+    }
+    // absent keys: fp rate ~ (1-e^(-kn/m))^k ≈ 1.5% at n=500, m=8192, k=4;
+    // allow generous slack for hash clustering
+    val absent = Seq.fill(2000)(rnd.nextLong()).filterNot(keys.contains)
+    val fps = absent.count(k =>
+      ManifestBloom.mightContain(root, rel, Literal(k)) == Some(true))
+    assert(fps.toDouble / absent.size < 0.08,
+      s"false-positive rate ${fps.toDouble / absent.size} far above sizing estimate")
+  }
+
+  test("a lost append race fails LOUDLY with retry guidance, never silently " +
+    "overwrites the winner's manifest") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-apprace").toString
+    ManifestTable.commitSnapshot((0L until 10L).toDF("x"), root, Nil)
+    // simulate the loser: another writer already claimed version 2
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "manifest-v2.json"),
+      "#graft-manifest-v2\n\tdata/ghost/f.parquet")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.append((10L until 20L).toDF("x"), root)
+    }
+    assert(e.getMessage.contains("retry"))
+  }
+
   test("extractBounds recognizes comparison shapes and ignores the rest") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     import org.apache.spark.sql.catalyst.expressions._
