@@ -106,14 +106,32 @@ object DedupIndex {
     ManifestTable.read(spark, idxRoot).where(col("n_docs") > 0L)
 
   /** q125's probe against the MAINTAINED index: flag arriving docs whose
-    * content fingerprint is already committed. The batch side is small
-    * by nature (one ingest batch) — AQE broadcasts it; the index is
-    * read from its bucketed layout. Output schema = q125's. */
-  def probeExact(batch: DataFrame, spark: SparkSession, idxRoot: String): DataFrame =
-    TextOps.fingerprintsOf(batch)
-      .join(readFpIndex(spark, idxRoot).select(col("fp"), lit(1L).as("known")),
-        Seq("fp"), "left")
+    * content fingerprint is already committed.
+    *
+    * Join shape (VERDICT r10 #1): a naive `batch LEFT index` lets Spark
+    * broadcast only the RIGHT (index) side — not broadcastable at
+    * 100 TB, so the probe would degrade to shuffling the ENTIRE index
+    * per ingest batch. Instead the probe reuses [[maintainFpIndex]]'s
+    * own semi-first shape:
+    *
+    *  - `touched = index SEMI broadcast(batch.fp)` — the index streams
+    *    through ONCE with no exchange, and the result is BATCH-bounded
+    *    (at most one row per distinct batch fingerprint);
+    *  - `batch LEFT broadcast(touched)` — both joins broadcast the
+    *    small side, so neither side of either join ever shuffles.
+    *
+    * PlanSpec pins the shape: two BroadcastHashJoins, zero
+    * SortMergeJoin, zero hash-partition exchanges. Output = q125's. */
+  def probeExact(batch: DataFrame, spark: SparkSession, idxRoot: String): DataFrame = {
+    val fps = TextOps.fingerprintsOf(batch)
+    // no .distinct() on the broadcast key set: semi-join semantics dedup
+    // for free, and distinct would cost the probe's only shuffle
+    val touched = readFpIndex(spark, idxRoot)
+      .join(broadcast(fps.select(col("fp"))), Seq("fp"), "left_semi")
+      .select(col("fp"), lit(1L).as("known"))
+    fps.join(broadcast(touched), Seq("fp"), "left")
       .select(col("doc_id"), col("fp"), col("known").isNotNull.as("is_known_dup"))
+  }
 
   // ------------------------------------------------------------- near-dup
 
@@ -169,7 +187,12 @@ object DedupIndex {
     * a MinHash band bucket with any committed doc. Only the BATCH is
     * shingled; the index side is 4 stored rows per corpus doc. Unhinted
     * equi join: AQE broadcasts the batch side at production ratios.
-    * Output schema = q126's. */
+    * [[probeExact]]'s semi-first restructure deliberately does NOT apply
+    * here: its `touched` set would be bucket-MEMBERSHIP-bounded (a hot
+    * band bucket can hold millions of committed docs), not
+    * batch-bounded, so force-broadcasting it would be the unsafe move —
+    * the unhinted equi join with the batch as build side is the correct
+    * scale shape. Output schema = q126's. */
   def probeNearDup(batch: DataFrame, spark: SparkSession, idxRoot: String): DataFrame =
     TextOps.bandRowsOf(batch).as("a")
       .join(readBandIndex(spark, idxRoot).as("b"),

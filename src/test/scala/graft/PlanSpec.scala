@@ -473,6 +473,32 @@ class PlanSpec extends SparkSpec {
       s"expected hamming Filter below the distinct Aggregate:\n$optimized")
   }
 
+  test("probeExact: the maintained fp index is only ever SEMI-joined against " +
+    "a broadcast batch — it never shuffles and is never the stream side of " +
+    "an outer join (VERDICT r10 #1)") {
+    import graft.sources.{DedupIndex, ManifestTable}
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-probeplan").toString
+    val corpus = s"$work/corpus"
+    val fpIdx = s"$work/fp"
+    val v1 = ManifestTable.merge(
+      Seq(1L -> "alpha beta gamma delta", 2L -> "one two three four")
+        .toDF("doc_id", "text"), corpus, Seq("doc_id"))
+    DedupIndex.refreshIndexes(spark, corpus, fpIdx, s"$work/band", 0, v1)
+    val probe = DedupIndex.probeExact(
+      Seq(10L -> "alpha beta gamma delta", 11L -> "novel text here now")
+        .toDF("doc_id", "text"), spark, fpIdx)
+    val plan = physical(probe)
+    // both joins broadcast the batch-bounded side; the index side never
+    // plans a sort-merge join or a hash-partition exchange
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    // and the answer is still right
+    val got = probe.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(10L -> true, 11L -> false), got.toString)
+  }
+
   test("q134: the DSIR importance model meets the token matrix ONLY through " +
     "broadcast joins (256 rows + 1 scalar, bounded by construction) — no " +
     "vocabulary-sized shuffle join, no cartesian") {
