@@ -70,7 +70,8 @@ object DedupIndex {
     * or the index drifts. Only the changed docs are fingerprinted; the
     * index contributes only the delta-touched rows (semi join against
     * the BROADCAST delta), and the merge rewrites only their buckets. */
-  def maintainFpIndex(spark: SparkSession, changes: DataFrame, idxRoot: String): Int = {
+  def maintainFpIndex(spark: SparkSession, changes: DataFrame, idxRoot: String,
+      tag: Option[String] = None): Int = {
     // a no-op commit (compaction, idempotent re-merge) diffs to zero
     // rows: nothing to merge, and a bootstrap from it would have no
     // files to commit — the check is one job over the delta, never the index
@@ -80,6 +81,10 @@ object DedupIndex {
       .groupBy(col("fp"))
       .agg(sum(col("__sgn")).as("d_docs"))
       .where(col("d_docs") =!= 0L)
+    // a delta that NETS to zero (e.g. two docs swapping content in one
+    // commit) has no index rows to merge — committing an empty batch
+    // would fail, and there is nothing to record
+    if (d.isEmpty) return ManifestTable.currentVersion(idxRoot)
     val updated =
       if (ManifestTable.currentVersion(idxRoot) < 1)
         d.select(col("fp"), col("d_docs").as("n_docs"))
@@ -98,7 +103,8 @@ object DedupIndex {
     val rows = updated
       .withColumn("bucket", pmod(xxhash64(col("fp")), lit(IndexBuckets.toLong)))
       .select(col("bucket"), col("fp"), col("n_docs"))
-    ManifestTable.mergePartitioned(rows, idxRoot, Seq("bucket", "fp"), "bucket")
+    ManifestTable.mergePartitioned(rows, idxRoot, Seq("bucket", "fp"), "bucket",
+      tag = tag)
   }
 
   /** The live exact index (tombstones filtered). */
@@ -155,7 +161,8 @@ object DedupIndex {
     * live rows where the new image has a signature, tombstones where it
     * doesn't (deleted doc, or an update shrunk below 3 tokens) — so an
     * upsert-only merge can never leave a stale band row behind. */
-  def maintainBandIndex(spark: SparkSession, changes: DataFrame, idxRoot: String): Int = {
+  def maintainBandIndex(spark: SparkSession, changes: DataFrame, idxRoot: String,
+      tag: Option[String] = None): Int = {
     if (changes.isEmpty) return ManifestTable.currentVersion(idxRoot)
     // one row per changed doc: latest image wins (delete rows have no
     // successor; update pre/post pairs collapse to the postimage)
@@ -175,7 +182,8 @@ object DedupIndex {
         coalesce(col("l.bucket"), lit("")).as("bucket"),
         coalesce(col("l.live"), lit(false)).as("live"))
     ManifestTable.mergePartitioned(
-      withPBucket(rows), idxRoot, Seq("pbucket", "doc_id", "band"), "pbucket")
+      withPBucket(rows), idxRoot, Seq("pbucket", "doc_id", "band"), "pbucket",
+      tag = tag)
   }
 
   /** The live band rows (tombstones filtered). */
@@ -215,4 +223,48 @@ object DedupIndex {
       maintainFpIndex(spark, ch, fpRoot)
       maintainBandIndex(spark, ch, bandRoot)
     }
+
+  /** EXACTLY-ONCE streaming maintenance step — the
+    * [[IncrementalView.applyBatch]] protocol applied to BOTH index
+    * tables: each index commit carries the CDC micro-batch id as its
+    * transaction tag (inside the manifest's atomic pointer swap, riding
+    * [[ManifestTable.mergePartitioned]]'s tag), and a REPLAYED batch —
+    * delivered again after a crash anywhere between index commit and
+    * checkpoint write — reads its own id back and SKIPS. The two
+    * indexes keep INDEPENDENT watermarks: a crash between the fp commit
+    * and the band commit replays the batch with only the band index
+    * still behind, and only it re-applies. This closes the
+    * double-apply window the hand-rolled `(fromV, toV]` bookkeeping in
+    * [[refreshIndexes]] leaves open (a re-applied delta double-counts
+    * fp ref-counts; VERDICT r10 #2).
+    *
+    * A batch whose delta nets to zero commits nothing and records no
+    * tag — harmless, because replaying a no-op is a no-op. */
+  def applyBatch(changes: DataFrame, batchId: Long,
+      fpRoot: String, bandRoot: String): Unit = {
+    val spark = changes.sparkSession
+    val tag = Some(s"batch=$batchId")
+    val ch = changes.localCheckpoint()
+    if (batchId > ManifestTable.lastBatchTag(fpRoot))
+      maintainFpIndex(spark, ch, fpRoot, tag)
+    if (batchId > ManifestTable.lastBatchTag(bandRoot))
+      maintainBandIndex(spark, ch, bandRoot, tag)
+  }
+
+  /** The turnkey form ([[IncrementalView.startMaintenance]]'s shape): a
+    * streaming query fed by the `graft-manifest-cdc` source (offsets in
+    * `checkpoint`) that keeps both dedup indexes equal to the corpus
+    * table at `corpusRoot`, exactly-once via [[applyBatch]]. */
+  def startIndexMaintenance(spark: SparkSession, corpusRoot: String,
+      fpRoot: String, bandRoot: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft-manifest-cdc")
+      .option("path", corpusRoot).option("key", "doc_id")
+      .option("preimages", "true").load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(b, id, fpRoot, bandRoot)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

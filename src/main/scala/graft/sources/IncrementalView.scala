@@ -112,11 +112,11 @@ object IncrementalView {
       groupCols: Seq[String], valueCol: String): Unit = {
     val spark = batch.sparkSession
     val cur = ManifestTable.currentVersion(stateRoot)
-    val lastApplied =
-      if (cur < 1) -1L
-      else ManifestTable.commitTag(stateRoot, cur)
-        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-        .getOrElse(-1L)
+    // watermark = newest batch= tag in the RETAINED HISTORY, not just
+    // the head commit (ADVICE r10): an untagged commit landing between
+    // batches (manual compaction, restore, operator merge) must not
+    // reset the watermark and let a replayed batch double-apply
+    val lastApplied = ManifestTable.lastBatchTag(stateRoot)
     if (batchId <= lastApplied) return // replay: this batch already produced a state
     val state =
       if (cur >= 1) ManifestTable.read(spark, stateRoot)

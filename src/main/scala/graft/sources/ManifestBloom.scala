@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
 import org.apache.spark.sql.functions.{array, col, collect_set, explode, hash, input_file_name, lit, pmod, regexp_extract}
@@ -52,10 +52,29 @@ object ManifestBloom {
       if (s.nonEmpty) Some(s) else None
     } else None
 
+  /** Declare (or re-declare) the bloom column. Sidecar files are NAMED
+    * by the column they encode (`<rel>.<col>.bloom`, ADVICE r10), so a
+    * re-declaration cannot silently mis-probe: files whose sidecars were
+    * built from the OLD column simply have no sidecar under the new
+    * name and are conservatively read until a later commit rewrites
+    * them. The declaration file itself lands via temp + ATOMIC_MOVE so
+    * a torn write can never leave a half-written column name. */
   def declare(root: String, column: String): Unit = {
+    require(column.nonEmpty && !column.contains('.') &&
+        !column.contains('/') && !column.contains('\n'),
+      s"bloom column '$column' must be non-empty without '.', '/' or newline " +
+        "(it becomes part of the sidecar file name)")
     Files.createDirectories(Paths.get(root))
-    Files.writeString(declPath(root), column)
+    val tmp = Files.createTempFile(Paths.get(root), "_bloom", ".tmp")
+    Files.writeString(tmp, column)
+    Files.move(tmp, declPath(root), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
   }
+
+  /** The sidecar path for one data file + column — the column name in
+    * the FILE NAME is what pins a sidecar to the hashes it encodes. */
+  private[graft] def sidecarRel(rel: String, column: String): String =
+    s"$rel.$column.bloom"
 
   /** The k bit positions for one column value, as scan-side codegen
     * columns — `pmod(hash(value, seed_i), m)`. */
@@ -74,12 +93,24 @@ object ManifestBloom {
       ((h % M) + M) % M
     }
 
+  /** Hard cap on files per sidecar-writing commit: the driver holds at
+    * most `M` bit positions per file (`collect_set` bound), so memory is
+    * `entries × M × 4 B` worst-case — 512 MiB at this cap. A commit
+    * listing more files than this should be split (or bloom skipping
+    * dropped for it); failing loudly beats an silent driver OOM. */
+  val MaxSidecarFilesPerCommit: Int = 16384
+
   /** Write one sidecar per freshly committed file entry (files listed
     * relative to `root`). One distributed job; per file at most M
-    * positions reach the driver. */
-  private[sources] def writeSidecars(spark: SparkSession, root: String,
+    * positions reach the driver, and the commit-wide driver
+    * materialization is capped by [[MaxSidecarFilesPerCommit]]. */
+  private[graft] def writeSidecars(spark: SparkSession, root: String,
       entries: Seq[ManifestTable.FileEntry], column: String): Unit = {
     if (entries.isEmpty) return
+    require(entries.size <= MaxSidecarFilesPerCommit,
+      s"bloom sidecar write for ${entries.size} files exceeds the " +
+        s"$MaxSidecarFilesPerCommit-file cap (driver holds up to M=$M positions " +
+        "per file): split the commit or undeclare the bloom column for bulk loads")
     val df = spark.read.parquet(entries.map(e => s"$root/${e.rel}"): _*)
     if (!df.columns.contains(column)) return // evolved-away column: no sidecars
     val byFile = df
@@ -93,16 +124,20 @@ object ManifestBloom {
       byFile.get(name).foreach { ps =>
         val bits = new java.util.BitSet(M)
         ps.foreach(bits.set)
-        Files.write(Paths.get(root, e.rel + ".bloom"), bits.toByteArray)
+        Files.write(Paths.get(root, sidecarRel(e.rel, column)), bits.toByteArray)
       }
     }
   }
 
-  /** Membership probe against a file's sidecar: `None` when the file
-    * has no sidecar (caller must keep it), otherwise whether ALL k bits
-    * for the literal are set (false ⇒ the key is definitely absent). */
-  private[graft] def mightContain(root: String, rel: String, l: Literal): Option[Boolean] = {
-    val p = Paths.get(root, rel + ".bloom")
+  /** Membership probe against a file's sidecar FOR `column`: `None`
+    * when no sidecar encoding that column exists (caller must keep the
+    * file — covers both "never written" and "written for a previously
+    * declared column", the ADVICE r10 false-negative hazard), otherwise
+    * whether ALL k bits for the literal are set (false ⇒ the key is
+    * definitely absent). */
+  private[graft] def mightContain(root: String, rel: String, column: String,
+      l: Literal): Option[Boolean] = {
+    val p = Paths.get(root, sidecarRel(rel, column))
     if (!Files.exists(p)) None
     else {
       val bits = java.util.BitSet.valueOf(Files.readAllBytes(p))

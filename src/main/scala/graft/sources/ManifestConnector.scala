@@ -92,8 +92,13 @@ class ManifestFileIndex(spark: SparkSession, root: String, val version: Int)
           if (i >= e.stats.size) true // stats-prefix file: cannot prune safely
           else {
             val (l, h) = e.stats(i)
-            // keep iff [l,h] intersects [lo,hi]; either bound may be open
-            lo.forall(b => BigDecimal(h) >= b) && hi.forall(b => BigDecimal(l) <= b)
+            // keep iff [l,h] intersects [lo,hi]; either bound may be open.
+            // Unparseable lo/hi (pre-guard manifests that recorded
+            // NaN/Infinity stats) keep the file instead of failing the
+            // whole listFiles call (ADVICE r10)
+            scala.util.Try(
+              lo.forall(b => BigDecimal(h) >= b) && hi.forall(b => BigDecimal(l) <= b)
+            ).getOrElse(true)
           }
         }
       }
@@ -108,7 +113,7 @@ class ManifestFileIndex(spark: SparkSession, root: String, val version: Int)
       if (pointProbes.isEmpty) kept
       else kept.filter { case (e, _) =>
         pointProbes.forall(_.exists(l =>
-          ManifestBloom.mightContain(root, e.rel, l).getOrElse(true)))
+          ManifestBloom.mightContain(root, e.rel, bloomCol.get, l).getOrElse(true)))
       }
     lastListedCount = kept2.size
     Seq(PartitionDirectory(InternalRow.empty, kept2.map(_._2).toArray))

@@ -66,7 +66,7 @@ object ManifestStreamSink {
     * specs): `path` required; `key` required unless `sinkMode=append`
     * or Complete mode; txn id derives from the checkpoint location so
     * a restarted query keeps its replay-skip lineage. */
-  private[sources] def fromOptions(parameters: Map[String, String],
+  private[graft] def fromOptions(parameters: Map[String, String],
       outputMode: OutputMode, root: String): ManifestStreamSink = {
     val appendOnly = parameters.get("sinkMode") match {
       case None | Some("merge") => false
@@ -80,8 +80,28 @@ object ManifestStreamSink {
       "graft-manifest sink: option 'key' (merge key) is required unless " +
         "sinkMode=append or outputMode is Complete")
     val txnId = parameters.get("checkpointLocation")
-      .map(p => java.lang.Integer.toHexString(p.hashCode))
-      .getOrElse(java.util.UUID.randomUUID().toString.take(8))
+      .map(p => digest(canonicalCheckpoint(p)))
+      .getOrElse(java.util.UUID.randomUUID().toString.take(16))
     new ManifestStreamSink(root, key, outputMode, txnId, appendOnly)
   }
+
+  /** One marker lineage per checkpoint regardless of how a restart
+    * SPELLS the path (ADVICE r10): relative vs absolute, trailing
+    * slash, and `file:`-qualified URIs all canonicalize to the same
+    * absolute plain path, so a restarted query keeps its replay-skip
+    * watermark instead of silently starting a fresh lineage. */
+  private[graft] def canonicalCheckpoint(p: String): String = {
+    val plain =
+      if (p.startsWith("file:")) new org.apache.hadoop.fs.Path(p).toUri.getPath
+      else if (p.contains("://")) return p.stripSuffix("/") // non-local store
+      else p
+    Paths.get(plain).toAbsolutePath.normalize.toString.stripSuffix("/")
+  }
+
+  /** SHA-256 hex prefix (16 chars = 64 bits) — collision-safe across
+    * queries sharing a table, unlike 32-bit `hashCode` (ADVICE r10). */
+  private[graft] def digest(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
 }

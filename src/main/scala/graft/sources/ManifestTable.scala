@@ -176,6 +176,51 @@ object ManifestTable {
   private[graft] def statsColumn(root: String, v: Int): Option[String] =
     statsColumns(root, v).headOption
 
+  /** The most recent `batch=<id>` transaction tag across RETAINED
+    * commits, or -1 when none — the exactly-once watermark
+    * [[IncrementalView.applyBatch]] and the index maintenance jobs
+    * consult before applying a (non-idempotent) delta. Scanning the
+    * whole retained history, not just the head version (ADVICE r10):
+    * an untagged commit landing between batches — manual compaction, a
+    * restore, an operator merge — must not reset the watermark to -1
+    * and let a replayed batch double-apply. */
+  private[graft] def lastBatchTag(root: String): Long =
+    (currentVersion(root) to 1 by -1).iterator
+      .filter(v => Files.exists(manifestPath(root, v)))
+      .flatMap(v => commitTag(root, v))
+      .collectFirst { case t if t.startsWith("batch=") =>
+        t.stripPrefix("batch=").toLong }
+      .getOrElse(-1L)
+
+  /** Reject stats re-declarations that would MISREAD carried-over
+    * entries (ADVICE r10): [[append]] and [[mergePartitioned]] keep the
+    * previous snapshot's entries verbatim, and those entries' lo/hi
+    * pairs are POSITIONAL in the declaration they were written under —
+    * a reorder/replace would prune old files with the wrong column's
+    * min/max (silent missing rows). Extending or truncating the
+    * declaration keeps every carried pair aligned (pairs are a prefix),
+    * so one being a prefix of the other is the compatibility bar. */
+  private def requireStatsCompatible(root: String, cur: Int,
+      statsCols: Seq[String]): Unit = {
+    val declared = statsColumns(root, cur)
+    if (statsCols.nonEmpty && declared.nonEmpty) {
+      val n = math.min(statsCols.length, declared.length)
+      require(statsCols.take(n) == declared.take(n),
+        s"stats columns $statsCols are incompatible with the declared $declared: " +
+          "carried-over entries keep positional stats from the old declaration, " +
+          "so reordering/replacing would prune with the wrong column's min/max. " +
+          "Extend/truncate the declaration, or rewrite via commitSnapshot.")
+    }
+  }
+
+  /** A lo/hi string the pruning comparator can parse: plain decimal.
+    * Double/Float stats of NaN/±Infinity records stringify outside
+    * BigDecimal's grammar — such pairs are DROPPED at write time so the
+    * file is conservatively kept rather than failing every read
+    * (ADVICE r10). */
+  private def isFiniteDecimal(s: String): Boolean =
+    scala.util.Try(BigDecimal(s)).isSuccess
+
   /** The commit point, shared by all writers: write the manifest for
     * version `v`, then atomically replace the current pointer. A crash
     * before the final move leaves the previous version intact and only
@@ -303,7 +348,8 @@ object ManifestTable {
         es.map { e =>
           stats.get(e.rel.substring(e.rel.lastIndexOf('/') + 1)) match {
             case Some(pairs) =>
-              val prefix = pairs.takeWhile(p => p._1.nonEmpty && p._2.nonEmpty)
+              val prefix = pairs.takeWhile(p => p._1.nonEmpty && p._2.nonEmpty &&
+                  isFiniteDecimal(p._1.get) && isFiniteDecimal(p._2.get))
                 .map(p => (p._1.get, p._2.get)).toVector
               if (prefix.isEmpty) e else e.copy(stats = prefix)
             case _ => e
@@ -375,6 +421,7 @@ object ManifestTable {
       val cur = currentVersion(root)
       if (cur < 1) commitSnapshot(df, root, statsCols)
       else {
+        requireStatsCompatible(root, cur, statsCols)
         val effStats = if (statsCols.nonEmpty) statsCols else statsColumns(root, cur)
         alignSchemas(readVersion(df.sparkSession, root, cur), df) // type-compat gate
         val prev = listedEntries(root, cur)
@@ -625,7 +672,7 @@ object ManifestTable {
     * previously recorded stats verbatim. */
   def mergePartitioned(
       batch: DataFrame, root: String, key: Seq[String], partCol: String,
-      statsCol: Option[String] = None): Int = synchronized {
+      statsCol: Option[String] = None, tag: Option[String] = None): Int = synchronized {
     require(key.contains(partCol),
       s"mergePartitioned key $key must contain partition column $partCol " +
         "(a key that can change partition would strand its old row)")
@@ -634,6 +681,7 @@ object ManifestTable {
     val cur = currentVersion(root)
     val v = cur + 1
     val prev = if (cur >= 1) listedEntries(root, cur) else Nil
+    requireStatsCompatible(root, cur, statsCol.toSeq)
     val effStats = statsCol.map(Seq(_)).getOrElse(statsColumns(root, cur))
 
     val partStr = col(partCol).cast("string")
@@ -643,14 +691,14 @@ object ManifestTable {
     }
 
     if (prev.isEmpty) {
-      commitRebasing(root, prev, writePartitioned(batch.localCheckpoint()), effStats)
+      commitRebasing(root, prev, writePartitioned(batch.localCheckpoint()), effStats, tag)
     } else if (prev.exists(_.part.isEmpty)) {
       // legacy full-snapshot layout: one-time conversion to partitioned.
       // A full rewrite has no rebase (its data depends on EVERY
       // partition), so a lost race aborts via commitEntries directly.
       val (e0, b0) = alignSchemas(readVersion(spark, root, cur), batch)
       val merged = Dedup.merge(e0, b0, key)
-      commitEntries(root, v, writePartitioned(merged.localCheckpoint()), effStats)
+      commitEntries(root, v, writePartitioned(merged.localCheckpoint()), effStats, tag)
     } else {
       val touchedVals = batch.select(partStr).distinct().collect()
         .map(r => if (r.isNullAt(0)) null else r.getString(0))
@@ -681,7 +729,7 @@ object ManifestTable {
           Dedup.merge(e0, b0, key)
         }
       val newEntries = writePartitioned(merged.localCheckpoint())
-      commitRebasing(root, prev, newEntries, effStats)
+      commitRebasing(root, prev, newEntries, effStats, tag)
     }
   }
 
@@ -713,7 +761,7 @@ object ManifestTable {
   private def commitRebasing(
       root: String, baseEntries: Seq[FileEntry],
       newEntries: Seq[FileEntry], statsCols: Seq[String] = Nil,
-      maxAttempts: Int = 10): Int = {
+      tag: Option[String] = None, maxAttempts: Int = 10): Int = {
     raceHookForTests()
     val touched = newEntries.map(_.part).toSet
     def byPart(es: Seq[FileEntry]): Map[String, Set[String]] =
@@ -740,7 +788,7 @@ object ManifestTable {
             "version. Re-run the merge against the current version.")
       val untouchedNow = curEntries.filterNot(e => touched(e.part))
       try {
-        return commitEntries(root, cur + 1, untouchedNow ++ newEntries, statsCols)
+        return commitEntries(root, cur + 1, untouchedNow ++ newEntries, statsCols, tag)
       } catch {
         case e: java.util.ConcurrentModificationException =>
           if (attempt >= maxAttempts) throw e
@@ -1016,7 +1064,11 @@ object ManifestTable {
         if (i >= e.stats.size) true // no recorded pair: cannot prune safely
         else {
           val (l, h) = e.stats(i)
-          BigDecimal(h) >= BigDecimal(lo) && BigDecimal(l) <= BigDecimal(hi)
+          // unparseable lo/hi (pre-guard manifests with NaN/Infinity
+          // stats): keep the file rather than fail the read
+          scala.util.Try(
+            BigDecimal(h) >= BigDecimal(lo) && BigDecimal(l) <= BigDecimal(hi)
+          ).getOrElse(true)
         }
       }
     }
@@ -1052,11 +1104,17 @@ object ManifestTable {
     val referenced = keep.flatMap(v => listedEntries(root, v).map(_.rel)).toSet
     val dataRoot = Paths.get(root, "data")
     if (Files.exists(dataRoot)) {
-      // a bloom sidecar lives or dies WITH its data file: "<rel>.bloom"
-      // is live iff rel is referenced (deleting live sidecars would
+      // a bloom sidecar lives or dies WITH its data file: sidecars are
+      // named "<rel>.<col>.bloom" (legacy untagged: "<rel>.bloom") and
+      // are live iff rel is referenced (deleting live sidecars would
       // silently degrade point-lookup skipping to full scans)
-      def live(rel: String): Boolean = referenced.contains(rel) ||
-        (rel.endsWith(".bloom") && referenced.contains(rel.stripSuffix(".bloom")))
+      def live(rel: String): Boolean = referenced.contains(rel) || (
+        rel.endsWith(".bloom") && {
+          val base = rel.stripSuffix(".bloom")
+          val dot = base.lastIndexOf('.')
+          referenced.contains(base) ||
+            (dot > 0 && referenced.contains(base.substring(0, dot)))
+        })
       Files.walk(dataRoot).iterator().asScala.toSeq.reverse.foreach { p =>
         val rel = Paths.get(root).relativize(p).toString
         if (Files.isRegularFile(p) && !live(rel)) Files.delete(p)

@@ -71,7 +71,7 @@ object VecIndex {
     * — k rows); deletes write `live = false` tombstones under the same
     * key, so an upsert-only merge fully retracts them. */
   def maintain(spark: SparkSession, changes: DataFrame,
-      centRoot: String, idxRoot: String): Int = {
+      centRoot: String, idxRoot: String, tag: Option[String] = None): Int = {
     if (changes.isEmpty) return ManifestTable.currentVersion(idxRoot)
     val cent = readCentroids(spark, centRoot)
     val changed = changes
@@ -90,7 +90,7 @@ object VecIndex {
     ManifestTable.mergePartitioned(
       withPBucket(rows).select(col("pbucket"), col("vec_id"), col("cell"),
         col("v"), col("norm"), col("live")),
-      idxRoot, indexKey, "pbucket")
+      idxRoot, indexKey, "pbucket", tag = tag)
   }
 
   /** Roll the index forward across corpus versions `(fromV, toV]`. */
@@ -102,6 +102,38 @@ object VecIndex {
         .localCheckpoint()
       maintain(spark, ch, centRoot, idxRoot)
     }
+
+  /** EXACTLY-ONCE streaming maintenance step — the
+    * [[IncrementalView.applyBatch]] protocol for the cell index: the
+    * CDC micro-batch id rides the index commit as its transaction tag,
+    * so a replayed batch (crash between index commit and checkpoint
+    * write) reads its own id back and skips instead of re-applying
+    * (VERDICT r10 #2 — `maintain`'s tombstone writes are idempotent,
+    * but skipping is still cheaper and keeps the protocol uniform with
+    * [[DedupIndex.applyBatch]]'s genuinely non-idempotent ref-counts). */
+  def applyBatch(changes: DataFrame, batchId: Long,
+      centRoot: String, idxRoot: String): Unit = {
+    if (batchId <= ManifestTable.lastBatchTag(idxRoot)) return
+    maintain(changes.sparkSession, changes, centRoot, idxRoot,
+      Some(s"batch=$batchId"))
+  }
+
+  /** Turnkey: keep the cell index equal to the embedding corpus at
+    * `corpusRoot`, fed by `graft-manifest-cdc` (offsets in
+    * `checkpoint`), exactly-once via [[applyBatch]]. The quantizer
+    * stays FROZEN — only the cell index advances. */
+  def startMaintenance(spark: SparkSession, corpusRoot: String,
+      centRoot: String, idxRoot: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft-manifest-cdc")
+      .option("path", corpusRoot).option("key", "vec_id")
+      .option("preimages", "true").load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(b, id, centRoot, idxRoot)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 
   /** The live cell index (tombstones filtered). */
   def readCellIndex(spark: SparkSession, idxRoot: String): DataFrame =

@@ -149,4 +149,75 @@ class DedupIndexSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(nearProbed == q126)
   }
+
+  test("exactly-once maintenance: a REPLAYED CDC micro-batch (crash between " +
+    "index commit and checkpoint write) does not double-apply — ref-counts " +
+    "stay exact, even with an untagged commit landing in between") {
+    val work = Files.createTempDirectory("graft-dedupidx-eo").toString
+    val corpus = s"$work/corpus"
+    val fpIdx = s"$work/fp"
+    val bandIdx = s"$work/band"
+    // v1: bootstrap batch (streaming batch id 0 reads 0→1 as inserts)
+    val v1 = ManifestTable.merge(
+      docsDf(1L -> t1, 2L -> t2, 3L -> t1), corpus, Seq("doc_id"))
+    val ch0 = ManifestTable.readChanges(
+      spark, corpus, 0, v1, Seq("doc_id"), preimages = true)
+    DedupIndex.applyBatch(ch0, 0L, fpIdx, bandIdx)
+    assertMatchesSnapshot(corpus, fpIdx, bandIdx, "after batch 0")
+
+    // v2: an update + an insert, applied as batch 1
+    val v2 = ManifestTable.merge(
+      docsDf(2L -> t3, 4L -> t1), corpus, Seq("doc_id"))
+    val ch1 = ManifestTable.readChanges(
+      spark, corpus, v1, v2, Seq("doc_id"), preimages = true).localCheckpoint()
+    DedupIndex.applyBatch(ch1, 1L, fpIdx, bandIdx)
+    assertMatchesSnapshot(corpus, fpIdx, bandIdx, "after batch 1")
+    val fpV = ManifestTable.currentVersion(fpIdx)
+    val bandV = ManifestTable.currentVersion(bandIdx)
+
+    // REPLAY batch 1 (the crash-between-commit-and-checkpoint window):
+    // both indexes must skip — without the txn-tag guard the fp
+    // ref-count for t1 would double-count the replayed +1
+    DedupIndex.applyBatch(ch1, 1L, fpIdx, bandIdx)
+    assert(ManifestTable.currentVersion(fpIdx) == fpV,
+      "replayed batch must not commit a new fp index version")
+    assert(ManifestTable.currentVersion(bandIdx) == bandV)
+    assertMatchesSnapshot(corpus, fpIdx, bandIdx, "after replay of batch 1")
+
+    // an UNTAGGED maintenance commit (compaction) between batches must
+    // not reset the watermark: the tag scan reads retained history, not
+    // just the head commit (ADVICE r10)
+    ManifestTable.compact(spark, fpIdx, "bucket", minFiles = 1)
+    DedupIndex.applyBatch(ch1, 1L, fpIdx, bandIdx)
+    assertMatchesSnapshot(corpus, fpIdx, bandIdx,
+      "replay after an untagged compaction commit")
+    // the audit surface: index history rows carry their batch tags
+    assert(ManifestTable.history(fpIdx).flatMap(_.tag).nonEmpty)
+  }
+
+  test("turnkey startIndexMaintenance: a graft-manifest-cdc-fed streaming " +
+    "query keeps BOTH indexes equal to the corpus across commits and a restart") {
+    val work = Files.createTempDirectory("graft-dedupidx-turnkey").toString
+    val corpus = s"$work/corpus"
+    val fpIdx = s"$work/fp"
+    val bandIdx = s"$work/band"
+    val ckpt = s"$work/ckpt"
+    ManifestTable.merge(docsDf(1L -> t1, 2L -> t2), corpus, Seq("doc_id"))
+    val q = DedupIndex.startIndexMaintenance(spark, corpus, fpIdx, bandIdx, ckpt)
+    q.processAllAvailable()
+    assertMatchesSnapshot(corpus, fpIdx, bandIdx, "turnkey bootstrap")
+    ManifestTable.merge(docsDf(3L -> t1, 2L -> t4), corpus, Seq("doc_id"))
+    q.processAllAvailable()
+    assertMatchesSnapshot(corpus, fpIdx, bandIdx, "turnkey incremental commit")
+    q.stop()
+    // offline commit + restart from the same checkpoint
+    ManifestTable.merge(docsDf(4L -> t3), corpus, Seq("doc_id"))
+    val q2 = DedupIndex.startIndexMaintenance(spark, corpus, fpIdx, bandIdx, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assertMatchesSnapshot(corpus, fpIdx, bandIdx, "turnkey restart")
+    // and the maintained index still answers probes
+    val exact = DedupIndex.probeExact(docsDf(100L -> t1), spark, fpIdx).collect()
+    assert(exact.length == 1 && exact.head.getBoolean(2))
+  }
 }

@@ -186,6 +186,44 @@ class ManifestCdcStreamSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(root) == 2)
   }
 
+  test("sink txn lineage survives RESPELLING the checkpoint path (relative " +
+    "vs absolute, trailing slash, file: URI) and two distinct checkpoints " +
+    "never collide (ADVICE r10)") {
+    import graft.sources.ManifestStreamSink
+    val ckpt = Files.createTempDirectory("graft-sink-canon").toString
+    val spellings = Seq(ckpt, ckpt + "/", "file:" + ckpt, "file://" + ckpt,
+      ckpt + "/./")
+    val ids = spellings.map(p =>
+      ManifestStreamSink.digest(ManifestStreamSink.canonicalCheckpoint(p)))
+    assert(ids.distinct.size == 1,
+      s"every spelling must map to ONE marker lineage: ${spellings.zip(ids)}")
+    val other = Files.createTempDirectory("graft-sink-canon2").toString
+    assert(ManifestStreamSink.digest(ManifestStreamSink.canonicalCheckpoint(other))
+      != ids.head, "distinct checkpoints must not share a lineage")
+  }
+
+  test("an UNTAGGED commit landing on the state root between batches does " +
+    "not reset the replay watermark — the tag scan reads retained history, " +
+    "not just the head commit (ADVICE r10)") {
+    import graft.sources.IncrementalView
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-eo-untagged").toString
+    val b0 = Seq(("g1", 10L, "insert")).toDF("g", "x", "_change_type")
+    IncrementalView.applyBatch(state, b0, batchId = 0L, Seq("g"), "x")
+    def stateSet(): Set[(String, Long, Long)] =
+      ManifestTable.read(spark, state).as[(String, Long, Long)].collect().toSet
+    assert(stateSet() == Set(("g1", 1L, 10L)))
+    // an operator action recommits the state WITHOUT a tag (compaction,
+    // restore, manual rewrite) — the head commit now carries no batch=
+    ManifestTable.commitSnapshot(
+      ManifestTable.read(spark, state).localCheckpoint(), state, Nil)
+    // replay batch 0: before the history-scan fix this re-applied and
+    // double-counted g1
+    IncrementalView.applyBatch(state, b0, batchId = 0L, Seq("g"), "x")
+    assert(stateSet() == Set(("g1", 1L, 10L)),
+      "replay after an untagged commit must still be skipped")
+  }
+
   test("exactly-once maintained view: startMaintenance keeps a ManifestTable " +
     "state equal to the full recompute across insert/update/delete commits " +
     "and a restart, and a REPLAYED batch id is a no-op (tag inside the commit)") {

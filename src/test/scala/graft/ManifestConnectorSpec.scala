@@ -296,7 +296,7 @@ class ManifestConnectorSpec extends SparkSpec {
     val liveFiles = readFmt(root).inputFiles.map(f =>
       f.stripPrefix("file:")).toSet
     assert(left.nonEmpty && left.forall(p =>
-      liveFiles.contains(p.toString.stripSuffix(".bloom"))),
+      liveFiles.contains(p.toString.stripSuffix(".id.bloom"))),
       s"every surviving sidecar must belong to a live file: $left")
     assert(left.size >= 4, "live generation's sidecars must survive vacuum")
     // and skipping still engages on the survivor snapshot
@@ -333,16 +333,55 @@ class ManifestConnectorSpec extends SparkSpec {
     val rel = full.substring(full.indexOf("/data/") + 1)
     // every inserted key must probe present
     keys.foreach { k =>
-      assert(ManifestBloom.mightContain(root, rel, Literal(k)) == Some(true),
+      assert(ManifestBloom.mightContain(root, rel, "id", Literal(k)) == Some(true),
         s"false negative for inserted key $k")
     }
     // absent keys: fp rate ~ (1-e^(-kn/m))^k ≈ 1.5% at n=500, m=8192, k=4;
     // allow generous slack for hash clustering
     val absent = Seq.fill(2000)(rnd.nextLong()).filterNot(keys.contains)
     val fps = absent.count(k =>
-      ManifestBloom.mightContain(root, rel, Literal(k)) == Some(true))
+      ManifestBloom.mightContain(root, rel, "id", Literal(k)) == Some(true))
     assert(fps.toDouble / absent.size < 0.08,
       s"false-positive rate ${fps.toDouble / absent.size} far above sizing estimate")
+  }
+
+  test("re-declaring the bloom column cannot mis-probe old sidecars: they " +
+    "are column-tagged by FILE NAME, so files indexed under the previous " +
+    "column are conservatively read, never falsely skipped (ADVICE r10)") {
+    import graft.sources.ManifestBloom
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-bloom-redecl").toString
+    ManifestBloom.declare(root, "id")
+    ManifestTable.commitSnapshot(
+      (0L until 100L).map(i => (i, s"key-$i")).toDF("id", "k").repartition(4),
+      root, Nil)
+    // re-declare to the OTHER column: existing sidecars encode id's
+    // hashes under id-tagged names — a point query on k must read every
+    // file (no k-sidecars yet) and stay exact
+    ManifestBloom.declare(root, "k")
+    val hit = readFmt(root).where($"k" === "key-37")
+    assert(hit.as[(Long, String)].collect().toSeq == Seq(37L -> "key-37"))
+    assert(scannedFiles(hit) == 4, "no k-sidecar exists yet: all files read")
+    // the next commit writes k-tagged sidecars and skipping engages again
+    ManifestTable.commitSnapshot(
+      (0L until 100L).map(i => (i, s"key-$i")).toDF("id", "k").repartition(4),
+      root, Nil)
+    val hit2 = readFmt(root).where($"k" === "no-such-key")
+    assert(hit2.count() == 0L)
+    assert(scannedFiles(hit2) <= 1, "k-tagged sidecars must prune misses")
+    // a dotted column name would break the sidecar naming — rejected
+    intercept[IllegalArgumentException] { ManifestBloom.declare(root, "a.b") }
+  }
+
+  test("the sidecar writer's bounded driver materialization fails LOUDLY " +
+    "past the per-commit file cap instead of silently holding gigabytes") {
+    import graft.sources.ManifestBloom
+    val fake = (0 to ManifestBloom.MaxSidecarFilesPerCommit).map(i =>
+      ManifestTable.FileEntry("", s"data/v1-x/part-$i.parquet"))
+    val e = intercept[IllegalArgumentException] {
+      ManifestBloom.writeSidecars(spark, "/tmp/never-used", fake, "id")
+    }
+    assert(e.getMessage.contains("cap"), e.getMessage)
   }
 
   test("a lost append race fails LOUDLY with retry guidance, never silently " +

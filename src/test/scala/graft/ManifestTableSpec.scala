@@ -951,4 +951,65 @@ class ManifestTableSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("id"), e2.getMessage)
   }
+
+  test("append rejects a stats re-declaration that would MISREAD carried-over " +
+    "entries (reorder/replace), while extending the declaration is allowed " +
+    "(ADVICE r10)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-statsguard").toString
+    val rows = (0L until 100L).map(i => (i, i * 2, s"v$i")).toDF("x", "y", "v")
+    ManifestTable.commitSnapshot(rows, root, Seq("x"))
+    // REPLACING the declared column would prune old files using x's
+    // recorded min/max as if they were y's — rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.append(rows, root, Seq("y"))
+    }
+    assert(e.getMessage.contains("positional"), e.getMessage)
+    // EXTENDING keeps every carried pair aligned (prefix rule) — allowed,
+    // and the old generation's single-column stats still prune correctly
+    ManifestTable.append((200L until 300L).map(i => (i, i * 2, s"v$i"))
+      .toDF("x", "y", "v"), root, Seq("x", "y"))
+    assert(ManifestTable.readWhereBox(spark, root, Seq(("x", 0L, 50L))).count() == 51L)
+    assert(ManifestTable.readWhereBox(spark, root,
+      Seq(("x", 200L, 220L), ("y", 400L, 440L))).count() == 21L)
+    // same guard on the partition-scoped merge path
+    val root2 = Files.createTempDirectory("graft-statsguard2").toString
+    ManifestTable.mergePartitioned(
+      Seq((1L, "d1", 5L)).toDF("id", "day", "x"), root2, Seq("id", "day"), "day",
+      statsCol = Some("x"))
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestTable.mergePartitioned(
+        Seq((2L, "d1", 6L)).toDF("id", "day", "x"), root2, Seq("id", "day"), "day",
+        statsCol = Some("id"))
+    }
+    assert(e2.getMessage.contains("positional"), e2.getMessage)
+  }
+
+  test("NaN/Infinity in a Double stats column cannot poison pruning: the " +
+    "non-finite pair is dropped at write time (file conservatively kept) and " +
+    "a pre-guard manifest with such stats reads instead of throwing (ADVICE r10)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-nanstats").toString
+    val rows = Seq((1L, 1.5), (2L, Double.NaN), (3L, 9.5)).toDF("id", "score")
+    ManifestTable.commitSnapshot(rows.coalesce(1), root, Seq("score"))
+    // Spark's max treats NaN as greatest → hi would stringify "NaN";
+    // the write-side guard drops the pair, so the file has NO score
+    // stats and every read keeps it (conservative, never wrong)
+    val got = ManifestTable.readWhereBox(spark, root, Seq(("score", 0L, 2L)))
+      .select($"id").as[Long].collect().toSet
+    assert(got == Set(1L), s"row-level filter still exact, got $got")
+    // a LEGACY manifest that recorded "NaN" lo/hi directly (pre-guard
+    // writer): the read-side Try keeps the file instead of throwing
+    val v = ManifestTable.currentVersion(root)
+    val mf = java.nio.file.Paths.get(root, s"manifest-v$v.json")
+    val doctored = java.nio.file.Files.readString(mf).linesIterator.map { l =>
+      if (l.startsWith("#")) l
+      else l.split('\t').take(2).mkString("\t") + "\tNaN\tNaN"
+    }.mkString("\n")
+    java.nio.file.Files.writeString(mf, doctored,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    val got2 = ManifestTable.readWhereBox(spark, root, Seq(("score", 0L, 2L)))
+      .select($"id").as[Long].collect().toSet
+    assert(got2 == Set(1L), s"NaN-stat file must be kept, not crash: $got2")
+  }
 }

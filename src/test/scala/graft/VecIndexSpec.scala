@@ -114,4 +114,47 @@ class VecIndexSpec extends SparkSpec {
     assert(probed == q129)
     assert(v1 == 1 && v2 == 2)
   }
+
+  test("exactly-once maintenance: applyBatch skips a replayed batch id, and " +
+    "the turnkey startMaintenance stream keeps the cell index current " +
+    "across commits and a restart") {
+    val work = Files.createTempDirectory("graft-vecidx-eo").toString
+    val corpus = s"$work/corpus"
+    val cent = s"$work/cent"
+    val idx = s"$work/idx"
+    val ckpt = s"$work/ckpt"
+    val v1 = ManifestTable.merge(embDf(
+      (1L, vec(1, 0, 0), 0), (2L, vec(0, 1, 0), 1)), corpus, Seq("vec_id"))
+    // quantizer frozen from the bootstrap corpus; the index itself is
+    // then maintained exclusively through the CDC stream
+    ManifestTable.commit(
+      VecIndex.computeCentroids(ManifestTable.read(spark, corpus))
+        .localCheckpoint(), cent)
+    val q = VecIndex.startMaintenance(spark, corpus, cent, idx, ckpt)
+    q.processAllAvailable()
+    assertMatchesSnapshot(corpus, cent, idx, "turnkey bootstrap")
+    ManifestTable.merge(embDf((3L, vec(0.9, 0.1, 0), 0)), corpus, Seq("vec_id"))
+    q.processAllAvailable()
+    assertMatchesSnapshot(corpus, cent, idx, "turnkey incremental commit")
+    q.stop()
+
+    // replay the last CDC batch id by hand — watermark must reject it
+    val vIdx = ManifestTable.currentVersion(idx)
+    val lastId = ManifestTable.history(idx).flatMap(_.tag)
+      .collectFirst { case t if t.startsWith("batch=") =>
+        t.stripPrefix("batch=").toLong }.get
+    val ch = ManifestTable.readChanges(spark, corpus, v1,
+      ManifestTable.currentVersion(corpus), Seq("vec_id"), preimages = true)
+    VecIndex.applyBatch(ch, lastId, cent, idx)
+    assert(ManifestTable.currentVersion(idx) == vIdx,
+      "a replayed batch id must not commit a new index version")
+    assertMatchesSnapshot(corpus, cent, idx, "after replay")
+
+    // offline commit + restart from the same checkpoint
+    ManifestTable.merge(embDf((4L, vec(0, 0.9, 0.1), 1)), corpus, Seq("vec_id"))
+    val q2 = VecIndex.startMaintenance(spark, corpus, cent, idx, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assertMatchesSnapshot(corpus, cent, idx, "turnkey restart")
+  }
 }
