@@ -25,7 +25,8 @@ object SparkEntry {
       functions.CurationOps.queries ++
       functions.VectorOps.queries ++
       multimodal.Multimodal.queries ++
-      sources.IngestFixtures.queries
+      sources.IngestFixtures.queries ++
+      sources.DedupIndexFixtures.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,7 +38,8 @@ object SparkEntry {
       functions.CurationOps.oracleSql ++
       functions.VectorOps.oracleSql ++
       multimodal.Multimodal.oracleSql ++
-      sources.IngestFixtures.oracleSql
+      sources.IngestFixtures.oracleSql ++
+      sources.DedupIndexFixtures.oracleSql
 
   /** Spark-dialect twins for oracle texts that are DuckDB-only
     * ([[SparkSqlTwins]]); SqlSurfaceSpec proves each ≡ the DataFrame

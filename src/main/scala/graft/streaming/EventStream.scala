@@ -513,26 +513,64 @@ object EventStream {
     * disk, held here by the state store (RocksDB at scale). A pair
     * colliding in several bands emits once per band; the consumer
     * applies `dropDuplicates` (or tolerates re-flagging) — the spec
-    * compares sets against the batch answer. */
-  class NearDupProbeProcessor
+    * compares sets against the batch answer.
+    *
+    * HOT-BUCKET CAP (VERDICT r10 #3): a boilerplate-heavy stream can
+    * drive one band bucket's membership without bound — the streaming
+    * analog of the batch path's df-capped shingles. Each bucket stores
+    * at most `maxBucketMembers` committed ids; past the cap, new
+    * members are DROPPED from that bucket's state and every probe
+    * hitting the bucket additionally emits a LOUD overflow marker
+    * (`corpus_doc = `[[NearDupProbeProcessor.Overflow]]) so the
+    * consumer knows recall is no longer complete there — a silently
+    * truncated bucket would read as "no more dups", which is the one
+    * wrong answer. The true member count keeps counting past the cap,
+    * so overflow detection is exact. */
+  class NearDupProbeProcessor(
+      maxBucketMembers: Int = NearDupProbeProcessor.DefaultMaxBucketMembers)
       extends StatefulProcessor[String, (String, Long, Boolean), NearDupHit] {
     @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    @transient private var nSeen: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       members = getHandle.getListState[Long]("members", Encoders.scalaLong, TTLConfig.NONE)
+      nSeen = getHandle.getValueState[Long]("nSeen", Encoders.scalaLong, TTLConfig.NONE)
+    }
     override def handleInputRows(
         key: String,
         rows: Iterator[(String, Long, Boolean)],
         timerValues: TimerValues): Iterator[NearDupHit] = {
       val rs = rows.toArray
       val arriving = rs.collect { case (_, id, false) => id }.distinct.sorted
-      if (arriving.nonEmpty) members.appendList(arriving)
+      val seen0 = if (nSeen.exists()) nSeen.get() else 0L
+      if (arriving.nonEmpty) {
+        val room = math.max(0L, maxBucketMembers - seen0).toInt
+        val kept = arriving.take(room)
+        if (kept.nonEmpty) members.appendList(kept)
+        nSeen.update(seen0 + arriving.length) // counts past the cap: exact overflow bit
+      }
       val probes = rs.collect { case (_, id, true) => id }.distinct.sorted
       if (probes.isEmpty) Iterator.empty
       else {
         val committed = members.get().toArray
-        probes.iterator.flatMap(p => committed.iterator.map(c => NearDupHit(p, c)))
+        val overflowed = (if (nSeen.exists()) nSeen.get() else 0L) > maxBucketMembers
+        probes.iterator.flatMap { p =>
+          val hits = committed.iterator.map(c => NearDupHit(p, c))
+          if (overflowed) hits ++ Iterator.single(NearDupHit(p, NearDupProbeProcessor.Overflow))
+          else hits
+        }
       }
     }
+  }
+
+  object NearDupProbeProcessor {
+    /** Per-(band, bucket) committed-member cap — sized like the batch
+      * path's candidate bounds: 4 bands × this many ids per bucket
+      * bounds any probe's fan-out. */
+    val DefaultMaxBucketMembers: Int = 1024
+    /** Sentinel `corpus_doc` marking "this bucket overflowed its member
+      * cap — near-dup recall on it is incomplete". Real doc_ids are
+      * non-negative by the documents-table contract. */
+    val Overflow: Long = -1L
   }
 
   /** q126 as a stream: docs (doc_id, text, is_probe) in, near-dup hits
@@ -542,7 +580,9 @@ object EventStream {
     * (streaming-legal, value-identical), so the three surfaces cannot
     * drift. StreamingSpec proves set parity with q126's batch answer on
     * a corpus split across micro-batches. */
-  def nearDupProbeStream(docs: DataFrame): Dataset[NearDupHit] = {
+  def nearDupProbeStream(docs: DataFrame,
+      maxBucketMembers: Int = NearDupProbeProcessor.DefaultMaxBucketMembers)
+      : Dataset[NearDupHit] = {
     val s = docs.sparkSession
     import s.implicits._
     graft.functions.TextOps.bandRowsPerRow(docs)
@@ -550,7 +590,8 @@ object EventStream {
         col("doc_id"), col("is_probe"))
       .as[(String, Long, Boolean)]
       .groupByKey(_._1)
-      .transformWithState(new NearDupProbeProcessor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new NearDupProbeProcessor(maxBucketMembers),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** STREAM-STREAM interval join — q121's conversion-candidate pairs
