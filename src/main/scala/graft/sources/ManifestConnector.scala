@@ -286,11 +286,27 @@ class ManifestSourceProvider extends RelationProvider
       .inferSchema(spark, Map("mergeSchema" -> "true"), index.allStatuses)
       .getOrElse(throw new IllegalStateException(
         s"graft-manifest: could not infer schema from data files at $root v$v"))
+    // A declared bucket layout (ManifestTable.declareBuckets) becomes a
+    // REAL BucketSpec when — and only when — every listed file carries
+    // Spark's bucket-id name suffix: the scan then reports
+    // HashPartitioning(col, n) and joins/aggs keyed on the column skip
+    // this side's exchange. Any generation written outside the
+    // partitioned-merge path (full snapshot commit, pre-declaration
+    // files) drops the spec for the whole snapshot — plans shuffle
+    // again, answers stay exact (conservative, never wrong).
+    val bucketSpec = ManifestTable.bucketLayout(root).flatMap { case (c, n) =>
+      val named = index.allStatuses.forall(st =>
+        org.apache.spark.sql.graft.SqlShims.bucketIdOf(st.getPath.getName)
+          .exists(id => id >= 0 && id < n))
+      if (named && dataSchema.fieldNames.contains(c))
+        Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(c), Nil))
+      else None
+    }
     HadoopFsRelation(
       location = index,
       partitionSchema = StructType(Nil),
       dataSchema = dataSchema,
-      bucketSpec = None,
+      bucketSpec = bucketSpec,
       fileFormat = new ParquetFileFormat(),
       options = Map("mergeSchema" -> "true"))(spark)
   }

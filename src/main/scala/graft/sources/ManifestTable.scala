@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.operators.Dedup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, floor, greatest, least, lit, max, min, shiftleft, when}
+import org.apache.spark.sql.functions.{coalesce, col, floor, greatest, least, lit, max, min, pmod, shiftleft, when}
 import java.io.File
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
@@ -220,6 +220,56 @@ object ManifestTable {
     * (ADVICE r10). */
   private def isFiniteDecimal(s: String): Boolean =
     scala.util.Try(BigDecimal(s)).isSuccess
+
+  // ------------------------------------------------------- bucket layout
+
+  private def bucketsPath(root: String) = Paths.get(root, "_buckets")
+
+  /** Declare the table's BUCKET LAYOUT (`root/_buckets`, sticky):
+    * `column` is the key whose Spark hash defines co-location and `n`
+    * the bucket count. CONTRACT: the table must be maintained through
+    * [[mergePartitioned]] with a partition column whose value IS
+    * `pmod(hash(column), n)` — Spark's own bucket id function
+    * (Murmur3, seed 42), so dir `__part=K` holds exactly bucket K's
+    * rows. [[writePartitionedData]] then names every data file with
+    * Spark's `_0000K` bucket suffix, and the `graft-manifest` relation
+    * exposes a real `BucketSpec` — scans report
+    * `HashPartitioning(column, n)` and joins/aggregations keyed on the
+    * column SKIP the table-side exchange (VERDICT r10 #3: the bucketed
+    * layout becomes planner-visible instead of commentary).
+    *
+    * Immutable once data exists: old files' names encode the old
+    * layout, so a re-declaration would silently mis-co-locate every
+    * committed row — rejected loudly. */
+  def declareBuckets(root: String, column: String, n: Int): Unit = {
+    require(column.nonEmpty && !column.contains(',') && !column.contains('\n'),
+      s"bucket column '$column' must be non-empty without ',' or newline")
+    require(n > 0, s"bucket count must be positive, got $n")
+    if (bucketLayout(root).contains((column, n))) return // idempotent fast path
+    require(currentVersion(root) < 1,
+      s"table at $root already has committed data: its file names encode the " +
+        "existing bucket layout, so the layout cannot change without a rewrite")
+    Files.createDirectories(Paths.get(root))
+    val tmp = Files.createTempFile(Paths.get(root), "_buckets", ".tmp")
+    Files.writeString(tmp, s"$column,$n")
+    Files.move(tmp, bucketsPath(root), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The declared bucket layout `(column, n)`, if any. */
+  private[graft] def bucketLayout(root: String): Option[(String, Int)] =
+    if (!Files.exists(bucketsPath(root))) None
+    else Files.readString(bucketsPath(root)).trim.split(',') match {
+      case Array(c, n) => Some((c, n.toInt))
+      case _ => None
+    }
+
+  /** The Spark-native bucket id of `c` under an `n`-bucket layout —
+    * EXACTLY `HashPartitioning(c, n).partitionIdExpression`, so rows
+    * land in the file Spark's planner will assume they are in. Cast to
+    * long only to keep existing index schemas stable. */
+  def bucketIdColumn(c: Column, n: Int): Column =
+    pmod(org.apache.spark.sql.functions.hash(c), lit(n)).cast("long")
 
   /** The commit point, shared by all writers: write the manifest for
     * version `v`, then atomically replace the current pointer. A crash
@@ -809,6 +859,7 @@ object ManifestTable {
     val dataDir = s"$root/data/$dirName"
     df.withColumn("__part", coalesce(col(partCol).cast("string"), lit(NullPartition)))
       .write.partitionBy("__part").mode("overwrite").parquet(dataDir)
+    val buckets = bucketLayout(root)
     Option(new File(dataDir).listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith("__part="))
       .toSeq.flatMap { d =>
@@ -816,6 +867,26 @@ object ManifestTable {
         // chars stay %-encoded, so the tab-delimited manifest can't be
         // corrupted by a hostile partition value
         val p = d.getName.stripPrefix("__part=")
+        // bucket-declared table: the partition VALUE is the bucket id
+        // (declareBuckets contract) — stamp it into every file name in
+        // Spark's own `_0000K` form so the bucketed relation can plan
+        // exchange-free scans over these files
+        buckets.foreach { case (c, n) =>
+          val id = scala.util.Try(p.toInt).getOrElse(throw new IllegalStateException(
+            s"bucket-declared table at $root got non-integer partition value " +
+              s"'$p' for $partCol - the partition column must be " +
+              s"pmod(hash($c), $n) (see declareBuckets)"))
+          require(id >= 0 && id < n,
+            s"bucket id $id out of range [0, $n) at $root - the partition " +
+              s"column must be pmod(hash($c), $n)")
+          val sfx = org.apache.spark.sql.graft.SqlShims.bucketIdSuffix(id)
+          listParquet(d).foreach { f =>
+            val dot = f.indexOf('.')
+            val renamed =
+              if (dot < 0) f + sfx else f.substring(0, dot) + sfx + f.substring(dot)
+            Files.move(d.toPath.resolve(f), d.toPath.resolve(renamed))
+          }
+        }
         listParquet(d).map(f => FileEntry(p, s"data/$dirName/${d.getName}/$f"))
       }
   }

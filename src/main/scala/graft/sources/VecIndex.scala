@@ -33,7 +33,7 @@ object VecIndex {
   val IndexBuckets = 16
 
   private def withPBucket(df: DataFrame): DataFrame =
-    df.withColumn("pbucket", pmod(xxhash64(col("vec_id")), lit(IndexBuckets.toLong)))
+    df.withColumn("pbucket", ManifestTable.bucketIdColumn(col("vec_id"), IndexBuckets))
 
   private val indexKey = Seq("pbucket", "vec_id")
 
@@ -58,6 +58,7 @@ object VecIndex {
   def bootstrap(corpus: DataFrame, centRoot: String, idxRoot: String): Unit = {
     val cent = computeCentroids(corpus).localCheckpoint()
     ManifestTable.commit(cent, centRoot)
+    ManifestTable.declareBuckets(idxRoot, "vec_id", IndexBuckets)
     ManifestTable.mergePartitioned(
       computeCellIndex(corpus, cent), idxRoot, indexKey, "pbucket")
   }
@@ -87,6 +88,7 @@ object VecIndex {
         coalesce(col("l.cell"), lit(-1L)).as("cell"),
         col("l.v"), col("l.norm"),
         coalesce(col("l.live"), lit(false)).as("live"))
+    ManifestTable.declareBuckets(idxRoot, "vec_id", IndexBuckets)
     ManifestTable.mergePartitioned(
       withPBucket(rows).select(col("pbucket"), col("vec_id"), col("cell"),
         col("v"), col("norm"), col("live")),

@@ -30,4 +30,17 @@ object SqlShims {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd.map(_.copy()), df.schema, isStreaming = false)
   }
+
+  /** Spark's OWN bucket-file naming contract
+    * (`BucketingUtils`, `private[sql]`): the manifest layer writes and
+    * recognizes bucket-id-suffixed data files through these two calls,
+    * so the naming can never drift from what `FileSourceScanExec`
+    * parses when a bucketed relation plans its scan. */
+  def bucketIdOf(fileName: String): Option[Int] =
+    org.apache.spark.sql.execution.datasources.BucketingUtils.getBucketId(fileName)
+
+  /** `_00003`-style suffix for bucket id 3 — inserted before the file
+    * extension chain. */
+  def bucketIdSuffix(id: Int): String =
+    org.apache.spark.sql.execution.datasources.BucketingUtils.bucketIdToString(id)
 }

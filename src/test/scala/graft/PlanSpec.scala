@@ -499,6 +499,53 @@ class PlanSpec extends SparkSpec {
     assert(got == Map(10L -> true, 11L -> false), got.toString)
   }
 
+  test("bucketed index layout is PLANNER-VISIBLE (VERDICT r10 #3): a " +
+    "groupBy(fp) over the stored fp index plans ZERO exchanges (bucketed " +
+    "scan), and auditFpIndex's full-outer join shuffles ONLY the recomputed " +
+    "side — the index side consumes its stored HashPartitioning") {
+    import graft.sources.{DedupIndex, ManifestTable}
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-bucketplan").toString
+    val corpus = s"$work/corpus"
+    val fpIdx = s"$work/fp"
+    val docs = (1L to 40L).map(i => (i, s"doc number $i alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val v1 = ManifestTable.merge(docs, corpus, Seq("doc_id"))
+    DedupIndex.refreshIndexes(spark, corpus, fpIdx, s"$work/band", 0, v1)
+    // second merge: multi-generation files must STAY bucket-named
+    val v2 = ManifestTable.merge(
+      Seq((100L, "late arrival delta epsilon zeta")).toDF("doc_id", "text"),
+      corpus, Seq("doc_id"))
+    DedupIndex.refreshIndexes(spark, corpus, fpIdx, s"$work/band", v1, v2)
+
+    val stored = DedupIndex.readFpIndexStored(spark, fpIdx)
+    // parity first: the bucketed relation returns exactly the plain read
+    assert(stored.collect().map(_.toSeq.toVector).toSet ==
+      DedupIndex.readFpIndex(spark, fpIdx).collect().map(_.toSeq.toVector).toSet)
+
+    val agg = stored.groupBy($"fp").count()
+    val aggPlan = physical(agg)
+    assert(aggPlan.contains("Bucketed: true"), aggPlan)
+    assert(!aggPlan.contains("Exchange hashpartitioning"), aggPlan)
+
+    // the audit join: force SMJ (no broadcast) so the exchange count is
+    // deterministic — exactly ONE, on the recomputed side
+    // shuffle.partitions = bucket count, or the recomputed side pays a
+    // second exchange just to re-split 4 → 16 (layout-irrelevant noise)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "16") {
+      val audit = DedupIndex.auditFpIndex(
+        ManifestTable.read(spark, corpus), spark, fpIdx)
+      val plan = physical(audit)
+      assert(plan.contains("Bucketed: true"), plan)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"expected ONE exchange (recomputed side only), got $exchanges:\n$plan")
+      assert(audit.count() == 0L, "a freshly maintained index must audit clean")
+    }
+  }
+
   test("q134: the DSIR importance model meets the token matrix ONLY through " +
     "broadcast joins (256 rows + 1 scalar, bounded by construction) — no " +
     "vocabulary-sized shuffle join, no cartesian") {
