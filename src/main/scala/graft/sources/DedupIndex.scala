@@ -78,11 +78,14 @@ object DedupIndex {
     // rows: nothing to merge, and a bootstrap from it would have no
     // files to commit — the check is one job over the delta, never the index
     if (changes.isEmpty) return ManifestTable.currentVersion(idxRoot)
+    // one materialization: the delta feeds the isEmpty guard, the
+    // bucket-set collect, and the merge join
     val d = TextOps.withFingerprint(changes)
       .select(col("fp"), sign.as("__sgn"))
       .groupBy(col("fp"))
       .agg(sum(col("__sgn")).as("d_docs"))
       .where(col("d_docs") =!= 0L)
+      .localCheckpoint()
     // a delta that NETS to zero (e.g. two docs swapping content in one
     // commit) has no index rows to merge — committing an empty batch
     // would fail, and there is nothing to record
@@ -91,9 +94,16 @@ object DedupIndex {
       if (ManifestTable.currentVersion(idxRoot) < 1)
         d.select(col("fp"), col("d_docs").as("n_docs"))
       else {
-        // touched index rows only: index SEMI broadcast(delta) — the big
-        // index streams once, result is delta-bounded
-        val idx = ManifestTable.read(spark, idxRoot)
+        // READ amplification matches the WRITE bound: the delta's
+        // fingerprints live only in their hash-bucket partitions, so
+        // only those partitions' files are read (driver set bounded by
+        // IndexBuckets, metadata-decided) — the index is never streamed
+        // whole, let alone shuffled. Within the pruned slice, touched
+        // rows = slice SEMI broadcast(delta), delta-bounded.
+        val touchedBuckets = d
+          .select(ManifestTable.bucketIdColumn(col("fp"), IndexBuckets).as("b"))
+          .distinct().collect().map(_.getLong(0).toString).toSet
+        val idx = ManifestTable.readPartitions(spark, idxRoot, touchedBuckets)
         val touched = idx.join(broadcast(d.select(col("fp"))), Seq("fp"), "left_semi")
           .select(col("fp"), col("n_docs"))
         d.as("d").join(broadcast(touched.as("t")), Seq("fp"), "left_outer")
@@ -130,12 +140,23 @@ object DedupIndex {
     *    small side, so neither side of either join ever shuffles.
     *
     * PlanSpec pins the shape: two BroadcastHashJoins, zero
-    * SortMergeJoin, zero hash-partition exchanges. Output = q125's. */
+    * SortMergeJoin, zero hash-partition exchanges.
+    *
+    * Read amplification: the batch's fingerprints can only live in
+    * their hash-bucket partitions, so the probe lists ONLY those
+    * buckets' files from the manifest (set bounded by IndexBuckets,
+    * metadata-decided) — a small batch against a 4096-bucket production
+    * index opens a handful of partitions, not the lake. Output =
+    * q125's. */
   def probeExact(batch: DataFrame, spark: SparkSession, idxRoot: String): DataFrame = {
-    val fps = TextOps.fingerprintsOf(batch)
+    val fps = TextOps.fingerprintsOf(batch).localCheckpoint()
+    val touchedBuckets = fps
+      .select(ManifestTable.bucketIdColumn(col("fp"), IndexBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0).toString).toSet
     // no .distinct() on the broadcast key set: semi-join semantics dedup
     // for free, and distinct would cost the probe's only shuffle
-    val touched = readFpIndex(spark, idxRoot)
+    val touched = ManifestTable.readPartitions(spark, idxRoot, touchedBuckets)
+      .where(col("n_docs") > 0L)
       .join(broadcast(fps.select(col("fp"))), Seq("fp"), "left_semi")
       .select(col("fp"), lit(1L).as("known"))
     fps.join(broadcast(touched), Seq("fp"), "left")

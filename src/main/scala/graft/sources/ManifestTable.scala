@@ -590,6 +590,25 @@ object ManifestTable {
     spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
+  /** PARTITION-SCOPED read of the current snapshot: only the files of
+    * the named partitions (PLAIN string values, compared against the
+    * manifest's escaped keys) are listed — O(selected partitions) I/O
+    * decided from metadata alone. The read-side twin of
+    * [[mergePartitioned]]'s write amplification bound: an index
+    * maintenance pass or a point probe that knows its hash buckets
+    * reads those buckets' files, never the table. Missing partitions
+    * simply contribute no files; an empty selection returns an empty
+    * frame in the snapshot's schema. */
+  private[graft] def readPartitions(spark: SparkSession, root: String,
+      parts: Set[String]): DataFrame = {
+    val cur = currentVersion(root)
+    require(cur >= 1, s"table at $root has no committed version")
+    val files = listedEntries(root, cur)
+      .collect { case e if parts(unescapePathName(e.part)) => s"$root/${e.rel}" }
+    if (files.isEmpty) readVersion(spark, root, cur).limit(0)
+    else spark.read.option("mergeSchema", "true").parquet(files: _*)
+  }
+
   /** Add-column schema evolution: conform BOTH sides to the union
     * schema — the existing snapshot's columns (in their order) plus the
     * batch's new columns appended, null-filling whichever side lacks

@@ -952,6 +952,23 @@ class ManifestTableSpec extends SparkSpec {
     assert(e2.getMessage.contains("id"), e2.getMessage)
   }
 
+  test("readPartitions lists ONLY the named partitions' files (metadata-" +
+    "decided read amplification), returns empty-in-schema for a miss, and " +
+    "matches a filtered full read") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-readparts").toString
+    ManifestTable.mergePartitioned(
+      Seq((1L, "d1", "a"), (2L, "d2", "b"), (3L, "d3", "c"))
+        .toDF("id", "day", "v"), root, Seq("id", "day"), "day")
+    val one = ManifestTable.readPartitions(spark, root, Set("d2"))
+    assert(one.as[(Long, String, String)].collect().toSet == Set((2L, "d2", "b")))
+    assert(one.inputFiles.forall(_.contains("__part=d2")), one.inputFiles.toSeq)
+    val none = ManifestTable.readPartitions(spark, root, Set("nope"))
+    assert(none.count() == 0L && none.columns.toSeq == Seq("id", "day", "v"))
+    val two = ManifestTable.readPartitions(spark, root, Set("d1", "d3"))
+    assert(two.count() == 2L)
+  }
+
   test("append rejects a stats re-declaration that would MISREAD carried-over " +
     "entries (reorder/replace), while extending the declaration is allowed " +
     "(ADVICE r10)") {

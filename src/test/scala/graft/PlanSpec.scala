@@ -528,6 +528,19 @@ class PlanSpec extends SparkSpec {
     assert(aggPlan.contains("Bucketed: true"), aggPlan)
     assert(!aggPlan.contains("Exchange hashpartitioning"), aggPlan)
 
+    // bucket PRUNING rides the same spec: a point lookup on fp hashes
+    // the literal to its bucket and opens 1/16 of the index. Spark's
+    // autoBucketedScan turns bucketing OFF for plans with no exchange
+    // to save, so the pruning pin sets it explicitly (what a production
+    // point-lookup job does)
+    withSQLConf("spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+      val one = stored.where($"fp" === org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.lit("doc number 7 alpha beta gamma")))
+      val onePlan = physical(one)
+      assert(onePlan.contains("SelectedBucketsCount: 1 out of 16"), onePlan)
+      assert(one.count() == 1L)
+    }
+
     // the audit join: force SMJ (no broadcast) so the exchange count is
     // deterministic — exactly ONE, on the recomputed side
     // shuffle.partitions = bucket count, or the recomputed side pays a
