@@ -149,6 +149,36 @@ object ScaleProbe {
     probe("bpe_pairs")(bpe(sfDir))(bpe(docsNDir))
     probe("incremental_dedup")(incdedup(sfDir))(incdedup(docsNDir))
 
+    // The MAINTAINED fp index (q135's store): a FIXED probe batch and a
+    // FIXED 200-doc maintenance delta against a 1× vs N× index. Both
+    // paths bucket-prune their reads, but a 1000-fp batch touches every
+    // one of the 16 buckets, so the honest bound is one linear pass
+    // over the index (semi vs broadcast batch) — never a shuffle or a
+    // pair blowup. Maintenance additionally merges only touched
+    // buckets; its ratio stays far under the gate.
+    {
+      import graft.sources.DedupIndex
+      val idx1 = java.nio.file.Files.createTempDirectory("graft-scale-idx1").toString
+      val idxN = java.nio.file.Files.createTempDirectory("graft-scale-idxN").toString
+      DedupIndex.bootstrapFpIndex(Tables(spark, sfDir, "documents")
+        .select($"doc_id", $"text"), idx1)
+      DedupIndex.bootstrapFpIndex(Tables(spark, docsNDir, "documents")
+        .select($"doc_id", $"text"), idxN)
+      val probeBatch = Tables(spark, sfDir, "documents")
+        .select($"doc_id", $"text").where($"doc_id" < 1000).localCheckpoint()
+      def probeIdx(root: String): Long =
+        DedupIndex.probeExact(probeBatch, spark, root).count()
+      val delta = spark.range(200).select(
+        ($"id" + 900000000L).as("doc_id"),
+        concat(lit("novel scale probe doc "), $"id").as("text"),
+        lit("insert").as("_change_type")).localCheckpoint()
+      probeIdx(idx1) // warm
+      probe("idx_probe_exact")(probeIdx(idx1))(probeIdx(idxN))
+      probe("idx_maintain")(
+        { DedupIndex.maintainFpIndex(spark, delta, idx1); 1L })(
+        { DedupIndex.maintainFpIndex(spark, delta, idxN); 1L })
+    }
+
     // Embedding pruning (q83): labels shift per copy so CELLS scale with
     // the data while per-cell population stays constant — the real-corpus
     // contract (k-means k grows with the corpus; cell size is bounded by

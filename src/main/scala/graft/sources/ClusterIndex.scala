@@ -1,0 +1,280 @@
+package graft.sources
+
+import graft.functions.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained NEAR-DUP COMPONENTS over a [[ManifestTable]]
+  * corpus — q54's clustering as a maintained table instead of a
+  * per-query graph solve. [[DedupIndex]] maintains the band-bucket
+  * EDGES; this maintains their TRANSITIVE CLOSURE:
+  *
+  *  - a MEMBERSHIP table (`doc_id → rep`, rep = min doc_id of the
+  *    component, exactly q54's label contract), hash-bucketed by
+  *    doc_id;
+  *  - an inverted MEMBERS-BY-REP table (`rep → doc_id`), hash-bucketed
+  *    by rep — what lets a cluster merge/split find the affected
+  *    members with a bucket-pruned read instead of a table scan.
+  *
+  * Maintenance is AFFECTED-CLUSTER-BOUNDED, the honest incremental
+  * contract for connected components (a single new document can merge
+  * two arbitrarily large clusters — no algorithm can be cheaper than
+  * touching the cluster that changes):
+  *
+  *  1. the batch's changed docs + the corpus docs they band-collide
+  *     with seed the affected set (one probe join against the band
+  *     index — the batch side broadcasts, the index streams once, the
+  *     [[DedupIndex.probeNearDup]] scale shape);
+  *  2. the seeds' current reps come from a bucket-pruned membership
+  *     read; the reps' full member lists from a bucket-pruned
+  *     members-by-rep read — together the affected set M;
+  *  3. M's edges are re-derived from the band INDEX rows of M
+  *     (bucket-pruned; documents are never re-shingled — the
+  *     self-collision argument in the Scaladoc of [[applyChanges]]
+  *     proves no M↔non-M edge can exist);
+  *  4. M's components are re-solved with the single-task union-find
+  *     ([[TextOps.componentLabelsLocal]] — M is affected-cluster-sized,
+  *     capped loudly at [[MaxAffectedDocs]]) and both tables are
+  *     rewritten for M only, via tombstones for moved/deleted rows.
+  *
+  * Updates and deletes are handled uniformly: the band index (which
+  * MUST be maintained first — [[applyChanges]] reads the post-batch
+  * band rows) already tombstoned the old images' bands, so a deleted
+  * bridge doc simply stops contributing edges and its cluster SPLITS
+  * into whatever the remaining edges connect.
+  *
+  * Exactly-once rides [[IncrementalView.applyBatch]]'s txn-tag
+  * protocol; ClusterIndexSpec pins maintained ≡ recomputed across
+  * insert / cluster-merge / bridge-update / delete-split commits,
+  * replay rejection, and parity with q54 on the real documents table.
+  */
+object ClusterIndex {
+
+  /** Same role as [[DedupIndex.IndexBuckets]]. */
+  val IndexBuckets: Int = DedupIndex.IndexBuckets
+
+  /** Loud bound on the affected set M (changed docs + their clusters'
+    * members): the re-solve is single-task by design (union-find over
+    * affected clusters), so M must stay a bounded slice — past this,
+    * the right tool is an offline [[bootstrap]] recompute, not a
+    * silently O(corpus) "incremental" pass. */
+  val MaxAffectedDocs: Long = 5000000L
+
+  private def withMBucket(df: DataFrame): DataFrame =
+    df.withColumn("mbucket", ManifestTable.bucketIdColumn(col("doc_id"), IndexBuckets))
+
+  private def withRBucket(df: DataFrame): DataFrame =
+    df.withColumn("rbucket", ManifestTable.bucketIdColumn(col("rep"), IndexBuckets))
+
+  // ------------------------------------------------------------ compute
+
+  /** Ground-truth membership of a corpus snapshot: (doc_id, rep) with
+    * rep = min doc_id of the band-collision component — exactly the
+    * labels q54 assigns. Edge definition shared with q30/q126 through
+    * [[TextOps.bandRowsOf]]. */
+  def computeMembership(docs: DataFrame): DataFrame = {
+    val bands = TextOps.bandRowsOf(docs)
+    val edges = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val labels =
+      if (edges.count() <= TextOps.LocalComponentsMaxEdges)
+        TextOps.componentLabelsLocal(edges).localCheckpoint()
+      else TextOps.componentLabelsIterative(edges)
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep"))
+  }
+
+  /** Bootstrap both tables from a corpus snapshot. */
+  def bootstrap(docs: DataFrame, membRoot: String, repRoot: String): Unit = {
+    val memb = computeMembership(docs).withColumn("live", lit(true)).localCheckpoint()
+    ManifestTable.declareBuckets(membRoot, "doc_id", IndexBuckets)
+    ManifestTable.mergePartitioned(
+      withMBucket(memb).select(col("mbucket"), col("doc_id"), col("rep"), col("live")),
+      membRoot, Seq("mbucket", "doc_id"), "mbucket")
+    ManifestTable.declareBuckets(repRoot, "rep", IndexBuckets)
+    ManifestTable.mergePartitioned(
+      withRBucket(memb).select(col("rbucket"), col("rep"), col("doc_id"), col("live")),
+      repRoot, Seq("rbucket", "rep", "doc_id"), "rbucket")
+  }
+
+  // -------------------------------------------------------------- reads
+
+  /** Live membership (doc_id, rep). */
+  def readMembership(spark: SparkSession, membRoot: String): DataFrame =
+    ManifestTable.read(spark, membRoot).where(col("live"))
+      .select(col("doc_id"), col("rep"))
+
+  /** q54's exact output shape from the maintained state:
+    * (doc_id, component_id, component_size). */
+  def readComponents(spark: SparkSession, membRoot: String): DataFrame = {
+    val memb = readMembership(spark, membRoot)
+    val sizes = memb.groupBy(col("rep")).agg(count(lit(1)).as("component_size"))
+    memb.join(sizes, "rep")
+      .select(col("doc_id"), col("rep").as("component_id"), col("component_size"))
+  }
+
+  /** Bucket-pruned live membership rows of the given doc ids. */
+  private def membOf(spark: SparkSession, membRoot: String, ids: DataFrame): DataFrame =
+    if (ManifestTable.currentVersion(membRoot) < 1)
+      ids.select(col("doc_id"), lit(0L).as("rep")).limit(0)
+    else {
+      val buckets = ids
+        .select(ManifestTable.bucketIdColumn(col("doc_id"), IndexBuckets).as("b"))
+        .distinct().collect().map(_.getLong(0).toString).toSet
+      ManifestTable.readPartitions(spark, membRoot, buckets)
+        .where(col("live"))
+        .join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("rep"))
+    }
+
+  /** Bucket-pruned live member lists of the given reps. */
+  private def membersOf(spark: SparkSession, repRoot: String, reps: DataFrame): DataFrame =
+    if (ManifestTable.currentVersion(repRoot) < 1)
+      reps.select(col("rep"), lit(0L).as("doc_id")).limit(0)
+    else {
+      val buckets = reps
+        .select(ManifestTable.bucketIdColumn(col("rep"), IndexBuckets).as("b"))
+        .distinct().collect().map(_.getLong(0).toString).toSet
+      ManifestTable.readPartitions(spark, repRoot, buckets)
+        .where(col("live"))
+        .join(broadcast(reps.select(col("rep"))), Seq("rep"), "left_semi")
+        .select(col("rep"), col("doc_id"))
+    }
+
+  /** Bucket-pruned live band rows of the given doc ids, from the
+    * maintained band index (never re-shingles a document). */
+  private def bandRowsFromIndex(spark: SparkSession, bandRoot: String,
+      ids: DataFrame): DataFrame = {
+    val buckets = ids
+      .select(ManifestTable.bucketIdColumn(col("doc_id"), IndexBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0).toString).toSet
+    ManifestTable.readPartitions(spark, bandRoot, buckets)
+      .where(col("live"))
+      .join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("band"), col("bucket"))
+  }
+
+  // -------------------------------------------------------- maintenance
+
+  /** Apply one corpus CDC batch to the cluster tables. PRECONDITION:
+    * [[DedupIndex.maintainBandIndex]] has already absorbed the SAME
+    * batch (this pass reads post-batch band rows; the turnkey
+    * [[startMaintenance]] and [[applyBatch]] order the two).
+    *
+    * Why the affected set is closed under band edges: suppose m is a
+    * member of an affected cluster and o an outside doc with a band
+    * collision (m, o). That collision is an EDGE, so o was connected to
+    * m before the batch, so o is in m's cluster, so o is among the
+    * rep's members — inside M. Hence M's induced subgraph contains
+    * every edge touching M, and re-solving M alone is exact. */
+  def applyChanges(spark: SparkSession, changes: DataFrame,
+      bandRoot: String, membRoot: String, repRoot: String,
+      tag: Option[String] = None): Unit = {
+    if (changes.isEmpty) return
+    val ch = changes.select(col("doc_id"), col("_change_type")).localCheckpoint()
+    val changedIds = ch.select(col("doc_id")).distinct().localCheckpoint()
+    val deleted = ch.where(col("_change_type") === "delete")
+      .select(col("doc_id")).distinct().localCheckpoint()
+
+    // 1. corpus docs band-colliding with the changed docs' NEW images:
+    // batch-side band rows come from the (already maintained) index —
+    // pruned read — and broadcast against the full index stream
+    // unhinted equi join, [[DedupIndex.probeNearDup]]'s reasoning: the
+    // batch side is small at production ratios (AQE broadcasts it), but
+    // a bootstrap-sized first batch must not be force-broadcast
+    val chBands = bandRowsFromIndex(spark, bandRoot, changedIds).localCheckpoint()
+    val collided = DedupIndex.readBandIndex(spark, bandRoot).as("b")
+      .join(chBands.as("a"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("b.doc_id")).distinct()
+    val seeds = changedIds.union(collided).distinct().localCheckpoint()
+
+    // 2. affected reps and their member lists → M
+    val seedReps = membOf(spark, membRoot, seeds)
+      .select(col("rep")).distinct().localCheckpoint()
+    val members = membersOf(spark, repRoot, seedReps).select(col("doc_id"))
+    val m = members.union(seeds).distinct().localCheckpoint()
+    val mCount = m.count()
+    require(mCount <= MaxAffectedDocs,
+      s"cluster maintenance would touch $mCount docs (> $MaxAffectedDocs cap): " +
+        "the batch merges/splits clusters larger than the single-task re-solve " +
+        "is sized for - run a bootstrap recompute instead")
+    val mLive = m.join(broadcast(deleted), Seq("doc_id"), "left_anti").localCheckpoint()
+
+    // 3. M's induced edges, from stored band rows only
+    val mBands = bandRowsFromIndex(spark, bandRoot, mLive)
+    val edges = mBands.as("a").join(mBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    // 4. re-solve and rewrite M's rows in both tables
+    val labels = TextOps.componentLabelsLocal(edges)
+    val newMemb = mLive
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep"))
+      .localCheckpoint()
+    val oldPairs = membOf(spark, membRoot, m) // pre-update assignment of M
+      .select(col("doc_id"), col("rep").as("old_rep")).localCheckpoint()
+
+    val membRows =
+      newMemb.withColumn("live", lit(true))
+        .union(deleted.select(col("doc_id"), lit(-1L).as("rep"), lit(false).as("live")))
+    ManifestTable.declareBuckets(membRoot, "doc_id", IndexBuckets)
+    ManifestTable.mergePartitioned(
+      withMBucket(membRows).select(col("mbucket"), col("doc_id"), col("rep"), col("live")),
+      membRoot, Seq("mbucket", "doc_id"), "mbucket", tag = tag)
+
+    // members-by-rep: tombstone rows whose (rep → doc) pairing vanished
+    // (moved doc, deleted doc), then write the new live pairings
+    val moved = oldPairs.as("o")
+      .join(newMemb.as("n"), Seq("doc_id"), "left_outer")
+      .where(col("n.rep").isNull || col("o.old_rep") =!= col("n.rep"))
+      .select(col("o.old_rep").as("rep"), col("doc_id"), lit(false).as("live"))
+    val repRows = newMemb.select(col("rep"), col("doc_id"))
+      .withColumn("live", lit(true))
+      .union(moved)
+    ManifestTable.declareBuckets(repRoot, "rep", IndexBuckets)
+    ManifestTable.mergePartitioned(
+      withRBucket(repRows).select(col("rbucket"), col("rep"), col("doc_id"), col("live")),
+      repRoot, Seq("rbucket", "rep", "doc_id"), "rbucket", tag = tag)
+  }
+
+  /** EXACTLY-ONCE step for ONE corpus CDC micro-batch, maintaining the
+    * band index first (its own watermark) and the cluster tables after
+    * (membership table's watermark guards the pair — both cluster
+    * tables commit from one pass, and a crash between their two
+    * commits replays into a [[applyChanges]] whose rewrites are
+    * idempotent for the same inputs: same M, same labels, same rows). */
+  def applyBatch(changes: DataFrame, batchId: Long,
+      bandRoot: String, membRoot: String, repRoot: String): Unit = {
+    val spark = changes.sparkSession
+    val ch = changes.localCheckpoint()
+    val tag = Some(s"batch=$batchId")
+    if (batchId > ManifestTable.lastBatchTag(bandRoot))
+      DedupIndex.maintainBandIndex(spark, ch, bandRoot, tag)
+    if (batchId > ManifestTable.lastBatchTag(membRoot))
+      applyChanges(spark, ch, bandRoot, membRoot, repRoot, tag)
+  }
+
+  /** Turnkey: keep band index + cluster tables equal to the corpus at
+    * `corpusRoot`, fed by `graft-manifest-cdc`, exactly-once. */
+  def startMaintenance(spark: SparkSession, corpusRoot: String,
+      bandRoot: String, membRoot: String, repRoot: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft-manifest-cdc")
+      .option("path", corpusRoot).option("key", "doc_id")
+      .option("preimages", "true").load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(b, id, bandRoot, membRoot, repRoot)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+}

@@ -149,7 +149,10 @@ object DedupIndex {
     * index opens a handful of partitions, not the lake. Output =
     * q125's. */
   def probeExact(batch: DataFrame, spark: SparkSession, idxRoot: String): DataFrame = {
-    val fps = TextOps.fingerprintsOf(batch).localCheckpoint()
+    // fps is NOT checkpointed: the md5 scan is cheap to recompute, and
+    // a probe is a read-path query — pinning storage blocks per call
+    // would evict longer-lived shared caches (measured in Bench)
+    val fps = TextOps.fingerprintsOf(batch)
     val touchedBuckets = fps
       .select(ManifestTable.bucketIdColumn(col("fp"), IndexBuckets).as("b"))
       .distinct().collect().map(_.getLong(0).toString).toSet

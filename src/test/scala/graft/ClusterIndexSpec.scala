@@ -1,0 +1,137 @@
+package graft
+
+import graft.sources.{ClusterIndex, DedupIndex, ManifestTable}
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The maintained near-dup COMPONENTS lifecycle: band-index edges in,
+  * transitive closure out, kept current by affected-cluster-bounded
+  * maintenance. The gate everywhere is maintained ≡ recomputed
+  * ([[ClusterIndex.computeMembership]] over the current corpus
+  * snapshot) — across inserts, a cluster MERGE (a new doc bridging two
+  * existing clusters via its band collisions), a bridge-update SPLIT,
+  * and a delete, plus replay rejection and q54 parity on real data. */
+class ClusterIndexSpec extends SparkSpec {
+
+  private val t1 = "alpha beta gamma delta epsilon zeta"
+  private val t2 = "one two three four five six seven"
+  private val t3 = "red orange yellow green blue indigo"
+
+  private def docsDf(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def membSet(membRoot: String): Set[(Long, Long)] =
+    ClusterIndex.readMembership(spark, membRoot).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def expected(corpusRoot: String): Set[(Long, Long)] =
+    ClusterIndex.computeMembership(ManifestTable.read(spark, corpusRoot))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Drive one corpus version range through band + cluster maintenance
+    * (the [[ClusterIndex.applyBatch]] path, batch id = toV). */
+  private def roll(corpus: String, band: String, memb: String, rep: String,
+      fromV: Int, toV: Int): Unit =
+    (fromV until toV).foreach { v =>
+      val ch = ManifestTable.readChanges(
+        spark, corpus, v, v + 1, Seq("doc_id"), preimages = true)
+      ClusterIndex.applyBatch(ch, v.toLong, band, memb, rep)
+    }
+
+  test("maintained components equal recomputed across insert / cluster-" +
+    "merge / bridge-update-split / delete commits, with replay rejected") {
+    val work = Files.createTempDirectory("graft-clusteridx").toString
+    val (corpus, band, memb, rep) =
+      (s"$work/corpus", s"$work/band", s"$work/memb", s"$work/rep")
+
+    // v1: two 2-doc clusters (identical texts collide in every band)
+    // and a singleton
+    val v1 = ManifestTable.merge(
+      docsDf(1L -> t1, 2L -> t1, 5L -> t2, 6L -> t2, 9L -> t3),
+      corpus, Seq("doc_id"))
+    roll(corpus, band, memb, rep, 0, v1)
+    assert(membSet(memb) == expected(corpus), "after v1")
+    assert(membSet(memb) == Set(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+
+    // v2: doc 3 joins cluster {1,2} (same text)
+    val v2 = ManifestTable.merge(docsDf(3L -> t1), corpus, Seq("doc_id"))
+    roll(corpus, band, memb, rep, v1, v2)
+    assert(membSet(memb) == expected(corpus), "after v2 insert")
+    assert(membSet(memb)(3L -> 1L))
+
+    // v3: cluster MERGE via update — doc 5 (rep of {5,6}) changes text
+    // to t1: {1,2,3} and 5 merge; 6 is left alone (its only edge was
+    // to 5's OLD image) — a merge and a split in one batch
+    val v3 = ManifestTable.merge(docsDf(5L -> t1), corpus, Seq("doc_id"))
+    roll(corpus, band, memb, rep, v2, v3)
+    assert(membSet(memb) == expected(corpus), "after v3 bridge update")
+    assert(membSet(memb) == Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
+      6L -> 6L, 9L -> 9L))
+
+    // v4: delete doc 1 (the rep of the big cluster) — remaining members
+    // relabel to the new min
+    val v4 = ManifestTable.commit(
+      ManifestTable.read(spark, corpus).where(col("doc_id") =!= 1L)
+        .localCheckpoint(), corpus)
+    roll(corpus, band, memb, rep, v3, v4)
+    assert(membSet(memb) == expected(corpus), "after v4 delete")
+    assert(membSet(memb)(2L -> 2L) && membSet(memb)(5L -> 2L))
+
+    // replay the last batch id with the same changes: watermark rejects
+    val vM = ManifestTable.currentVersion(memb)
+    val ch = ManifestTable.readChanges(
+      spark, corpus, v3, v4, Seq("doc_id"), preimages = true)
+    ClusterIndex.applyBatch(ch, (v4 - 1).toLong, band, memb, rep)
+    assert(ManifestTable.currentVersion(memb) == vM,
+      "replayed batch must not commit a new membership version")
+    assert(membSet(memb) == expected(corpus), "after replay")
+
+    // components read surface: sizes match q54's shape
+    val comp = ClusterIndex.readComponents(spark, memb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(comp == Set((2L, 2L, 3L), (3L, 2L, 3L), (5L, 2L, 3L),
+      (6L, 6L, 1L), (9L, 9L, 1L)), comp.toString)
+  }
+
+  test("turnkey startMaintenance keeps components current across commits " +
+    "and a restart; maintained matches q54's recompute on the real " +
+    "documents table built from incremental commits") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-clusteridx2").toString
+    val (corpus, band, memb, rep) =
+      (s"$work/corpus", s"$work/band", s"$work/memb", s"$work/rep")
+    val ckpt = s"$work/ckpt"
+    val all = Tables(spark, sf0001, "documents").select($"doc_id", $"text")
+    ManifestTable.merge(all.where($"doc_id" % 2 === 0), corpus, Seq("doc_id"))
+    val q = ClusterIndex.startMaintenance(spark, corpus, band, memb, rep, ckpt)
+    q.processAllAvailable()
+    assert(membSet(memb) == expected(corpus), "turnkey bootstrap half")
+    ManifestTable.merge(all.where($"doc_id" % 2 === 1), corpus, Seq("doc_id"))
+    q.processAllAvailable()
+    q.stop()
+    assert(membSet(memb) == expected(corpus), "turnkey full corpus")
+
+    // restart absorbs an offline commit
+    ManifestTable.merge(
+      Seq((900001L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      corpus, Seq("doc_id"))
+    val q2 = ClusterIndex.startMaintenance(spark, corpus, band, memb, rep, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(membSet(memb) == expected(corpus), "after restart")
+
+    // parity with the oracle-gated q54 on the SAME corpus content: the
+    // maintained labels must equal the per-query solve's
+    val snapDir = Files.createTempDirectory("graft-clusteridx2-snap").toString
+    ManifestTable.read(spark, corpus).select($"doc_id", $"text")
+      .write.parquet(s"$snapDir/documents.parquet")
+    val q54 = graft.functions.TextOps.q54NearDupComponents(spark, snapDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val maintained = ClusterIndex.readComponents(spark, memb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(maintained == q54)
+  }
+}
