@@ -68,9 +68,11 @@ object ClusterIndex {
 
   // ------------------------------------------------------------ compute
 
-  /** Ground-truth membership of a corpus snapshot: (doc_id, rep) with
-    * rep = min doc_id of the band-collision component — exactly the
-    * labels q54 assigns. Edge definition shared with q30/q126 through
+  /** Ground-truth membership of a corpus snapshot: (doc_id, rep,
+    * n_tokens) with rep = min doc_id of the band-collision component —
+    * exactly the labels q54 assigns. `n_tokens` (q69's keeper metric)
+    * rides the membership row so keeper selection never re-reads the
+    * corpus. Edge definition shared with q30/q126 through
     * [[TextOps.bandRowsOf]]. */
   def computeMembership(docs: DataFrame): DataFrame = {
     val bands = TextOps.bandRowsOf(docs)
@@ -83,9 +85,11 @@ object ClusterIndex {
       if (edges.count() <= TextOps.LocalComponentsMaxEdges)
         TextOps.componentLabelsLocal(edges).localCheckpoint()
       else TextOps.componentLabelsIterative(edges)
-    docs.select(col("doc_id"))
+    docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
       .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep"))
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep"),
+        col("n_tokens"))
   }
 
   /** Bootstrap both tables from a corpus snapshot. */
@@ -93,7 +97,8 @@ object ClusterIndex {
     val memb = computeMembership(docs).withColumn("live", lit(true)).localCheckpoint()
     ManifestTable.declareBuckets(membRoot, "doc_id", IndexBuckets)
     ManifestTable.mergePartitioned(
-      withMBucket(memb).select(col("mbucket"), col("doc_id"), col("rep"), col("live")),
+      withMBucket(memb).select(col("mbucket"), col("doc_id"), col("rep"),
+        col("n_tokens"), col("live")),
       membRoot, Seq("mbucket", "doc_id"), "mbucket")
     ManifestTable.declareBuckets(repRoot, "rep", IndexBuckets)
     ManifestTable.mergePartitioned(
@@ -108,6 +113,25 @@ object ClusterIndex {
     ManifestTable.read(spark, membRoot).where(col("live"))
       .select(col("doc_id"), col("rep"))
 
+  /** q69's exact output shape from the maintained state: per component
+    * keep the longest doc (token count, min doc_id on ties) —
+    * (component_id, keeper_id, keeper_tokens, component_size). The
+    * token counts live IN the membership rows, so the decision is one
+    * window over the maintained table; the corpus is not read. */
+  def readKeepers(spark: SparkSession, membRoot: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("rep"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    ManifestTable.read(spark, membRoot).where(col("live"))
+      .select(col("doc_id"), col("rep"), col("n_tokens"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("component_size",
+        count(lit(1)).over(Window.partitionBy(col("rep"))))
+      .where(col("rn") === 1)
+      .select(col("rep").as("component_id"), col("doc_id").as("keeper_id"),
+        col("n_tokens").as("keeper_tokens"), col("component_size"))
+  }
+
   /** q54's exact output shape from the maintained state:
     * (doc_id, component_id, component_size). */
   def readComponents(spark: SparkSession, membRoot: String): DataFrame = {
@@ -120,7 +144,7 @@ object ClusterIndex {
   /** Bucket-pruned live membership rows of the given doc ids. */
   private def membOf(spark: SparkSession, membRoot: String, ids: DataFrame): DataFrame =
     if (ManifestTable.currentVersion(membRoot) < 1)
-      ids.select(col("doc_id"), lit(0L).as("rep")).limit(0)
+      ids.select(col("doc_id"), lit(0L).as("rep"), lit(0L).as("n_tokens")).limit(0)
     else {
       val buckets = ids
         .select(ManifestTable.bucketIdColumn(col("doc_id"), IndexBuckets).as("b"))
@@ -128,7 +152,7 @@ object ClusterIndex {
       ManifestTable.readPartitions(spark, membRoot, buckets)
         .where(col("live"))
         .join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("rep"))
+        .select(col("doc_id"), col("rep"), col("n_tokens"))
     }
 
   /** Bucket-pruned live member lists of the given reps. */
@@ -214,21 +238,37 @@ object ClusterIndex {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    // 4. re-solve and rewrite M's rows in both tables
+    // 4. re-solve and rewrite M's rows in both tables. Token counts
+    // (q69's keeper metric) come from the batch for changed docs and
+    // carry over from the old membership rows for everyone else — the
+    // corpus is never re-read
     val labels = TextOps.componentLabelsLocal(edges)
+    val oldPairs = membOf(spark, membRoot, m) // pre-update assignment of M
+      .select(col("doc_id"), col("rep").as("old_rep"), col("n_tokens"))
+      .localCheckpoint()
+    val newTokens = changes
+      .where(col("_change_type").isin("insert", "update_postimage"))
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .distinct()
+    val tokensOfM = newTokens.union(
+      oldPairs.select(col("doc_id"), col("n_tokens"))
+        .join(broadcast(newTokens.select(col("doc_id"))), Seq("doc_id"), "left_anti"))
     val newMemb = mLive
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep"))
+      .join(tokensOfM, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("rep"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
       .localCheckpoint()
-    val oldPairs = membOf(spark, membRoot, m) // pre-update assignment of M
-      .select(col("doc_id"), col("rep").as("old_rep")).localCheckpoint()
 
     val membRows =
       newMemb.withColumn("live", lit(true))
-        .union(deleted.select(col("doc_id"), lit(-1L).as("rep"), lit(false).as("live")))
+        .union(deleted.select(col("doc_id"), lit(-1L).as("rep"),
+          lit(0L).as("n_tokens"), lit(false).as("live")))
     ManifestTable.declareBuckets(membRoot, "doc_id", IndexBuckets)
     ManifestTable.mergePartitioned(
-      withMBucket(membRows).select(col("mbucket"), col("doc_id"), col("rep"), col("live")),
+      withMBucket(membRows).select(col("mbucket"), col("doc_id"), col("rep"),
+        col("n_tokens"), col("live")),
       membRoot, Seq("mbucket", "doc_id"), "mbucket", tag = tag)
 
     // members-by-rep: tombstone rows whose (rep → doc) pairing vanished

@@ -133,5 +133,13 @@ class ClusterIndexSpec extends SparkSpec {
     val maintained = ClusterIndex.readComponents(spark, memb)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(maintained == q54)
+
+    // the keeper DECISION too: maintained token counts (batch-supplied,
+    // never re-read from the corpus) must reproduce q69 exactly
+    val q69 = graft.functions.TextOps.q69KeeperSelection(spark, snapDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val keepers = ClusterIndex.readKeepers(spark, memb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(keepers == q69)
   }
 }
