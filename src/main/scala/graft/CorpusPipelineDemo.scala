@@ -204,24 +204,54 @@ object CorpusPipelineDemo {
     val fpIdx = s"$work/fp_idx"
     val bandIdx = s"$work/band_idx"
     val allDocs = Tables(spark, sfDir, "documents").select($"doc_id", $"text")
-    val c1 = ManifestTable.merge(
+    ManifestTable.merge(
       allDocs.where($"doc_id" % 10 =!= 9 && $"doc_id" % 2 === 0),
       corpusRoot, Seq("doc_id"))
-    graft.sources.DedupIndex.refreshIndexes(spark, corpusRoot, fpIdx, bandIdx, 0, c1)
-    val c2 = ManifestTable.merge(
+    // the TURNKEY exactly-once maintenance stream: CDC offsets in the
+    // checkpoint, each index commit carries its batch id as a txn tag —
+    // a crash-replayed batch reads its own id back and skips, so the
+    // non-idempotent fp ref-counts can never double-apply
+    val mq = graft.sources.DedupIndex.startIndexMaintenance(
+      spark, corpusRoot, fpIdx, bandIdx, s"$work/idx_ckpt")
+    mq.processAllAvailable()
+    ManifestTable.merge(
       allDocs.where($"doc_id" % 10 =!= 9 && $"doc_id" % 2 === 1),
       corpusRoot, Seq("doc_id"))
-    graft.sources.DedupIndex.refreshIndexes(spark, corpusRoot, fpIdx, bandIdx, c1, c2)
+    mq.processAllAvailable()
+    mq.stop()
     val arriving = allDocs.where($"doc_id" % 10 === 9)
     val exactDups = graft.sources.DedupIndex.probeExact(arriving, spark, fpIdx)
       .where($"is_known_dup").count()
     val nearHits = graft.sources.DedupIndex.probeNearDup(arriving, spark, bandIdx).count()
-    val idxOk = graft.sources.DedupIndex.readFpIndex(spark, fpIdx)
-      .orderBy($"fp").collect().sameElements(
-        graft.sources.DedupIndex.computeFpIndex(
-          ManifestTable.read(spark, corpusRoot)).orderBy($"fp").collect())
+    // the stored-layout integrity audit: recomputed vs stored ref-counts
+    // full-outer-joined WITHOUT shuffling the index (planner-visible
+    // bucketing) — zero rows = the maintained index is exact
+    val auditBad = graft.sources.DedupIndex.auditFpIndex(
+      ManifestTable.read(spark, corpusRoot), spark, fpIdx).count()
     println(s"DEDUP_INDEX exact_dups_in_batch=$exactDups near_dup_hits=$nearHits " +
-      s"maintained_equals_recompute=$idxOk")
+      s"audit_mismatches=$auditBad")
+
+    // 9b. the CLUSTER layer on the same corpus: near-dup components +
+    // keeper decisions as MAINTAINED tables, fed by the same CDC stream
+    // (the band index is shared — per-table batch-tag watermarks let the
+    // two maintenance consumers compose without double-applying)
+    val membRoot = s"$work/memb"
+    val repRoot = s"$work/rep"
+    val cq = graft.sources.ClusterIndex.startMaintenance(
+      spark, corpusRoot, bandIdx, membRoot, repRoot, s"$work/cluster_ckpt")
+    cq.processAllAvailable()
+    cq.stop()
+    val comps = graft.sources.ClusterIndex.readComponents(spark, membRoot)
+    val nClusters = comps.where($"component_size" > 1)
+      .select($"component_id").distinct().count()
+    val nKeepers = graft.sources.ClusterIndex.readKeepers(spark, membRoot).count()
+    val clusterOk = graft.sources.ClusterIndex.readMembership(spark, membRoot)
+      .orderBy($"doc_id").collect().sameElements(
+        graft.sources.ClusterIndex.computeMembership(
+          ManifestTable.read(spark, corpusRoot))
+          .select($"doc_id", $"rep").orderBy($"doc_id").collect())
+    println(s"CLUSTER_INDEX dup_clusters=$nClusters keeper_decisions=$nKeepers " +
+      s"maintained_equals_recompute=$clusterOk")
 
     // 10. the same lifecycle for the VECTOR modality (q129's maintained
     // form): embeddings corpus committed, frozen IVF quantizer + cell

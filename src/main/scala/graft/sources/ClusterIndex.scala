@@ -182,6 +182,17 @@ object ClusterIndex {
       .select(col("doc_id"), col("band"), col("bucket"))
   }
 
+  /** Age `live = false` tombstones out of both cluster tables
+    * ([[DedupIndex.purgeTombstones]]'s reasoning — a dead membership or
+    * members-by-rep row is semantically absent to readers and to the
+    * next affected-cluster rewrite). */
+  def purgeTombstones(spark: SparkSession, membRoot: String, repRoot: String): Unit = {
+    if (ManifestTable.currentVersion(membRoot) >= 1)
+      ManifestTable.rewriteWhere(spark, membRoot, "mbucket", col("live"))
+    if (ManifestTable.currentVersion(repRoot) >= 1)
+      ManifestTable.rewriteWhere(spark, repRoot, "rbucket", col("live"))
+  }
+
   // -------------------------------------------------------- maintenance
 
   /** Apply one corpus CDC batch to the cluster tables. PRECONDITION:

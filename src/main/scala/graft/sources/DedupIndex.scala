@@ -271,6 +271,20 @@ object DedupIndex {
 
   // ------------------------------------------------------------ lifecycle
 
+  /** Age dead rows out of both index tables — the compaction step the
+    * tombstone design defers to ([[ManifestTable.rewriteWhere]]): a
+    * fingerprint whose ref-count retracted to zero and a band row whose
+    * doc shrank/was deleted are semantically ABSENT, so purging them
+    * changes no probe or maintenance answer (DedupIndexSpec pins
+    * purge-then-maintain ≡ recompute). Rewrites only the partitions
+    * holding dead rows. */
+  def purgeTombstones(spark: SparkSession, fpRoot: String, bandRoot: String): Unit = {
+    if (ManifestTable.currentVersion(fpRoot) >= 1)
+      ManifestTable.rewriteWhere(spark, fpRoot, "bucket", col("n_docs") > 0L)
+    if (ManifestTable.currentVersion(bandRoot) >= 1)
+      ManifestTable.rewriteWhere(spark, bandRoot, "pbucket", col("live"))
+  }
+
   /** Roll BOTH indexes forward across corpus versions `(fromV, toV]` —
     * what a scheduled index-maintenance job runs after ingest commits
     * land. One CDC read per version keeps each delta minimal (that

@@ -830,9 +830,14 @@ object ManifestTable {
   private def commitRebasing(
       root: String, baseEntries: Seq[FileEntry],
       newEntries: Seq[FileEntry], statsCols: Seq[String] = Nil,
-      tag: Option[String] = None, maxAttempts: Int = 10): Int = {
+      tag: Option[String] = None, maxAttempts: Int = 10,
+      alsoTouched: Set[String] = Set.empty): Int = {
     raceHookForTests()
-    val touched = newEntries.map(_.part).toSet
+    // alsoTouched: partitions this commit REMOVES entirely (rewriteWhere
+    // purging a fully-dead partition) — they contribute no new entries
+    // but must not be carried forward, and a concurrent change to them
+    // must still abort the rebase
+    val touched = newEntries.map(_.part).toSet ++ alsoTouched
     def byPart(es: Seq[FileEntry]): Map[String, Set[String]] =
       es.groupBy(_.part).view.mapValues(_.map(_.rel).toSet).toMap
     val base = byPart(baseEntries)
@@ -952,6 +957,48 @@ object ManifestTable {
     // racing a writer only aborts if the writer touched a partition
     // being compacted; disjoint activity rebases and both land
     commitRebasing(root, prev, newEntries, effStats)
+  }
+
+  /** Partition-scoped REWRITE dropping rows that fail `keep` — the
+    * tombstone-aging maintenance op the index tables rely on (merge
+    * cannot delete; readers filter `live`; THIS is what ages dead rows
+    * out). Only partitions that actually CONTAIN a violating row are
+    * rewritten (one pushed-filter scan finds them — metadata-cheap
+    * relative to a rewrite); untouched partitions keep their manifest
+    * entries verbatim. Safe by the index tables' semantics: a tombstone
+    * row (`n_docs = 0`, `live = false`) is indistinguishable from an
+    * ABSENT key to every reader and to the next merge (absent keys
+    * start from zero / full key coverage), so purging changes no
+    * answer — ManifestTableSpec pins that. Commits through
+    * [[commitRebasing]], so it composes with concurrent disjoint
+    * merges like [[compact]] does. Returns the new version, or the
+    * current one if nothing needed purging. */
+  def rewriteWhere(spark: SparkSession, root: String, partCol: String,
+      keep: Column): Int = synchronized {
+    val cur = currentVersion(root)
+    require(cur >= 1, s"table at $root has no committed version to rewrite")
+    val prev = listedEntries(root, cur)
+    require(!prev.exists(_.part.isEmpty),
+      s"table at $root has full-snapshot entries; rewriteWhere expects the " +
+        "partitioned layout")
+    val effStats = statsColumns(root, cur)
+    // partitions holding at least one dead row — pushed-filter scan
+    val deadParts = read(spark, root).where(!keep)
+      .select(coalesce(col(partCol).cast("string"), lit(NullPartition)).as("__p"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (deadParts.isEmpty) return cur
+    def isDead(p: String) = deadParts(unescapePathName(p))
+    val files = prev.collect { case e if isDead(e.part) => s"$root/${e.rel}" }
+    val kept = spark.read.option("mergeSchema", "true").parquet(files: _*)
+      .where(keep)
+    val newEntries = withStats(spark, root,
+      writePartitionedData(kept.localCheckpoint(), root, cur + 1, partCol), effStats)
+    // a partition whose EVERY row was dead writes no new files — it
+    // must still leave the manifest, so it is declared touched
+    // explicitly (commitRebasing otherwise derives touched from the
+    // new entries alone and would carry the stale files forward)
+    commitRebasing(root, prev, newEntries, effStats,
+      alsoTouched = prev.collect { case e if isDead(e.part) => e.part }.toSet)
   }
 
   /** One retained commit of a table ([[history]]). `timestamp` is the

@@ -137,6 +137,14 @@ object VecIndex {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Age `live = false` tombstones out of the cell index
+    * ([[DedupIndex.purgeTombstones]]'s reasoning). */
+  def purgeTombstones(spark: SparkSession, idxRoot: String): Unit =
+    if (ManifestTable.currentVersion(idxRoot) >= 1) {
+      ManifestTable.rewriteWhere(spark, idxRoot, "pbucket", col("live"))
+      ()
+    }
+
   /** The live cell index (tombstones filtered). */
   def readCellIndex(spark: SparkSession, idxRoot: String): DataFrame =
     ManifestTable.read(spark, idxRoot).where(col("live"))

@@ -195,6 +195,45 @@ class DedupIndexSpec extends SparkSpec {
     assert(ManifestTable.history(fpIdx).flatMap(_.tag).nonEmpty)
   }
 
+  test("purgeTombstones ages dead rows out WITHOUT changing any answer: " +
+    "live reads identical, raw reads tombstone-free, and maintenance " +
+    "AFTER the purge still equals a recompute (absent ≡ tombstone)") {
+    val work = Files.createTempDirectory("graft-dedupidx-purge").toString
+    val corpus = s"$work/corpus"
+    val fpIdx = s"$work/fp"
+    val bandIdx = s"$work/band"
+    val v1 = ManifestTable.merge(
+      docsDf(1L -> t1, 2L -> t2, 3L -> t3, 4L -> t1), corpus, Seq("doc_id"))
+    DedupIndex.refreshIndexes(spark, corpus, fpIdx, bandIdx, 0, v1)
+    // delete doc 3 and shrink doc 2 below shingle length → a zero
+    // ref-count fp tombstone and band tombstones
+    val v2 = ManifestTable.commit(
+      ManifestTable.read(spark, corpus).where(col("doc_id") =!= 3L)
+        .localCheckpoint(), corpus)
+    val v3 = ManifestTable.merge(docsDf(2L -> "tiny doc"), corpus, Seq("doc_id"))
+    DedupIndex.refreshIndexes(spark, corpus, fpIdx, bandIdx, v1, v3)
+    assert(ManifestTable.read(spark, fpIdx).where(col("n_docs") <= 0L).count() > 0,
+      "setup must have produced fp tombstones")
+    assert(ManifestTable.read(spark, bandIdx).where(!col("live")).count() > 0,
+      "setup must have produced band tombstones")
+
+    val liveFpBefore = rows(DedupIndex.readFpIndex(spark, fpIdx))
+    val liveBandBefore = rows(DedupIndex.readBandIndex(spark, bandIdx))
+    DedupIndex.purgeTombstones(spark, fpIdx, bandIdx)
+    assert(rows(DedupIndex.readFpIndex(spark, fpIdx)) == liveFpBefore)
+    assert(rows(DedupIndex.readBandIndex(spark, bandIdx)) == liveBandBefore)
+    assert(ManifestTable.read(spark, fpIdx).where(col("n_docs") <= 0L).count() == 0)
+    assert(ManifestTable.read(spark, bandIdx).where(!col("live")).count() == 0)
+    assert(v2 == v1 + 1)
+
+    // maintenance after the purge: re-insert doc 3's content and a dup
+    // of the purged fingerprint — absent keys must behave exactly like
+    // the tombstones they replaced
+    val v4 = ManifestTable.merge(docsDf(7L -> t3, 8L -> t3), corpus, Seq("doc_id"))
+    DedupIndex.refreshIndexes(spark, corpus, fpIdx, bandIdx, v3, v4)
+    assertMatchesSnapshot(corpus, fpIdx, bandIdx, "maintenance after purge")
+  }
+
   test("turnkey startIndexMaintenance: a graft-manifest-cdc-fed streaming " +
     "query keeps BOTH indexes equal to the corpus across commits and a restart") {
     val work = Files.createTempDirectory("graft-dedupidx-turnkey").toString

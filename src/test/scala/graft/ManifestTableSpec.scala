@@ -969,6 +969,34 @@ class ManifestTableSpec extends SparkSpec {
     assert(two.count() == 2L)
   }
 
+  test("rewriteWhere purges dead rows partition-scoped: only partitions " +
+    "holding a violating row rewrite (untouched entries carried verbatim), " +
+    "a fully-dead partition leaves the manifest, a clean table no-ops") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-rewrite").toString
+    ManifestTable.mergePartitioned(
+      Seq((1L, "d1", true), (2L, "d1", false), (3L, "d2", true),
+        (4L, "d3", false), (5L, "d3", false))
+        .toDF("id", "day", "live"), root, Seq("id", "day"), "day")
+    val v1 = ManifestTable.currentVersion(root)
+    val entriesBefore = ManifestTable.read(spark, root).inputFiles.toSet
+    val v2 = ManifestTable.rewriteWhere(spark, root, "day", $"live")
+    assert(v2 == v1 + 1)
+    assert(ManifestTable.read(spark, root).as[(Long, String, Boolean)]
+      .collect().toSet == Set((1L, "d1", true), (3L, "d2", true)),
+      "dead rows gone, live rows intact")
+    // d2 had no dead rows: its files must be the SAME files (no rewrite)
+    val entriesAfter = ManifestTable.read(spark, root).inputFiles.toSet
+    assert((entriesBefore & entriesAfter).forall(_.contains("__part=d2")))
+    assert(entriesAfter.exists(_.contains("__part=d2")))
+    // d3 was fully dead: no files for it remain in the manifest
+    assert(!entriesAfter.exists(_.contains("__part=d3")), entriesAfter.toSeq)
+    // nothing dead left: the next purge is a metadata no-op
+    assert(ManifestTable.rewriteWhere(spark, root, "day", $"live") == v2)
+    // time travel still sees the pre-purge snapshot
+    assert(ManifestTable.readVersion(spark, root, v1).count() == 5L)
+  }
+
   test("append rejects a stats re-declaration that would MISREAD carried-over " +
     "entries (reorder/replace), while extending the declaration is allowed " +
     "(ADVICE r10)") {
