@@ -302,6 +302,17 @@ object ScaleProbe {
     dsir(sfDir) // warm
     probe("dsir_weights")(dsir(sfDir))(dsir(docsNDir))
 
+    // Round-11 operators: q139's covariance is ONE typed-Aggregator pass
+    // whose buffer is fixed-size (17 KB) regardless of rows — the probe
+    // confirms the cost is the scan, not the d² term; q140's matryoshka
+    // pairing is a co-partitioned equi self-join on the derived pair key,
+    // so pairs (and the ×3 width explode) grow linearly with vectors.
+    def cov(d: String): Long = VectorOps.q139EmbeddingCovariance(spark, d).count()
+    def matry(d: String): Long = VectorOps.q140MatryoshkaFidelity(spark, d).count()
+    cov(sfDir); matry(sfDir) // warm
+    probe("covariance")(cov(sfDir))(cov(embNDir))
+    probe("matryoshka")(matry(sfDir))(matry(embNDir))
+
     // ---- the gate: time must grow at most linearly with data ----
     val gated = results.toSeq.map { case (n, t1, tN) =>
       (n, t1, tN, tN / math.max(t1, 0.3))

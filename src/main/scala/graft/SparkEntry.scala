@@ -26,7 +26,8 @@ object SparkEntry {
       functions.VectorOps.queries ++
       multimodal.Multimodal.queries ++
       sources.IngestFixtures.queries ++
-      sources.DedupIndexFixtures.queries
+      sources.DedupIndexFixtures.queries ++
+      sources.DiffFixtures.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,7 +40,8 @@ object SparkEntry {
       functions.VectorOps.oracleSql ++
       multimodal.Multimodal.oracleSql ++
       sources.IngestFixtures.oracleSql ++
-      sources.DedupIndexFixtures.oracleSql
+      sources.DedupIndexFixtures.oracleSql ++
+      sources.DiffFixtures.oracleSql
 
   /** Spark-dialect twins for oracle texts that are DuckDB-only
     * ([[SparkSqlTwins]]); SqlSurfaceSpec proves each ≡ the DataFrame

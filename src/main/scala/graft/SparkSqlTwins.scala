@@ -979,6 +979,35 @@ object SparkSqlTwins {
         |FROM seq WHERE gap_s IS NOT NULL
         |GROUP BY event_type""".stripMargin,
 
+    "q139_embedding_covariance" ->
+      """WITH e AS (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+        |d AS (SELECT a.i AS i, b.j AS j
+        |      FROM (SELECT explode(sequence(1, 64)) AS i) a
+        |      CROSS JOIN (SELECT explode(sequence(1, 64)) AS j) b
+        |      WHERE a.i <= b.j),
+        |m AS (SELECT i, j, sum(element_at(v, i) * element_at(v, j)) AS sij,
+        |             sum(element_at(v, i)) AS si, sum(element_at(v, j)) AS sj,
+        |             count(*) AS n
+        |      FROM e CROSS JOIN d GROUP BY i, j)
+        |SELECT CAST(i - 1 AS BIGINT) AS dim_i, CAST(j - 1 AS BIGINT) AS dim_j,
+        |       round(sij/n - (si/n)*(sj/n), 6) AS cov
+        |FROM m""".stripMargin,
+
+    "q140_matryoshka_fidelity" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+        |p AS (SELECT a.v AS va, b.v AS vb
+        |      FROM e a JOIN e b ON a.vec_id + 1 = b.vec_id WHERE a.vec_id % 2 = 0),
+        |w AS (SELECT explode(array(8, 16, 32)) AS w),
+        |x AS (SELECT w,
+        |        ${cosine("va", "vb")} AS cf,
+        |        ${cosine("slice(va, 1, w)", "slice(vb, 1, w)")} AS ct
+        |      FROM p CROSS JOIN w)
+        |SELECT CAST(w AS BIGINT) AS width, count(*) AS n_pairs,
+        |       round(avg(abs(ct - cf)), 6) AS mean_abs_err,
+        |       round(avg(ct), 6) AS mean_cos_trunc,
+        |       round(avg(cf), 6) AS mean_cos_full
+        |FROM x GROUP BY w""".stripMargin,
+
     "q93_dim_stats" ->
       """WITH e AS (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
         |d AS (SELECT explode(sequence(1, 64)) AS gs),

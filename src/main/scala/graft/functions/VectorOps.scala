@@ -824,7 +824,134 @@ object VectorOps {
       |       round(sim, 6) AS sim
       |FROM ranked WHERE rank <= 3""".stripMargin
 
+  /** q139 — the full 64×64 embedding COVARIANCE matrix (upper triangle,
+    * 2,080 entries): the input every classical embedding postprocessor
+    * starts from — PCA / whitening ("all-but-the-top"), Mahalanobis
+    * outlier scoring, dimension-correlation audits. q93 gives the
+    * diagonal (per-dim variance); this is the off-diagonal structure.
+    *
+    * 100 TB shape: ONE pass, one typed-Aggregator buffer per task
+    * ([[TypedAggregators.CovarianceMatrix]] — see its Scaladoc for why
+    * 2,080 scalar agg columns is the wrong layout), task-count ~17 KB
+    * partials through the exchange, (i, j, cov) triples exploded from
+    * the single finished row. Nothing is quadratic in rows; the d²
+    * term rides the fixed-width buffer, not the data. */
+  def q139EmbeddingCovariance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    emb(s, d)
+      .agg(TypedAggregators.covarianceMatrix($"v", EmbeddingDims).as("c"))
+      .select(explode($"c").as("e"))
+      .select($"e._1".cast("long").as("dim_i"), $"e._2".cast("long").as("dim_j"),
+        round($"e._3", 6).as("cov"))
+  }
+
+  val q139Sql: String =
+    """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |d AS (SELECT CAST(a.i AS INTEGER) AS i, CAST(b.j AS INTEGER) AS j
+      |      FROM range(1, 65) a(i) CROSS JOIN range(1, 65) b(j) WHERE a.i <= b.j),
+      |m AS (SELECT i, j, sum(v[i]*v[j]) AS sij, sum(v[i]) AS si, sum(v[j]) AS sj,
+      |             count(*) AS n
+      |      FROM e CROSS JOIN d GROUP BY i, j)
+      |SELECT CAST(i - 1 AS BIGINT) AS dim_i, CAST(j - 1 AS BIGINT) AS dim_j,
+      |       round(sij/n - (si/n)*(sj/n), 6) AS cov
+      |FROM m""".stripMargin
+
+  /** The covariance matrix as a driver-side symmetric d×d array —
+    * bounded collect (d² = 4,096 doubles), the PCA input. UNROUNDED:
+    * recomputed from the same Aggregator finish, not q139's display
+    * rounding. */
+  private[graft] def covarianceLocal(s: SparkSession, d: String): Array[Array[Double]] = {
+    import s.implicits._
+    val rows = emb(s, d)
+      .agg(TypedAggregators.covarianceMatrix($"v", EmbeddingDims).as("c"))
+      .select(explode($"c").as("e")).select($"e._1", $"e._2", $"e._3")
+      .as[(Int, Int, Double)].collect()
+    val m = Array.ofDim[Double](EmbeddingDims, EmbeddingDims)
+    rows.foreach { case (i, j, c) => m(i)(j) = c; m(j)(i) = c }
+    m
+  }
+
+  /** Top principal component of the embedding cloud by power iteration
+    * on the driver-side d×d covariance (the d² matrix is tiny; the
+    * DATA pass is q139's single-shot Aggregator). Deterministic: fixed
+    * all-ones start, fixed 300 iterations, first-nonzero-positive sign
+    * convention. Returns (eigenvector, eigenvalue, explained-variance
+    * ratio = λ / trace). Spec-gated (VectorOpsSpec) — an iterative
+    * eigensolve has no SQL oracle. */
+  def pcaTopComponent(s: SparkSession, d: String): (Array[Double], Double, Double) = {
+    val m = covarianceLocal(s, d)
+    val dim = m.length
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    var lambda = 0.0
+    (0 until 300).foreach { _ =>
+      val mv = Array.tabulate(dim)(i => {
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += m(i)(j) * v(j); j += 1 }
+        acc
+      })
+      lambda = math.sqrt(mv.map(x => x * x).sum)
+      if (lambda > 0) v = mv.map(_ / lambda)
+    }
+    val sign = v.find(math.abs(_) > 1e-12).map(x => math.signum(x)).getOrElse(1.0)
+    val trace = (0 until dim).map(i => m(i)(i)).sum
+    (v.map(_ * sign), lambda, if (trace > 0) lambda / trace else 0.0)
+  }
+
+  /** q140 — MATRYOSHKA truncation fidelity: how much cosine structure
+    * survives keeping only the first 8 / 16 / 32 of 64 dims — the
+    * measurement behind prefix-truncatable ("matryoshka") embedding
+    * deployment and any cheap-prefilter-then-exact-rescore ANN tier.
+    * Pairs are the deterministic (2k, 2k+1) adjacency; per pair and
+    * width: cosine on the prefix vs the full cosine.
+    *
+    * 100 TB shape: the pairing is ONE co-partitioned equi self-join on
+    * the derived pair key (no broadcast needed, no cross join); widths
+    * explode ×3 per pair row and collapse map-side into 3 groups —
+    * the exchange after the explode carries task-count partials, not
+    * pairs. Prefix slices are per-row arithmetic inside the scan. */
+  def q140MatryoshkaFidelity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    val left = e.where($"vec_id" % 2 === 0)
+      .select($"vec_id".as("pair_id"), $"v".as("va"), $"norm".as("na"))
+    val right = e.where($"vec_id" % 2 === 1)
+      .select(($"vec_id" - 1).as("pair_id"), $"v".as("vb"), $"norm".as("nb"))
+    left.join(right, "pair_id")
+      .withColumn("cf", dot("va", "vb") / ($"na" * $"nb"))
+      .select($"cf", $"va", $"vb",
+        explode(array(lit(8), lit(16), lit(32))).as("w"))
+      .withColumn("ta", expr("slice(va, 1, w)"))
+      .withColumn("tb", expr("slice(vb, 1, w)"))
+      .withColumn("ct", dot("ta", "tb") /
+        (sqrt(dot("ta", "ta")) * sqrt(dot("tb", "tb"))))
+      .groupBy($"w".cast("long").as("width"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(abs($"ct" - $"cf")), 6).as("mean_abs_err"),
+        round(avg($"ct"), 6).as("mean_cos_trunc"),
+        round(avg($"cf"), 6).as("mean_cos_full"))
+  }
+
+  val q140Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT a.v AS va, b.v AS vb
+      |      FROM e a JOIN e b ON a.vec_id + 1 = b.vec_id WHERE a.vec_id % 2 = 0),
+      |w AS (SELECT CAST(unnest([8, 16, 32]) AS INTEGER) AS w),
+      |x AS (SELECT w,
+      |        list_dot_product(va, vb)
+      |          / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cf,
+      |        list_dot_product(list_slice(va, 1, w), list_slice(vb, 1, w))
+      |          / (sqrt(list_dot_product(list_slice(va, 1, w), list_slice(va, 1, w)))
+      |             * sqrt(list_dot_product(list_slice(vb, 1, w), list_slice(vb, 1, w)))) AS ct
+      |      FROM p CROSS JOIN w)
+      |SELECT CAST(w AS BIGINT) AS width, count(*) AS n_pairs,
+      |       round(avg(abs(ct - cf)), 6) AS mean_abs_err,
+      |       round(avg(ct), 6) AS mean_cos_trunc,
+      |       round(avg(cf), 6) AS mean_cos_full
+      |FROM x GROUP BY w""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_embedding_covariance" -> (q139EmbeddingCovariance _),
+    "q140_matryoshka_fidelity" -> (q140MatryoshkaFidelity _),
     "q129_incremental_ivf" -> (q129IncrementalIvf _),
     "q128_hybrid_rrf" -> (q128HybridRrf _),
     "q113_hard_negatives" -> (q113HardNegatives _),
@@ -841,6 +968,8 @@ object VectorOps {
     "q36_label_centroid" -> (q36LabelCentroidDist _))
 
   val oracleSql: Map[String, String] = Map(
+    "q139_embedding_covariance" -> q139Sql,
+    "q140_matryoshka_fidelity" -> q140Sql,
     "q129_incremental_ivf" -> q129Sql,
     "q128_hybrid_rrf" -> q128Sql,
     "q113_hard_negatives" -> q113Sql,

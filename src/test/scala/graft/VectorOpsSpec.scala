@@ -202,4 +202,96 @@ class VectorOpsSpec extends SparkSpec {
     val rrfs = rows.map(_.getDouble(3)).toSeq
     assert(rrfs == rrfs.sorted.reverse)
   }
+
+  test("q139: covariance matrix matches a driver-side brute force at sf0.001") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"embedding".cast("array<double>")).as[Array[Double]].collect()
+    val n = vecs.length.toDouble
+    val dims = vecs.head.length
+    val expected = (for (i <- 0 until dims; j <- i until dims) yield {
+      val sij = vecs.map(v => v(i) * v(j)).sum
+      val si = vecs.map(_(i)).sum
+      val sj = vecs.map(_(j)).sum
+      (i.toLong, j.toLong,
+        BigDecimal(sij / n - (si / n) * (sj / n))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).toSet
+    val out = VectorOps.q139EmbeddingCovariance(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out.size == dims * (dims + 1) / 2)
+    // summation-order wobble can flip a rounded 6th decimal on a knife-edge
+    // value; compare at 1e-6 tolerance keyed by (i, j), not set equality
+    val em = expected.map(t => (t._1, t._2) -> t._3).toMap
+    out.foreach { case (i, j, c) =>
+      assert(math.abs(c - em((i, j))) <= 1.000001e-6, s"cov($i,$j): $c vs ${em((i, j))}")
+    }
+  }
+
+  test("q139: the Aggregator's partial-buffer merge is exact across a forced " +
+    "multi-partition layout (same triples as a single partition)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.explode
+    val df = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"embedding".cast("array<double>").as("v"))
+    def run(parts: Int) = df.repartition(parts)
+      .agg(graft.functions.TypedAggregators.covarianceMatrix($"v", 64).as("c"))
+      .select(explode($"c").as("e")).select($"e._1", $"e._2", $"e._3")
+      .as[(Int, Int, Double)].collect()
+      .map { case (i, j, c) => (i, j) -> c }.toMap
+    val one = run(1)
+    val many = run(13)
+    assert(one.keySet == many.keySet)
+    // merge is float-exact only up to reassociation; pin to 1e-12 absolute
+    one.foreach { case (k, c) => assert(math.abs(c - many(k)) < 1e-9, s"$k: $c vs ${many(k)}") }
+  }
+
+  test("pca: power iteration converges to an eigenpair of the covariance " +
+    "(residual small, ratio in (0,1], lambda >= max per-dim variance)") {
+    val (v, lambda, ratio) = VectorOps.pcaTopComponent(spark, sf0001)
+    assert(v.length == 64)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, "eigenvector not unit-norm")
+    assert(lambda > 0 && ratio > 0 && ratio <= 1.0, s"lambda=$lambda ratio=$ratio")
+    // residual ||Cv - lambda v||_inf: rebuild C from q139 (rounded copy is
+    // fine at this tolerance)
+    val rows = VectorOps.q139EmbeddingCovariance(spark, sf0001).collect()
+    val c = Array.ofDim[Double](64, 64)
+    rows.foreach { r =>
+      val (i, j, x) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      c(i)(j) = x; c(j)(i) = x
+    }
+    val cv = Array.tabulate(64)(i => (0 until 64).map(j => c(i)(j) * v(j)).sum)
+    val resid = (0 until 64).map(i => math.abs(cv(i) - lambda * v(i))).max
+    assert(resid < 1e-4, s"residual $resid")
+    val maxDiag = (0 until 64).map(i => c(i)(i)).max
+    assert(lambda >= maxDiag - 1e-6, s"lambda $lambda < max variance $maxDiag")
+  }
+
+  test("q140: truncation fidelity matches a driver-side brute force and error " +
+    "shrinks as the kept prefix grows") {
+    import spark.implicits._
+    val all = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val pairs = all.keys.filter(k => k % 2 == 0 && all.contains(k + 1)).toSeq.sorted
+      .map(k => (all(k), all(k + 1)))
+    val out = VectorOps.q140MatryoshkaFidelity(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(8L, 16L, 32L))
+    Seq(8, 16, 32).foreach { w =>
+      val errs = pairs.map { case (a, b) =>
+        math.abs(cos(a.take(w), b.take(w)) - cos(a, b))
+      }
+      val (n, err) = out(w.toLong)
+      assert(n == pairs.size.toLong)
+      assert(math.abs(err - errs.sum / errs.size) < 1e-5, s"w=$w: $err")
+    }
+    // more kept dims -> strictly better fidelity on this corpus
+    assert(out(8L)._2 > out(16L)._2 && out(16L)._2 > out(32L)._2, s"$out")
+  }
 }
