@@ -570,4 +570,25 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("q139: the covariance is ONE aggregation pass — a single Exchange " +
+    "(the singleton gather of ~17 KB partial buffers), no join of any kind") {
+    val plan = physical(VectorOps.q139EmbeddingCovariance(spark, sf0001))
+    // the typed Aggregator plans as a two-phase ObjectHashAggregate
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected ONE exchange (partial → final), got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), plan) // d² rides the buffer, not a dims join
+  }
+
+  test("q140: the pair match is an EQUI join on the derived pair key — " +
+    "never a nested-loop/cartesian — and the width aggregation is partial " +
+    "before its exchange") {
+    val plan = physical(VectorOps.q140MatryoshkaFidelity(spark, sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial"), plan) // 3-group collapse starts map-side
+  }
 }
