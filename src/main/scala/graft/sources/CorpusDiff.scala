@@ -22,23 +22,57 @@ import org.apache.spark.sql.functions._
   */
 object CorpusDiff {
 
+  /** Classify + sign one CDC row: the update pre/post pair collapses to
+    * one logical `update`, and preimages/deletes carry negative size. */
+  private def shaped(changes: DataFrame, sizeCol: String): DataFrame =
+    changes
+      .withColumn("change_type",
+        when(col("_change_type").startsWith("update"), "update")
+          .otherwise(col("_change_type")))
+      .withColumn("__delta",
+        when(col("_change_type").isin("delete", "update_preimage"),
+          -col(sizeCol)).otherwise(col(sizeCol)))
+
+  /** The aggregate BOTH faces share. n_docs is a plain additive count
+    * (one per non-preimage row), not countDistinct: the CDC contract
+    * emits at most one image per key and logical type within a diff, so
+    * distinctness is structural. ADDITIVITY is what buys the streaming
+    * face — Σ of per-commit reports ≡ the report of the concatenated
+    * feed — and it is also what lets Spark keep the aggregation partial
+    * map-side; a distinct count would force an extra key-wide shuffle
+    * AND be unsupported in a streaming aggregation. */
+  private def aggregated(df: DataFrame, dims: Seq[String]): DataFrame =
+    df.groupBy(dims.map(col) :+ col("change_type"): _*)
+      .agg(
+        count(when(col("_change_type") =!= "update_preimage", lit(1)))
+          .as("n_docs"),
+        sum(col("__delta")).as("chars_delta"))
+
   /** Summarize a [[ManifestTable.readChanges]] frame (preimages = true)
     * into (dims..., change_type, n_docs, chars_delta): inserts count
     * +size, deletes −size, updates net post−pre with the doc counted
     * once. Pure aggregation — composes with any dims the table carries. */
-  def report(changes: DataFrame, dims: Seq[String], keyCol: String,
-      sizeCol: String): DataFrame = {
-    val ct = when(col("_change_type").startsWith("update"), "update")
-      .otherwise(col("_change_type"))
-    val signed = when(col("_change_type").isin("delete", "update_preimage"),
-      -col(sizeCol)).otherwise(col(sizeCol))
-    changes
-      .withColumn("change_type", ct)
-      .withColumn("__delta", signed)
-      .groupBy(dims.map(col) :+ col("change_type"): _*)
-      .agg(countDistinct(col(keyCol)).as("n_docs"),
-        sum(col("__delta")).as("chars_delta"))
-  }
+  def report(changes: DataFrame, dims: Seq[String],
+      sizeCol: String): DataFrame =
+    aggregated(shaped(changes, sizeCol), dims)
+
+  /** Streaming face: the release FEED. A Complete-mode aggregation over
+    * the `graft-manifest-cdc` source whose state IS the report —
+    * |dims| × 3 rows, updated by each commit's micro-batch (the
+    * bootstrap batch is the starting snapshot as inserts, the CDC
+    * source contract). Semantics differ from [[report]] deliberately:
+    * this is the CUMULATIVE sum of per-commit diffs (a doc updated in
+    * two commits counts twice — it changed twice), while `report` nets
+    * a version RANGE per key; CorpusDiffSpec pins streamed ≡
+    * Σ per-commit `report`s, restart included. At 100 TB each trigger
+    * shuffles only that commit's delta rows into the tiny state. */
+  def reportStream(spark: SparkSession, root: String, dims: Seq[String],
+      keyCol: String, sizeCol: String): DataFrame =
+    aggregated(shaped(
+      spark.readStream.format("graft-manifest-cdc")
+        .option("path", root).option("key", keyCol)
+        .option("preimages", "true").load(),
+      sizeCol), dims)
 }
 
 /** Oracle fixture for q141: a documents ManifestTable rolled through
@@ -103,7 +137,7 @@ object DiffFixtures {
     val root = ensure(s, d)
     CorpusDiff.report(
       ManifestTable.readChanges(s, root, 1, 3, Seq("doc_id"), preimages = true),
-      dims = Seq("source"), keyCol = "doc_id", sizeCol = "n_chars")
+      dims = Seq("source"), sizeCol = "n_chars")
   }
 
   /** The oracle re-derives the net diff's three residue-class sets from
