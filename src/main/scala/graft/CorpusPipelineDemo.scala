@@ -170,6 +170,16 @@ object CorpusPipelineDemo {
       recheck.orderBy($"split").collect())
     println(s"INCREMENTAL_EQUALS_RECOMPUTE=$match_")
 
+    // 8a'. the RELEASE NOTE for promoting v→v2 (q141's operator on this
+    // table): the net per-split diff a reviewer reads before signing off
+    // the re-curation — computed from the changed partitions only
+    println(s"== release note: curated v$v -> v$v2 ==")
+    graft.sources.CorpusDiff.report(
+      ManifestTable.readChanges(spark, s"$work/curated", v, v2, Seq("doc_id"),
+        preimages = true),
+      dims = Seq("split"), sizeCol = "n_chars")
+      .orderBy($"split", $"change_type").show()
+
     // 8b. the lake-to-lake STREAMING leg: the curated table's CDC feeds
     // a derived registry table through the REGISTERED source and sink
     // formats — offsets live in the checkpoint, every micro-batch is one
