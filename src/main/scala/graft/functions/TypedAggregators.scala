@@ -73,15 +73,17 @@ object TypedAggregators {
     }
     override def finish(b: Array[Double]): Seq[(Int, Int, Double)] = {
       val n = b(0)
+      // empty input → empty result (the caller explodes it to zero
+      // rows), matching what a SQL GROUP BY over zero rows returns —
+      // NOT 2,080 fabricated "perfectly uncorrelated" zeros
+      if (n == 0) return Vector.empty
       val out = Vector.newBuilder[(Int, Int, Double)]
       var i = 0
       var k = 1 + dims
       while (i < dims) {
         var j = i
         while (j < dims) {
-          val cov = if (n == 0) 0.0
-            else b(k) / n - (b(1 + i) / n) * (b(1 + j) / n)
-          out += ((i, j, cov))
+          out += ((i, j, b(k) / n - (b(1 + i) / n) * (b(1 + j) / n)))
           k += 1; j += 1
         }
         i += 1

@@ -155,8 +155,14 @@ object ClusterIndex {
         .select(col("doc_id"), col("rep"), col("n_tokens"))
     }
 
-  /** Bucket-pruned live member lists of the given reps. */
-  private def membersOf(spark: SparkSession, repRoot: String, reps: DataFrame): DataFrame =
+  /** Bucket-pruned member lists of the given reps. `includeDead` keeps
+    * tombstoned (rep → doc) rows too: the maintenance pass sets it —
+    * a dead row still WITNESSES that the doc was recently a member, and
+    * that witness is what lets a crash-replay (rep table already
+    * rewritten, membership not) find the docs whose membership rows the
+    * first attempt meant to move. Probe/read surfaces keep the default. */
+  private def membersOf(spark: SparkSession, repRoot: String,
+      reps: DataFrame, includeDead: Boolean = false): DataFrame =
     if (ManifestTable.currentVersion(repRoot) < 1)
       reps.select(col("rep"), lit(0L).as("doc_id")).limit(0)
     else {
@@ -164,7 +170,7 @@ object ClusterIndex {
         .select(ManifestTable.bucketIdColumn(col("rep"), IndexBuckets).as("b"))
         .distinct().collect().map(_.getLong(0).toString).toSet
       ManifestTable.readPartitions(spark, repRoot, buckets)
-        .where(col("live"))
+        .where(if (includeDead) lit(true) else col("live"))
         .join(broadcast(reps.select(col("rep"))), Seq("rep"), "left_semi")
         .select(col("rep"), col("doc_id"))
     }
@@ -229,17 +235,29 @@ object ClusterIndex {
       .select(col("b.doc_id")).distinct()
     val seeds = changedIds.union(collided).distinct().localCheckpoint()
 
-    // 2. affected reps and their member lists → M
+    // 2. affected reps and their member lists → M. Dead (rep → doc)
+    // rows are followed too (includeDead): on a crash-replay the rep
+    // table is already rewritten and the tombstones it wrote are the
+    // only remaining pointers to the docs whose membership rows the
+    // first attempt meant to move (ClusterIndexSpec's injected crash)
     val seedReps = membOf(spark, membRoot, seeds)
       .select(col("rep")).distinct().localCheckpoint()
-    val members = membersOf(spark, repRoot, seedReps).select(col("doc_id"))
+    val members = membersOf(spark, repRoot, seedReps, includeDead = true)
+      .select(col("doc_id"))
     val m = members.union(seeds).distinct().localCheckpoint()
     val mCount = m.count()
     require(mCount <= MaxAffectedDocs,
       s"cluster maintenance would touch $mCount docs (> $MaxAffectedDocs cap): " +
         "the batch merges/splits clusters larger than the single-task re-solve " +
         "is sized for - run a bootstrap recompute instead")
-    val mLive = m.join(broadcast(deleted), Seq("doc_id"), "left_anti").localCheckpoint()
+    // docs reached ONLY through a tombstone may be long-deleted
+    // (membership row dead): keep a doc only if this batch touches it
+    // or its membership row is LIVE — never resurrect a deleted doc
+    val mNotDeleted = m.join(broadcast(deleted), Seq("doc_id"), "left_anti")
+    val mLive = mNotDeleted.join(
+      broadcast(membOf(spark, membRoot, mNotDeleted).select(col("doc_id"))
+        .union(seeds).distinct()),
+      Seq("doc_id"), "left_semi").localCheckpoint()
 
     // 3. M's induced edges, from stored band rows only
     val mBands = bandRowsFromIndex(spark, bandRoot, mLive)
@@ -253,7 +271,14 @@ object ClusterIndex {
     // (q69's keeper metric) come from the batch for changed docs and
     // carry over from the old membership rows for everyone else — the
     // corpus is never re-read
-    val labels = TextOps.componentLabelsLocal(edges)
+    // same dual-solver gate as [[computeMembership]]: the DOC cap above
+    // does not bound EDGES (two merging hot clusters can induce orders
+    // of magnitude more), so the single-task solver must not be
+    // unconditional
+    val labels =
+      if (edges.count() <= TextOps.LocalComponentsMaxEdges)
+        TextOps.componentLabelsLocal(edges).localCheckpoint()
+      else TextOps.componentLabelsIterative(edges)
     val oldPairs = membOf(spark, membRoot, m) // pre-update assignment of M
       .select(col("doc_id"), col("rep").as("old_rep"), col("n_tokens"))
       .localCheckpoint()
@@ -272,15 +297,19 @@ object ClusterIndex {
       .select(col("doc_id"), col("rep"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
       .localCheckpoint()
 
-    val membRows =
-      newMemb.withColumn("live", lit(true))
-        .union(deleted.select(col("doc_id"), lit(-1L).as("rep"),
-          lit(0L).as("n_tokens"), lit(false).as("live")))
-    ManifestTable.declareBuckets(membRoot, "doc_id", IndexBuckets)
-    ManifestTable.mergePartitioned(
-      withMBucket(membRows).select(col("mbucket"), col("doc_id"), col("rep"),
-        col("n_tokens"), col("live")),
-      membRoot, Seq("mbucket", "doc_id"), "mbucket", tag = tag)
+    // COMMIT ORDER CONTRACT: members-by-rep FIRST, membership LAST —
+    // the batch watermark applyBatch consults lives on membRoot, so the
+    // guard must ride the FINAL commit. A crash in between leaves
+    // membRoot untagged, the replay re-enters this pass, and the
+    // re-run converges: every input derives from the CDC batch, the
+    // band index, and the STILL-UNTOUCHED membership table, except the
+    // affected-set walk over the half-committed repRoot — which finds
+    // the first attempt's moved docs through the tombstones it wrote
+    // (membersOf includeDead above), re-derives the same labels, and
+    // re-applies the same keyed rows idempotently. Committing
+    // membership first would instead let the tag mask a permanently
+    // stale rep table — worse, the replay's `moved` set would read
+    // post-commit membership and compute empty.
 
     // members-by-rep: tombstone rows whose (rep → doc) pairing vanished
     // (moved doc, deleted doc), then write the new live pairings
@@ -295,37 +324,81 @@ object ClusterIndex {
     ManifestTable.mergePartitioned(
       withRBucket(repRows).select(col("rbucket"), col("rep"), col("doc_id"), col("live")),
       repRoot, Seq("rbucket", "rep", "doc_id"), "rbucket", tag = tag)
+
+    if (injectCrashBetweenCommits) {
+      injectCrashBetweenCommits = false
+      throw new IllegalStateException(
+        "injected crash between repRoot and membRoot commits (test hook)")
+    }
+
+    val membRows =
+      newMemb.withColumn("live", lit(true))
+        .union(deleted.select(col("doc_id"), lit(-1L).as("rep"),
+          lit(0L).as("n_tokens"), lit(false).as("live")))
+    ManifestTable.declareBuckets(membRoot, "doc_id", IndexBuckets)
+    ManifestTable.mergePartitioned(
+      withMBucket(membRows).select(col("mbucket"), col("doc_id"), col("rep"),
+        col("n_tokens"), col("live")),
+      membRoot, Seq("mbucket", "doc_id"), "mbucket", tag = tag)
   }
 
+  /** Test hook (ClusterIndexSpec): throw after the repRoot commit and
+    * before the membRoot commit, simulating the one crash window the
+    * commit-order contract above must survive. Self-clearing. */
+  private[graft] var injectCrashBetweenCommits: Boolean = false
+
   /** EXACTLY-ONCE step for ONE corpus CDC micro-batch, maintaining the
-    * band index first (its own watermark) and the cluster tables after
-    * (membership table's watermark guards the pair — both cluster
-    * tables commit from one pass, and a crash between their two
-    * commits replays into a [[applyChanges]] whose rewrites are
-    * idempotent for the same inputs: same M, same labels, same rows). */
+    * band index first (its own watermark) and the cluster tables after.
+    * The cluster pair's watermark rides membRoot — the table
+    * [[applyChanges]] commits LAST — so a crash between its two commits
+    * leaves the batch untagged and the replay re-enters a pass whose
+    * rewrites are idempotent (see the commit-order contract in
+    * [[applyChanges]]); ClusterIndexSpec injects exactly that crash.
+    *
+    * `scope` isolates this stream's batch-id space in the shared
+    * commit history: the band index is routinely co-maintained by
+    * [[DedupIndex.startIndexMaintenance]], whose stream has its OWN
+    * batch ids — an unscoped watermark would let one stream's high id
+    * silently swallow the other's deltas
+    * ([[ManifestTable.batchTag]]). Re-applying a band delta another
+    * scope already wrote is safe: [[DedupIndex.maintainBandIndex]] is
+    * a keyed merge, idempotent by construction. */
   def applyBatch(changes: DataFrame, batchId: Long,
-      bandRoot: String, membRoot: String, repRoot: String): Unit = {
+      bandRoot: String, membRoot: String, repRoot: String,
+      scope: String = ""): Unit = {
     val spark = changes.sparkSession
     val ch = changes.localCheckpoint()
-    val tag = Some(s"batch=$batchId")
-    if (batchId > ManifestTable.lastBatchTag(bandRoot))
+    val tag = Some(ManifestTable.batchTag(scope, batchId))
+    if (batchId > ManifestTable.lastBatchTag(bandRoot, scope))
       DedupIndex.maintainBandIndex(spark, ch, bandRoot, tag)
-    if (batchId > ManifestTable.lastBatchTag(membRoot))
+    if (batchId > ManifestTable.lastBatchTag(membRoot, scope))
       applyChanges(spark, ch, bandRoot, membRoot, repRoot, tag)
   }
 
   /** Turnkey: keep band index + cluster tables equal to the corpus at
-    * `corpusRoot`, fed by `graft-manifest-cdc`, exactly-once. */
+    * `corpusRoot`, fed by `graft-manifest-cdc`, exactly-once. If the
+    * tables were seeded by [[bootstrap]], pass the corpus version it
+    * saw as `startingVersion` — a fresh checkpoint's first batch
+    * otherwise re-emits the whole snapshot
+    * ([[DedupIndex.bootstrapFpIndex]]'s pairing note; the cluster
+    * rewrites are idempotent, so here it costs a full re-solve rather
+    * than corruption, but the band index re-merge is still a full
+    * re-shingle of the corpus). */
   def startMaintenance(spark: SparkSession, corpusRoot: String,
-      bandRoot: String, membRoot: String, repRoot: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      bandRoot: String, membRoot: String, repRoot: String, checkpoint: String,
+      startingVersion: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val scope = ManifestStreamSink.digest(
+      ManifestStreamSink.canonicalCheckpoint(checkpoint))
     spark.readStream.format("graft-manifest-cdc")
       .option("path", corpusRoot).option("key", "doc_id")
+      .option("startingVersion", startingVersion.toString)
       .option("preimages", "true").load()
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, id, bandRoot, membRoot, repRoot)
+        applyBatch(b, id, bandRoot, membRoot, repRoot, scope)
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 }

@@ -59,7 +59,15 @@ object DedupIndex {
       .withColumn("bucket", ManifestTable.bucketIdColumn(col("fp"), IndexBuckets))
       .select(col("bucket"), col("fp"), col("n_docs"))
 
-  /** Bootstrap the exact index table from a corpus snapshot. */
+  /** Bootstrap the exact index table from a corpus snapshot.
+    *
+    * PAIRING WITH [[startIndexMaintenance]]: a fresh checkpoint's first
+    * CDC batch re-emits the WHOLE snapshot as inserts (the source's
+    * bootstrap contract), and ref-counts are not idempotent — pairing a
+    * bootstrap with a default stream start double-counts every
+    * fingerprint. Pass the corpus version the bootstrap indexed as
+    * `startingVersion`, so the stream begins at the post-bootstrap
+    * delta instead. */
   def bootstrapFpIndex(docs: DataFrame, idxRoot: String): Int = {
     ManifestTable.declareBuckets(idxRoot, "fp", IndexBuckets)
     ManifestTable.mergePartitioned(
@@ -316,13 +324,13 @@ object DedupIndex {
     * A batch whose delta nets to zero commits nothing and records no
     * tag — harmless, because replaying a no-op is a no-op. */
   def applyBatch(changes: DataFrame, batchId: Long,
-      fpRoot: String, bandRoot: String): Unit = {
+      fpRoot: String, bandRoot: String, scope: String = ""): Unit = {
     val spark = changes.sparkSession
-    val tag = Some(s"batch=$batchId")
+    val tag = Some(ManifestTable.batchTag(scope, batchId))
     val ch = changes.localCheckpoint()
-    if (batchId > ManifestTable.lastBatchTag(fpRoot))
+    if (batchId > ManifestTable.lastBatchTag(fpRoot, scope))
       maintainFpIndex(spark, ch, fpRoot, tag)
-    if (batchId > ManifestTable.lastBatchTag(bandRoot))
+    if (batchId > ManifestTable.lastBatchTag(bandRoot, scope))
       maintainBandIndex(spark, ch, bandRoot, tag)
   }
 
@@ -331,15 +339,23 @@ object DedupIndex {
     * `checkpoint`) that keeps both dedup indexes equal to the corpus
     * table at `corpusRoot`, exactly-once via [[applyBatch]]. */
   def startIndexMaintenance(spark: SparkSession, corpusRoot: String,
-      fpRoot: String, bandRoot: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      fpRoot: String, bandRoot: String, checkpoint: String,
+      startingVersion: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // watermark scope = this stream's identity: another maintenance
+    // stream sharing an index root (the cluster maintenance shares the
+    // band index) has its own batch-id space and must not alias ours
+    val scope = ManifestStreamSink.digest(
+      ManifestStreamSink.canonicalCheckpoint(checkpoint))
     spark.readStream.format("graft-manifest-cdc")
       .option("path", corpusRoot).option("key", "doc_id")
+      .option("startingVersion", startingVersion.toString)
       .option("preimages", "true").load()
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, id, fpRoot, bandRoot)
+        applyBatch(b, id, fpRoot, bandRoot, scope)
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 }

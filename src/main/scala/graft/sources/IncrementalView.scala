@@ -109,14 +109,16 @@ object IncrementalView {
     * enough that rewriting dominates, the same tag protocol composes
     * with a partitioned state table. */
   def applyBatch(stateRoot: String, batch: DataFrame, batchId: Long,
-      groupCols: Seq[String], valueCol: String): Unit = {
+      groupCols: Seq[String], valueCol: String, scope: String = ""): Unit = {
     val spark = batch.sparkSession
     val cur = ManifestTable.currentVersion(stateRoot)
-    // watermark = newest batch= tag in the RETAINED HISTORY, not just
-    // the head commit (ADVICE r10): an untagged commit landing between
-    // batches (manual compaction, restore, operator merge) must not
-    // reset the watermark and let a replayed batch double-apply
-    val lastApplied = ManifestTable.lastBatchTag(stateRoot)
+    // watermark = newest batch= tag IN THIS SCOPE in the RETAINED
+    // HISTORY, not just the head commit (ADVICE r10): an untagged
+    // commit landing between batches (manual compaction, restore,
+    // operator merge) must not reset the watermark and let a replayed
+    // batch double-apply; a tag from ANOTHER stream's scope must not
+    // mask this one's ([[ManifestTable.batchTag]])
+    val lastApplied = ManifestTable.lastBatchTag(stateRoot, scope)
     if (batchId <= lastApplied) return // replay: this batch already produced a state
     val state =
       if (cur >= 1) ManifestTable.read(spark, stateRoot)
@@ -124,7 +126,8 @@ object IncrementalView {
         batch.where(lit(false))
           .select((groupCols :+ valueCol).map(col): _*), groupCols, valueCol)
     val next = maintain(state, batch, groupCols, valueCol)
-    ManifestTable.commitSnapshot(next, stateRoot, Nil, Some(s"batch=$batchId"))
+    ManifestTable.commitSnapshot(next, stateRoot, Nil,
+      Some(ManifestTable.batchTag(scope, batchId)))
   }
 
   /** The turnkey form: a streaming query that keeps `stateRoot` equal
@@ -134,16 +137,19 @@ object IncrementalView {
   def startMaintenance(spark: org.apache.spark.sql.SparkSession,
       corpusRoot: String, stateRoot: String, key: Seq[String],
       groupCols: Seq[String], valueCol: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val scope = ManifestStreamSink.digest(
+      ManifestStreamSink.canonicalCheckpoint(checkpoint))
     spark.readStream.format("graft-manifest-cdc")
       .option("path", corpusRoot).option("key", key.mkString(","))
       .option("preimages", "true").load()
       .writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        applyBatch(stateRoot, b, id, groupCols, valueCol)
+        applyBatch(stateRoot, b, id, groupCols, valueCol, scope)
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
   /** Guard against the silent-drift footgun named in [[maintain]]'s
     * doc: a changes frame produced WITHOUT preimages. Used by specs. */

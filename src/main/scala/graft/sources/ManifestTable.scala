@@ -176,21 +176,39 @@ object ManifestTable {
   private[graft] def statsColumn(root: String, v: Int): Option[String] =
     statsColumns(root, v).headOption
 
-  /** The most recent `batch=<id>` transaction tag across RETAINED
-    * commits, or -1 when none — the exactly-once watermark
+  /** The transaction tag for maintenance batch `id` under `scope` (""
+    * = the legacy unscoped form, `batch=<id>`; scoped tags spell
+    * `batch=<scope>/<id>`). Scoping exists because ONE index table can
+    * be maintained by SEVERAL streams with unrelated batch-id spaces —
+    * e.g. the band index feeding both the dedup probes and the cluster
+    * maintenance: an unscoped watermark lets stream B's batch 1 be
+    * silently skipped because stream A already wrote `batch=5`. Each
+    * maintenance stream derives its scope from its canonicalized
+    * checkpoint path, so lineages never cross. */
+  private[graft] def batchTag(scope: String, id: Long): String =
+    if (scope.isEmpty) s"batch=$id" else s"batch=$scope/$id"
+
+  /** The most recent `batch=` transaction tag IN `scope` across
+    * RETAINED commits, or -1 when none — the exactly-once watermark
     * [[IncrementalView.applyBatch]] and the index maintenance jobs
     * consult before applying a (non-idempotent) delta. Scanning the
     * whole retained history, not just the head version (ADVICE r10):
     * an untagged commit landing between batches — manual compaction, a
     * restore, an operator merge — must not reset the watermark to -1
-    * and let a replayed batch double-apply. */
-  private[graft] def lastBatchTag(root: String): Long =
+    * and let a replayed batch double-apply. Tags from OTHER scopes are
+    * skipped, not matched: two streams' watermarks advance
+    * independently through the shared commit history. */
+  private[graft] def lastBatchTag(root: String, scope: String = ""): Long = {
+    val prefix = if (scope.isEmpty) "batch=" else s"batch=$scope/"
     (currentVersion(root) to 1 by -1).iterator
       .filter(v => Files.exists(manifestPath(root, v)))
       .flatMap(v => commitTag(root, v))
-      .collectFirst { case t if t.startsWith("batch=") =>
-        t.stripPrefix("batch=").toLong }
+      .collectFirst { case t if t.startsWith(prefix) &&
+          t.stripPrefix(prefix).nonEmpty &&
+          t.stripPrefix(prefix).forall(_.isDigit) =>
+        t.stripPrefix(prefix).toLong }
       .getOrElse(-1L)
+  }
 
   /** Reject stats re-declarations that would MISREAD carried-over
     * entries (ADVICE r10): [[append]] and [[mergePartitioned]] keep the
@@ -993,6 +1011,17 @@ object ManifestTable {
       .where(keep)
     val newEntries = withStats(spark, root,
       writePartitionedData(kept.localCheckpoint(), root, cur + 1, partCol), effStats)
+    // boundary: EVERY partition dead and ZERO rows kept would commit an
+    // empty manifest — illegal by design (the table's schema lives only
+    // in parquet footers, so an empty table has no schema source). A
+    // fully-retracted table keeps its dead rows until new data arrives;
+    // readers filter them, so this no-op is invisible except in storage
+    if (newEntries.isEmpty && prev.forall(e => isDead(e.part))) {
+      System.err.println(s"[manifest] rewriteWhere at $root matched every " +
+        "row of every partition; keeping the files (an empty commit has no " +
+        "schema source) - rewrite skipped")
+      return cur
+    }
     // a partition whose EVERY row was dead writes no new files — it
     // must still leave the manifest, so it is declared touched
     // explicitly (commitRebasing otherwise derives touched from the

@@ -114,10 +114,10 @@ object VecIndex {
     * but skipping is still cheaper and keeps the protocol uniform with
     * [[DedupIndex.applyBatch]]'s genuinely non-idempotent ref-counts). */
   def applyBatch(changes: DataFrame, batchId: Long,
-      centRoot: String, idxRoot: String): Unit = {
-    if (batchId <= ManifestTable.lastBatchTag(idxRoot)) return
+      centRoot: String, idxRoot: String, scope: String = ""): Unit = {
+    if (batchId <= ManifestTable.lastBatchTag(idxRoot, scope)) return
     maintain(changes.sparkSession, changes, centRoot, idxRoot,
-      Some(s"batch=$batchId"))
+      Some(ManifestTable.batchTag(scope, batchId)))
   }
 
   /** Turnkey: keep the cell index equal to the embedding corpus at
@@ -125,17 +125,22 @@ object VecIndex {
     * `checkpoint`), exactly-once via [[applyBatch]]. The quantizer
     * stays FROZEN — only the cell index advances. */
   def startMaintenance(spark: SparkSession, corpusRoot: String,
-      centRoot: String, idxRoot: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      centRoot: String, idxRoot: String, checkpoint: String,
+      startingVersion: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val scope = ManifestStreamSink.digest(
+      ManifestStreamSink.canonicalCheckpoint(checkpoint))
     spark.readStream.format("graft-manifest-cdc")
       .option("path", corpusRoot).option("key", "vec_id")
+      .option("startingVersion", startingVersion.toString)
       .option("preimages", "true").load()
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, id, centRoot, idxRoot)
+        applyBatch(b, id, centRoot, idxRoot, scope)
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
   /** Age `live = false` tombstones out of the cell index
     * ([[DedupIndex.purgeTombstones]]'s reasoning). */

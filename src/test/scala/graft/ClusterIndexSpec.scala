@@ -142,4 +142,76 @@ class ClusterIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(keepers == q69)
   }
+
+  test("crash BETWEEN the two cluster commits (rep committed, membership " +
+    "not): the replay re-enters applyChanges and converges — the watermark " +
+    "must ride the LAST commit, or the rep table stays stale forever") {
+    val work = Files.createTempDirectory("graft-clusteridx-crash").toString
+    val (corpus, band, memb, rep) =
+      (s"$work/corpus", s"$work/band", s"$work/memb", s"$work/rep")
+    val v1 = ManifestTable.merge(
+      docsDf(1L -> t1, 2L -> t1, 5L -> t2, 6L -> t2), corpus, Seq("doc_id"))
+    roll(corpus, band, memb, rep, 0, v1)
+
+    // v2 merges the two clusters (doc 5's text becomes t1) — and the
+    // JVM "dies" after the members-by-rep commit, before membership
+    val v2 = ManifestTable.merge(docsDf(5L -> t1), corpus, Seq("doc_id"))
+    val ch = ManifestTable.readChanges(
+      spark, corpus, v1, v2, Seq("doc_id"), preimages = true)
+    ClusterIndex.injectCrashBetweenCommits = true
+    intercept[IllegalStateException] {
+      ClusterIndex.applyBatch(ch, v1.toLong, band, memb, rep)
+    }
+    // the crash window: repRoot advanced, membRoot untagged and behind
+    assert(ManifestTable.lastBatchTag(memb) < v1.toLong,
+      "membership must NOT carry the batch tag after the injected crash")
+
+    // the replay (what the streaming runtime does on restart): must
+    // re-enter applyChanges, not skip, and both tables must converge
+    ClusterIndex.applyBatch(ch, v1.toLong, band, memb, rep)
+    assert(membSet(memb) == expected(corpus), "membership after crash+replay")
+    // members-by-rep agrees with membership (no stale (old_rep, doc) row)
+    val byRep = ManifestTable.read(spark, rep).where(col("live"))
+      .select(col("doc_id"), col("rep")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byRep == membSet(memb),
+      s"rep table diverged: rep=$byRep memb=${membSet(memb)}")
+    // second replay of the SAME id: now fully applied → watermark skips
+    val vM = ManifestTable.currentVersion(memb)
+    ClusterIndex.applyBatch(ch, v1.toLong, band, memb, rep)
+    assert(ManifestTable.currentVersion(memb) == vM, "replay after success must skip")
+  }
+
+  test("SCOPED watermarks: the dedup stream and the cluster stream share " +
+    "the band index with unrelated batch-id spaces — one stream's high id " +
+    "must not swallow the other's delta") {
+    val work = Files.createTempDirectory("graft-clusteridx-scope").toString
+    val (corpus, fp, band, memb, rep) =
+      (s"$work/corpus", s"$work/fp", s"$work/band", s"$work/memb", s"$work/rep")
+    val v1 = ManifestTable.merge(
+      docsDf(1L -> t1, 2L -> t1, 9L -> t3), corpus, Seq("doc_id"))
+    val ch1 = ManifestTable.readChanges(
+      spark, corpus, 0, v1, Seq("doc_id"), preimages = true)
+    // the dedup stream is further along in ITS numbering (restarted
+    // checkpoint, compactions — id spaces are not comparable): batch 7
+    DedupIndex.applyBatch(ch1, 7L, fp, band, scope = "dedupstream")
+    // the cluster stream's FIRST batch (id 0) covers the same corpus
+    // commit — an unscoped watermark would see 0 <= 7 and skip BOTH the
+    // band delta and the cluster solve
+    ClusterIndex.applyBatch(ch1, 0L, band, memb, rep, scope = "clusterstream")
+    assert(membSet(memb) == expected(corpus),
+      "cluster stream must apply its batch despite the other scope's higher id")
+
+    // and the lineages stay independent: each scope reads its own
+    assert(ManifestTable.lastBatchTag(band, "dedupstream") == 7L)
+    assert(ManifestTable.lastBatchTag(band, "clusterstream") == 0L)
+    assert(ManifestTable.lastBatchTag(band) == -1L,
+      "unscoped watermark must not match scoped tags")
+
+    // replay within each scope still rejects
+    val vB = ManifestTable.currentVersion(band)
+    DedupIndex.applyBatch(ch1, 7L, fp, band, scope = "dedupstream")
+    ClusterIndex.applyBatch(ch1, 0L, band, memb, rep, scope = "clusterstream")
+    assert(ManifestTable.currentVersion(band) == vB, "scoped replays must skip")
+  }
 }

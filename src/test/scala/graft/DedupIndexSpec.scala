@@ -259,4 +259,39 @@ class DedupIndexSpec extends SparkSpec {
     val exact = DedupIndex.probeExact(docsDf(100L -> t1), spark, fpIdx).collect()
     assert(exact.length == 1 && exact.head.getBoolean(2))
   }
+
+  test("bootstrap + startIndexMaintenance(startingVersion): the stream's " +
+    "first batch covers only POST-bootstrap commits — ref-counts stay exact " +
+    "instead of doubling on the re-emitted snapshot") {
+    val work = Files.createTempDirectory("graft-dedupidx-boot").toString
+    val corpus = s"$work/corpus"
+    val fpIdx = s"$work/fp"
+    val bandIdx = s"$work/band"
+    // v1 indexed by a BOOTSTRAP, not by the stream
+    val v1 = ManifestTable.merge(
+      docsDf(1L -> t1, 2L -> t2, 3L -> t1), corpus, Seq("doc_id"))
+    val snap = ManifestTable.read(spark, corpus)
+    DedupIndex.bootstrapFpIndex(snap, fpIdx)
+    DedupIndex.bootstrapBandIndex(snap, bandIdx)
+    assertMatchesSnapshot(corpus, fpIdx, bandIdx, "bootstrap")
+
+    // the documented pairing: startingVersion = the bootstrapped version.
+    // Without it the fresh checkpoint's first batch re-emits v0→v1 as
+    // inserts and every fp ref-count doubles (t1 would read 4, not 2)
+    val q = DedupIndex.startIndexMaintenance(
+      spark, corpus, fpIdx, bandIdx, s"$work/ckpt", startingVersion = v1)
+    q.processAllAvailable()
+    assertMatchesSnapshot(corpus, fpIdx, bandIdx,
+      "stream start over a bootstrapped index")
+    val t1Count = DedupIndex.readFpIndex(spark, fpIdx)
+      .where(col("fp") === md5(lit(t1))).select(col("n_docs")).collect()
+    assert(t1Count.length == 1 && t1Count.head.getLong(0) == 2L,
+      s"t1 ref-count after pairing: ${t1Count.toSeq}")
+
+    // post-bootstrap commits flow through the stream normally
+    ManifestTable.merge(docsDf(4L -> t1), corpus, Seq("doc_id"))
+    q.processAllAvailable()
+    q.stop()
+    assertMatchesSnapshot(corpus, fpIdx, bandIdx, "post-bootstrap commit")
+  }
 }

@@ -262,10 +262,14 @@ class ManifestCdcStreamSpec extends SparkSpec {
     assert(stateSet() == expect(), "restart must absorb the offline delete")
 
     // replay: re-deliver an OLD batch id with a poisoned delta — the tag
-    // read from the current state commit must reject it untouched
+    // read from the current state commit must reject it untouched. The
+    // stream's tags are SCOPED to its checkpoint; a replay is only a
+    // replay within that scope, so the hand-replay derives it the same way
     val vBefore = ManifestTable.currentVersion(state)
     val poisoned = Seq(("g1", 999L, "insert")).toDF("g", "x", "_change_type")
-    IncrementalView.applyBatch(state, poisoned, batchId = 0L, Seq("g"), "x")
+    val scope = graft.sources.ManifestStreamSink.digest(
+      graft.sources.ManifestStreamSink.canonicalCheckpoint(ckpt))
+    IncrementalView.applyBatch(state, poisoned, batchId = 0L, Seq("g"), "x", scope)
     assert(ManifestTable.currentVersion(state) == vBefore,
       "a replayed batch id must not commit a new state version")
     assert(stateSet() == expect())

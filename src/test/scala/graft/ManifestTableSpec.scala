@@ -997,6 +997,23 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.readVersion(spark, root, v1).count() == 5L)
   }
 
+  test("rewriteWhere on a FULLY-dead table no-ops instead of committing an " +
+    "empty (schema-less) manifest — a fully-retracted index keeps its " +
+    "tombstones until new data arrives") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-rewrite-alldead").toString
+    ManifestTable.mergePartitioned(
+      Seq((1L, "d1", false), (2L, "d2", false)).toDF("id", "day", "live"),
+      root, Seq("id", "day"), "day")
+    val v1 = ManifestTable.currentVersion(root)
+    // every row of every partition violates `keep`: must not throw, must
+    // not commit, table still readable with its schema
+    assert(ManifestTable.rewriteWhere(spark, root, "day", $"live") == v1)
+    assert(ManifestTable.currentVersion(root) == v1)
+    assert(ManifestTable.read(spark, root).columns.toSeq == Seq("id", "day", "live"))
+    assert(ManifestTable.read(spark, root).where($"live").count() == 0L)
+  }
+
   test("append rejects a stats re-declaration that would MISREAD carried-over " +
     "entries (reorder/replace), while extending the declaration is allowed " +
     "(ADVICE r10)") {

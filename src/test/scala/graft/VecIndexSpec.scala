@@ -138,14 +138,20 @@ class VecIndexSpec extends SparkSpec {
     assertMatchesSnapshot(corpus, cent, idx, "turnkey incremental commit")
     q.stop()
 
-    // replay the last CDC batch id by hand — watermark must reject it
+    // replay the last CDC batch id by hand — watermark must reject it.
+    // The stream writes SCOPED tags (batch=<scope>/<id>); a replay is
+    // only a replay within the same scope, so parse both parts
     val vIdx = ManifestTable.currentVersion(idx)
-    val lastId = ManifestTable.history(idx).flatMap(_.tag)
+    val (lastScope, lastId) = ManifestTable.history(idx).flatMap(_.tag)
       .collectFirst { case t if t.startsWith("batch=") =>
-        t.stripPrefix("batch=").toLong }.get
+        t.stripPrefix("batch=").split('/') match {
+          case Array(s, id) => (s, id.toLong)
+          case Array(id)    => ("", id.toLong)
+        }
+      }.get
     val ch = ManifestTable.readChanges(spark, corpus, v1,
       ManifestTable.currentVersion(corpus), Seq("vec_id"), preimages = true)
-    VecIndex.applyBatch(ch, lastId, cent, idx)
+    VecIndex.applyBatch(ch, lastId, cent, idx, lastScope)
     assert(ManifestTable.currentVersion(idx) == vIdx,
       "a replayed batch id must not commit a new index version")
     assertMatchesSnapshot(corpus, cent, idx, "after replay")

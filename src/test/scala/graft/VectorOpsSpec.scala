@@ -267,6 +267,18 @@ class VectorOpsSpec extends SparkSpec {
     assert(lambda >= maxDiag - 1e-6, s"lambda $lambda < max variance $maxDiag")
   }
 
+  test("q139: an EMPTY input yields zero covariance rows (what a SQL GROUP BY " +
+    "over zero rows returns), not 2,080 fabricated zeros") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.explode
+    val none = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"embedding".cast("array<double>").as("v")).limit(0)
+    val out = none
+      .agg(graft.functions.TypedAggregators.covarianceMatrix($"v", 64).as("c"))
+      .select(explode($"c")).count()
+    assert(out == 0L, s"empty corpus produced $out covariance rows")
+  }
+
   test("q140: truncation fidelity matches a driver-side brute force and error " +
     "shrinks as the kept prefix grows") {
     import spark.implicits._
