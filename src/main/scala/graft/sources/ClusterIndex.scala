@@ -176,17 +176,22 @@ object ClusterIndex {
     }
 
   /** Bucket-pruned live band rows of the given doc ids, from the
-    * maintained band index (never re-shingles a document). */
+    * maintained band index (never re-shingles a document). Empty-table
+    * guard matches [[membOf]]/[[membersOf]]: a first batch against a
+    * not-yet-created band index reads as "no rows", not a crash. */
   private def bandRowsFromIndex(spark: SparkSession, bandRoot: String,
-      ids: DataFrame): DataFrame = {
-    val buckets = ids
-      .select(ManifestTable.bucketIdColumn(col("doc_id"), IndexBuckets).as("b"))
-      .distinct().collect().map(_.getLong(0).toString).toSet
-    ManifestTable.readPartitions(spark, bandRoot, buckets)
-      .where(col("live"))
-      .join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("band"), col("bucket"))
-  }
+      ids: DataFrame): DataFrame =
+    if (ManifestTable.currentVersion(bandRoot) < 1)
+      ids.select(col("doc_id"), lit(0).as("band"), lit("").as("bucket")).limit(0)
+    else {
+      val buckets = ids
+        .select(ManifestTable.bucketIdColumn(col("doc_id"), IndexBuckets).as("b"))
+        .distinct().collect().map(_.getLong(0).toString).toSet
+      ManifestTable.readPartitions(spark, bandRoot, buckets)
+        .where(col("live"))
+        .join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("band"), col("bucket"))
+    }
 
   /** Age `live = false` tombstones out of both cluster tables
     * ([[DedupIndex.purgeTombstones]]'s reasoning — a dead membership or

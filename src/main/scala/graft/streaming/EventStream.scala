@@ -543,10 +543,25 @@ object EventStream {
       val arriving = rs.collect { case (_, id, false) => id }.distinct.sorted
       val seen0 = if (nSeen.exists()) nSeen.get() else 0L
       if (arriving.nonEmpty) {
-        val room = math.max(0L, maxBucketMembers - seen0).toInt
-        val kept = arriving.take(room)
-        if (kept.nonEmpty) members.appendList(kept)
-        nSeen.update(seen0 + arriving.length) // counts past the cap: exact overflow bit
+        // membership check against state: an at-least-once upstream
+        // re-delivers committed rows across micro-batches, and a
+        // re-delivered member must neither re-append (state bloat,
+        // duplicate hits) nor re-count (a PHANTOM overflow marker and a
+        // genuinely novel member squeezed out). One bounded list read
+        // (≤ cap entries) per batch with arrivals. Below the cap nSeen
+        // is now exactly the distinct member count; past it, a dropped
+        // member's re-delivery still re-counts (tracking dropped ids
+        // would be unbounded) — an overestimate only AFTER overflow is
+        // already latched, so the marker stays exact: nSeen > cap ⟹
+        // more than cap DISTINCT arrivals ⟹ at least one was dropped.
+        val current = members.get().toSet
+        val novel = arriving.filterNot(current)
+        if (novel.nonEmpty) {
+          val room = math.max(0L, maxBucketMembers - seen0).toInt
+          val kept = novel.take(room)
+          if (kept.nonEmpty) members.appendList(kept)
+          nSeen.update(seen0 + novel.length)
+        }
       }
       val probes = rs.collect { case (_, id, true) => id }.distinct.sorted
       if (probes.isEmpty) Iterator.empty

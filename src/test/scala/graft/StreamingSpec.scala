@@ -300,6 +300,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("nearDupProbeStream at-least-once redelivery: a committed doc " +
+    "re-delivered in a later micro-batch neither duplicates state nor " +
+    "latches a PHANTOM overflow marker") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hot = "alpha beta gamma delta epsilon zeta"
+    withRocksDb {
+      val mem = MemoryStream[(Long, String, Boolean)]
+      val q = EventStream.nearDupProbeStream(
+          mem.toDF().toDF("doc_id", "text", "is_probe"), maxBucketMembers = 2)
+        .toDF().writeStream.format("memory")
+        .queryName("neardup_redeliver_out").outputMode("append").start()
+      // 2 members fill the bucket to EXACTLY the cap...
+      mem.addData((1L, hot, false), (2L, hot, false))
+      q.processAllAvailable()
+      // ...then the upstream re-delivers BOTH (at-least-once) — with a
+      // naive cumulative count this would push nSeen to 4 > 2 and every
+      // probe would report a bogus overflow
+      mem.addData((1L, hot, false), (2L, hot, false))
+      q.processAllAvailable()
+      mem.addData((9L, hot, true))
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("neardup_redeliver_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      import EventStream.NearDupProbeProcessor.Overflow
+      assert(streamed == Set((9L, 1L), (9L, 2L)),
+        s"redelivery must not duplicate hits or mark overflow: $streamed")
+      assert(!streamed.exists(_._2 == Overflow), streamed.toString)
+    }
+  }
+
   test("imageDupProbeStream (transformWithState): visual near-dup hits equal the " +
     "brute-force Hamming<=3 probe-vs-corpus set, across micro-batches, probes " +
     "never matching each other, corrupt payloads dropped") {
