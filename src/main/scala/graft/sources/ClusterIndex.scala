@@ -145,15 +145,10 @@ object ClusterIndex {
   private def membOf(spark: SparkSession, membRoot: String, ids: DataFrame): DataFrame =
     if (ManifestTable.currentVersion(membRoot) < 1)
       ids.select(col("doc_id"), lit(0L).as("rep"), lit(0L).as("n_tokens")).limit(0)
-    else {
-      val buckets = ids
-        .select(ManifestTable.bucketIdColumn(col("doc_id"), IndexBuckets).as("b"))
-        .distinct().collect().map(_.getLong(0).toString).toSet
-      ManifestTable.readPartitions(spark, membRoot, buckets)
+    else
+      ManifestTable.readKeyPruned(spark, membRoot, "doc_id", IndexBuckets, ids)
         .where(col("live"))
-        .join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("rep"), col("n_tokens"))
-    }
 
   /** Bucket-pruned member lists of the given reps. `includeDead` keeps
     * tombstoned (rep → doc) rows too: the maintenance pass sets it —
@@ -165,15 +160,10 @@ object ClusterIndex {
       reps: DataFrame, includeDead: Boolean = false): DataFrame =
     if (ManifestTable.currentVersion(repRoot) < 1)
       reps.select(col("rep"), lit(0L).as("doc_id")).limit(0)
-    else {
-      val buckets = reps
-        .select(ManifestTable.bucketIdColumn(col("rep"), IndexBuckets).as("b"))
-        .distinct().collect().map(_.getLong(0).toString).toSet
-      ManifestTable.readPartitions(spark, repRoot, buckets)
+    else
+      ManifestTable.readKeyPruned(spark, repRoot, "rep", IndexBuckets, reps)
         .where(if (includeDead) lit(true) else col("live"))
-        .join(broadcast(reps.select(col("rep"))), Seq("rep"), "left_semi")
         .select(col("rep"), col("doc_id"))
-    }
 
   /** Bucket-pruned live band rows of the given doc ids, from the
     * maintained band index (never re-shingles a document). Empty-table
@@ -183,15 +173,10 @@ object ClusterIndex {
       ids: DataFrame): DataFrame =
     if (ManifestTable.currentVersion(bandRoot) < 1)
       ids.select(col("doc_id"), lit(0).as("band"), lit("").as("bucket")).limit(0)
-    else {
-      val buckets = ids
-        .select(ManifestTable.bucketIdColumn(col("doc_id"), IndexBuckets).as("b"))
-        .distinct().collect().map(_.getLong(0).toString).toSet
-      ManifestTable.readPartitions(spark, bandRoot, buckets)
+    else
+      ManifestTable.readKeyPruned(spark, bandRoot, "doc_id", IndexBuckets, ids)
         .where(col("live"))
-        .join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("band"), col("bucket"))
-    }
 
   /** Age `live = false` tombstones out of both cluster tables
     * ([[DedupIndex.purgeTombstones]]'s reasoning — a dead membership or

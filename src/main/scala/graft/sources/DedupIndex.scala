@@ -104,15 +104,11 @@ object DedupIndex {
       else {
         // READ amplification matches the WRITE bound: the delta's
         // fingerprints live only in their hash-bucket partitions, so
-        // only those partitions' files are read (driver set bounded by
-        // IndexBuckets, metadata-decided) — the index is never streamed
-        // whole, let alone shuffled. Within the pruned slice, touched
-        // rows = slice SEMI broadcast(delta), delta-bounded.
-        val touchedBuckets = d
-          .select(ManifestTable.bucketIdColumn(col("fp"), IndexBuckets).as("b"))
-          .distinct().collect().map(_.getLong(0).toString).toSet
-        val idx = ManifestTable.readPartitions(spark, idxRoot, touchedBuckets)
-        val touched = idx.join(broadcast(d.select(col("fp"))), Seq("fp"), "left_semi")
+        // only those partitions' files are read — the index is never
+        // streamed whole, let alone shuffled
+        // ([[ManifestTable.readKeyPruned]], the shared pruned-read spine)
+        val touched = ManifestTable
+          .readKeyPruned(spark, idxRoot, "fp", IndexBuckets, d)
           .select(col("fp"), col("n_docs"))
         d.as("d").join(broadcast(touched.as("t")), Seq("fp"), "left_outer")
           .select(col("fp"),
@@ -161,14 +157,9 @@ object DedupIndex {
     // a probe is a read-path query — pinning storage blocks per call
     // would evict longer-lived shared caches (measured in Bench)
     val fps = TextOps.fingerprintsOf(batch)
-    val touchedBuckets = fps
-      .select(ManifestTable.bucketIdColumn(col("fp"), IndexBuckets).as("b"))
-      .distinct().collect().map(_.getLong(0).toString).toSet
-    // no .distinct() on the broadcast key set: semi-join semantics dedup
-    // for free, and distinct would cost the probe's only shuffle
-    val touched = ManifestTable.readPartitions(spark, idxRoot, touchedBuckets)
+    val touched = ManifestTable
+      .readKeyPruned(spark, idxRoot, "fp", IndexBuckets, fps)
       .where(col("n_docs") > 0L)
-      .join(broadcast(fps.select(col("fp"))), Seq("fp"), "left_semi")
       .select(col("fp"), lit(1L).as("known"))
     fps.join(broadcast(touched), Seq("fp"), "left")
       .select(col("doc_id"), col("fp"), col("known").isNotNull.as("is_known_dup"))

@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.operators.Dedup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, floor, greatest, least, lit, max, min, pmod, shiftleft, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, floor, greatest, least, lit, max, min, pmod, shiftleft, when}
 import java.io.File
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
@@ -625,6 +625,25 @@ object ManifestTable {
       .collect { case e if parts(unescapePathName(e.part)) => s"$root/${e.rel}" }
     if (files.isEmpty) readVersion(spark, root, cur).limit(0)
     else spark.read.option("mergeSchema", "true").parquet(files: _*)
+  }
+
+  /** Bucket-pruned KEYED read — the shared spine of every maintained-
+    * index probe and maintenance read: rows of the bucket-declared
+    * table at `root` whose `keyCol` value appears in `keys`, opening
+    * ONLY the hash-bucket partitions the keys map to (driver set
+    * bounded by `nBuckets`, metadata-decided), then semi-joining the
+    * pruned slice against the BROADCAST key set — delta-bounded, the
+    * table never streamed whole, let alone shuffled. The key set is
+    * deliberately NOT distinct'd: semi-join semantics dedup for free,
+    * and a distinct would cost the read's only shuffle. Callers layer
+    * their own row filters (liveness, tombstones) and projections. */
+  private[graft] def readKeyPruned(spark: SparkSession, root: String,
+      keyCol: String, nBuckets: Int, keys: DataFrame): DataFrame = {
+    val buckets = keys
+      .select(bucketIdColumn(col(keyCol), nBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0).toString).toSet
+    readPartitions(spark, root, buckets)
+      .join(broadcast(keys.select(col(keyCol))), Seq(keyCol), "left_semi")
   }
 
   /** Add-column schema evolution: conform BOTH sides to the union
