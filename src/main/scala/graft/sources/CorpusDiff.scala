@@ -1,7 +1,6 @@
 package graft.sources
 
 import graft.Tables
-import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -90,45 +89,27 @@ object DiffFixtures {
 
   private val FixtureVersion = 1
 
-  private def signature(sfDir: String): String = {
-    val content = Seq(sfDir, FixtureVersion.toString).mkString("|")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(content.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
-  }
-
-  private val builtInJvm = scala.collection.mutable.Set[String]()
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  /** Idempotently build the three-version corpus table for `sfDir`
+    * ([[FixtureLifecycle.ensureOnce]]). */
+  def ensure(s: SparkSession, sfDir: String): String =
+    FixtureLifecycle.ensureOnce("graft_diff",
+      FixtureLifecycle.signature(Seq(sfDir, FixtureVersion.toString))) { root =>
+      ManifestTable.currentVersion(root) == 3
+    } { root =>
+      val docs = Tables(s, sfDir, "documents")
+        .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      ManifestTable.merge(docs.where(col("doc_id") % 4 =!= 3), root, Seq("doc_id"))
+      ManifestTable.merge(
+        docs.where(col("doc_id") % 3 === 0)
+          .withColumn("text", concat(col("text"), lit(" v2")))
+          .withColumn("n_chars", col("n_chars") + 3),
+        root, Seq("doc_id"))
+      val v3 = ManifestTable.commitSnapshot(
+        ManifestTable.read(s, root).where(col("doc_id") % 5 =!= 0)
+          .localCheckpoint(),
+        root, Nil)
+      assert(v3 == 3, s"fixture built $v3 versions, expected 3")
     }
-
-  /** Idempotently build the three-version corpus table for `sfDir`. */
-  def ensure(s: SparkSession, sfDir: String): String = synchronized {
-    val root = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_diff_${signature(sfDir)}").toString
-    if (!builtInJvm.contains(root)) {
-      if (ManifestTable.currentVersion(root) != 3) {
-        deleteRecursively(Paths.get(root))
-        val docs = Tables(s, sfDir, "documents")
-          .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
-        ManifestTable.merge(docs.where(col("doc_id") % 4 =!= 3), root, Seq("doc_id"))
-        ManifestTable.merge(
-          docs.where(col("doc_id") % 3 === 0)
-            .withColumn("text", concat(col("text"), lit(" v2")))
-            .withColumn("n_chars", col("n_chars") + 3),
-          root, Seq("doc_id"))
-        val v3 = ManifestTable.commitSnapshot(
-          ManifestTable.read(s, root).where(col("doc_id") % 5 =!= 0)
-            .localCheckpoint(),
-          root, Nil)
-        assert(v3 == 3, s"fixture built $v3 versions, expected 3")
-      }
-      builtInJvm += root
-    }
-    root
-  }
 
   /** q141 — the corpus release-note diff (net v1→v3) through the
     * MAINTAINED table: per source and change type, docs and signed
