@@ -45,30 +45,76 @@ object TypedAggregators {
     * a live JVM array and only task-count buffers ever cross the
     * exchange: ~17 KB each at dims = 64, regardless of row count).
     *
-    * finish emits the (i, j, cov) triples directly — population
-    * covariance via the moment identity E[xy] − E[x]E[y], the same
-    * formula the DuckDB oracle states, so the engines disagree only in
-    * summation order (absorbed by the caller's round-6). */
+    * finish emits the (i, j, cov) triples directly — POPULATION
+    * covariance accumulated as CENTERED co-moments (multivariate
+    * Welford reduce, Chan merge), NOT the moment identity
+    * E[xy] − E[x]E[y]. The moment identity suffers catastrophic
+    * cancellation: two near-equal large sums subtract, amplifying
+    * summation-order noise to ~1e-11 of the result — enough that a
+    * value sitting ~1e-11 from a display-rounding half-boundary flips
+    * its rounded digit run-to-run as Spark's partial-merge order
+    * varies with task scheduling. Centered co-moments keep the
+    * accumulated quantity at the scale of the answer itself, so
+    * reassociation noise stays near machine epsilon of the covariance
+    * (~1e-16 relative), and the caller's boundary-snapping round (see
+    * [[graft.functions.VectorOps.q139EmbeddingCovariance]]) has
+    * nothing left to absorb. Buffer layout (same size as the moment
+    * form): [n, mean(0..dims), C(upper triangle)] where
+    * C_ij = Σ (x_i − mean_i)(x_j − mean_j); cov_ij = C_ij / n. */
   final class CovarianceMatrix(dims: Int)
     extends Aggregator[Seq[Double], Array[Double], Seq[(Int, Int, Double)]] {
     private val nPairs = dims * (dims + 1) / 2
     override def zero: Array[Double] = new Array[Double](1 + dims + nPairs)
     override def reduce(b: Array[Double], v: Seq[Double]): Array[Double] = {
-      b(0) += 1
+      val n1 = b(0) + 1
+      b(0) = n1
+      // deltaOld_i = x_i − mean_i(before); deltaNew_i = x_i − mean_i(after).
+      // C_ij += deltaOld_i · deltaNew_j is symmetric because
+      // deltaNew_j = deltaOld_j · (n−1)/n.
+      val deltaOld = new Array[Double](dims)
+      val deltaNew = new Array[Double](dims)
       var i = 0
-      var k = 1 + dims
       while (i < dims) {
         val vi = v(i)
-        b(1 + i) += vi
+        deltaOld(i) = vi - b(1 + i)
+        b(1 + i) += deltaOld(i) / n1
+        deltaNew(i) = vi - b(1 + i)
+        i += 1
+      }
+      var k = 1 + dims
+      i = 0
+      while (i < dims) {
+        val di = deltaOld(i)
         var j = i
-        while (j < dims) { b(k) += vi * v(j); k += 1; j += 1 }
+        while (j < dims) { b(k) += di * deltaNew(j); k += 1; j += 1 }
         i += 1
       }
       b
     }
     override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
-      var k = 0
-      while (k < a.length) { a(k) += b(k); k += 1 }
+      val na = a(0)
+      val nb = b(0)
+      if (nb == 0) return a
+      if (na == 0) { System.arraycopy(b, 0, a, 0, a.length); return a }
+      // Chan's parallel update: C = CA + CB + δ_i δ_j · na·nb/n
+      val n = na + nb
+      a(0) = n
+      val delta = new Array[Double](dims)
+      var i = 0
+      while (i < dims) {
+        delta(i) = b(1 + i) - a(1 + i)
+        a(1 + i) += delta(i) * nb / n
+        i += 1
+      }
+      val w = na * nb / n
+      var k = 1 + dims
+      i = 0
+      while (i < dims) {
+        val di = delta(i)
+        var j = i
+        while (j < dims) { a(k) += b(k) + di * delta(j) * w; k += 1; j += 1 }
+        i += 1
+      }
       a
     }
     override def finish(b: Array[Double]): Seq[(Int, Int, Double)] = {
@@ -83,7 +129,7 @@ object TypedAggregators {
       while (i < dims) {
         var j = i
         while (j < dims) {
-          out += ((i, j, b(k) / n - (b(1 + i) / n) * (b(1 + j) / n)))
+          out += ((i, j, b(k) / n))
           k += 1; j += 1
         }
         i += 1

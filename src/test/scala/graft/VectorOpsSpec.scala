@@ -215,6 +215,7 @@ class VectorOpsSpec extends SparkSpec {
       val sj = vecs.map(_(j)).sum
       (i.toLong, j.toLong,
         BigDecimal(sij / n - (si / n) * (sj / n))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }).toSet
     val out = VectorOps.q139EmbeddingCovariance(spark, sf0001).collect()
@@ -244,6 +245,41 @@ class VectorOpsSpec extends SparkSpec {
     assert(one.keySet == many.keySet)
     // merge is float-exact only up to reassociation; pin to 1e-12 absolute
     one.foreach { case (k, c) => assert(math.abs(c - many(k)) < 1e-9, s"$k: $c vs ${many(k)}") }
+  }
+
+  test("q139: the ROUNDED output is bit-identical under merge orders forced " +
+    "by 1 / 7 / 32-partition layouts (the oracle-gate determinism pin)") {
+    import spark.implicits._
+    // Different partition counts force different Welford/Chan merge trees;
+    // the double-round (snap at 9 decimals, then 6) must absorb every bit
+    // of the resulting reassociation noise — EXACT equality, no tolerance.
+    // Force the merge-order variation directly: repartition the scan feeding
+    // the Aggregator (shuffle.partitions alone doesn't split a global agg's
+    // map side), at three layouts.
+    def runPartitioned(parts: Int): Map[(Long, Long), Double] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try {
+        import org.apache.spark.sql.functions.{explode, round}
+        spark.read.parquet(s"$sf0001/embeddings.parquet")
+          .select($"embedding".cast("array<double>").as("v"))
+          .repartition(parts)
+          .agg(graft.functions.TypedAggregators.covarianceMatrix($"v", 64).as("c"))
+          .select(explode($"c").as("e"))
+          .select($"e._1".cast("long"), $"e._2".cast("long"),
+            round(round($"e._3", 9), 6))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val base = runPartitioned(1)
+    Seq(7, 32).foreach { p =>
+      val other = runPartitioned(p)
+      assert(other == base, s"rounded covariance differs between 1 and $p partitions")
+    }
+    // and the production query itself agrees with the 1-partition ground run
+    val prod = VectorOps.q139EmbeddingCovariance(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(prod == base, "q139's own plan disagrees with the pinned layout")
   }
 
   test("pca: power iteration converges to an eigenpair of the covariance " +
