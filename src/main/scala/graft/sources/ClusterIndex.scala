@@ -159,11 +159,11 @@ object ClusterIndex {
   private def membersOf(spark: SparkSession, repRoot: String,
       reps: DataFrame, includeDead: Boolean = false): DataFrame =
     if (ManifestTable.currentVersion(repRoot) < 1)
-      reps.select(col("rep"), lit(0L).as("doc_id")).limit(0)
+      reps.select(col("rep"), lit(0L).as("doc_id"), lit(true).as("live")).limit(0)
     else
       ManifestTable.readKeyPruned(spark, repRoot, "rep", IndexBuckets, reps)
         .where(if (includeDead) lit(true) else col("live"))
-        .select(col("rep"), col("doc_id"))
+        .select(col("rep"), col("doc_id"), col("live"))
 
   /** Bucket-pruned live band rows of the given doc ids, from the
     * maintained band index (never re-shingles a document). Empty-table
@@ -226,20 +226,32 @@ object ClusterIndex {
     val seeds = changedIds.union(collided).distinct().localCheckpoint()
 
     // 2. affected reps and their member lists → M. Dead (rep → doc)
-    // rows are followed too (includeDead): on a crash-replay the rep
+    // rows are followed too, but GUARDEDLY: on a crash-replay the rep
     // table is already rewritten and the tombstones it wrote are the
     // only remaining pointers to the docs whose membership rows the
-    // first attempt meant to move (ClusterIndexSpec's injected crash)
+    // first attempt meant to move (ClusterIndexSpec's injected crash).
+    // A tombstone can however also be STALE — left by an earlier,
+    // COMPLETED batch that moved the doc to a cluster this batch does
+    // not touch (purge is manual). Following such a tombstone would
+    // pull the doc into M without its current cluster-mates, the
+    // induced-edge solve would see none of its edges, and the doc
+    // would be silently split off as a singleton. Disambiguation: keep
+    // a dead-reached doc only if its LIVE membership rep is itself in
+    // seedReps — true on crash-replay (membership was never moved, so
+    // it still points at the affected old rep), false for a stale
+    // tombstone (membership points at the doc's new, unaffected
+    // cluster). Pinned by ClusterIndexSpec's successive-batches test.
     val seedReps = membOf(spark, membRoot, seeds)
       .select(col("rep")).distinct().localCheckpoint()
-    val members = membersOf(spark, repRoot, seedReps, includeDead = true)
+    val reached = membersOf(spark, repRoot, seedReps, includeDead = true)
+      .localCheckpoint()
+    val liveMembers = reached.where(col("live")).select(col("doc_id"))
+    val deadOnly = reached.where(!col("live")).select(col("doc_id")).distinct()
+      .join(liveMembers, Seq("doc_id"), "left_anti")
+    val deadKept = membOf(spark, membRoot, deadOnly)
+      .join(broadcast(seedReps), Seq("rep"), "left_semi")
       .select(col("doc_id"))
-    val m = members.union(seeds).distinct().localCheckpoint()
-    val mCount = m.count()
-    require(mCount <= MaxAffectedDocs,
-      s"cluster maintenance would touch $mCount docs (> $MaxAffectedDocs cap): " +
-        "the batch merges/splits clusters larger than the single-task re-solve " +
-        "is sized for - run a bootstrap recompute instead")
+    val m = liveMembers.union(deadKept).union(seeds).distinct().localCheckpoint()
     // docs reached ONLY through a tombstone may be long-deleted
     // (membership row dead): keep a doc only if this batch touches it
     // or its membership row is LIVE — never resurrect a deleted doc
@@ -248,6 +260,15 @@ object ClusterIndex {
       broadcast(membOf(spark, membRoot, mNotDeleted).select(col("doc_id"))
         .union(seeds).distinct()),
       Seq("doc_id"), "left_semi").localCheckpoint()
+    // the cap bounds the RE-SOLVED set (mLive is what feeds the edge
+    // build and the single-task solver) — counting m instead would let
+    // accumulated tombstones and this batch's deletes inflate the count
+    // and spuriously demand a bootstrap recompute
+    val mCount = mLive.count()
+    require(mCount <= MaxAffectedDocs,
+      s"cluster maintenance would touch $mCount docs (> $MaxAffectedDocs cap): " +
+        "the batch merges/splits clusters larger than the single-task re-solve " +
+        "is sized for - run a bootstrap recompute instead")
 
     // 3. M's induced edges, from stored band rows only
     val mBands = bandRowsFromIndex(spark, bandRoot, mLive)

@@ -182,6 +182,43 @@ class ClusterIndexSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(memb) == vM, "replay after success must skip")
   }
 
+  test("STALE tombstone from an earlier completed move: a later batch " +
+    "hitting the doc's OLD rep must not pull it into M without its current " +
+    "cluster-mates and silently split it off as a singleton") {
+    val work = Files.createTempDirectory("graft-clusteridx-stale").toString
+    val (corpus, band, memb, rep) =
+      (s"$work/corpus", s"$work/band", s"$work/memb", s"$work/rep")
+
+    // v1: clusters {1,2} (t1) and {5,6} (t2)
+    val v1 = ManifestTable.merge(
+      docsDf(1L -> t1, 2L -> t1, 5L -> t2, 6L -> t2), corpus, Seq("doc_id"))
+    roll(corpus, band, memb, rep, 0, v1)
+    assert(membSet(memb) == Set(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+
+    // v2 (COMPLETED batch): doc 6 moves to cluster {1,2} — the rep table
+    // now carries a stale (5, 6, live=false) tombstone (purge is manual)
+    val v2 = ManifestTable.merge(docsDf(6L -> t1), corpus, Seq("doc_id"))
+    roll(corpus, band, memb, rep, v1, v2)
+    assert(membSet(memb) == Set(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 1L))
+    val tombstones = ManifestTable.read(spark, rep).where(!col("live"))
+      .select(col("rep"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tombstones(5L -> 6L), "precondition: the stale tombstone exists")
+
+    // v3: doc 7 (t2) joins rep 5's cluster. The affected-set walk reaches
+    // doc 6 ONLY through the stale tombstone; 6's cluster-mates {1,2} are
+    // not in M, so an unguarded solve would see none of 6's edges and
+    // relabel it a singleton. The guard (live membership rep ∈ seedReps)
+    // must drop 6 from M instead.
+    val v3 = ManifestTable.merge(docsDf(7L -> t2), corpus, Seq("doc_id"))
+    roll(corpus, band, memb, rep, v2, v3)
+    assert(membSet(memb)(6L -> 1L),
+      "doc 6 was split from its current cluster by a stale tombstone")
+    assert(membSet(memb) == expected(corpus), "maintained != recomputed after v3")
+    assert(membSet(memb) ==
+      Set(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 1L, 7L -> 5L))
+  }
+
   test("SCOPED watermarks: the dedup stream and the cluster stream share " +
     "the band index with unrelated batch-id spaces — one stream's high id " +
     "must not swallow the other's delta") {
