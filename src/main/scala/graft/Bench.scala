@@ -94,12 +94,30 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
-    // Timed sequential pass: per-query numbers free of scheduler
-    // contention, attributable round-over-round.
-    val sequential = ordered.map { case (name, fn) =>
+    // Timed sequential passes: per-query numbers free of scheduler
+    // contention, attributable round-over-round. TWO passes, per-query
+    // MIN — despite the untimed warmup, a single pass can catch a query
+    // on a cache eviction, a GC pause, or a janino re-compile and report
+    // a 6× one-off as that query's number (BENCH_r11's q98: 4.87 s
+    // single-pass vs 1.0 s isolated-warm; VERDICT r11 #2). Queries whose
+    // two passes still spread >2× get a third tie-breaking run.
+    def seqPass(): Seq[(String, Double, Boolean)] = ordered.map { case (name, fn) =>
       val q0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       (name, (System.nanoTime() - q0) / 1e9, ok)
+    }
+    val (sp1, sp2) = (seqPass(), seqPass())
+    val sequential = ordered.zip(sp1.zip(sp2)).map {
+      case ((name, fn), ((_, t1, o1), (_, t2, o2))) =>
+        val ok = o1 || o2
+        val base = if (ok) math.min(t1, t2) else t1
+        val spread = math.max(t1, t2) / math.max(1e-9, math.min(t1, t2))
+        val best = if (ok && spread > 2.0) {
+          val q0 = System.nanoTime()
+          val o3 = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+          if (o3) math.min(base, (System.nanoTime() - q0) / 1e9) else base
+        } else base
+        (name, best, ok)
     }
     val seqTotal = sequential.map(_._2).sum
 
@@ -150,7 +168,9 @@ object Bench {
     // in the captured stdout and broken the driver's JSON parse.
     val method =
       "value = best of two concurrent throughput passes (the suite-level number); " +
-        "queries = per-query seconds measured sequentially for attribution - their sum " +
+        "queries = per-query seconds measured sequentially for attribution, best of 2 " +
+        "passes (3 when the two spread >2x, absorbing one-off eviction/GC/recompile " +
+        "artifacts) - their sum " +
         "includes ~0.2s/query of Spark job-scheduling floor that the concurrent run amortizes; " +
         "base tables are cached suite-wide (the reference's st.cache_data analog) and every " +
         "shared view (token matrix, raw/capped/distinct shingles, candidates, components, " +
@@ -184,7 +204,7 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + f2(v)
     }.mkString("{", ",", "}")
     val compactJson =
-      s"""{"metric":"total","value":${r3(wall)},"unit":"sec","queries":${timesJson(sequential, shorten, f2)},"seq_total":${r3(seqTotal)},"views":$viewsCompact,"failures":$failures,"sf":"$sfDir","method":"best-of-2 concurrent wall; seq queries net of timed view builds; detail in bench file"}"""
+      s"""{"metric":"total","value":${r3(wall)},"unit":"sec","queries":${timesJson(sequential, shorten, f2)},"seq_total":${r3(seqTotal)},"views":$viewsCompact,"failures":$failures,"sf":"$sfDir","method":"best-of-2 concurrent wall; seq queries best-of-2 (3 on spread) net of timed view builds; detail in bench file"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")), fullJson)
     // Print the JSON LAST — after spark.stop()'s shutdown chatter — so a

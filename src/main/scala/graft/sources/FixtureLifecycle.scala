@@ -32,15 +32,33 @@ private[sources] object FixtureLifecycle {
   /** The root for `prefix`+`sig`, built at most once per JVM:
     * `complete(root)` decides whether an on-disk leftover from a prior
     * run is reusable; anything else is wiped (half-built leftovers must
-    * not poison probes) and `build(root)` runs fresh. */
+    * not poison probes) and `build(root)` runs fresh.
+    *
+    * Probe + wipe + build run under a CROSS-PROCESS file lock (a
+    * sibling `.lock` file, `FileChannel.lock`): `synchronized` only
+    * serializes threads of one JVM, and forked test JVMs share
+    * java.io.tmpdir — without the lock one JVM could wipe/rebuild the
+    * root while another's completeness probe or reads were in flight.
+    * A reader past its (locked) probe is safe: a concurrent entrant
+    * re-probes under the lock, finds the fixture complete, and never
+    * wipes. The JVM-level `synchronized` stays, both as the fast path
+    * and because overlapping `FileChannel.lock` calls from one JVM
+    * throw rather than queue. */
   def ensureOnce(prefix: String, sig: String)(complete: String => Boolean)(
       build: String => Unit): String = synchronized {
     val root = Paths.get(sys.props("java.io.tmpdir"), s"${prefix}_$sig").toString
     if (!builtInJvm.contains(root)) {
-      if (!complete(root)) {
-        deleteRecursively(Paths.get(root))
-        build(root)
-      }
+      import java.nio.file.StandardOpenOption.{CREATE, WRITE}
+      val ch = java.nio.channels.FileChannel.open(Paths.get(s"$root.lock"), CREATE, WRITE)
+      try {
+        val lock = ch.lock() // blocks until any other process's build finishes
+        try {
+          if (!complete(root)) {
+            deleteRecursively(Paths.get(root))
+            build(root)
+          }
+        } finally lock.release()
+      } finally ch.close()
       builtInJvm += root
     }
     root
