@@ -266,6 +266,17 @@ object SparkSqlTwins {
          |  ON a.band = b.band AND a.bucket = b.bucket
          |WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 <> 9""".stripMargin,
 
+    // q136 answers q126's question through the MAINTAINED band index;
+    // the twin is the same from-scratch recompute — proving via
+    // SqlSurfaceSpec that a spark.sql recompute over raw parquet equals
+    // the probe of the CDC-maintained stored index.
+    "q136_maintained_neardup_probe" ->
+      s"""WITH $minhashSigCtes
+         |SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_doc
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bucket = b.bucket
+         |WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 <> 9""".stripMargin,
+
     "q98_bloom_decontaminate" ->
       raw"""WITH td AS (SELECT doc_id, split(trim(text), '\\s+') AS toks FROM documents),
          |sh AS (SELECT DISTINCT doc_id, shingle FROM td
@@ -990,7 +1001,7 @@ object SparkSqlTwins {
         |             count(*) AS n
         |      FROM e CROSS JOIN d GROUP BY i, j)
         |SELECT CAST(i - 1 AS BIGINT) AS dim_i, CAST(j - 1 AS BIGINT) AS dim_j,
-        |       round(sij/n - (si/n)*(sj/n), 6) AS cov
+        |       round(round(sij/n - (si/n)*(sj/n), 9), 6) AS cov
         |FROM m""".stripMargin,
 
     "q140_matryoshka_fidelity" ->

@@ -3,7 +3,7 @@ package graft.sources
 import graft.Tables
 import graft.functions.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Oracle coverage for the MAINTAINED dedup indexes (VERDICT r10 #5):
   * q135/q136 answer q125/q126's questions — "is this arriving doc's
@@ -31,11 +31,13 @@ object DedupIndexFixtures {
     * signature below). v2: Spark-native bucket ids + declared bucket
     * layout (planner-visible bucketing). v3: maintained cluster tables
     * (q137) roll forward with the same CDC batches. v4: n_tokens rides
-    * the membership rows (q138 keeper decisions). */
-  private val FixtureVersion = 4
+    * the membership rows (q138 keeper decisions). v5: corrupted twin of
+    * the fp index (q142 audit gate). */
+  private val FixtureVersion = 5
 
   /** All maintained-index roots of one fixture. */
-  case class Roots(fp: String, band: String, memb: String, rep: String)
+  case class Roots(fp: String, band: String, memb: String, rep: String,
+      fpCorrupt: String)
 
   /** Idempotently build corpus + fp/band indexes + cluster tables for
     * `sfDir` ([[FixtureLifecycle.ensureOnce]] — one build per content
@@ -48,7 +50,7 @@ object DedupIndexFixtures {
       TextOps.bandStackExpr))
     val root = FixtureLifecycle.ensureOnce("graft_dedupidx", sig) { root =>
       ManifestTable.currentVersion(s"$root/corpus") == 2 &&
-        Seq("fp", "band", "memb", "rep").forall(t =>
+        Seq("fp", "band", "memb", "rep", "fpcorrupt").forall(t =>
           ManifestTable.currentVersion(s"$root/$t") >= 1)
     } { root =>
       val corpus = s"$root/corpus"
@@ -68,8 +70,39 @@ object DedupIndexFixtures {
           s"$root/rep")
       }
       assert(v1 == 1 && v2 == 2)
+
+      // q142's CORRUPTED twin of the fp index: take the maintained index
+      // and deterministically inject the three fault classes an
+      // integrity audit exists to catch — an over-counted ref (fps of
+      // corpus docs with doc_id % 100 == 1: stored = n + 1), a missing
+      // entry (fps of docs with doc_id % 100 == 2, minus the first set:
+      // tombstoned), and a phantom (fps of the batch split, which the
+      // index must not contain: stored = 1). The three fp sets are
+      // pairwise disjoint by construction, so one merge writes them all.
+      val correct = DedupIndex.readFpIndex(s, s"$root/fp")
+        .select(col("fp"), col("n_docs")).localCheckpoint()
+      val f = graft.functions.TextOps.fingerprintsOf(all)
+      val corpusF = f.where(col("doc_id") % 10 =!= 9)
+      val p1 = corpusF.where(col("doc_id") % 100 === 1).select(col("fp")).distinct()
+      val p2 = corpusF.where(col("doc_id") % 100 === 2).select(col("fp")).distinct()
+        .join(p1, Seq("fp"), "left_anti")
+      val p3 = f.where(col("doc_id") % 10 === 9).select(col("fp")).distinct()
+        .join(correct.select(col("fp")), Seq("fp"), "left_anti")
+      val corrupted = correct.join(p1.union(p2), Seq("fp"), "left_anti")
+        .union(correct.join(p1, Seq("fp"), "left_semi")
+          .select(col("fp"), (col("n_docs") + 1L).as("n_docs")))
+        .union(correct.join(p2, Seq("fp"), "left_semi")
+          .select(col("fp"), lit(0L).as("n_docs")))
+        .union(p3.select(col("fp"), lit(1L).as("n_docs")))
+        .withColumn("bucket",
+          ManifestTable.bucketIdColumn(col("fp"), DedupIndex.IndexBuckets))
+        .select(col("bucket"), col("fp"), col("n_docs"))
+      ManifestTable.declareBuckets(s"$root/fpcorrupt", "fp", DedupIndex.IndexBuckets)
+      ManifestTable.mergePartitioned(
+        corrupted, s"$root/fpcorrupt", Seq("bucket", "fp"), "bucket")
     }
-    Roots(s"$root/fp", s"$root/band", s"$root/memb", s"$root/rep")
+    Roots(s"$root/fp", s"$root/band", s"$root/memb", s"$root/rep",
+      s"$root/fpcorrupt")
   }
 
   private def batch(s: SparkSession, sfDir: String): DataFrame =
@@ -97,11 +130,27 @@ object DedupIndexFixtures {
   def q138MaintainedKeepers(s: SparkSession, d: String): DataFrame =
     ClusterIndex.readKeepers(s, ensure(s, d).memb)
 
+  /** q142 — the INTEGRITY AUDIT, oracle-gated: recompute the exact
+    * index from the raw corpus parquet and full-outer-join it against
+    * the stored (deliberately corrupted) index through the registered
+    * format, returning every disagreeing fingerprint. The planner sees
+    * the stored side's `BucketSpec`, so only the recomputed side
+    * shuffles — on a 100 TB deployment the audit costs one corpus scan,
+    * not corpus scan + full index shuffle (PlanSpec pins the shape).
+    * The oracle recomputes the expected disagreement set — the three
+    * injected fault classes — from the raw parquet alone. */
+  def q142FpIndexAudit(s: SparkSession, d: String): DataFrame = {
+    val corpusDocs = Tables(s, d, "documents")
+      .select(col("doc_id"), col("text")).where(col("doc_id") % 10 =!= 9)
+    DedupIndex.auditFpIndex(corpusDocs, s, ensure(s, d).fpCorrupt)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_maintained_exact_probe" -> (q135MaintainedExactProbe _),
     "q136_maintained_neardup_probe" -> (q136MaintainedNeardupProbe _),
     "q137_maintained_components" -> (q137MaintainedComponents _),
-    "q138_maintained_keepers" -> (q138MaintainedKeepers _))
+    "q138_maintained_keepers" -> (q138MaintainedKeepers _),
+    "q142_fp_index_audit" -> (q142FpIndexAudit _))
 
   /** q54's oracle text with its `documents` base restricted to the
     * fixture's corpus split — the recursive closure runs on exactly the
@@ -113,9 +162,35 @@ object DedupIndexFixtures {
   /** The oracle never sees the index: it recomputes q125/q126/q54 from
     * the parquet — maintained ≡ recomputed is exactly the claim under
     * gate. */
+  /** q142's oracle: the audit's answer derived from raw parquet alone —
+    * expected counts per fp over the corpus split, then the three
+    * injected fault classes reproduced by the same deterministic rules
+    * the fixture used (over-count, tombstoned, phantom). */
+  val q142Sql: String =
+    """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |exp AS (SELECT fp, CAST(count(*) AS BIGINT) AS n
+      |        FROM f WHERE doc_id % 10 <> 9 GROUP BY fp),
+      |p1 AS (SELECT DISTINCT fp FROM f
+      |       WHERE doc_id % 10 <> 9 AND doc_id % 100 = 1),
+      |p2 AS (SELECT DISTINCT fp FROM f
+      |       WHERE doc_id % 10 <> 9 AND doc_id % 100 = 2
+      |         AND fp NOT IN (SELECT fp FROM p1)),
+      |p3 AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 = 9
+      |         AND fp NOT IN (SELECT fp FROM exp))
+      |SELECT exp.fp, exp.n AS expected_docs, exp.n + 1 AS stored_docs
+      |FROM exp JOIN p1 USING (fp)
+      |UNION ALL
+      |SELECT exp.fp, exp.n AS expected_docs, CAST(NULL AS BIGINT) AS stored_docs
+      |FROM exp JOIN p2 USING (fp)
+      |UNION ALL
+      |SELECT fp, CAST(NULL AS BIGINT) AS expected_docs,
+      |       CAST(1 AS BIGINT) AS stored_docs
+      |FROM p3""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q135_maintained_exact_probe" -> TextOps.q125Sql,
     "q136_maintained_neardup_probe" -> TextOps.q126Sql,
     "q137_maintained_components" -> restrictToCorpus(TextOps.q54Sql),
-    "q138_maintained_keepers" -> restrictToCorpus(TextOps.q69Sql))
+    "q138_maintained_keepers" -> restrictToCorpus(TextOps.q69Sql),
+    "q142_fp_index_audit" -> q142Sql)
 }
