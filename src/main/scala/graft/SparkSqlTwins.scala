@@ -1004,6 +1004,41 @@ object SparkSqlTwins {
         |       round(round(sij/n - (si/n)*(sj/n), 9), 6) AS cov
         |FROM m""".stripMargin,
 
+    // q143: the snapped-input power iteration reproduced in SQL — the
+    // twin recomputes mu@6 / C@7 / w@6 exactly as the DataFrame path's
+    // driver-side eigensolve does, so the projection agrees bit-for-bit
+    // after the double-round.
+    "q143_whiten_top_component" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+        |dims AS (SELECT explode(sequence(1, 64)) AS i),
+        |mu AS (SELECT i, round(sum(element_at(v, i)) / count(*), 6) AS mu
+        |       FROM e CROSS JOIN dims GROUP BY i),
+        |d AS (SELECT a.i AS i, b.i AS j FROM dims a CROSS JOIN dims b WHERE a.i <= b.i),
+        |c0 AS (SELECT d.i, d.j,
+        |         round(sum((element_at(e.v, d.i) - mi.mu)
+        |                   * (element_at(e.v, d.j) - mj.mu)) / count(*), 7) AS c
+        |       FROM e CROSS JOIN d
+        |       JOIN mu mi ON mi.i = d.i JOIN mu mj ON mj.i = d.j
+        |       GROUP BY d.i, d.j),
+        |cf AS (SELECT i, j, c FROM c0
+        |       UNION ALL SELECT j AS i, i AS j, c FROM c0 WHERE i <> j),
+        |v1 AS (SELECT i, sum(c) AS x FROM cf GROUP BY i),
+        |v2 AS (SELECT cf.i, sum(cf.c * v1.x) AS x FROM cf JOIN v1 ON cf.j = v1.i GROUP BY cf.i),
+        |v3 AS (SELECT cf.i AS i, sum(cf.c * v2.x) AS x
+        |       FROM cf JOIN v2 ON cf.j = v2.i GROUP BY cf.i),
+        |nv AS (SELECT sqrt(sum(x * x)) AS nrm FROM v3),
+        |sg AS (SELECT CASE WHEN x < 0 THEN -1.0D ELSE 1.0D END AS sgn
+        |       FROM v3 WHERE abs(x) > 1e-12 ORDER BY i LIMIT 1),
+        |w AS (SELECT i, round(x / nrm * sgn, 6) AS w FROM v3 CROSS JOIN nv CROSS JOIN sg),
+        |p AS (SELECT e.vec_id,
+        |        sum((element_at(e.v, w.i) - mu.mu) * w.w) AS coef,
+        |        sum((element_at(e.v, w.i) - mu.mu) * (element_at(e.v, w.i) - mu.mu)) AS ss
+        |      FROM e CROSS JOIN w JOIN mu ON mu.i = w.i
+        |      GROUP BY e.vec_id)
+        |SELECT vec_id, round(round(coef, 9), 6) AS top_coef,
+        |       round(round(sqrt(greatest(0D, ss - coef * coef)), 9), 6) AS resid_norm
+        |FROM p""".stripMargin,
+
     "q140_matryoshka_fidelity" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
         |p AS (SELECT a.v AS va, b.v AS vb

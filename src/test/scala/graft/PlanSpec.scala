@@ -581,6 +581,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan) // d² rides the buffer, not a dims join
   }
 
+  test("q143: the projection pass is MAP-ONLY — the direction and means " +
+    "ride as broadcast literals, so the whitening plan has no exchange, " +
+    "no join, and no aggregation at all") {
+    val plan = physical(VectorOps.q143WhitenTopComponent(spark, sf0001))
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Aggregate"), plan)
+    // the dot-product projections stay in codegen stages (the `*(n)`
+    // markers); only the zip_with centering is a non-codegen Project
+    // (higher-order functions don't codegen — a single map, not a hot agg)
+    assert(plan.contains("*("), plan)
+  }
+
   test("q140: the pair match is an EQUI join on the derived pair key — " +
     "never a nested-loop/cartesian — and the width aggregation is partial " +
     "before its exchange") {
