@@ -182,6 +182,62 @@ class ClusterIndexSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(memb) == vM, "replay after success must skip")
   }
 
+  test("LIVE interleaving: the dedup-index stream and the cluster stream " +
+    "run CONCURRENTLY, sharing the band root with scoped watermarks, " +
+    "across insert / merge-update / delete commits and an inverted drain " +
+    "order — every maintained table ends exactly ≡ recomputed") {
+    import org.apache.spark.sql.functions.col
+    val work = Files.createTempDirectory("graft-clusteridx-live").toString
+    val (corpus, fp, band, memb, rep) =
+      (s"$work/corpus", s"$work/fp", s"$work/band", s"$work/memb", s"$work/rep")
+
+    ManifestTable.merge(
+      docsDf(1L -> t1, 2L -> t1, 5L -> t2, 6L -> t2, 9L -> t3),
+      corpus, Seq("doc_id"))
+    // BOTH streams up before any batch drains: the dedup stream
+    // maintains fp + band, the cluster stream maintains band + the
+    // cluster tables — the shared band root sees each corpus delta from
+    // two independent batch-id spaces (idempotent keyed upserts, so the
+    // double application must be content-neutral), and the scoped
+    // watermarks must keep the two lineages from swallowing each other
+    val qD = DedupIndex.startIndexMaintenance(spark, corpus, fp, band, s"$work/ckptD")
+    val qC = ClusterIndex.startMaintenance(spark, corpus, band, memb, rep, s"$work/ckptC")
+    qD.processAllAvailable(); qC.processAllAvailable()
+    assert(membSet(memb) == expected(corpus), "after bootstrap, both live")
+
+    // insert while both streams are live
+    ManifestTable.merge(docsDf(3L -> t1, 7L -> t2), corpus, Seq("doc_id"))
+    qD.processAllAvailable(); qC.processAllAvailable()
+    assert(membSet(memb) == expected(corpus), "after live insert")
+
+    // cluster-merging update + a delete, drained in INVERTED order
+    // (cluster stream first): order between the streams must not matter
+    ManifestTable.merge(docsDf(5L -> t1), corpus, Seq("doc_id"))
+    ManifestTable.commit(
+      ManifestTable.read(spark, corpus).where(col("doc_id") =!= 2L)
+        .localCheckpoint(), corpus)
+    qC.processAllAvailable(); qD.processAllAvailable()
+    qD.stop(); qC.stop()
+
+    val snap = ManifestTable.read(spark, corpus)
+    assert(membSet(memb) == expected(corpus), "membership after live run")
+    // fp index ≡ recomputed
+    val fpStored = DedupIndex.readFpIndex(spark, fp)
+      .select(col("fp"), col("n_docs")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val fpExpected = DedupIndex.computeFpIndex(snap)
+      .select(col("fp"), col("n_docs")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fpStored == fpExpected, "fp index drifted under live interleaving")
+    // band index ≡ recomputed (live rows)
+    val bandStored = DedupIndex.readBandIndex(spark, band).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val bandExpected = DedupIndex.computeBandIndex(snap).where(col("live"))
+      .select(col("doc_id"), col("band"), col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(bandStored == bandExpected, "band index drifted under live interleaving")
+  }
+
   test("STALE tombstone from an earlier completed move: a later batch " +
     "hitting the doc's OLD rep must not pull it into M without its current " +
     "cluster-mates and silently split it off as a singleton") {
