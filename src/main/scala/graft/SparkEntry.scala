@@ -27,6 +27,7 @@ object SparkEntry {
       multimodal.Multimodal.queries ++
       sources.IngestFixtures.queries ++
       sources.DedupIndexFixtures.queries ++
+      sources.StatsIndexFixtures.queries ++
       sources.DiffFixtures.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,6 +42,7 @@ object SparkEntry {
       multimodal.Multimodal.oracleSql ++
       sources.IngestFixtures.oracleSql ++
       sources.DedupIndexFixtures.oracleSql ++
+      sources.StatsIndexFixtures.oracleSql ++
       sources.DiffFixtures.oracleSql
 
   /** Spark-dialect twins for oracle texts that are DuckDB-only

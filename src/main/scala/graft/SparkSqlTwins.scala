@@ -126,7 +126,7 @@ object SparkSqlTwins {
       |             ELSE shiftright(hi, 16) & 65535L END AS v
       |  FROM hash, (SELECT explode(array(0, 1, 2, 3)) AS b) g)""".stripMargin
 
-  val texts: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "q134_dsir_weights" ->
       raw"""WITH tok AS (SELECT doc_id, source, token
          |       FROM documents LATERAL VIEW explode(split(trim(text), '\\s+')) t AS token),
@@ -1361,4 +1361,13 @@ object SparkSqlTwins {
         |FROM contrib, span
         |WHERE window_day BETWEEN lo AND hi
         |GROUP BY 1""".stripMargin)
+
+  /** q144/q145 answer q139/q143's questions from the MAINTAINED stats
+    * table; their twins are the same from-scratch recomputes — proving
+    * via SqlSurfaceSpec that a spark.sql recompute over raw parquet
+    * equals the incrementally-maintained path (including the v3→v4
+    * retraction the fixture injects). */
+  val texts: Map[String, String] = base ++ Map(
+    "q144_maintained_covariance" -> base("q139_embedding_covariance"),
+    "q145_maintained_whitening" -> base("q143_whiten_top_component"))
 }

@@ -145,4 +145,69 @@ object TypedAggregators {
   /** CovarianceMatrix as an untyped column aggregate. */
   def covarianceMatrix(c: Column, dims: Int): Column =
     udaf(new CovarianceMatrix(dims)).apply(c)
+
+  /** SIGNED raw-moment sums of a fixed-width vector column in ONE pass —
+    * the additive sufficient statistics a CDC-maintained stats table
+    * accumulates ([[graft.sources.StatsIndex]]): each input row carries
+    * a ±1 sign (insert/update_postimage = +1, delete/update_preimage =
+    * −1), and the buffer adds sgn·1, sgn·vᵢ, sgn·vᵢvⱼ. Unlike
+    * [[CovarianceMatrix]] this CANNOT be Welford-centered — retraction
+    * requires plain additivity — which is exactly why [[StatsIndex]]
+    * pre-centers its inputs on a FROZEN bootstrap mean: centered inputs
+    * keep the moment identity cancellation-free, so the maintained
+    * covariance carries ~1e-13 noise instead of ~1e-11.
+    *
+    * finish emits triples keyed like the stats table: (-1, -1, n),
+    * (i, -1, Σvᵢ), (i, j, Σvᵢvⱼ) for j ≥ i — or NOTHING when the
+    * aggregator saw zero input rows (a no-op delta must not fabricate
+    * 2,145 zero rows). */
+  final class MomentMatrix(dims: Int)
+    extends Aggregator[(Seq[Double], Double), Array[Double], Seq[(Int, Int, Double)]] {
+    private val nPairs = dims * (dims + 1) / 2
+    // buffer: [rowsSeen, signedN, s_0..s_{dims-1}, upper-triangle products]
+    override def zero: Array[Double] = new Array[Double](2 + dims + nPairs)
+    override def reduce(b: Array[Double], in: (Seq[Double], Double)): Array[Double] = {
+      val (v, sgn) = in
+      b(0) += 1
+      b(1) += sgn
+      var i = 0
+      var k = 2 + dims
+      while (i < dims) {
+        val vi = v(i)
+        b(2 + i) += sgn * vi
+        var j = i
+        while (j < dims) { b(k) += sgn * vi * v(j); k += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var k = 0
+      while (k < a.length) { a(k) += b(k); k += 1 }
+      a
+    }
+    override def finish(b: Array[Double]): Seq[(Int, Int, Double)] = {
+      if (b(0) == 0) return Vector.empty
+      val out = Vector.newBuilder[(Int, Int, Double)]
+      out += ((-1, -1, b(1)))
+      var i = 0
+      while (i < dims) { out += ((i, -1, b(2 + i))); i += 1 }
+      var k = 2 + dims
+      i = 0
+      while (i < dims) {
+        var j = i
+        while (j < dims) { out += ((i, j, b(k))); k += 1; j += 1 }
+        i += 1
+      }
+      out.result()
+    }
+    override def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: Encoder[Seq[(Int, Int, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Int, Int, Double)]]()
+  }
+
+  /** MomentMatrix as an untyped column aggregate over (vector, sign). */
+  def momentMatrix(v: Column, sgn: Column, dims: Int): Column =
+    udaf(new MomentMatrix(dims)).apply(v, sgn)
 }

@@ -944,6 +944,18 @@ object VectorOps {
       c(r.getInt(0))(r.getInt(1)) = v
       c(r.getInt(1))(r.getInt(0)) = v
     }
+    (powerDirection(c), mu)
+  }
+
+  /** The deterministic direction rule shared by [[whiteningStats]] and
+    * the maintained-stats path ([[graft.sources.StatsIndex]]): three
+    * un-normalized power steps from all-ones on the (already snapped)
+    * matrix, one normalization, first-nonzero-positive sign, components
+    * snapped at 6. */
+  private[graft] def powerDirection(c: Array[Array[Double]]): Array[Double] = {
+    val dims = c.length
+    def snap(x: Double, sc: Int): Double =
+      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
     var p = Array.fill(dims)(1.0)
     (0 until 3).foreach { _ =>
       p = Array.tabulate(dims) { i =>
@@ -955,7 +967,25 @@ object VectorOps {
     val nrm = math.sqrt(p.map(x => x * x).sum)
     require(nrm > 0, "degenerate covariance: whitening direction undefined")
     val sgn = p.find(math.abs(_) > 1e-12).map(math.signum).getOrElse(1.0)
-    (p.map(x => snap(x / nrm * sgn, 6)), mu)
+    p.map(x => snap(x / nrm * sgn, 6))
+  }
+
+  /** The map-only projection pass shared by [[q143WhitenTopComponent]]
+    * and the maintained-stats q145: direction + means ride as broadcast
+    * literals; no shuffle, no join (PlanSpec-pinned). */
+  private[graft] def whitenProjection(s: SparkSession, d: String,
+      w: Array[Double], mu: Array[Double]): DataFrame = {
+    import s.implicits._
+    val wLit = array(w.map(lit(_)): _*)
+    val muLit = array(mu.map(lit(_)): _*)
+    emb(s, d)
+      .withColumn("vc", zip_with($"v", muLit, (a, b) => a - b))
+      .withColumn("wv", wLit)
+      .withColumn("coef", dot("vc", "wv"))
+      .select($"vec_id",
+        round(round($"coef", 9), 6).as("top_coef"),
+        round(round(sqrt(greatest(lit(0.0),
+          dot("vc", "vc") - $"coef" * $"coef")), 9), 6).as("resid_norm"))
   }
 
   /** q143 — "ALL-BUT-THE-TOP" whitening, distributed: per vector, the
@@ -972,18 +1002,8 @@ object VectorOps {
     * pass 2 broadcasts the direction + means as LITERAL arrays into a
     * map-only projection (codegen dot_native, no shuffle at all). */
   def q143WhitenTopComponent(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val (w, mu) = whiteningStats(s, d)
-    val wLit = array(w.map(lit(_)): _*)
-    val muLit = array(mu.map(lit(_)): _*)
-    emb(s, d)
-      .withColumn("vc", zip_with($"v", muLit, (a, b) => a - b))
-      .withColumn("wv", wLit)
-      .withColumn("coef", dot("vc", "wv"))
-      .select($"vec_id",
-        round(round($"coef", 9), 6).as("top_coef"),
-        round(round(sqrt(greatest(lit(0.0),
-          dot("vc", "vc") - $"coef" * $"coef")), 9), 6).as("resid_norm"))
+    whitenProjection(s, d, w, mu)
   }
 
   val q143Sql: String =
