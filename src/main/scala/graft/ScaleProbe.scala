@@ -313,6 +313,16 @@ object ScaleProbe {
     probe("covariance")(cov(sfDir))(cov(embNDir))
     probe("matryoshka")(matry(sfDir))(matry(embNDir))
 
+    // q143: whitening = q139's stats pass + a map-only broadcast-literal
+    // projection — both scan-bound, so 10x vectors must cost at most 10x.
+    // (q142's audit and q144/q145's maintained reads are NOT probed: their
+    // timed cost is dominated by one-off fixture builds at the 10x scale,
+    // and their data-path shapes — fp scan + bucket-pruned join, tiny-table
+    // reads — are already covered by the incdedup and covariance probes.)
+    def whiten(d: String): Long = VectorOps.q143WhitenTopComponent(spark, d).count()
+    whiten(sfDir) // warm
+    probe("whitening")(whiten(sfDir))(whiten(embNDir))
+
     // ---- the gate: time must grow at most linearly with data ----
     val gated = results.toSeq.map { case (n, t1, tN) =>
       (n, t1, tN, tN / math.max(t1, 0.3))

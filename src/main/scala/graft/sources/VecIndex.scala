@@ -95,14 +95,21 @@ object VecIndex {
       idxRoot, indexKey, "pbucket", tag = tag)
   }
 
-  /** Roll the index forward across corpus versions `(fromV, toV]`. */
+  /** Watermark scope of the polling path — shared by every poller, ids
+    * are corpus versions ([[DedupIndex.PollScope]]'s reasoning). */
+  private[graft] val PollScope = "vec-refresh-poll"
+
+  /** Roll the index forward across corpus versions `(fromV, toV]` —
+    * through [[applyBatch]]'s txn tags under [[PollScope]], so replayed
+    * or overlapping ranges skip. `maintain`'s keyed upserts are
+    * idempotent (unlike fp ref-counts), so this is uniformity + a
+    * cheaper skip, not a correctness fix. */
   def refresh(spark: SparkSession, corpusRoot: String,
       centRoot: String, idxRoot: String, fromV: Int, toV: Int): Unit =
     (fromV until toV).foreach { v =>
       val ch = ManifestTable.readChanges(
         spark, corpusRoot, v, v + 1, Seq("vec_id"), preimages = true)
-        .localCheckpoint()
-      maintain(spark, ch, centRoot, idxRoot)
+      applyBatch(ch, (v + 1).toLong, centRoot, idxRoot, scope = PollScope)
     }
 
   /** EXACTLY-ONCE streaming maintenance step — the
