@@ -1349,6 +1349,28 @@ object SparkSqlTwins {
         |      FROM scored)
         |WHERE rnk <= 3""".stripMargin,
 
+    // q146: q72's formula with tf over the batch split and df/n over
+    // the corpus split — the twin proves the spark.sql recompute equals
+    // the maintained-DfIndex probe.
+    "q146_maintained_tfidf" ->
+      raw"""WITH tok AS (SELECT doc_id, explode(split(trim(text), '\\s+')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok WHERE doc_id % 10 = 9 GROUP BY 1, 2),
+        |cdf AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
+        |        FROM tok WHERE doc_id % 10 <> 9 GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id % 10 <> 9),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |         round(tf.tf * log(n.n_docs / cdf.df_docs), 6) AS tfidf
+        |  FROM tf JOIN cdf USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tf, tfidf,
+        |       CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                 ORDER BY tfidf DESC, token) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 3""".stripMargin,
+
     "q97_rolling_distinct" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |span AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),

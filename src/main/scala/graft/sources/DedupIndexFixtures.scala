@@ -32,12 +32,13 @@ object DedupIndexFixtures {
     * layout (planner-visible bucketing). v3: maintained cluster tables
     * (q137) roll forward with the same CDC batches. v4: n_tokens rides
     * the membership rows (q138 keeper decisions). v5: corrupted twin of
-    * the fp index (q142 audit gate). */
-  private val FixtureVersion = 5
+    * the fp index (q142 audit gate). v6: maintained document-frequency
+    * index (q146's IDF source). */
+  private val FixtureVersion = 6
 
   /** All maintained-index roots of one fixture. */
   case class Roots(fp: String, band: String, memb: String, rep: String,
-      fpCorrupt: String)
+      fpCorrupt: String, df: String)
 
   /** Idempotently build corpus + fp/band indexes + cluster tables for
     * `sfDir` ([[FixtureLifecycle.ensureOnce]] — one build per content
@@ -50,7 +51,7 @@ object DedupIndexFixtures {
       TextOps.bandStackExpr))
     val root = FixtureLifecycle.ensureOnce("graft_dedupidx", sig) { root =>
       ManifestTable.currentVersion(s"$root/corpus") == 2 &&
-        Seq("fp", "band", "memb", "rep", "fpcorrupt").forall(t =>
+        Seq("fp", "band", "memb", "rep", "fpcorrupt", "df").forall(t =>
           ManifestTable.currentVersion(s"$root/$t") >= 1)
     } { root =>
       val corpus = s"$root/corpus"
@@ -64,6 +65,7 @@ object DedupIndexFixtures {
         val ch = ManifestTable.readChanges(
           s, corpus, v, v + 1, Seq("doc_id"), preimages = true).localCheckpoint()
         DedupIndex.maintainFpIndex(s, ch, s"$root/fp")
+        DfIndex.maintainDfIndex(s, ch, s"$root/df")
         // band index + cluster tables advance together (applyBatch
         // maintains the band index first, then the components)
         ClusterIndex.applyBatch(ch, v.toLong, s"$root/band", s"$root/memb",
@@ -102,7 +104,7 @@ object DedupIndexFixtures {
         corrupted, s"$root/fpcorrupt", Seq("bucket", "fp"), "bucket")
     }
     Roots(s"$root/fp", s"$root/band", s"$root/memb", s"$root/rep",
-      s"$root/fpcorrupt")
+      s"$root/fpcorrupt", s"$root/df")
   }
 
   private def batch(s: SparkSession, sfDir: String): DataFrame =
@@ -145,12 +147,22 @@ object DedupIndexFixtures {
     DedupIndex.auditFpIndex(corpusDocs, s, ensure(s, d).fpCorrupt)
   }
 
+  /** q146 — TF-IDF scoring of the ARRIVING batch with IDF from the
+    * MAINTAINED document-frequency index ([[DfIndex]]): the production
+    * inference shape q72 lacks — score new docs against corpus-wide IDF
+    * without re-aggregating the corpus. Batch-sized tf work, a
+    * bucket-pruned vocab read, a broadcast 1-row corpus size; the
+    * oracle recomputes both sides from raw parquet. */
+  def q146MaintainedTfidf(s: SparkSession, d: String): DataFrame =
+    DfIndex.probeTfIdf(batch(s, d), s, ensure(s, d).df)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_maintained_exact_probe" -> (q135MaintainedExactProbe _),
     "q136_maintained_neardup_probe" -> (q136MaintainedNeardupProbe _),
     "q137_maintained_components" -> (q137MaintainedComponents _),
     "q138_maintained_keepers" -> (q138MaintainedKeepers _),
-    "q142_fp_index_audit" -> (q142FpIndexAudit _))
+    "q142_fp_index_audit" -> (q142FpIndexAudit _),
+    "q146_maintained_tfidf" -> (q146MaintainedTfidf _))
 
   /** q54's oracle text with its `documents` base restricted to the
     * fixture's corpus split — the recursive closure runs on exactly the
@@ -187,10 +199,34 @@ object DedupIndexFixtures {
       |       CAST(1 AS BIGINT) AS stored_docs
       |FROM p3""".stripMargin
 
+  /** q146's oracle: tf over the batch split, df/n over the corpus
+    * split, both from raw parquet — q72's formula with the split the
+    * maintained index serves. Unseen tokens drop (inner join), q72's
+    * contract. */
+  val q146Sql: String =
+    raw"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |             FROM documents),
+      |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok WHERE doc_id % 10 = 9 GROUP BY 1, 2),
+      |cdf AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
+      |        FROM tok WHERE doc_id % 10 <> 9 GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id % 10 <> 9),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf,
+      |         round(tf.tf * ln(n.n_docs / cdf.df_docs), 6) AS tfidf
+      |  FROM tf JOIN cdf USING (token) CROSS JOIN n)
+      |SELECT doc_id, token, tf, tfidf,
+      |       CAST(rnk AS BIGINT) AS rnk
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                 ORDER BY tfidf DESC, token) AS rnk
+      |      FROM scored)
+      |WHERE rnk <= 3""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q135_maintained_exact_probe" -> TextOps.q125Sql,
     "q136_maintained_neardup_probe" -> TextOps.q126Sql,
     "q137_maintained_components" -> restrictToCorpus(TextOps.q54Sql),
     "q138_maintained_keepers" -> restrictToCorpus(TextOps.q69Sql),
-    "q142_fp_index_audit" -> q142Sql)
+    "q142_fp_index_audit" -> q142Sql,
+    "q146_maintained_tfidf" -> q146Sql)
 }

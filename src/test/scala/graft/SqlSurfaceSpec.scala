@@ -35,6 +35,7 @@ class SqlSurfaceSpec extends SparkSpec {
       "q118_repeated_spans",
       "q123_audio_energy", "q124_bpe_pairs",
       "q126_incremental_neardup", "q136_maintained_neardup_probe",
+      "q146_maintained_tfidf",
       "q127_png_pixels", "q128_hybrid_rrf",
       "q129_incremental_ivf", "q130_image_ahash", "q131_image_neardup",
       "q132_image_dedup_keep", "q133_audio_energy_gate", "q134_dsir_weights") ++
