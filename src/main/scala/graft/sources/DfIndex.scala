@@ -119,6 +119,14 @@ object DfIndex {
       tag = tag)
   }
 
+  /** Age zeroed ref-counts out of the vocab table
+    * ([[DedupIndex.purgeTombstones]]'s reasoning — a df that retracted
+    * to zero is semantically absent; readers filter it, compaction
+    * removes it). Rewrites only partitions holding dead rows. */
+  def purgeTombstones(spark: SparkSession, idxRoot: String): Unit =
+    if (ManifestTable.currentVersion(idxRoot) >= 1)
+      ManifestTable.rewriteWhere(spark, idxRoot, "bucket", col("df_docs") > 0L)
+
   /** EXACTLY-ONCE step ([[DedupIndex.applyBatch]]'s protocol). */
   def applyBatch(changes: DataFrame, batchId: Long, idxRoot: String,
       scope: String = ""): Unit = {

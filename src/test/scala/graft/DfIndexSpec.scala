@@ -75,6 +75,15 @@ class DfIndexSpec extends SparkSpec {
     DfIndex.refresh(spark, corpus, idx, 0, v3)
     assert(ManifestTable.currentVersion(idx) == vI, "replay committed")
     assert(dfSet(idx) == before, "ref-counts doubled on replay")
+
+    // purge ages the zeroed rows out; answers and future maintenance
+    // are unchanged
+    DfIndex.purgeTombstones(spark, idx)
+    assert(ManifestTable.read(spark, idx).where(col("df_docs") <= 0L).count() == 0L)
+    assertMatchesSnapshot(corpus, idx, "after purge")
+    val v4 = ManifestTable.merge(docsDf(5L -> t1), corpus, Seq("doc_id"))
+    DfIndex.refresh(spark, corpus, idx, v3, v4)
+    assertMatchesSnapshot(corpus, idx, "maintain after purge")
   }
 
   test("probeTfIdf against the maintained index equals a from-scratch " +

@@ -499,6 +499,34 @@ class PlanSpec extends SparkSpec {
     assert(got == Map(10L -> true, 11L -> false), got.toString)
   }
 
+  test("q146 probe: the vocab-table side never plans a hash-partition " +
+    "exchange or sort-merge join — batch tf broadcasts into the pruned " +
+    "df read, and the 1-row corpus size broadcasts") {
+    import graft.sources.{DfIndex, ManifestTable}
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-dfplan").toString
+    val corpus = s"$work/corpus"
+    val idx = s"$work/df"
+    val v1 = ManifestTable.merge(
+      Seq(1L -> "alpha beta gamma delta", 2L -> "one two three four")
+        .toDF("doc_id", "text"), corpus, Seq("doc_id"))
+    DfIndex.refresh(spark, corpus, idx, 0, v1)
+    val probe = DfIndex.probeTfIdf(
+      Seq(10L -> "alpha beta unseen").toDF("doc_id", "text"), spark, idx)
+    val plan = physical(probe)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // every hash exchange is BATCH-sized: the tf aggregation, the
+    // top-k per-doc regroup, and the prune-key collection — the vocab
+    // scan itself feeds the broadcast join directly and contributes
+    // none (an index-side exchange would show up as a 4th)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 3, s"unexpected extra exchange (index side?), got $hashEx:\n$plan")
+    // correctness: unseen token dropped, shared tokens scored
+    val got = probe.collect().map(r => (r.getString(1), r.getLong(4))).toSet
+    assert(got.nonEmpty && got.forall(_._1 != "unseen"), got.toString)
+  }
+
   test("bucketed index layout is PLANNER-VISIBLE (VERDICT r10 #3): a " +
     "groupBy(fp) over the stored fp index plans ZERO exchanges (bucketed " +
     "scan), and auditFpIndex's full-outer join shuffles ONLY the recomputed " +
