@@ -110,8 +110,13 @@ object Bench {
     val sequential = ordered.zip(sp1.zip(sp2)).map {
       case ((name, fn), ((_, t1, o1), (_, t2, o2))) =>
         val ok = o1 || o2
-        val base = if (ok) math.min(t1, t2) else t1
-        val spread = math.max(t1, t2) / math.max(1e-9, math.min(t1, t2))
+        // min over SUCCESSFUL passes only — a fast failure (o=false)
+        // must not masquerade as the query's time
+        val okTimes = Seq((t1, o1), (t2, o2)).collect { case (t, true) => t }
+        val base = if (ok) okTimes.min else t1
+        val spread =
+          if (okTimes.size == 2) okTimes.max / math.max(1e-9, okTimes.min)
+          else Double.MaxValue // one pass failed: always tie-break
         val best = if (ok && spread > 2.0) {
           val q0 = System.nanoTime()
           val o3 = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }

@@ -681,8 +681,10 @@ object TextOps {
       expr(s"simhash_native(${tokensSqlExpr("text")})").as("simhash"))
   }
 
-  /** SQL-text form of [[tokens]] for use inside expr(...). */
-  private def tokensSqlExpr(c: String): String = raw"split(trim($c), '\\s+')"
+  /** SQL-text form of [[tokens]] for use inside expr(...) — also the
+    * stable tokenizer identity fixture signatures fold in, so a
+    * tokenizer change invalidates on-disk df fixtures. */
+  private[graft] def tokensSqlExpr(c: String): String = raw"split(trim($c), '\\s+')"
 
   /** The declarative explode + 16-sum form of q32 — the shape the DuckDB
     * oracle computes; kept as the equivalence baseline for the codegen

@@ -929,11 +929,18 @@ object VectorOps {
     * means kills the moment identity's cancellation noise; the
     * μ-vs-μ̂ centering bias is ≤(5e-7)² — far below the 7-decimal
     * snap). */
+  /** The boundary-snapping round the whitening gate ladder depends on —
+    * ONE definition (HALF_UP = away-from-zero on ties, matching both
+    * engines' round()) shared by [[whiteningStats]], [[powerDirection]]
+    * and [[graft.sources.StatsIndex]], so the maintained and
+    * single-shot paths cannot silently diverge in rounding mode. */
+  private[graft] def snapHalfUp(x: Double, sc: Int): Double =
+    BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   private[graft] def whiteningStats(s: SparkSession, d: String): (Array[Double], Array[Double]) = {
     import s.implicits._
     val dims = EmbeddingDims
-    def snap(x: Double, sc: Int): Double =
-      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def snap(x: Double, sc: Int): Double = snapHalfUp(x, sc)
     val aggs = TypedAggregators.covarianceMatrix($"v", dims).as("c") +:
       (0 until dims).map(i => avg(element_at($"v", i + 1)).as(s"m$i"))
     val row = emb(s, d).agg(aggs.head, aggs.tail: _*).collect()(0)
@@ -954,8 +961,7 @@ object VectorOps {
     * snapped at 6. */
   private[graft] def powerDirection(c: Array[Array[Double]]): Array[Double] = {
     val dims = c.length
-    def snap(x: Double, sc: Int): Double =
-      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def snap(x: Double, sc: Int): Double = snapHalfUp(x, sc)
     var p = Array.fill(dims)(1.0)
     (0 until 3).foreach { _ =>
       p = Array.tabulate(dims) { i =>

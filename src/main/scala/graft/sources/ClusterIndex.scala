@@ -252,6 +252,20 @@ object ClusterIndex {
       .join(broadcast(seedReps), Seq("rep"), "left_semi")
       .select(col("doc_id"))
     val m = liveMembers.union(deadKept).union(seeds).distinct().localCheckpoint()
+    // FAIL-FAST guard before the heavy pruned-read/broadcast work below:
+    // the walk-reached set is an upper bound on the re-solved set (it
+    // still carries this batch's deletes and long-dead docs), so it is
+    // checked against a LOOSER bound — tripping it means either a
+    // genuinely over-cap merge or a tombstone backlog so large that
+    // purgeTombstones/bootstrap is overdue; either way, stop before a
+    // multi-million-row broadcast replaces this message with an OOM.
+    // The EXACT cap on the solver's input is below, on mLive.
+    val walkCount = m.count()
+    require(walkCount <= 4 * MaxAffectedDocs,
+      s"cluster maintenance walk reached $walkCount docs (> ${4 * MaxAffectedDocs} " +
+        "fail-fast bound): the batch merges clusters beyond the single-task " +
+        "re-solve, or tombstones have accumulated far past the purge cadence - " +
+        "run purgeTombstones and/or a bootstrap recompute")
     // docs reached ONLY through a tombstone may be long-deleted
     // (membership row dead): keep a doc only if this batch touches it
     // or its membership row is LIVE — never resurrect a deleted doc

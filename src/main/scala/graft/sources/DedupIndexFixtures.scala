@@ -48,7 +48,9 @@ object DedupIndexFixtures {
   def ensure(s: SparkSession, sfDir: String): Roots = {
     val sig = FixtureLifecycle.signature(Seq(sfDir, FixtureVersion.toString,
       DedupIndex.IndexBuckets.toString, TextOps.shinglesExpr,
-      TextOps.bandStackExpr))
+      TextOps.bandStackExpr,
+      // the df index bakes in the tokenizer and its own bucket count
+      DfIndex.IndexBuckets.toString, TextOps.tokensSqlExpr("text")))
     val root = FixtureLifecycle.ensureOnce("graft_dedupidx", sig) { root =>
       ManifestTable.currentVersion(s"$root/corpus") == 2 &&
         Seq("fp", "band", "memb", "rep", "fpcorrupt", "df").forall(t =>

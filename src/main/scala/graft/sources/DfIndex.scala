@@ -131,7 +131,9 @@ object DfIndex {
   def applyBatch(changes: DataFrame, batchId: Long, idxRoot: String,
       scope: String = ""): Unit = {
     if (batchId <= ManifestTable.lastBatchTag(idxRoot, scope)) return
-    maintainDfIndex(changes.sparkSession, changes, idxRoot,
+    // one materialization: maintainDfIndex evaluates the delta for
+    // isEmpty, the token delta, and the count delta
+    maintainDfIndex(changes.sparkSession, changes.localCheckpoint(), idxRoot,
       Some(ManifestTable.batchTag(scope, batchId)))
   }
 

@@ -38,8 +38,7 @@ object StatsIndex {
 
   private[graft] val PollScope = "stats-refresh-poll"
 
-  private def snap(x: Double, sc: Int): Double =
-    BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def snap(x: Double, sc: Int): Double = VectorOps.snapHalfUp(x, sc)
 
   private def sign: Column = when(
     col("_change_type").isin("insert", "update_postimage"), 1.0)
@@ -118,7 +117,9 @@ object StatsIndex {
   def applyBatch(changes: DataFrame, batchId: Long, root: String,
       scope: String = ""): Unit = {
     if (batchId <= ManifestTable.lastBatchTag(root, scope)) return
-    maintain(changes.sparkSession, changes, root,
+    // one materialization: maintain evaluates the delta for isEmpty and
+    // the moment aggregation
+    maintain(changes.sparkSession, changes.localCheckpoint(), root,
       Some(ManifestTable.batchTag(scope, batchId)))
   }
 

@@ -29,8 +29,11 @@ object StatsIndexFixtures {
     FixtureLifecycle.ensureOnce("graft_statsidx",
       FixtureLifecycle.signature(Seq(sfDir, FixtureVersion.toString,
         VectorOps.EmbeddingDims.toString))) { root =>
+      // a COMPLETE build deterministically ends at stats version 4
+      // (bootstrap + the three non-empty deltas); >= would accept a
+      // build that crashed mid-refresh with the corpus already at 4
       ManifestTable.currentVersion(s"$root/corpus") == 4 &&
-        ManifestTable.currentVersion(s"$root/stats") >= 2
+        ManifestTable.currentVersion(s"$root/stats") == 4
     } { root =>
       val corpus = s"$root/corpus"
       val all = Tables(s, sfDir, "embeddings").select(col("vec_id"), col("embedding"))

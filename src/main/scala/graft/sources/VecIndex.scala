@@ -123,7 +123,10 @@ object VecIndex {
   def applyBatch(changes: DataFrame, batchId: Long,
       centRoot: String, idxRoot: String, scope: String = ""): Unit = {
     if (batchId <= ManifestTable.lastBatchTag(idxRoot, scope)) return
-    maintain(changes.sparkSession, changes, centRoot, idxRoot,
+    // one materialization: maintain evaluates the delta for isEmpty,
+    // the assignment, and the key set — without this, each is a full
+    // re-read of the CDC delta (manifest diff + preimage reconstruction)
+    maintain(changes.sparkSession, changes.localCheckpoint(), centRoot, idxRoot,
       Some(ManifestTable.batchTag(scope, batchId)))
   }
 
