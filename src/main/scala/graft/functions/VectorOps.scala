@@ -959,7 +959,8 @@ object VectorOps {
     * un-normalized power steps from all-ones on the (already snapped)
     * matrix, one normalization, first-nonzero-positive sign, components
     * snapped at 6. */
-  private[graft] def powerDirection(c: Array[Array[Double]]): Array[Double] = {
+  private[graft] def powerDirection(c: Array[Array[Double]],
+      orthoTo: Option[Array[Double]] = None): Array[Double] = {
     val dims = c.length
     def snap(x: Double, sc: Int): Double = snapHalfUp(x, sc)
     var p = Array.fill(dims)(1.0)
@@ -970,10 +971,21 @@ object VectorOps {
         acc
       }
     }
-    val nrm = math.sqrt(p.map(x => x * x).sum)
+    // explicit Gram–Schmidt for the k > 1 directions: THREE power steps
+    // give a deterministic, SQL-expressible dominant-ish direction, not
+    // a converged eigenvector, so deflation alone does not make the
+    // next direction orthogonal — project the first direction out
+    // before normalizing (q147's contract; both engines state it)
+    val g = orthoTo match {
+      case Some(w) =>
+        val d = p.zip(w).map { case (a, b) => a * b }.sum
+        Array.tabulate(dims)(i => p(i) - d * w(i))
+      case None => p
+    }
+    val nrm = math.sqrt(g.map(x => x * x).sum)
     require(nrm > 0, "degenerate covariance: whitening direction undefined")
-    val sgn = p.find(math.abs(_) > 1e-12).map(math.signum).getOrElse(1.0)
-    p.map(x => snap(x / nrm * sgn, 6))
+    val sgn = g.find(math.abs(_) > 1e-12).map(math.signum).getOrElse(1.0)
+    g.map(x => snap(x / nrm * sgn, 6))
   }
 
   /** The map-only projection pass shared by [[q143WhitenTopComponent]]
@@ -1043,6 +1055,108 @@ object VectorOps {
       |       round(round(sqrt(greatest(0, ss - coef * coef)), 9), 6) AS resid_norm
       |FROM p""".stripMargin
 
+  /** q147 — "all-but-the-top-2": per vector, the coefficients along the
+    * TOP TWO covariance directions and the residual norm after removing
+    * both — the k = 2 instance of the same postprocess q143 gates for
+    * k = 1 (the original recipe removes the top few, not one). The
+    * second direction comes by DEFLATION + GRAM–SCHMIDT: λ1 = w1ᵀCw1
+    * (snapped at 7), C2 = snap(C − λ1·w1w1ᵀ, 7), then the power rule on
+    * C2 with w1 explicitly projected out before normalization (three
+    * power steps give a dominant-ish direction, not a converged
+    * eigenvector, so deflation alone would not be orthogonal) — every
+    * intermediate snapped on BOTH engines, so the whole two-component
+    * ladder stays identical-input linear algebra ([[whiteningStats]]'s
+    * determinism argument, applied twice). Residual is the Pythagorean
+    * formula on the near-orthonormal snapped pair.
+    *
+    * 100 TB shape: identical to q143 — one stats pass, d×d driver
+    * algebra, one map-only broadcast-literal projection. */
+  def q147WhitenTopTwo(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (w1, mu) = whiteningStats(s, d)
+    // rebuild the snapped C the same way whiteningStats did (cheap: the
+    // stats row is cached by emb()'s persist when the suite enables it;
+    // a second aggregation otherwise — still one pass, not two plans)
+    val dims = EmbeddingDims
+    val row = emb(s, d)
+      .agg(TypedAggregators.covarianceMatrix($"v", dims).as("c")).collect()(0)
+    val c = Array.ofDim[Double](dims, dims)
+    row.getAs[Seq[org.apache.spark.sql.Row]]("c").foreach { r =>
+      val v = snapHalfUp(r.getDouble(2), 7)
+      c(r.getInt(0))(r.getInt(1)) = v
+      c(r.getInt(1))(r.getInt(0)) = v
+    }
+    val lam1 = snapHalfUp(
+      (0 until dims).map(i => (0 until dims).map(j => w1(i) * c(i)(j) * w1(j)).sum).sum, 7)
+    val c2 = Array.tabulate(dims, dims)((i, j) =>
+      snapHalfUp(c(i)(j) - lam1 * w1(i) * w1(j), 7))
+    val w2 = powerDirection(c2, orthoTo = Some(w1))
+    val w1L = array(w1.map(lit(_)): _*)
+    val w2L = array(w2.map(lit(_)): _*)
+    val muL = array(mu.map(lit(_)): _*)
+    emb(s, d)
+      .withColumn("vc", zip_with($"v", muL, (a, b) => a - b))
+      .withColumn("w1v", w1L).withColumn("w2v", w2L)
+      .withColumn("c1", dot("vc", "w1v"))
+      .withColumn("c2", dot("vc", "w2v"))
+      .select($"vec_id",
+        round(round($"c1", 9), 6).as("top_coef"),
+        round(round($"c2", 9), 6).as("second_coef"),
+        round(round(sqrt(greatest(lit(0.0),
+          dot("vc", "vc") - $"c1" * $"c1" - $"c2" * $"c2")), 9), 6).as("resid_norm"))
+  }
+
+  val q147Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |dims AS (SELECT CAST(i AS INTEGER) AS i FROM range(1, 65) t(i)),
+      |mu AS MATERIALIZED (SELECT i, round(sum(v[i]) / count(*), 6) AS mu
+      |      FROM e CROSS JOIN dims GROUP BY i),
+      |d AS (SELECT a.i AS i, b.i AS j FROM dims a CROSS JOIN dims b WHERE a.i <= b.i),
+      |c0 AS MATERIALIZED (
+      |  SELECT d.i, d.j,
+      |         round(sum((e.v[d.i] - mi.mu) * (e.v[d.j] - mj.mu)) / count(*), 7) AS c
+      |  FROM e CROSS JOIN d
+      |  JOIN mu mi ON mi.i = d.i JOIN mu mj ON mj.i = d.j
+      |  GROUP BY d.i, d.j),
+      |cf AS MATERIALIZED (SELECT i, j, c FROM c0
+      |      UNION ALL SELECT j AS i, i AS j, c FROM c0 WHERE i <> j),
+      |v1 AS (SELECT i, sum(c) AS x FROM cf GROUP BY i),
+      |v2 AS (SELECT cf.i, sum(cf.c * v1.x) AS x FROM cf JOIN v1 ON cf.j = v1.i GROUP BY cf.i),
+      |v3 AS MATERIALIZED (SELECT cf.i, sum(cf.c * v2.x) AS x
+      |      FROM cf JOIN v2 ON cf.j = v2.i GROUP BY cf.i),
+      |nv AS (SELECT sqrt(sum(x * x)) AS nrm FROM v3),
+      |sg AS (SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS sgn
+      |       FROM v3 WHERE abs(x) > 1e-12 ORDER BY i LIMIT 1),
+      |w1 AS MATERIALIZED (SELECT i, round(x / nrm * sgn, 6) AS w FROM v3, nv, sg),
+      |lam AS MATERIALIZED (SELECT round(sum(a.w * cf.c * b.w), 7) AS l
+      |       FROM cf JOIN w1 a ON cf.i = a.i JOIN w1 b ON cf.j = b.i),
+      |c2 AS MATERIALIZED (SELECT cf.i, cf.j,
+      |        round(cf.c - lam.l * a.w * b.w, 7) AS c
+      |      FROM cf, lam
+      |      JOIN w1 a ON cf.i = a.i JOIN w1 b ON cf.j = b.i),
+      |u1 AS (SELECT i, sum(c) AS x FROM c2 GROUP BY i),
+      |u2 AS (SELECT c2.i, sum(c2.c * u1.x) AS x FROM c2 JOIN u1 ON c2.j = u1.i GROUP BY c2.i),
+      |u3 AS MATERIALIZED (SELECT c2.i, sum(c2.c * u2.x) AS x
+      |      FROM c2 JOIN u2 ON c2.j = u2.i GROUP BY c2.i),
+      |gs AS (SELECT sum(u3.x * w1.w) AS g FROM u3 JOIN w1 ON u3.i = w1.i),
+      |q AS MATERIALIZED (SELECT u3.i, u3.x - gs.g * w1.w AS x
+      |      FROM u3, gs JOIN w1 ON u3.i = w1.i),
+      |nu AS (SELECT sqrt(sum(x * x)) AS nrm FROM q),
+      |sh AS (SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS sgn
+      |       FROM q WHERE abs(x) > 1e-12 ORDER BY i LIMIT 1),
+      |w2 AS MATERIALIZED (SELECT i, round(x / nrm * sgn, 6) AS w FROM q, nu, sh),
+      |p AS (SELECT e.vec_id,
+      |        sum((e.v[w1.i] - mu.mu) * w1.w) AS c1,
+      |        sum((e.v[w1.i] - mu.mu) * w2.w) AS c2,
+      |        sum((e.v[w1.i] - mu.mu) * (e.v[w1.i] - mu.mu)) AS ss
+      |      FROM e CROSS JOIN w1
+      |      JOIN w2 ON w2.i = w1.i JOIN mu ON mu.i = w1.i
+      |      GROUP BY e.vec_id)
+      |SELECT vec_id, round(round(c1, 9), 6) AS top_coef,
+      |       round(round(c2, 9), 6) AS second_coef,
+      |       round(round(sqrt(greatest(0, ss - c1 * c1 - c2 * c2)), 9), 6) AS resid_norm
+      |FROM p""".stripMargin
+
   /** q140 — MATRYOSHKA truncation fidelity: how much cosine structure
     * survives keeping only the first 8 / 16 / 32 of 64 dims — the
     * measurement behind prefix-truncatable ("matryoshka") embedding
@@ -1099,6 +1213,7 @@ object VectorOps {
     "q139_embedding_covariance" -> (q139EmbeddingCovariance _),
     "q140_matryoshka_fidelity" -> (q140MatryoshkaFidelity _),
     "q143_whiten_top_component" -> (q143WhitenTopComponent _),
+    "q147_whiten_top_two" -> (q147WhitenTopTwo _),
     "q129_incremental_ivf" -> (q129IncrementalIvf _),
     "q128_hybrid_rrf" -> (q128HybridRrf _),
     "q113_hard_negatives" -> (q113HardNegatives _),
@@ -1118,6 +1233,7 @@ object VectorOps {
     "q139_embedding_covariance" -> q139Sql,
     "q140_matryoshka_fidelity" -> q140Sql,
     "q143_whiten_top_component" -> q143Sql,
+    "q147_whiten_top_two" -> q147Sql,
     "q129_incremental_ivf" -> q129Sql,
     "q128_hybrid_rrf" -> q128Sql,
     "q113_hard_negatives" -> q113Sql,

@@ -70,7 +70,7 @@ class SqlSurfaceSpec extends SparkSpec {
       "has no such field)")("q14_weekly_summary", "q63_grouping_sets") ++
     m("range() table function")("q93_dim_stats", "q139_embedding_covariance",
       "q143_whiten_top_component", "q144_maintained_covariance",
-      "q145_maintained_whitening") ++
+      "q145_maintained_whitening", "q147_whiten_top_two") ++
     m("list_slice/list_dot_product on array<double> embeddings")(
       "q140_matryoshka_fidelity") ++
     m("strlen()/'//' integer division")("q110_media_decode",

@@ -303,6 +303,44 @@ class VectorOpsSpec extends SparkSpec {
     assert(lambda >= maxDiag - 1e-6, s"lambda $lambda < max variance $maxDiag")
   }
 
+  test("q147: top-two whitening is consistent with q143 (same first " +
+    "coefficient), the deflated direction is near-orthogonal to the first, " +
+    "and removing two components never leaves MORE residual than one") {
+    val q143 = VectorOps.q143WhitenTopComponent(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val q147 = VectorOps.q147WhitenTopTwo(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(q147.keySet == q143.keySet)
+    q147.foreach { case (id, (c1, _, resid2)) =>
+      assert(c1 == q143(id)._1, s"vec $id: first coefficient diverged")
+      assert(resid2 <= q143(id)._2 + 1e-5,
+        s"vec $id: two-component residual ${resid2} > one-component ${q143(id)._2}")
+    }
+    // the snapped directions stay near-orthogonal (snap error only)
+    val (w1, mu) = VectorOps.whiteningStats(spark, sf0001)
+    val dims = w1.length
+    import spark.implicits._
+    val row = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"embedding".cast("array<double>").as("v"))
+      .agg(graft.functions.TypedAggregators.covarianceMatrix($"v", dims).as("c"))
+      .collect()(0)
+    val c = Array.ofDim[Double](dims, dims)
+    row.getAs[Seq[org.apache.spark.sql.Row]]("c").foreach { r =>
+      val v = VectorOps.snapHalfUp(r.getDouble(2), 7)
+      c(r.getInt(0))(r.getInt(1)) = v; c(r.getInt(1))(r.getInt(0)) = v
+    }
+    val lam1 = VectorOps.snapHalfUp(
+      (0 until dims).map(i => (0 until dims).map(j => w1(i) * c(i)(j) * w1(j)).sum).sum, 7)
+    assert(lam1 > 0, "top eigenvalue estimate must be positive")
+    val c2 = Array.tabulate(dims, dims)((i, j) =>
+      VectorOps.snapHalfUp(c(i)(j) - lam1 * w1(i) * w1(j), 7))
+    val w2 = VectorOps.powerDirection(c2, orthoTo = Some(w1))
+    val dot12 = w1.zip(w2).map { case (a, b) => a * b }.sum
+    // Gram–Schmidt makes the pair orthogonal up to the component snap
+    assert(math.abs(dot12) < 1e-3, s"directions not near-orthogonal: $dot12")
+    assert(mu.length == dims)
+  }
+
   test("q139: an EMPTY input yields zero covariance rows (what a SQL GROUP BY " +
     "over zero rows returns), not 2,080 fabricated zeros") {
     import spark.implicits._
