@@ -118,11 +118,17 @@ object ScaleProbe {
     // df shuffle and spans⋈df join must grow linearly — the winnow step
     // is per-row and can't blow up by construction.
     def spans(d: String): Long = TextOps.q118RepeatedSpans(spark, d).count()
-    lsh(sfDir); jaccard(sfDir); components(sfDir); spans(sfDir) // warm
+    // q148: every window position flows through one count(*) shuffle on
+    // the span hash; per-copy suffixed tokens keep hash spaces disjoint,
+    // so the dup set and the doc-keyed island window grow linearly —
+    // a super-linear ratio would mean the hash join or window blew up.
+    def exsub(d: String): Long = TextOps.q148ExactSubstrSpans(spark, d).count()
+    lsh(sfDir); jaccard(sfDir); components(sfDir); spans(sfDir); exsub(sfDir) // warm
     probe("minhash_lsh")(lsh(sfDir))(lsh(docsNDir))
     probe("jaccard")(jaccard(sfDir))(jaccard(docsNDir))
     probe("components")(components(sfDir))(components(docsNDir))
     probe("winnow_spans")(spans(sfDir))(spans(docsNDir))
+    probe("exact_substr")(exsub(sfDir))(exsub(docsNDir))
 
     // The curation additions with corpus-sized intermediates: q70's
     // line-frequency join, q71's distributed prefix sum, and q77's

@@ -303,6 +303,60 @@ object SparkSqlTwins {
          |       round(sc.quality_score, 6) >= round(th.src_p25, 6) AS keep
          |FROM sc JOIN th ON th.source = sc.source""".stripMargin,
 
+    "q148_exact_substr_spans" ->
+      raw"""WITH t AS (SELECT doc_id, split(trim(text), '\\s+') AS toks FROM documents),
+         |hl AS (SELECT doc_id, transform(sequence(1, size(toks) - 7),
+         |         i -> md5(concat_ws(' ', slice(toks, i, 8)))) AS hs
+         |       FROM t WHERE size(toks) >= 8),
+         |p AS (SELECT doc_id, p0 + 1 AS p, h
+         |      FROM hl LATERAL VIEW posexplode(hs) t2 AS p0, h),
+         |d AS (SELECT h FROM p GROUP BY h HAVING count(*) >= 2),
+         |dp AS (SELECT p.doc_id, p.p FROM p JOIN d USING (h)),
+         |b AS (SELECT doc_id, p,
+         |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+         |             THEN 1 ELSE 0 END AS brk
+         |      FROM dp),
+         |g AS (SELECT doc_id, p,
+         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM b)
+         |SELECT doc_id,
+         |       CAST(min(p) AS BIGINT) AS span_start,
+         |       CAST(max(p) + 7 AS BIGINT) AS span_end,
+         |       CAST(max(p) + 8 - min(p) AS BIGINT) AS span_tokens
+         |FROM g GROUP BY doc_id, gid""".stripMargin,
+
+    "q149_exact_substr_savings" ->
+      raw"""WITH t AS (SELECT doc_id, source,
+         |             split(trim(text), '\\s+') AS toks FROM documents),
+         |hl AS (SELECT doc_id, transform(sequence(1, size(toks) - 7),
+         |         i -> md5(concat_ws(' ', slice(toks, i, 8)))) AS hs
+         |       FROM t WHERE size(toks) >= 8),
+         |p AS (SELECT doc_id, p0 + 1 AS p, h
+         |      FROM hl LATERAL VIEW posexplode(hs) t2 AS p0, h),
+         |d AS (SELECT h FROM p GROUP BY h HAVING count(*) >= 2),
+         |dp AS (SELECT p.doc_id, p.p FROM p JOIN d USING (h)),
+         |b AS (SELECT doc_id, p,
+         |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+         |             THEN 1 ELSE 0 END AS brk
+         |      FROM dp),
+         |g AS (SELECT doc_id, p,
+         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM b),
+         |sp AS (SELECT doc_id, max(p) + 8 - min(p) AS span_tokens
+         |       FROM g GROUP BY doc_id, gid),
+         |tot AS (SELECT source, CAST(sum(size(toks)) AS BIGINT) AS total_tokens
+         |        FROM t GROUP BY source),
+         |sav AS (SELECT t.source,
+         |          CAST(count(DISTINCT sp.doc_id) AS BIGINT) AS docs_affected,
+         |          CAST(sum(sp.span_tokens) AS BIGINT) AS removable_tokens
+         |        FROM sp JOIN t ON sp.doc_id = t.doc_id
+         |        GROUP BY t.source)
+         |SELECT tot.source,
+         |       coalesce(sav.docs_affected, 0L) AS docs_affected,
+         |       tot.total_tokens,
+         |       coalesce(sav.removable_tokens, 0L) AS removable_tokens,
+         |       round(coalesce(sav.removable_tokens, 0L) / tot.total_tokens, 6)
+         |         AS removable_ratio
+         |FROM tot LEFT JOIN sav USING (source)""".stripMargin,
+
     "q118_repeated_spans" ->
       raw"""WITH t AS (SELECT doc_id, split(trim(text), '\\s+') AS toks FROM documents),
          |h AS (SELECT doc_id,

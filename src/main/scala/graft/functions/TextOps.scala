@@ -544,6 +544,146 @@ object TextOps {
       |FROM w JOIN df USING (span_hash)
       |GROUP BY w.doc_id""".stripMargin
 
+  /** q148 — EXACT-SUBSTRING duplicate spans ("ExactSubstr" from Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499 §4.1): the maximal token intervals of
+    * each document whose content occurs at least twice ANYWHERE in the
+    * corpus — the spans that method would cut before training. Where
+    * q118 winnow-SAMPLES spans to estimate per-doc overlap ratios, q148
+    * is exhaustive and positional: every 8-token window is hashed at
+    * every position, a window is duplicated when its hash occurs ≥ 2
+    * times corpus-wide (including twice within ONE doc — self-repetition
+    * is cut too, unlike q118's cross-doc countDistinct), and per doc the
+    * duplicated positions are merged into maximal removal intervals by
+    * gaps-and-islands: window position p covers tokens [p+1, p+8]
+    * (1-based), two length-8 covers merge when they overlap or touch,
+    * i.e. a new island starts when p − lag(p) > 8. One output row per
+    * merged interval: (doc_id, span_start, span_end, span_tokens).
+    *
+    * The reference paper builds a suffix array; the distributed
+    * re-expression is windowed hashing — linear in corpus tokens, never
+    * a doc-pair expansion, and a true superset detector for runs ≥ 8
+    * tokens (any duplicated run of length L ≥ 8 yields L − 7 duplicated
+    * windows that merge back into exactly that run, ± the window-length
+    * rounding at the edges).
+    *
+    * 100 TB shape: the position table is O(corpus tokens) but never
+    * materialized — it flows from the scan into one count(*) shuffle on
+    * span hash (map-side partial counts collapse each doc's repeats
+    * early); the join back is hash⋈hash (AQE broadcasts the duplicated
+    * side at small SF; at corpus scale both sides hash-partition on the
+    * hash, skew-safe because a hot boilerplate hash still lands its
+    * positions across many docs); only DUPLICATED positions — a small
+    * fraction of the corpus for a healthy mix — reach the per-doc
+    * window, so the doc_id shuffle carries the dup subset, not the
+    * corpus. */
+  def q148ExactSubstrSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy($"doc_id").orderBy($"p")
+    val pos = docs(s, d)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .where(size($"toks") >= 8)
+      .select($"doc_id", posexplode(expr(spanHashesExpr)).as(Seq("p", "h")))
+    val dup = pos.groupBy($"h").agg(count(lit(1)).as("occ")).where($"occ" >= 2)
+    pos.join(dup, "h")
+      .select($"doc_id", $"p")
+      .withColumn("brk", when($"p" - lag($"p", 1).over(w) > 8, 1).otherwise(0))
+      .withColumn("gid", sum($"brk").over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy($"doc_id", $"gid")
+      .agg(
+        (min($"p") + 1).cast("long").as("span_start"),
+        (max($"p") + 8).cast("long").as("span_end"))
+      .select($"doc_id", $"span_start", $"span_end",
+        ($"span_end" - $"span_start" + 1).as("span_tokens"))
+  }
+
+  val q148Sql: String =
+    raw"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |           FROM documents),
+      |hl AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 7),
+      |         i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))) AS hs
+      |       FROM t WHERE len(toks) >= 8),
+      |p AS MATERIALIZED (SELECT doc_id, g.i AS p, hs[g.i] AS h
+      |      FROM hl, LATERAL (SELECT unnest(generate_series(1, len(hs))) AS i) g),
+      |d AS (SELECT h FROM p GROUP BY h HAVING count(*) >= 2),
+      |dp AS (SELECT p.doc_id, p.p FROM p JOIN d USING (h)),
+      |b AS (SELECT doc_id, p,
+      |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM dp),
+      |g AS (SELECT doc_id, p,
+      |        sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM b)
+      |SELECT doc_id,
+      |       CAST(min(p) AS BIGINT) AS span_start,
+      |       CAST(max(p) + 7 AS BIGINT) AS span_end,
+      |       CAST(max(p) + 8 - min(p) AS BIGINT) AS span_tokens
+      |FROM g GROUP BY doc_id, gid""".stripMargin
+
+  /** q149 — per-SOURCE savings of ExactSubstr dedup: for each source,
+    * how many tokens q148 would cut and what fraction of the source's
+    * token mass that is — the budgeting report a curation team reads
+    * before enabling span-level dedup (complement of q119, which prices
+    * whole-doc near-dup removal). Merged intervals within a doc are
+    * disjoint by construction, so removable tokens = Σ span_tokens with
+    * no double count. Docs with no duplicated span still contribute
+    * their token mass to the denominator via the separate per-source
+    * total (a broadcast-sized 1-row-per-source aggregate). */
+  def q149ExactSubstrSavings(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val totals = docs(s, d)
+      .select($"source", size(tokens($"text")).cast("long").as("n_toks"))
+      .groupBy($"source")
+      .agg(sum($"n_toks").as("total_tokens"))
+    val spans = q148ExactSubstrSpans(s, d)
+      .join(docs(s, d).select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source")
+      .agg(
+        countDistinct($"doc_id").as("docs_affected"),
+        sum($"span_tokens").as("removable_tokens"))
+    totals.join(spans, Seq("source"), "left")
+      .select($"source",
+        coalesce($"docs_affected", lit(0L)).as("docs_affected"),
+        $"total_tokens",
+        coalesce($"removable_tokens", lit(0L)).as("removable_tokens"),
+        round(coalesce($"removable_tokens", lit(0L)) / $"total_tokens", 6)
+          .as("removable_ratio"))
+  }
+
+  val q149Sql: String =
+    raw"""WITH t AS (SELECT doc_id, source,
+      |             string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |hl AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 7),
+      |         i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))) AS hs
+      |       FROM t WHERE len(toks) >= 8),
+      |p AS MATERIALIZED (SELECT doc_id, g.i AS p, hs[g.i] AS h
+      |      FROM hl, LATERAL (SELECT unnest(generate_series(1, len(hs))) AS i) g),
+      |d AS (SELECT h FROM p GROUP BY h HAVING count(*) >= 2),
+      |dp AS (SELECT p.doc_id, p.p FROM p JOIN d USING (h)),
+      |b AS (SELECT doc_id, p,
+      |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM dp),
+      |g AS (SELECT doc_id, p,
+      |        sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM b),
+      |sp AS (SELECT doc_id, max(p) + 8 - min(p) AS span_tokens
+      |       FROM g GROUP BY doc_id, gid),
+      |tot AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+      |        FROM t GROUP BY source),
+      |sav AS (SELECT t.source,
+      |          CAST(count(DISTINCT sp.doc_id) AS BIGINT) AS docs_affected,
+      |          CAST(sum(sp.span_tokens) AS BIGINT) AS removable_tokens
+      |        FROM sp JOIN t ON sp.doc_id = t.doc_id
+      |        GROUP BY t.source)
+      |SELECT tot.source,
+      |       coalesce(sav.docs_affected, 0) AS docs_affected,
+      |       tot.total_tokens,
+      |       coalesce(sav.removable_tokens, 0) AS removable_tokens,
+      |       round(coalesce(sav.removable_tokens, 0) / tot.total_tokens, 6)
+      |         AS removable_ratio
+      |FROM tot LEFT JOIN sav USING (source)""".stripMargin
+
   val q31Sql: String =
     s"""WITH $shingleCte,
       |h AS (SELECT DISTINCT doc_id, substring(md5(shingle), 1, 16) AS sh16 FROM sh),
@@ -2167,6 +2307,8 @@ object TextOps {
     "q115_psi_drift" -> (q115PsiDrift _),
     "q116_containment_pairs" -> (q116ContainmentPairs _),
     "q118_repeated_spans" -> (q118RepeatedSpans _),
+    "q148_exact_substr_spans" -> (q148ExactSubstrSpans _),
+    "q149_exact_substr_savings" -> (q149ExactSubstrSavings _),
     "q119_dedup_savings" -> (q119DedupSavings _),
     "q111_gopher_rules" -> (q111GopherRules _),
     "q112_split_leakage" -> (q112SplitLeakage _),
@@ -2207,6 +2349,8 @@ object TextOps {
     "q115_psi_drift" -> q115Sql,
     "q116_containment_pairs" -> q116Sql,
     "q118_repeated_spans" -> q118Sql,
+    "q148_exact_substr_spans" -> q148Sql,
+    "q149_exact_substr_savings" -> q149Sql,
     "q119_dedup_savings" -> q119Sql,
     "q111_gopher_rules" -> q111Sql,
     "q112_split_leakage" -> q112Sql,

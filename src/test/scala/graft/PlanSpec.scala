@@ -98,6 +98,21 @@ class PlanSpec extends SparkSpec {
     assert(joined.contains("BroadcastHashJoin"), joined)
   }
 
+  test("q148: exact-substring spans — no pair expansion; the dup-hash count " +
+    "aggregates partially before its shuffle; only ONE doc-keyed exchange " +
+    "feeds the island window") {
+    val plan = physical(graft.functions.TextOps.q148ExactSubstrSpans(spark, sf0001))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // two-phase count(*) on the span hash: partial_count on the map side
+    assert(plan.contains("partial_count"), plan)
+    // the gaps-and-islands window and the final (doc_id, gid) groupBy both
+    // ride a single doc_id exchange — dup positions shuffle once, and the
+    // position table itself is never repartitioned by doc
+    assert(plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(doc_id")) == 1, plan)
+  }
+
   test("q70: boilerplate strip — no cartesian; per-doc reassembly aggregates " +
     "partially before its shuffle") {
     val plan = physical(graft.functions.CurationOps.q70BoilerplateLines(spark, sf0001))

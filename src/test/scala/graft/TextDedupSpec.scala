@@ -280,6 +280,73 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("q148: a 20-token shared run reconstructs as EXACTLY one merged span " +
+    "per doc with exact token boundaries (windows straddling unique padding " +
+    "never fire)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-exsub").toString
+    val run = (1 to 20).map(i => s"R$i").mkString(" ")
+    Seq(
+      1L -> s"${(1 to 10).map(i => s"u$i").mkString(" ")} $run ${(1 to 10).map(i => s"v$i").mkString(" ")}",
+      2L -> s"${(1 to 5).map(i => s"w$i").mkString(" ")} $run ${(1 to 8).map(i => s"x$i").mkString(" ")}")
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.q148ExactSubstrSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(out(1L) == Seq((11L, 30L, 20L)), s"doc 1 spans: ${out(1L)}")
+    assert(out(2L) == Seq((6L, 25L, 20L)), s"doc 2 spans: ${out(2L)}")
+  }
+
+  test("q148 catches SELF-repetition (the same 8-gram twice in ONE doc) that " +
+    "q118's cross-doc countDistinct deliberately ignores, and a 1-token gap " +
+    "between duplicated runs keeps the spans separate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-exsub2").toString
+    val s8 = (1 to 8).map(i => s"S$i").mkString(" ")
+    val r8 = (1 to 8).map(i => s"Q$i").mkString(" ")
+    Seq(
+      // doc 3: S8 twice internally, nowhere else in the corpus
+      3L -> s"y1 y2 y3 y4 $s8 z1 z2 z3 z4 $s8 e1 e2 e3 e4",
+      // docs 4/5: two shared 8-runs with DIFFERENT 1-token gaps, so the
+      // gap-straddling windows are unique per doc
+      4L -> s"$s8 gapA $r8 ${(1 to 8).map(i => s"f$i").mkString(" ")}",
+      5L -> s"$s8 gapB $r8 ${(1 to 8).map(i => s"g$i").mkString(" ")}")
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.q148ExactSubstrSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    // doc 3: both occurrences of S8 are flagged (positions 5..12 and 17..24)
+    assert(out(3L) == Seq((5L, 12L, 8L), (17L, 24L, 8L)), s"doc 3: ${out(3L)}")
+    // doc 3 shares nothing with another doc — q118 reports zero shared spans
+    val q118 = TextOps.q118RepeatedSpans(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_spans")).toMap
+    assert(q118(3L) == 0L, s"q118 must not see self-repetition as shared: $q118")
+    // docs 4/5: two separate 8-token spans each — never merged across the gap
+    assert(out(4L) == Seq((1L, 8L, 8L), (10L, 17L, 8L)), s"doc 4: ${out(4L)}")
+    assert(out(5L) == Seq((1L, 8L, 8L), (10L, 17L, 8L)), s"doc 5: ${out(5L)}")
+  }
+
+  test("q149: per-source savings are exact on a hand-built corpus and a " +
+    "source with no duplicated span reports zero with full token mass") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-exsav").toString
+    val run = (1 to 20).map(i => s"R$i").mkString(" ")
+    Seq(
+      (1L, s"${(1 to 10).map(i => s"u$i").mkString(" ")} $run ${(1 to 10).map(i => s"v$i").mkString(" ")}", "web"),
+      (2L, s"${(1 to 5).map(i => s"w$i").mkString(" ")} $run ${(1 to 8).map(i => s"x$i").mkString(" ")}", "books"),
+      (3L, (1 to 30).map(i => s"c$i").mkString(" "), "code"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.q149ExactSubstrSavings(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(out("web") == ((1L, 40L, 20L, 0.5)), s"web: ${out("web")}")
+    assert(out("books") == ((1L, 33L, 20L, 0.606061)), s"books: ${out("books")}")
+    assert(out("code") == ((0L, 30L, 0L, 0.0)), s"code: ${out("code")}")
+  }
+
   test("winnow density: selection keeps ~2/(w+1) of span positions on " +
     "hash-random text (the ~2.5x reduction the README claims)") {
     import spark.implicits._
