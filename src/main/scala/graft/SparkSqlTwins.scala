@@ -357,6 +357,28 @@ object SparkSqlTwins {
          |         AS removable_ratio
          |FROM tot LEFT JOIN sav USING (source)""".stripMargin,
 
+    "q150_eval_span_scrub" ->
+      raw"""WITH t AS (SELECT doc_id, split(trim(text), '\\s+') AS toks FROM documents),
+         |hl AS (SELECT doc_id, transform(sequence(1, size(toks) - 7),
+         |         i -> md5(concat_ws(' ', slice(toks, i, 8)))) AS hs
+         |       FROM t WHERE size(toks) >= 8),
+         |p AS (SELECT doc_id, p0 + 1 AS p, h
+         |      FROM hl LATERAL VIEW posexplode(hs) t2 AS p0, h),
+         |ev AS (SELECT DISTINCT h FROM p WHERE doc_id % 19 = 0),
+         |dp AS (SELECT p.doc_id, p.p FROM p JOIN ev USING (h)
+         |       WHERE p.doc_id % 19 <> 0),
+         |b AS (SELECT doc_id, p,
+         |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+         |             THEN 1 ELSE 0 END AS brk
+         |      FROM dp),
+         |g AS (SELECT doc_id, p,
+         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM b)
+         |SELECT doc_id,
+         |       CAST(min(p) AS BIGINT) AS span_start,
+         |       CAST(max(p) + 7 AS BIGINT) AS span_end,
+         |       CAST(max(p) + 8 - min(p) AS BIGINT) AS span_tokens
+         |FROM g GROUP BY doc_id, gid""".stripMargin,
+
     "q118_repeated_spans" ->
       raw"""WITH t AS (SELECT doc_id, split(trim(text), '\\s+') AS toks FROM documents),
          |h AS (SELECT doc_id,

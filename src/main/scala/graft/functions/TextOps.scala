@@ -577,17 +577,28 @@ object TextOps {
     * fraction of the corpus for a healthy mix — reach the per-doc
     * window, so the doc_id shuffle carries the dup subset, not the
     * corpus. */
-  def q148ExactSubstrSpans(s: SparkSession, d: String): DataFrame = {
+  /** Every 8-token window position of every (≥ 8-token) doc as
+    * (doc_id, p, h) with p the 0-based hash-array index — the window at p
+    * covers tokens [p+1, p+8] (1-based). Shared by q148/q149/q150. */
+  private[graft] def windowPositions(docFrame: DataFrame): DataFrame = {
+    val s = docFrame.sparkSession
     import s.implicits._
-    val W = org.apache.spark.sql.expressions.Window
-    val w = W.partitionBy($"doc_id").orderBy($"p")
-    val pos = docs(s, d)
+    docFrame
       .select($"doc_id", tokens($"text").as("toks"))
       .where(size($"toks") >= 8)
       .select($"doc_id", posexplode(expr(spanHashesExpr)).as(Seq("p", "h")))
-    val dup = pos.groupBy($"h").agg(count(lit(1)).as("occ")).where($"occ" >= 2)
-    pos.join(dup, "h")
-      .select($"doc_id", $"p")
+  }
+
+  /** Gaps-and-islands merge of duplicated window positions (doc_id, p)
+    * into maximal token intervals: length-8 covers [p+1, p+8] merge when
+    * they overlap or touch (new island iff p − lag(p) > 8). Shared by
+    * q148 (corpus-wide duplicates) and q150 (eval-set hits). */
+  private[graft] def mergeWindowCovers(dupPos: DataFrame): DataFrame = {
+    val s = dupPos.sparkSession
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy($"doc_id").orderBy($"p")
+    dupPos
       .withColumn("brk", when($"p" - lag($"p", 1).over(w) > 8, 1).otherwise(0))
       .withColumn("gid", sum($"brk").over(
         w.rowsBetween(W.unboundedPreceding, W.currentRow)))
@@ -597,6 +608,13 @@ object TextOps {
         (max($"p") + 8).cast("long").as("span_end"))
       .select($"doc_id", $"span_start", $"span_end",
         ($"span_end" - $"span_start" + 1).as("span_tokens"))
+  }
+
+  def q148ExactSubstrSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pos = windowPositions(docs(s, d))
+    val dup = pos.groupBy($"h").agg(count(lit(1)).as("occ")).where($"occ" >= 2)
+    mergeWindowCovers(pos.join(dup, "h").select($"doc_id", $"p"))
   }
 
   val q148Sql: String =
@@ -683,6 +701,57 @@ object TextOps {
       |       round(coalesce(sav.removable_tokens, 0) / tot.total_tokens, 6)
       |         AS removable_ratio
       |FROM tot LEFT JOIN sav USING (source)""".stripMargin
+
+  /** q150 — eval-set SPAN scrubbing: the exact token intervals of each
+    * TRAINING doc that verbatim-overlap the held-out eval suite (docs
+    * with doc_id % 19 = 0, q98's convention) by at least one full
+    * 8-token window — the surgical decontamination cut ("remove the
+    * leaked benchmark passage, keep the doc") that The Pile / FineWeb
+    * style pipelines apply, where q98 flags whole documents
+    * (probabilistically, via the bloom) and q67 counts distinct shared
+    * n-grams without locating them. Train-side window positions
+    * semi-join the DISTINCT eval window hashes, then the q148
+    * gaps-and-islands merge produces maximal removal intervals.
+    *
+    * 100 TB shape: the eval side is one distinct-aggregate bounded by
+    * the eval suite's window count; NO broadcast hint — a real
+    * benchmark suite broadcasts via AQE, but this fixture's "eval set"
+    * is 1/19 of the corpus (corpus-scale, the misconfiguration
+    * q98's loud cap exists for), and unhinted both sides hash-partition
+    * on the window hash — still one linear pass, never a pair
+    * expansion. Only HIT positions (≈ the contamination mass, tiny for
+    * a healthy corpus) reach the doc-keyed island window. */
+  def q150EvalSpanScrub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pos = windowPositions(docs(s, d).where($"doc_id" % 19 =!= 0))
+    val evalW = windowPositions(docs(s, d).where($"doc_id" % 19 === 0))
+      .select($"h").distinct()
+    mergeWindowCovers(
+      pos.join(evalW, Seq("h"), "left_semi").select($"doc_id", $"p"))
+  }
+
+  val q150Sql: String =
+    raw"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |           FROM documents),
+      |hl AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 7),
+      |         i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))) AS hs
+      |       FROM t WHERE len(toks) >= 8),
+      |p AS (SELECT doc_id, g.i AS p, hs[g.i] AS h
+      |      FROM hl, LATERAL (SELECT unnest(generate_series(1, len(hs))) AS i) g),
+      |ev AS (SELECT DISTINCT h FROM p WHERE doc_id % 19 = 0),
+      |dp AS (SELECT p.doc_id, p.p FROM p JOIN ev USING (h)
+      |       WHERE p.doc_id % 19 <> 0),
+      |b AS (SELECT doc_id, p,
+      |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM dp),
+      |g AS (SELECT doc_id, p,
+      |        sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM b)
+      |SELECT doc_id,
+      |       CAST(min(p) AS BIGINT) AS span_start,
+      |       CAST(max(p) + 7 AS BIGINT) AS span_end,
+      |       CAST(max(p) + 8 - min(p) AS BIGINT) AS span_tokens
+      |FROM g GROUP BY doc_id, gid""".stripMargin
 
   val q31Sql: String =
     s"""WITH $shingleCte,
@@ -2309,6 +2378,7 @@ object TextOps {
     "q118_repeated_spans" -> (q118RepeatedSpans _),
     "q148_exact_substr_spans" -> (q148ExactSubstrSpans _),
     "q149_exact_substr_savings" -> (q149ExactSubstrSavings _),
+    "q150_eval_span_scrub" -> (q150EvalSpanScrub _),
     "q119_dedup_savings" -> (q119DedupSavings _),
     "q111_gopher_rules" -> (q111GopherRules _),
     "q112_split_leakage" -> (q112SplitLeakage _),
@@ -2351,6 +2421,7 @@ object TextOps {
     "q118_repeated_spans" -> q118Sql,
     "q148_exact_substr_spans" -> q148Sql,
     "q149_exact_substr_savings" -> q149Sql,
+    "q150_eval_span_scrub" -> q150Sql,
     "q119_dedup_savings" -> q119Sql,
     "q111_gopher_rules" -> q111Sql,
     "q112_split_leakage" -> q112Sql,

@@ -113,6 +113,22 @@ class PlanSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning(doc_id")) == 1, plan)
   }
 
+  test("q150: eval span scrub — a LEFT SEMI against the distinct eval windows " +
+    "(never a row-multiplying inner), no hint (AQE decides), one doc-keyed " +
+    "exchange for the islands") {
+    val df = graft.functions.TextOps.q150EvalSpanScrub(spark, sf0001)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, "q150 must not force-broadcast the eval side: " +
+      df.queryExecution.analyzed.toString)
+    val plan = physical(df)
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(doc_id")) == 1, plan)
+  }
+
   test("q70: boilerplate strip — no cartesian; per-doc reassembly aggregates " +
     "partially before its shuffle") {
     val plan = physical(graft.functions.CurationOps.q70BoilerplateLines(spark, sf0001))

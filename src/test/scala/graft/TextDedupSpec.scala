@@ -328,6 +328,36 @@ class TextDedupSpec extends SparkSpec {
     assert(out(5L) == Seq((1L, 8L, 8L), (10L, 17L, 8L)), s"doc 5: ${out(5L)}")
   }
 
+  test("q150: a leaked eval passage is cut at exact boundaries from TRAIN " +
+    "docs only; train-train duplication never fires it (contrast with q148) " +
+    "and sub-window overlap stays clean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scrub").toString
+    val leak = (1 to 12).map(i => s"L$i").mkString(" ") // the benchmark passage
+    val dup = (1 to 10).map(i => s"D$i").mkString(" ")  // train-train duplicate
+    Seq(
+      // doc 19 is the eval doc (19 % 19 == 0) carrying the passage
+      19L -> s"e1 e2 e3 $leak e4 e5 e6",
+      // train doc 1 leaks the passage at tokens 6..17
+      1L -> s"a1 a2 a3 a4 a5 $leak a6 a7 a8",
+      // train docs 2/3 share a 10-token run with EACH OTHER, not with eval
+      2L -> s"$dup b1 b2 b3 b4 b5 b6 b7 b8",
+      3L -> s"c1 c2 c3 $dup c4 c5",
+      // train doc 4 shares only 7 eval tokens — below one full window
+      4L -> s"${(1 to 7).map(i => s"L$i").mkString(" ")} x1 x2 x3 x4 x5 x6 x7 x8")
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.q150EvalSpanScrub(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(out == Map(1L -> Seq((6L, 17L, 12L))),
+      s"only doc 1's leaked passage, at exact boundaries: $out")
+    // sanity: q148 DOES see the train-train duplicate q150 must ignore
+    val q148 = TextOps.q148ExactSubstrSpans(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(q148.contains(2L) && q148.contains(3L), s"q148 sees 2/3: $q148")
+  }
+
   test("q149: per-source savings are exact on a hand-built corpus and a " +
     "source with no duplicated span reports zero with full token mass") {
     import spark.implicits._
