@@ -495,6 +495,76 @@ object EventStream {
       .transformWithState(new SpanOverlapProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  /** One contaminated-span cut from [[evalSpanScrubStream]] — the same
+    * (doc, interval) unit batch q150 emits. */
+  case class SpanCut(doc_id: Long, span_start: Long, span_end: Long,
+      span_tokens: Long)
+
+  /** Driver-side eval-window collects are safe ONLY while the suite is
+    * benchmark-sized: 16M distinct 32-char md5 windows ≈ 1.3 GB of
+    * broadcast — already generous for any real eval suite, and a hard
+    * wall against a misconfigured eval predicate sweeping in the corpus
+    * (the q98 bloom guard's rationale, applied to spans). */
+  val DefaultMaxEvalWindows: Long = 16L * 1024 * 1024
+
+  /** q150 as a stream: docs (doc_id, text) in, contaminated-span cuts
+    * out. STATELESS by design — the island merge is intra-doc (a doc's
+    * window positions all live in its own row), so unlike
+    * [[nearDupProbeStream]] there is no state store, no watermark and no
+    * shuffle: the distinct eval window hashes are collected once behind
+    * the loud [[DefaultMaxEvalWindows]] cap, broadcast, and each
+    * arriving doc is scrubbed in place by a per-partition pass that
+    * re-derives the SAME 8-token md5 windows the batch side hashes
+    * ([[graft.functions.TextOps.spanHashesExpr]]'s definition) and
+    * merges hit positions with the same touch-or-overlap rule
+    * (new island iff p − prev > 8) — the spec pins stream ≡ batch q150
+    * row-for-row so the two faces cannot drift. Append-mode safe, and
+    * at-least-once redelivery just re-emits identical cuts. */
+  def evalSpanScrubStream(docs: DataFrame, evalDocs: DataFrame,
+      maxEvalWindows: Long = DefaultMaxEvalWindows): Dataset[SpanCut] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val eval = graft.functions.TextOps.windowPositions(evalDocs)
+      .select($"h").distinct().persist()
+    val n = eval.count()
+    require(n <= maxEvalWindows,
+      s"eval span scrub: suite has $n distinct windows, exceeding $maxEvalWindows - " +
+        "that is corpus-scale, not benchmark-scale (misconfigured eval frame?). " +
+        "Raise maxEvalWindows only with the broadcast cost in mind.")
+    val hashes = eval.as[String].collect().toSet
+    eval.unpersist()
+    val bc = s.sparkContext.broadcast(hashes)
+    docs.select($"doc_id", $"text").as[(Long, String)].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5Hex(str: String): String =
+        md.digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      it.flatMap { case (id, text) =>
+        val toks = text.trim.split("\\s+")
+        if (toks.length < 8) Iterator.empty
+        else {
+          val dup = (0 to toks.length - 8).iterator
+            .filter(i => bc.value.contains(md5Hex(toks.slice(i, i + 8).mkString(" "))))
+            .toArray
+          if (dup.isEmpty) Iterator.empty
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[SpanCut]
+            var start = dup(0)
+            var end = dup(0)
+            dup.iterator.drop(1).foreach { p =>
+              if (p - end > 8) {
+                out += SpanCut(id, start + 1L, end + 8L, end + 8L - start)
+                start = p
+              }
+              end = p
+            }
+            out += SpanCut(id, start + 1L, end + 8L, end + 8L - start)
+            out.iterator
+          }
+        }
+      }
+    }
+  }
+
   /** One near-dup probe hit: an arriving doc shares a MinHash band
     * bucket with a committed corpus doc — the unit q126 reports. */
   case class NearDupHit(batch_doc: Long, corpus_doc: Long)

@@ -153,6 +153,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: span-family invariants on real data — q148/q150 spans are " +
+    "disjoint and in-bounds per doc, and q150's scrubbed coverage is " +
+    "CONTAINED in q148's duplicated coverage (an eval-shared window is by " +
+    "definition corpus-duplicated)") {
+    import graft.functions.TextOps
+    def covers(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Long)]] =
+      df.collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sortBy(_._1)).toMap
+    val q148 = covers(TextOps.q148ExactSubstrSpans(spark, sf0001))
+    val q150 = covers(TextOps.q150EvalSpanScrub(spark, sf0001))
+    assert(q148.nonEmpty, "fixture has no duplicated spans — property vacuous")
+    // disjointness + ordering + min window length within every doc
+    (q148 ++ q150).foreach { case (doc, spans) =>
+      spans.foreach { case (a, b) =>
+        assert(a >= 1 && b >= a + 7, s"doc $doc span ($a,$b) under one window")
+      }
+      spans.sliding(2).foreach {
+        case Seq((_, b1), (a2, _)) =>
+          assert(a2 > b1 + 1, s"doc $doc: spans not merged/disjoint ($b1, $a2)")
+        case _ =>
+      }
+    }
+    // containment: every q150 span sits inside some q148 span of its doc
+    q150.foreach { case (doc, spans) =>
+      val dup = q148.getOrElse(doc, Nil)
+      spans.foreach { case (a, b) =>
+        assert(dup.exists { case (x, y) => x <= a && b <= y },
+          s"doc $doc: scrubbed span ($a,$b) not inside q148 coverage $dup")
+      }
+    }
+  }
+
   test("property: q85 efficiency is in (0, 1] and padded tokens >= real tokens") {
     val rows = graft.functions.CurationOps.q85PackEfficiency(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -228,6 +228,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("evalSpanScrubStream is STATELESS and matches batch q150 row-for-row " +
+    "on real sf0.001 data with train docs spread across micro-batches; the " +
+    "eval-window cap trips loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchAnswer = graft.functions.TextOps.q150EvalSpanScrub(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batchAnswer.nonEmpty, "fixture has no contamination — parity vacuous")
+    val all = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val (evalDocs, trainDocs) = all.partition(_._1 % 19 == 0)
+    val mem = MemoryStream[(Long, String)]
+    val cuts = EventStream.evalSpanScrubStream(
+      mem.toDF().toDF("doc_id", "text"),
+      evalDocs.toSeq.toDF("doc_id", "text"))
+    val q = cuts.toDF().writeStream.format("memory")
+      .queryName("scrub_out").outputMode("append").start()
+    val (half1, half2) = trainDocs.splitAt(trainDocs.length / 2)
+    mem.addData(half1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(half2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("scrub_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batchAnswer,
+      s"stream-only: ${streamed -- batchAnswer}; batch-only: ${batchAnswer -- streamed}")
+    // the misconfigured-eval guard is loud, not silent truncation
+    val e = intercept[IllegalArgumentException] {
+      EventStream.evalSpanScrubStream(
+        mem.toDF().toDF("doc_id", "text"),
+        evalDocs.toSeq.toDF("doc_id", "text"), maxEvalWindows = 1L)
+    }
+    assert(e.getMessage.contains("corpus-scale"), e.getMessage)
+  }
+
   test("nearDupProbeStream (transformWithState): the band-bucket state probe " +
     "answers exactly like the q126 batch query on the same corpus/batch split, " +
     "with the corpus spread across micro-batches") {
