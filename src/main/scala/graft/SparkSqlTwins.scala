@@ -379,6 +379,38 @@ object SparkSqlTwins {
          |       CAST(max(p) + 8 - min(p) AS BIGINT) AS span_tokens
          |FROM g GROUP BY doc_id, gid""".stripMargin,
 
+    "q151_scrub_apply" ->
+      raw"""WITH t AS (SELECT doc_id, split(trim(text), '\\s+') AS toks FROM documents),
+         |hl AS (SELECT doc_id, transform(sequence(1, size(toks) - 7),
+         |         i -> md5(concat_ws(' ', slice(toks, i, 8)))) AS hs
+         |       FROM t WHERE size(toks) >= 8),
+         |p AS (SELECT doc_id, p0 + 1 AS p, h
+         |      FROM hl LATERAL VIEW posexplode(hs) t2 AS p0, h),
+         |ev AS (SELECT DISTINCT h FROM p WHERE doc_id % 19 = 0),
+         |dp AS (SELECT p.doc_id, p.p FROM p JOIN ev USING (h)
+         |       WHERE p.doc_id % 19 <> 0),
+         |b AS (SELECT doc_id, p,
+         |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+         |             THEN 1 ELSE 0 END AS brk
+         |      FROM dp),
+         |g AS (SELECT doc_id, p,
+         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM b),
+         |q AS (SELECT doc_id, CAST(min(p) AS BIGINT) AS a,
+         |             CAST(max(p) + 7 AS BIGINT) AS b
+         |      FROM g GROUP BY doc_id, gid),
+         |cl AS (SELECT doc_id, collect_list(named_struct('a', a, 'b', b)) AS cuts,
+         |              count(*) AS n_cuts FROM q GROUP BY doc_id),
+         |j AS (SELECT t.doc_id, t.toks, cl.cuts, coalesce(cl.n_cuts, 0L) AS n_cuts
+         |      FROM t LEFT JOIN cl USING (doc_id) WHERE t.doc_id % 19 <> 0),
+         |k AS (SELECT doc_id, n_cuts,
+         |        filter(toks, (tk, i) -> NOT coalesce(
+         |          exists(cuts, c -> i + 1 >= c.a AND i + 1 <= c.b), false)) AS kept
+         |      FROM j)
+         |SELECT doc_id, n_cuts,
+         |       CAST(size(kept) AS BIGINT) AS kept_tokens,
+         |       md5(concat_ws(' ', kept)) AS clean_md5
+         |FROM k""".stripMargin,
+
     "q118_repeated_spans" ->
       raw"""WITH t AS (SELECT doc_id, split(trim(text), '\\s+') AS toks FROM documents),
          |h AS (SELECT doc_id,

@@ -753,6 +753,77 @@ object TextOps {
       |       CAST(max(p) + 8 - min(p) AS BIGINT) AS span_tokens
       |FROM g GROUP BY doc_id, gid""".stripMargin
 
+  /** q151 — APPLY the q150 cuts: the scrubbed corpus itself. Every
+    * training doc comes back with its contaminated intervals removed —
+    * kept-token count and an md5 of the whitespace-rejoined clean text,
+    * so the gate hashes the actual output corpus, not just the span
+    * report (the last step a user runs: q150 tells you WHERE the leaks
+    * are, q151 hands you the text with them gone). Docs with no cuts
+    * (including sub-8-token docs, which have no windows) pass through
+    * whole, with their whitespace normalized by the same
+    * tokenize-rejoin both engines apply.
+    *
+    * 100 TB shape: q150's span table is contamination-mass-sized; its
+    * per-doc cut lists group in one combiner shuffle and LEFT-join back
+    * onto the corpus on doc_id (AQE broadcasts the cut list when
+    * contamination is sparse — the healthy case); the cut itself is a
+    * per-row higher-order filter (token index ∉ any cut interval),
+    * codegen-friendly and linear in corpus tokens, with per-token cost
+    * bounded by the doc's OWN cut count (typically 0 or 1). */
+  def q151ScrubApply(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cuts = q150EvalSpanScrub(s, d)
+      .groupBy($"doc_id")
+      .agg(
+        collect_list(struct($"span_start".as("a"), $"span_end".as("b"))).as("cuts"),
+        count(lit(1)).as("n_cuts"))
+    docs(s, d).where($"doc_id" % 19 =!= 0)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .join(cuts, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_cuts", lit(0L)).as("n_cuts"),
+        expr("filter(toks, (t, i) -> NOT coalesce(" +
+          "exists(cuts, c -> i + 1 >= c.a AND i + 1 <= c.b), false))").as("kept"))
+      .select($"doc_id", $"n_cuts",
+        size($"kept").cast("long").as("kept_tokens"),
+        md5(concat_ws(" ", $"kept")).as("clean_md5"))
+  }
+
+  val q151Sql: String =
+    raw"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |           FROM documents),
+      |hl AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 7),
+      |         i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))) AS hs
+      |       FROM t WHERE len(toks) >= 8),
+      |p AS (SELECT doc_id, g.i AS p, hs[g.i] AS h
+      |      FROM hl, LATERAL (SELECT unnest(generate_series(1, len(hs))) AS i) g),
+      |ev AS (SELECT DISTINCT h FROM p WHERE doc_id % 19 = 0),
+      |dp AS (SELECT p.doc_id, p.p FROM p JOIN ev USING (h)
+      |       WHERE p.doc_id % 19 <> 0),
+      |b AS (SELECT doc_id, p,
+      |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM dp),
+      |g AS (SELECT doc_id, p,
+      |        sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM b),
+      |q AS (SELECT doc_id, CAST(min(p) AS BIGINT) AS a, CAST(max(p) + 7 AS BIGINT) AS b
+      |      FROM g GROUP BY doc_id, gid),
+      |cl AS (SELECT doc_id, list(struct_pack(a := a, b := b)) AS cuts,
+      |              CAST(count(*) AS BIGINT) AS n_cuts
+      |       FROM q GROUP BY doc_id),
+      |j AS (SELECT t.doc_id, t.toks, cl.cuts, coalesce(cl.n_cuts, 0) AS n_cuts
+      |      FROM t LEFT JOIN cl USING (doc_id) WHERE t.doc_id % 19 <> 0),
+      |k AS (SELECT doc_id, n_cuts,
+      |        list_filter(list_transform(generate_series(1, len(toks)),
+      |          i -> CASE WHEN cuts IS NOT NULL AND
+      |                 len(list_filter(cuts, c -> i >= c.a AND i <= c.b)) > 0
+      |               THEN NULL ELSE toks[i] END), x -> x IS NOT NULL) AS kept
+      |      FROM j)
+      |SELECT doc_id, CAST(n_cuts AS BIGINT) AS n_cuts,
+      |       CAST(len(kept) AS BIGINT) AS kept_tokens,
+      |       md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+      |FROM k""".stripMargin
+
   val q31Sql: String =
     s"""WITH $shingleCte,
       |h AS (SELECT DISTINCT doc_id, substring(md5(shingle), 1, 16) AS sh16 FROM sh),
@@ -2379,6 +2450,7 @@ object TextOps {
     "q148_exact_substr_spans" -> (q148ExactSubstrSpans _),
     "q149_exact_substr_savings" -> (q149ExactSubstrSavings _),
     "q150_eval_span_scrub" -> (q150EvalSpanScrub _),
+    "q151_scrub_apply" -> (q151ScrubApply _),
     "q119_dedup_savings" -> (q119DedupSavings _),
     "q111_gopher_rules" -> (q111GopherRules _),
     "q112_split_leakage" -> (q112SplitLeakage _),
@@ -2422,6 +2494,7 @@ object TextOps {
     "q148_exact_substr_spans" -> q148Sql,
     "q149_exact_substr_savings" -> q149Sql,
     "q150_eval_span_scrub" -> q150Sql,
+    "q151_scrub_apply" -> q151Sql,
     "q119_dedup_savings" -> q119Sql,
     "q111_gopher_rules" -> q111Sql,
     "q112_split_leakage" -> q112Sql,

@@ -358,6 +358,32 @@ class TextDedupSpec extends SparkSpec {
     assert(q148.contains(2L) && q148.contains(3L), s"q148 sees 2/3: $q148")
   }
 
+  test("q151: applying the cuts yields the hand-computed clean text hash — " +
+    "a partially-leaked doc keeps exactly its non-leaked tokens, a FULLY " +
+    "leaked doc comes back empty (md5 of ''), untouched docs pass through " +
+    "whole, and eval docs never appear") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scrubapply").toString
+    val leak = (1 to 12).map(i => s"L$i").mkString(" ")
+    val clean2 = (1 to 15).map(i => s"k$i").mkString(" ")
+    Seq(
+      19L -> s"e1 e2 e3 $leak e4 e5 e6",          // eval doc
+      1L -> s"a1 a2 a3 a4 a5 $leak a6 a7 a8",     // partial leak
+      2L -> clean2,                               // untouched
+      6L -> leak)                                 // FULLY leaked
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = TextOps.q151ScrubApply(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 6L), s"train docs only: ${out.keySet}")
+    assert(out(1L) == ((1L, 8L, md5("a1 a2 a3 a4 a5 a6 a7 a8"))), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((0L, 15L, md5(clean2))), s"doc 2: ${out(2L)}")
+    assert(out(6L) == ((1L, 0L, md5(""))), s"doc 6: ${out(6L)}")
+  }
+
   test("q149: per-source savings are exact on a hand-built corpus and a " +
     "source with no duplicated span reports zero with full token mass") {
     import spark.implicits._
