@@ -129,6 +129,20 @@ class PlanSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning(doc_id")) == 1, plan)
   }
 
+  test("q151: scrub apply — the token cut is a per-row higher-order filter " +
+    "(no explode of the corpus back out), cut lists aggregate partially, " +
+    "and nothing goes cartesian") {
+    val df = graft.functions.TextOps.q151ScrubApply(spark, sf0001)
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // collect_list partials merge map-side before the doc_id exchange
+    assert(plan.contains("partial_collect_list") || plan.contains("ObjectHashAggregate"), plan)
+    // exactly one Generate (the window posexplode feeding ev/dp) per scan —
+    // the corpus-side cut never re-explodes tokens into rows
+    assert(plan.linesIterator.count(_.trim.startsWith("Generate")) <= 2, plan)
+  }
+
   test("q70: boilerplate strip — no cartesian; per-doc reassembly aggregates " +
     "partially before its shuffle") {
     val plan = physical(graft.functions.CurationOps.q70BoilerplateLines(spark, sf0001))
