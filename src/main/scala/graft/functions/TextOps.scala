@@ -589,6 +589,22 @@ object TextOps {
       .select($"doc_id", posexplode(expr(spanHashesExpr)).as(Seq("p", "h")))
   }
 
+  /** Under the suite-wide cache flag the (doc_id, p, h) window-position
+    * table is persisted per (session, path): q148 consumes it twice
+    * (occurrence count + join back), q149/q151 re-derive their parents
+    * and q150 splits it into train/eval halves — sharing saves four
+    * full re-hashings of every corpus window. Doc-level predicates
+    * (q150's % 19 split) commute with the per-row derivation, so
+    * filtering the shared view is exactly filtering the docs first. */
+  private val windowPosCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def windowPositionsView(s: SparkSession, d: String): DataFrame =
+    if (sys.props.get("graft.cacheTables").contains("true")) {
+      windowPosCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      windowPosCache.getOrElseUpdate((s, d), windowPositions(docs(s, d)).persist())
+    } else windowPositions(docs(s, d))
+
   /** Gaps-and-islands merge of duplicated window positions (doc_id, p)
     * into maximal token intervals: length-8 covers [p+1, p+8] merge when
     * they overlap or touch (new island iff p − lag(p) > 8). Shared by
@@ -612,7 +628,7 @@ object TextOps {
 
   def q148ExactSubstrSpans(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pos = windowPositions(docs(s, d))
+    val pos = windowPositionsView(s, d)
     val dup = pos.groupBy($"h").agg(count(lit(1)).as("occ")).where($"occ" >= 2)
     mergeWindowCovers(pos.join(dup, "h").select($"doc_id", $"p"))
   }
@@ -723,9 +739,9 @@ object TextOps {
     * a healthy corpus) reach the doc-keyed island window. */
   def q150EvalSpanScrub(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pos = windowPositions(docs(s, d).where($"doc_id" % 19 =!= 0))
-    val evalW = windowPositions(docs(s, d).where($"doc_id" % 19 === 0))
-      .select($"h").distinct()
+    val all = windowPositionsView(s, d)
+    val pos = all.where($"doc_id" % 19 =!= 0)
+    val evalW = all.where($"doc_id" % 19 === 0).select($"h").distinct()
     mergeWindowCovers(
       pos.join(evalW, Seq("h"), "left_semi").select($"doc_id", $"p"))
   }
@@ -2436,6 +2452,7 @@ object TextOps {
     "candidates" -> (() => candidatePairs(s, d).count()),
     "components" -> (() => q54NearDupComponents(s, d).count()),
     "winnowed_spans" -> (() => winnowedSpansView(s, d).count()),
+    "window_positions" -> (() => windowPositionsView(s, d).count()),
     "doc_shingles" -> (() => docShingles(s, d).count()),
     "token_matrix" -> (() => tokenTable(s, d).count()))
 
