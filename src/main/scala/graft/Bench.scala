@@ -165,8 +165,6 @@ object Bench {
     def timesJson(rs: Seq[(String, Double, Boolean)], key: String => String,
                   fmt: Double => String): String =
       rs.map { case (k, v, _) => "\"" + key(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
-    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
-    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val failures = (concurrent ++ sequential).collect { case (k, _, false) => k }
       .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     // ASCII only: a non-ASCII char here has twice arrived charset-mangled
@@ -188,28 +186,6 @@ object Bench {
     // Full record (long names, both passes, method) -> file + stderr.
     val fullJson =
       s"""{"metric":"total","value":$wall,"unit":"sec","queries":${timesJson(sequential, identity, _.toString)},"queries_concurrent":${timesJson(concurrent, identity, _.toString)},"seq_total":$seqTotal,"views":$viewsJson,"concurrent_walls":$walls,"failures":$failures,"sf":"$sfDir","method":"$method"}"""
-    // The stdout line the driver parses is read from a BOUNDED tail buffer
-    // (BENCH_r04: "tail" was exactly 2000 chars and started mid-JSON, so
-    // the ~4KB verbose line was truncated and "parsed" stayed null).
-    // Keep this line comfortably under that: short qNN keys (the contract's
-    // own example uses {"q1":sec,...}), 3-decimal values, one queries map,
-    // terse method. ~1.2KB for 79 queries.
-    // qNN shortening must stay injective — a future q31_a/q31_b pair would
-    // emit duplicate JSON keys and the driver would silently keep one
-    // timing. Fall back to full names on collision rather than lie.
-    val shortKeys = sequential.map(_._1.takeWhile(_ != '_'))
-    val shorten: String => String =
-      if (shortKeys.distinct.size == shortKeys.size) _.takeWhile(_ != '_') else identity
-    // compact values at 2 decimals and first-word view keys: at 126
-    // queries + 10 views the line must stay comfortably under the
-    // driver's ~2000-char tail buffer (BENCH_r04); the full-precision
-    // record is in the bench file
-    def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val viewsCompact = views.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f2(v)
-    }.mkString("{", ",", "}")
-    val compactJson =
-      s"""{"metric":"total","value":${r3(wall)},"unit":"sec","queries":${timesJson(sequential, shorten, f2)},"seq_total":${r3(seqTotal)},"views":$viewsCompact,"failures":$failures,"sf":"$sfDir","method":"best-of-2 concurrent wall; seq queries best-of-2 (3 on spread) net of timed view builds; detail in bench file"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")), fullJson)
     // Print the JSON LAST — after spark.stop()'s shutdown chatter — so a
@@ -220,7 +196,42 @@ object Bench {
     try spark.stop()
     finally {
       System.err.println(fullJson)
-      println(compactJson)
+      // TWO stdout lines (VERDICT r12 #3): the per-query map outgrew the
+      // driver's ~2,048-byte tail window at 151 queries (2,115 bytes —
+      // BENCH_r12 "parsed: null"), so the detail moves to its own
+      // PRECEDING line and the FINAL line carries only the totals, whose
+      // size no longer scales with the suite. BenchLineSpec pins the
+      // final line under 1,900 bytes at the live query count.
+      println(detailLine(sequential, views))
+      println(finalLine(wall, seqTotal, failures, sfDir))
     }
   }
+
+  private def f2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+  private def r3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** The per-query detail stdout line — short qNN keys, 2-decimal values.
+    * qNN shortening must stay injective — a future q31_a/q31_b pair would
+    * emit duplicate JSON keys and a parser would silently keep one
+    * timing. Fall back to full names on collision rather than lie. */
+  private[graft] def detailLine(sequential: Seq[(String, Double, Boolean)],
+      views: Seq[(String, Double)]): String = {
+    val shortKeys = sequential.map(_._1.takeWhile(_ != '_'))
+    val shorten: String => String =
+      if (shortKeys.distinct.size == shortKeys.size) _.takeWhile(_ != '_') else identity
+    val queries = sequential
+      .map { case (k, v, _) => "\"" + shorten(k) + "\":" + f2(v) }.mkString("{", ",", "}")
+    val viewsCompact = views.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f2(v)
+    }.mkString("{", ",", "}")
+    s"""{"detail":"per-query seconds, sequential best-of-2 (3 on spread)","queries":$queries,"views":$viewsCompact}"""
+  }
+
+  /** The FINAL stdout line the driver parses from its bounded tail
+    * buffer: totals only — its length must not grow with the suite. */
+  private[graft] def finalLine(wall: Double, seqTotal: Double,
+      failures: String, sfDir: String): String =
+    s"""{"metric":"total","value":${r3(wall)},"unit":"sec","seq_total":${r3(seqTotal)},"failures":$failures,"sf":"$sfDir","method":"best-of-2 concurrent wall; per-query seconds on the preceding stdout line; full record in bench file + stderr"}"""
 }

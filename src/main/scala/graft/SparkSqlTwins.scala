@@ -900,9 +900,9 @@ object SparkSqlTwins {
         |       CAST(weekofyear(day) AS BIGINT) AS iso_week,
         |       min(day) AS week_start,
         |       count(DISTINCT day) AS days_logged,
-        |       sum(total_value) AS total_value,
+        |       round(sum(total_value), 2) AS total_value,
         |       CAST(sum(n_events) AS BIGINT) AS n_events,
-        |       sum(total_value) / 7.0D AS avg_per_day_fixed7
+        |       round(round(sum(total_value), 2) / 7.0D, 6) AS avg_per_day_fixed7
         |FROM daily
         |GROUP BY 1, 2""".stripMargin,
 
@@ -911,11 +911,11 @@ object SparkSqlTwins {
         |                      count(*) AS n_events
         |               FROM events GROUP BY 1)
         |SELECT CAST(date_trunc('month', day) AS DATE) AS month_start,
-        |       sum(total_value) AS total_value,
+        |       round(sum(total_value), 2) AS total_value,
         |       count(DISTINCT day) AS days_logged,
         |       CAST(sum(n_events) AS BIGINT) AS n_events,
         |       date_format(CAST(date_trunc('month', day) AS DATE), 'MMM yyyy') AS month_label,
-        |       sum(total_value) / day(last_day(CAST(date_trunc('month', day) AS DATE))) AS avg_per_month_day
+        |       round(round(sum(total_value), 2) / day(last_day(CAST(date_trunc('month', day) AS DATE))), 6) AS avg_per_month_day
         |FROM daily
         |GROUP BY 1""".stripMargin,
 
@@ -964,7 +964,7 @@ object SparkSqlTwins {
         |  FROM sessions GROUP BY 1, 2)
         |SELECT user_id, max(session_id) AS n_sessions,
         |       avg(n_events) AS avg_events_per_session,
-        |       sum(session_value) AS total_value
+        |       round(sum(session_value), 2) AS total_value
         |FROM per_session GROUP BY user_id""".stripMargin,
 
     "q25_doc_stats" ->
@@ -1070,7 +1070,7 @@ object SparkSqlTwins {
         |                 CAST(date_trunc('month', day) AS DATE) AS month_start
         |          FROM daily)
         |SELECT iso_year, iso_week, CAST(month_start AS STRING) AS month_start,
-        |       sum(total_value) AS total_value,
+        |       round(sum(total_value), 2) AS total_value,
         |       CAST(sum(n_events) AS BIGINT) AS n_events,
         |       count(DISTINCT day) AS days_logged,
         |       CASE WHEN month_start IS NULL THEN 'week' ELSE 'month' END AS level
@@ -1098,19 +1098,22 @@ object SparkSqlTwins {
         |FROM seq WHERE gap_s IS NOT NULL
         |GROUP BY event_type""".stripMargin,
 
+    // q139: like the DuckDB oracle, the twin pre-centers the products on
+    // 6-snapped means (q143's c0 technique) instead of the
+    // cancellation-prone moment identity, so its raw covariance agrees
+    // with the Welford Aggregator's to ~1e-13 before the single round-at-6
     "q139_embedding_covariance" ->
       """WITH e AS (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
-        |d AS (SELECT a.i AS i, b.j AS j
-        |      FROM (SELECT explode(sequence(1, 64)) AS i) a
-        |      CROSS JOIN (SELECT explode(sequence(1, 64)) AS j) b
-        |      WHERE a.i <= b.j),
-        |m AS (SELECT i, j, sum(element_at(v, i) * element_at(v, j)) AS sij,
-        |             sum(element_at(v, i)) AS si, sum(element_at(v, j)) AS sj,
-        |             count(*) AS n
-        |      FROM e CROSS JOIN d GROUP BY i, j)
-        |SELECT CAST(i - 1 AS BIGINT) AS dim_i, CAST(j - 1 AS BIGINT) AS dim_j,
-        |       round(round(sij/n - (si/n)*(sj/n), 9), 6) AS cov
-        |FROM m""".stripMargin,
+        |dims AS (SELECT explode(sequence(1, 64)) AS i),
+        |mu AS (SELECT i, round(sum(element_at(v, i)) / count(*), 6) AS mu
+        |       FROM e CROSS JOIN dims GROUP BY i),
+        |d AS (SELECT a.i AS i, b.i AS j FROM dims a CROSS JOIN dims b WHERE a.i <= b.i)
+        |SELECT CAST(d.i - 1 AS BIGINT) AS dim_i, CAST(d.j - 1 AS BIGINT) AS dim_j,
+        |       round(sum((element_at(e.v, d.i) - mi.mu)
+        |                 * (element_at(e.v, d.j) - mj.mu)) / count(*), 6) AS cov
+        |FROM e CROSS JOIN d
+        |JOIN mu mi ON mi.i = d.i JOIN mu mj ON mj.i = d.j
+        |GROUP BY d.i, d.j""".stripMargin,
 
     // q143: the snapped-input power iteration reproduced in SQL — the
     // twin recomputes mu@6 / C@7 / w@6 exactly as the DataFrame path's
@@ -1143,8 +1146,8 @@ object SparkSqlTwins {
         |        sum((element_at(e.v, w.i) - mu.mu) * (element_at(e.v, w.i) - mu.mu)) AS ss
         |      FROM e CROSS JOIN w JOIN mu ON mu.i = w.i
         |      GROUP BY e.vec_id)
-        |SELECT vec_id, round(round(coef, 9), 6) AS top_coef,
-        |       round(round(sqrt(greatest(0D, ss - coef * coef)), 9), 6) AS resid_norm
+        |SELECT vec_id, round(coef, 6) AS top_coef,
+        |       round(sqrt(greatest(0D, ss - coef * coef)), 6) AS resid_norm
         |FROM p""".stripMargin,
 
     "q140_matryoshka_fidelity" ->

@@ -86,9 +86,14 @@ object TimeSeries {
                weekofyear($"day").cast("long").as("iso_week"))
       .agg(min($"day").as("week_start"),
            countDistinct($"day").as("days_logged"),
-           sum($"total_value").as("total_value"),
+           // display-round the money sum at 2 (its true value is exact
+           // cents; each engine's own summation order perturbs the raw
+           // double by ~1e-8, visible to a full-precision compare), and
+           // derive the average FROM the rounded total so both engines
+           // divide bit-identical doubles
+           round(sum($"total_value"), 2).as("total_value"),
            sum($"n_events").as("n_events"))
-      .withColumn("avg_per_day_fixed7", $"total_value" / 7.0)
+      .withColumn("avg_per_day_fixed7", round($"total_value" / 7.0, 6))
       .withColumn("n_events", $"n_events".cast("long"))
   }
 
@@ -100,9 +105,9 @@ object TimeSeries {
       |       CAST(weekofyear(day) AS BIGINT) AS iso_week,
       |       min(day) AS week_start,
       |       count(DISTINCT day) AS days_logged,
-      |       sum(total_value) AS total_value,
+      |       round(sum(total_value), 2) AS total_value,
       |       CAST(sum(n_events) AS BIGINT) AS n_events,
-      |       sum(total_value) / 7.0 AS avg_per_day_fixed7
+      |       round(round(sum(total_value), 2) / 7.0, 6) AS avg_per_day_fixed7
       |FROM daily
       |GROUP BY 1, 2""".stripMargin
 
@@ -113,12 +118,13 @@ object TimeSeries {
     import s.implicits._
     daily(s, d)
       .groupBy(to_date(date_trunc("month", $"day")).as("month_start"))
-      .agg(sum($"total_value").as("total_value"),
+      .agg(round(sum($"total_value"), 2).as("total_value"),
            countDistinct($"day").as("days_logged"),
            sum($"n_events").cast("long").as("n_events"))
       .withColumn("month_label", date_format($"month_start", "MMM yyyy"))
+      // rounded-total division: q14's bit-identical-display argument
       .withColumn("avg_per_month_day",
-        $"total_value" / dayofmonth(last_day($"month_start")))
+        round($"total_value" / dayofmonth(last_day($"month_start")), 6))
   }
 
   val q15Sql: String =
@@ -126,11 +132,11 @@ object TimeSeries {
       |                      count(*) AS n_events
       |               FROM events GROUP BY 1)
       |SELECT CAST(date_trunc('month', day) AS DATE) AS month_start,
-      |       sum(total_value) AS total_value,
+      |       round(sum(total_value), 2) AS total_value,
       |       count(DISTINCT day) AS days_logged,
       |       CAST(sum(n_events) AS BIGINT) AS n_events,
       |       strftime(CAST(date_trunc('month', day) AS DATE), '%b %Y') AS month_label,
-      |       sum(total_value) / day(last_day(CAST(date_trunc('month', day) AS DATE))) AS avg_per_month_day
+      |       round(round(sum(total_value), 2) / day(last_day(CAST(date_trunc('month', day) AS DATE))), 6) AS avg_per_month_day
       |FROM daily
       |GROUP BY 1""".stripMargin
 
@@ -149,7 +155,7 @@ object TimeSeries {
     keyed.groupingSets(
         Seq(Seq($"iso_year", $"iso_week"), Seq($"month_start")),
         $"iso_year", $"iso_week", $"month_start")
-      .agg(sum($"total_value").as("total_value"),
+      .agg(round(sum($"total_value"), 2).as("total_value"),
            sum($"n_events").cast("long").as("n_events"),
            countDistinct($"day").as("days_logged"))
       .withColumn("level", when($"month_start".isNull, "week").otherwise("month"))
@@ -169,7 +175,7 @@ object TimeSeries {
       |                 CAST(date_trunc('month', day) AS DATE) AS month_start
       |          FROM daily)
       |SELECT iso_year, iso_week, CAST(month_start AS STRING) AS month_start,
-      |       sum(total_value) AS total_value,
+      |       round(sum(total_value), 2) AS total_value,
       |       CAST(sum(n_events) AS BIGINT) AS n_events,
       |       count(DISTINCT day) AS days_logged,
       |       CASE WHEN month_start IS NULL THEN 'week' ELSE 'month' END AS level
@@ -215,7 +221,9 @@ object TimeSeries {
       .groupBy($"user_id")
       .agg(max($"session_id").as("n_sessions"),
            avg($"n_events").as("avg_events_per_session"),
-           sum($"session_value").as("total_value"))
+           // round(2): the true per-user money total is exact cents;
+           // summation-order noise (~1e-12) is display-invisible at 2
+           round(sum($"session_value"), 2).as("total_value"))
   }
 
   val q22Sql: String =
@@ -239,7 +247,7 @@ object TimeSeries {
       |  FROM sessions GROUP BY 1, 2)
       |SELECT user_id, max(session_id) AS n_sessions,
       |       avg(n_events) AS avg_events_per_session,
-      |       sum(session_value) AS total_value
+      |       round(sum(session_value), 2) AS total_value
       |FROM per_session GROUP BY user_id""".stripMargin
 
   /** Tumbling-window aggregation (§2.10): 1-hour windows over events — the

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench's stdout contract (VERDICT r12 #3): the FINAL line the
+  * driver parses from its ~2,048-byte tail buffer must stay comfortably
+  * inside it AT THE LIVE QUERY COUNT — BENCH_r12 was lost ("parsed:
+  * null") when the per-query map grew the line to 2,115 bytes at 151
+  * queries. The per-query detail now rides its own PRECEDING line; this
+  * spec fails if anyone moves it back or grows the totals line. */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val liveNames = SparkEntry.queries.keys.toSeq.sorted
+  private val sequential = liveNames.map(n => (n, 888.888, true))
+  private val views = Seq("tokens_x", "shingles_raw", "shingles_capped",
+    "shingles_distinct", "candidates", "components", "winnowed",
+    "normed_embeddings", "window_positions", "doc_freq")
+    .map(v => (v, 888.888))
+
+  test("the FINAL stdout line stays under 1,900 bytes at the live query " +
+    "count (it must not scale with the suite)") {
+    val line = Bench.finalLine(9999.999, 99999.999, "[]",
+      "/root/testdata/sf0.1")
+    assert(line.length < 1900, s"final line is ${line.length} bytes")
+    // and it is one valid-looking JSON object on one line
+    assert(!line.contains("\n") && line.startsWith("{") && line.endsWith("}"))
+    // the driver's contract fields are all present
+    Seq("\"metric\":", "\"value\":", "\"unit\":", "\"seq_total\":",
+      "\"failures\":", "\"sf\":", "\"method\":").foreach(k =>
+      assert(line.contains(k), s"final line missing $k"))
+  }
+
+  test("the final line does not carry the per-query map (that detail " +
+    "lives on the preceding line, which covers every live query)") {
+    val fin = Bench.finalLine(1.0, 2.0, "[]", "sf")
+    assert(!fin.contains("\"queries\""))
+    val detail = Bench.detailLine(sequential, views)
+    assert(!detail.contains("\n") && detail.startsWith("{") && detail.endsWith("}"))
+    // every live query appears under its shortened (or full) key
+    val shortKeys = liveNames.map(_.takeWhile(_ != '_'))
+    val keys = if (shortKeys.distinct.size == shortKeys.size) shortKeys else liveNames
+    keys.foreach(k => assert(detail.contains("\"" + k + "\":"),
+      s"detail line missing $k"))
+  }
+
+  test("qNN key shortening is injective over the live suite (a collision " +
+    "would silently merge two queries' timings)") {
+    val shortKeys = liveNames.map(_.takeWhile(_ != '_'))
+    assert(shortKeys.distinct.size == shortKeys.size,
+      s"colliding short keys: ${shortKeys.diff(shortKeys.distinct).distinct.mkString(",")}")
+  }
+}

@@ -126,11 +126,91 @@ class StatsIndexSpec extends SparkSpec {
     assertMatches(corpus, stats, "after restart")
   }
 
+  /** UNROUNDED maintained covariance — the drift spec needs to see
+    * residue far below covarianceFromStats' 6-decimal display. */
+  private def maintainedRaw(root: String): Map[(Long, Long), Double] = {
+    val rows = StatsIndex.readStats(spark, root).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val n = rows.find(r => r._1 == -1 && r._2 == -1).get._3
+    val si = rows.filter(r => r._1 >= 0 && r._2 == -1).map(r => r._1 -> r._3).toMap
+    rows.filter(_._2 >= 0).map { case (i, j, sij) =>
+      (i.toLong, j.toLong) -> (sij / n - (si(i) / n) * (si(j) / n))
+    }.toMap
+  }
+
+  private def maxDivergence(corpus: String, stats: String): Double = {
+    val exp = expected(corpus)
+    maintainedRaw(stats).map { case (k, v) => math.abs(v - exp(k)) }.max
+  }
+
+  test("drift hardening: a 100-commit retraction-heavy chain stays inside the " +
+    "K-linear residue bound, and rebootstrap collapses the residue and " +
+    "resumes the polling protocol exactly-once") {
+    val work = Files.createTempDirectory("graft-statsidx-drift").toString
+    val (corpus, stats) = (s"$work/corpus", s"$work/stats")
+    // sevenths are non-representable doubles, so every retraction leaves
+    // genuine ~ulp(S) residue (integer-valued vectors would sum exactly
+    // and the chain would show zero drift no matter how long)
+    def vec(seed: Int): Seq[Double] =
+      (0 until dims).map(k => (((seed * 31 + k * 17) % 13) - 6) / 7.0)
+    var v = ManifestTable.merge(
+      vecsDf((1L to 5L).map(id => id -> vec(id.toInt)): _*), corpus, Seq("vec_id"))
+    StatsIndex.bootstrap(ManifestTable.read(spark, corpus), stats, dims)
+    val commits = 100
+    var nextId = 6L
+    (1 to commits).foreach { step =>
+      val prev = v
+      v =
+        if (step % 9 == 0) { // delete a survivor (keep ≥3 rows alive)
+          val keep = ManifestTable.read(spark, corpus)
+            .orderBy(col("vec_id").desc).limit(1)
+            .collect()(0).getLong(0)
+          ManifestTable.commit(ManifestTable.read(spark, corpus)
+            .where(col("vec_id") =!= keep).localCheckpoint(), corpus)
+        } else if (step % 3 == 0) { // insert
+          val r = ManifestTable.merge(vecsDf(nextId -> vec(step)), corpus, Seq("vec_id"))
+          nextId += 1; r
+        } else { // update = preimage retraction + postimage add
+          val id = ManifestTable.read(spark, corpus)
+            .orderBy(col("vec_id")).limit(1).collect()(0).getLong(0)
+          ManifestTable.merge(vecsDf(id -> vec(step + 7)), corpus, Seq("vec_id"))
+        }
+      StatsIndex.refresh(spark, corpus, stats, prev, v)
+    }
+    // the stated bound: each of the K commits perturbs a sum S by at most
+    // a few ulp(S) per retraction/addition; 8·K·ulp(max|S|) is generous
+    // headroom over the ~2·K·ulp expectation and stays ~1e-12 here —
+    // four display orders below the 6-decimal grid
+    val maxAbsSum = StatsIndex.readStats(spark, stats)
+      .where(col("j") =!= -2).collect().map(r => math.abs(r.getDouble(2))).max
+    val bound = 8.0 * commits * math.ulp(maxAbsSum)
+    val drift = maxDivergence(corpus, stats)
+    assert(drift <= bound, s"chain drift $drift exceeds stated bound $bound")
+    assert(bound < 1e-9, s"fixture bound degenerate: $bound") // bound is meaningful
+
+    // recompute-and-swap: residue collapses to a single-pass's ~1e-15
+    val swappedAt = StatsIndex.rebootstrap(spark, corpus, stats, dims)
+    assert(swappedAt == v)
+    assert(maxDivergence(corpus, stats) <= 1e-13,
+      s"post-rebootstrap divergence ${maxDivergence(corpus, stats)}")
+
+    // the swap carries the polling watermark: replaying the absorbed
+    // history is a no-op, and the NEXT commit applies exactly-once
+    val vS = ManifestTable.currentVersion(stats)
+    StatsIndex.refresh(spark, corpus, stats, 0, v)
+    assert(ManifestTable.currentVersion(stats) == vS,
+      "pre-swap versions replayed onto the rebootstrapped stats")
+    val v2 = ManifestTable.merge(vecsDf(nextId -> vec(commits + 1)), corpus, Seq("vec_id"))
+    StatsIndex.refresh(spark, corpus, stats, v, v2)
+    assertMatches(corpus, stats, "first post-rebootstrap commit")
+    assert(maxDivergence(corpus, stats) <= 1e-12, "post-swap chain restarts clean")
+  }
+
   test("q145's direction/means from the maintained fixture equal the " +
     "single-shot whiteningStats on the same corpus content") {
     val root = StatsIndexFixtures.ensure(spark, sf0001)
     val (wM, muM) = StatsIndex.whiteningFromStats(spark, s"$root/stats")
-    val (wS, muS) = graft.functions.VectorOps.whiteningStats(spark, sf0001)
+    val (wS, muS, _) = graft.functions.VectorOps.whiteningStats(spark, sf0001)
     assert(wM.length == wS.length && muM.length == muS.length)
     // both are snapped at 6; a single grid-step disagreement would mean
     // the maintained covariance drifted past the snap ladder's margin

@@ -251,8 +251,8 @@ class VectorOpsSpec extends SparkSpec {
     "by 1 / 7 / 32-partition layouts (the oracle-gate determinism pin)") {
     import spark.implicits._
     // Different partition counts force different Welford/Chan merge trees;
-    // the double-round (snap at 9 decimals, then 6) must absorb every bit
-    // of the resulting reassociation noise — EXACT equality, no tolerance.
+    // the single round-at-6 must absorb every bit of the resulting
+    // reassociation noise (~1e-16 relative) — EXACT equality, no tolerance.
     // Force the merge-order variation directly: repartition the scan feeding
     // the Aggregator (shuffle.partitions alone doesn't split a global agg's
     // map side), at three layouts.
@@ -267,7 +267,7 @@ class VectorOpsSpec extends SparkSpec {
           .agg(graft.functions.TypedAggregators.covarianceMatrix($"v", 64).as("c"))
           .select(explode($"c").as("e"))
           .select($"e._1".cast("long"), $"e._2".cast("long"),
-            round(round($"e._3", 9), 6))
+            round($"e._3", 6))
           .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
@@ -280,6 +280,31 @@ class VectorOpsSpec extends SparkSpec {
     val prod = VectorOps.q139EmbeddingCovariance(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(prod == base, "q139's own plan disagrees with the pinned layout")
+  }
+
+  test("q139/q147 @ sf0.01: the five boundary entries that the r12 double-round " +
+    "manufactured into cross-engine ties are pinned to their single-round values") {
+    // VERDICT r12 #1: round(round(x,9),6) snapped four sf0.01 covariance
+    // entries and one q147 residual onto exact 6-decimal half-boundaries,
+    // where Spark (BigDecimal shortest-repr HALF_UP) and DuckDB
+    // (binary-product round) tie-break differently. With the single
+    // round-at-6, every raw value sits ≥1e-11 clear of its boundary and
+    // both engines agree; pin the rounded doubles so any future display
+    // change that re-manufactures the ties fails here first.
+    val sf001 = "/root/testdata/sf0.01"
+    val cov = VectorOps.q139EmbeddingCovariance(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cov((17L, 29L)) == 0.000544, s"(17,29): ${cov((17L, 29L))}")
+    assert(cov((42L, 54L)) == 0.000598, s"(42,54): ${cov((42L, 54L))}")
+    assert(cov((18L, 42L)) == 0.000642, s"(18,42): ${cov((18L, 42L))}")
+    assert(cov((29L, 46L)) == 0.000051, s"(29,46): ${cov((29L, 46L))}")
+    val v229 = VectorOps.q147WhitenTopTwo(spark, sf001)
+      .where(org.apache.spark.sql.functions.col("vec_id") === 229L).collect()(0)
+    assert(v229.getDouble(1) == -0.044658, s"top_coef: ${v229.getDouble(1)}")
+    assert(v229.getDouble(2) == 0.006173, s"second_coef: ${v229.getDouble(2)}")
+    // raw resid = 1.0026015001… — legitimately ABOVE the half-boundary; the
+    // r12 9-snap dragged it to 1.00260149999…, flipping DuckDB to 1.002601
+    assert(v229.getDouble(3) == 1.002602, s"resid_norm: ${v229.getDouble(3)}")
   }
 
   test("pca: power iteration converges to an eigenpair of the covariance " +
@@ -317,7 +342,7 @@ class VectorOpsSpec extends SparkSpec {
         s"vec $id: two-component residual ${resid2} > one-component ${q143(id)._2}")
     }
     // the snapped directions stay near-orthogonal (snap error only)
-    val (w1, mu) = VectorOps.whiteningStats(spark, sf0001)
+    val (w1, mu, _) = VectorOps.whiteningStats(spark, sf0001)
     val dims = w1.length
     import spark.implicits._
     val row = spark.read.parquet(s"$sf0001/embeddings.parquet")

@@ -16,12 +16,17 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Floats are compared EXACTLY (no rounding): the driver hashes the
+    # emitted doubles at full precision, and the engines already
+    # display-round — a laxer local canon (this file used round(4) until
+    # round 12) let three 6th-decimal divergences ship as local-green /
+    # driver-red (VERDICT r12 "What's wrong" #2).
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif "float" in str(df[c].dtype):
-            df[c] = df[c].astype(float).round(4)
+            df[c] = df[c].astype(float)
         elif "datetime" in str(df[c].dtype):
             df[c] = df[c].astype(str)
         elif "int" in str(df[c].dtype).lower():
@@ -54,9 +59,16 @@ for name, sql in sorted(oracle.items()):
     if not expected.equals(got):
         diff = (expected != got) & ~(expected.isna() & got.isna())
         bad = diff.any(axis=1)
-        print(f"FAIL {name}: {bad.sum()} mismatched rows; first:")
-        print(pd.concat([expected[bad].head(2).assign(side="oracle"),
-                         got[bad].head(2).assign(side="spark")]))
+        print(f"FAIL {name}: {bad.sum()} mismatched rows; (row, col, oracle, spark):")
+        shown = 0
+        for idx in bad[bad].index:
+            for c in expected.columns:
+                if diff.at[idx, c]:
+                    print(f"  row {idx} col {c}: oracle={expected.at[idx, c]!r} "
+                          f"spark={got.at[idx, c]!r}")
+                    shown += 1
+            if shown >= 10:
+                break
         fails.append(name)
         continue
     print(f"OK   {name} ({len(got)} rows)")
