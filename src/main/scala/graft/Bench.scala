@@ -223,8 +223,13 @@ object Bench {
       if (shortKeys.distinct.size == shortKeys.size) _.takeWhile(_ != '_') else identity
     val queries = sequential
       .map { case (k, v, _) => "\"" + shorten(k) + "\":" + f2(v) }.mkString("{", ",", "}")
+    // views get the same collision guard (window_positions vs
+    // window_positions16 both shorten to "window")
+    val viewShort = views.map(_._1.takeWhile(_ != '_'))
+    val viewKey: String => String =
+      if (viewShort.distinct.size == viewShort.size) _.takeWhile(_ != '_') else identity
     val viewsCompact = views.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f2(v)
+      "\"" + viewKey(k) + "\":" + f2(v)
     }.mkString("{", ",", "}")
     s"""{"detail":"per-query seconds, sequential best-of-2 (3 on spread)","queries":$queries,"views":$viewsCompact}"""
   }

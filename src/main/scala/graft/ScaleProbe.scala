@@ -123,18 +123,23 @@ object ScaleProbe {
     // so the dup set and the doc-keyed island window grow linearly —
     // a super-linear ratio would mean the hash join or window blew up.
     def exsub(d: String): Long = TextOps.q148ExactSubstrSpans(spark, d).count()
+    // q152 is q148's plan at width 16: same single count shuffle +
+    // island window, ~2× fewer surviving windows — the width is a
+    // constant factor, never a scaling one.
+    def exsub16(d: String): Long = TextOps.q152ExactSubstrSpans16(spark, d).count()
     // q151 composes q150 (semi against the copy-scaled eval half) with
     // the corpus-wide cut join — both sides grow with the copies, so
     // end-to-end must stay linear (the per-token cut cost is bounded by
     // the doc's OWN cut count, which copy-suffixing leaves unchanged).
     def scrub(d: String): Long = TextOps.q151ScrubApply(spark, d).count()
     lsh(sfDir); jaccard(sfDir); components(sfDir); spans(sfDir); exsub(sfDir)
-    scrub(sfDir) // warm
+    exsub16(sfDir); scrub(sfDir) // warm
     probe("minhash_lsh")(lsh(sfDir))(lsh(docsNDir))
     probe("jaccard")(jaccard(sfDir))(jaccard(docsNDir))
     probe("components")(components(sfDir))(components(docsNDir))
     probe("winnow_spans")(spans(sfDir))(spans(docsNDir))
     probe("exact_substr")(exsub(sfDir))(exsub(docsNDir))
+    probe("exact_substr16")(exsub16(sfDir))(exsub16(docsNDir))
     probe("scrub_apply")(scrub(sfDir))(scrub(docsNDir))
 
     // The curation additions with corpus-sized intermediates: q70's

@@ -126,6 +126,40 @@ object SparkSqlTwins {
       |             ELSE shiftright(hi, 16) & 65535L END AS v
       |  FROM hash, (SELECT explode(array(0, 1, 2, 3)) AS b) g)""".stripMargin
 
+  /** The ExactSubstr twin at min-match width w — same generator
+    * discipline as TextOps.exactSubstrSql so the two widths (q148 = 8,
+    * q152 = 16) can't drift from each other in Spark dialect either. */
+  private def exactSubstrTwin(w: Int): String =
+    // the window list rides a CASE, not the WHERE alone: Spark may
+    // evaluate the projection on pre-filter rows (observed on the
+    // parquet scan path), and for a doc under w tokens
+    // sequence(1, size-w+1) is a DESCENDING sequence through 0 that
+    // feeds slice an illegal start — the If branch is lazily evaluated,
+    // so short docs never reach the slice (DuckDB's generate_series is
+    // empty there, which is why the oracle text needs no guard)
+    raw"""WITH t AS (SELECT doc_id, split(trim(text), '\\s+') AS toks FROM documents),
+       |hl AS (SELECT doc_id,
+       |         CASE WHEN size(toks) >= $w
+       |              THEN transform(sequence(1, size(toks) - ${w - 1}),
+       |                     i -> md5(concat_ws(' ', slice(toks, i, $w))))
+       |              ELSE array() END AS hs
+       |       FROM t WHERE size(toks) >= $w),
+       |p AS (SELECT doc_id, p0 + 1 AS p, h
+       |      FROM hl LATERAL VIEW posexplode(hs) t2 AS p0, h),
+       |d AS (SELECT h FROM p GROUP BY h HAVING count(*) >= 2),
+       |dp AS (SELECT p.doc_id, p.p FROM p JOIN d USING (h)),
+       |b AS (SELECT doc_id, p,
+       |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > $w
+       |             THEN 1 ELSE 0 END AS brk
+       |      FROM dp),
+       |g AS (SELECT doc_id, p,
+       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM b)
+       |SELECT doc_id,
+       |       CAST(min(p) AS BIGINT) AS span_start,
+       |       CAST(max(p) + ${w - 1} AS BIGINT) AS span_end,
+       |       CAST(max(p) + $w - min(p) AS BIGINT) AS span_tokens
+       |FROM g GROUP BY doc_id, gid""".stripMargin
+
   private val base: Map[String, String] = Map(
     "q134_dsir_weights" ->
       raw"""WITH tok AS (SELECT doc_id, source, token
@@ -303,26 +337,8 @@ object SparkSqlTwins {
          |       round(sc.quality_score, 6) >= round(th.src_p25, 6) AS keep
          |FROM sc JOIN th ON th.source = sc.source""".stripMargin,
 
-    "q148_exact_substr_spans" ->
-      raw"""WITH t AS (SELECT doc_id, split(trim(text), '\\s+') AS toks FROM documents),
-         |hl AS (SELECT doc_id, transform(sequence(1, size(toks) - 7),
-         |         i -> md5(concat_ws(' ', slice(toks, i, 8)))) AS hs
-         |       FROM t WHERE size(toks) >= 8),
-         |p AS (SELECT doc_id, p0 + 1 AS p, h
-         |      FROM hl LATERAL VIEW posexplode(hs) t2 AS p0, h),
-         |d AS (SELECT h FROM p GROUP BY h HAVING count(*) >= 2),
-         |dp AS (SELECT p.doc_id, p.p FROM p JOIN d USING (h)),
-         |b AS (SELECT doc_id, p,
-         |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
-         |             THEN 1 ELSE 0 END AS brk
-         |      FROM dp),
-         |g AS (SELECT doc_id, p,
-         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM b)
-         |SELECT doc_id,
-         |       CAST(min(p) AS BIGINT) AS span_start,
-         |       CAST(max(p) + 7 AS BIGINT) AS span_end,
-         |       CAST(max(p) + 8 - min(p) AS BIGINT) AS span_tokens
-         |FROM g GROUP BY doc_id, gid""".stripMargin,
+    "q148_exact_substr_spans" -> exactSubstrTwin(8),
+    "q152_exact_substr_spans16" -> exactSubstrTwin(16),
 
     "q149_exact_substr_savings" ->
       raw"""WITH t AS (SELECT doc_id, source,

@@ -475,9 +475,14 @@ object TextOps {
     * corpus tokens however duplicated the corpus is. Docs under 11
     * tokens (< w spans) have no winnow window and drop out (both
     * engines agree). */
+  /** All w-token span hashes of a `toks` array column (every position) —
+    * the ExactSubstr min-match length is a TUNABLE (Lee et al. 2022 use
+    * 50 BPE tokens; the suite gates w = 8 and w = 16). */
+  def spanHashesExprW(w: Int): String =
+    s"transform(sequence(0, size(toks) - $w), i -> md5(array_join(slice(toks, i + 1, $w), ' ')))"
+
   /** All 8-token span hashes of a `toks` array column (every position). */
-  val spanHashesExpr: String =
-    "transform(sequence(0, size(toks) - 8), i -> md5(array_join(slice(toks, i + 1, 8), ' ')))"
+  val spanHashesExpr: String = spanHashesExprW(8)
 
   /** Winnow selection over a `hashes` array column: min hash per sliding
     * window of 4, deduplicated. Shared by q118 and the streaming twin so
@@ -577,16 +582,17 @@ object TextOps {
     * fraction of the corpus for a healthy mix — reach the per-doc
     * window, so the doc_id shuffle carries the dup subset, not the
     * corpus. */
-  /** Every 8-token window position of every (≥ 8-token) doc as
+  /** Every w-token window position of every (≥ w-token) doc as
     * (doc_id, p, h) with p the 0-based hash-array index — the window at p
-    * covers tokens [p+1, p+8] (1-based). Shared by q148/q149/q150. */
-  private[graft] def windowPositions(docFrame: DataFrame): DataFrame = {
+    * covers tokens [p+1, p+w] (1-based). Shared by q148/q149/q150 (w = 8)
+    * and q152 (w = 16). */
+  private[graft] def windowPositions(docFrame: DataFrame, w: Int = 8): DataFrame = {
     val s = docFrame.sparkSession
     import s.implicits._
     docFrame
       .select($"doc_id", tokens($"text").as("toks"))
-      .where(size($"toks") >= 8)
-      .select($"doc_id", posexplode(expr(spanHashesExpr)).as(Seq("p", "h")))
+      .where(size($"toks") >= w)
+      .select($"doc_id", posexplode(expr(spanHashesExprW(w))).as(Seq("p", "h")))
   }
 
   /** Under the suite-wide cache flag the (doc_id, p, h) window-position
@@ -597,63 +603,88 @@ object TextOps {
     * (q150's % 19 split) commute with the per-row derivation, so
     * filtering the shared view is exactly filtering the docs first. */
   private val windowPosCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
 
-  private def windowPositionsView(s: SparkSession, d: String): DataFrame =
+  private def windowPositionsView(s: SparkSession, d: String, w: Int = 8): DataFrame =
     if (sys.props.get("graft.cacheTables").contains("true")) {
-      windowPosCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      windowPosCache.getOrElseUpdate((s, d), windowPositions(docs(s, d)).persist())
-    } else windowPositions(docs(s, d))
+      windowPosCache.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+      windowPosCache.getOrElseUpdate((s, d, w), windowPositions(docs(s, d), w).persist())
+    } else windowPositions(docs(s, d), w)
 
   /** Gaps-and-islands merge of duplicated window positions (doc_id, p)
-    * into maximal token intervals: length-8 covers [p+1, p+8] merge when
-    * they overlap or touch (new island iff p − lag(p) > 8). Shared by
-    * q148 (corpus-wide duplicates) and q150 (eval-set hits). */
-  private[graft] def mergeWindowCovers(dupPos: DataFrame): DataFrame = {
+    * into maximal token intervals: length-w covers [p+1, p+w] merge when
+    * they overlap or touch (new island iff p − lag(p) > w). Shared by
+    * q148 (corpus-wide duplicates, w = 8), q150 (eval-set hits) and
+    * q152 (w = 16). */
+  private[graft] def mergeWindowCovers(dupPos: DataFrame, width: Int = 8): DataFrame = {
     val s = dupPos.sparkSession
     import s.implicits._
     val W = org.apache.spark.sql.expressions.Window
     val w = W.partitionBy($"doc_id").orderBy($"p")
     dupPos
-      .withColumn("brk", when($"p" - lag($"p", 1).over(w) > 8, 1).otherwise(0))
+      .withColumn("brk", when($"p" - lag($"p", 1).over(w) > width, 1).otherwise(0))
       .withColumn("gid", sum($"brk").over(
         w.rowsBetween(W.unboundedPreceding, W.currentRow)))
       .groupBy($"doc_id", $"gid")
       .agg(
         (min($"p") + 1).cast("long").as("span_start"),
-        (max($"p") + 8).cast("long").as("span_end"))
+        (max($"p") + width).cast("long").as("span_end"))
       .select($"doc_id", $"span_start", $"span_end",
         ($"span_end" - $"span_start" + 1).as("span_tokens"))
   }
 
-  def q148ExactSubstrSpans(s: SparkSession, d: String): DataFrame = {
+  /** The whole ExactSubstr pipeline at a given min-match width —
+    * q148's plan shape verbatim (one count shuffle on span hash,
+    * join-back, doc-keyed island merge), widths sharing nothing but
+    * code (different window sets, different hash tables). */
+  private def exactSubstrSpans(pos: DataFrame, w: Int): DataFrame = {
+    val s = pos.sparkSession
     import s.implicits._
-    val pos = windowPositionsView(s, d)
     val dup = pos.groupBy($"h").agg(count(lit(1)).as("occ")).where($"occ" >= 2)
-    mergeWindowCovers(pos.join(dup, "h").select($"doc_id", $"p"))
+    mergeWindowCovers(pos.join(dup, "h").select($"doc_id", $"p"), w)
   }
 
-  val q148Sql: String =
+  def q148ExactSubstrSpans(s: SparkSession, d: String): DataFrame =
+    exactSubstrSpans(windowPositionsView(s, d), 8)
+
+  /** q152 — q148's detector with the min-match length raised to 16
+    * tokens: the Lee et al. tunable that trades recall (short leaks
+    * pass) for precision (only substantial verbatim runs are cut) —
+    * the setting a curation team A/Bs before committing to a cut
+    * budget. Same linear plan as q148; only runs ≥ 16 tokens survive,
+    * so every q152 span is contained in a q148 span (TextDedupSpec
+    * pins the containment). */
+  def q152ExactSubstrSpans16(s: SparkSession, d: String): DataFrame =
+    exactSubstrSpans(windowPositionsView(s, d, 16), 16)
+
+  /** The ExactSubstr oracle text at min-match width w (q148Sql = w 8,
+    * q152Sql = w 16) — one generator so a width can't drift from its
+    * Spark plan's geometry (window count len−w+1, island break > w,
+    * span end p+w−1). */
+  private def exactSubstrSql(w: Int): String =
     raw"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
       |           FROM documents),
-      |hl AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 7),
-      |         i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))) AS hs
-      |       FROM t WHERE len(toks) >= 8),
+      |hl AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - ${w - 1}),
+      |         i -> md5(array_to_string(list_slice(toks, i, i + ${w - 1}), ' '))) AS hs
+      |       FROM t WHERE len(toks) >= $w),
       |p AS MATERIALIZED (SELECT doc_id, g.i AS p, hs[g.i] AS h
       |      FROM hl, LATERAL (SELECT unnest(generate_series(1, len(hs))) AS i) g),
       |d AS (SELECT h FROM p GROUP BY h HAVING count(*) >= 2),
       |dp AS (SELECT p.doc_id, p.p FROM p JOIN d USING (h)),
       |b AS (SELECT doc_id, p,
-      |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+      |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > $w
       |             THEN 1 ELSE 0 END AS brk
       |      FROM dp),
       |g AS (SELECT doc_id, p,
       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM b)
       |SELECT doc_id,
       |       CAST(min(p) AS BIGINT) AS span_start,
-      |       CAST(max(p) + 7 AS BIGINT) AS span_end,
-      |       CAST(max(p) + 8 - min(p) AS BIGINT) AS span_tokens
+      |       CAST(max(p) + ${w - 1} AS BIGINT) AS span_end,
+      |       CAST(max(p) + $w - min(p) AS BIGINT) AS span_tokens
       |FROM g GROUP BY doc_id, gid""".stripMargin
+
+  val q148Sql: String = exactSubstrSql(8)
+  val q152Sql: String = exactSubstrSql(16)
 
   /** q149 — per-SOURCE savings of ExactSubstr dedup: for each source,
     * how many tokens q148 would cut and what fraction of the source's
@@ -2453,6 +2484,7 @@ object TextOps {
     "components" -> (() => q54NearDupComponents(s, d).count()),
     "winnowed_spans" -> (() => winnowedSpansView(s, d).count()),
     "window_positions" -> (() => windowPositionsView(s, d).count()),
+    "window_positions16" -> (() => windowPositionsView(s, d, 16).count()),
     "doc_shingles" -> (() => docShingles(s, d).count()),
     "token_matrix" -> (() => tokenTable(s, d).count()))
 
@@ -2465,6 +2497,7 @@ object TextOps {
     "q116_containment_pairs" -> (q116ContainmentPairs _),
     "q118_repeated_spans" -> (q118RepeatedSpans _),
     "q148_exact_substr_spans" -> (q148ExactSubstrSpans _),
+    "q152_exact_substr_spans16" -> (q152ExactSubstrSpans16 _),
     "q149_exact_substr_savings" -> (q149ExactSubstrSavings _),
     "q150_eval_span_scrub" -> (q150EvalSpanScrub _),
     "q151_scrub_apply" -> (q151ScrubApply _),
@@ -2509,6 +2542,7 @@ object TextOps {
     "q116_containment_pairs" -> q116Sql,
     "q118_repeated_spans" -> q118Sql,
     "q148_exact_substr_spans" -> q148Sql,
+    "q152_exact_substr_spans16" -> q152Sql,
     "q149_exact_substr_savings" -> q149Sql,
     "q150_eval_span_scrub" -> q150Sql,
     "q151_scrub_apply" -> q151Sql,

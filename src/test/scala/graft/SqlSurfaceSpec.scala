@@ -33,7 +33,8 @@ class SqlSurfaceSpec extends SparkSpec {
       "q112_split_leakage", "q114_quality_classifier",
       "q116_containment_pairs", "q117_adaptive_quality_gate",
       "q118_repeated_spans",
-      "q148_exact_substr_spans", "q149_exact_substr_savings",
+      "q148_exact_substr_spans", "q152_exact_substr_spans16",
+      "q149_exact_substr_savings",
       "q150_eval_span_scrub", "q151_scrub_apply",
       "q123_audio_energy", "q124_bpe_pairs",
       "q126_incremental_neardup", "q136_maintained_neardup_probe",

@@ -328,6 +328,40 @@ class TextDedupSpec extends SparkSpec {
     assert(out(5L) == Seq((1L, 8L, 8L), (10L, 17L, 8L)), s"doc 5: ${out(5L)}")
   }
 
+  test("q152: the width-16 detector fires only on runs >= 16 tokens (the " +
+    "width-8 hits shorter runs q152 must skip), its spans sit inside q148's, " +
+    "and a 20-token run reconstructs at the same exact boundaries") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-exsub16").toString
+    val run20 = (1 to 20).map(i => s"R$i").mkString(" ")
+    val run10 = (1 to 10).map(i => s"T$i").mkString(" ")
+    Seq(
+      // 20-token shared run: both widths must find it, same boundaries
+      1L -> s"${(1 to 10).map(i => s"u$i").mkString(" ")} $run20 ${(1 to 10).map(i => s"v$i").mkString(" ")}",
+      2L -> s"${(1 to 5).map(i => s"w$i").mkString(" ")} $run20 ${(1 to 8).map(i => s"x$i").mkString(" ")}",
+      // 10-token shared run: width 8 fires, width 16 must NOT
+      3L -> s"${(1 to 16).map(i => s"a$i").mkString(" ")} $run10 ${(1 to 16).map(i => s"b$i").mkString(" ")}",
+      4L -> s"${(1 to 16).map(i => s"c$i").mkString(" ")} $run10 ${(1 to 16).map(i => s"d$i").mkString(" ")}")
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def spans(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Long, Long)]] =
+      df.collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val w16 = spans(TextOps.q152ExactSubstrSpans16(spark, dir))
+    val w8 = spans(TextOps.q148ExactSubstrSpans(spark, dir))
+    assert(w16(1L) == Seq((11L, 30L, 20L)), s"doc 1: ${w16.get(1L)}")
+    assert(w16(2L) == Seq((6L, 25L, 20L)), s"doc 2: ${w16.get(2L)}")
+    assert(!w16.contains(3L) && !w16.contains(4L),
+      s"width 16 fired on a 10-token run: $w16")
+    assert(w8.contains(3L) && w8.contains(4L), s"width 8 must see the 10-run: $w8")
+    // containment: any duplicated 16-run is a duplicated 8-run, so every
+    // width-16 span lies inside some width-8 span of the same doc
+    w16.foreach { case (doc, ss) => ss.foreach { case (a, b, _) =>
+      assert(w8(doc).exists { case (a8, b8, _) => a8 <= a && b <= b8 },
+        s"doc $doc: width-16 span ($a,$b) escapes the width-8 cover ${w8(doc)}")
+    } }
+  }
+
   test("q150: a leaked eval passage is cut at exact boundaries from TRAIN " +
     "docs only; train-train duplication never fires it (contrast with q148) " +
     "and sub-window overlap stays clean") {
