@@ -1166,6 +1166,21 @@ object SparkSqlTwins {
         |       round(sqrt(greatest(0D, ss - coef * coef)), 6) AS resid_norm
         |FROM p""".stripMargin,
 
+    "q153_semantic_decon" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+        |ev AS (SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id % 19 = 0),
+        |tr AS (SELECT vec_id, v FROM e WHERE vec_id % 19 <> 0),
+        |p AS (SELECT tr.vec_id, ev.eval_id, ${cosine("tr.v", "ev.evv")} AS sim
+        |      FROM tr CROSS JOIN ev),
+        |r AS (SELECT vec_id, eval_id, sim,
+        |             row_number() OVER (PARTITION BY vec_id
+        |                                ORDER BY sim DESC, eval_id) AS rk
+        |      FROM p)
+        |SELECT vec_id, CAST(eval_id AS BIGINT) AS nearest_eval_id,
+        |       round(sim, 6) AS max_sim,
+        |       round(sim, 6) >= 0.35D AS leaky
+        |FROM r WHERE rk = 1""".stripMargin,
+
     "q140_matryoshka_fidelity" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
         |p AS (SELECT a.v AS va, b.v AS vb

@@ -1214,8 +1214,62 @@ object VectorOps {
       |       round(avg(cf), 6) AS mean_cos_full
       |FROM x GROUP BY w""".stripMargin
 
+  /** q153 — SEMANTIC eval-set decontamination: for every TRAINING
+    * vector, its maximum cosine similarity to the held-out eval slice
+    * (vec_id % 19 = 0 — q98/q150's split convention lifted to embedding
+    * space), the closest eval item, and a leak flag at cosine ≥ 0.35 —
+    * the embedding-space complement of the token-level detectors:
+    * q98 flags whole docs sharing 13-gram content, q150 locates
+    * verbatim spans, and THIS catches paraphrase-level leakage no
+    * n-gram can see (the published practice: GPT-3's appendix-C
+    * contamination study, SemDeDup's cosine regime, Abbas et al. 2023).
+    * One row per train vector (the audit table a curation team
+    * thresholds later), flag computed from the ROUNDED similarity so
+    * both engines make the identical boundary decision.
+    *
+    * 100 TB shape: the eval suite is metadata-sized next to the corpus
+    * — it rides a BROADCAST into a map-only crossJoin over the train
+    * scan, and the per-train argmax is a partial aggregation (pairs
+    * collapse map-side; the one exchange carries ONE row per train
+    * vector, never the ×|eval| pair expansion). Deterministic argmax:
+    * max(struct(sim, -eval_id)) — ties break to the smallest eval id
+    * on both engines. */
+  def q153SemanticDecon(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    val eval = e.where($"vec_id" % 19 === 0)
+      .select($"vec_id".as("eval_id"), $"v".as("ev"), $"norm".as("enorm"))
+    e.where($"vec_id" % 19 =!= 0)
+      .crossJoin(broadcast(eval))
+      .withColumn("sim", cosineNormed("v", "ev", "norm", "enorm"))
+      .groupBy($"vec_id")
+      .agg(max(struct($"sim", (-$"eval_id").as("neg"))).as("m"))
+      .select($"vec_id",
+        (-$"m.neg").cast("long").as("nearest_eval_id"),
+        round($"m.sim", 6).as("max_sim"),
+        (round($"m.sim", 6) >= 0.35).as("leaky"))
+  }
+
+  val q153Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |ev AS (SELECT vec_id AS eval_id, v AS evv, nrm AS enrm FROM n WHERE vec_id % 19 = 0),
+      |tr AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 19 <> 0),
+      |p AS (SELECT tr.vec_id, ev.eval_id,
+      |             list_dot_product(tr.v, ev.evv) / (tr.nrm * ev.enrm) AS sim
+      |      FROM tr CROSS JOIN ev),
+      |r AS (SELECT vec_id, eval_id, sim,
+      |             row_number() OVER (PARTITION BY vec_id
+      |                                ORDER BY sim DESC, eval_id) AS rk
+      |      FROM p)
+      |SELECT vec_id, CAST(eval_id AS BIGINT) AS nearest_eval_id,
+      |       round(sim, 6) AS max_sim,
+      |       round(sim, 6) >= 0.35 AS leaky
+      |FROM r WHERE rk = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q139_embedding_covariance" -> (q139EmbeddingCovariance _),
+    "q153_semantic_decon" -> (q153SemanticDecon _),
     "q140_matryoshka_fidelity" -> (q140MatryoshkaFidelity _),
     "q143_whiten_top_component" -> (q143WhitenTopComponent _),
     "q147_whiten_top_two" -> (q147WhitenTopTwo _),
@@ -1236,6 +1290,7 @@ object VectorOps {
 
   val oracleSql: Map[String, String] = Map(
     "q139_embedding_covariance" -> q139Sql,
+    "q153_semantic_decon" -> q153Sql,
     "q140_matryoshka_fidelity" -> q140Sql,
     "q143_whiten_top_component" -> q143Sql,
     "q147_whiten_top_two" -> q147Sql,

@@ -677,4 +677,15 @@ class PlanSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("partial"), plan) // 3-group collapse starts map-side
   }
+
+  test("q153: the eval side rides a BROADCAST into the train crossJoin and " +
+    "the per-train argmax is partial — the one exchange carries one row per " +
+    "train vector, never the x|eval| pair expansion") {
+    val plan = physical(VectorOps.q153SemanticDecon(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_max") || plan.contains("partial"), plan)
+    // exactly one hash exchange: the final per-train-vec aggregation
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, plan)
+  }
 }

@@ -55,7 +55,7 @@ class SqlSurfaceSpec extends SparkSpec {
     m("list_* functions on array<double> embeddings")(
       "q33_knn_bruteforce", "q34_ann_lsh", "q35_cosine_neardup",
       "q45_rolling_fingerprint", "q59_random_projection", "q82_int8_quant",
-      "q83_semdedup", "q113_hard_negatives") ++
+      "q83_semdedup", "q113_hard_negatives", "q153_semantic_decon") ++
     m("quantile_cont (DuckDB name for percentile_cont)")(
       "q40_percentiles", "q81_event_gaps", "q102_embedding_audit") ++
     m("strftime date formatting")("q15_monthly_summary", "q18_datetime_funcs") ++

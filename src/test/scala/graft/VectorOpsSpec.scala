@@ -282,6 +282,40 @@ class VectorOpsSpec extends SparkSpec {
     assert(prod == base, "q139's own plan disagrees with the pinned layout")
   }
 
+  test("q153: semantic decon matches a driver-side brute force — per train " +
+    "vector the max eval cosine, the argmax eval id (smallest on ties), and " +
+    "the leak flag computed from the ROUNDED similarity") {
+    import spark.implicits._
+    val all = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val eval = all.filter(_._1 % 19 == 0)
+    val train = all.filter(_._1 % 19 != 0)
+    assert(eval.nonEmpty && train.nonEmpty)
+    val exp = train.map { case (id, v) =>
+      id -> eval.map { case (eid, ev) => (cos(v, ev), eid) }
+        .maxBy { case (s, eid) => (s, -eid) }
+    }.toMap
+    val got = VectorOps.q153SemanticDecon(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == exp.keySet, "train coverage")
+    got.foreach { case (id, (eid, sim, leaky)) =>
+      val (es, eeid) = exp(id)
+      assert(eid == eeid, s"vec $id argmax: $eid vs $eeid")
+      // the query emits the 6-rounded similarity; HALF_UP like its round()
+      assert(sim == VectorOps.snapHalfUp(es, 6), s"vec $id sim: $sim vs $es")
+      assert(leaky == (sim >= 0.35), s"vec $id flag at rounded $sim")
+    }
+    // the flag marks a nonempty strict minority on the fixture
+    val flagged = got.values.count(_._3)
+    assert(flagged > 0 && flagged < got.size, s"degenerate flag split: $flagged")
+  }
+
   test("q139/q147 @ sf0.01: the five boundary entries that the r12 double-round " +
     "manufactured into cross-engine ties are pinned to their single-round values") {
     // VERDICT r12 #1: round(round(x,9),6) snapped four sf0.01 covariance
