@@ -565,6 +565,66 @@ object EventStream {
     }
   }
 
+  case class SemanticAudit(vec_id: Long, nearest_eval_id: Long,
+      max_sim: Double, leaky: Boolean)
+
+  /** The eval-matrix broadcast cap for [[semanticDeconStream]]: 2²⁰
+    * 64-dim doubles ≈ 0.5 GB — generous for any benchmark suite, a
+    * wall against a misconfigured eval predicate sweeping in the
+    * corpus ([[DefaultMaxEvalWindows]]'s rationale for vectors). */
+  val DefaultMaxEvalVectors: Long = 1L << 20
+
+  /** q153 as a stream: vectors in, per-vector eval-similarity audit
+    * rows out. STATELESS like [[evalSpanScrubStream]] — each arriving
+    * vector is scored independently against the broadcast eval matrix
+    * (no state store, no watermark, no shuffle), evals scanned in
+    * ascending id with strictly-greater updates so argmax ties break
+    * to the smallest eval id, similarity rounded HALF_UP at 6 and the
+    * leak flag taken from the ROUNDED value — exactly the batch
+    * query's contract (StreamingSpec pins stream ≡ batch q153
+    * row-for-row). Append-mode safe; at-least-once redelivery re-emits
+    * identical audit rows. */
+  def semanticDeconStream(vecs: DataFrame, evalVecs: DataFrame,
+      maxEvalVectors: Long = DefaultMaxEvalVectors): Dataset[SemanticAudit] = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val evFrame = evalVecs
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].persist()
+    val n = evFrame.count()
+    require(n > 0, "semantic decon: empty eval set - every max_sim is undefined")
+    require(n <= maxEvalVectors,
+      s"semantic decon: eval set has $n vectors, exceeding $maxEvalVectors - " +
+        "that is corpus-scale, not benchmark-scale (misconfigured eval frame?). " +
+        "Raise maxEvalVectors only with the broadcast cost in mind.")
+    val evals = evFrame.collect().sortBy(_._1)
+      .map { case (id, v) =>
+        var i = 0; var ss = 0.0
+        while (i < v.length) { ss += v(i) * v(i); i += 1 }
+        (id, v, math.sqrt(ss))
+      }
+    evFrame.unpersist()
+    val bc = s.sparkContext.broadcast(evals)
+    vecs.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].mapPartitions { it =>
+        it.map { case (id, v) =>
+          var i = 0; var ss = 0.0
+          while (i < v.length) { ss += v(i) * v(i); i += 1 }
+          val nrm = math.sqrt(ss)
+          var bestSim = Double.NegativeInfinity
+          var bestId = -1L
+          bc.value.foreach { case (eid, ev, enrm) =>
+            var d = 0.0; var j = 0
+            while (j < v.length) { d += v(j) * ev(j); j += 1 }
+            val sim = d / (nrm * enrm)
+            if (sim > bestSim) { bestSim = sim; bestId = eid }
+          }
+          val snapped = graft.functions.VectorOps.snapHalfUp(bestSim, 6)
+          SemanticAudit(id, bestId, snapped, snapped >= 0.35)
+        }
+      }
+  }
+
   /** One near-dup probe hit: an arriving doc shares a MinHash band
     * bucket with a committed corpus doc — the unit q126 reports. */
   case class NearDupHit(batch_doc: Long, corpus_doc: Long)

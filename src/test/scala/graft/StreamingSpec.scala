@@ -264,6 +264,45 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("corpus-scale"), e.getMessage)
   }
 
+  test("semanticDeconStream is STATELESS and matches batch q153 row-for-row " +
+    "on real sf0.001 embeddings across micro-batches; the eval-matrix cap " +
+    "trips loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchAnswer = graft.functions.VectorOps.q153SemanticDecon(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    assert(batchAnswer.exists(_._4) && batchAnswer.exists(!_._4),
+      "fixture flag split degenerate — parity would be vacuous")
+    val all = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val (evalVecs, trainVecs) = all.partition(_._1 % 19 == 0)
+    val mem = MemoryStream[(Long, Array[Double])]
+    val audits = EventStream.semanticDeconStream(
+      mem.toDF().toDF("vec_id", "embedding"),
+      evalVecs.toSeq.toDF("vec_id", "embedding"))
+    val q = audits.toDF().writeStream.format("memory")
+      .queryName("semdecon_out").outputMode("append").start()
+    val (half1, half2) = trainVecs.splitAt(trainVecs.length / 2)
+    mem.addData(half1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(half2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("semdecon_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    assert(streamed == batchAnswer,
+      s"stream-only: ${(streamed -- batchAnswer).take(3)}; " +
+        s"batch-only: ${(batchAnswer -- streamed).take(3)}")
+    val e = intercept[IllegalArgumentException] {
+      EventStream.semanticDeconStream(
+        mem.toDF().toDF("vec_id", "embedding"),
+        evalVecs.toSeq.toDF("vec_id", "embedding"), maxEvalVectors = 1L)
+    }
+    assert(e.getMessage.contains("corpus-scale"), e.getMessage)
+  }
+
   test("nearDupProbeStream (transformWithState): the band-bucket state probe " +
     "answers exactly like the q126 batch query on the same corpus/batch split, " +
     "with the corpus spread across micro-batches") {

@@ -341,6 +341,32 @@ class VectorOpsSpec extends SparkSpec {
     assert(v229.getDouble(3) == 1.002602, s"resid_norm: ${v229.getDouble(3)}")
   }
 
+  test("q147 pays the SAME number of Spark jobs to build as q143 — the " +
+    "snapped covariance rides back from whiteningStats, so k = 2 costs no " +
+    "second corpus aggregation (VERDICT r12 advice)") {
+    // count jobs via job groups; the status tracker is listener-fed, so
+    // poll until the count is stable for a moment
+    def jobsDuring(group: String)(f: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try f finally spark.sparkContext.clearJobGroup()
+      val t = spark.sparkContext.statusTracker
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) {
+        val n = t.getJobIdsForGroup(group).length
+        if (n == last) stable += 1 else { stable = 0; last = n }
+        Thread.sleep(100); waited += 1
+      }
+      last
+    }
+    val j143 = jobsDuring("vops-q143")(VectorOps.q143WhitenTopComponent(spark, sf0001))
+    val j147 = jobsDuring("vops-q147")(VectorOps.q147WhitenTopTwo(spark, sf0001))
+    assert(j143 > 0, "q143 construction ran no jobs — the probe is broken")
+    assert(j147 == j143,
+      s"q147 construction ran $j147 jobs vs q143's $j143 — a second corpus pass crept back in")
+  }
+
   test("pca: power iteration converges to an eigenpair of the covariance " +
     "(residual small, ratio in (0,1], lambda >= max per-dim variance)") {
     val (v, lambda, ratio) = VectorOps.pcaTopComponent(spark, sf0001)
