@@ -24,6 +24,7 @@ object SparkEntry {
       functions.TextOps.queries ++
       functions.CurationOps.queries ++
       functions.VectorOps.queries ++
+      functions.EntityOps.queries ++
       multimodal.Multimodal.queries ++
       sources.IngestFixtures.queries ++
       sources.DedupIndexFixtures.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
       functions.TextOps.oracleSql ++
       functions.CurationOps.oracleSql ++
       functions.VectorOps.oracleSql ++
+      functions.EntityOps.oracleSql ++
       multimodal.Multimodal.oracleSql ++
       sources.IngestFixtures.oracleSql ++
       sources.DedupIndexFixtures.oracleSql ++

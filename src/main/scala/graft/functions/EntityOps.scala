@@ -1,0 +1,314 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Entity resolution (record linkage) over structured records — the
+  * tabular sibling of the document near-dup family: a large corpus of
+  * records where the SAME real-world entity appears under VARIANT keys
+  * (typos, re-spellings), resolved without ever comparing all pairs.
+  * The classic pipeline (Fellegi & Sunter 1969; Christen 2012, "Data
+  * Matching"): BLOCK records into candidate groups by cheap keys,
+  * COMPARE only within blocks (edit distance), CLUSTER the match graph
+  * into entities, then MERGE each cluster into one golden record.
+  *
+  * The fixture is the `part` table: `p_name` is "adjective noun", and
+  * distinct names sit within small edit distances of each other — a
+  * miniature of a dirty product catalog. Everything runs on the NAME
+  * dimension (distinct keys), never the record count: at 100 TB the
+  * record table is huge but the distinct-variant-key table is orders of
+  * magnitude smaller, so the quadratic-ish compare work is confined to
+  * capped blocks of a small dimension and records only ever take one
+  * hash join back onto their resolved entity.
+  *
+  * Scale design, operator by operator:
+  *  - blocking is a self-join ON the block key — one shuffle of the
+  *    (small) name dimension, never a cross join (PlanSpec-pinned);
+  *  - oversized blocks are DROPPED, not compared ([[MaxBlockSize]]) —
+  *    the standard ER skew guard: a degenerate key ("misc", "") would
+  *    otherwise quadratically explode exactly like an LSH hot bucket;
+  *  - the match graph (names within [[MatchMaxDist]]) reuses the dedup
+  *    family's dual component solver: single-task union-find while the
+  *    edge list is subcritical, distributed min-label propagation past
+  *    [[TextOps.LocalComponentsMaxEdges]];
+  *  - the golden-record merge is one aggregation over records keyed by
+  *    entity, reached via a name→entity join that AQE broadcasts (the
+  *    name dimension is tiny relative to the record table).
+  */
+object EntityOps {
+
+  private def parts(s: SparkSession, d: String) = Tables(s, d, "part")
+
+  /** Blocks larger than this are dropped from candidate generation —
+    * the ER skew guard (Christen 2012 §4.2: block-size filtering). A
+    * block of b names costs b² comparisons; at the cap that is 10⁸
+    * levenshtein calls in ONE block — the most a sane pipeline pays
+    * for a single degenerate key before it signals dirty blocking. */
+  val MaxBlockSize: Long = 10000L
+
+  /** Match threshold: names within this Levenshtein distance are
+    * candidate same-entity variants (names here are ~8-12 chars; 3
+    * edits ≈ one mistyped word). */
+  val MatchMaxDist: Int = 3
+
+  /** The distinct-name dimension with its blocking keys and stable
+    * numeric node id (min record key — deterministic, order-free).
+    * `adj`/`noun` are the two tokens of the two-word name. */
+  private def nameDim(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    parts(s, d)
+      .groupBy($"p_name".as("name"))
+      .agg(min($"p_partkey").cast("long").as("nid"))
+      .withColumn("adj", substring_index($"name", " ", 1))
+      .withColumn("noun", substring_index($"name", " ", -1))
+  }
+
+  /** name → (slot, key) blocking pairs: one row per blocking pass.
+    * Two passes (adjective, noun) so a typo in EITHER token still
+    * lands the pair in one shared block — multi-pass blocking, the
+    * standard recall fix for single-key blocking. */
+  private def blocks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    nameDim(s, d).select($"name",
+      explode(array(
+        struct(lit("adj").as("slot"), $"adj".as("key")),
+        struct(lit("noun").as("slot"), $"noun".as("key")))).as("b"))
+      .select($"name", $"b.slot".as("slot"), $"b.key".as("key"))
+  }
+
+  /** Blocks that survive the size cap (see [[MaxBlockSize]]). */
+  private def sizedBlocks(s: SparkSession, d: String, cap: Long): DataFrame = {
+    import s.implicits._
+    blocks(s, d).groupBy($"slot", $"key")
+      .agg(count(lit(1)).as("block_size"))
+      .where($"block_size" <= cap)
+  }
+
+  /** q154 — blocked fuzzy candidate pairs: distinct name pairs that
+    * share at least one (capped) block and sit within [[MatchMaxDist]]
+    * edits. `shared_blocks` counts the blocking passes that found the
+    * pair (2 = same adjective AND same noun). Levenshtein runs only on
+    * blocked pairs AFTER the pair-dedup groupBy — never all pairs,
+    * and each surviving pair pays the edit distance once. */
+  def q154ErPairs(s: SparkSession, d: String, cap: Long = MaxBlockSize): DataFrame = {
+    import s.implicits._
+    val b = blocks(s, d)
+    val live = sizedBlocks(s, d, cap).select($"slot", $"key")
+    val a = b.join(live, Seq("slot", "key"))
+    val cand = a.as("x").join(b.as("y"),
+        $"x.slot" === $"y.slot" && $"x.key" === $"y.key" && $"x.name" < $"y.name")
+      .groupBy($"x.name".as("name_a"), $"y.name".as("name_b"))
+      .agg(count(lit(1)).as("shared_blocks"))
+    cand
+      .withColumn("lev_dist", levenshtein($"name_a", $"name_b").cast("long"))
+      .where($"lev_dist" <= MatchMaxDist)
+      .select($"name_a", $"name_b", $"lev_dist", $"shared_blocks")
+  }
+
+  val q154Sql: String =
+    s"""WITH nm AS (
+      |  SELECT p_name AS name,
+      |         substr(p_name, 1, instr(p_name, ' ') - 1) AS adj,
+      |         substr(p_name, instr(p_name, ' ') + 1) AS noun
+      |  FROM part GROUP BY p_name
+      |),
+      |blocks AS (
+      |  SELECT name, 'adj' AS slot, adj AS key FROM nm
+      |  UNION ALL
+      |  SELECT name, 'noun' AS slot, noun AS key FROM nm
+      |),
+      |sized AS (
+      |  SELECT slot, key FROM blocks GROUP BY slot, key
+      |  HAVING count(*) <= $MaxBlockSize
+      |),
+      |cand AS (
+      |  SELECT a.name AS name_a, b.name AS name_b,
+      |         CAST(count(*) AS BIGINT) AS shared_blocks
+      |  FROM blocks a
+      |  JOIN sized s ON s.slot = a.slot AND s.key = a.key
+      |  JOIN blocks b ON b.slot = a.slot AND b.key = a.key AND a.name < b.name
+      |  GROUP BY a.name, b.name
+      |)
+      |SELECT name_a, name_b,
+      |       CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev_dist,
+      |       shared_blocks
+      |FROM cand
+      |WHERE levenshtein(name_a, name_b) <= $MatchMaxDist""".stripMargin
+
+  /** q155 — resolved entities with their golden records: connected
+    * components of the q154 match graph (every distinct name a node,
+    * entity id = min node id of the component — the dedup family's
+    * label contract), then one merge aggregation over the RECORD table:
+    * how many name variants the entity subsumes, how many records it
+    * covers, how many brands those records span, and the merged price
+    * total. This is the survivorship step — the table a downstream
+    * pipeline would join records against instead of the dirty key. */
+  def q155ErEntities(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nm = nameDim(s, d).select($"name", $"nid").persist()
+    val edges = q154ErPairs(s, d)
+      .join(nm.withColumnRenamed("name", "name_a").withColumnRenamed("nid", "doc_a"), "name_a")
+      .join(nm.withColumnRenamed("name", "name_b").withColumnRenamed("nid", "doc_b"), "name_b")
+      .select($"doc_a", $"doc_b").persist()
+    // same dual-solver contract as the document near-dup family
+    val labels =
+      if (edges.count() <= TextOps.LocalComponentsMaxEdges)
+        TextOps.componentLabelsLocal(edges).localCheckpoint()
+      else TextOps.componentLabelsIterative(edges)
+    edges.unpersist()
+    val labeled = nm
+      .join(labels.withColumnRenamed("doc_id", "nid"), Seq("nid"), "left")
+      .select($"name", coalesce($"lbl", $"nid").as("entity_id"))
+    val canon = labeled.select($"entity_id").distinct()
+      .join(nm, $"entity_id" === $"nid")
+      .select($"entity_id", $"name".as("canonical_name"))
+    val out = parts(s, d)
+      .join(labeled, $"p_name" === $"name")
+      .join(canon, "entity_id")
+      .groupBy($"entity_id", $"canonical_name")
+      .agg(
+        countDistinct($"p_name").cast("long").as("n_name_variants"),
+        count(lit(1)).as("n_records"),
+        countDistinct($"p_brand").cast("long").as("n_brands"),
+        round(sum($"p_retailprice"), 2).as("total_price"))
+    nm.unpersist()
+    out
+  }
+
+  val q155Sql: String =
+    s"""WITH RECURSIVE nm AS (
+      |  SELECT p_name AS name, CAST(min(p_partkey) AS BIGINT) AS nid,
+      |         substr(p_name, 1, instr(p_name, ' ') - 1) AS adj,
+      |         substr(p_name, instr(p_name, ' ') + 1) AS noun
+      |  FROM part GROUP BY p_name
+      |),
+      |blocks AS (
+      |  SELECT name, 'adj' AS slot, adj AS key FROM nm
+      |  UNION ALL
+      |  SELECT name, 'noun' AS slot, noun AS key FROM nm
+      |),
+      |sized AS (
+      |  SELECT slot, key FROM blocks GROUP BY slot, key
+      |  HAVING count(*) <= $MaxBlockSize
+      |),
+      |cand AS (
+      |  SELECT a.name AS name_a, b.name AS name_b
+      |  FROM blocks a
+      |  JOIN sized s ON s.slot = a.slot AND s.key = a.key
+      |  JOIN blocks b ON b.slot = a.slot AND b.key = a.key AND a.name < b.name
+      |  GROUP BY a.name, b.name
+      |),
+      |mtch AS (
+      |  SELECT name_a, name_b FROM cand
+      |  WHERE levenshtein(name_a, name_b) <= $MatchMaxDist
+      |),
+      |e0 AS (
+      |  SELECT x.nid AS a, y.nid AS b
+      |  FROM mtch m JOIN nm x ON x.name = m.name_a JOIN nm y ON y.name = m.name_b
+      |),
+      |edges AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+      |reach(node, lbl) AS (
+      |  SELECT nid, nid FROM nm
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      |comp AS (SELECT node AS nid, min(lbl) AS entity_id FROM reach GROUP BY node),
+      |labeled AS (SELECT n.name, c.entity_id FROM nm n JOIN comp c ON c.nid = n.nid),
+      |canon AS (
+      |  SELECT DISTINCT c.entity_id, n.name AS canonical_name
+      |  FROM comp c JOIN nm n ON n.nid = c.entity_id
+      |)
+      |SELECT l.entity_id, cn.canonical_name,
+      |       CAST(count(DISTINCT p.p_name) AS BIGINT) AS n_name_variants,
+      |       count(*) AS n_records,
+      |       CAST(count(DISTINCT p.p_brand) AS BIGINT) AS n_brands,
+      |       round(sum(p.p_retailprice), 2) AS total_price
+      |FROM part p
+      |JOIN labeled l ON l.name = p.p_name
+      |JOIN canon cn ON cn.entity_id = l.entity_id
+      |GROUP BY l.entity_id, cn.canonical_name""".stripMargin
+
+  /** q156 — blocking-quality report, per blocking pass: how many blocks
+    * the pass makes, its largest block (the skew the cap watches), how
+    * many candidate pairs it generates, how many are true matches, and
+    * the resulting pairs-quality (precision proxy, Christen 2012 §7.3).
+    * THE tuning instrument for the family: run it before committing to
+    * a blocking scheme at full scale — a pass with a huge block count
+    * and near-zero quality is wasted compare budget, one with tiny
+    * quality and a giant max block is a skew incident waiting. Costs
+    * one pass over the (small) name dimension. */
+  def q156ErBlockingReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val b = blocks(s, d)
+    val bstat = b.groupBy($"slot", $"key").agg(count(lit(1)).as("sz"))
+      .groupBy($"slot")
+      .agg(count(lit(1)).as("n_blocks"), max($"sz").as("max_block_size"))
+    val live = sizedBlocks(s, d, MaxBlockSize).select($"slot", $"key")
+    val pairs = b.join(live, Seq("slot", "key")).as("x")
+      .join(b.as("y"),
+        $"x.slot" === $"y.slot" && $"x.key" === $"y.key" && $"x.name" < $"y.name")
+      .select($"x.slot".as("slot"), $"x.name".as("name_a"), $"y.name".as("name_b"))
+    val pstat = pairs
+      .groupBy($"slot")
+      .agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        sum(when(levenshtein($"name_a", $"name_b") <= MatchMaxDist, 1L).otherwise(0L))
+          .as("n_matches"))
+      .withColumn("pairs_quality",
+        round($"n_matches".cast("double") / $"n_candidate_pairs".cast("double"), 6))
+    bstat.join(pstat, "slot")
+      .select($"slot", $"n_blocks", $"max_block_size",
+        $"n_candidate_pairs", $"n_matches", $"pairs_quality")
+  }
+
+  val q156Sql: String =
+    s"""WITH nm AS (
+      |  SELECT p_name AS name,
+      |         substr(p_name, 1, instr(p_name, ' ') - 1) AS adj,
+      |         substr(p_name, instr(p_name, ' ') + 1) AS noun
+      |  FROM part GROUP BY p_name
+      |),
+      |blocks AS (
+      |  SELECT name, 'adj' AS slot, adj AS key FROM nm
+      |  UNION ALL
+      |  SELECT name, 'noun' AS slot, noun AS key FROM nm
+      |),
+      |bstat AS (
+      |  SELECT slot, CAST(count(*) AS BIGINT) AS n_blocks,
+      |         CAST(max(sz) AS BIGINT) AS max_block_size
+      |  FROM (SELECT slot, key, count(*) AS sz FROM blocks GROUP BY slot, key) t
+      |  GROUP BY slot
+      |),
+      |sized AS (
+      |  SELECT slot, key FROM blocks GROUP BY slot, key
+      |  HAVING count(*) <= $MaxBlockSize
+      |),
+      |pairs AS (
+      |  SELECT a.slot AS slot, a.name AS name_a, b.name AS name_b
+      |  FROM blocks a
+      |  JOIN sized s ON s.slot = a.slot AND s.key = a.key
+      |  JOIN blocks b ON b.slot = a.slot AND b.key = a.key AND a.name < b.name
+      |),
+      |pstat AS (
+      |  SELECT slot,
+      |         count(*) AS n_candidate_pairs,
+      |         CAST(sum(CASE WHEN levenshtein(name_a, name_b) <= $MatchMaxDist
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+      |  FROM pairs GROUP BY slot
+      |)
+      |SELECT b.slot, b.n_blocks, b.max_block_size,
+      |       p.n_candidate_pairs, p.n_matches,
+      |       round(CAST(p.n_matches AS DOUBLE) / CAST(p.n_candidate_pairs AS DOUBLE), 6)
+      |         AS pairs_quality
+      |FROM bstat b JOIN pstat p ON p.slot = b.slot""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_er_pairs" -> ((s, d) => q154ErPairs(s, d)),
+    "q155_er_entities" -> ((s, d) => q155ErEntities(s, d)),
+    "q156_er_blocking_report" -> ((s, d) => q156ErBlockingReport(s, d)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q154_er_pairs" -> q154Sql,
+    "q155_er_entities" -> q155Sql,
+    "q156_er_blocking_report" -> q156Sql)
+}

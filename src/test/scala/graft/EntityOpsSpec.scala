@@ -1,0 +1,122 @@
+package graft
+
+import graft.functions.EntityOps
+import org.apache.spark.sql.functions._
+
+/** Entity-resolution family (q154/q155/q156): blocking recall against a
+  * brute-force all-pairs sweep, component/golden-record parity with a
+  * driver-side transitive closure, the block-size skew guard, and the
+  * no-cross-join plan pin. */
+class EntityOpsSpec extends SparkSpec {
+
+  private def allNames: Seq[String] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sf0001/part.parquet")
+      .select($"p_name").distinct().as[String].collect().toSeq.sorted
+  }
+
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
+  test("q154 blocking has FULL pair recall on the fixture: every all-pairs " +
+    "match within the edit threshold shares an adjective or noun block " +
+    "(and the distances agree with a driver-side Levenshtein)") {
+    val names = allNames
+    val brute = (for {
+      i <- names.indices; j <- (i + 1) until names.length
+      d = lev(names(i), names(j)) if d <= EntityOps.MatchMaxDist
+    } yield (names(i), names(j), d.toLong)).toSet
+    assert(brute.nonEmpty, "fixture degenerate: no close name pairs at all")
+    val got = EntityOps.q154ErPairs(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == brute,
+      s"blocked-only: ${(got -- brute).take(3)}; missed: ${(brute -- got).take(3)}")
+  }
+
+  test("q155 entities equal a driver-side transitive closure of the match " +
+    "graph; each entity_id is the MIN record key among its members and the " +
+    "canonical name is that key's name; singleton names keep themselves") {
+    import spark.implicits._
+    val nm = spark.read.parquet(s"$sf0001/part.parquet")
+      .groupBy($"p_name").agg(min($"p_partkey").cast("long").as("nid"))
+      .as[(String, Long)].collect().toMap
+    // brute-force closure over the spec's own brute edges
+    val names = allNames
+    val parent = scala.collection.mutable.Map(names.map(n => n -> n): _*)
+    def find(x: String): String = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    for {
+      i <- names.indices; j <- (i + 1) until names.length
+      if lev(names(i), names(j)) <= EntityOps.MatchMaxDist
+    } {
+      val (ra, rb) = (find(names(i)), find(names(j)))
+      if (ra != rb) {
+        // keep the root at the member with the smallest nid — the contract
+        if (nm(ra) < nm(rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val expectEntity: Map[String, Long] = names.map(n => n -> nm(find(n))).toMap
+    val got = EntityOps.q155ErEntities(spark, sf0001).collect()
+    val gotByName: Map[String, (Long, String)] = got.flatMap { r =>
+      val eid = r.getLong(0); val canon = r.getString(1)
+      names.filter(n => expectEntity(n) == eid).map(_ -> (eid, canon))
+    }.toMap
+    // every entity id is the min member nid and its canonical name matches
+    got.foreach { r =>
+      val eid = r.getLong(0)
+      val members = names.filter(n => expectEntity(n) == eid)
+      assert(members.nonEmpty, s"entity $eid has no brute-force members")
+      assert(members.map(nm).min == eid, s"entity $eid is not its min member key")
+      val canonName = nm.collectFirst { case (n, id) if id == eid => n }.get
+      assert(r.getString(1) == canonName,
+        s"entity $eid canonical ${r.getString(1)} != $canonName")
+      assert(r.getLong(2) == members.size,
+        s"entity $eid variants ${r.getLong(2)} != ${members.size}")
+    }
+    assert(got.length == expectEntity.values.toSet.size,
+      s"entity count ${got.length} != brute ${expectEntity.values.toSet.size}")
+    assert(gotByName.size == names.size)
+    // record conservation: entities partition the record table
+    val totalRecords = spark.read.parquet(s"$sf0001/part.parquet").count()
+    assert(got.map(_.getLong(3)).sum == totalRecords)
+  }
+
+  test("q156 report: both blocking passes appear, candidates bound matches, " +
+    "and pairs_quality is the rounded ratio") {
+    val rows = EntityOps.q156ErBlockingReport(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("adj", "noun"))
+    rows.foreach { r =>
+      val (cand, m) = (r.getLong(3), r.getLong(4))
+      assert(m <= cand, s"${r.getString(0)}: matches $m > candidates $cand")
+      assert(r.getDouble(5) ==
+        BigDecimal(m.toDouble / cand).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    }
+  }
+
+  test("the block-size cap is a real skew guard: capping at 1 empties the " +
+    "candidate set entirely (every fixture block has >= 2 members)") {
+    assert(EntityOps.q154ErPairs(spark, sf0001, cap = 1L).count() == 0L)
+  }
+
+  test("plan pin: no CartesianProduct / BroadcastNestedLoopJoin anywhere in " +
+    "the family — candidate generation is equi-joins on block keys") {
+    Seq(EntityOps.q154ErPairs(spark, sf0001),
+      EntityOps.q156ErBlockingReport(spark, sf0001)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    }
+  }
+}
