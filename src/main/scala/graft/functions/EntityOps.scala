@@ -85,22 +85,31 @@ object EntityOps {
       .where($"block_size" <= cap)
   }
 
-  /** q154 — blocked fuzzy candidate pairs: distinct name pairs that
-    * share at least one (capped) block and sit within [[MatchMaxDist]]
-    * edits. `shared_blocks` counts the blocking passes that found the
-    * pair (2 = same adjective AND same noun). Levenshtein runs only on
-    * blocked pairs AFTER the pair-dedup groupBy — never all pairs,
-    * and each surviving pair pays the edit distance once. */
-  def q154ErPairs(s: SparkSession, d: String, cap: Long = MaxBlockSize): DataFrame = {
+  /** All blocked candidate pairs (pre-threshold): distinct name pairs
+    * sharing at least one capped block, with how many blocking passes
+    * found them (2 = same adjective AND same noun). The compare budget
+    * every downstream step (q154's edit filter, q157's Fellegi–Sunter
+    * scorer) is confined to. */
+  private[graft] def blockedCandidates(s: SparkSession, d: String,
+      cap: Long = MaxBlockSize): DataFrame = {
     import s.implicits._
     val b = blocks(s, d)
     val live = sizedBlocks(s, d, cap).select($"slot", $"key")
-    val a = b.join(live, Seq("slot", "key"))
-    val cand = a.as("x").join(b.as("y"),
+    b.join(live, Seq("slot", "key")).as("x")
+      .join(b.as("y"),
         $"x.slot" === $"y.slot" && $"x.key" === $"y.key" && $"x.name" < $"y.name")
       .groupBy($"x.name".as("name_a"), $"y.name".as("name_b"))
       .agg(count(lit(1)).as("shared_blocks"))
-    cand
+  }
+
+  /** q154 — blocked fuzzy candidate pairs: distinct name pairs that
+    * share at least one (capped) block and sit within [[MatchMaxDist]]
+    * edits. Levenshtein runs only on blocked pairs AFTER the pair-dedup
+    * groupBy — never all pairs, and each surviving pair pays the edit
+    * distance once. */
+  def q154ErPairs(s: SparkSession, d: String, cap: Long = MaxBlockSize): DataFrame = {
+    import s.implicits._
+    blockedCandidates(s, d, cap)
       .withColumn("lev_dist", levenshtein($"name_a", $"name_b").cast("long"))
       .where($"lev_dist" <= MatchMaxDist)
       .select($"name_a", $"name_b", $"lev_dist", $"shared_blocks")
@@ -302,13 +311,150 @@ object EntityOps {
       |         AS pairs_quality
       |FROM bstat b JOIN pstat p ON p.slot = b.slot""".stripMargin
 
+  /** Fellegi–Sunter field parameters for [[q157ErMatchWeights]]:
+    * (field, m, u) with m = P(field agrees | same entity) and
+    * u = P(field agrees | different entities). Fixed calibrated
+    * constants here (production systems estimate them by EM over the
+    * candidate set — Herzog/Scheuren/Winkler 2007 ch. 8); the weights
+    * derived from them are embedded as LITERAL doubles in both engines'
+    * texts, so the gate never depends on log() parity. */
+  val FsFields: Seq[(String, Double, Double)] = Seq(
+    ("adj", 0.95, 0.05),   // adjective token equality
+    ("noun", 0.95, 0.10),  // noun token equality
+    ("near", 0.90, 0.01),  // near-exact name (Levenshtein <= 1)
+    ("brand", 0.80, 0.20), // canonical-brand equality
+    ("size", 0.70, 0.30))  // size-decade equality
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
+  /** log₂(m/u) per field — the weight an AGREEMENT contributes. */
+  val FsAgreeW: Map[String, Double] =
+    FsFields.map { case (f, m, u) => f -> log2(m / u) }.toMap
+
+  /** log₂((1−m)/(1−u)) per field — the (negative) weight a
+    * DISAGREEMENT contributes. */
+  val FsDisagreeW: Map[String, Double] =
+    FsFields.map { case (f, m, u) => f -> log2((1 - m) / (1 - u)) }.toMap
+
+  /** Decision thresholds on the summed weight (Fellegi & Sunter's
+    * upper/lower cut): ≥ upper ⇒ match, < lower ⇒ non-match, the band
+    * between goes to clerical review ("possible"). Applied to the
+    * ROUNDED weight so the decision column is consistent with the
+    * displayed score. */
+  val FsUpper: Double = 4.0
+  val FsLower: Double = 0.0
+
+  /** The per-name attribute dimension the scorer compares: the two name
+    * tokens plus record-derived fields (canonical brand = min over the
+    * name's records; size decade = floor(avg size / 10), exact in both
+    * engines because integer sums are exact doubles). One aggregation
+    * over the record table, output bounded by |distinct names|. */
+  private def nameAttrs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    parts(s, d)
+      .groupBy($"p_name".as("name"))
+      .agg(min($"p_brand").as("canon_brand"),
+        floor(avg($"p_size") / 10).cast("long").as("size_bucket"))
+      .withColumn("adj", substring_index($"name", " ", 1))
+      .withColumn("noun", substring_index($"name", " ", -1))
+  }
+
+  /** q157 — Fellegi–Sunter match scoring over ALL blocked candidates
+    * (not just q154's edit-distance survivors — scoring is the decision
+    * step that replaces a hard distance cut): each pair gets a field
+    * agreement vector, the summed log-likelihood-ratio weight, and the
+    * three-way decision. The weight literals are precomputed doubles
+    * shared verbatim by both engines; the sum is a fixed-order chain of
+    * five IEEE additions, so the score is bit-identical before the one
+    * display round. Cost: the blocked-candidate set × O(1) per pair. */
+  def q157ErMatchWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val at = nameAttrs(s, d)
+    def side(suffix: String) = at.select(
+      $"name".as(s"name_$suffix"), $"adj".as(s"adj_$suffix"),
+      $"noun".as(s"noun_$suffix"), $"canon_brand".as(s"brand_$suffix"),
+      $"size_bucket".as(s"size_$suffix"))
+    def w(field: String, agrees: org.apache.spark.sql.Column) =
+      when(agrees, lit(FsAgreeW(field))).otherwise(lit(FsDisagreeW(field)))
+    val agree = Seq(
+      "adj" -> ($"adj_a" === $"adj_b"),
+      "noun" -> ($"noun_a" === $"noun_b"),
+      "near" -> (levenshtein($"name_a", $"name_b") <= 1),
+      "brand" -> ($"brand_a" === $"brand_b"),
+      "size" -> ($"size_a" === $"size_b"))
+    val weight = agree.map { case (f, c) => w(f, c) }.reduceLeft(_ + _)
+    blockedCandidates(s, d)
+      .join(side("a"), "name_a").join(side("b"), "name_b")
+      .withColumn("n_agreements",
+        agree.map { case (_, c) => when(c, 1L).otherwise(0L) }.reduceLeft(_ + _))
+      .withColumn("match_weight", round(weight, 6))
+      .withColumn("decision",
+        when($"match_weight" >= FsUpper, "match")
+          .when($"match_weight" < FsLower, "non_match")
+          .otherwise("possible"))
+      .select($"name_a", $"name_b", $"n_agreements", $"match_weight", $"decision")
+  }
+
+  val q157Sql: String = {
+    def caseW(field: String, cond: String) =
+      s"CASE WHEN $cond THEN ${FsAgreeW(field)} ELSE ${FsDisagreeW(field)} END"
+    def case1(cond: String) = s"CASE WHEN $cond THEN 1 ELSE 0 END"
+    val conds = Seq(
+      "adj" -> "a.adj = b.adj",
+      "noun" -> "a.noun = b.noun",
+      "near" -> "levenshtein(c.name_a, c.name_b) <= 1",
+      "brand" -> "a.canon_brand = b.canon_brand",
+      "size" -> "a.size_bucket = b.size_bucket")
+    val weightExpr = conds.map { case (f, c) => caseW(f, c) }.mkString(" + ")
+    val agreeExpr = conds.map { case (_, c) => case1(c) }.mkString(" + ")
+    s"""WITH at AS (
+      |  SELECT p_name AS name,
+      |         substr(p_name, 1, instr(p_name, ' ') - 1) AS adj,
+      |         substr(p_name, instr(p_name, ' ') + 1) AS noun,
+      |         min(p_brand) AS canon_brand,
+      |         CAST(floor(avg(p_size) / 10) AS BIGINT) AS size_bucket
+      |  FROM part GROUP BY p_name
+      |),
+      |blocks AS (
+      |  SELECT name, 'adj' AS slot, adj AS key FROM at
+      |  UNION ALL
+      |  SELECT name, 'noun' AS slot, noun AS key FROM at
+      |),
+      |sized AS (
+      |  SELECT slot, key FROM blocks GROUP BY slot, key
+      |  HAVING count(*) <= $MaxBlockSize
+      |),
+      |cand AS (
+      |  SELECT x.name AS name_a, y.name AS name_b
+      |  FROM blocks x
+      |  JOIN sized s ON s.slot = x.slot AND s.key = x.key
+      |  JOIN blocks y ON y.slot = x.slot AND y.key = x.key AND x.name < y.name
+      |  GROUP BY x.name, y.name
+      |),
+      |scored AS (
+      |  SELECT c.name_a, c.name_b,
+      |         CAST($agreeExpr AS BIGINT) AS n_agreements,
+      |         round($weightExpr, 6) AS match_weight
+      |  FROM cand c
+      |  JOIN at a ON a.name = c.name_a
+      |  JOIN at b ON b.name = c.name_b
+      |)
+      |SELECT name_a, name_b, n_agreements, match_weight,
+      |       CASE WHEN match_weight >= $FsUpper THEN 'match'
+      |            WHEN match_weight < $FsLower THEN 'non_match'
+      |            ELSE 'possible' END AS decision
+      |FROM scored""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_er_pairs" -> ((s, d) => q154ErPairs(s, d)),
     "q155_er_entities" -> ((s, d) => q155ErEntities(s, d)),
-    "q156_er_blocking_report" -> ((s, d) => q156ErBlockingReport(s, d)))
+    "q156_er_blocking_report" -> ((s, d) => q156ErBlockingReport(s, d)),
+    "q157_er_match_weights" -> ((s, d) => q157ErMatchWeights(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     "q154_er_pairs" -> q154Sql,
     "q155_er_entities" -> q155Sql,
-    "q156_er_blocking_report" -> q156Sql)
+    "q156_er_blocking_report" -> q156Sql,
+    "q157_er_match_weights" -> q157Sql)
 }

@@ -105,6 +105,52 @@ class EntityOpsSpec extends SparkSpec {
     }
   }
 
+  test("q157 scores EVERY blocked candidate (pairs sharing an adjective or " +
+    "noun token), the weight equals a driver-side Fellegi-Sunter recompute " +
+    "exactly, the decision follows the thresholds on the rounded weight, " +
+    "and all three decision classes occur on the fixture") {
+    import spark.implicits._
+    val attrs = spark.read.parquet(s"$sf0001/part.parquet")
+      .groupBy($"p_name").agg(
+        min($"p_brand").as("brand"),
+        floor(avg($"p_size") / 10).cast("long").as("szb"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    val names = allNames
+    def toks(n: String) = (n.split(" ").head, n.split(" ").last)
+    val expectPairs = (for {
+      i <- names.indices; j <- (i + 1) until names.length
+      (a1, n1) = toks(names(i)); (a2, n2) = toks(names(j))
+      if a1 == a2 || n1 == n2
+    } yield (names(i), names(j))).toSet
+    val got = EntityOps.q157ErMatchWeights(spark, sf0001).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet == expectPairs)
+    got.foreach { r =>
+      val (na, nb) = (r.getString(0), r.getString(1))
+      val (aa, nna) = toks(na); val (ab, nnb) = toks(nb)
+      val agrees = Seq(
+        "adj" -> (aa == ab), "noun" -> (nna == nnb),
+        "near" -> (lev(na, nb) <= 1),
+        "brand" -> (attrs(na)._1 == attrs(nb)._1),
+        "size" -> (attrs(na)._2 == attrs(nb)._2))
+      val w = agrees.map { case (f, ok) =>
+        if (ok) EntityOps.FsAgreeW(f) else EntityOps.FsDisagreeW(f) }
+        .reduceLeft(_ + _)
+      val expectW = BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getLong(2) == agrees.count(_._2), s"$na/$nb agreements")
+      assert(r.getDouble(3) == expectW,
+        s"$na/$nb weight ${r.getDouble(3)} != $expectW")
+      val expectD =
+        if (expectW >= EntityOps.FsUpper) "match"
+        else if (expectW < EntityOps.FsLower) "non_match"
+        else "possible"
+      assert(r.getString(4) == expectD, s"$na/$nb decision")
+    }
+    val classes = got.map(_.getString(4)).toSet
+    assert(classes == Set("match", "possible", "non_match"),
+      s"fixture exercises only $classes — threshold placement degenerate")
+  }
+
   test("the block-size cap is a real skew guard: capping at 1 empties the " +
     "candidate set entirely (every fixture block has >= 2 members)") {
     assert(EntityOps.q154ErPairs(spark, sf0001, cap = 1L).count() == 0L)
@@ -113,7 +159,8 @@ class EntityOpsSpec extends SparkSpec {
   test("plan pin: no CartesianProduct / BroadcastNestedLoopJoin anywhere in " +
     "the family — candidate generation is equi-joins on block keys") {
     Seq(EntityOps.q154ErPairs(spark, sf0001),
-      EntityOps.q156ErBlockingReport(spark, sf0001)).foreach { df =>
+      EntityOps.q156ErBlockingReport(spark, sf0001),
+      EntityOps.q157ErMatchWeights(spark, sf0001)).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), plan.take(2000))
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
