@@ -341,6 +341,30 @@ object ScaleProbe {
     whiten(sfDir) // warm
     probe("whitening")(whiten(sfDir))(whiten(embNDir))
 
+    // ER family: N part copies with disjoint record keys AND disjoint
+    // name spaces (per-copy token suffix — the docsNDir trick), so the
+    // name dimension and its match graph replicate per copy. Candidate
+    // pairs, scored pairs, and entities must grow LINEARLY — the probe
+    // that blocking stays block-bounded (per-key self-join) and never
+    // degrades into a cross-name comparison as the catalog grows.
+    val partNDir = {
+      val base = Tables(spark, sfDir, "part")
+      val dir = java.nio.file.Files.createTempDirectory("graft-scale-part").toString
+      val shift = 100000000L
+      (0 until factor).map { i =>
+        base.withColumn("p_partkey", $"p_partkey" + lit(i * shift))
+          .withColumn("p_name", regexp_replace($"p_name", "(\\S+)", s"$$1c$i"))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      dir
+    }
+    import graft.functions.EntityOps
+    def erScore(d: String): Long = EntityOps.q157ErMatchWeights(spark, d).count()
+    def erEntities(d: String): Long = EntityOps.q155ErEntities(spark, d).count()
+    erScore(sfDir) // warm
+    probe("er_match_weights")(erScore(sfDir))(erScore(partNDir))
+    probe("er_entities")(erEntities(sfDir))(erEntities(partNDir))
+
     // ---- the gate: time must grow at most linearly with data ----
     val gated = results.toSeq.map { case (n, t1, tN) =>
       (n, t1, tN, tN / math.max(t1, 0.3))

@@ -153,7 +153,11 @@ object EntityOps {
     * covers, how many brands those records span, and the merged price
     * total. This is the survivorship step — the table a downstream
     * pipeline would join records against instead of the dirty key. */
-  def q155ErEntities(s: SparkSession, d: String): DataFrame = {
+  /** The clustering step's raw output — every distinct name with its
+    * numeric node id and resolved entity id (= min nid of its match
+    * component; singletons label themselves). The map q155 merges over
+    * and the streaming resolve face broadcasts. */
+  def entityLabels(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val nm = nameDim(s, d).select($"name", $"nid").persist()
     val edges = q154ErPairs(s, d)
@@ -168,12 +172,18 @@ object EntityOps {
     edges.unpersist()
     val labeled = nm
       .join(labels.withColumnRenamed("doc_id", "nid"), Seq("nid"), "left")
-      .select($"name", coalesce($"lbl", $"nid").as("entity_id"))
-    val canon = labeled.select($"entity_id").distinct()
-      .join(nm, $"entity_id" === $"nid")
+      .select($"name", $"nid", coalesce($"lbl", $"nid").as("entity_id"))
+    nm.unpersist()
+    labeled
+  }
+
+  def q155ErEntities(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val labeled = entityLabels(s, d).persist()
+    val canon = labeled.where($"nid" === $"entity_id")
       .select($"entity_id", $"name".as("canonical_name"))
     val out = parts(s, d)
-      .join(labeled, $"p_name" === $"name")
+      .join(labeled.select($"name", $"entity_id"), $"p_name" === $"name")
       .join(canon, "entity_id")
       .groupBy($"entity_id", $"canonical_name")
       .agg(
@@ -181,7 +191,7 @@ object EntityOps {
         count(lit(1)).as("n_records"),
         countDistinct($"p_brand").cast("long").as("n_brands"),
         round(sum($"p_retailprice"), 2).as("total_price"))
-    nm.unpersist()
+    labeled.unpersist()
     out
   }
 

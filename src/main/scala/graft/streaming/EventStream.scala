@@ -625,6 +625,92 @@ object EventStream {
       }
   }
 
+  case class ErResolution(record_key: Long, name: String, entity_id: Long,
+      resolved_via: String, lev_dist: Long)
+
+  /** Broadcast cap for [[erResolveStream]]'s entity-name table: 2²²
+    * names ≈ a few hundred MB with block index — catalog-scale, a wall
+    * against a misconfigured entity frame sweeping in the record
+    * table itself. */
+  val DefaultMaxEntityNames: Long = 1L << 22
+
+  /** The ER family's streaming face: arriving RECORDS resolved against
+    * the (batch-built, q155-era) entity table — the production shape
+    * where clustering runs offline and ingest only PROBES it. STATELESS
+    * like [[semanticDeconStream]]: the name→entity map and a token
+    * block index broadcast once, each record resolves independently (no
+    * state store, no shuffle). Resolution ladder per record: exact name
+    * hit → its entity (`exact`, distance 0); else Levenshtein over the
+    * record's BLOCKED candidates only (names sharing its adjective or
+    * noun token — never the whole catalog), best within
+    * [[graft.functions.EntityOps.MatchMaxDist]] wins (`fuzzy`; ties
+    * break by (distance, entity id, name), deterministic); else the
+    * record founds a new entity (`new`, id −1, distance −1 — the
+    * offline re-cluster picks it up). Append-safe; redelivery re-emits
+    * identical rows. */
+  def erResolveStream(records: DataFrame, entityNames: DataFrame,
+      maxNames: Long = DefaultMaxEntityNames): Dataset[ErResolution] = {
+    val s = records.sparkSession
+    import s.implicits._
+    val named = entityNames
+      .select(col("name").cast("string"), col("entity_id").cast("long"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    require(named.nonEmpty, "er resolve: empty entity table - nothing to probe")
+    require(named.length <= maxNames,
+      s"er resolve: entity table has ${named.length} names, exceeding $maxNames - " +
+        "that is record-scale, not catalog-scale (misconfigured entity frame?). " +
+        "Raise maxEntityNames only with the broadcast cost in mind.")
+    val exact = named.toMap
+    val blockIdx: Map[String, Array[(String, Long)]] = named
+      .flatMap { case (n, e) =>
+        val t = n.split(" "); Seq(t.head -> (n, e), t.last -> (n, e)) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+    val bcExact = s.sparkContext.broadcast(exact)
+    val bcBlocks = s.sparkContext.broadcast(blockIdx)
+    val maxDist = graft.functions.EntityOps.MatchMaxDist
+    def lev(a: String, b: String): Int = {
+      val prev = Array.range(0, b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      var i = 1
+      while (i <= a.length) {
+        cur(0) = i
+        var j = 1
+        while (j <= b.length) {
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          j += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, b.length + 1)
+        i += 1
+      }
+      prev(b.length)
+    }
+    records.select(col("record_key").cast("long"), col("name").cast("string"))
+      .as[(Long, String)].mapPartitions { it =>
+        it.map { case (key, nm) =>
+          bcExact.value.get(nm) match {
+            case Some(eid) => ErResolution(key, nm, eid, "exact", 0L)
+            case None =>
+              val toks = nm.split(" ")
+              val cands =
+                (bcBlocks.value.getOrElse(toks.head, Array.empty[(String, Long)]) ++
+                  bcBlocks.value.getOrElse(toks.last, Array.empty[(String, Long)])).distinct
+              val scored = cands.iterator
+                .map { case (cn, ce) => (lev(nm, cn), ce, cn) }
+                .filter(_._1 <= maxDist)
+                .toSeq
+              val best =
+                if (scored.isEmpty) None
+                else Some(scored.min(Ordering[(Int, Long, String)]))
+              best match {
+                case Some((d, ce, _)) => ErResolution(key, nm, ce, "fuzzy", d.toLong)
+                case None => ErResolution(key, nm, -1L, "new", -1L)
+              }
+          }
+        }
+      }
+  }
+
   /** One near-dup probe hit: an arriving doc shares a MinHash band
     * bucket with a committed corpus doc — the unit q126 reports. */
   case class NearDupHit(batch_doc: Long, corpus_doc: Long)

@@ -303,6 +303,79 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("corpus-scale"), e.getMessage)
   }
 
+  test("erResolveStream is STATELESS and resolves streamed part records " +
+    "against a batch-built entity table exactly like a driver-side reference " +
+    "(exact hit, blocked fuzzy match with deterministic tie-break, or new " +
+    "entity), across micro-batches; the broadcast cap trips loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def levd(a: String, b: String): Int = {
+      var dp = (0 to b.length).toArray
+      for (i <- 1 to a.length) {
+        val nd = new Array[Int](b.length + 1); nd(0) = i
+        for (j <- 1 to b.length)
+          nd(j) = math.min(math.min(dp(j) + 1, nd(j - 1) + 1),
+            dp(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        dp = nd
+      }
+      dp(b.length)
+    }
+    // entity table: the full-corpus labels restricted to even-nid names
+    // (the committed catalog); the stream replays EVERY record, so the
+    // odd-nid names must resolve by fuzzy block probe or found new
+    // entities
+    val labels = graft.functions.EntityOps.entityLabels(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val table = labels.filter(_._2 % 2 == 0).map { case (n, _, e) => (n, e) }
+    val records = spark.read.parquet(s"$sf0001/part.parquet")
+      .select($"p_partkey".cast("long"), $"p_name")
+      .as[(Long, String)].collect()
+    val tmap = table.toMap
+    val expected = records.map { case (key, nm) =>
+      tmap.get(nm) match {
+        case Some(e) => (key, nm, e, "exact", 0L)
+        case None =>
+          val toks = nm.split(" ")
+          val cands = table.filter { case (tn, _) =>
+            val tt = tn.split(" ")
+            tt.head == toks.head || tt.last == toks.last
+          }
+          val best = cands.map { case (tn, te) => (levd(nm, tn), te, tn) }
+            .filter(_._1 <= graft.functions.EntityOps.MatchMaxDist)
+            .sorted.headOption
+          best match {
+            case Some((d, te, _)) => (key, nm, te, "fuzzy", d.toLong)
+            case None => (key, nm, -1L, "new", -1L)
+          }
+      }
+    }.toSet
+    assert(Set("exact", "fuzzy", "new").subsetOf(expected.map(_._4)),
+      "fixture split degenerate — a resolution class never occurs")
+    val mem = MemoryStream[(Long, String)]
+    val out = EventStream.erResolveStream(
+      mem.toDF().toDF("record_key", "name"),
+      table.toSeq.toDF("name", "entity_id"))
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("er_resolve_out").outputMode("append").start()
+    val (h1, h2) = records.splitAt(records.length / 2)
+    mem.addData(h1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(h2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("er_resolve_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).toSet
+    assert(streamed == expected,
+      s"stream-only: ${(streamed -- expected).take(3)}; " +
+        s"reference-only: ${(expected -- streamed).take(3)}")
+    val e = intercept[IllegalArgumentException] {
+      EventStream.erResolveStream(mem.toDF().toDF("record_key", "name"),
+        table.toSeq.toDF("name", "entity_id"), maxNames = 1L)
+    }
+    assert(e.getMessage.contains("catalog-scale"), e.getMessage)
+  }
+
   test("nearDupProbeStream (transformWithState): the band-bucket state probe " +
     "answers exactly like the q126 batch query on the same corpus/batch split, " +
     "with the corpus spread across micro-batches") {
