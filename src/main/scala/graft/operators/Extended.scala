@@ -287,7 +287,62 @@ object Extended {
     }.mkString("\nUNION ALL\n")
   }
 
+  /** The candidate functional dependencies q159 audits:
+    * (table, determinant, dependent). A deliberate mix of FDs that HOLD
+    * (key → attribute) and FDs that are violated (the dirty-data
+    * signal), so the report exercises both verdicts. */
+  val FdCandidates: Seq[(String, String, String)] = Seq(
+    ("orders", "o_orderkey", "o_custkey"),        // key FD — must hold
+    ("orders", "o_custkey", "o_orderpriority"),   // violated: customers change priority
+    ("part", "p_partkey", "p_name"),              // key FD — must hold
+    ("part", "p_name", "p_brand"),                // violated: names span brands
+    ("part", "p_brand", "p_type"))                // violated: brands span types
+
+  /** q159 — functional-dependency audit (data profiling's schema-rule
+    * checker, q108's column profile lifted to CROSS-column rules): for
+    * each candidate determinant→dependent pair, how many determinant
+    * values exist, how many map to MORE than one dependent (the FD
+    * violations), the worst fan-out, and the verdict. The op a pipeline
+    * runs before trusting a column as a join/merge key — q17's MERGE
+    * and the ER family's golden records both assume their keys
+    * determine their payloads, and this is the instrument that checks
+    * it. Per FD: one partial-aggregated distinct-count keyed by the
+    * determinant, then a table-sized rollup to ONE row — at 100 TB each
+    * FD costs exactly its groupBy shuffle, and the output is bounded by
+    * the candidate list. */
+  def q159FdAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    FdCandidates.map { case (t, det, dep) =>
+      Tables(s, d, t)
+        .groupBy(col(det)).agg(countDistinct(col(dep)).as("nd"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+          max($"nd").as("max_deps_per_key"))
+        .select(
+          lit(t).as("table_name"), lit(det).as("determinant"),
+          lit(dep).as("dependent"), $"n_keys", $"n_violating_keys",
+          $"max_deps_per_key",
+          round($"n_violating_keys".cast("double") / $"n_keys".cast("double"), 6)
+            .as("violation_rate"),
+          ($"max_deps_per_key" === 1L).as("holds"))
+    }.reduce(_ union _)
+  }
+
+  val q159Sql: String =
+    FdCandidates.map { case (t, det, dep) =>
+      s"""SELECT '$t' AS table_name, '$det' AS determinant, '$dep' AS dependent,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+        |  CAST(max(nd) AS BIGINT) AS max_deps_per_key,
+        |  round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE), 6) AS violation_rate,
+        |  max(nd) = 1 AS holds
+        |FROM (SELECT $det, count(DISTINCT $dep) AS nd FROM $t GROUP BY $det) g""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_fd_audit" -> (q159FdAudit _),
     "q108_column_profile" -> (q108ColumnProfile _),
     "q51_cube" -> (q51Cube _),
     "q38_pivot" -> (q38Pivot _),
@@ -301,6 +356,7 @@ object Extended {
 
   /** q41 intentionally omitted: approximate sketches are engine-specific. */
   val oracleSql: Map[String, String] = Map(
+    "q159_fd_audit" -> q159Sql,
     "q108_column_profile" -> q108Sql,
     "q51_cube" -> q51Sql,
     "q38_pivot" -> q38Sql,

@@ -935,7 +935,67 @@ object TimeSeries {
       | AND v.event_type = 'view' AND p.event_type = 'purchase'
       | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR""".stripMargin
 
+  /** q158 — SCD Type-2 history construction (Kimball's slowly-changing
+    * dimension, the warehouse op that turns an observation log into a
+    * versioned dimension): per customer, the version history of the
+    * order-priority attribute over order dates. Consecutive identical
+    * observations collapse into one version (the SCD2 contract — a
+    * version spans until the attribute CHANGES); each version carries
+    * [valid_from, valid_to) with an open current version, its version
+    * number, and the is_current flag. Deterministic total order per key
+    * is (date, order key) — same tie convention as q22/q79 — so the
+    * history is engine- and topology-independent. One shuffle+sort on
+    * the natural key feeds both window passes; at 100 TB that is the
+    * minimum any history build pays, and nothing downstream reshuffles
+    * (change-point filter and versioning reuse the same ordering).
+    * Nullable valid_to is CAST to string in both engines (the q63
+    * NaT/None asymmetry). */
+  def q158Scd2History(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byCust = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val chg = Tables(s, d, "orders")
+      .select($"o_custkey", $"o_orderpriority", $"o_orderdate", $"o_orderkey")
+      .withColumn("prev", lag($"o_orderpriority", 1).over(byCust))
+      .where($"prev".isNull || $"o_orderpriority" =!= $"prev")
+    val byVer = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    chg
+      .withColumn("valid_to_d", lead($"o_orderdate", 1).over(byVer))
+      .withColumn("version_no", row_number().over(byVer).cast("long"))
+      .select(
+        $"o_custkey",
+        $"o_orderpriority".as("priority"),
+        $"o_orderdate".cast("string").as("valid_from"),
+        $"valid_to_d".cast("string").as("valid_to"),
+        $"version_no",
+        $"valid_to_d".isNull.as("is_current"))
+  }
+
+  val q158Sql: String =
+    """WITH seq AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+      |         lag(o_orderpriority) OVER
+      |           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |chg AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      |  FROM seq WHERE prev IS NULL OR o_orderpriority <> prev),
+      |ver AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate,
+      |         lead(o_orderdate) OVER
+      |           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to_d,
+      |         CAST(row_number() OVER
+      |           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+      |           AS version_no
+      |  FROM chg)
+      |SELECT o_custkey, o_orderpriority AS priority,
+      |       CAST(o_orderdate AS VARCHAR(10)) AS valid_from,
+      |       CAST(valid_to_d AS VARCHAR(10)) AS valid_to,
+      |       version_no,
+      |       valid_to_d IS NULL AS is_current
+      |FROM ver""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_scd2_history" -> (q158Scd2History _),
     "q121_interval_join" -> (q121IntervalJoin _),
     "q92_user_entropy" -> (q92UserEntropy _),
     "q94_ewma" -> (q94Ewma _),
@@ -989,5 +1049,6 @@ object TimeSeries {
     "q109_attribution" -> q109Sql,
     "q79_transitions" -> q79Sql,
     "q80_user_growth" -> q80Sql,
-    "q81_event_gaps" -> q81Sql)
+    "q81_event_gaps" -> q81Sql,
+    "q158_scd2_history" -> q158Sql)
 }

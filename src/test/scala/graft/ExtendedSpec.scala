@@ -10,6 +10,72 @@ import java.sql.Timestamp
   * round-trip, mapGroupsWithState running state. */
 class ExtendedSpec extends SparkSpec {
 
+  test("q158 SCD2 history: per customer the version chain is gap-free " +
+    "(valid_to(i) = valid_from(i+1), contiguous version numbers, exactly " +
+    "one open current version), consecutive versions always CHANGE the " +
+    "attribute, and the change points equal a driver-side recompute") {
+    import spark.implicits._
+    val hist = operators.TimeSeries.q158Scd2History(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), r.getLong(4), r.getBoolean(5)))
+    val orders = Tables(spark, sf0001, "orders")
+      .select($"o_custkey", $"o_orderpriority", $"o_orderdate".cast("string"),
+        $"o_orderkey")
+      .as[(Long, String, String, Long)].collect()
+    val expected = orders.groupBy(_._1).flatMap { case (cust, os) =>
+      val seq = os.sortBy(o => (o._3, o._4))
+      val chg = seq.zipWithIndex.filter { case (o, i) =>
+        i == 0 || o._2 != seq(i - 1)._2 }.map(_._1)
+      chg.zipWithIndex.toSeq.map { case (o, i) =>
+        val to = if (i + 1 < chg.length) Some(chg(i + 1)._3) else None
+        (cust, o._2, o._3, to, (i + 1).toLong, to.isEmpty)
+      }
+    }.toSet
+    assert(hist.toSet == expected,
+      s"got-only: ${(hist.toSet -- expected).take(3)}; " +
+        s"expected-only: ${(expected -- hist.toSet).take(3)}")
+    hist.groupBy(_._1).foreach { case (cust, vs) =>
+      val chain = vs.sortBy(_._5)
+      assert(chain.map(_._5).toSeq == (1L to chain.length).toSeq, s"$cust versions")
+      assert(chain.count(_._6) == 1, s"$cust currents")
+      assert(chain.last._6 && chain.last._4.isEmpty, s"$cust open tail")
+      chain.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"$cust gap: ${a._4} vs ${b._3}")
+          assert(a._2 != b._2, s"$cust consecutive versions share priority")
+        case _ =>
+      }
+    }
+  }
+
+  test("q159 FD audit: key FDs hold with zero violations, dirty FDs are " +
+    "flagged with a positive rate, and one FD's numbers equal a driver-side " +
+    "recompute") {
+    import spark.implicits._
+    val rows = Extended.q159FdAudit(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getBoolean(7)))
+    assert(rows.length == Extended.FdCandidates.length)
+    val byFd = rows.map(t => (t._1, t._2, t._3) -> t).toMap
+    Seq(("orders", "o_orderkey", "o_custkey"), ("part", "p_partkey", "p_name"))
+      .foreach { fd =>
+        val r = byFd(fd)
+        assert(r._8 && r._5 == 0L && r._6 == 1L && r._7 == 0.0, s"$fd should hold: $r")
+      }
+    Seq(("orders", "o_custkey", "o_orderpriority"), ("part", "p_name", "p_brand"))
+      .foreach { fd =>
+        val r = byFd(fd)
+        assert(!r._8 && r._5 > 0L && r._6 > 1L && r._7 > 0.0, s"$fd should break: $r")
+      }
+    val nameBrand = Tables(spark, sf0001, "part")
+      .select($"p_name", $"p_brand").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length).toMap
+    val r = byFd(("part", "p_name", "p_brand"))
+    assert(r._4 == nameBrand.size)
+    assert(r._5 == nameBrand.values.count(_ > 1))
+    assert(r._6 == nameBrand.values.max.toLong)
+  }
+
   test("q41 approx_count_distinct stays within 5% of exact at sf0.001") {
     import spark.implicits._
     val approx = Extended.q41ApproxAggs(spark, sf0001)
