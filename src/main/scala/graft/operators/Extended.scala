@@ -341,7 +341,69 @@ object Extended {
         |FROM (SELECT $det, count(DISTINCT $dep) AS nd FROM $t GROUP BY $det) g""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** The foreign-key relationships q160 audits:
+    * (child table, child key, parent table, parent key). */
+  val FkCandidates: Seq[(String, String, String, String)] = Seq(
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"))
+
+  /** q160 — referential-integrity audit (q159's FD checker for the
+    * OTHER schema rule joins depend on): per declared foreign key, how
+    * many child rows exist, how many are orphans (no matching parent),
+    * how many distinct orphan key values carry them, and the verdict.
+    * An inner join silently DROPS orphan rows — at 100 TB that is data
+    * loss nobody sees — so this audit is what a pipeline runs before
+    * trusting inner-join semantics between two tables. Plan shape: the
+    * orphan probe is one LEFT ANTI join per FK on the key — the child
+    * side shuffles once (or the parent broadcasts when it is
+    * dimension-sized, AQE's call), and the per-FK output is one row. */
+  def q160RiAudit(s: SparkSession, d: String): DataFrame =
+    FkCandidates.map { case (ct, ck, pt, pk) =>
+      riAuditOne(Tables(s, d, ct), ck, Tables(s, d, pt), pk, ct, pt)
+    }.reduce(_ union _)
+
+  /** One FK's audit row — the unit q160 unions, exposed so a spec can
+    * drive it with a deliberately-dirty pair (the shipped fixture is
+    * referentially CLEAN, so the orphan path never fires on it). */
+  private[graft] def riAuditOne(childT: DataFrame, ck: String,
+      parentT: DataFrame, pk: String, ct: String, pt: String): DataFrame = {
+    val s = childT.sparkSession
+    import s.implicits._
+    val child = childT.select(col(ck).as("k"))
+    val parent = parentT.select(col(pk).as("k")).distinct()
+    val orphans = child.join(parent, Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_rows"),
+        countDistinct($"k").as("n_orphan_keys"))
+    val totals = child.agg(count(lit(1)).as("n_child_rows"))
+    totals.crossJoin(orphans).select(
+      lit(ct).as("child_table"), lit(ck).as("child_key"),
+      lit(pt).as("parent_table"), lit(pk).as("parent_key"),
+      $"n_child_rows", $"n_orphan_rows",
+      $"n_orphan_keys".cast("long").as("n_orphan_keys"),
+      round($"n_orphan_rows".cast("double") / $"n_child_rows".cast("double"), 6)
+        .as("orphan_rate"),
+      ($"n_orphan_rows" === 0L).as("intact"))
+  }
+
+  val q160Sql: String =
+    FkCandidates.map { case (ct, ck, pt, pk) =>
+      s"""SELECT '$ct' AS child_table, '$ck' AS child_key,
+        |  '$pt' AS parent_table, '$pk' AS parent_key,
+        |  (SELECT count(*) FROM $ct) AS n_child_rows,
+        |  count(*) AS n_orphan_rows,
+        |  CAST(count(DISTINCT c.$ck) AS BIGINT) AS n_orphan_keys,
+        |  round(CAST(count(*) AS DOUBLE)
+        |        / CAST((SELECT count(*) FROM $ct) AS DOUBLE), 6) AS orphan_rate,
+        |  count(*) = 0 AS intact
+        |FROM $ct c
+        |WHERE NOT EXISTS (SELECT 1 FROM $pt p WHERE p.$pk = c.$ck)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_ri_audit" -> (q160RiAudit _),
     "q159_fd_audit" -> (q159FdAudit _),
     "q108_column_profile" -> (q108ColumnProfile _),
     "q51_cube" -> (q51Cube _),
@@ -356,6 +418,7 @@ object Extended {
 
   /** q41 intentionally omitted: approximate sketches are engine-specific. */
   val oracleSql: Map[String, String] = Map(
+    "q160_ri_audit" -> q160Sql,
     "q159_fd_audit" -> q159Sql,
     "q108_column_profile" -> q108Sql,
     "q51_cube" -> q51Sql,

@@ -76,6 +76,41 @@ class ExtendedSpec extends SparkSpec {
     assert(r._6 == nameBrand.values.max.toLong)
   }
 
+  test("q160 RI audit: the shipped fixture is referentially intact on every " +
+    "declared FK (zero orphans), a deliberately-dirty pair is counted " +
+    "exactly (rows, distinct keys, rate, verdict), and the orphan probe " +
+    "plans an anti join, never a nested loop") {
+    import spark.implicits._
+    val rows = Extended.q160RiAudit(spark, sf0001).collect()
+    assert(rows.length == Extended.FkCandidates.length)
+    rows.foreach { r =>
+      assert(r.getBoolean(8), s"fixture FK broken: $r")
+      assert(r.getLong(5) == 0L && r.getLong(6) == 0L && r.getDouble(7) == 0.0)
+      assert(r.getLong(4) > 0L)
+    }
+    // dirty pair: 10 child rows, 4 orphan rows over 2 orphan key values
+    val child = Seq(1L, 1L, 2L, 3L, 3L, 3L, 7L, 7L, 8L, 8L).toDF("ck")
+    val parent = Seq(1L, 2L, 3L, 9L).toDF("pk")
+    val dirty = Extended.riAuditOne(child, "ck", parent, "pk", "c", "p").collect().head
+    assert(dirty.getLong(4) == 10L && dirty.getLong(5) == 4L && dirty.getLong(6) == 2L)
+    assert(dirty.getDouble(7) == 0.4 && !dirty.getBoolean(8))
+    val plan = Extended.q160RiAudit(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("q158's two window passes share ONE natural-key shuffle: the physical " +
+    "plan has exactly one Exchange over the orders scan (change-point filter " +
+    "and versioning reuse the same (custkey; date, orderkey) ordering)") {
+    val plan = operators.TimeSeries.q158Scd2History(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, plan.take(2000))
+    // and the second window adds no second sort — same ordering reused
+    assert("\\+- Sort ".r.findAllIn(plan).length == 1, plan.take(2000))
+  }
+
   test("q41 approx_count_distinct stays within 5% of exact at sf0.001") {
     import spark.implicits._
     val approx = Extended.q41ApproxAggs(spark, sf0001)
