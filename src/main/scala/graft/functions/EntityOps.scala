@@ -405,7 +405,10 @@ object EntityOps {
       .select($"name_a", $"name_b", $"n_agreements", $"match_weight", $"decision")
   }
 
-  val q157Sql: String = {
+  /** The q157 CTE chain through `scored(name_a, name_b, n_agreements,
+    * match_weight)` — shared by q157's row-level output and q161's
+    * per-decision rollup. */
+  private val scoredCtes: String = {
     def caseW(field: String, cond: String) =
       s"CASE WHEN $cond THEN ${FsAgreeW(field)} ELSE ${FsDisagreeW(field)} END"
     def case1(cond: String) = s"CASE WHEN $cond THEN 1 ELSE 0 END"
@@ -448,23 +451,68 @@ object EntityOps {
       |  FROM cand c
       |  JOIN at a ON a.name = c.name_a
       |  JOIN at b ON b.name = c.name_b
-      |)
+      |)""".stripMargin
+  }
+
+  val q157Sql: String =
+    s"""$scoredCtes
       |SELECT name_a, name_b, n_agreements, match_weight,
       |       CASE WHEN match_weight >= $FsUpper THEN 'match'
       |            WHEN match_weight < $FsLower THEN 'non_match'
       |            ELSE 'possible' END AS decision
       |FROM scored""".stripMargin
+
+  /** q161 — threshold-evaluation report: the Fellegi–Sunter decisions
+    * cross-tabulated against the edit-distance standard the rest of the
+    * family uses (lev ≤ [[MatchMaxDist]]) — per decision class, how
+    * many pairs land there and how many the distance heuristic also
+    * calls a match. THE threshold-tuning loop of a real linkage system
+    * (move [[FsUpper]]/[[FsLower]] until the `match` class is nearly
+    * pure and `possible` is small enough for clerical review): a
+    * `match` class with low edit agreement means the m/u model and the
+    * distance rule disagree — investigate before trusting either.
+    * Pure composition of the scored-candidates spine, output bounded by
+    * the three decision classes. */
+  def q161ErThresholdEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    q157ErMatchWeights(s, d)
+      .withColumn("em",
+        when(levenshtein($"name_a", $"name_b") <= MatchMaxDist, 1L).otherwise(0L))
+      .groupBy($"decision")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum($"em").as("n_edit_matches"),
+        round(sum($"em").cast("double") / count(lit(1)).cast("double"), 6)
+          .as("edit_match_rate"))
   }
+
+  val q161Sql: String =
+    s"""$scoredCtes,
+      |classified AS (
+      |  SELECT name_a, name_b,
+      |         CASE WHEN match_weight >= $FsUpper THEN 'match'
+      |              WHEN match_weight < $FsLower THEN 'non_match'
+      |              ELSE 'possible' END AS decision,
+      |         CASE WHEN levenshtein(name_a, name_b) <= $MatchMaxDist
+      |              THEN 1 ELSE 0 END AS em
+      |  FROM scored)
+      |SELECT decision, count(*) AS n_pairs,
+      |       CAST(sum(em) AS BIGINT) AS n_edit_matches,
+      |       round(CAST(sum(em) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+      |         AS edit_match_rate
+      |FROM classified GROUP BY decision""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_er_pairs" -> ((s, d) => q154ErPairs(s, d)),
     "q155_er_entities" -> ((s, d) => q155ErEntities(s, d)),
     "q156_er_blocking_report" -> ((s, d) => q156ErBlockingReport(s, d)),
-    "q157_er_match_weights" -> ((s, d) => q157ErMatchWeights(s, d)))
+    "q157_er_match_weights" -> ((s, d) => q157ErMatchWeights(s, d)),
+    "q161_er_threshold_eval" -> ((s, d) => q161ErThresholdEval(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     "q154_er_pairs" -> q154Sql,
     "q155_er_entities" -> q155Sql,
     "q156_er_blocking_report" -> q156Sql,
-    "q157_er_match_weights" -> q157Sql)
+    "q157_er_match_weights" -> q157Sql,
+    "q161_er_threshold_eval" -> q161Sql)
 }

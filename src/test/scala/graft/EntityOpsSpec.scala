@@ -151,6 +151,22 @@ class EntityOpsSpec extends SparkSpec {
       s"fixture exercises only $classes — threshold placement degenerate")
   }
 
+  test("q161 threshold evaluation equals a rollup of q157's own rows and " +
+    "partitions the full candidate set across the decision classes") {
+    val scored = EntityOps.q157ErMatchWeights(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(4)))
+    val expected = scored.groupBy(_._3).map { case (dec, ps) =>
+      val em = ps.count(p => lev(p._1, p._2) <= EntityOps.MatchMaxDist)
+      (dec, ps.length.toLong, em.toLong,
+        BigDecimal(em.toDouble / ps.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = EntityOps.q161ErThresholdEval(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected, s"got $got vs $expected")
+    assert(got.map(_._2).sum == scored.length.toLong)
+  }
+
   test("the block-size cap is a real skew guard: capping at 1 empties the " +
     "candidate set entirely (every fixture block has >= 2 members)") {
     assert(EntityOps.q154ErPairs(spark, sf0001, cap = 1L).count() == 0L)
