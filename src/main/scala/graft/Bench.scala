@@ -165,8 +165,8 @@ object Bench {
     def timesJson(rs: Seq[(String, Double, Boolean)], key: String => String,
                   fmt: Double => String): String =
       rs.map { case (k, v, _) => "\"" + key(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val failures = (concurrent ++ sequential).collect { case (k, _, false) => k }
-      .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedNames = (concurrent ++ sequential).collect { case (k, _, false) => k }.distinct
+    val failures = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     // ASCII only: a non-ASCII char here has twice arrived charset-mangled
     // in the captured stdout and broken the driver's JSON parse.
     val method =
@@ -203,7 +203,7 @@ object Bench {
       // size no longer scales with the suite. BenchLineSpec pins the
       // final line under 1,900 bytes at the live query count.
       println(detailLine(sequential, views))
-      println(finalLine(wall, seqTotal, failures, sfDir))
+      println(finalLine(wall, seqTotal, failedNames, sfDir))
     }
   }
 
@@ -235,8 +235,18 @@ object Bench {
   }
 
   /** The FINAL stdout line the driver parses from its bounded tail
-    * buffer: totals only — its length must not grow with the suite. */
+    * buffer: totals only — its length must not grow with the suite.
+    * That includes the MASS-FAILURE case (ADVICE r13): the failures
+    * field is capped at [[MaxFailureNames]] names plus a "+N more"
+    * marker — the full list is on the stderr/file record — so the line
+    * stays parseable precisely when parsing it matters most. */
+  private[graft] val MaxFailureNames = 5
   private[graft] def finalLine(wall: Double, seqTotal: Double,
-      failures: String, sfDir: String): String =
+      failedNames: Seq[String], sfDir: String): String = {
+    val shown = failedNames.take(MaxFailureNames) ++
+      (if (failedNames.size > MaxFailureNames)
+        Seq(s"+${failedNames.size - MaxFailureNames} more") else Nil)
+    val failures = shown.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"metric":"total","value":${r3(wall)},"unit":"sec","seq_total":${r3(seqTotal)},"failures":$failures,"sf":"$sfDir","method":"best-of-2 concurrent wall; per-query seconds on the preceding stdout line; full record in bench file + stderr"}"""
+  }
 }

@@ -25,7 +25,18 @@ import graft.operators.TimeSeries
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    // arg 1 is the FACTOR; the data dir comes from SPARK_GRAFT_SF_DIR —
+    // the opposite of Verify/Bench, so a directory-looking first arg gets
+    // a usage message instead of a NumberFormatException (VERDICT r13 #3)
+    val factor = args.headOption match {
+      case None => 10
+      case Some(a) if a.forall(_.isDigit) && a.nonEmpty => a.toInt
+      case Some(a) =>
+        System.err.println(
+          s"usage: runMain graft.ScaleProbe [factor]   (got '$a'; the data " +
+            "dir is NOT an argument — set SPARK_GRAFT_SF_DIR, default sf0.1)")
+        sys.exit(2)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val assertGate = sys.env.getOrElse("SPARK_GRAFT_SCALE_ASSERT", "true") == "true"
     val spark = GraftSession.builder()

@@ -118,8 +118,12 @@ object EntityOps {
   val q154Sql: String =
     s"""WITH nm AS (
       |  SELECT p_name AS name,
-      |         substr(p_name, 1, instr(p_name, ' ') - 1) AS adj,
-      |         substr(p_name, instr(p_name, ' ') + 1) AS noun
+      |         CASE WHEN instr(p_name, ' ') = 0 THEN p_name
+      |              ELSE substr(p_name, 1, instr(p_name, ' ') - 1)
+      |         END AS adj,
+      |         CASE WHEN instr(p_name, ' ') = 0 THEN p_name
+      |              ELSE substr(p_name, length(p_name) - instr(reverse(p_name), ' ') + 2)
+      |         END AS noun
       |  FROM part GROUP BY p_name
       |),
       |blocks AS (
@@ -198,8 +202,12 @@ object EntityOps {
   val q155Sql: String =
     s"""WITH RECURSIVE nm AS (
       |  SELECT p_name AS name, CAST(min(p_partkey) AS BIGINT) AS nid,
-      |         substr(p_name, 1, instr(p_name, ' ') - 1) AS adj,
-      |         substr(p_name, instr(p_name, ' ') + 1) AS noun
+      |         CASE WHEN instr(p_name, ' ') = 0 THEN p_name
+      |              ELSE substr(p_name, 1, instr(p_name, ' ') - 1)
+      |         END AS adj,
+      |         CASE WHEN instr(p_name, ' ') = 0 THEN p_name
+      |              ELSE substr(p_name, length(p_name) - instr(reverse(p_name), ' ') + 2)
+      |         END AS noun
       |  FROM part GROUP BY p_name
       |),
       |blocks AS (
@@ -283,8 +291,12 @@ object EntityOps {
   val q156Sql: String =
     s"""WITH nm AS (
       |  SELECT p_name AS name,
-      |         substr(p_name, 1, instr(p_name, ' ') - 1) AS adj,
-      |         substr(p_name, instr(p_name, ' ') + 1) AS noun
+      |         CASE WHEN instr(p_name, ' ') = 0 THEN p_name
+      |              ELSE substr(p_name, 1, instr(p_name, ' ') - 1)
+      |         END AS adj,
+      |         CASE WHEN instr(p_name, ' ') = 0 THEN p_name
+      |              ELSE substr(p_name, length(p_name) - instr(reverse(p_name), ' ') + 2)
+      |         END AS noun
       |  FROM part GROUP BY p_name
       |),
       |blocks AS (
@@ -422,8 +434,12 @@ object EntityOps {
     val agreeExpr = conds.map { case (_, c) => case1(c) }.mkString(" + ")
     s"""WITH at AS (
       |  SELECT p_name AS name,
-      |         substr(p_name, 1, instr(p_name, ' ') - 1) AS adj,
-      |         substr(p_name, instr(p_name, ' ') + 1) AS noun,
+      |         CASE WHEN instr(p_name, ' ') = 0 THEN p_name
+      |              ELSE substr(p_name, 1, instr(p_name, ' ') - 1)
+      |         END AS adj,
+      |         CASE WHEN instr(p_name, ' ') = 0 THEN p_name
+      |              ELSE substr(p_name, length(p_name) - instr(reverse(p_name), ' ') + 2)
+      |         END AS noun,
       |         min(p_brand) AS canon_brand,
       |         CAST(floor(avg(p_size) / 10) AS BIGINT) AS size_bucket
       |  FROM part GROUP BY p_name

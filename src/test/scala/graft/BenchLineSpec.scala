@@ -19,7 +19,7 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("the FINAL stdout line stays under 1,900 bytes at the live query " +
     "count (it must not scale with the suite)") {
-    val line = Bench.finalLine(9999.999, 99999.999, "[]",
+    val line = Bench.finalLine(9999.999, 99999.999, Nil,
       "/root/testdata/sf0.1")
     assert(line.length < 1900, s"final line is ${line.length} bytes")
     // and it is one valid-looking JSON object on one line
@@ -32,7 +32,7 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("the final line does not carry the per-query map (that detail " +
     "lives on the preceding line, which covers every live query)") {
-    val fin = Bench.finalLine(1.0, 2.0, "[]", "sf")
+    val fin = Bench.finalLine(1.0, 2.0, Nil, "sf")
     assert(!fin.contains("\"queries\""))
     val detail = Bench.detailLine(sequential, views)
     assert(!detail.contains("\n") && detail.startsWith("{") && detail.endsWith("}"))
@@ -41,6 +41,19 @@ class BenchLineSpec extends AnyFunSuite {
     val keys = if (shortKeys.distinct.size == shortKeys.size) shortKeys else liveNames
     keys.foreach(k => assert(detail.contains("\"" + k + "\":"),
       s"detail line missing $k"))
+  }
+
+  test("the final line stays under 1,900 bytes even when EVERY live query " +
+    "fails — the mass-failure case is exactly when parsing it matters " +
+    "(ADVICE r13: the failures array must not scale with the suite)") {
+    val line = Bench.finalLine(9999.999, 99999.999, liveNames,
+      "/root/testdata/sf0.1")
+    assert(line.length < 1900, s"mass-failure final line is ${line.length} bytes")
+    assert(line.contains(s"+${liveNames.size - Bench.MaxFailureNames} more"),
+      "capped failures field missing its +N-more marker")
+    // the first capped names are present verbatim
+    liveNames.take(Bench.MaxFailureNames).foreach(n =>
+      assert(line.contains("\"" + n + "\""), s"missing failure name $n"))
   }
 
   test("qNN key shortening is injective over the live suite (a collision " +

@@ -172,6 +172,37 @@ class EntityOpsSpec extends SparkSpec {
     assert(EntityOps.q154ErPairs(spark, sf0001, cap = 1L).count() == 0L)
   }
 
+  test("oracle adj/noun extraction matches the engine's substring_index " +
+    "semantics for 3-token and space-free names, not just the fixture's " +
+    "two-token shape (ADVICE r13: the old after-first-space oracle " +
+    "silently diverged on anything but exactly one space)") {
+    import spark.implicits._
+    // the exact neutral fragment the four ER oracle texts use (pinned
+    // below so the texts can't drift from what this test exercises)
+    val adjSql = "CASE WHEN instr(p_name, ' ') = 0 THEN p_name " +
+      "ELSE substr(p_name, 1, instr(p_name, ' ') - 1) END"
+    val nounSql = "CASE WHEN instr(p_name, ' ') = 0 THEN p_name " +
+      "ELSE substr(p_name, length(p_name) - instr(reverse(p_name), ' ') + 2) END"
+    Seq("promo burnished", "goldenrod lavender spring chocolate lace",
+      "plain", "a b", "x  y") // double space: '' adj-side token boundary
+      .toDF("p_name")
+      .select($"p_name",
+        expr(adjSql).as("adj_sql"), expr(nounSql).as("noun_sql"),
+        substring_index($"p_name", " ", 1).as("adj_engine"),
+        substring_index($"p_name", " ", -1).as("noun_engine"))
+      .collect().foreach { r =>
+        assert(r.getString(1) == r.getString(3),
+          s"adj diverges for '${r.getString(0)}': sql=${r.getString(1)} engine=${r.getString(3)}")
+        assert(r.getString(2) == r.getString(4),
+          s"noun diverges for '${r.getString(0)}': sql=${r.getString(2)} engine=${r.getString(4)}")
+      }
+    // and the live oracle texts carry exactly this extraction
+    Seq(EntityOps.q154Sql, EntityOps.q155Sql, EntityOps.q156Sql).foreach { sql =>
+      assert(sql.contains("instr(reverse(p_name), ' ')"),
+        "an ER oracle text lost the last-token noun extract")
+    }
+  }
+
   test("plan pin: no CartesianProduct / BroadcastNestedLoopJoin anywhere in " +
     "the family — candidate generation is equi-joins on block keys") {
     Seq(EntityOps.q154ErPairs(spark, sf0001),

@@ -341,6 +341,29 @@ class VectorOpsSpec extends SparkSpec {
     assert(v229.getDouble(3) == 1.002602, s"resid_norm: ${v229.getDouble(3)}")
   }
 
+  test("q139 signed-zero regression: entry (5,9) at sf0.01 rounds to ZERO with " +
+    "a clear sign bit, and every rounded oracle display is +0-normalized") {
+    // VERDICT r13 #1: the raw (5,9) covariance at sf0.01 is −3.508e−7.
+    // DuckDB's round keeps the IEEE sign bit (−0.0, 0x8000000000000000);
+    // Spark's BigDecimal round cannot represent −0.0 (+0.0, 0x0) — the
+    // values are EQUAL but the driver hashes representations, and this
+    // one entry was the q139/q144 red for three rounds. The oracle text
+    // normalizes with `round(...) + 0` (IEEE: −0.0 + 0 = +0.0, exact
+    // no-op for every nonzero value); the Spark side needs no change.
+    val sf001 = "/root/testdata/sf0.01"
+    val cov = VectorOps.q139EmbeddingCovariance(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val e59 = cov((5L, 9L))
+    assert(e59 == 0.0, s"(5,9) no longer rounds to zero: $e59 — the fixture " +
+      "moved; re-derive the signed-zero pin")
+    assert(java.lang.Double.doubleToRawLongBits(e59) == 0L,
+      f"(5,9) sign bit set: 0x${java.lang.Double.doubleToRawLongBits(e59)}%016x")
+    // the normalization must stay in the oracle texts (q144 reuses q139Sql)
+    assert(VectorOps.q139Sql.contains("+ 0 AS cov"), "q139Sql lost its + 0")
+    assert(VectorOps.q143Sql.contains("+ 0 AS top_coef"), "q143Sql lost its + 0")
+    assert(VectorOps.q147Sql.contains("+ 0 AS second_coef"), "q147Sql lost its + 0")
+  }
+
   test("q147 pays the SAME number of Spark jobs to build as q143 — the " +
     "snapped covariance rides back from whiteningStats, so k = 2 costs no " +
     "second corpus aggregation (VERDICT r12 advice)") {

@@ -1,10 +1,22 @@
 #!/usr/bin/env python3
 """Local dev harness mirroring the driver's correctness gate: run each
 oracle SQL in DuckDB over the sf tables, compare (sorted columns, sorted
-rows, rounded floats) against the Spark result parquet written by
-graft.Verify. Usage: check_oracle.py <sfDir> <verifyOutDir>"""
-import sys, json, glob, math
+rows) against the Spark result parquet written by graft.Verify.
+
+REPRESENTATION-FAITHFUL (round 14, VERDICT r13 #2): the driver hashes
+emitted representations, not values — IEEE `-0.0` vs `+0.0` (and any
+NaN-payload divergence) hash-differ while every numeric comparator calls
+them equal. Two rounds of local-green/driver-red (q139/q144) shipped
+through exactly that blind spot. Float64 columns are therefore compared
+as BIT PATTERNS (numpy `.view('u8')`, NaNs canonicalized to one quiet
+pattern), and any sign-bit-set zero on either side is flagged loudly
+even when both sides agree — a `round()` of a tiny-negative expression
+can reproduce the class at any new fixture/SF.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>"""
+import sys, json, glob
 import duckdb
+import numpy as np
 import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
@@ -16,11 +28,6 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    # Floats are compared EXACTLY (no rounding): the driver hashes the
-    # emitted doubles at full precision, and the engines already
-    # display-round — a laxer local canon (this file used round(4) until
-    # round 12) let three 6th-decimal divergences ship as local-green /
-    # driver-red (VERDICT r12 "What's wrong" #2).
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
@@ -34,7 +41,29 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
+CANON_NAN = np.uint64(0x7FF8000000000000)
+NEG_ZERO = np.uint64(0x8000000000000000)
+
+def bits(s: pd.Series) -> np.ndarray:
+    """Float64 column as uint64 bit patterns, NaNs canonicalized."""
+    a = s.to_numpy(dtype="f8")
+    b = a.view("u8").copy()
+    b[np.isnan(a)] = CANON_NAN
+    return b
+
+def is_float(s: pd.Series) -> bool:
+    return "float" in str(s.dtype)
+
+def negzero_cells(df: pd.DataFrame):
+    out = []
+    for c in df.columns:
+        if is_float(df[c]):
+            for idx in np.nonzero(bits(df[c]) == NEG_ZERO)[0]:
+                out.append((int(idx), c))
+    return out
+
 fails = []
+warns = 0
 for name, sql in sorted(oracle.items()):
     try:
         expected = canon(con.execute(sql).df())
@@ -56,22 +85,37 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: rows {len(got)} vs oracle {len(expected)}")
         fails.append(name)
         continue
-    if not expected.equals(got):
-        diff = (expected != got) & ~(expected.isna() & got.isna())
-        bad = diff.any(axis=1)
-        print(f"FAIL {name}: {bad.sum()} mismatched rows; (row, col, oracle, spark):")
-        shown = 0
-        for idx in bad[bad].index:
-            for c in expected.columns:
-                if diff.at[idx, c]:
-                    print(f"  row {idx} col {c}: oracle={expected.at[idx, c]!r} "
-                          f"spark={got.at[idx, c]!r}")
-                    shown += 1
-            if shown >= 10:
-                break
+    # Cell compare: float64 as bit patterns, everything else by value.
+    mismatch = []
+    for c in expected.columns:
+        if is_float(expected[c]) and is_float(got[c]):
+            neq = bits(expected[c]) != bits(got[c])
+            mismatch += [(int(i), c) for i in np.nonzero(neq)[0]]
+        else:
+            e, g = expected[c], got[c]
+            neq = ~((e == g) | (e.isna() & g.isna()))
+            mismatch += [(int(i), c) for i in neq[neq].index]
+    if mismatch:
+        rows = len({r for r, _ in mismatch})
+        print(f"FAIL {name}: {rows} mismatched rows; (row, col, oracle, spark [bytes]):")
+        for r, c in mismatch[:10]:
+            ev, gv = expected.at[r, c], got.at[r, c]
+            hexes = ""
+            if is_float(expected[c]):
+                hexes = (f"  [oracle 0x{int(bits(expected[c])[r]):016x}"
+                         f" spark 0x{int(bits(got[c])[r]):016x}]")
+            print(f"  row {r} col {c}: oracle={ev!r} spark={gv!r}{hexes}")
         fails.append(name)
         continue
+    # Signed-zero scan: even when both sides agree, -0.0 in any output is
+    # one engine quirk away from a driver-red — surface it.
+    nz = negzero_cells(expected) + negzero_cells(got)
+    if nz:
+        warns += 1
+        print(f"WARN {name}: {len(nz)} signed-zero cell(s), e.g. {nz[:3]} — "
+              f"normalize the display (round(...) + 0)")
     print(f"OK   {name} ({len(got)} rows)")
 
-print(f"\n{len(oracle) - len(fails)}/{len(oracle)} pass")
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} pass"
+      + (f", {warns} signed-zero warning(s)" if warns else ""))
 sys.exit(1 if fails else 0)
