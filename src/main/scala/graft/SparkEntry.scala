@@ -29,6 +29,7 @@ object SparkEntry {
       sources.IngestFixtures.queries ++
       sources.DedupIndexFixtures.queries ++
       sources.StatsIndexFixtures.queries ++
+      sources.EntityIndexFixtures.queries ++
       sources.DiffFixtures.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,6 +46,7 @@ object SparkEntry {
       sources.IngestFixtures.oracleSql ++
       sources.DedupIndexFixtures.oracleSql ++
       sources.StatsIndexFixtures.oracleSql ++
+      sources.EntityIndexFixtures.oracleSql ++
       sources.DiffFixtures.oracleSql
 
   /** Spark-dialect twins for oracle texts that are DuckDB-only

@@ -64,17 +64,49 @@ object EntityOps {
       .withColumn("noun", substring_index($"name", " ", -1))
   }
 
-  /** name → (slot, key) blocking pairs: one row per blocking pass.
+  /** name → (slot, key) blocking rows of an arbitrary name frame — a
+    * PURE function of the name string (adjective = first token, noun =
+    * last token), which is what lets the maintained face
+    * ([[graft.sources.EntityIndex]]) derive any name set's blocks
+    * inline instead of reading an index: one row per blocking pass.
     * Two passes (adjective, noun) so a typo in EITHER token still
     * lands the pair in one shared block — multi-pass blocking, the
     * standard recall fix for single-key blocking. */
-  private def blocks(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    nameDim(s, d).select($"name",
+  private[graft] def blocksOfNames(names: DataFrame): DataFrame =
+    names.select(col("name"),
       explode(array(
-        struct(lit("adj").as("slot"), $"adj".as("key")),
-        struct(lit("noun").as("slot"), $"noun".as("key")))).as("b"))
-      .select($"name", $"b.slot".as("slot"), $"b.key".as("key"))
+        struct(lit("adj").as("slot"), substring_index(col("name"), " ", 1).as("key")),
+        struct(lit("noun").as("slot"), substring_index(col("name"), " ", -1).as("key")))).as("b"))
+      .select(col("name"), col("b.slot").as("slot"), col("b.key").as("key"))
+
+  private def blocks(s: SparkSession, d: String): DataFrame =
+    blocksOfNames(nameDim(s, d))
+
+  /** Name dimension of an arbitrary part-shaped record frame with live
+    * record counts — the maintained index's bootstrap input. */
+  private[graft] def nameCounts(records: DataFrame): DataFrame =
+    records.groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_records"))
+
+  /** Match edges (shared live capped block, Levenshtein ≤
+    * [[MatchMaxDist]], name_a < name_b) over an arbitrary name frame —
+    * the batch edge definition [[graft.sources.EntityIndex]] must agree
+    * with: block sizes come from the GIVEN name set, the cap drops
+    * oversized blocks, and the edit distance runs only on pair-deduped
+    * blocked candidates. */
+  private[graft] def matchEdgesOfNames(names: DataFrame,
+      cap: Long = MaxBlockSize): DataFrame = {
+    val b = blocksOfNames(names)
+    val live = b.groupBy(col("slot"), col("key"))
+      .agg(count(lit(1)).as("bs")).where(col("bs") <= cap)
+      .select(col("slot"), col("key"))
+    val inLive = b.join(live, Seq("slot", "key"))
+    inLive.as("x").join(inLive.as("y"),
+        col("x.slot") === col("y.slot") && col("x.key") === col("y.key") &&
+          col("x.name") < col("y.name"))
+      .select(col("x.name").as("name_a"), col("y.name").as("name_b"))
+      .distinct()
+      .where(levenshtein(col("name_a"), col("name_b")) <= MatchMaxDist)
   }
 
   /** Blocks that survive the size cap (see [[MaxBlockSize]]). */

@@ -49,7 +49,7 @@ class SqlSurfaceSpec extends SparkSpec {
       "q54_neardup_components", "q69_keeper_selection", "q88_dedup_funnel",
       "q100_pagerank", "q103_triangles", "q119_dedup_savings",
       "q137_maintained_components", "q138_maintained_keepers",
-      "q155_er_entities") ++
+      "q155_er_entities", "q162_maintained_entities") ++
     m("read_json() over the raw JSON fixture (DuckDB table function; the " +
       "Spark side is the Ingest module, not a SQL text)")(
       "q52_ingest_silver") ++
