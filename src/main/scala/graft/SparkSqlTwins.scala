@@ -478,6 +478,24 @@ object SparkSqlTwins {
         |  round(ss / n - (s / n) * (s / n), 4) AS var_lum
         |FROM a""".stripMargin,
 
+    "q163_jpeg_pixels" ->
+      """WITH im AS (SELECT doc_id, CAST((n_chars % 3 + 2) * 8 AS BIGINT) AS w,
+        |                   CAST((n_chars % 2 + 2) * 8 AS BIGINT) AS h
+        |            FROM documents WHERE doc_id % 3 = 2),
+        |bl AS (SELECT im.doc_id, im.w, im.h,
+        |              CAST((im.doc_id * 7 + yy.g * 13 + xx.g * 31) % 256 AS BIGINT) AS v
+        |       FROM im,
+        |            (SELECT explode(sequence(0, 2)) AS g) yy,
+        |            (SELECT explode(sequence(0, 3)) AS g) xx
+        |       WHERE yy.g < im.h div 8 AND xx.g < im.w div 8),
+        |a AS (SELECT doc_id, w, h, CAST(sum(v) * 64 AS DOUBLE) AS s,
+        |             CAST(sum(v * v) * 64 AS DOUBLE) AS ss, count(*) * 64 AS n
+        |      FROM bl GROUP BY doc_id, w, h)
+        |SELECT doc_id AS media_id, w AS width, h AS height,
+        |  round(s / n, 4) AS mean_lum,
+        |  round(ss / n - (s / n) * (s / n), 4) AS var_lum
+        |FROM a""".stripMargin,
+
     "q128_hybrid_rrf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),

@@ -1,0 +1,453 @@
+package graft.multimodal
+
+/** Pure-JVM BASELINE JPEG codec for 8-bit grayscale (one component) —
+  * the pixel-level JPEG path that completes [[MediaHeaders]]' decode
+  * depth (PNG pixels were already real; JPEG stopped at the SOF0
+  * header). Everything here is plain ITU T.81 byte/bit arithmetic:
+  * no codec library, binary never crosses a shuffle.
+  *
+  * Encoder ([[encode]]): level shift → per-8×8 forward DCT (double
+  * precision) → quantize → zigzag → canonical-Huffman entropy coding
+  * with DC prediction, 0xFF byte stuffing and 1-padding to the byte
+  * boundary, wrapped in SOI / DQT / SOF0 / DHT / SOS / EOI. Non-
+  * multiple-of-8 dimensions pad by edge replication (the spec's
+  * recommended fill); SOF0 carries the true dimensions and the decoder
+  * crops.
+  *
+  * Decoder ([[decode]]): a GENERIC baseline scan — quant and Huffman
+  * tables are read from the file's own DQT/DHT segments (mincode /
+  * maxcode / valptr decoding per T.81 F.2.2.3, any conforming table
+  * works, nothing is hard-coded to this encoder), DRI/RSTn restart
+  * intervals are honored, entropy data is un-stuffed, each block is
+  * dequantized, inverse-zigzagged, IDCT'd, level-shifted and clamped.
+  * Anything unparseable — multi-component frames, progressive scans,
+  * truncated streams, corrupt tables — returns None, never a throw:
+  * one bad blob must not kill a 100 TB scan.
+  *
+  * Exactness contract the q163 gate rides on: JPEG is lossy in
+  * general, but an image whose every (padded) 8×8 block is CONSTANT
+  * round-trips bit-exactly through this codec — a constant block's
+  * DCT has a single nonzero coefficient DC = 8·(v−128) (|error| <
+  * 1e-10 ulp noise from the cosine products), the quant table's DC
+  * step of 8 divides it losslessly into v−128 ∈ [−128, 127], every AC
+  * quantizes to 0, and the IDCT of a lone DC coefficient is the
+  * constant (v−128)·(1 ± 1e-15), which rounds back to exactly v. The
+  * oracle can therefore regenerate the block formula in SQL and
+  * hash-match the decoded pixels.
+  *
+  * Reference behavior: coldshrine/calorista has no media decode at
+  * all (images appear only as Streamlit UI assets); this module is
+  * extension surface for the multimodal pipeline mandate.
+  */
+object JpegCodec {
+
+  /** Natural-order index of each zigzag-scan position (T.81 Figure 5). */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Quant table, natural order: DC step 8 (divides 8·(v−128) exactly —
+    * the block-constant exactness contract), AC step 16 (a real
+    * mid-quality luminance-ish coarseness for the lossy general case). */
+  private val QTable: Array[Int] = Array.tabulate(64)(i => if (i == 0) 8 else 16)
+
+  /** DC Huffman spec: the 12 difference categories, all at code length
+    * 4 (12 of 16 slots used — the all-ones code stays unassigned as
+    * T.81 requires). Tables travel IN the file; a decoder never needs
+    * to know these were not the Annex K defaults. */
+  private val DcBits: Array[Int] = { val b = new Array[Int](17); b(4) = 12; b }
+  private val DcVals: Array[Int] = Array.tabulate(12)(identity)
+
+  /** AC Huffman spec: EOB, ZRL and every (run 0–15, size 1–10) symbol —
+    * all 162 baseline AC symbols — at code length 8 (162 of 256 slots;
+    * all-ones unassigned). Uniform lengths cost compression, not
+    * validity; generic table-driven decoders read them like any other. */
+  private val AcVals: Array[Int] =
+    Array(0x00, 0xF0) ++ (for (run <- 0 to 15; size <- 1 to 10) yield (run << 4) | size)
+  private val AcBits: Array[Int] = { val b = new Array[Int](17); b(8) = AcVals.length; b }
+
+  /** Canonical code assignment (T.81 C.2): symbol i of the BITS/VALS
+    * spec gets consecutive codes within ascending lengths. */
+  private def canonicalCodes(bits: Array[Int], vals: Array[Int]): Array[(Int, Int)] = {
+    val out = new Array[(Int, Int)](vals.length)
+    var code = 0
+    var k = 0
+    var l = 1
+    while (l <= 16) {
+      var c = 0
+      while (c < bits(l)) { out(k) = (code, l); code += 1; k += 1; c += 1 }
+      code <<= 1
+      l += 1
+    }
+    out
+  }
+
+  private def cos(a: Int, b: Int): Double =
+    math.cos((2 * a + 1) * b * math.Pi / 16.0)
+  private def cNorm(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+
+  /** MSB-first bit writer with JPEG 0xFF→0xFF00 stuffing. */
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nBits = 0
+    def put(value: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((value >> i) & 1)
+        nBits += 1
+        if (nBits == 8) {
+          out.write(acc)
+          if (acc == 0xFF) out.write(0x00)
+          acc = 0; nBits = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad the final partial byte with 1s (T.81 F.1.2.3). */
+    def flush(): Unit = if (nBits > 0) put((1 << (8 - nBits)) - 1, 8 - nBits)
+  }
+
+  private def seg(out: java.io.ByteArrayOutputStream, marker: Int,
+      body: Array[Byte]): Unit = {
+    out.write(0xFF); out.write(marker)
+    val len = body.length + 2
+    out.write((len >> 8) & 0xFF); out.write(len & 0xFF)
+    out.write(body, 0, body.length)
+  }
+
+  /** Encode `pixels` (row-major, values masked to 0–255) as a baseline
+    * grayscale JPEG. Runs per-row inside a task: O(w·h) with a 64×64
+    * multiply per block — scan-speed work, no shuffle ever sees it. */
+  def encode(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height,
+      s"JpegCodec.encode: ${pixels.length} pixels for ${width}x$height")
+    val out = new java.io.ByteArrayOutputStream(pixels.length / 2 + 512)
+    out.write(0xFF); out.write(0xD8) // SOI
+    // DQT: Pq=0 (8-bit) Tq=0, values in zigzag order
+    seg(out, 0xDB, (Array(0x00) ++ Zigzag.map(QTable(_))).map(_.toByte))
+    // SOF0: precision 8, 1 component (id 1, sampling 1x1, qtable 0)
+    seg(out, 0xC0, Array(8, (height >> 8) & 0xFF, height & 0xFF,
+      (width >> 8) & 0xFF, width & 0xFF, 1, 1, 0x11, 0).map(_.toByte))
+    // DHT: DC class 0 id 0, then AC class 1 id 0
+    seg(out, 0xC4, ((Array(0x00) ++ DcBits.drop(1) ++ DcVals) ++
+      (Array(0x10) ++ AcBits.drop(1) ++ AcVals)).map(_.toByte))
+    // SOS: 1 component (id 1, DC table 0 / AC table 0), Ss=0 Se=63 Ah/Al=0
+    seg(out, 0xDA, Array(1, 1, 0x00, 0, 63, 0).map(_.toByte))
+
+    val dcCodes = canonicalCodes(DcBits, DcVals)
+    val acCodes = canonicalCodes(AcBits, AcVals)
+    val acIndex = new Array[Int](256) // symbol → position in AcVals
+    java.util.Arrays.fill(acIndex, -1)
+    AcVals.zipWithIndex.foreach { case (s, i) => acIndex(s) = i }
+
+    val bw = new BitWriter(out)
+    val wBlocks = (width + 7) / 8
+    val hBlocks = (height + 7) / 8
+    val coef = new Array[Int](64)
+    var pred = 0
+    var by = 0
+    while (by < hBlocks) {
+      var bx = 0
+      while (bx < wBlocks) {
+        // forward DCT of the level-shifted block (edge-replicated pad)
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var s = 0.0
+            var y = 0
+            while (y < 8) {
+              val py = math.min(by * 8 + y, height - 1)
+              var x = 0
+              while (x < 8) {
+                val px = math.min(bx * 8 + x, width - 1)
+                s += ((pixels(py * width + px) & 0xFF) - 128) *
+                  cos(x, v) * cos(y, u)
+                x += 1
+              }
+              y += 1
+            }
+            val q = QTable(u * 8 + v)
+            coef(u * 8 + v) = math.round(0.25 * cNorm(u) * cNorm(v) * s / q).toInt
+            v += 1
+          }
+          u += 1
+        }
+        // DC: category + offset bits of the prediction difference
+        val diff = coef(0) - pred
+        pred = coef(0)
+        val dcCat = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        val (dcCode, dcLen) = dcCodes(dcCat)
+        bw.put(dcCode, dcLen)
+        if (dcCat > 0)
+          bw.put(if (diff >= 0) diff else diff + (1 << dcCat) - 1, dcCat)
+        // AC: run/size with ZRL and EOB, over the zigzag scan
+        var lastNz = 63
+        while (lastNz >= 1 && coef(Zigzag(lastNz)) == 0) lastNz -= 1
+        var run = 0
+        var k = 1
+        while (k <= lastNz) {
+          val c = coef(Zigzag(k))
+          if (c == 0) run += 1
+          else {
+            while (run >= 16) {
+              val (z, zl) = acCodes(acIndex(0xF0)); bw.put(z, zl); run -= 16
+            }
+            val size = 32 - Integer.numberOfLeadingZeros(math.abs(c))
+            val (code, len) = acCodes(acIndex((run << 4) | size))
+            bw.put(code, len)
+            bw.put(if (c >= 0) c else c + (1 << size) - 1, size)
+            run = 0
+          }
+          k += 1
+        }
+        if (lastNz < 63) { val (e, el) = acCodes(acIndex(0x00)); bw.put(e, el) }
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** A parsed Huffman table in T.81 F.2.2.3 decode form. */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l); k += bits(l)
+        maxCode(l) = if (bits(l) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def value(len: Int, code: Int): Int = vals(valPtr(len) + code - minCode(len))
+  }
+
+  /** MSB-first bit reader over entropy-coded data: un-stuffs 0xFF00,
+    * surfaces restart/EOI markers, fails (−1) on anything else. */
+  private final class BitReader(d: Array[Byte], private var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    var atMarker: Int = -1 // marker byte seen instead of data, or -1
+
+    def bit(): Int = {
+      if (nBits == 0) {
+        if (atMarker >= 0 || pos >= d.length) return -1
+        var b = d(pos) & 0xFF
+        pos += 1
+        if (b == 0xFF) {
+          if (pos >= d.length) return -1
+          val m = d(pos) & 0xFF
+          pos += 1
+          if (m != 0x00) { atMarker = m; return -1 }
+          b = 0xFF
+        }
+        acc = b; nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    def bitsValue(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { val b = bit(); if (b < 0) return -1; v = (v << 1) | b; i += 1 }
+      v
+    }
+    /** Byte-align and consume an expected RSTn marker. */
+    def restart(): Boolean = {
+      nBits = 0
+      if (atMarker < 0) {
+        if (pos + 1 >= d.length || (d(pos) & 0xFF) != 0xFF) return false
+        atMarker = d(pos + 1) & 0xFF
+        pos += 2
+      }
+      val ok = atMarker >= 0xD0 && atMarker <= 0xD7
+      if (ok) atMarker = -1
+      ok
+    }
+    def decodeHuff(t: HuffTable): Int = {
+      var code = bit()
+      if (code < 0) return -1
+      var l = 1
+      while (code > t.maxCode(l)) {
+        val b = bit()
+        if (b < 0 || l >= 16) return -1
+        code = (code << 1) | b
+        l += 1
+      }
+      t.value(l, code)
+    }
+  }
+
+  /** T.81 EXTEND: map `v` (the `size` raw bits) to the signed value. */
+  private def extend(v: Int, size: Int): Int =
+    if (size == 0) 0 else if (v < (1 << (size - 1))) v - (1 << size) + 1 else v
+
+  /** Decode a baseline grayscale JPEG to (width, height, pixels
+    * row-major), or None for anything this profile doesn't cover. All
+    * tables come from the stream's own DQT/DHT segments. */
+  def decode(d: Array[Byte]): Option[(Long, Long, Array[Int])] = {
+    if (d.length < 4 || (d(0) & 0xFF) != 0xFF || (d(1) & 0xFF) != 0xD8) return None
+    def be16(i: Int): Int = ((d(i) & 0xFF) << 8) | (d(i + 1) & 0xFF)
+
+    val qTables = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var w = -1
+    var h = -1
+    var qId = -1
+    var restartInterval = 0
+    var scanStart = -1
+    var dcId = -1
+    var acId = -1
+
+    var i = 2
+    while (scanStart < 0) {
+      if (i + 3 >= d.length || (d(i) & 0xFF) != 0xFF) return None
+      val marker = d(i + 1) & 0xFF
+      if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) { i += 2 }
+      else {
+        val len = be16(i + 2)
+        if (len < 2 || i + 2 + len > d.length) return None
+        val body = i + 4
+        marker match {
+          case 0xDB => // DQT: one or more (Pq/Tq, 64 values) entries
+            var p = body
+            while (p < i + 2 + len) {
+              val pq = (d(p) & 0xF0) >> 4
+              val tq = d(p) & 0x0F
+              if (pq != 0 || tq > 3 || p + 65 > i + 2 + len) return None
+              val t = new Array[Int](64)
+              var z = 0
+              while (z < 64) { t(Zigzag(z)) = d(p + 1 + z) & 0xFF; z += 1 }
+              qTables(tq) = t
+              p += 65
+            }
+          case 0xC4 => // DHT: one or more (Tc/Th, BITS, VALS) entries
+            var p = body
+            while (p < i + 2 + len) {
+              val tc = (d(p) & 0xF0) >> 4
+              val th = d(p) & 0x0F
+              if (tc > 1 || th > 3 || p + 17 > i + 2 + len) return None
+              val bits = new Array[Int](17)
+              var n = 0
+              var l = 1
+              while (l <= 16) { bits(l) = d(p + l) & 0xFF; n += bits(l); l += 1 }
+              if (p + 17 + n > i + 2 + len) return None
+              val vals = Array.tabulate(n)(k => d(p + 17 + k) & 0xFF)
+              val t = new HuffTable(bits, vals)
+              if (tc == 0) dcTables(th) = t else acTables(th) = t
+              p += 17 + n
+            }
+          case 0xC0 => // SOF0 baseline; this profile: 8-bit, 1 component
+            if (len < 11 || (d(body) & 0xFF) != 8) return None
+            h = be16(body + 1)
+            w = be16(body + 3)
+            if ((d(body + 5) & 0xFF) != 1) return None // grayscale only
+            qId = d(body + 8) & 0x0F
+          case m if m >= 0xC1 && m <= 0xCF && m != 0xC4 && m != 0xC8 =>
+            return None // progressive/arithmetic/other frame types
+          case 0xDD => // DRI
+            if (len < 4) return None
+            restartInterval = be16(body)
+          case 0xDA => // SOS: 1 component, then entropy data
+            if (len < 8 || (d(body) & 0xFF) != 1) return None
+            dcId = (d(body + 2) & 0xF0) >> 4
+            acId = d(body + 2) & 0x0F
+            scanStart = i + 2 + len
+          case 0xD9 => return None // EOI before any scan
+          case _ => () // APPn/COM/etc: skip
+        }
+        i += 2 + len
+      }
+    }
+    if (w <= 0 || h <= 0 || qId < 0 || qTables(qId) == null ||
+      dcTables(dcId) == null || acTables(acId) == null) return None
+
+    val q = qTables(qId)
+    val dc = dcTables(dcId)
+    val ac = acTables(acId)
+    val wBlocks = (w + 7) / 8
+    val hBlocks = (h + 7) / 8
+    val px = new Array[Int](w * h)
+    val coef = new Array[Int](64)
+    val br = new BitReader(d, scanStart)
+    var pred = 0
+    var blockIdx = 0
+    var by = 0
+    while (by < hBlocks) {
+      var bx = 0
+      while (bx < wBlocks) {
+        if (restartInterval > 0 && blockIdx > 0 && blockIdx % restartInterval == 0) {
+          if (!br.restart()) return None
+          pred = 0
+        }
+        java.util.Arrays.fill(coef, 0)
+        val dcCat = br.decodeHuff(dc)
+        if (dcCat < 0 || dcCat > 11) return None
+        val dcBits = br.bitsValue(dcCat)
+        if (dcBits < 0) return None
+        pred += extend(dcBits, dcCat)
+        coef(0) = pred * q(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = br.decodeHuff(ac)
+          if (rs < 0) return None
+          if (rs == 0x00) eob = true
+          else if (rs == 0xF0) k += 16
+          else {
+            k += (rs >> 4)
+            val size = rs & 0x0F
+            if (k > 63) return None
+            val raw = br.bitsValue(size)
+            if (raw < 0) return None
+            coef(Zigzag(k)) = extend(raw, size) * q(Zigzag(k))
+            k += 1
+          }
+        }
+        // IDCT + level shift + clamp, cropped to the true dimensions
+        var y = 0
+        while (y < 8) {
+          val py = by * 8 + y
+          var x = 0
+          while (x < 8) {
+            val pxx = bx * 8 + x
+            if (py < h && pxx < w) {
+              var s = 0.0
+              var u = 0
+              while (u < 8) {
+                var v = 0
+                while (v < 8) {
+                  val c = coef(u * 8 + v)
+                  if (c != 0) s += cNorm(u) * cNorm(v) * c * cos(x, v) * cos(y, u)
+                  v += 1
+                }
+                u += 1
+              }
+              val out = math.round(0.25 * s).toInt + 128
+              px(py * w + pxx) = math.max(0, math.min(255, out))
+            }
+            x += 1
+          }
+          y += 1
+        }
+        blockIdx += 1
+        bx += 1
+      }
+      by += 1
+    }
+    Some((w.toLong, h.toLong, px))
+  }
+}

@@ -371,14 +371,17 @@ object MediaHeaders {
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * Decode depth, all pure-JVM ([[MediaHeaders]], no codec library):
+  * Decode depth, all pure-JVM ([[MediaHeaders]]/[[JpegCodec]], no codec
+  * library):
   *  - header-level metadata is REAL for PNG/JPEG/WAV (q110);
   *  - SAMPLE-level audio decode is real (16-bit PCM, q123);
   *  - PIXEL-level image decode is real for 8-bit grayscale PNG (zlib
-  *    inflate + scanline unfilter, q127);
+  *    inflate + scanline unfilter, q127) AND baseline grayscale JPEG
+  *    (generic in-file DQT/DHT tables, Huffman entropy decode, IDCT,
+  *    q163);
   *  - MJPEG frame split/sampling is real (q120).
-  * The one remaining stand-in is [[Codecs]]' non-PNG fallback (JPEG
-  * entropy decode genuinely needs a codec library): byte-statistic
+  * [[Codecs]]' last-resort fallback for payloads neither codec decodes
+  * (color JPEG/progressive/other containers) is byte-statistic
   * features, deterministic so specs and oracles can pin them. The
   * surrounding plumbing — schema, Dataset encoders, per-partition
   * batching, partition sizing — is the real distributed shape: swap the
@@ -387,20 +390,22 @@ object MediaHeaders {
 object Multimodal {
 
   /** Codec layer. Image pixel decode is REAL for PNG payloads
-    * ([[MediaHeaders.pngPixels]]: zlib inflate + scanline unfilter, no
-    * codec library needed — q127 oracle-gates it end-to-end); WAV sample
-    * decode is real elsewhere ([[MediaHeaders.wavSamples]], q123). The
-    * only remaining stand-in is the non-PNG fallback below: JPEG entropy
-    * decode genuinely needs a codec library this container lacks, so
-    * non-PNG payloads get deterministic byte statistics instead. */
+    * ([[MediaHeaders.pngPixels]]: zlib inflate + scanline unfilter — q127
+    * oracle-gates it end-to-end) and for baseline grayscale JPEG
+    * ([[JpegCodec.decode]]: generic table-driven Huffman + IDCT — q163
+    * gates it); WAV sample decode is real elsewhere
+    * ([[MediaHeaders.wavSamples]], q123). Payloads neither codec covers
+    * (color/progressive JPEG, other containers) get deterministic byte
+    * statistics as the last resort. */
   object Codecs {
-    /** Image feature extraction: for a decodable 8-bit grayscale PNG,
-      * REAL pixel features — [n_pixels, mean luminance, luminance
-      * variance, width] from the actual decoded pixels. For anything
-      * else, the byte-statistic stand-in [len, mean byte, first, last]
-      * (deterministic, so specs and oracles can pin outputs). */
+    /** Image feature extraction: for a decodable 8-bit grayscale PNG or
+      * baseline grayscale JPEG, REAL pixel features — [n_pixels, mean
+      * luminance, luminance variance, width] from the actual decoded
+      * pixels. For anything else, the byte-statistic stand-in
+      * [len, mean byte, first, last] (deterministic, so specs and
+      * oracles can pin outputs). */
     def decodeFeatures(data: Array[Byte]): Array[Double] =
-      MediaHeaders.pngPixels(data) match {
+      MediaHeaders.pngPixels(data).orElse(JpegCodec.decode(data)) match {
         case Some((w, _, px)) =>
           var s = 0L
           var ss = 0L
@@ -1004,6 +1009,78 @@ object Multimodal {
       .withColumn("keep", col("n_active") >= 2)
   }
 
+  /** Fabricate baseline JPEGs with REAL entropy-coded pixel data from
+    * every video-kind doc (doc_id % 3 == 2): w = (n_chars % 3 + 2)·8,
+    * h = (n_chars % 2 + 2)·8 (whole 8×8 blocks), and each block
+    * (bx, by) is CONSTANT value (doc_id·7 + by·13 + bx·31) mod 256 —
+    * q127's pixel formula at block granularity. Block-constant is the
+    * shape [[JpegCodec]]'s lossy path inverts exactly (DC-only blocks,
+    * DC quant step 8 — see the codec's exactness contract), so the
+    * oracle can regenerate the formula in SQL and hash-match. */
+  def imagesWithJpegPixels(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+    import s.implicits._
+    Tables(s, sfDir, "documents")
+      .where(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (docId, nChars) =>
+        val w = ((nChars % 3 + 2) * 8).toInt
+        val h = ((nChars % 2 + 2) * 8).toInt
+        val px = Array.tabulate(w * h) { i =>
+          ((docId * 7 + (i / w / 8) * 13 + (i % w / 8) * 31) % 256).toInt
+        }
+        MediaPayload(docId, "image", JpegCodec.encode(w, h, px))
+      }
+  }
+
+  /** q163: PIXEL-level JPEG decode — q127's brightness/contrast screen
+    * over images reconstructed from a real baseline JPEG entropy stream
+    * ([[JpegCodec.decode]]: in-file DQT/DHT tables, canonical Huffman,
+    * dequant, IDCT), closing the one decode-depth gap PNG left open. A
+    * hash match proves the FULL codec loop — DCT∘quantize∘Huffman and
+    * its inverse — lands every pixel of every image exactly (the
+    * fixture is block-constant, the shape the lossy path inverts
+    * bit-exactly). Same exact-moments argument as q127: pixel sums
+    * < 2¹⁸ are exact doubles and both engines divide in the same order
+    * before the shared round(·, 4). Per-row byte work, no shuffle —
+    * scan-speed at 100 TB, binary never leaves its task. */
+  def q163JpegPixels(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    imagesWithJpegPixels(s, d).flatMap { m =>
+      JpegCodec.decode(m.data).map { case (w, h, px) =>
+        var sum = 0L
+        var sumSq = 0L
+        px.foreach { v => sum += v; sumSq += v.toLong * v }
+        val n = px.length
+        val mean = sum.toDouble / n
+        (m.media_id, w, h, mean, sumSq.toDouble / n - mean * mean)
+      }
+    }.toDF("media_id", "width", "height", "mean_lum", "var_lum")
+      .withColumn("mean_lum", round(col("mean_lum"), 4))
+      .withColumn("var_lum", round(col("var_lum"), 4))
+  }
+
+  /** Oracle twin of [[q163JpegPixels]]: regenerate the BLOCK formula
+    * over constant-bounded series (bw ≤ 4, bh ≤ 3) — each block
+    * contributes 64 pixels of its constant value — and recompute the
+    * moments with q127's expression order. */
+  val q163Sql: String =
+    """WITH im AS (SELECT doc_id, CAST((n_chars % 3 + 2) * 8 AS BIGINT) AS w,
+      |                   CAST((n_chars % 2 + 2) * 8 AS BIGINT) AS h
+      |            FROM documents WHERE doc_id % 3 = 2),
+      |bl AS (SELECT im.doc_id, im.w, im.h,
+      |              CAST((im.doc_id * 7 + yy.g * 13 + xx.g * 31) % 256 AS BIGINT) AS v
+      |       FROM im,
+      |            (SELECT unnest(generate_series(0, 2)) AS g) yy,
+      |            (SELECT unnest(generate_series(0, 3)) AS g) xx
+      |       WHERE yy.g < im.h // 8 AND xx.g < im.w // 8),
+      |a AS (SELECT doc_id, w, h, CAST(sum(v) * 64 AS DOUBLE) AS s,
+      |             CAST(sum(v * v) * 64 AS DOUBLE) AS ss, count(*) * 64 AS n
+      |      FROM bl GROUP BY doc_id, w, h)
+      |SELECT doc_id AS media_id, w AS width, h AS height,
+      |  round(s / n, 4) AS mean_lum,
+      |  round(ss / n - (s / n) * (s / n), 4) AS var_lum
+      |FROM a""".stripMargin
+
   /** Oracle twin of [[q133AudioEnergyGate]]: q123's PCM regeneration,
     * window RMS, corpus median, per-clip gate. */
   val q133Sql: String =
@@ -1031,7 +1108,8 @@ object Multimodal {
     "q130_image_ahash" -> (q130ImageAhash _),
     "q131_image_neardup" -> (q131ImageNeardup _),
     "q132_image_dedup_keep" -> (q132ImageDedupKeep _),
-    "q133_audio_energy_gate" -> (q133AudioEnergyGate _))
+    "q133_audio_energy_gate" -> (q133AudioEnergyGate _),
+    "q163_jpeg_pixels" -> (q163JpegPixels _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_media_features" -> q37Sql,
@@ -1042,5 +1120,6 @@ object Multimodal {
     "q130_image_ahash" -> q130Sql,
     "q131_image_neardup" -> q131Sql,
     "q132_image_dedup_keep" -> q132Sql,
-    "q133_audio_energy_gate" -> q133Sql)
+    "q133_audio_energy_gate" -> q133Sql,
+    "q163_jpeg_pixels" -> q163Sql)
 }

@@ -47,6 +47,75 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaHeaders.pngPixels(Array.emptyByteArray) === None)
   }
 
+  test("JpegCodec: block-constant images round-trip BIT-EXACTLY across every " +
+    "8-bit value (the q163 exactness contract), including cropped odd dims") {
+    import graft.multimodal.JpegCodec
+    // 32x64 = 4x8 blocks = 32 blocks/image; 8 images cover all 256 values
+    for (base <- 0 until 256 by 32) {
+      val (w, h) = (32, 64)
+      val px = Array.tabulate(w * h) { i =>
+        (base + (i / w / 8) * 4 + (i % w / 8)) % 256
+      }
+      val jpg = JpegCodec.encode(w, h, px)
+      val Some((dw, dh, dpx)) = JpegCodec.decode(jpg)
+      assert((dw, dh) === (w.toLong, h.toLong))
+      assert(dpx.toSeq === px.toSeq, s"block-constant mismatch at base $base")
+    }
+    // odd dims + whole-image constant: edge-replicated pad blocks stay
+    // constant, so the cropped result is still exact
+    val odd = JpegCodec.encode(13, 11, Array.fill(13 * 11)(177))
+    assert(JpegCodec.decode(odd).get._3.toSeq === Seq.fill(13 * 11)(177))
+    // the header-level parser reads the same dims from a pixel JPEG
+    assert(MediaHeaders.jpegDims(odd) === Some((13L, 11L)))
+  }
+
+  test("JpegCodec: arbitrary images round-trip within the quantization error " +
+    "budget (lossy but close); corrupt/foreign bytes decode to None, not a throw") {
+    import graft.multimodal.JpegCodec
+    val (w, h) = (24, 17) // non-multiple-of-8 height
+    val px = Array.tabulate(w * h)(i => (i % w * 5 + i / w * 7) % 256)
+    val Some((dw, dh, dpx)) = JpegCodec.decode(JpegCodec.encode(w, h, px))
+    assert((dw, dh) === (w.toLong, h.toLong))
+    val errs = px.indices.map(i => math.abs(dpx(i) - px(i)))
+    assert(errs.max <= 40, s"max |err| ${errs.max} exceeds the lossy budget")
+    assert(errs.sum.toDouble / errs.size <= 8.0, "mean |err| exceeds the lossy budget")
+    // failure paths: truncation, header-only synthetic JPEG (q110's
+    // writer has no DQT/DHT/SOS), PNG bytes, empty
+    val good = JpegCodec.encode(16, 16, Array.fill(256)(90))
+    assert(JpegCodec.decode(good.dropRight(20)) === None)
+    assert(JpegCodec.decode(MediaHeaders.jpegBytes(4, 4, "xx".getBytes)) === None)
+    assert(JpegCodec.decode(MediaHeaders.pngPixelBytes(4, 3, Array.fill(12)(5))) === None)
+    assert(JpegCodec.decode(Array.emptyByteArray) === None)
+  }
+
+  test("JpegCodec decoder is table-driven, not encoder-shaped: a spliced DRI " +
+    "segment and a COM segment are honored/skipped, and MJPEG boundary " +
+    "detection stays sound on real entropy streams (stuffing keeps raw " +
+    "SOI/EOI out of scan data)") {
+    import graft.multimodal.JpegCodec
+    val px = Array.tabulate(64)(i => (i * 41) % 256)
+    val jpg = JpegCodec.encode(8, 8, px)
+    val Some((_, _, base)) = JpegCodec.decode(jpg)
+    // splice DRI (interval 7 > 1 block => never fires) + a COM right after SOI
+    val dri = Array(0xFF, 0xDD, 0x00, 0x04, 0x00, 0x07).map(_.toByte)
+    val com = Array(0xFF, 0xFE, 0x00, 0x06) .map(_.toByte) ++ "note".getBytes
+    val spliced = jpg.take(2) ++ dri ++ com ++ jpg.drop(2)
+    assert(JpegCodec.decode(spliced).get._3.toSeq === base.toSeq)
+    // three real frames concatenate and split back on exact boundaries
+    val frames = (0 to 2).map(k => JpegCodec.encode(8, 8, px.map(v => (v + k) % 256)))
+    val split = MediaHeaders.mjpegFrames(MediaHeaders.mjpegBytes(frames))
+    assert(split.size === 3)
+    split.zip(frames).foreach { case (got, want) => assert(got.toSeq === want.toSeq) }
+  }
+
+  test("Codecs.decodeFeatures on a decodable baseline JPEG returns REAL pixel " +
+    "moments (the PNG path's sibling)") {
+    import graft.multimodal.JpegCodec
+    val px = Array.fill(16 * 8)(140) // one constant 2-block image: exact decode
+    val jpg = JpegCodec.encode(16, 8, px)
+    assert(Multimodal.Codecs.decodeFeatures(jpg).toSeq === Seq(128.0, 140.0, 0.0, 16.0))
+  }
+
   test("Codecs.decodeFeatures on a decodable PNG returns REAL pixel moments, " +
     "not byte statistics") {
     val px = Array.tabulate(12)(i => i * 20) // 4x3, mean 110, known variance
