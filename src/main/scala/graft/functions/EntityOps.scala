@@ -52,6 +52,22 @@ object EntityOps {
     * edits ≈ one mistyped word). */
   val MatchMaxDist: Int = 3
 
+  /** A blocking pass: a slot label plus a PURE key extractor over the
+    * name column — pure so both the batch family and the maintained
+    * index can re-derive any name's blocks from the string itself.
+    * The pipeline is generic over the pass list: every operator below
+    * takes `blockers` and defaults to [[PartBlockers]], so a second
+    * schema (different name shape, different passes) runs the same
+    * block→cap→compare→cluster spine — see `EntityOpsSpec`'s
+    * people-records schema. */
+  type Blocker = (String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+
+  /** The part-catalog instantiation: `p_name` is "adjective noun", one
+    * pass per token so a typo in EITHER still shares a block. */
+  val PartBlockers: Seq[Blocker] = Seq(
+    "adj" -> (n => substring_index(n, " ", 1)),
+    "noun" -> (n => substring_index(n, " ", -1)))
+
   /** The distinct-name dimension with its blocking keys and stable
     * numeric node id (min record key — deterministic, order-free).
     * `adj`/`noun` are the two tokens of the two-word name. */
@@ -65,18 +81,18 @@ object EntityOps {
   }
 
   /** name → (slot, key) blocking rows of an arbitrary name frame — a
-    * PURE function of the name string (adjective = first token, noun =
-    * last token), which is what lets the maintained face
-    * ([[graft.sources.EntityIndex]]) derive any name set's blocks
-    * inline instead of reading an index: one row per blocking pass.
-    * Two passes (adjective, noun) so a typo in EITHER token still
-    * lands the pair in one shared block — multi-pass blocking, the
-    * standard recall fix for single-key blocking. */
-  private[graft] def blocksOfNames(names: DataFrame): DataFrame =
+    * PURE function of the name string, which is what lets the
+    * maintained face ([[graft.sources.EntityIndex]]) derive any name
+    * set's blocks inline instead of reading an index: one row per
+    * blocking pass. Multiple passes are the standard recall fix for
+    * single-key blocking — a typo in one key still shares the other
+    * pass's block. */
+  private[graft] def blocksOfNames(names: DataFrame,
+      blockers: Seq[Blocker] = PartBlockers): DataFrame =
     names.select(col("name"),
-      explode(array(
-        struct(lit("adj").as("slot"), substring_index(col("name"), " ", 1).as("key")),
-        struct(lit("noun").as("slot"), substring_index(col("name"), " ", -1).as("key")))).as("b"))
+      explode(array(blockers.map { case (slot, key) =>
+        struct(lit(slot).as("slot"), key(col("name")).cast("string").as("key"))
+      }: _*)).as("b"))
       .select(col("name"), col("b.slot").as("slot"), col("b.key").as("key"))
 
   private def blocks(s: SparkSession, d: String): DataFrame =
@@ -88,15 +104,16 @@ object EntityOps {
     records.groupBy(col("p_name").as("name"))
       .agg(count(lit(1)).as("n_records"))
 
-  /** Match edges (shared live capped block, Levenshtein ≤
-    * [[MatchMaxDist]], name_a < name_b) over an arbitrary name frame —
-    * the batch edge definition [[graft.sources.EntityIndex]] must agree
-    * with: block sizes come from the GIVEN name set, the cap drops
-    * oversized blocks, and the edit distance runs only on pair-deduped
-    * blocked candidates. */
+  /** Match edges (shared live capped block, Levenshtein ≤ `maxDist`,
+    * name_a < name_b) over an arbitrary name frame — the batch edge
+    * definition [[graft.sources.EntityIndex]] must agree with: block
+    * sizes come from the GIVEN name set, the cap drops oversized
+    * blocks, and the edit distance runs only on pair-deduped blocked
+    * candidates. */
   private[graft] def matchEdgesOfNames(names: DataFrame,
-      cap: Long = MaxBlockSize): DataFrame = {
-    val b = blocksOfNames(names)
+      cap: Long = MaxBlockSize, blockers: Seq[Blocker] = PartBlockers,
+      maxDist: Int = MatchMaxDist): DataFrame = {
+    val b = blocksOfNames(names, blockers)
     val live = b.groupBy(col("slot"), col("key"))
       .agg(count(lit(1)).as("bs")).where(col("bs") <= cap)
       .select(col("slot"), col("key"))
@@ -106,7 +123,42 @@ object EntityOps {
           col("x.name") < col("y.name"))
       .select(col("x.name").as("name_a"), col("y.name").as("name_b"))
       .distinct()
-      .where(levenshtein(col("name_a"), col("name_b")) <= MatchMaxDist)
+      .where(levenshtein(col("name_a"), col("name_b")) <= maxDist)
+  }
+
+  /** LIBRARY ENTRY — resolve an arbitrary record frame into entity
+    * labels: group `records` on `nameCol` into the distinct-name
+    * dimension (node id = min `idCol`, deterministic and order-free),
+    * build the match graph with the given blocking passes and edit
+    * threshold, and cluster it with the dedup family's dual component
+    * solver. Returns (name, nid, entity_id) — entity id = the min node
+    * id of the match component, singletons label themselves.
+    *
+    * The part-table family (q154–q157, q161–q162) is exactly this with
+    * the defaults; `EntityOpsSpec` drives a second schema (people
+    * records blocked on initial + surname) through the same spine. The
+    * scale shape is schema-independent: everything runs on the
+    * distinct-name dimension, oversized blocks drop at the cap, and
+    * records reach their entity via one hash join on the name. */
+  def resolveEntities(records: DataFrame, idCol: String, nameCol: String,
+      blockers: Seq[Blocker] = PartBlockers, maxDist: Int = MatchMaxDist,
+      cap: Long = MaxBlockSize): DataFrame = {
+    val nm = records.groupBy(col(nameCol).as("name"))
+      .agg(min(col(idCol)).cast("long").as("nid")).persist()
+    val edges = matchEdgesOfNames(nm.select(col("name")), cap, blockers, maxDist)
+      .join(nm.select(col("name").as("name_a"), col("nid").as("doc_a")), "name_a")
+      .join(nm.select(col("name").as("name_b"), col("nid").as("doc_b")), "name_b")
+      .select(col("doc_a"), col("doc_b")).persist()
+    val labels =
+      if (edges.count() <= TextOps.LocalComponentsMaxEdges)
+        TextOps.componentLabelsLocal(edges).localCheckpoint()
+      else TextOps.componentLabelsIterative(edges)
+    edges.unpersist()
+    val labeled = nm
+      .join(labels.withColumnRenamed("doc_id", "nid"), Seq("nid"), "left")
+      .select(col("name"), col("nid"), coalesce(col("lbl"), col("nid")).as("entity_id"))
+    nm.unpersist()
+    labeled
   }
 
   /** Blocks that survive the size cap (see [[MaxBlockSize]]). */
@@ -117,22 +169,29 @@ object EntityOps {
       .where($"block_size" <= cap)
   }
 
-  /** All blocked candidate pairs (pre-threshold): distinct name pairs
-    * sharing at least one capped block, with how many blocking passes
-    * found them (2 = same adjective AND same noun). The compare budget
-    * every downstream step (q154's edit filter, q157's Fellegi–Sunter
-    * scorer) is confined to. */
-  private[graft] def blockedCandidates(s: SparkSession, d: String,
+  /** All blocked candidate pairs (pre-threshold) of an arbitrary name
+    * frame: distinct name pairs sharing at least one capped block, with
+    * how many blocking passes found them. The compare budget every
+    * downstream step (q154's edit filter, q157's Fellegi–Sunter scorer)
+    * is confined to. */
+  private[graft] def candidatePairsOfNames(names: DataFrame,
+      blockers: Seq[Blocker] = PartBlockers,
       cap: Long = MaxBlockSize): DataFrame = {
-    import s.implicits._
-    val b = blocks(s, d)
-    val live = sizedBlocks(s, d, cap).select($"slot", $"key")
+    val b = blocksOfNames(names, blockers)
+    val live = b.groupBy(col("slot"), col("key"))
+      .agg(count(lit(1)).as("block_size")).where(col("block_size") <= cap)
+      .select(col("slot"), col("key"))
     b.join(live, Seq("slot", "key")).as("x")
       .join(b.as("y"),
-        $"x.slot" === $"y.slot" && $"x.key" === $"y.key" && $"x.name" < $"y.name")
-      .groupBy($"x.name".as("name_a"), $"y.name".as("name_b"))
+        col("x.slot") === col("y.slot") && col("x.key") === col("y.key") &&
+          col("x.name") < col("y.name"))
+      .groupBy(col("x.name").as("name_a"), col("y.name").as("name_b"))
       .agg(count(lit(1)).as("shared_blocks"))
   }
+
+  private[graft] def blockedCandidates(s: SparkSession, d: String,
+      cap: Long = MaxBlockSize): DataFrame =
+    candidatePairsOfNames(nameDim(s, d).select(col("name")), PartBlockers, cap)
 
   /** q154 — blocked fuzzy candidate pairs: distinct name pairs that
     * share at least one (capped) block and sit within [[MatchMaxDist]]
@@ -193,25 +252,8 @@ object EntityOps {
     * numeric node id and resolved entity id (= min nid of its match
     * component; singletons label themselves). The map q155 merges over
     * and the streaming resolve face broadcasts. */
-  def entityLabels(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val nm = nameDim(s, d).select($"name", $"nid").persist()
-    val edges = q154ErPairs(s, d)
-      .join(nm.withColumnRenamed("name", "name_a").withColumnRenamed("nid", "doc_a"), "name_a")
-      .join(nm.withColumnRenamed("name", "name_b").withColumnRenamed("nid", "doc_b"), "name_b")
-      .select($"doc_a", $"doc_b").persist()
-    // same dual-solver contract as the document near-dup family
-    val labels =
-      if (edges.count() <= TextOps.LocalComponentsMaxEdges)
-        TextOps.componentLabelsLocal(edges).localCheckpoint()
-      else TextOps.componentLabelsIterative(edges)
-    edges.unpersist()
-    val labeled = nm
-      .join(labels.withColumnRenamed("doc_id", "nid"), Seq("nid"), "left")
-      .select($"name", $"nid", coalesce($"lbl", $"nid").as("entity_id"))
-    nm.unpersist()
-    labeled
-  }
+  def entityLabels(s: SparkSession, d: String): DataFrame =
+    resolveEntities(parts(s, d), "p_partkey", "p_name")
 
   def q155ErEntities(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

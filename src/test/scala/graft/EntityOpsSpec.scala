@@ -203,6 +203,58 @@ class EntityOpsSpec extends SparkSpec {
     }
   }
 
+  test("the pipeline is a LIBRARY, not a part-table special case: a people " +
+    "schema with its own blocking passes (first initial + surname) runs the " +
+    "same block→cap→compare→cluster spine end to end") {
+    import spark.implicits._
+    // dirty person records: same people under typo'd names, a different
+    // id column, and a surname-colliding distinct person
+    val people = Seq(
+      (101L, "jon smith"), (102L, "john smith"), (103L, "jon smyth"),
+      (104L, "mary jones"), (105L, "mary jones"), (106L, "marie jones"),
+      (107L, "zed qux")
+    ).toDF("person_id", "full_name")
+    val blockers: Seq[EntityOps.Blocker] = Seq(
+      "initial" -> (n => substring(substring_index(n, " ", 1), 1, 1)),
+      "surname" -> (n => substring_index(n, " ", -1)))
+    val labels = EntityOps.resolveEntities(
+      people, "person_id", "full_name", blockers, maxDist = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // smith/smyth variants merge (surname block, lev<=2); jones variants
+    // merge; zed qux is a singleton labeled by its own nid
+    assert(labels("jon smith") === labels("john smith"))
+    assert(labels("jon smith") === labels("jon smyth"))
+    assert(labels("mary jones") === labels("marie jones"))
+    assert(labels("zed qux") === 107L)
+    assert(labels("jon smith") !== labels("mary jones"))
+    // entity id = min member nid: the smith cluster labels as 101
+    assert(labels("jon smith") === 101L)
+    // the cap is schema-independent skew armor: cap 1 kills every block
+    // (each holds >=2 names here), so everyone is a singleton
+    val capped = EntityOps.resolveEntities(
+      people, "person_id", "full_name", blockers, maxDist = 2, cap = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(capped.values.toSet.size === capped.size,
+      s"cap=1 should isolate every name: $capped")
+    // generic candidate pairs respect the pass list: initial-pass pairs
+    // j* names; surname-pass pairs the joneses and smiths
+    val cands = EntityOps.candidatePairsOfNames(
+      people.select($"full_name".as("name")).distinct(), blockers)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cands.contains(("jon smith", "jon smyth")))
+    assert(cands.contains(("marie jones", "mary jones")))
+    assert(!cands.exists { case (a, b) => a.contains("qux") || b.contains("qux") })
+  }
+
+  test("the part-table family IS the library defaults: entityLabels equals " +
+    "resolveEntities(part, p_partkey, p_name) row for row") {
+    val viaFamily = EntityOps.entityLabels(spark, sf0001)
+    val viaLibrary = EntityOps.resolveEntities(
+      spark.read.parquet(s"$sf0001/part.parquet"), "p_partkey", "p_name")
+    assert(viaFamily.exceptAll(viaLibrary).count() === 0)
+    assert(viaLibrary.exceptAll(viaFamily).count() === 0)
+  }
+
   test("plan pin: no CartesianProduct / BroadcastNestedLoopJoin anywhere in " +
     "the family — candidate generation is equi-joins on block keys") {
     Seq(EntityOps.q154ErPairs(spark, sf0001),
