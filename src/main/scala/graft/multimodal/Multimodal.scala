@@ -1081,6 +1081,92 @@ object Multimodal {
       |  round(ss / n - (s / n) * (s / n), 4) AS var_lum
       |FROM a""".stripMargin
 
+  /** A MIXED-CONTAINER image corpus with PLANTED cross-container dups:
+    * every doc gets a block-constant image (the shape both codecs
+    * round-trip bit-exactly), even doc_ids stored as PNG and odd ones
+    * as baseline JPEG — and the pixel CONTENT is keyed by the doc's
+    * QUAD gid = doc_id // 4, so docs in one quad with equal dims carry
+    * identical pixels in different containers. The planted ground
+    * truth q164 must recover: the same crawled image re-encoded on a
+    * different site is a dup NO byte-level hash can see. */
+  def mixedContainerImages(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+    import s.implicits._
+    Tables(s, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (docId, nChars) =>
+        val w = ((nChars % 3 + 2) * 8).toInt
+        val h = ((nChars % 2 + 2) * 8).toInt
+        val gid = docId / 4
+        val px = Array.tabulate(w * h) { i =>
+          ((gid * 7 + (i / w / 8) * 13 + (i % w / 8) * 31) % 256).toInt
+        }
+        if (docId % 2 == 0)
+          MediaPayload(docId, "image", MediaHeaders.pngPixelBytes(w, h, px))
+        else
+          MediaPayload(docId, "image", JpegCodec.encode(w, h, px))
+      }
+  }
+
+  /** q164: CROSS-CONTAINER pixel-identical dup pairs — the dedup class
+    * byte-level fingerprints (q28) are BLIND to: the same image stored
+    * once as PNG and once as JPEG shares not one byte, but decodes to
+    * the same pixels. Each payload is container-sniffed, decoded by
+    * the matching REAL codec ([[MediaHeaders.pngPixels]] /
+    * [[JpegCodec.decode]]), and fingerprinted as md5 over the decoded
+    * pixel sequence; pairs join on the fingerprint. Exact
+    * cross-engine: both codecs are bit-exact on the fixture's
+    * block-constant shape, and both engines md5 the identical
+    * comma-joined decimal string. Scale shape: decode + fingerprint is
+    * per-row scan work (binary never shuffles — only the 32-char
+    * fingerprint does), and matching is an equi-join on the
+    * fingerprint, never all-pairs — exactly the 100 TB plan. */
+  def q164CrossContainerDups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fps = mixedContainerImages(s, d).flatMap { m =>
+      val png = MediaHeaders.pngPixels(m.data)
+      png.orElse(JpegCodec.decode(m.data)).map { case (w, h, px) =>
+        (m.media_id, if (png.nonEmpty) "png" else "jpeg",
+          w, h, px.mkString(","))
+      }
+    }.toDF("media_id", "container", "width", "height", "pixels")
+      .select(col("media_id"), col("container"), col("width"), col("height"),
+        md5(col("pixels")).as("fp"))
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.media_id") < col("b.media_id"))
+      .where(col("a.container") =!= col("b.container"))
+      .select(col("a.media_id").as("media_id_a"), col("b.media_id").as("media_id_b"),
+        col("a.container").as("container_a"), col("b.container").as("container_b"),
+        col("a.width").as("width"), col("a.height").as("height"))
+  }
+
+  /** Oracle twin of [[q164CrossContainerDups]]: regenerate every doc's
+    * pixel sequence from the quad-keyed block formula (per-pixel rows
+    * ordered row-major, comma-joined, md5'd) and run the same
+    * fingerprint self-join — from raw parquet, no codec involved, so a
+    * hash match proves BOTH codecs decode the planted content exactly
+    * and the dispatch tags containers right. */
+  val q164Sql: String =
+    """WITH im AS (SELECT doc_id, CAST((n_chars % 3 + 2) * 8 AS BIGINT) AS w,
+      |                   CAST((n_chars % 2 + 2) * 8 AS BIGINT) AS h,
+      |                   doc_id // 4 AS gid,
+      |                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS container
+      |            FROM documents),
+      |px AS (SELECT im.doc_id, im.w, im.h, im.container, yy.g AS y, xx.g AS x,
+      |              CAST((im.gid * 7 + (yy.g // 8) * 13 + (xx.g // 8) * 31) % 256
+      |                   AS BIGINT) AS v
+      |       FROM im,
+      |            (SELECT unnest(generate_series(0, 23)) AS g) yy,
+      |            (SELECT unnest(generate_series(0, 31)) AS g) xx
+      |       WHERE yy.g < im.h AND xx.g < im.w),
+      |fp AS (SELECT doc_id AS media_id, container, w, h,
+      |              md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY y, x)) AS f
+      |       FROM px GROUP BY doc_id, container, w, h)
+      |SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+      |       a.container AS container_a, b.container AS container_b,
+      |       a.w AS width, a.h AS height
+      |FROM fp a JOIN fp b ON b.f = a.f AND a.media_id < b.media_id
+      |WHERE a.container <> b.container""".stripMargin
+
   /** Oracle twin of [[q133AudioEnergyGate]]: q123's PCM regeneration,
     * window RMS, corpus median, per-clip gate. */
   val q133Sql: String =
@@ -1109,7 +1195,8 @@ object Multimodal {
     "q131_image_neardup" -> (q131ImageNeardup _),
     "q132_image_dedup_keep" -> (q132ImageDedupKeep _),
     "q133_audio_energy_gate" -> (q133AudioEnergyGate _),
-    "q163_jpeg_pixels" -> (q163JpegPixels _))
+    "q163_jpeg_pixels" -> (q163JpegPixels _),
+    "q164_cross_container_dups" -> (q164CrossContainerDups _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_media_features" -> q37Sql,
@@ -1121,5 +1208,6 @@ object Multimodal {
     "q131_image_neardup" -> q131Sql,
     "q132_image_dedup_keep" -> q132Sql,
     "q133_audio_energy_gate" -> q133Sql,
-    "q163_jpeg_pixels" -> q163Sql)
+    "q163_jpeg_pixels" -> q163Sql,
+    "q164_cross_container_dups" -> q164Sql)
 }

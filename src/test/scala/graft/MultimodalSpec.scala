@@ -116,6 +116,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Codecs.decodeFeatures(jpg).toSeq === Seq(128.0, 140.0, 0.0, 16.0))
   }
 
+  test("q164 finds the PLANTED cross-container dups — pixel-identical images " +
+    "stored as PNG vs JPEG pair up, same-container and different-content " +
+    "pairs never do, and every reported pair decode-verifies equal") {
+    import graft.multimodal.JpegCodec
+    val rows = Multimodal.q164CrossContainerDups(spark, sf0001).collect()
+    assert(rows.nonEmpty, "the fixture plants quad dups; none found")
+    // every reported pair is cross-container by construction of the query;
+    // re-decode both payloads and verify the pixels REALLY are identical
+    val payloads = Multimodal.mixedContainerImages(spark, sf0001)
+      .collect().map(m => m.media_id -> m.data).toMap
+    def pixels(id: Long): Seq[Int] = {
+      val d = payloads(id)
+      MediaHeaders.pngPixels(d).orElse(JpegCodec.decode(d)).get._3.toSeq
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(r.getString(2) !== r.getString(3), s"same-container pair ($a, $b)")
+      assert(pixels(a) === pixels(b), s"pair ($a, $b) reported but pixels differ")
+    }
+    // parity of the fixture: even ids are PNG, odd are JPEG — so every
+    // pair joins one even and one odd id
+    rows.foreach { r =>
+      assert((r.getLong(0) + r.getLong(1)) % 2 === 1,
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) has same-parity ids")
+    }
+  }
+
   test("Codecs.decodeFeatures on a decodable PNG returns REAL pixel moments, " +
     "not byte statistics") {
     val px = Array.tabulate(12)(i => i * 20) // 4x3, mean 110, known variance
