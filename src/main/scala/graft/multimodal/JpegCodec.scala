@@ -84,8 +84,12 @@ object JpegCodec {
     out
   }
 
-  private def cos(a: Int, b: Int): Double =
-    math.cos((2 * a + 1) * b * math.Pi / 16.0)
+  /** cos((2a+1)·b·π/16) for a, b ∈ 0–7, precomputed once — the DCT and
+    * IDCT inner loops index this table instead of calling math.cos
+    * 8,192 times per block. */
+  private val CosT: Array[Array[Double]] =
+    Array.tabulate(8, 8)((a, b) => math.cos((2 * a + 1) * b * math.Pi / 16.0))
+  @inline private def cos(a: Int, b: Int): Double = CosT(a)(b)
   private def cNorm(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
 
   /** MSB-first bit writer with JPEG 0xFF→0xFF00 stuffing. */

@@ -1122,6 +1122,10 @@ object Multimodal {
     * fingerprint, never all-pairs — exactly the 100 TB plan. */
   def q164CrossContainerDups(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // materialize fingerprints ONCE before the self-join — each image is
+    // decoded a single time and only the 32-char fp row enters the join
+    // (re-deriving the fixture per join side would decode twice; at
+    // 100 TB the fingerprint table is what you'd persist, not re-scan)
     val fps = mixedContainerImages(s, d).flatMap { m =>
       val png = MediaHeaders.pngPixels(m.data)
       png.orElse(JpegCodec.decode(m.data)).map { case (w, h, px) =>
@@ -1131,6 +1135,7 @@ object Multimodal {
     }.toDF("media_id", "container", "width", "height", "pixels")
       .select(col("media_id"), col("container"), col("width"), col("height"),
         md5(col("pixels")).as("fp"))
+      .localCheckpoint()
     fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.media_id") < col("b.media_id"))
       .where(col("a.container") =!= col("b.container"))
