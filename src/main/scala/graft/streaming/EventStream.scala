@@ -908,19 +908,24 @@ object EventStream {
 
   /** q131 as a stream: media payloads (media_id, data, is_probe) in,
     * visual near-dup hits out. Decode + hash is the SAME pure-JVM chain
-    * the batch query runs ([[graft.multimodal.MediaHeaders.pngPixels]] →
-    * [[graft.multimodal.Multimodal.ahash64]]) inside the per-row
-    * flatMap, so the two surfaces cannot drift; undecodable payloads
-    * drop silently (the q110 corruption contract). The blob never
-    * reaches the state store — only the 3-long hash row fans out to its
-    * 4 band keys. */
+    * the batch queries run — container-sniffed dispatch to
+    * [[graft.multimodal.MediaHeaders.pngPixels]] or
+    * [[graft.multimodal.JpegCodec.decode]] (q164's cross-container
+    * contract holds live: a JPEG-committed image matches a PNG probe of
+    * the same pixels), then [[graft.multimodal.Multimodal.ahash64]] —
+    * inside the per-row flatMap, so the surfaces cannot drift;
+    * undecodable payloads drop silently (the q110 corruption contract).
+    * The blob never reaches the state store — only the 3-long hash row
+    * fans out to its 4 band keys. */
   def imageDupProbeStream(media: DataFrame): Dataset[ImageDupHit] = {
     val s = media.sparkSession
     import s.implicits._
     media.select(col("media_id"), col("data"), col("is_probe"))
       .as[(Long, Array[Byte], Boolean)]
       .flatMap { case (id, bytes, isProbe) =>
-        graft.multimodal.MediaHeaders.pngPixels(bytes).toSeq.flatMap { case (w, h, px) =>
+        graft.multimodal.MediaHeaders.pngPixels(bytes)
+          .orElse(graft.multimodal.JpegCodec.decode(bytes))
+          .toSeq.flatMap { case (w, h, px) =>
           val (hi, lo, _) = graft.multimodal.Multimodal.ahash64(w.toInt, h.toInt, px)
           Seq((0, lo & 0xFFFFL), (1, (lo >> 16) & 0xFFFFL),
               (2, hi & 0xFFFFL), (3, (hi >> 16) & 0xFFFFL))

@@ -482,9 +482,10 @@ class StreamingSpec extends SparkSpec {
 
   test("imageDupProbeStream (transformWithState): visual near-dup hits equal the " +
     "brute-force Hamming<=3 probe-vs-corpus set, across micro-batches, probes " +
-    "never matching each other, corrupt payloads dropped") {
+    "never matching each other, corrupt payloads dropped — and the dispatch is " +
+    "container-agnostic: a JPEG-committed image matches a PNG probe") {
     import spark.implicits._
-    import graft.multimodal.{MediaHeaders, Multimodal}
+    import graft.multimodal.{JpegCodec, MediaHeaders, Multimodal}
     implicit val sqlCtx = spark.sqlContext
     // 16×16 grayscale fixtures with controlled aHash geometry:
     //   split  — left half 255 / right half 0 (bits 0x0F0F0F0F|0x0F0F0F0F)
@@ -495,6 +496,9 @@ class StreamingSpec extends SparkSpec {
     for (y <- 0 until 2; x <- 0 until 2) dent(y * 16 + x) = 0
     val inv = split.map(255 - _)
     def png(px: Array[Int]) = MediaHeaders.pngPixelBytes(16, 16, px)
+    // split/inv are 8x8-block-constant, so baseline JPEG decodes them
+    // EXACTLY — committing image 1 as JPEG must not change any hit
+    def jpeg(px: Array[Int]) = JpegCodec.encode(16, 16, px)
     val corpus = Seq(1L -> split, 2L -> inv)
     val probes = Seq(9L -> split, 19L -> dent, 29L -> inv)
     // expected: brute-force Hamming over the same ahash64 chain
@@ -512,8 +516,9 @@ class StreamingSpec extends SparkSpec {
           mem.toDF().toDF("media_id", "data", "is_probe"))
         .toDF().writeStream.format("memory")
         .queryName("imagedup_out").outputMode("append").start()
-      // corpus commits across two micro-batches; one corrupt payload
-      mem.addData((1L, png(split), false), (50L, "JUNK".getBytes, false))
+      // corpus commits across two micro-batches; one corrupt payload;
+      // image 1 arrives as JPEG — its PNG probes (9, dent 19) still hit
+      mem.addData((1L, jpeg(split), false), (50L, "JUNK".getBytes, false))
       q.processAllAvailable()
       mem.addData((2L, png(inv), false))
       q.processAllAvailable()
