@@ -400,15 +400,20 @@ object ScaleProbe {
         // names would take the cheap count-only path on the warm side
         // and the arrival re-solve on the other, skewing the ratio
         batch += 1
+        // the adjective token is batch-unique (zzz<batch>novel) so each
+        // batch's affected block holds ONLY its own 50 names: a shared
+        // adjective would make the measured call re-solve every prior
+        // batch's accumulated names on whichever side ran more batches,
+        // biasing the tN/t1 ratio (ADVICE r14)
         val delta = spark.range(50).select(
           ($"id" + 900000000L + batch * 1000L).as("p_partkey"),
-          concat(lit(s"zzznovel b$batch n"), $"id").as("p_name"),
+          concat(lit(s"zzz${batch}novel b$batch n"), $"id").as("p_name"),
           lit("insert").as("_change_type")).localCheckpoint()
         EntityIndex.applyBatch(delta, batch, roots._1, roots._2, roots._3,
           scope = s"probe$batch")
         1L
       }
-      maintain(r1) // warm
+      maintain(r1); maintain(rN) // warm BOTH roots: symmetric JIT + state
       probe("entity_index_maintain")(maintain(r1))(maintain(rN))
     }
 

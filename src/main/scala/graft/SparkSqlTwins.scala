@@ -510,14 +510,43 @@ object SparkSqlTwins {
         |            (SELECT explode(sequence(0, 31)) AS g) xx
         |       WHERE yy.g < im.h AND xx.g < im.w),
         |fp AS (SELECT doc_id AS media_id, container, w, h,
-        |              md5(array_join(transform(array_sort(collect_list(struct(y, x, v))),
-        |                                       s -> CAST(s.v AS STRING)), ',')) AS f
+        |              md5(concat(CAST(w AS STRING), 'x', CAST(h AS STRING), ':',
+        |                  array_join(transform(array_sort(collect_list(struct(y, x, v))),
+        |                                       s -> CAST(s.v AS STRING)), ','))) AS f
         |       FROM px GROUP BY doc_id, container, w, h)
         |SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
         |       a.container AS container_a, b.container AS container_b,
         |       a.w AS width, a.h AS height
         |FROM fp a JOIN fp b ON b.f = a.f AND a.media_id < b.media_id
         |WHERE a.container <> b.container""".stripMargin,
+
+    "q165_video_frame_pixels" ->
+      """WITH im AS (SELECT doc_id, CAST((n_chars % 3 + 2) * 8 AS BIGINT) AS w,
+        |                   CAST((n_chars % 2 + 2) * 8 AS BIGINT) AS h,
+        |                   CAST(n_chars % 5 + 2 AS BIGINT) AS k
+        |            FROM documents WHERE doc_id % 3 = 2),
+        |sf AS (SELECT im.doc_id, im.w, im.h, im.k, g.g AS i,
+        |              ((2 * g.g) % 4) div 2 AS c
+        |       FROM im, (SELECT explode(sequence(0, 2)) AS g) g
+        |       WHERE g.g < (im.k + 1) div 2),
+        |bl AS (SELECT sf.doc_id, sf.w, sf.h, sf.k, sf.i, sf.c,
+        |              CAST((sf.doc_id * 7 + sf.c * 11 + yy.g * 13 + xx.g * 31) % 256
+        |                   AS BIGINT) AS v
+        |       FROM sf,
+        |            (SELECT explode(sequence(0, 2)) AS g) yy,
+        |            (SELECT explode(sequence(0, 3)) AS g) xx
+        |       WHERE yy.g < sf.h div 8 AND xx.g < sf.w div 8),
+        |a AS (SELECT doc_id, w, h, max(k) AS k,
+        |             CAST(count(DISTINCT i) AS BIGINT) AS ns,
+        |             CAST(count(DISTINCT c) AS BIGINT) AS nu,
+        |             CAST(sum(v) * 64 AS DOUBLE) AS s,
+        |             CAST(sum(v * v) * 64 AS DOUBLE) AS ss, count(*) * 64 AS n
+        |      FROM bl GROUP BY doc_id, w, h)
+        |SELECT doc_id AS media_id, k AS n_frames, ns AS n_sampled, nu AS n_unique,
+        |       w AS width, h AS height,
+        |       round(s / n, 4) AS mean_lum,
+        |       round(ss / n - (s / n) * (s / n), 4) AS var_lum
+        |FROM a""".stripMargin,
 
     "q128_hybrid_rrf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),

@@ -127,6 +127,10 @@ object JpegCodec {
   def encode(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
     require(width > 0 && height > 0 && pixels.length == width * height,
       s"JpegCodec.encode: ${pixels.length} pixels for ${width}x$height")
+    // SOF0 stores dimensions in 16-bit fields; larger values would
+    // silently truncate into a structurally valid JPEG with wrong dims
+    require(width <= 65535 && height <= 65535,
+      s"JpegCodec.encode: ${width}x$height exceeds the 16-bit SOF0 limit")
     val out = new java.io.ByteArrayOutputStream(pixels.length / 2 + 512)
     out.write(0xFF); out.write(0xD8) // SOI
     // DQT: Pq=0 (8-bit) Tq=0, values in zigzag order

@@ -1133,8 +1133,12 @@ object Multimodal {
           w, h, px.mkString(","))
       }
     }.toDF("media_id", "container", "width", "height", "pixels")
+      // dims are part of the fingerprint: two images with equal pixel
+      // counts and identical row-major value strings but different
+      // (w,h) shapes must NOT pair (ADVICE r14)
       .select(col("media_id"), col("container"), col("width"), col("height"),
-        md5(col("pixels")).as("fp"))
+        md5(concat(col("width").cast("string"), lit("x"),
+          col("height").cast("string"), lit(":"), col("pixels"))).as("fp"))
       .localCheckpoint()
     fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.media_id") < col("b.media_id"))
@@ -1164,13 +1168,125 @@ object Multimodal {
       |            (SELECT unnest(generate_series(0, 31)) AS g) xx
       |       WHERE yy.g < im.h AND xx.g < im.w),
       |fp AS (SELECT doc_id AS media_id, container, w, h,
-      |              md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY y, x)) AS f
+      |              md5(CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) || ':' ||
+      |                  string_agg(CAST(v AS VARCHAR), ',' ORDER BY y, x)) AS f
       |       FROM px GROUP BY doc_id, container, w, h)
       |SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
       |       a.container AS container_a, b.container AS container_b,
       |       a.w AS width, a.h AS height
       |FROM fp a JOIN fp b ON b.f = a.f AND a.media_id < b.media_id
       |WHERE a.container <> b.container""".stripMargin
+
+  /** Fabricate MJPEG streams whose frames are DECODABLE block-constant
+    * baseline JPEGs from every video-kind doc (doc_id % 3 == 2):
+    * K = n_chars % 5 + 2 frames, all at the doc's q163 dims
+    * (w = (n_chars % 3 + 2)·8, h = (n_chars % 2 + 2)·8), and frame j's
+    * block (bx, by) is constant (doc_id·7 + ((j % 4)/2)·11 + by·13 +
+    * bx·31) mod 256 — each scene is HELD for two frames and the A-A-B-B
+    * cycle repeats, planting the repeated-frame structure (title cards,
+    * static scenes) a video dedup pass must fold even after stride-2
+    * thinning. Block-constant is the shape [[JpegCodec]]'s lossy path
+    * inverts exactly, so per-frame pixel formulas stay SQL-expressible. */
+  def videosWithDecodableFrames(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+    import s.implicits._
+    Tables(s, sfDir, "documents")
+      .where(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (docId, nChars) =>
+        val w = ((nChars % 3 + 2) * 8).toInt
+        val h = ((nChars % 2 + 2) * 8).toInt
+        val k = (nChars % 5 + 2).toInt
+        val frames = (0 until k).map { j =>
+          val c = (j % 4) / 2
+          val px = Array.tabulate(w * h) { i =>
+            ((docId * 7 + c * 11 + (i / w / 8) * 13 + (i % w / 8) * 31) % 256).toInt
+          }
+          JpegCodec.encode(w, h, px)
+        }
+        MediaPayload(docId, "video", MediaHeaders.mjpegBytes(frames))
+      }
+  }
+
+  /** q165: VIDEO frames decoded to PIXELS — the composition round 14
+    * left open: q120's marker-walk frame splitter feeds
+    * [[JpegCodec.decode]] frame by frame, so "video support" graduates
+    * from sampling bytes to seeing pixels. Per video: thin to every 2nd
+    * frame ([[frameSample]], the decode-free keyframe pass), decode each
+    * kept frame, fingerprint it (md5 over dims + pixel sequence — q164's
+    * dim-qualified dup hash at frame granularity, collapsing the
+    * near-identical-frame boilerplate the fixture plants), and report
+    * frame counts, the distinct-frame count, and exact luminance moments
+    * over every kept pixel. A hash match proves split ∘ sample ∘ decode
+    * lands every pixel of every kept frame exactly (block-constant
+    * frames, the codec's exactness contract) AND that the dup hash folds
+    * repeated content. Scale shape: the whole chain is per-row byte work
+    * inside one task — frames, pixels, and fingerprints never cross a
+    * shuffle; only the 8-column summary row leaves the scan. */
+  def q165VideoFramePixels(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    videosWithDecodableFrames(s, d).map { m =>
+      val nFrames = MediaHeaders.mjpegFrames(m.data).size.toLong
+      val kept = MediaHeaders.mjpegFrames(frameSample(m.data, 2))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val fps = scala.collection.mutable.HashSet[String]()
+      var sum = 0L
+      var sumSq = 0L
+      var n = 0L
+      var w0 = -1L
+      var h0 = -1L
+      kept.foreach { f =>
+        JpegCodec.decode(f).foreach { case (w, h, px) =>
+          w0 = w; h0 = h
+          px.foreach { v => sum += v; sumSq += v.toLong * v }
+          n += px.length
+          val digest = md.digest(
+            (s"${w}x$h:" + px.mkString(",")).getBytes("UTF-8"))
+          fps += digest.map("%02x".format(_)).mkString
+          md.reset()
+        }
+      }
+      val mean = sum.toDouble / n
+      (m.media_id, nFrames, kept.size.toLong, fps.size.toLong, w0, h0,
+        mean, sumSq.toDouble / n - mean * mean)
+    }.toDF("media_id", "n_frames", "n_sampled", "n_unique",
+      "width", "height", "mean_lum", "var_lum")
+      .withColumn("mean_lum", round(col("mean_lum"), 4))
+      .withColumn("var_lum", round(col("var_lum"), 4))
+  }
+
+  /** Oracle twin of [[q165VideoFramePixels]]: sampled frame i carries
+    * content key ((2i) % 4)/2, so n_unique = distinct keys among the
+    * ⌈K/2⌉ kept frames; luminance moments regenerate from the
+    * block-constant formula over (frame, block) rows — each contributes
+    * 64 pixels of its constant value — in q163's exact expression
+    * order. */
+  val q165Sql: String =
+    """WITH im AS (SELECT doc_id, CAST((n_chars % 3 + 2) * 8 AS BIGINT) AS w,
+      |                   CAST((n_chars % 2 + 2) * 8 AS BIGINT) AS h,
+      |                   CAST(n_chars % 5 + 2 AS BIGINT) AS k
+      |            FROM documents WHERE doc_id % 3 = 2),
+      |sf AS (SELECT im.doc_id, im.w, im.h, im.k, g.g AS i,
+      |              ((2 * g.g) % 4) // 2 AS c
+      |       FROM im, (SELECT unnest(generate_series(0, 2)) AS g) g
+      |       WHERE g.g < (im.k + 1) // 2),
+      |bl AS (SELECT sf.doc_id, sf.w, sf.h, sf.k, sf.i, sf.c,
+      |              CAST((sf.doc_id * 7 + sf.c * 11 + yy.g * 13 + xx.g * 31) % 256
+      |                   AS BIGINT) AS v
+      |       FROM sf,
+      |            (SELECT unnest(generate_series(0, 2)) AS g) yy,
+      |            (SELECT unnest(generate_series(0, 3)) AS g) xx
+      |       WHERE yy.g < sf.h // 8 AND xx.g < sf.w // 8),
+      |a AS (SELECT doc_id, w, h, max(k) AS k,
+      |             CAST(count(DISTINCT i) AS BIGINT) AS ns,
+      |             CAST(count(DISTINCT c) AS BIGINT) AS nu,
+      |             CAST(sum(v) * 64 AS DOUBLE) AS s,
+      |             CAST(sum(v * v) * 64 AS DOUBLE) AS ss, count(*) * 64 AS n
+      |      FROM bl GROUP BY doc_id, w, h)
+      |SELECT doc_id AS media_id, k AS n_frames, ns AS n_sampled, nu AS n_unique,
+      |       w AS width, h AS height,
+      |       round(s / n, 4) AS mean_lum,
+      |       round(ss / n - (s / n) * (s / n), 4) AS var_lum
+      |FROM a""".stripMargin
 
   /** Oracle twin of [[q133AudioEnergyGate]]: q123's PCM regeneration,
     * window RMS, corpus median, per-clip gate. */
@@ -1201,7 +1317,8 @@ object Multimodal {
     "q132_image_dedup_keep" -> (q132ImageDedupKeep _),
     "q133_audio_energy_gate" -> (q133AudioEnergyGate _),
     "q163_jpeg_pixels" -> (q163JpegPixels _),
-    "q164_cross_container_dups" -> (q164CrossContainerDups _))
+    "q164_cross_container_dups" -> (q164CrossContainerDups _),
+    "q165_video_frame_pixels" -> (q165VideoFramePixels _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_media_features" -> q37Sql,
@@ -1214,5 +1331,6 @@ object Multimodal {
     "q132_image_dedup_keep" -> q132Sql,
     "q133_audio_energy_gate" -> q133Sql,
     "q163_jpeg_pixels" -> q163Sql,
-    "q164_cross_container_dups" -> q164Sql)
+    "q164_cross_container_dups" -> q164Sql,
+    "q165_video_frame_pixels" -> q165Sql)
 }

@@ -354,4 +354,47 @@ class MultimodalSpec extends SparkSpec {
         r.get(2).asInstanceOf[Number].longValue)).toSet
     assert(banded === brute)
   }
+
+  test("q165 decodes SAMPLED MJPEG frames to pixels: counts follow the stride-2 " +
+    "policy, the dim-qualified frame-dup hash folds the planted period-3 content " +
+    "cycle, and a spot-checked video's frames decode to the block formula exactly") {
+    import graft.multimodal.JpegCodec
+    val rows = Multimodal.q165VideoFramePixels(spark, sf0001).collect()
+    assert(rows.nonEmpty, "fixture should produce videos")
+    rows.foreach { r =>
+      val (nf, ns, nu) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ns === (nf + 1) / 2, s"sampled count: $r")
+      assert(nu === math.min(ns, 2L), s"distinct-content count: $r")
+    }
+    // at least one video in the 2..6-frame range has >= 5 frames, where the
+    // held-for-2 scene cycle makes a SAMPLED frame pair collide (sampled
+    // indices 0 and 4 both carry scene A): the dup hash must fold it (nu < ns)
+    assert(rows.exists(r => r.getLong(3) < r.getLong(2)),
+      "no video exercised the frame-dup fold")
+    // spot-check one fixture video end-to-end: every frame (not just the
+    // sampled ones) decodes to the planted per-frame block formula
+    val m = Multimodal.videosWithDecodableFrames(spark, sf0001).head()
+    val frames = MediaHeaders.mjpegFrames(m.data)
+    assert(frames.nonEmpty)
+    frames.zipWithIndex.foreach { case (f, j) =>
+      val Some((w, _, px)) = JpegCodec.decode(f)
+      val wi = w.toInt
+      px.zipWithIndex.foreach { case (v, i) =>
+        val expect =
+          ((m.media_id * 7 + ((j % 4) / 2) * 11 + (i / wi / 8) * 13 + (i % wi / 8) * 31) % 256).toInt
+        assert(v === expect, s"frame $j pixel $i")
+      }
+    }
+  }
+
+  test("JpegCodec.encode rejects dims beyond the 16-bit SOF0 fields instead of " +
+    "silently truncating them into a misparsing header") {
+    import graft.multimodal.JpegCodec
+    intercept[IllegalArgumentException] {
+      JpegCodec.encode(65536, 1, new Array[Int](65536))
+    }
+    intercept[IllegalArgumentException] {
+      JpegCodec.encode(1, 65536, new Array[Int](65536))
+    }
+  }
 }

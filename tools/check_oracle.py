@@ -45,8 +45,11 @@ CANON_NAN = np.uint64(0x7FF8000000000000)
 NEG_ZERO = np.uint64(0x8000000000000000)
 
 def bits(s: pd.Series) -> np.ndarray:
-    """Float64 column as uint64 bit patterns, NaNs canonicalized."""
-    a = s.to_numpy(dtype="f8")
+    """Float64 column as uint64 bit patterns, NaNs canonicalized.
+    Non-float input (e.g. Int64 when one engine materialized ints where
+    the other made doubles) is coerced through float64 first so a
+    mixed-dtype column pair still compares at bit fidelity."""
+    a = s.astype("float64").to_numpy(dtype="f8")
     b = a.view("u8").copy()
     b[np.isnan(a)] = CANON_NAN
     return b
@@ -86,9 +89,12 @@ for name, sql in sorted(oracle.items()):
         fails.append(name)
         continue
     # Cell compare: float64 as bit patterns, everything else by value.
+    # If EITHER side is float the pair is compared as bits — a silent
+    # fallback to value equality on an int64-vs-float64 pair would
+    # reopen the representation blind spot (ADVICE r14).
     mismatch = []
     for c in expected.columns:
-        if is_float(expected[c]) and is_float(got[c]):
+        if is_float(expected[c]) or is_float(got[c]):
             neq = bits(expected[c]) != bits(got[c])
             mismatch += [(int(i), c) for i in np.nonzero(neq)[0]]
         else:
@@ -101,7 +107,7 @@ for name, sql in sorted(oracle.items()):
         for r, c in mismatch[:10]:
             ev, gv = expected.at[r, c], got.at[r, c]
             hexes = ""
-            if is_float(expected[c]):
+            if is_float(expected[c]) or is_float(got[c]):
                 hexes = (f"  [oracle 0x{int(bits(expected[c])[r]):016x}"
                          f" spark 0x{int(bits(got[c])[r]):016x}]")
             print(f"  row {r} col {c}: oracle={ev!r} spark={gv!r}{hexes}")
