@@ -548,6 +548,60 @@ object SparkSqlTwins {
         |       round(ss / n - (s / n) * (s / n), 4) AS var_lum
         |FROM a""".stripMargin,
 
+    "q166_color_pixels" ->
+      """WITH im AS (SELECT doc_id, CAST((n_chars % 3 + 2) * 8 AS BIGINT) AS w,
+        |                   CAST((n_chars % 2 + 2) * 8 AS BIGINT) AS h,
+        |                   doc_id div 4 AS gid,
+        |                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS container
+        |            FROM documents),
+        |bl AS (SELECT im.doc_id, im.w, im.h, im.container, cc.g AS c,
+        |              CAST((im.gid * 7 + cc.g * 97 + yy.g * 13 + xx.g * 31) % 256
+        |                   AS BIGINT) AS v
+        |       FROM im,
+        |            (SELECT explode(sequence(0, 2)) AS g) cc,
+        |            (SELECT explode(sequence(0, 2)) AS g) yy,
+        |            (SELECT explode(sequence(0, 3)) AS g) xx
+        |       WHERE yy.g < im.h div 8 AND xx.g < im.w div 8),
+        |a AS (SELECT doc_id, w, h, container, c, CAST(sum(v) * 64 AS DOUBLE) AS s,
+        |             CAST(sum(v * v) * 64 AS DOUBLE) AS ss, count(*) * 64 AS n
+        |      FROM bl GROUP BY doc_id, w, h, container, c),
+        |m AS (SELECT doc_id, w, h, container, c, round(s / n, 4) AS mc,
+        |             round(ss / n - (s / n) * (s / n), 4) AS vc FROM a)
+        |SELECT doc_id AS media_id, container, w AS width, h AS height,
+        |  max(CASE WHEN c = 0 THEN mc END) AS mean_r,
+        |  max(CASE WHEN c = 1 THEN mc END) AS mean_g,
+        |  max(CASE WHEN c = 2 THEN mc END) AS mean_b,
+        |  max(CASE WHEN c = 0 THEN vc END) AS var_r,
+        |  max(CASE WHEN c = 1 THEN vc END) AS var_g,
+        |  max(CASE WHEN c = 2 THEN vc END) AS var_b
+        |FROM m GROUP BY doc_id, container, w, h""".stripMargin,
+
+    "q167_color_cross_dups" ->
+      """WITH im AS (SELECT doc_id, CAST((n_chars % 3 + 2) * 8 AS BIGINT) AS w,
+        |                   CAST((n_chars % 2 + 2) * 8 AS BIGINT) AS h,
+        |                   doc_id div 4 AS gid,
+        |                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS container
+        |            FROM documents),
+        |px AS (SELECT im.doc_id, im.w, im.h, im.container, yy.g AS y, xx.g AS x,
+        |              cc.g AS c,
+        |              CAST((im.gid * 7 + cc.g * 97 + (yy.g div 8) * 13 + (xx.g div 8) * 31)
+        |                   % 256 AS BIGINT) AS v
+        |       FROM im,
+        |            (SELECT explode(sequence(0, 23)) AS g) yy,
+        |            (SELECT explode(sequence(0, 31)) AS g) xx,
+        |            (SELECT explode(sequence(0, 2)) AS g) cc
+        |       WHERE yy.g < im.h AND xx.g < im.w),
+        |fp AS (SELECT doc_id AS media_id, container, w, h,
+        |              md5(concat(CAST(w AS STRING), 'x', CAST(h AS STRING), ':',
+        |                  array_join(transform(array_sort(collect_list(struct(y, x, c, v))),
+        |                                       s -> CAST(s.v AS STRING)), ','))) AS f
+        |       FROM px GROUP BY doc_id, container, w, h)
+        |SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+        |       a.container AS container_a, b.container AS container_b,
+        |       a.w AS width, a.h AS height
+        |FROM fp a JOIN fp b ON b.f = a.f AND a.media_id < b.media_id
+        |WHERE a.container <> b.container""".stripMargin,
+
     "q128_hybrid_rrf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),

@@ -1,10 +1,11 @@
 package graft.multimodal
 
-/** Pure-JVM BASELINE JPEG codec for 8-bit grayscale (one component) —
-  * the pixel-level JPEG path that completes [[MediaHeaders]]' decode
-  * depth (PNG pixels were already real; JPEG stopped at the SOF0
-  * header). Everything here is plain ITU T.81 byte/bit arithmetic:
-  * no codec library, binary never crosses a shuffle.
+/** Pure-JVM BASELINE JPEG codec for 8-bit images with 1–3 components
+  * at 4:4:4 (grayscale and full-resolution color in one interleaved
+  * scan) — the pixel-level JPEG path that completes [[MediaHeaders]]'
+  * decode depth (PNG pixels were already real; JPEG stopped at the
+  * SOF0 header). Everything here is plain ITU T.81 byte/bit
+  * arithmetic: no codec library, binary never crosses a shuffle.
   *
   * Encoder ([[encode]]): level shift → per-8×8 forward DCT (double
   * precision) → quantize → zigzag → canonical-Huffman entropy coding
@@ -124,25 +125,46 @@ object JpegCodec {
   /** Encode `pixels` (row-major, values masked to 0–255) as a baseline
     * grayscale JPEG. Runs per-row inside a task: O(w·h) with a 64×64
     * multiply per block — scan-speed work, no shuffle ever sees it. */
-  def encode(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
-    require(width > 0 && height > 0 && pixels.length == width * height,
-      s"JpegCodec.encode: ${pixels.length} pixels for ${width}x$height")
+  def encode(width: Int, height: Int, pixels: Array[Int]): Array[Byte] =
+    encodeInterleaved(width, height, 1, pixels)
+
+  /** Encode `samples` (pixel-major interleaved: component c of the
+    * pixel at (x, y) is samples((y·width + x)·ncomp + c)) as a baseline
+    * JPEG with `ncomp` components at 4:4:4 (every sampling factor 1×1)
+    * in ONE interleaved scan — each MCU is one 8×8 block per component
+    * in component order, and each component carries its own DC
+    * predictor (T.81 A.2.3). ncomp = 1 is the grayscale profile;
+    * ncomp = 3 is how a color image ships. The codec stores the three
+    * planes verbatim (no RGB↔YCbCr transform — that integer-rounding
+    * step is the caller's choice), so the per-channel block-constant
+    * exactness contract holds for color exactly as q163 proved it for
+    * gray. Runs per-row inside a task: O(w·h·ncomp) — scan-speed work,
+    * no shuffle ever sees it. */
+  def encodeInterleaved(width: Int, height: Int, ncomp: Int,
+      samples: Array[Int]): Array[Byte] = {
+    require(ncomp >= 1 && ncomp <= 3,
+      s"JpegCodec.encodeInterleaved: $ncomp components")
+    require(width > 0 && height > 0 && samples.length == width * height * ncomp,
+      s"JpegCodec.encodeInterleaved: ${samples.length} samples for " +
+        s"${width}x$height x$ncomp")
     // SOF0 stores dimensions in 16-bit fields; larger values would
     // silently truncate into a structurally valid JPEG with wrong dims
     require(width <= 65535 && height <= 65535,
-      s"JpegCodec.encode: ${width}x$height exceeds the 16-bit SOF0 limit")
-    val out = new java.io.ByteArrayOutputStream(pixels.length / 2 + 512)
+      s"JpegCodec.encodeInterleaved: ${width}x$height exceeds the 16-bit SOF0 limit")
+    val out = new java.io.ByteArrayOutputStream(samples.length / 2 + 512)
     out.write(0xFF); out.write(0xD8) // SOI
-    // DQT: Pq=0 (8-bit) Tq=0, values in zigzag order
+    // DQT: Pq=0 (8-bit) Tq=0, values in zigzag order (shared by all comps)
     seg(out, 0xDB, (Array(0x00) ++ Zigzag.map(QTable(_))).map(_.toByte))
-    // SOF0: precision 8, 1 component (id 1, sampling 1x1, qtable 0)
-    seg(out, 0xC0, Array(8, (height >> 8) & 0xFF, height & 0xFF,
-      (width >> 8) & 0xFF, width & 0xFF, 1, 1, 0x11, 0).map(_.toByte))
-    // DHT: DC class 0 id 0, then AC class 1 id 0
+    // SOF0: precision 8; ncomp components (ids 1..n, sampling 1x1, qtable 0)
+    seg(out, 0xC0, (Array(8, (height >> 8) & 0xFF, height & 0xFF,
+      (width >> 8) & 0xFF, width & 0xFF, ncomp) ++
+      (1 to ncomp).flatMap(c => Array(c, 0x11, 0))).map(_.toByte))
+    // DHT: DC class 0 id 0, then AC class 1 id 0 (shared by all comps)
     seg(out, 0xC4, ((Array(0x00) ++ DcBits.drop(1) ++ DcVals) ++
       (Array(0x10) ++ AcBits.drop(1) ++ AcVals)).map(_.toByte))
-    // SOS: 1 component (id 1, DC table 0 / AC table 0), Ss=0 Se=63 Ah/Al=0
-    seg(out, 0xDA, Array(1, 1, 0x00, 0, 63, 0).map(_.toByte))
+    // SOS: every component (DC table 0 / AC table 0), Ss=0 Se=63 Ah/Al=0
+    seg(out, 0xDA, (Array(ncomp) ++ (1 to ncomp).flatMap(c => Array(c, 0x00)) ++
+      Array(0, 63, 0)).map(_.toByte))
 
     val dcCodes = canonicalCodes(DcBits, DcVals)
     val acCodes = canonicalCodes(AcBits, AcVals)
@@ -154,64 +176,68 @@ object JpegCodec {
     val wBlocks = (width + 7) / 8
     val hBlocks = (height + 7) / 8
     val coef = new Array[Int](64)
-    var pred = 0
+    val pred = new Array[Int](ncomp)
     var by = 0
     while (by < hBlocks) {
       var bx = 0
       while (bx < wBlocks) {
-        // forward DCT of the level-shifted block (edge-replicated pad)
-        var u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            var s = 0.0
-            var y = 0
-            while (y < 8) {
-              val py = math.min(by * 8 + y, height - 1)
-              var x = 0
-              while (x < 8) {
-                val px = math.min(bx * 8 + x, width - 1)
-                s += ((pixels(py * width + px) & 0xFF) - 128) *
-                  cos(x, v) * cos(y, u)
-                x += 1
+        var ci = 0
+        while (ci < ncomp) {
+          // forward DCT of the level-shifted block (edge-replicated pad)
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              var s = 0.0
+              var y = 0
+              while (y < 8) {
+                val py = math.min(by * 8 + y, height - 1)
+                var x = 0
+                while (x < 8) {
+                  val px = math.min(bx * 8 + x, width - 1)
+                  s += ((samples((py * width + px) * ncomp + ci) & 0xFF) - 128) *
+                    cos(x, v) * cos(y, u)
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              val q = QTable(u * 8 + v)
+              coef(u * 8 + v) = math.round(0.25 * cNorm(u) * cNorm(v) * s / q).toInt
+              v += 1
             }
-            val q = QTable(u * 8 + v)
-            coef(u * 8 + v) = math.round(0.25 * cNorm(u) * cNorm(v) * s / q).toInt
-            v += 1
+            u += 1
           }
-          u += 1
-        }
-        // DC: category + offset bits of the prediction difference
-        val diff = coef(0) - pred
-        pred = coef(0)
-        val dcCat = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
-        val (dcCode, dcLen) = dcCodes(dcCat)
-        bw.put(dcCode, dcLen)
-        if (dcCat > 0)
-          bw.put(if (diff >= 0) diff else diff + (1 << dcCat) - 1, dcCat)
-        // AC: run/size with ZRL and EOB, over the zigzag scan
-        var lastNz = 63
-        while (lastNz >= 1 && coef(Zigzag(lastNz)) == 0) lastNz -= 1
-        var run = 0
-        var k = 1
-        while (k <= lastNz) {
-          val c = coef(Zigzag(k))
-          if (c == 0) run += 1
-          else {
-            while (run >= 16) {
-              val (z, zl) = acCodes(acIndex(0xF0)); bw.put(z, zl); run -= 16
+          // DC: category + offset bits of the prediction difference
+          val diff = coef(0) - pred(ci)
+          pred(ci) = coef(0)
+          val dcCat = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+          val (dcCode, dcLen) = dcCodes(dcCat)
+          bw.put(dcCode, dcLen)
+          if (dcCat > 0)
+            bw.put(if (diff >= 0) diff else diff + (1 << dcCat) - 1, dcCat)
+          // AC: run/size with ZRL and EOB, over the zigzag scan
+          var lastNz = 63
+          while (lastNz >= 1 && coef(Zigzag(lastNz)) == 0) lastNz -= 1
+          var run = 0
+          var k = 1
+          while (k <= lastNz) {
+            val c = coef(Zigzag(k))
+            if (c == 0) run += 1
+            else {
+              while (run >= 16) {
+                val (z, zl) = acCodes(acIndex(0xF0)); bw.put(z, zl); run -= 16
+              }
+              val size = 32 - Integer.numberOfLeadingZeros(math.abs(c))
+              val (code, len) = acCodes(acIndex((run << 4) | size))
+              bw.put(code, len)
+              bw.put(if (c >= 0) c else c + (1 << size) - 1, size)
+              run = 0
             }
-            val size = 32 - Integer.numberOfLeadingZeros(math.abs(c))
-            val (code, len) = acCodes(acIndex((run << 4) | size))
-            bw.put(code, len)
-            bw.put(if (c >= 0) c else c + (1 << size) - 1, size)
-            run = 0
+            k += 1
           }
-          k += 1
+          if (lastNz < 63) { val (e, el) = acCodes(acIndex(0x00)); bw.put(e, el) }
+          ci += 1
         }
-        if (lastNz < 63) { val (e, el) = acCodes(acIndex(0x00)); bw.put(e, el) }
         bx += 1
       }
       by += 1
@@ -303,9 +329,25 @@ object JpegCodec {
     if (size == 0) 0 else if (v < (1 << (size - 1))) v - (1 << size) + 1 else v
 
   /** Decode a baseline grayscale JPEG to (width, height, pixels
-    * row-major), or None for anything this profile doesn't cover. All
-    * tables come from the stream's own DQT/DHT segments. */
-  def decode(d: Array[Byte]): Option[(Long, Long, Array[Int])] = {
+    * row-major), or None for anything outside the 1-component profile
+    * (color frames decode via [[decodeInterleaved]]). */
+  def decode(d: Array[Byte]): Option[(Long, Long, Array[Int])] =
+    decodeInterleaved(d) match {
+      case Some((w, h, 1, px)) => Some((w, h, px))
+      case _ => None
+    }
+
+  /** Decode a baseline JPEG with 1–3 components at 4:4:4 in one
+    * interleaved scan to (width, height, ncomp, samples pixel-major
+    * interleaved), or None for anything this profile doesn't cover —
+    * subsampled chroma, progressive/arithmetic frames, truncated
+    * streams, corrupt tables: never a throw; one bad blob must not
+    * kill a 100 TB scan. All tables come from the stream's own DQT/DHT
+    * segments (T.81 F.2.2.3 — any conforming table works, nothing is
+    * hard-coded to this encoder); the scan may list components in any
+    * order (mapped back by component id); DRI/RSTn restart intervals
+    * count MCUs per T.81. */
+  def decodeInterleaved(d: Array[Byte]): Option[(Long, Long, Int, Array[Int])] = {
     if (d.length < 4 || (d(0) & 0xFF) != 0xFF || (d(1) & 0xFF) != 0xD8) return None
     def be16(i: Int): Int = ((d(i) & 0xFF) << 8) | (d(i + 1) & 0xFF)
 
@@ -314,11 +356,13 @@ object JpegCodec {
     val acTables = new Array[HuffTable](4)
     var w = -1
     var h = -1
-    var qId = -1
+    var nc = -1
+    val compIds = new Array[Int](3)
+    val compQ = new Array[Int](3)
+    val compDc = new Array[Int](3)
+    val compAc = new Array[Int](3)
     var restartInterval = 0
     var scanStart = -1
-    var dcId = -1
-    var acId = -1
 
     var i = 2
     while (scanStart < 0) {
@@ -358,21 +402,39 @@ object JpegCodec {
               if (tc == 0) dcTables(th) = t else acTables(th) = t
               p += 17 + n
             }
-          case 0xC0 => // SOF0 baseline; this profile: 8-bit, 1 component
-            if (len < 11 || (d(body) & 0xFF) != 8) return None
+          case 0xC0 => // SOF0 baseline; this profile: 8-bit, 1-3 comps 4:4:4
+            if (len < 8 || (d(body) & 0xFF) != 8) return None
             h = be16(body + 1)
             w = be16(body + 3)
-            if ((d(body + 5) & 0xFF) != 1) return None // grayscale only
-            qId = d(body + 8) & 0x0F
+            nc = d(body + 5) & 0xFF
+            if (nc < 1 || nc > 3 || len < 8 + 3 * nc) return None
+            var c = 0
+            while (c < nc) {
+              compIds(c) = d(body + 6 + 3 * c) & 0xFF
+              if ((d(body + 7 + 3 * c) & 0xFF) != 0x11) return None // 4:4:4 only
+              compQ(c) = d(body + 8 + 3 * c) & 0x0F
+              c += 1
+            }
           case m if m >= 0xC1 && m <= 0xCF && m != 0xC4 && m != 0xC8 =>
             return None // progressive/arithmetic/other frame types
           case 0xDD => // DRI
             if (len < 4) return None
             restartInterval = be16(body)
-          case 0xDA => // SOS: 1 component, then entropy data
-            if (len < 8 || (d(body) & 0xFF) != 1) return None
-            dcId = (d(body + 2) & 0xF0) >> 4
-            acId = d(body + 2) & 0x0F
+          case 0xDA => // SOS: all frame components, then entropy data
+            if (nc < 0) return None
+            val ns = d(body) & 0xFF
+            if (ns != nc || len < 6 + 2 * ns) return None
+            var c = 0
+            while (c < ns) {
+              val id = d(body + 1 + 2 * c) & 0xFF
+              var ci = -1
+              var j = 0
+              while (j < nc) { if (compIds(j) == id && ci < 0) ci = j; j += 1 }
+              if (ci < 0) return None
+              compDc(ci) = (d(body + 2 + 2 * c) & 0xF0) >> 4
+              compAc(ci) = d(body + 2 + 2 * c) & 0x0F
+              c += 1
+            }
             scanStart = i + 2 + len
           case 0xD9 => return None // EOI before any scan
           case _ => () // APPn/COM/etc: skip
@@ -380,82 +442,91 @@ object JpegCodec {
         i += 2 + len
       }
     }
-    if (w <= 0 || h <= 0 || qId < 0 || qTables(qId) == null ||
-      dcTables(dcId) == null || acTables(acId) == null) return None
+    if (w <= 0 || h <= 0) return None
+    var cv = 0
+    while (cv < nc) {
+      if (qTables(compQ(cv)) == null || dcTables(compDc(cv)) == null ||
+        acTables(compAc(cv)) == null) return None
+      cv += 1
+    }
 
-    val q = qTables(qId)
-    val dc = dcTables(dcId)
-    val ac = acTables(acId)
     val wBlocks = (w + 7) / 8
     val hBlocks = (h + 7) / 8
-    val px = new Array[Int](w * h)
+    val px = new Array[Int](w * h * nc)
     val coef = new Array[Int](64)
     val br = new BitReader(d, scanStart)
-    var pred = 0
-    var blockIdx = 0
+    val pred = new Array[Int](nc)
+    var mcuIdx = 0
     var by = 0
     while (by < hBlocks) {
       var bx = 0
       while (bx < wBlocks) {
-        if (restartInterval > 0 && blockIdx > 0 && blockIdx % restartInterval == 0) {
+        if (restartInterval > 0 && mcuIdx > 0 && mcuIdx % restartInterval == 0) {
           if (!br.restart()) return None
-          pred = 0
+          java.util.Arrays.fill(pred, 0)
         }
-        java.util.Arrays.fill(coef, 0)
-        val dcCat = br.decodeHuff(dc)
-        if (dcCat < 0 || dcCat > 11) return None
-        val dcBits = br.bitsValue(dcCat)
-        if (dcBits < 0) return None
-        pred += extend(dcBits, dcCat)
-        coef(0) = pred * q(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = br.decodeHuff(ac)
-          if (rs < 0) return None
-          if (rs == 0x00) eob = true
-          else if (rs == 0xF0) k += 16
-          else {
-            k += (rs >> 4)
-            val size = rs & 0x0F
-            if (k > 63) return None
-            val raw = br.bitsValue(size)
-            if (raw < 0) return None
-            coef(Zigzag(k)) = extend(raw, size) * q(Zigzag(k))
-            k += 1
-          }
-        }
-        // IDCT + level shift + clamp, cropped to the true dimensions
-        var y = 0
-        while (y < 8) {
-          val py = by * 8 + y
-          var x = 0
-          while (x < 8) {
-            val pxx = bx * 8 + x
-            if (py < h && pxx < w) {
-              var s = 0.0
-              var u = 0
-              while (u < 8) {
-                var v = 0
-                while (v < 8) {
-                  val c = coef(u * 8 + v)
-                  if (c != 0) s += cNorm(u) * cNorm(v) * c * cos(x, v) * cos(y, u)
-                  v += 1
-                }
-                u += 1
-              }
-              val out = math.round(0.25 * s).toInt + 128
-              px(py * w + pxx) = math.max(0, math.min(255, out))
+        var ci = 0
+        while (ci < nc) {
+          val q = qTables(compQ(ci))
+          val dc = dcTables(compDc(ci))
+          val ac = acTables(compAc(ci))
+          java.util.Arrays.fill(coef, 0)
+          val dcCat = br.decodeHuff(dc)
+          if (dcCat < 0 || dcCat > 11) return None
+          val dcBits = br.bitsValue(dcCat)
+          if (dcBits < 0) return None
+          pred(ci) += extend(dcBits, dcCat)
+          coef(0) = pred(ci) * q(0)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = br.decodeHuff(ac)
+            if (rs < 0) return None
+            if (rs == 0x00) eob = true
+            else if (rs == 0xF0) k += 16
+            else {
+              k += (rs >> 4)
+              val size = rs & 0x0F
+              if (k > 63) return None
+              val raw = br.bitsValue(size)
+              if (raw < 0) return None
+              coef(Zigzag(k)) = extend(raw, size) * q(Zigzag(k))
+              k += 1
             }
-            x += 1
           }
-          y += 1
+          // IDCT + level shift + clamp, cropped to the true dimensions
+          var y = 0
+          while (y < 8) {
+            val py = by * 8 + y
+            var x = 0
+            while (x < 8) {
+              val pxx = bx * 8 + x
+              if (py < h && pxx < w) {
+                var s = 0.0
+                var u = 0
+                while (u < 8) {
+                  var v = 0
+                  while (v < 8) {
+                    val c = coef(u * 8 + v)
+                    if (c != 0) s += cNorm(u) * cNorm(v) * c * cos(x, v) * cos(y, u)
+                    v += 1
+                  }
+                  u += 1
+                }
+                val out = math.round(0.25 * s).toInt + 128
+                px((py * w + pxx) * nc + ci) = math.max(0, math.min(255, out))
+              }
+              x += 1
+            }
+            y += 1
+          }
+          ci += 1
         }
-        blockIdx += 1
+        mcuIdx += 1
         bx += 1
       }
       by += 1
     }
-    Some((w.toLong, h.toLong, px))
+    Some((w.toLong, h.toLong, nc, px))
   }
 }

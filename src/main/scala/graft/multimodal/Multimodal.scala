@@ -219,26 +219,32 @@ object MediaHeaders {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** REAL pixel-level PNG writer: grayscale 8-bit (color type 0), each
-    * scanline filtered per the PNG spec with filter type `y % 5` — so a
-    * written image exercises None/Sub/Up/Average/Paeth — and the
-    * filtered stream zlib-DEFLATED into IDAT (java.util.zip.Deflater;
-    * PNG's IDAT *is* a zlib stream, no codec library involved). Any
-    * conforming PNG reader decodes these; [[pngPixels]] is the inverse. */
-  def pngPixelBytes(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
-    require(width > 0 && height > 0 && pixels.length == width * height,
-      s"pngPixelBytes: ${pixels.length} pixels for ${width}x$height")
-    val raw = new Array[Byte]((width + 1) * height)
+  /** REAL pixel-level PNG writer: 8-bit grayscale (color type 0) or
+    * 8-bit RGB truecolor (color type 2), each scanline filtered per the
+    * PNG spec with filter type `y % 5` — so a written image exercises
+    * None/Sub/Up/Average/Paeth — and the filtered stream zlib-DEFLATED
+    * into IDAT (java.util.zip.Deflater; PNG's IDAT *is* a zlib stream,
+    * no codec library involved). Any conforming PNG reader decodes
+    * these; [[pngSamples]] is the inverse. Per the spec, filters
+    * operate BYTEWISE with the left neighbor `bpp` bytes back — which
+    * is what makes one code path serve both color types. */
+  private def pngSampleBytes(width: Int, height: Int, nc: Int,
+      samples: Array[Int]): Array[Byte] = {
+    require(nc == 1 || nc == 3, s"pngSampleBytes: $nc samples/pixel")
+    require(width > 0 && height > 0 && samples.length == width * height * nc,
+      s"pngSampleBytes: ${samples.length} samples for ${width}x$height x$nc")
+    val rowBytes = width * nc
+    val raw = new Array[Byte]((rowBytes + 1) * height)
     var y = 0
     while (y < height) {
       val f = y % 5
-      raw(y * (width + 1)) = f.toByte
-      var x = 0
-      while (x < width) {
-        val orig = pixels(y * width + x) & 0xff
-        val left = if (x > 0) pixels(y * width + x - 1) & 0xff else 0
-        val up = if (y > 0) pixels((y - 1) * width + x) & 0xff else 0
-        val ul = if (x > 0 && y > 0) pixels((y - 1) * width + x - 1) & 0xff else 0
+      raw(y * (rowBytes + 1)) = f.toByte
+      var bx = 0
+      while (bx < rowBytes) {
+        val orig = samples(y * rowBytes + bx) & 0xff
+        val left = if (bx >= nc) samples(y * rowBytes + bx - nc) & 0xff else 0
+        val up = if (y > 0) samples((y - 1) * rowBytes + bx) & 0xff else 0
+        val ul = if (bx >= nc && y > 0) samples((y - 1) * rowBytes + bx - nc) & 0xff else 0
         val pred = f match {
           case 0 => 0
           case 1 => left
@@ -246,8 +252,8 @@ object MediaHeaders {
           case 3 => (left + up) / 2
           case _ => paeth(left, up, ul)
         }
-        raw(y * (width + 1) + 1 + x) = ((orig - pred) & 0xff).toByte
-        x += 1
+        raw(y * (rowBytes + 1) + 1 + bx) = ((orig - pred) & 0xff).toByte
+        bx += 1
       }
       y += 1
     }
@@ -258,21 +264,45 @@ object MediaHeaders {
     val buf = new Array[Byte](8192)
     while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
     deflater.end()
+    val colorType = if (nc == 3) 2 else 0
     val ihdr = ByteBuffer.allocate(13).putInt(width).putInt(height)
-      .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).array()
     PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", out.toByteArray) ++
       pngChunk("IEND", Array.empty)
   }
 
-  /** REAL pixel-level PNG decode for 8-bit grayscale: walk the chunk
-    * list (IDAT may be split across chunks — all bodies concatenate into
-    * one zlib stream), INFLATE it, and reverse each scanline's filter
-    * (all five types, reconstructing against already-decoded neighbors
-    * as the spec requires). Returns (width, height, pixels row-major),
-    * or None for anything unparseable — other color types / bit depths,
-    * truncated or corrupt streams — never a throw: one bad blob must
-    * not kill a 100 TB scan. */
-  def pngPixels(d: Array[Byte]): Option[(Long, Long, Array[Int])] = {
+  /** 8-bit grayscale PNG writer (color type 0). */
+  def pngPixelBytes(width: Int, height: Int, pixels: Array[Int]): Array[Byte] =
+    pngSampleBytes(width, height, 1, pixels)
+
+  /** 8-bit RGB truecolor PNG writer (color type 2); `samples` is
+    * pixel-major interleaved R,G,B — the same layout
+    * [[graft.multimodal.JpegCodec.encodeInterleaved]] takes, so a color
+    * fixture feeds both containers from one array. */
+  def pngPixelBytesRgb(width: Int, height: Int, samples: Array[Int]): Array[Byte] =
+    pngSampleBytes(width, height, 3, samples)
+
+  /** REAL pixel-level PNG decode for 8-bit grayscale: [[pngSamples]]
+    * narrowed to color type 0. Returns (width, height, pixels
+    * row-major), or None — color PNGs decode via [[pngSamples]]. */
+  def pngPixels(d: Array[Byte]): Option[(Long, Long, Array[Int])] =
+    pngSamples(d) match {
+      case Some((w, h, 1, px)) => Some((w, h, px))
+      case _ => None
+    }
+
+  /** REAL pixel-level PNG decode for 8-bit grayscale (color type 0)
+    * and 8-bit RGB truecolor (color type 2): walk the chunk list (IDAT
+    * may be split across chunks — all bodies concatenate into one zlib
+    * stream), INFLATE it, and reverse each scanline's filter (all five
+    * types, BYTEWISE with the left neighbor `bpp` bytes back,
+    * reconstructing against already-decoded neighbors as the spec
+    * requires). Returns (width, height, samples-per-pixel, samples
+    * pixel-major interleaved), or None for anything unparseable —
+    * other color types / bit depths, truncated or corrupt streams —
+    * never a throw: one bad blob must not kill a 100 TB scan. */
+  def pngSamples(d: Array[Byte]): Option[(Long, Long, Int, Array[Int])] = {
     if (d.length < 45 || !d.startsWith(PngSig)) return None
     var i = 8
     var w = -1
@@ -296,9 +326,12 @@ object MediaHeaders {
       }
       i += 12 + len // length + type + body + crc
     }
-    if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 0 || idat.size() == 0)
+    if (w <= 0 || h <= 0 || bitDepth != 8 ||
+      (colorType != 0 && colorType != 2) || idat.size() == 0)
       return None
-    val raw = new Array[Byte]((w + 1) * h)
+    val nc = if (colorType == 2) 3 else 1
+    val rowBytes = w * nc
+    val raw = new Array[Byte]((rowBytes + 1) * h)
     val inflater = new java.util.zip.Inflater()
     try {
       inflater.setInput(idat.toByteArray)
@@ -312,17 +345,17 @@ object MediaHeaders {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inflater.end()
-    val px = new Array[Int](w * h)
+    val px = new Array[Int](w * h * nc)
     var y = 0
     while (y < h) {
-      val f = raw(y * (w + 1)) & 0xff
+      val f = raw(y * (rowBytes + 1)) & 0xff
       if (f > 4) return None
-      var x = 0
-      while (x < w) {
-        val filt = raw(y * (w + 1) + 1 + x) & 0xff
-        val left = if (x > 0) px(y * w + x - 1) else 0
-        val up = if (y > 0) px((y - 1) * w + x) else 0
-        val ul = if (x > 0 && y > 0) px((y - 1) * w + x - 1) else 0
+      var bx = 0
+      while (bx < rowBytes) {
+        val filt = raw(y * (rowBytes + 1) + 1 + bx) & 0xff
+        val left = if (bx >= nc) px(y * rowBytes + bx - nc) else 0
+        val up = if (y > 0) px((y - 1) * rowBytes + bx) else 0
+        val ul = if (bx >= nc && y > 0) px((y - 1) * rowBytes + bx - nc) else 0
         val pred = f match {
           case 0 => 0
           case 1 => left
@@ -330,12 +363,12 @@ object MediaHeaders {
           case 3 => (left + up) / 2
           case _ => paeth(left, up, ul)
         }
-        px(y * w + x) = (filt + pred) & 0xff
-        x += 1
+        px(y * rowBytes + bx) = (filt + pred) & 0xff
+        bx += 1
       }
       y += 1
     }
-    Some((w.toLong, h.toLong, px))
+    Some((w.toLong, h.toLong, nc, px))
   }
 
   /** MJPEG "container": a motion-JPEG stream IS concatenated JPEG frames
@@ -1288,6 +1321,169 @@ object Multimodal {
       |       round(ss / n - (s / n) * (s / n), 4) AS var_lum
       |FROM a""".stripMargin
 
+  /** A mixed-container COLOR image corpus with planted cross-container
+    * dups: every doc gets a 3-channel block-constant image — channel c
+    * of block (bx, by) is constant (gid·7 + c·97 + by·13 + bx·31) mod
+    * 256 with gid = doc_id / 4 (q164's quad keying) — stored as RGB
+    * truecolor PNG for even doc_ids and as a 3-component 4:4:4
+    * baseline JPEG for odd ones. One interleaved sample array feeds
+    * both writers ([[MediaHeaders.pngPixelBytesRgb]] /
+    * [[JpegCodec.encodeInterleaved]]), and per-channel block-constant
+    * is the shape the lossy codec inverts exactly, so the color corpus
+    * is as oracle-gateable as the grayscale one. */
+  def mixedContainerColorImages(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+    import s.implicits._
+    Tables(s, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (docId, nChars) =>
+        val w = ((nChars % 3 + 2) * 8).toInt
+        val h = ((nChars % 2 + 2) * 8).toInt
+        val gid = docId / 4
+        val px = Array.tabulate(w * h * 3) { i =>
+          val p = i / 3
+          val c = i % 3
+          ((gid * 7 + c * 97 + (p / w / 8) * 13 + (p % w / 8) * 31) % 256).toInt
+        }
+        if (docId % 2 == 0)
+          MediaPayload(docId, "image", MediaHeaders.pngPixelBytesRgb(w, h, px))
+        else
+          MediaPayload(docId, "image", JpegCodec.encodeInterleaved(w, h, 3, px))
+      }
+  }
+
+  /** q166: COLOR pixel decode — per-CHANNEL moments over the mixed
+    * PNG/JPEG color corpus, the query that lifts the decode story from
+    * "grayscale corpus" to "image corpus". Payloads are
+    * container-sniffed and decoded by the matching real color path
+    * ([[MediaHeaders.pngSamples]] color type 2 /
+    * [[JpegCodec.decodeInterleaved]] 3-comp 4:4:4); per-channel mean
+    * and variance come from exact integer sums over the interleaved
+    * samples (each channel's sums < 2¹⁸ stay exact doubles, divided in
+    * q163's expression order before the shared round(·, 4)). A hash
+    * match proves BOTH color codecs land every sample of every channel
+    * exactly. Per-row scan work; binary never crosses a shuffle. */
+  def q166ColorPixels(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mixedContainerColorImages(s, d).flatMap { m =>
+      val png = MediaHeaders.pngSamples(m.data)
+      png.orElse(JpegCodec.decodeInterleaved(m.data)).collect {
+        case (w, h, 3, px) =>
+          val sums = new Array[Long](3)
+          val sqs = new Array[Long](3)
+          var i = 0
+          while (i < px.length) {
+            val c = i % 3
+            sums(c) += px(i)
+            sqs(c) += px(i).toLong * px(i)
+            i += 1
+          }
+          val n = (w * h).toDouble
+          (m.media_id, if (png.nonEmpty) "png" else "jpeg", w, h,
+            sums(0) / n, sums(1) / n, sums(2) / n,
+            sqs(0) / n - (sums(0) / n) * (sums(0) / n),
+            sqs(1) / n - (sums(1) / n) * (sums(1) / n),
+            sqs(2) / n - (sums(2) / n) * (sums(2) / n))
+      }
+    }.toDF("media_id", "container", "width", "height",
+      "mean_r", "mean_g", "mean_b", "var_r", "var_g", "var_b")
+      .withColumn("mean_r", round(col("mean_r"), 4))
+      .withColumn("mean_g", round(col("mean_g"), 4))
+      .withColumn("mean_b", round(col("mean_b"), 4))
+      .withColumn("var_r", round(col("var_r"), 4))
+      .withColumn("var_g", round(col("var_g"), 4))
+      .withColumn("var_b", round(col("var_b"), 4))
+  }
+
+  /** Oracle twin of [[q166ColorPixels]]: regenerate the per-channel
+    * block formula over (channel, block) rows — each contributes 64
+    * samples of its constant value — compute each channel's moments in
+    * q163's exact expression order, and pivot the three channels wide. */
+  val q166Sql: String =
+    """WITH im AS (SELECT doc_id, CAST((n_chars % 3 + 2) * 8 AS BIGINT) AS w,
+      |                   CAST((n_chars % 2 + 2) * 8 AS BIGINT) AS h,
+      |                   doc_id // 4 AS gid,
+      |                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS container
+      |            FROM documents),
+      |bl AS (SELECT im.doc_id, im.w, im.h, im.container, cc.g AS c,
+      |              CAST((im.gid * 7 + cc.g * 97 + yy.g * 13 + xx.g * 31) % 256
+      |                   AS BIGINT) AS v
+      |       FROM im,
+      |            (SELECT unnest(generate_series(0, 2)) AS g) cc,
+      |            (SELECT unnest(generate_series(0, 2)) AS g) yy,
+      |            (SELECT unnest(generate_series(0, 3)) AS g) xx
+      |       WHERE yy.g < im.h // 8 AND xx.g < im.w // 8),
+      |a AS (SELECT doc_id, w, h, container, c, CAST(sum(v) * 64 AS DOUBLE) AS s,
+      |             CAST(sum(v * v) * 64 AS DOUBLE) AS ss, count(*) * 64 AS n
+      |      FROM bl GROUP BY doc_id, w, h, container, c),
+      |m AS (SELECT doc_id, w, h, container, c, round(s / n, 4) AS mc,
+      |             round(ss / n - (s / n) * (s / n), 4) AS vc FROM a)
+      |SELECT doc_id AS media_id, container, w AS width, h AS height,
+      |  max(CASE WHEN c = 0 THEN mc END) AS mean_r,
+      |  max(CASE WHEN c = 1 THEN mc END) AS mean_g,
+      |  max(CASE WHEN c = 2 THEN mc END) AS mean_b,
+      |  max(CASE WHEN c = 0 THEN vc END) AS var_r,
+      |  max(CASE WHEN c = 1 THEN vc END) AS var_g,
+      |  max(CASE WHEN c = 2 THEN vc END) AS var_b
+      |FROM m GROUP BY doc_id, container, w, h""".stripMargin
+
+  /** q167: q164's cross-container pixel dedup on the COLOR corpus —
+    * the same color image stored once as RGB PNG and once as a
+    * 3-component baseline JPEG shares no bytes but decodes to the same
+    * interleaved samples. Fingerprint = md5 over dims + the interleaved
+    * sample sequence (channel count is implied by the sequence length
+    * at fixed dims), materialized ONCE before the equi-join; only the
+    * 32-char fingerprint ever shuffles, never the binary — the q164
+    * scale shape, now covering color payloads. */
+  def q167ColorCrossDups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fps = mixedContainerColorImages(s, d).flatMap { m =>
+      val png = MediaHeaders.pngSamples(m.data)
+      png.orElse(JpegCodec.decodeInterleaved(m.data)).collect {
+        case (w, h, 3, px) =>
+          (m.media_id, if (png.nonEmpty) "png" else "jpeg", w, h, px.mkString(","))
+      }
+    }.toDF("media_id", "container", "width", "height", "pixels")
+      .select(col("media_id"), col("container"), col("width"), col("height"),
+        md5(concat(col("width").cast("string"), lit("x"),
+          col("height").cast("string"), lit(":"), col("pixels"))).as("fp"))
+      .localCheckpoint()
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.media_id") < col("b.media_id"))
+      .where(col("a.container") =!= col("b.container"))
+      .select(col("a.media_id").as("media_id_a"), col("b.media_id").as("media_id_b"),
+        col("a.container").as("container_a"), col("b.container").as("container_b"),
+        col("a.width").as("width"), col("a.height").as("height"))
+  }
+
+  /** Oracle twin of [[q167ColorCrossDups]]: regenerate every doc's
+    * interleaved sample sequence from the quad-keyed per-channel block
+    * formula (rows ordered y, x, c — the interleaved layout — and
+    * md5'd) and run the same fingerprint self-join. */
+  val q167Sql: String =
+    """WITH im AS (SELECT doc_id, CAST((n_chars % 3 + 2) * 8 AS BIGINT) AS w,
+      |                   CAST((n_chars % 2 + 2) * 8 AS BIGINT) AS h,
+      |                   doc_id // 4 AS gid,
+      |                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS container
+      |            FROM documents),
+      |px AS (SELECT im.doc_id, im.w, im.h, im.container, yy.g AS y, xx.g AS x,
+      |              cc.g AS c,
+      |              CAST((im.gid * 7 + cc.g * 97 + (yy.g // 8) * 13 + (xx.g // 8) * 31)
+      |                   % 256 AS BIGINT) AS v
+      |       FROM im,
+      |            (SELECT unnest(generate_series(0, 23)) AS g) yy,
+      |            (SELECT unnest(generate_series(0, 31)) AS g) xx,
+      |            (SELECT unnest(generate_series(0, 2)) AS g) cc
+      |       WHERE yy.g < im.h AND xx.g < im.w),
+      |fp AS (SELECT doc_id AS media_id, container, w, h,
+      |              md5(CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) || ':' ||
+      |                  string_agg(CAST(v AS VARCHAR), ',' ORDER BY y, x, c)) AS f
+      |       FROM px GROUP BY doc_id, container, w, h)
+      |SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+      |       a.container AS container_a, b.container AS container_b,
+      |       a.w AS width, a.h AS height
+      |FROM fp a JOIN fp b ON b.f = a.f AND a.media_id < b.media_id
+      |WHERE a.container <> b.container""".stripMargin
+
   /** Oracle twin of [[q133AudioEnergyGate]]: q123's PCM regeneration,
     * window RMS, corpus median, per-clip gate. */
   val q133Sql: String =
@@ -1318,7 +1514,9 @@ object Multimodal {
     "q133_audio_energy_gate" -> (q133AudioEnergyGate _),
     "q163_jpeg_pixels" -> (q163JpegPixels _),
     "q164_cross_container_dups" -> (q164CrossContainerDups _),
-    "q165_video_frame_pixels" -> (q165VideoFramePixels _))
+    "q165_video_frame_pixels" -> (q165VideoFramePixels _),
+    "q166_color_pixels" -> (q166ColorPixels _),
+    "q167_color_cross_dups" -> (q167ColorCrossDups _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_media_features" -> q37Sql,
@@ -1332,5 +1530,7 @@ object Multimodal {
     "q133_audio_energy_gate" -> q133Sql,
     "q163_jpeg_pixels" -> q163Sql,
     "q164_cross_container_dups" -> q164Sql,
-    "q165_video_frame_pixels" -> q165Sql)
+    "q165_video_frame_pixels" -> q165Sql,
+    "q166_color_pixels" -> q166Sql,
+    "q167_color_cross_dups" -> q167Sql)
 }

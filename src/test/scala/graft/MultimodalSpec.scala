@@ -387,6 +387,70 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("RGB truecolor PNG (color type 2) round-trips exactly across all 5 " +
+    "scanline filters with BYTEWISE bpp=3 neighbors; the grayscale wrapper " +
+    "refuses color payloads and pngSamples tags channel counts right") {
+    val (w, h) = (7, 6) // 6 rows: filter types 0,1,2,3,4,0 all exercised
+    val px = Array.tabulate(w * h * 3)(i => (i * 37 + (i * i) % 251) % 256)
+    val png = MediaHeaders.pngPixelBytesRgb(w, h, px)
+    val Some((dw, dh, nc, dpx)) = MediaHeaders.pngSamples(png)
+    assert((dw, dh, nc) === (w.toLong, h.toLong, 3))
+    assert(dpx.toSeq === px.toSeq)
+    assert(MediaHeaders.pngPixels(png) === None, "gray wrapper must refuse color")
+    // gray PNGs flow through pngSamples with nc = 1
+    val gpx = Array.tabulate(12)(i => i * 20)
+    val Some((_, _, gnc, gdpx)) = MediaHeaders.pngSamples(MediaHeaders.pngPixelBytes(4, 3, gpx))
+    assert(gnc === 1)
+    assert(gdpx.toSeq === gpx.toSeq)
+  }
+
+  test("3-component 4:4:4 baseline JPEG: per-channel block-constant images " +
+    "round-trip BIT-EXACTLY (the q163 contract per channel, interleaved MCUs " +
+    "with per-component DC predictors), the gray wrapper refuses color, and " +
+    "a general color image decodes with bounded lossy error") {
+    import graft.multimodal.JpegCodec
+    val (w, h) = (24, 16)
+    val px = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3
+      val c = i % 3
+      (c * 89 + (p / w / 8) * 5 + (p % w / 8) * 11) % 256
+    }
+    val jpg = JpegCodec.encodeInterleaved(w, h, 3, px)
+    val Some((dw, dh, nc, dpx)) = JpegCodec.decodeInterleaved(jpg)
+    assert((dw, dh, nc) === (w.toLong, h.toLong, 3))
+    assert(dpx.toSeq === px.toSeq)
+    assert(JpegCodec.decode(jpg) === None, "gray wrapper must refuse color")
+    // grayscale still flows through the interleaved decoder with nc = 1
+    val gray = Array.tabulate(16 * 8)(i => (i * 3) % 256)
+    val Some((_, _, gnc, _)) = JpegCodec.decodeInterleaved(JpegCodec.encode(16, 8, gray))
+    assert(gnc === 1)
+    // non-block-constant color content is lossy but bounded: a smooth
+    // gradient survives the AC quant step 16 within a loose band
+    val grad = Array.tabulate(w * h * 3) { i => ((i / 3) % w) * 8 % 256 }
+    val Some((_, _, _, gd)) = JpegCodec.decodeInterleaved(JpegCodec.encodeInterleaved(w, h, 3, grad))
+    val maxErr = gd.zip(grad).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr <= 48, s"lossy error $maxErr out of band")
+  }
+
+  test("q167 finds the PLANTED cross-container COLOR dups — sample-identical " +
+    "images stored as RGB PNG vs 3-component JPEG pair up, every reported " +
+    "pair joins opposite parities and decode-verifies equal") {
+    import graft.multimodal.JpegCodec
+    val rows = Multimodal.q167ColorCrossDups(spark, sf0001).collect()
+    assert(rows.nonEmpty, "the fixture plants quad dups; none found")
+    val payloads = Multimodal.mixedContainerColorImages(spark, sf0001)
+      .collect().map(m => m.media_id -> m.data).toMap
+    def samples(id: Long): Seq[Int] = {
+      val d = payloads(id)
+      MediaHeaders.pngSamples(d).orElse(JpegCodec.decodeInterleaved(d)).get._4.toSeq
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert((a + b) % 2 === 1, s"pair ($a, $b) has same-parity ids")
+      assert(samples(a) === samples(b), s"pair ($a, $b) reported but samples differ")
+    }
+  }
+
   test("JpegCodec.encode rejects dims beyond the 16-bit SOF0 fields instead of " +
     "silently truncating them into a misparsing header") {
     import graft.multimodal.JpegCodec
