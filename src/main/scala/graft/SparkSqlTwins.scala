@@ -126,6 +126,32 @@ object SparkSqlTwins {
       |             ELSE shiftright(hi, 16) & 65535L END AS v
       |  FROM hash, (SELECT explode(array(0, 1, 2, 3)) AS b) g)""".stripMargin
 
+  /** Spark side of Multimodal.audioFpCte: the quad-keyed gated PCM,
+    * 64 energy windows, integer-exact threshold bits, packed halves. */
+  private val audioFpSparkCtes: String =
+    """a AS (SELECT doc_id, doc_id div 4 AS gid FROM documents
+      |           WHERE doc_id % 3 = 1),
+      |s AS (SELECT a.doc_id, g.i, (g.i * 64) div 768 AS wi,
+      |        CASE WHEN ((a.gid * 2654435761L + (g.i div 12) * 2246822519L) % 2147483648L)
+      |                  * ((a.gid * 2654435761L + (g.i div 12) * 2246822519L) % 2147483648L)
+      |                  % 2147483647L % 64 < 24
+      |             THEN 0L
+      |             ELSE CAST(((a.gid * 31 + g.i * 17) % 65536) - 32768 AS BIGINT)
+      |        END AS v
+      |      FROM a, (SELECT explode(sequence(0, 767)) AS i) g),
+      |win AS (SELECT doc_id, wi, sum(v * v) AS es, count(1) AS ec
+      |        FROM s GROUP BY doc_id, wi),
+      |tot AS (SELECT doc_id, sum(es) AS ts, sum(ec) AS tc
+      |        FROM win GROUP BY doc_id),
+      |bits AS (SELECT win.doc_id, wi,
+      |                CASE WHEN es * tc >= ts * ec THEN 1L ELSE 0L END AS b
+      |         FROM win JOIN tot ON win.doc_id = tot.doc_id),
+      |hash AS (SELECT doc_id,
+      |    sum(CASE WHEN wi >= 32 THEN b * shiftleft(1L, CAST(wi - 32 AS INT)) ELSE 0L END) AS hi,
+      |    sum(CASE WHEN wi < 32 THEN b * shiftleft(1L, CAST(wi AS INT)) ELSE 0L END) AS lo,
+      |    sum(b) AS n
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
   /** The ExactSubstr twin at min-match width w — same generator
     * discipline as TextOps.exactSubstrSql so the two widths (q148 = 8,
     * q152 = 16) can't drift from each other in Spark dialect either. */
@@ -1023,6 +1049,32 @@ object SparkSqlTwins {
         |  sum(CASE WHEN rms >= med THEN 1 ELSE 0 END) >= 2 AS keep
         |FROM w CROSS JOIN med
         |GROUP BY doc_id""".stripMargin,
+
+    "q168_audio_fingerprint" ->
+      s"""WITH $audioFpSparkCtes
+         |SELECT doc_id AS media_id, CAST(768 AS BIGINT) AS n_samples,
+         |  hi AS fp_hi, lo AS fp_lo, n AS n_set
+         |FROM hash""".stripMargin,
+
+    "q169_audio_neardup" ->
+      s"""WITH $audioFpSparkCtes,
+         |$ahashBandCte
+         |SELECT DISTINCT a.doc_id AS media_id_a, c.doc_id AS media_id_b,
+         |  CAST(bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) AS INT) AS hamming
+         |FROM band a JOIN band c ON a.b = c.b AND a.v = c.v
+         |  AND a.doc_id < c.doc_id
+         |WHERE bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) <= 3""".stripMargin,
+
+    "q170_audio_dedup_keep" ->
+      s"""WITH $audioFpSparkCtes,
+         |$ahashBandCte,
+         |removed AS (SELECT DISTINCT c.doc_id
+         |            FROM band a JOIN band c ON a.b = c.b AND a.v = c.v
+         |              AND a.doc_id < c.doc_id
+         |            WHERE bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) <= 3)
+         |SELECT h.doc_id AS media_id, h.hi AS fp_hi, h.lo AS fp_lo,
+         |  r.doc_id IS NULL AS keep
+         |FROM hash h LEFT JOIN removed r ON h.doc_id = r.doc_id""".stripMargin,
     "q12_calendar_densify" ->
       """WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
         |cal AS (SELECT explode(sequence(lo, hi, interval 1 day)) AS day FROM bounds),

@@ -1502,6 +1502,190 @@ object Multimodal {
       |FROM w CROSS JOIN med
       |GROUP BY doc_id""".stripMargin
 
+  /** Fabricate WAVs with PLANTED duplicate sample content from every
+    * audio-kind doc (doc_id % 3 == 1): q123's PCM generator re-keyed by
+    * the QUAD gid = doc_id / 4, so audio docs sharing a quad carry
+    * IDENTICAL 768-sample PCM (the same recording ingested from two
+    * sources) while the wav header's sample rate still varies per doc —
+    * a dup no byte-level hash survives a header change to see. A
+    * gid-keyed window GATE silences window w when h² mod 2147483647
+    * mod 64 < 24 for h = (gid·2654435761 + w·2246822519) mod 2³¹ —
+    * the SQUARE is the point: a linear gate makes the mask a
+    * one-parameter phase family where nearby gids near-collide and
+    * the pair report goes quadratic (two earlier cuts of this fixture
+    * hit that wall at 14k and 590 pairs); squaring decorrelates every
+    * distinct gid, so only true quad dups pair. */
+  def audioWithPcmDups(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+    import s.implicits._
+    Tables(s, sfDir, "documents")
+      .where(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (docId, nChars) =>
+        val gid = docId / 4
+        val bb = java.nio.ByteBuffer.allocate(768 * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < 768) {
+          val v = {
+            val hw = (gid * 2654435761L + (i / 12) * 2246822519L) % 2147483648L
+            if (hw * hw % 2147483647L % 64 < 24) 0
+            else ((gid * 31 + i * 17) % 65536) - 32768
+          }
+          bb.putShort(v.toShort)
+          i += 1
+        }
+        MediaPayload(docId, "audio",
+          MediaHeaders.wavBytes(8000 + (nChars.toInt % 8) * 1000, 1, 16, bb.array()))
+      }
+  }
+
+  /** 64-bit perceptual ENERGY fingerprint of a PCM clip — [[ahash64]]'s
+    * audio sibling: bucket the samples onto 64 time windows (window of
+    * sample i is ⌊i·64/n⌋), accumulate each window's energy Σv², and
+    * set bit w iff the window's MEAN energy ≥ the clip's mean energy —
+    * compared by integer cross-multiplication (es·tc ≥ ts·ec), so the
+    * bit pattern is exact and any engine with 64-bit integers
+    * reproduces it (v² ≤ 2³⁰ keeps every product < 2⁶³). Returned split
+    * as (bits 32..63, bits 0..31, popcount) like [[ahash64]] so the
+    * banded matcher is shared verbatim. */
+  private[graft] def audioFp64(samples: Array[Int]): (Long, Long, Int) = {
+    val n = samples.length
+    val es = new Array[Long](64)
+    val ec = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * 64 / n).toInt
+      es(w) += samples(i).toLong * samples(i)
+      ec(w) += 1
+      i += 1
+    }
+    var ts = 0L; var tc = 0L
+    i = 0
+    while (i < 64) { ts += es(i); tc += ec(i); i += 1 }
+    var hi = 0L; var lo = 0L; var nb = 0
+    i = 0
+    while (i < 64) {
+      if (es(i) * tc >= ts * ec(i)) { // exact: window mean energy ≥ clip mean
+        nb += 1
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo, nb)
+  }
+
+  /** q168: audio ENERGY-FINGERPRINT extraction — the audio face of
+    * q130's aHash, giving the third modality its dedup screen: a 64-bit
+    * windowed-energy fingerprint per clip computed from REAL decoded
+    * PCM ([[MediaHeaders.wavSamples]]). Per-row byte work at scan
+    * speed — the blob never crosses a shuffle; only the 3-BIGINT hash
+    * row does. The oracle regenerates the PCM formula and recomputes
+    * the same integer-exact fingerprint, so a match proves the whole
+    * decode→window→threshold→pack chain bit-for-bit. */
+  def q168AudioFingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    audioWithPcmDups(s, d).map { m =>
+      val pcm = MediaHeaders.wavSamples(m.data)
+      val (hi, lo, n) = audioFp64(pcm.map(_.toInt))
+      (m.media_id, pcm.length.toLong, hi, lo, n.toLong)
+    }.toDF("media_id", "n_samples", "fp_hi", "fp_lo", "n_set")
+  }
+
+  /** Shared oracle prefix for the audio family: regenerate the
+    * quad-keyed PCM, window it, and pack the integer-exact fingerprint
+    * — the DuckDB side of [[audioFp64]]. */
+  private val audioFpCte: String =
+    """WITH a AS (SELECT doc_id, doc_id // 4 AS gid FROM documents
+      |           WHERE doc_id % 3 = 1),
+      |s AS (SELECT a.doc_id, g.i, (g.i * 64) // 768 AS wi,
+      |        CASE WHEN ((a.gid * 2654435761 + (g.i // 12) * 2246822519) % 2147483648)
+      |                   * ((a.gid * 2654435761 + (g.i // 12) * 2246822519) % 2147483648)
+      |                   % 2147483647 % 64 < 24
+      |             THEN CAST(0 AS BIGINT)
+      |             ELSE CAST(((a.gid * 31 + g.i * 17) % 65536) - 32768 AS BIGINT)
+      |        END AS v
+      |      FROM a, (SELECT unnest(generate_series(0, 767)) AS i) g),
+      |win AS (SELECT doc_id, wi, sum(v * v) AS es, count(*) AS ec
+      |        FROM s GROUP BY doc_id, wi),
+      |tot AS (SELECT doc_id, sum(es) AS ts, sum(ec) AS tc
+      |        FROM win GROUP BY doc_id),
+      |bits AS (SELECT win.doc_id, wi,
+      |                CASE WHEN es * tc >= ts * ec THEN 1 ELSE 0 END AS b
+      |         FROM win JOIN tot ON win.doc_id = tot.doc_id),
+      |hash AS (SELECT doc_id,
+      |    sum(CASE WHEN wi >= 32 THEN b * (CAST(1 AS BIGINT) << (wi - 32)) ELSE 0 END) AS hi,
+      |    sum(CASE WHEN wi < 32 THEN b * (CAST(1 AS BIGINT) << wi) ELSE 0 END) AS lo,
+      |    sum(b) AS n
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** Oracle twin of [[q168AudioFingerprint]]. */
+  val q168Sql: String =
+    s"""$audioFpCte
+       |SELECT doc_id AS media_id, CAST(768 AS BIGINT) AS n_samples,
+       |  CAST(hi AS BIGINT) AS fp_hi, CAST(lo AS BIGINT) AS fp_lo,
+       |  CAST(n AS BIGINT) AS n_set
+       |FROM hash""".stripMargin
+
+  /** q169: AUDIO near-dup pairs by banded fingerprint — q131's banded
+    * Hamming matcher (pigeonhole recall 1.0 at distance ≤ 3, one
+    * exchange on (band, value), never all-pairs) running verbatim over
+    * q168's fingerprints: the quad-planted identical recordings pair at
+    * Hamming 0 even though their WAV bytes differ (different sample
+    * rates in the header). */
+  def q169AudioNeardup(s: SparkSession, d: String): DataFrame =
+    neardupPairs(q168AudioFingerprint(s, d)
+      .select(col("media_id"), col("fp_hi").as("ahash_hi"), col("fp_lo").as("ahash_lo")))
+
+  /** Oracle twin of [[q169AudioNeardup]]. */
+  val q169Sql: String =
+    s"""$audioFpCte,
+       |band AS (SELECT doc_id, hi, lo, g.b,
+       |    CASE g.b WHEN 0 THEN lo & 65535
+       |             WHEN 1 THEN (lo >> 16) & 65535
+       |             WHEN 2 THEN hi & 65535
+       |             ELSE (hi >> 16) & 65535 END AS v
+       |  FROM hash, (VALUES (0), (1), (2), (3)) g(b))
+       |SELECT DISTINCT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+       |  bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+       |FROM band a JOIN band b ON a.b = b.b AND a.v = b.v
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin
+
+  /** q170: the audio-dedup DECISION — q132's greedy keeper convention
+    * on the third modality: a clip is DROPPED when a lower-id clip
+    * sits within Hamming ≤ 3 of its energy fingerprint. One decode
+    * pass (the persisted hashes subtree feeds both the pair spine and
+    * the verdict join); the removed-id set is duplicate-sized and AQE
+    * broadcasts it while small. */
+  def q170AudioDedupKeep(s: SparkSession, d: String): DataFrame = {
+    val hashes = q168AudioFingerprint(s, d)
+      .select(col("media_id"), col("fp_hi").as("ahash_hi"), col("fp_lo").as("ahash_lo"))
+      .persist()
+    val removed = neardupPairs(hashes)
+      .select(col("media_id_b").as("media_id")).distinct()
+    hashes.join(removed.withColumn("dup", lit(1)), Seq("media_id"), "left")
+      .select(col("media_id"), col("ahash_hi").as("fp_hi"),
+        col("ahash_lo").as("fp_lo"), col("dup").isNull.as("keep"))
+  }
+
+  /** Oracle twin of [[q170AudioDedupKeep]]. */
+  val q170Sql: String =
+    s"""$audioFpCte,
+       |band AS (SELECT doc_id, hi, lo, g.b,
+       |    CASE g.b WHEN 0 THEN lo & 65535
+       |             WHEN 1 THEN (lo >> 16) & 65535
+       |             WHEN 2 THEN hi & 65535
+       |             ELSE (hi >> 16) & 65535 END AS v
+       |  FROM hash, (VALUES (0), (1), (2), (3)) g(b)),
+       |removed AS (SELECT DISTINCT b.doc_id
+       |            FROM band a JOIN band b ON a.b = b.b AND a.v = b.v
+       |              AND a.doc_id < b.doc_id
+       |            WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3)
+       |SELECT h.doc_id AS media_id,
+       |  CAST(h.hi AS BIGINT) AS fp_hi, CAST(h.lo AS BIGINT) AS fp_lo,
+       |  r.doc_id IS NULL AS keep
+       |FROM hash h LEFT JOIN removed r ON h.doc_id = r.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_media_features" -> (q37MediaFeatures _),
     "q110_media_decode" -> (q110MediaDecode _),
@@ -1516,7 +1700,10 @@ object Multimodal {
     "q164_cross_container_dups" -> (q164CrossContainerDups _),
     "q165_video_frame_pixels" -> (q165VideoFramePixels _),
     "q166_color_pixels" -> (q166ColorPixels _),
-    "q167_color_cross_dups" -> (q167ColorCrossDups _))
+    "q167_color_cross_dups" -> (q167ColorCrossDups _),
+    "q168_audio_fingerprint" -> (q168AudioFingerprint _),
+    "q169_audio_neardup" -> (q169AudioNeardup _),
+    "q170_audio_dedup_keep" -> (q170AudioDedupKeep _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_media_features" -> q37Sql,
@@ -1532,5 +1719,8 @@ object Multimodal {
     "q164_cross_container_dups" -> q164Sql,
     "q165_video_frame_pixels" -> q165Sql,
     "q166_color_pixels" -> q166Sql,
-    "q167_color_cross_dups" -> q167Sql)
+    "q167_color_cross_dups" -> q167Sql,
+    "q168_audio_fingerprint" -> q168Sql,
+    "q169_audio_neardup" -> q169Sql,
+    "q170_audio_dedup_keep" -> q170Sql)
 }

@@ -451,6 +451,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q169 audio banding is exact at the <=3 threshold: pairs equal the " +
+    "brute-force all-pairs Hamming scan over q168's fingerprints, and the " +
+    "planted quad dups (same PCM, different wav headers) all surface at " +
+    "Hamming 0") {
+    val hashes = Multimodal.q168AudioFingerprint(spark, sf0001)
+      .select("media_id", "fp_hi", "fp_lo")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hashes.length > 5, "fixture should decode several clips")
+    val brute = (for {
+      (a, ahi, alo) <- hashes; (b, bhi, blo) <- hashes if a < b
+      d = java.lang.Long.bitCount(ahi ^ bhi) + java.lang.Long.bitCount(alo ^ blo)
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val banded = Multimodal.q169AudioNeardup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.get(2).asInstanceOf[Number].longValue)).toSet
+    assert(banded === brute)
+    // the planted ground truth: every same-quad clip pair is a dup
+    val byQuad = hashes.map(_._1).groupBy(_ / 4).values.filter(_.length > 1)
+    assert(byQuad.nonEmpty, "fixture should place >= 2 audio docs in some quad")
+    byQuad.foreach { ids =>
+      for (a <- ids; b <- ids if a < b)
+        assert(banded.contains((a, b, 0L)), s"planted quad dup ($a, $b) missed")
+    }
+    // and the fixture is NOT degenerate: distinct gids rarely collide
+    assert(banded.size < hashes.length,
+      s"${banded.size} pairs from ${hashes.length} clips — fingerprints degenerate")
+  }
+
+  test("q170 keeps exactly one clip per duplicate neighborhood: a clip is " +
+    "dropped iff a lower-id clip sits within Hamming 3") {
+    val rows = Multimodal.q170AudioDedupKeep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    val pairs = Multimodal.q169AudioNeardup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val removed = pairs.map(_._2).toSet
+    rows.foreach { case (id, keep) =>
+      assert(keep === !removed.contains(id), s"clip $id verdict")
+    }
+    assert(rows.values.count(identity) < rows.size, "nothing was deduped")
+  }
+
   test("JpegCodec.encode rejects dims beyond the 16-bit SOF0 fields instead of " +
     "silently truncating them into a misparsing header") {
     import graft.multimodal.JpegCodec

@@ -44,7 +44,8 @@ class SqlSurfaceSpec extends SparkSpec {
       "q132_image_dedup_keep", "q133_audio_energy_gate", "q134_dsir_weights",
       "q163_jpeg_pixels", "q164_cross_container_dups",
       "q165_video_frame_pixels", "q166_color_pixels",
-      "q167_color_cross_dups") ++
+      "q167_color_cross_dups", "q168_audio_fingerprint",
+      "q169_audio_neardup", "q170_audio_dedup_keep") ++
     m("WITH RECURSIVE … UNION (distinct) — Spark 4.1 recursion accepts only " +
       "UNION ALL, and UNION ALL label propagation enumerates paths " +
       "(exponential on cyclic near-dup graphs), so the component family " +
