@@ -51,6 +51,23 @@ object Bench {
     sys.props("graft.cacheTables") = "true"
     Tables.names.foreach(n => Tables(spark, sfDir, n).count())
 
+    // Fixed-work CPU calibration (VERDICT r14 #4): the wall numbers on
+    // this box swing ~30% round-over-round with ambient load (r13 vs
+    // r14 measured DuckDB itself at 46.3 vs 60.2 s on identical texts),
+    // so every cross-round comparison used to need a same-hour DuckDB
+    // run to normalize. Record the yardstick IN the bench instead: a
+    // deterministic in-memory Spark job (range + integer mix + sum,
+    // zero IO, fixed 6e9 rows across all 32 slots), best of 3 so a
+    // one-off GC doesn't pollute the yardstick. wall / cal is the
+    // box-speed-free figure to compare across rounds.
+    def calibrationJob(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 6000000000L, 1, cpus.toInt)
+        .selectExpr("sum(id * 2654435761L % 1048576) AS s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibration = Seq.fill(3)(calibrationJob()).min
+
     val poolSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_POOL", "10").toInt
     val pool = Executors.newFixedThreadPool(poolSize)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -180,12 +197,14 @@ object Bench {
         "winnowed spans, normed embeddings) builds as its own TIMED view:<name> entry in the " +
         "views section, in dependency order, BEFORE any query is timed - so per-query numbers " +
         "are net of view builds; a residual mid-suite rebuild is possible only after cache " +
-        "eviction, bounded above by that view's listed build time"
+        "eviction, bounded above by that view's listed build time; calibration = fixed-work " +
+        "CPU-bound Spark job (6e9-row integer mix, zero IO, best of 3) timed on the same " +
+        "JVM so cross-round walls divide out box-speed drift as wall_per_cal"
     val viewsJson = views.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // Full record (long names, both passes, method) -> file + stderr.
     val fullJson =
-      s"""{"metric":"total","value":$wall,"unit":"sec","queries":${timesJson(sequential, identity, _.toString)},"queries_concurrent":${timesJson(concurrent, identity, _.toString)},"seq_total":$seqTotal,"views":$viewsJson,"concurrent_walls":$walls,"failures":$failures,"sf":"$sfDir","method":"$method"}"""
+      s"""{"metric":"total","value":$wall,"unit":"sec","queries":${timesJson(sequential, identity, _.toString)},"queries_concurrent":${timesJson(concurrent, identity, _.toString)},"seq_total":$seqTotal,"views":$viewsJson,"concurrent_walls":$walls,"calibration":${r3(calibration)},"wall_per_cal":${r3(wall / calibration)},"failures":$failures,"sf":"$sfDir","method":"$method"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")), fullJson)
     // Print the JSON LAST — after spark.stop()'s shutdown chatter — so a
@@ -203,7 +222,7 @@ object Bench {
       // size no longer scales with the suite. BenchLineSpec pins the
       // final line under 1,900 bytes at the live query count.
       println(detailLine(sequential, views))
-      println(finalLine(wall, seqTotal, failedNames, sfDir))
+      println(finalLine(wall, seqTotal, calibration, failedNames, sfDir))
     }
   }
 
@@ -242,11 +261,11 @@ object Bench {
     * stays parseable precisely when parsing it matters most. */
   private[graft] val MaxFailureNames = 5
   private[graft] def finalLine(wall: Double, seqTotal: Double,
-      failedNames: Seq[String], sfDir: String): String = {
+      calibration: Double, failedNames: Seq[String], sfDir: String): String = {
     val shown = failedNames.take(MaxFailureNames) ++
       (if (failedNames.size > MaxFailureNames)
         Seq(s"+${failedNames.size - MaxFailureNames} more") else Nil)
     val failures = shown.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":${r3(wall)},"unit":"sec","seq_total":${r3(seqTotal)},"failures":$failures,"sf":"$sfDir","method":"best-of-2 concurrent wall; per-query seconds on the preceding stdout line; full record in bench file + stderr"}"""
+    s"""{"metric":"total","value":${r3(wall)},"unit":"sec","seq_total":${r3(seqTotal)},"cal":${r3(calibration)},"wall_per_cal":${r3(wall / math.max(calibration, 1e-9))},"failures":$failures,"sf":"$sfDir","method":"best-of-2 concurrent wall; cal = fixed-work CPU yardstick (best-of-3), wall_per_cal is the box-speed-normalized figure; per-query seconds on the preceding stdout line; full record in bench file + stderr"}"""
   }
 }
