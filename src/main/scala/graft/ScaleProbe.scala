@@ -417,6 +417,37 @@ object ScaleProbe {
       probe("entity_index_maintain")(maintain(r1))(maintain(rN))
     }
 
+    // Maintained SPAN index: applying a FIXED 50-doc arrival batch must
+    // cost the same against a 1x and an Nx positions table — the batch
+    // re-hashes only its own windows (batch-unique tokens keep its hash
+    // keys fresh on both sides), and the merge touches only those
+    // windows' buckets. Catalog-proportional time here would mean the
+    // delta derivation or the bucket merge regressed to a table scan.
+    {
+      import graft.sources.SpanIndex
+      def spanBootstrapped(d: String): String = {
+        val w = java.nio.file.Files.createTempDirectory("graft-scale-spanidx").toString
+        SpanIndex.bootstrapSpanIndex(
+          Tables(spark, d, "documents").select($"doc_id", $"text"), w)
+        w
+      }
+      val sp1 = spanBootstrapped(sfDir)
+      val spN = spanBootstrapped(docsNDir)
+      var sb = 0L
+      def maintainSpan(root: String): Long = {
+        sb += 1
+        val delta = spark.range(50).select(
+          ($"id" + 700000000L + sb * 1000L).as("doc_id"),
+          concat_ws(" ",
+            (0 until 12).map(j => concat(lit(s"zz${sb}t${j}x"), $"id")): _*).as("text"),
+          lit("insert").as("_change_type")).localCheckpoint()
+        SpanIndex.applyBatch(delta, sb, root, scope = s"probe$sb")
+        1L
+      }
+      maintainSpan(sp1); maintainSpan(spN) // warm both roots
+      probe("span_index_maintain")(maintainSpan(sp1))(maintainSpan(spN))
+    }
+
     // ---- the gate: time must grow at most linearly with data ----
     val gated = results.toSeq.map { case (n, t1, tN) =>
       (n, t1, tN, tN / math.max(t1, 0.3))

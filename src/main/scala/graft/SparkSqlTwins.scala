@@ -364,6 +364,39 @@ object SparkSqlTwins {
          |FROM sc JOIN th ON th.source = sc.source""".stripMargin,
 
     "q148_exact_substr_spans" -> exactSubstrTwin(8),
+
+    // the maintained span family answers q148's / q150's questions over
+    // the fixture's corpus/batch split — same twin texts, split rebased
+    "q171_maintained_spans" -> exactSubstrTwin(8).replace("FROM documents",
+      "FROM (SELECT * FROM documents WHERE doc_id % 10 <> 9) documents"),
+
+    "q172_maintained_span_probe" ->
+      // same CASE guard as exactSubstrTwin: Spark may project on
+      // pre-filter parquet rows, where a short doc's descending
+      // sequence feeds slice an illegal 0 start
+      raw"""WITH t AS (SELECT doc_id, split(trim(text), '\\s+') AS toks FROM documents),
+         |hl AS (SELECT doc_id,
+         |         CASE WHEN size(toks) >= 8
+         |              THEN transform(sequence(1, size(toks) - 7),
+         |                     i -> md5(concat_ws(' ', slice(toks, i, 8))))
+         |              ELSE array() END AS hs
+         |       FROM t WHERE size(toks) >= 8),
+         |p AS (SELECT doc_id, p0 + 1 AS p, h
+         |      FROM hl LATERAL VIEW posexplode(hs) t2 AS p0, h),
+         |ev AS (SELECT DISTINCT h FROM p WHERE doc_id % 10 = 9),
+         |dp AS (SELECT p.doc_id, p.p FROM p JOIN ev USING (h)
+         |       WHERE p.doc_id % 10 <> 9),
+         |b AS (SELECT doc_id, p,
+         |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+         |             THEN 1 ELSE 0 END AS brk
+         |      FROM dp),
+         |g AS (SELECT doc_id, p,
+         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM b)
+         |SELECT doc_id,
+         |       CAST(min(p) AS BIGINT) AS span_start,
+         |       CAST(max(p) + 7 AS BIGINT) AS span_end,
+         |       CAST(max(p) + 8 - min(p) AS BIGINT) AS span_tokens
+         |FROM g GROUP BY doc_id, gid""".stripMargin,
     "q152_exact_substr_spans16" -> exactSubstrTwin(16),
 
     "q149_exact_substr_savings" ->

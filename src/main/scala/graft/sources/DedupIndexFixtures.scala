@@ -33,12 +33,13 @@ object DedupIndexFixtures {
     * (q137) roll forward with the same CDC batches. v4: n_tokens rides
     * the membership rows (q138 keeper decisions). v5: corrupted twin of
     * the fp index (q142 audit gate). v6: maintained document-frequency
-    * index (q146's IDF source). */
-  private val FixtureVersion = 6
+    * index (q146's IDF source). v7: maintained span index (q171's
+    * duplicated-span report, q172's contamination probe). */
+  private val FixtureVersion = 7
 
   /** All maintained-index roots of one fixture. */
   case class Roots(fp: String, band: String, memb: String, rep: String,
-      fpCorrupt: String, df: String)
+      fpCorrupt: String, df: String, span: String)
 
   /** Idempotently build corpus + fp/band indexes + cluster tables for
     * `sfDir` ([[FixtureLifecycle.ensureOnce]] — one build per content
@@ -50,10 +51,12 @@ object DedupIndexFixtures {
       DedupIndex.IndexBuckets.toString, TextOps.shinglesExpr,
       TextOps.bandStackExpr,
       // the df index bakes in the tokenizer and its own bucket count
-      DfIndex.IndexBuckets.toString, TextOps.tokensSqlExpr("text")))
+      DfIndex.IndexBuckets.toString, TextOps.tokensSqlExpr("text"),
+      // the span index bakes in the window-hash definition at width 8
+      SpanIndex.IndexBuckets.toString, TextOps.spanHashesExprW(SpanIndex.Width)))
     val root = FixtureLifecycle.ensureOnce("graft_dedupidx", sig) { root =>
       ManifestTable.currentVersion(s"$root/corpus") == 2 &&
-        Seq("fp", "band", "memb", "rep", "fpcorrupt", "df").forall(t =>
+        Seq("fp", "band", "memb", "rep", "fpcorrupt", "df", "span").forall(t =>
           ManifestTable.currentVersion(s"$root/$t") >= 1)
     } { root =>
       val corpus = s"$root/corpus"
@@ -68,6 +71,7 @@ object DedupIndexFixtures {
           s, corpus, v, v + 1, Seq("doc_id"), preimages = true).localCheckpoint()
         DedupIndex.maintainFpIndex(s, ch, s"$root/fp")
         DfIndex.maintainDfIndex(s, ch, s"$root/df")
+        SpanIndex.maintainSpanIndex(s, ch, s"$root/span")
         // band index + cluster tables advance together (applyBatch
         // maintains the band index first, then the components)
         ClusterIndex.applyBatch(ch, v.toLong, s"$root/band", s"$root/memb",
@@ -106,7 +110,7 @@ object DedupIndexFixtures {
         corrupted, s"$root/fpcorrupt", Seq("bucket", "fp"), "bucket")
     }
     Roots(s"$root/fp", s"$root/band", s"$root/memb", s"$root/rep",
-      s"$root/fpcorrupt", s"$root/df")
+      s"$root/fpcorrupt", s"$root/df", s"$root/span")
   }
 
   private def batch(s: SparkSession, sfDir: String): DataFrame =
@@ -158,13 +162,32 @@ object DedupIndexFixtures {
   def q146MaintainedTfidf(s: SparkSession, d: String): DataFrame =
     DfIndex.probeTfIdf(batch(s, d), s, ensure(s, d).df)
 
+  /** q171 — q148's duplicated-span report from the MAINTAINED span
+    * index ([[SpanIndex]]): the positions were built incrementally
+    * (two corpus commits rolled through CDC maintenance), the report
+    * reads stored rows only, and the oracle re-derives every span from
+    * the raw parquet — maintained ≡ recomputed is the claim under
+    * gate. */
+  def q171MaintainedSpans(s: SparkSession, d: String): DataFrame =
+    SpanIndex.maintainedDupSpans(s, ensure(s, d).span)
+
+  /** q172 — the contamination PROBE through the maintained span index:
+    * the held-out batch (an arriving eval set) is windowed, the index
+    * contributes only the batch hashes' bucket partitions, and every
+    * corpus span the batch leaks comes back island-merged — q150's
+    * scrub question without re-reading the corpus. */
+  def q172MaintainedSpanProbe(s: SparkSession, d: String): DataFrame =
+    SpanIndex.probeContamination(batch(s, d), s, ensure(s, d).span)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_maintained_exact_probe" -> (q135MaintainedExactProbe _),
     "q136_maintained_neardup_probe" -> (q136MaintainedNeardupProbe _),
     "q137_maintained_components" -> (q137MaintainedComponents _),
     "q138_maintained_keepers" -> (q138MaintainedKeepers _),
     "q142_fp_index_audit" -> (q142FpIndexAudit _),
-    "q146_maintained_tfidf" -> (q146MaintainedTfidf _))
+    "q146_maintained_tfidf" -> (q146MaintainedTfidf _),
+    "q171_maintained_spans" -> (q171MaintainedSpans _),
+    "q172_maintained_span_probe" -> (q172MaintainedSpanProbe _))
 
   /** q54's oracle text with its `documents` base restricted to the
     * fixture's corpus split — the recursive closure runs on exactly the
@@ -224,11 +247,39 @@ object DedupIndexFixtures {
       |      FROM scored)
       |WHERE rnk <= 3""".stripMargin
 
+  /** q172's oracle: q150's window/island SQL with the splits the
+    * maintained index serves — eval = the held-out batch
+    * (doc_id % 10 = 9), corpus = everything else — from raw parquet. */
+  val q172Sql: String =
+    raw"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |           FROM documents),
+      |hl AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 7),
+      |         i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))) AS hs
+      |       FROM t WHERE len(toks) >= 8),
+      |p AS (SELECT doc_id, g.i AS p, hs[g.i] AS h
+      |      FROM hl, LATERAL (SELECT unnest(generate_series(1, len(hs))) AS i) g),
+      |ev AS (SELECT DISTINCT h FROM p WHERE doc_id % 10 = 9),
+      |dp AS (SELECT p.doc_id, p.p FROM p JOIN ev USING (h)
+      |       WHERE p.doc_id % 10 <> 9),
+      |b AS (SELECT doc_id, p,
+      |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM dp),
+      |g AS (SELECT doc_id, p,
+      |        sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM b)
+      |SELECT doc_id,
+      |       CAST(min(p) AS BIGINT) AS span_start,
+      |       CAST(max(p) + 7 AS BIGINT) AS span_end,
+      |       CAST(max(p) + 8 - min(p) AS BIGINT) AS span_tokens
+      |FROM g GROUP BY doc_id, gid""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q135_maintained_exact_probe" -> TextOps.q125Sql,
     "q136_maintained_neardup_probe" -> TextOps.q126Sql,
     "q137_maintained_components" -> restrictToCorpus(TextOps.q54Sql),
     "q138_maintained_keepers" -> restrictToCorpus(TextOps.q69Sql),
     "q142_fp_index_audit" -> q142Sql,
-    "q146_maintained_tfidf" -> q146Sql)
+    "q146_maintained_tfidf" -> q146Sql,
+    "q171_maintained_spans" -> restrictToCorpus(TextOps.q148Sql),
+    "q172_maintained_span_probe" -> q172Sql)
 }

@@ -34,6 +34,7 @@ class SqlSurfaceSpec extends SparkSpec {
       "q116_containment_pairs", "q117_adaptive_quality_gate",
       "q118_repeated_spans",
       "q148_exact_substr_spans", "q152_exact_substr_spans16",
+      "q171_maintained_spans", "q172_maintained_span_probe",
       "q149_exact_substr_savings",
       "q150_eval_span_scrub", "q151_scrub_apply",
       "q123_audio_energy", "q124_bpe_pairs",
