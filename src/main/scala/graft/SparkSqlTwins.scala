@@ -363,6 +363,43 @@ object SparkSqlTwins {
          |       round(sc.quality_score, 6) >= round(th.src_p25, 6) AS keep
          |FROM sc JOIN th ON th.source = sc.source""".stripMargin,
 
+    "q173_er_pairs_3pass" ->
+      s"""WITH nm AS (
+        |  SELECT p_name AS name,
+        |         CASE WHEN instr(p_name, ' ') = 0 THEN p_name
+        |              ELSE substr(p_name, 1, instr(p_name, ' ') - 1)
+        |         END AS adj,
+        |         CASE WHEN instr(p_name, ' ') = 0 THEN p_name
+        |              ELSE substr(p_name, length(p_name) - instr(reverse(p_name), ' ') + 2)
+        |         END AS noun,
+        |         substr(regexp_replace(lower(p_name), '[aeiou ]', ''), 1, 4) AS skel
+        |  FROM part GROUP BY p_name
+        |),
+        |blocks AS (
+        |  SELECT name, 'adj' AS slot, adj AS key FROM nm
+        |  UNION ALL
+        |  SELECT name, 'noun' AS slot, noun AS key FROM nm
+        |  UNION ALL
+        |  SELECT name, 'skel' AS slot, skel AS key FROM nm
+        |),
+        |sized AS (
+        |  SELECT slot, key FROM blocks GROUP BY slot, key
+        |  HAVING count(*) <= ${graft.functions.EntityOps.MaxBlockSize}
+        |),
+        |cand AS (
+        |  SELECT a.name AS name_a, b.name AS name_b,
+        |         CAST(count(*) AS BIGINT) AS shared_blocks
+        |  FROM blocks a
+        |  JOIN sized s ON s.slot = a.slot AND s.key = a.key
+        |  JOIN blocks b ON b.slot = a.slot AND b.key = a.key AND a.name < b.name
+        |  GROUP BY a.name, b.name
+        |)
+        |SELECT name_a, name_b,
+        |       CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev_dist,
+        |       shared_blocks
+        |FROM cand
+        |WHERE levenshtein(name_a, name_b) <= ${graft.functions.EntityOps.MatchMaxDist}""".stripMargin,
+
     "q148_exact_substr_spans" -> exactSubstrTwin(8),
 
     // the maintained span family answers q148's / q150's questions over

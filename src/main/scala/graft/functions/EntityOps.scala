@@ -68,6 +68,22 @@ object EntityOps {
     "adj" -> (n => substring_index(n, " ", 1)),
     "noun" -> (n => substring_index(n, " ", -1)))
 
+  /** Third blocking pass for names WITHOUT reliable token structure:
+    * the consonant SKELETON — drop vowels and spaces, keep the first 4
+    * characters (the vowel-insensitivity at the core of the
+    * Soundex/phonetic family, Christen 2012 §4.3, as a pure
+    * SQL-expressible key). A name whose BOTH tokens carry a vowel typo
+    * ("arctic rose" → "erctic rosa") escapes the adj and noun blocks
+    * but keeps its skeleton ("rctcr"→"rctcr"), so the pass buys recall
+    * exactly where token blocking is blind; like every pass it rides
+    * the same block-size cap, so a degenerate skeleton ("" for an
+    * all-vowel name) drops instead of exploding. */
+  val SkeletonBlocker: Blocker =
+    "skel" -> (n => substring(regexp_replace(lower(n), "[aeiou ]", ""), 1, 4))
+
+  /** The 3-pass configuration: token passes + the skeleton fallback. */
+  val PartBlockers3: Seq[Blocker] = PartBlockers :+ SkeletonBlocker
+
   /** The distinct-name dimension with its blocking keys and stable
     * numeric node id (min record key — deterministic, order-free).
     * `adj`/`noun` are the two tokens of the two-word name. */
@@ -221,6 +237,58 @@ object EntityOps {
       |  SELECT name, 'adj' AS slot, adj AS key FROM nm
       |  UNION ALL
       |  SELECT name, 'noun' AS slot, noun AS key FROM nm
+      |),
+      |sized AS (
+      |  SELECT slot, key FROM blocks GROUP BY slot, key
+      |  HAVING count(*) <= $MaxBlockSize
+      |),
+      |cand AS (
+      |  SELECT a.name AS name_a, b.name AS name_b,
+      |         CAST(count(*) AS BIGINT) AS shared_blocks
+      |  FROM blocks a
+      |  JOIN sized s ON s.slot = a.slot AND s.key = a.key
+      |  JOIN blocks b ON b.slot = a.slot AND b.key = a.key AND a.name < b.name
+      |  GROUP BY a.name, b.name
+      |)
+      |SELECT name_a, name_b,
+      |       CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev_dist,
+      |       shared_blocks
+      |FROM cand
+      |WHERE levenshtein(name_a, name_b) <= $MatchMaxDist""".stripMargin
+
+  /** q173 — q154's blocked fuzzy pairs under the 3-PASS configuration
+    * ([[PartBlockers3]]): token passes + the consonant-skeleton
+    * fallback, through the same generic candidate spine. The pair set
+    * is a SUPERSET of q154's (adding a pass can only add candidates —
+    * EntityOpsSpec pins the recall gain and its pair-budget cost with
+    * q156's instrument), `shared_blocks` now counts up to 3, and the
+    * compare budget stays capped per pass exactly as before. */
+  def q173ErPairs3Pass(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    candidatePairsOfNames(nameDim(s, d).select($"name"), PartBlockers3, MaxBlockSize)
+      .withColumn("lev_dist", levenshtein($"name_a", $"name_b").cast("long"))
+      .where($"lev_dist" <= MatchMaxDist)
+      .select($"name_a", $"name_b", $"lev_dist", $"shared_blocks")
+  }
+
+  val q173Sql: String =
+    s"""WITH nm AS (
+      |  SELECT p_name AS name,
+      |         CASE WHEN instr(p_name, ' ') = 0 THEN p_name
+      |              ELSE substr(p_name, 1, instr(p_name, ' ') - 1)
+      |         END AS adj,
+      |         CASE WHEN instr(p_name, ' ') = 0 THEN p_name
+      |              ELSE substr(p_name, length(p_name) - instr(reverse(p_name), ' ') + 2)
+      |         END AS noun,
+      |         substr(regexp_replace(lower(p_name), '[aeiou ]', '', 'g'), 1, 4) AS skel
+      |  FROM part GROUP BY p_name
+      |),
+      |blocks AS (
+      |  SELECT name, 'adj' AS slot, adj AS key FROM nm
+      |  UNION ALL
+      |  SELECT name, 'noun' AS slot, noun AS key FROM nm
+      |  UNION ALL
+      |  SELECT name, 'skel' AS slot, skel AS key FROM nm
       |),
       |sized AS (
       |  SELECT slot, key FROM blocks GROUP BY slot, key
@@ -597,12 +665,14 @@ object EntityOps {
     "q155_er_entities" -> ((s, d) => q155ErEntities(s, d)),
     "q156_er_blocking_report" -> ((s, d) => q156ErBlockingReport(s, d)),
     "q157_er_match_weights" -> ((s, d) => q157ErMatchWeights(s, d)),
-    "q161_er_threshold_eval" -> ((s, d) => q161ErThresholdEval(s, d)))
+    "q161_er_threshold_eval" -> ((s, d) => q161ErThresholdEval(s, d)),
+    "q173_er_pairs_3pass" -> ((s, d) => q173ErPairs3Pass(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     "q154_er_pairs" -> q154Sql,
     "q155_er_entities" -> q155Sql,
     "q156_er_blocking_report" -> q156Sql,
     "q157_er_match_weights" -> q157Sql,
-    "q161_er_threshold_eval" -> q161Sql)
+    "q161_er_threshold_eval" -> q161Sql,
+    "q173_er_pairs_3pass" -> q173Sql)
 }

@@ -246,6 +246,51 @@ class EntityOpsSpec extends SparkSpec {
     assert(!cands.exists { case (a, b) => a.contains("qux") || b.contains("qux") })
   }
 
+  test("the skeleton pass buys recall exactly where token blocking is blind " +
+    "(both tokens vowel-typo'd), at a visible pair-budget cost, and q173 is " +
+    "a strict superset of q154 on the real fixture") {
+    import spark.implicits._
+    // 1-2: both tokens carry vowel typos — no shared adj, no shared noun,
+    // same consonant skeleton ("rctc"); 3-4: the noun pass still catches
+    val recs = Seq(
+      (1L, "arctic rose"), (2L, "erctic rosa"),
+      (3L, "misty plum"), (4L, "musty plum"),
+      (5L, "navy linen")
+    ).toDF("rid", "name")
+    val names = recs.select($"name").distinct()
+    def pairs(bs: Seq[EntityOps.Blocker]): Set[(String, String)] =
+      EntityOps.candidatePairsOfNames(names, bs)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val two = pairs(EntityOps.PartBlockers)
+    val three = pairs(EntityOps.PartBlockers3)
+    assert(two.subsetOf(three), "adding a pass must only ADD candidates")
+    assert(!two(("arctic rose", "erctic rosa")), "2-pass should be blind here")
+    assert(three(("arctic rose", "erctic rosa")), "skeleton pass missed its case")
+    // the recall gain has a bounded, measurable budget — q156's framing:
+    // extra candidates, not an all-pairs blowup
+    assert(three.size > two.size && three.size <= two.size + names.count(),
+      s"pair budget: ${two.size} -> ${three.size}")
+    // end to end through the library seam: 3 passes merge the pair,
+    // 2 passes leave them apart
+    val l3 = EntityOps.resolveEntities(recs, "rid", "name", EntityOps.PartBlockers3)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(l3("arctic rose") === l3("erctic rosa"))
+    assert(l3("arctic rose") === 1L, "entity id = min member key")
+    val l2 = EntityOps.resolveEntities(recs, "rid", "name")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(l2("arctic rose") !== l2("erctic rosa"))
+    // on the real part fixture the 3-pass pair report q173 oracle-gates
+    // is a superset of q154's
+    val p154 = EntityOps.q154ErPairs(spark, sf0001)
+      .select("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val p173 = EntityOps.q173ErPairs3Pass(spark, sf0001)
+      .select("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(p154.subsetOf(p173),
+      s"q173 lost q154 pairs: ${(p154 -- p173).take(3)}")
+  }
+
   test("the part-table family IS the library defaults: entityLabels equals " +
     "resolveEntities(part, p_partkey, p_name) row for row") {
     val viaFamily = EntityOps.entityLabels(spark, sf0001)

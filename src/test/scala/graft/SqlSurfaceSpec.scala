@@ -68,7 +68,7 @@ class SqlSurfaceSpec extends SparkSpec {
     m("->> JSON extraction operator")("q19_json_extract") ++
     m("epoch() timestamp extraction")("q22_sessionize", "q48_session_window") ++
     m("regexp_replace 'g' flag / len() on lists")(
-      "q29_fingerprint", "q64_pii_redaction") ++
+      "q29_fingerprint", "q64_pii_redaction", "q173_er_pairs_3pass") ++
     m("list comprehension [expr FOR x IN list]")("q42_string_funcs") ++
     m("ASOF JOIN syntax")("q49_asof_join") ++
     m("'0x'-prefixed hex string cast to BIGINT")("q55_hash_split") ++
