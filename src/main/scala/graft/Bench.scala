@@ -63,7 +63,7 @@ object Bench {
     def calibrationJob(): Double = {
       val t0 = System.nanoTime()
       spark.range(0, 6000000000L, 1, cpus.toInt)
-        .selectExpr("sum(id * 2654435761L % 1048576) AS s").collect()
+        .selectExpr("sum((id % 1048576) * 2654435761L % 1048576) AS s").collect()
       (System.nanoTime() - t0) / 1e9
     }
     val calibration = Seq.fill(3)(calibrationJob()).min

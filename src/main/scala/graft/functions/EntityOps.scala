@@ -166,7 +166,7 @@ object EntityOps {
       .join(nm.select(col("name").as("name_b"), col("nid").as("doc_b")), "name_b")
       .select(col("doc_a"), col("doc_b")).persist()
     val labels =
-      if (edges.count() <= TextOps.LocalComponentsMaxEdges)
+      if (TextOps.isSubcritical(edges))
         TextOps.componentLabelsLocal(edges).localCheckpoint()
       else TextOps.componentLabelsIterative(edges)
     edges.unpersist()

@@ -118,7 +118,7 @@ object EntityIndex {
     * solver; the ids are internal handles only. */
   private def labeledNames(ids: DataFrame, edges: DataFrame): DataFrame = {
     val labels =
-      if (edges.count() <= TextOps.LocalComponentsMaxEdges)
+      if (TextOps.isSubcritical(edges))
         TextOps.componentLabelsLocal(edges).localCheckpoint()
       else TextOps.componentLabelsIterative(edges)
     val labeled = ids

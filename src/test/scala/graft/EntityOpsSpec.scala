@@ -291,6 +291,23 @@ class EntityOpsSpec extends SparkSpec {
       s"q173 lost q154 pairs: ${(p154 -- p173).take(3)}")
   }
 
+  test("the solver-choice probe is job-capped: deciding local-vs-iterative " +
+    "on an over-cap graph touches only as many partitions as it takes to " +
+    "see cap+1 edges, never the whole graph (and the boundary is exact)") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("edge_rows_computed")
+    val total = 100000L
+    val big = spark.range(0, total, 1, 32)
+      .map { i => acc.add(1); (i, i + 1) }.toDF("doc_a", "doc_b")
+    assert(!graft.functions.TextOps.isSubcritical(big, cap = 10L))
+    assert(acc.value < total,
+      s"probe materialized the whole graph: ${acc.value} of $total rows")
+    // exact boundary: cap edges is subcritical, cap+1 is not
+    val three = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    assert(graft.functions.TextOps.isSubcritical(three, cap = 3L))
+    assert(!graft.functions.TextOps.isSubcritical(three, cap = 2L))
+  }
+
   test("the part-table family IS the library defaults: entityLabels equals " +
     "resolveEntities(part, p_partkey, p_name) row for row") {
     val viaFamily = EntityOps.entityLabels(spark, sf0001)
