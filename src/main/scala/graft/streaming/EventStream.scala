@@ -889,8 +889,12 @@ object EventStream {
         rows: Iterator[(String, Long, Long, Long, Boolean)],
         timerValues: TimerValues): Iterator[ImageDupHit] = {
       val rs = rows.toArray
+      // distinct on the FULL member, not the id: a committed VIDEO
+      // contributes one member per distinct sampled-frame hash, and
+      // dropping a second hash that collides with a sibling frame on
+      // this band value would break the per-band pigeonhole recall
       val arriving = rs.collect { case (_, id, hi, lo, false) => ImageBandMember(id, hi, lo) }
-        .distinctBy(_.id).sortBy(_.id)
+        .distinct.sortBy(m => (m.id, m.hi, m.lo))
       if (arriving.nonEmpty) members.appendList(arriving.toArray)
       val probes = rs.collect { case (_, id, hi, lo, true) => (id, hi, lo) }.distinct.sorted
       if (probes.isEmpty) Iterator.empty
@@ -915,22 +919,47 @@ object EventStream {
     * the same pixels), then [[graft.multimodal.Multimodal.ahash64]] —
     * inside the per-row flatMap, so the surfaces cannot drift;
     * undecodable payloads drop silently (the q110 corruption contract).
-    * The blob never reaches the state store — only the 3-long hash row
-    * fans out to its 4 band keys. */
+    * VIDEO payloads ride the same key space (q165's composition, live):
+    * a multi-frame MJPEG is thinned stride-2 and each kept frame hashes
+    * like an image under the video's id — so a committed video is
+    * findable by any of its sampled frames, a probe video hits on any
+    * sampled frame, and a frame the thinning dropped is invisible, the
+    * sampling policy observable in the stream. The blob never reaches
+    * the state store — only 3-long hash rows fan out to band keys. */
   def imageDupProbeStream(media: DataFrame): Dataset[ImageDupHit] = {
     val s = media.sparkSession
     import s.implicits._
     media.select(col("media_id"), col("data"), col("is_probe"))
       .as[(Long, Array[Byte], Boolean)]
       .flatMap { case (id, bytes, isProbe) =>
-        graft.multimodal.MediaHeaders.pngPixels(bytes)
-          .orElse(graft.multimodal.JpegCodec.decode(bytes))
-          .toSeq.flatMap { case (w, h, px) =>
-          val (hi, lo, _) = graft.multimodal.Multimodal.ahash64(w.toInt, h.toInt, px)
+        import graft.multimodal.{JpegCodec, MediaHeaders, Multimodal}
+        // container sniff, now including VIDEO: a single image (PNG or
+        // one JPEG) hashes whole; a MULTI-frame MJPEG stream runs
+        // q165's chain — stride-2 keyframe thinning, per-frame decode —
+        // and contributes one hash per kept decodable frame, so a video
+        // is "in the corpus" through its sampled frames and a probe
+        // video hits when ANY sampled frame matches. Undecodable
+        // payloads and frames still drop silently (q110's contract).
+        // the MULTI-frame check must run before the single-JPEG decode:
+        // an MJPEG stream's first frame IS a valid JPEG, and decoding it
+        // whole would silently drop every later frame (PNG goes first —
+        // its magic is strict, while zlib bytes could alias JPEG markers)
+        val frames: Seq[(Long, Long, Array[Int])] =
+          MediaHeaders.pngPixels(bytes) match {
+            case Some(f) => Seq(f)
+            case None =>
+              val fs = MediaHeaders.mjpegFrames(bytes)
+              if (fs.size >= 2)
+                MediaHeaders.mjpegFrames(Multimodal.frameSample(bytes, 2))
+                  .flatMap(f => JpegCodec.decode(f))
+              else JpegCodec.decode(bytes).toSeq
+          }
+        frames.flatMap { case (w, h, px) =>
+          val (hi, lo, _) = Multimodal.ahash64(w.toInt, h.toInt, px)
           Seq((0, lo & 0xFFFFL), (1, (lo >> 16) & 0xFFFFL),
               (2, hi & 0xFFFFL), (3, (hi >> 16) & 0xFFFFL))
             .map { case (b, v) => (s"$b:$v", id, hi, lo, isProbe) }
-        }
+        }.distinct
       }
       .groupByKey(_._1)
       .transformWithState(new ImageDupProbeProcessor, TimeMode.None(), OutputMode.Append())

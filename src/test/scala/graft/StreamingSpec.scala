@@ -531,6 +531,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("imageDupProbeStream sees VIDEO: a committed MJPEG registers its " +
+    "stride-2 SAMPLED frames, a probe video hits on any sampled frame, and " +
+    "a frame the thinning dropped is invisible — the q165 composition live") {
+    import spark.implicits._
+    import graft.multimodal.{JpegCodec, MediaHeaders}
+    implicit val sqlCtx = spark.sqlContext
+    val split = Array.tabulate(256)(i => if (i % 16 < 8) 255 else 0)
+    val inv = split.map(255 - _)
+    def jpeg(px: Array[Int]) = JpegCodec.encode(16, 16, px)
+    def mjpeg(fs: Array[Int]*) = MediaHeaders.mjpegBytes(fs.map(jpeg))
+    withRocksDb {
+      val mem = MemoryStream[(Long, Array[Byte], Boolean)]
+      val q = EventStream.imageDupProbeStream(
+          mem.toDF().toDF("media_id", "data", "is_probe"))
+        .toDF().writeStream.format("memory")
+        .queryName("videodup_out").outputMode("append").start()
+      // corpus: image 1 = split; video 3 = [inv, split, inv] — stride-2
+      // keeps frames 0 and 2, so ONLY inv registers under id 3 (the
+      // middle split frame is thinned away)
+      mem.addData((1L, jpeg(split), false), (3L, mjpeg(inv, split, inv), false))
+      q.processAllAvailable()
+      // probe video 19 = [split, inv, inv]: sampled frames split + inv —
+      // split finds image 1, inv finds video 3; split must NOT find
+      // video 3 (its split frame was never registered). Image probe 9
+      // behaves exactly as before alongside video members.
+      mem.addData(
+        (19L, mjpeg(split, inv, inv), true),
+        (9L, MediaHeaders.pngPixelBytes(16, 16, split), true))
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("videodup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed === Set((19L, 1L, 0), (19L, 3L, 0), (9L, 1L, 0)),
+        streamed.toString)
+    }
+  }
+
   test("windowedAgg over a memory stream matches the batch tumbling window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
