@@ -183,29 +183,54 @@ object JpegCodec {
       while (bx < wBlocks) {
         var ci = 0
         while (ci < ncomp) {
-          // forward DCT of the level-shifted block (edge-replicated pad)
-          var u = 0
-          while (u < 8) {
-            var v = 0
-            while (v < 8) {
-              var s = 0.0
-              var y = 0
-              while (y < 8) {
-                val py = math.min(by * 8 + y, height - 1)
-                var x = 0
-                while (x < 8) {
-                  val px = math.min(bx * 8 + x, width - 1)
-                  s += ((samples((py * width + px) * ncomp + ci) & 0xFF) - 128) *
-                    cos(x, v) * cos(y, u)
-                  x += 1
-                }
-                y += 1
-              }
-              val q = QTable(u * 8 + v)
-              coef(u * 8 + v) = math.round(0.25 * cNorm(u) * cNorm(v) * s / q).toInt
-              v += 1
+          // flat-block fast path: a constant block's DCT is a lone DC
+          // coefficient 8·(v−128) (every AC integrates a cosine over
+          // full periods → 0, and the float loop's ~1e-10 residue
+          // quantizes to 0 anyway — identical output, none of the
+          // 64×64 product work). Flat blocks are the common case in
+          // screenshots/diagrams and dominate the exactness fixtures.
+          var flat = true
+          val v0 = (samples((math.min(by * 8, height - 1) * width +
+            math.min(bx * 8, width - 1)) * ncomp + ci)) & 0xFF
+          var fy = 0
+          while (flat && fy < 8) {
+            val py = math.min(by * 8 + fy, height - 1)
+            var fx = 0
+            while (flat && fx < 8) {
+              val px = math.min(bx * 8 + fx, width - 1)
+              if ((samples((py * width + px) * ncomp + ci) & 0xFF) != v0) flat = false
+              fx += 1
             }
-            u += 1
+            fy += 1
+          }
+          if (flat) {
+            java.util.Arrays.fill(coef, 0)
+            coef(0) = math.round(8.0 * (v0 - 128) / QTable(0)).toInt
+          } else {
+            // forward DCT of the level-shifted block (edge-replicated pad)
+            var u = 0
+            while (u < 8) {
+              var v = 0
+              while (v < 8) {
+                var s = 0.0
+                var y = 0
+                while (y < 8) {
+                  val py = math.min(by * 8 + y, height - 1)
+                  var x = 0
+                  while (x < 8) {
+                    val px = math.min(bx * 8 + x, width - 1)
+                    s += ((samples((py * width + px) * ncomp + ci) & 0xFF) - 128) *
+                      cos(x, v) * cos(y, u)
+                    x += 1
+                  }
+                  y += 1
+                }
+                val q = QTable(u * 8 + v)
+                coef(u * 8 + v) = math.round(0.25 * cNorm(u) * cNorm(v) * s / q).toInt
+                v += 1
+              }
+              u += 1
+            }
           }
           // DC: category + offset bits of the prediction difference
           val diff = coef(0) - pred(ci)

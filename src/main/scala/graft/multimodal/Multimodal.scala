@@ -431,14 +431,19 @@ object Multimodal {
     * (color/progressive JPEG, other containers) get deterministic byte
     * statistics as the last resort. */
   object Codecs {
-    /** Image feature extraction: for a decodable 8-bit grayscale PNG or
-      * baseline grayscale JPEG, REAL pixel features — [n_pixels, mean
-      * luminance, luminance variance, width] from the actual decoded
-      * pixels. For anything else, the byte-statistic stand-in
+    /** Image feature extraction: for a decodable PNG (gray or RGB
+      * truecolor) or baseline JPEG (grayscale or 3-component 4:4:4),
+      * REAL pixel features — [n_samples, mean sample value, sample
+      * variance, width] from the actual decoded samples (for color the
+      * moments run over all channels' interleaved samples — the
+      * channel-blind brightness screen; per-channel moments are
+      * q166's surface). For anything else, the byte-statistic stand-in
       * [len, mean byte, first, last] (deterministic, so specs and
       * oracles can pin outputs). */
     def decodeFeatures(data: Array[Byte]): Array[Double] =
-      MediaHeaders.pngPixels(data).orElse(JpegCodec.decode(data)) match {
+      MediaHeaders.pngSamples(data).map { case (w, _, _, px) => (w, 0L, px) }
+        .orElse(JpegCodec.decodeInterleaved(data)
+          .map { case (w, _, _, px) => (w, 0L, px) }) match {
         case Some((w, _, px)) =>
           var s = 0L
           var ss = 0L

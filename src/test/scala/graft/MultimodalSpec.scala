@@ -432,6 +432,18 @@ class MultimodalSpec extends SparkSpec {
     assert(maxErr <= 48, s"lossy error $maxErr out of band")
   }
 
+  test("Codecs.decodeFeatures on COLOR payloads returns real sample " +
+    "moments for both containers (no byte-stat fallback now that the " +
+    "color codecs exist)") {
+    import graft.multimodal.JpegCodec
+    // constant 140 everywhere: mean 140, var 0, across both containers
+    val px = Array.fill(16 * 8 * 3)(140)
+    assert(Multimodal.Codecs.decodeFeatures(
+      MediaHeaders.pngPixelBytesRgb(16, 8, px)).toSeq === Seq(384.0, 140.0, 0.0, 16.0))
+    assert(Multimodal.Codecs.decodeFeatures(
+      JpegCodec.encodeInterleaved(16, 8, 3, px)).toSeq === Seq(384.0, 140.0, 0.0, 16.0))
+  }
+
   test("q167 finds the PLANTED cross-container COLOR dups — sample-identical " +
     "images stored as RGB PNG vs 3-component JPEG pair up, every reported " +
     "pair joins opposite parities and decode-verifies equal") {
