@@ -417,6 +417,23 @@ object ScaleProbe {
       probe("entity_index_maintain")(maintain(r1))(maintain(rN))
     }
 
+    // The round-15 modality dedup families, probed on the same scaled
+    // docs (audio content keys off doc_id/4 and the color corpus off
+    // doc_id and n_chars, so the shifted copies carry disjoint quad
+    // spaces — planted dup structure per copy identical, pairs linear).
+    // q169: scan-speed fingerprint extraction + the banded equi-join —
+    // a super-linear ratio would mean the band buckets degenerated.
+    // q167: per-row dual-codec decode + md5 equi-join on the
+    // fingerprint — the binary never shuffles, so time must track rows.
+    {
+      import graft.multimodal.Multimodal
+      def audioDup(d: String): Long = Multimodal.q169AudioNeardup(spark, d).count()
+      def colorDup(d: String): Long = Multimodal.q167ColorCrossDups(spark, d).count()
+      audioDup(sfDir); colorDup(sfDir) // warm
+      probe("audio_fp_neardup")(audioDup(sfDir))(audioDup(docsNDir))
+      probe("color_cross_dup")(colorDup(sfDir))(colorDup(docsNDir))
+    }
+
     // Maintained SPAN index: applying a FIXED 50-doc arrival batch must
     // cost the same against a 1x and an Nx positions table — the batch
     // re-hashes only its own windows (batch-unique tokens keep its hash
