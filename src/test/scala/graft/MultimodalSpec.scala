@@ -505,6 +505,30 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.values.count(identity) < rows.size, "nothing was deduped")
   }
 
+  test("color decode rejects out-of-profile payloads instead of misdecoding: " +
+    "subsampled chroma returns None, truncated color scans return None, and " +
+    "an unsupported PNG color type returns None") {
+    import graft.multimodal.JpegCodec
+    val px = Array.tabulate(16 * 16 * 3)(i => (i * 7) % 256)
+    val jpg = JpegCodec.encodeInterleaved(16, 16, 3, px)
+    assert(JpegCodec.decodeInterleaved(jpg).nonEmpty, "baseline fixture broke")
+    // patch component 1's sampling factors 1x1 -> 2x2 in SOF0: a 4:2:0
+    // frame is outside the profile and MUST refuse, not misparse
+    val sof = jpg.indices.find(i => (jpg(i) & 0xFF) == 0xFF &&
+      i + 1 < jpg.length && (jpg(i + 1) & 0xFF) == 0xC0).get
+    val subsampled = jpg.clone()
+    subsampled(sof + 4 + 7) = 0x22.toByte
+    assert(JpegCodec.decodeInterleaved(subsampled) === None)
+    // truncation mid-entropy: the bit reader runs dry -> None, no throw
+    assert(JpegCodec.decodeInterleaved(jpg.dropRight(40)) === None)
+    // PNG color type 6 (RGBA) is outside the profile: patch the IHDR
+    // color-type byte of a valid truecolor PNG
+    val png = MediaHeaders.pngPixelBytesRgb(4, 3, Array.tabulate(36)(_ % 256))
+    val rgba = png.clone()
+    rgba(8 + 8 + 9) = 6.toByte // sig(8) + len+type(8) + w(4)+h(4)+depth(1)
+    assert(MediaHeaders.pngSamples(rgba) === None)
+  }
+
   test("JpegCodec.encode rejects dims beyond the 16-bit SOF0 fields instead of " +
     "silently truncating them into a misparsing header") {
     import graft.multimodal.JpegCodec
