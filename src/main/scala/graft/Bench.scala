@@ -204,7 +204,7 @@ object Bench {
       .mkString("{", ",", "}")
     // Full record (long names, both passes, method) -> file + stderr.
     val fullJson =
-      s"""{"metric":"total","value":$wall,"unit":"sec","queries":${timesJson(sequential, identity, _.toString)},"queries_concurrent":${timesJson(concurrent, identity, _.toString)},"seq_total":$seqTotal,"views":$viewsJson,"concurrent_walls":$walls,"calibration":${r3(calibration)},"wall_per_cal":${r3(wall / calibration)},"failures":$failures,"sf":"$sfDir","method":"$method"}"""
+      s"""{"metric":"total","value":$wall,"unit":"sec","queries":${timesJson(sequential, identity, _.toString)},"queries_concurrent":${timesJson(concurrent, identity, _.toString)},"seq_total":$seqTotal,"views":$viewsJson,"concurrent_walls":$walls,"calibration":${r3(calibration)},"wall_per_cal":${r3(wall / math.max(calibration, 1e-9))},"failures":$failures,"sf":"$sfDir","method":"$method"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")), fullJson)
     // Print the JSON LAST — after spark.stop()'s shutdown chatter — so a

@@ -152,6 +152,29 @@ object SparkSqlTwins {
       |    sum(b) AS n
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** The trimmed-audio fixture + hop-32 window grid in Spark dialect
+    * (q175/q176 twins): regenerate [[graft.multimodal.Multimodal
+    * .audioWithTrimmedDups]]'s quad-keyed PCM and md5 each 64-sample
+    * window's comma-joined samples — `array_sort(collect_list(struct))`
+    * stands in for DuckDB's `string_agg(… ORDER BY)`. */
+  private val audioTrimSparkCtes: String =
+    """a AS (SELECT doc_id, doc_id div 4 AS gid, (doc_id % 4) * 96 AS off
+      |           FROM documents WHERE doc_id % 3 = 1),
+      |s AS (SELECT a.doc_id, g.i,
+      |        ((a.gid * 2654435761L + a.off + g.i) % 2147483647L)
+      |        * ((a.gid * 2654435761L + a.off + g.i) % 2147483647L)
+      |        % 2147483647L % 65536L - 32768L AS v
+      |      FROM a, (SELECT explode(sequence(0, 767)) AS i) g),
+      |wj AS (SELECT w.g AS w, j.g AS j, w.g * 32 + j.g AS i
+      |       FROM (SELECT explode(sequence(0, 22)) AS g) w,
+      |            (SELECT explode(sequence(0, 63)) AS g) j),
+      |win AS (SELECT s.doc_id, wj.w,
+      |          md5(array_join(transform(
+      |            array_sort(collect_list(struct(wj.j AS j, s.v AS v))),
+      |            x -> CAST(x.v AS STRING)), ',')) AS fp
+      |        FROM wj JOIN s ON s.i = wj.i
+      |        GROUP BY s.doc_id, wj.w)""".stripMargin
+
   /** The ExactSubstr twin at min-match width w — same generator
     * discipline as TextOps.exactSubstrSql so the two widths (q148 = 8,
     * q152 = 16) can't drift from each other in Spark dialect either. */
@@ -698,6 +721,46 @@ object SparkSqlTwins {
         |FROM fp a JOIN fp b ON b.f = a.f AND a.media_id < b.media_id
         |WHERE a.container <> b.container""".stripMargin,
 
+    "q174_jpeg420_pixels" ->
+      """WITH im AS (SELECT doc_id, CAST((n_chars % 2 + 1) * 16 AS BIGINT) AS w,
+        |                   CAST((n_chars % 3 + 1) * 16 AS BIGINT) AS h
+        |            FROM documents),
+        |yb AS (SELECT im.doc_id, im.w, im.h,
+        |              CAST((im.doc_id * 7 + yy.g * 13 + xx.g * 31) % 256 AS BIGINT) AS v
+        |       FROM im,
+        |            (SELECT explode(sequence(0, 5)) AS g) yy,
+        |            (SELECT explode(sequence(0, 3)) AS g) xx
+        |       WHERE yy.g < im.h div 8 AND xx.g < im.w div 8),
+        |ya AS (SELECT doc_id, w, h, CAST(sum(v) * 64 AS DOUBLE) AS s,
+        |              CAST(sum(v * v) * 64 AS DOUBLE) AS ss
+        |       FROM yb GROUP BY doc_id, w, h),
+        |cb AS (SELECT im.doc_id, im.w, im.h, cc.g AS c,
+        |              CAST((im.doc_id * (CASE cc.g WHEN 1 THEN 11 ELSE 5 END) +
+        |                    yy.g * (CASE cc.g WHEN 1 THEN 17 ELSE 29 END) +
+        |                    xx.g * (CASE cc.g WHEN 1 THEN 23 ELSE 37 END)) % 256
+        |                   AS BIGINT) AS v
+        |       FROM im,
+        |            (SELECT explode(sequence(1, 2)) AS g) cc,
+        |            (SELECT explode(sequence(0, 2)) AS g) yy,
+        |            (SELECT explode(sequence(0, 1)) AS g) xx
+        |       WHERE yy.g < im.h div 16 AND xx.g < im.w div 16),
+        |ca AS (SELECT doc_id, w, h, c, CAST(sum(v) * 256 AS DOUBLE) AS s,
+        |              CAST(sum(v * v) * 256 AS DOUBLE) AS ss
+        |       FROM cb GROUP BY doc_id, w, h, c)
+        |SELECT ya.doc_id AS media_id, ya.w AS width, ya.h AS height,
+        |  round(ya.s / (ya.w * ya.h), 4) AS mean_y,
+        |  round(c1.s / (ya.w * ya.h), 4) AS mean_cb,
+        |  round(c2.s / (ya.w * ya.h), 4) AS mean_cr,
+        |  round(ya.ss / (ya.w * ya.h) -
+        |        (ya.s / (ya.w * ya.h)) * (ya.s / (ya.w * ya.h)), 4) AS var_y,
+        |  round(c1.ss / (ya.w * ya.h) -
+        |        (c1.s / (ya.w * ya.h)) * (c1.s / (ya.w * ya.h)), 4) AS var_cb,
+        |  round(c2.ss / (ya.w * ya.h) -
+        |        (c2.s / (ya.w * ya.h)) * (c2.s / (ya.w * ya.h)), 4) AS var_cr
+        |FROM ya
+        |JOIN ca c1 ON c1.doc_id = ya.doc_id AND c1.c = 1
+        |JOIN ca c2 ON c2.doc_id = ya.doc_id AND c2.c = 2""".stripMargin,
+
     "q128_hybrid_rrf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
@@ -1145,6 +1208,38 @@ object SparkSqlTwins {
          |SELECT h.doc_id AS media_id, h.hi AS fp_hi, h.lo AS fp_lo,
          |  r.doc_id IS NULL AS keep
          |FROM hash h LEFT JOIN removed r ON h.doc_id = r.doc_id""".stripMargin,
+
+    "q175_audio_window_fp" ->
+      s"""WITH $audioTrimSparkCtes
+         |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS w,
+         |  CAST(23 AS BIGINT) AS n_windows, fp
+         |FROM win""".stripMargin,
+
+    "q176_audio_trimmed_dups" ->
+      s"""WITH $audioTrimSparkCtes,
+         |wen AS (SELECT doc_id, (i * 64) div 768 AS wi, sum(v * v) AS es,
+         |               count(1) AS ec
+         |        FROM s GROUP BY doc_id, (i * 64) div 768),
+         |tot AS (SELECT doc_id, sum(es) AS ts, sum(ec) AS tc
+         |        FROM wen GROUP BY doc_id),
+         |bits AS (SELECT wen.doc_id, wi,
+         |                CASE WHEN es * tc >= ts * ec THEN 1L ELSE 0L END AS b
+         |         FROM wen JOIN tot ON wen.doc_id = tot.doc_id),
+         |gfp AS (SELECT doc_id,
+         |    sum(CASE WHEN wi >= 32 THEN b * shiftleft(1L, CAST(wi - 32 AS INT)) ELSE 0L END) AS hi,
+         |    sum(CASE WHEN wi < 32 THEN b * shiftleft(1L, CAST(wi AS INT)) ELSE 0L END) AS lo
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+         |  count(1) AS n_shared,
+         |  CAST(min(b.w - a.w) AS BIGINT) AS offset_w,
+         |  count(DISTINCT b.w - a.w) AS n_offsets,
+         |  CAST(bit_count(max(ga.hi) ^ max(gb.hi)) +
+         |       bit_count(max(ga.lo) ^ max(gb.lo)) AS BIGINT) AS global_hamming
+         |FROM win a JOIN win b ON b.fp = a.fp AND a.doc_id < b.doc_id
+         |JOIN gfp ga ON ga.doc_id = a.doc_id
+         |JOIN gfp gb ON gb.doc_id = b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING count(1) >= 4""".stripMargin,
     "q12_calendar_densify" ->
       """WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
         |cal AS (SELECT explode(sequence(lo, hi, interval 1 day)) AS day FROM bounds),

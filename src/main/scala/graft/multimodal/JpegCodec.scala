@@ -15,15 +15,19 @@ package graft.multimodal
   * recommended fill); SOF0 carries the true dimensions and the decoder
   * crops.
   *
-  * Decoder ([[decode]]): a GENERIC baseline scan — quant and Huffman
-  * tables are read from the file's own DQT/DHT segments (mincode /
-  * maxcode / valptr decoding per T.81 F.2.2.3, any conforming table
-  * works, nothing is hard-coded to this encoder), DRI/RSTn restart
-  * intervals are honored, entropy data is un-stuffed, each block is
-  * dequantized, inverse-zigzagged, IDCT'd, level-shifted and clamped.
-  * Anything unparseable — multi-component frames, progressive scans,
-  * truncated streams, corrupt tables — returns None, never a throw:
-  * one bad blob must not kill a 100 TB scan.
+  * Decoder ([[decode]]/[[decodeInterleaved]]): a GENERIC baseline scan
+  * — quant and Huffman tables are read from the file's own DQT/DHT
+  * segments (mincode / maxcode / valptr decoding per T.81 F.2.2.3, any
+  * conforming table works, nothing is hard-coded to this encoder),
+  * DRI/RSTn restart intervals are honored, entropy data is un-stuffed,
+  * each block is dequantized, inverse-zigzagged, IDCT'd, level-shifted
+  * and clamped. Per-component sampling factors 1–2 are supported in
+  * any combination — 4:4:4, 4:2:2 and the 4:2:0 that dominates real
+  * crawled JPEGs — via per-component planes upsampled nearest-neighbor
+  * to the full-resolution interleaved result. Anything unparseable —
+  * progressive scans, truncated streams, corrupt tables, sampling
+  * factors above 2, over-budget dimensions — returns None, never a
+  * throw: one bad blob must not kill a 100 TB scan.
   *
   * Exactness contract the q163 gate rides on: JPEG is lossy in
   * general, but an image whose every (padded) 8×8 block is CONSTANT
@@ -128,6 +132,94 @@ object JpegCodec {
   def encode(width: Int, height: Int, pixels: Array[Int]): Array[Byte] =
     encodeInterleaved(width, height, 1, pixels)
 
+  /** Forward DCT + quantization of the 8×8 block at block coords
+    * (bx, by) of `plane` (pw × ph, edge-replicated beyond the true
+    * bounds — the spec's recommended pad) into `coef` (natural order).
+    * Flat-block fast path: a constant block's DCT is a lone DC
+    * coefficient 8·(v−128) (every AC integrates a cosine over full
+    * periods → 0, and the float loop's ~1e-10 residue quantizes to 0
+    * anyway — identical output, none of the 64×64 product work). Flat
+    * blocks are the common case in screenshots/diagrams and dominate
+    * the exactness fixtures. */
+  private def dctQuantBlock(plane: Array[Int], pw: Int, ph: Int,
+      bx: Int, by: Int, coef: Array[Int]): Unit = {
+    var flat = true
+    val v0 = plane(math.min(by * 8, ph - 1) * pw + math.min(bx * 8, pw - 1)) & 0xFF
+    var fy = 0
+    while (flat && fy < 8) {
+      val py = math.min(by * 8 + fy, ph - 1)
+      var fx = 0
+      while (flat && fx < 8) {
+        val px = math.min(bx * 8 + fx, pw - 1)
+        if ((plane(py * pw + px) & 0xFF) != v0) flat = false
+        fx += 1
+      }
+      fy += 1
+    }
+    if (flat) {
+      java.util.Arrays.fill(coef, 0)
+      coef(0) = math.round(8.0 * (v0 - 128) / QTable(0)).toInt
+    } else {
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0.0
+          var y = 0
+          while (y < 8) {
+            val py = math.min(by * 8 + y, ph - 1)
+            var x = 0
+            while (x < 8) {
+              val px = math.min(bx * 8 + x, pw - 1)
+              s += ((plane(py * pw + px) & 0xFF) - 128) * cos(x, v) * cos(y, u)
+              x += 1
+            }
+            y += 1
+          }
+          val q = QTable(u * 8 + v)
+          coef(u * 8 + v) = math.round(0.25 * cNorm(u) * cNorm(v) * s / q).toInt
+          v += 1
+        }
+        u += 1
+      }
+    }
+  }
+
+  /** Entropy-code one quantized block: DC difference against `pred`
+    * (category + offset bits), then the zigzag AC run/size stream with
+    * ZRL and EOB. Returns the new DC predictor (this block's DC). */
+  private def entropyBlock(bw: BitWriter, coef: Array[Int], pred: Int,
+      dcCodes: Array[(Int, Int)], acCodes: Array[(Int, Int)],
+      acIndex: Array[Int]): Int = {
+    val diff = coef(0) - pred
+    val dcCat = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+    val (dcCode, dcLen) = dcCodes(dcCat)
+    bw.put(dcCode, dcLen)
+    if (dcCat > 0)
+      bw.put(if (diff >= 0) diff else diff + (1 << dcCat) - 1, dcCat)
+    var lastNz = 63
+    while (lastNz >= 1 && coef(Zigzag(lastNz)) == 0) lastNz -= 1
+    var run = 0
+    var k = 1
+    while (k <= lastNz) {
+      val c = coef(Zigzag(k))
+      if (c == 0) run += 1
+      else {
+        while (run >= 16) {
+          val (z, zl) = acCodes(acIndex(0xF0)); bw.put(z, zl); run -= 16
+        }
+        val size = 32 - Integer.numberOfLeadingZeros(math.abs(c))
+        val (code, len) = acCodes(acIndex((run << 4) | size))
+        bw.put(code, len)
+        bw.put(if (c >= 0) c else c + (1 << size) - 1, size)
+        run = 0
+      }
+      k += 1
+    }
+    if (lastNz < 63) { val (e, el) = acCodes(acIndex(0x00)); bw.put(e, el) }
+    coef(0)
+  }
+
   /** Encode `samples` (pixel-major interleaved: component c of the
     * pixel at (x, y) is samples((y·width + x)·ncomp + c)) as a baseline
     * JPEG with `ncomp` components at 4:4:4 (every sampling factor 1×1)
@@ -173,6 +265,15 @@ object JpegCodec {
     AcVals.zipWithIndex.foreach { case (s, i) => acIndex(s) = i }
 
     val bw = new BitWriter(out)
+    // deinterleave into per-component planes (pre-masked) so the block
+    // work is the same plane-based [[dctQuantBlock]] the 4:2:0 fixture
+    // writer uses — one source of truth for the DCT/quant math
+    val planes = Array.tabulate(ncomp) { c =>
+      val p = new Array[Int](width * height)
+      var i = 0
+      while (i < p.length) { p(i) = samples(i * ncomp + c) & 0xFF; i += 1 }
+      p
+    }
     val wBlocks = (width + 7) / 8
     val hBlocks = (height + 7) / 8
     val coef = new Array[Int](64)
@@ -183,89 +284,119 @@ object JpegCodec {
       while (bx < wBlocks) {
         var ci = 0
         while (ci < ncomp) {
-          // flat-block fast path: a constant block's DCT is a lone DC
-          // coefficient 8·(v−128) (every AC integrates a cosine over
-          // full periods → 0, and the float loop's ~1e-10 residue
-          // quantizes to 0 anyway — identical output, none of the
-          // 64×64 product work). Flat blocks are the common case in
-          // screenshots/diagrams and dominate the exactness fixtures.
-          var flat = true
-          val v0 = (samples((math.min(by * 8, height - 1) * width +
-            math.min(bx * 8, width - 1)) * ncomp + ci)) & 0xFF
-          var fy = 0
-          while (flat && fy < 8) {
-            val py = math.min(by * 8 + fy, height - 1)
-            var fx = 0
-            while (flat && fx < 8) {
-              val px = math.min(bx * 8 + fx, width - 1)
-              if ((samples((py * width + px) * ncomp + ci) & 0xFF) != v0) flat = false
-              fx += 1
-            }
-            fy += 1
-          }
-          if (flat) {
-            java.util.Arrays.fill(coef, 0)
-            coef(0) = math.round(8.0 * (v0 - 128) / QTable(0)).toInt
-          } else {
-            // forward DCT of the level-shifted block (edge-replicated pad)
-            var u = 0
-            while (u < 8) {
-              var v = 0
-              while (v < 8) {
-                var s = 0.0
-                var y = 0
-                while (y < 8) {
-                  val py = math.min(by * 8 + y, height - 1)
-                  var x = 0
-                  while (x < 8) {
-                    val px = math.min(bx * 8 + x, width - 1)
-                    s += ((samples((py * width + px) * ncomp + ci) & 0xFF) - 128) *
-                      cos(x, v) * cos(y, u)
-                    x += 1
-                  }
-                  y += 1
-                }
-                val q = QTable(u * 8 + v)
-                coef(u * 8 + v) = math.round(0.25 * cNorm(u) * cNorm(v) * s / q).toInt
-                v += 1
-              }
-              u += 1
-            }
-          }
-          // DC: category + offset bits of the prediction difference
-          val diff = coef(0) - pred(ci)
-          pred(ci) = coef(0)
-          val dcCat = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
-          val (dcCode, dcLen) = dcCodes(dcCat)
-          bw.put(dcCode, dcLen)
-          if (dcCat > 0)
-            bw.put(if (diff >= 0) diff else diff + (1 << dcCat) - 1, dcCat)
-          // AC: run/size with ZRL and EOB, over the zigzag scan
-          var lastNz = 63
-          while (lastNz >= 1 && coef(Zigzag(lastNz)) == 0) lastNz -= 1
-          var run = 0
-          var k = 1
-          while (k <= lastNz) {
-            val c = coef(Zigzag(k))
-            if (c == 0) run += 1
-            else {
-              while (run >= 16) {
-                val (z, zl) = acCodes(acIndex(0xF0)); bw.put(z, zl); run -= 16
-              }
-              val size = 32 - Integer.numberOfLeadingZeros(math.abs(c))
-              val (code, len) = acCodes(acIndex((run << 4) | size))
-              bw.put(code, len)
-              bw.put(if (c >= 0) c else c + (1 << size) - 1, size)
-              run = 0
-            }
-            k += 1
-          }
-          if (lastNz < 63) { val (e, el) = acCodes(acIndex(0x00)); bw.put(e, el) }
+          dctQuantBlock(planes(ci), width, height, bx, by, coef)
+          pred(ci) = entropyBlock(bw, coef, pred(ci), dcCodes, acCodes, acIndex)
           ci += 1
         }
         bx += 1
       }
       by += 1
+    }
+    bw.flush()
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode `samples` (pixel-major interleaved, 3 components) as a
+    * baseline JPEG with 4:2:0 chroma subsampling — component 0 at full
+    * resolution (sampling 2×2), components 1–2 box-filtered to half
+    * resolution (1×1; each chroma sample is the rounded mean of its
+    * up-to-2×2 full-resolution cell), entropy-coded as 4-luma+Cb+Cr
+    * MCUs in T.81 A.2.3 raster order. This is the FIXTURE face of the
+    * subsampled profile [[decodeInterleaved]] now reads (VERDICT r15
+    * #1 keeps the production encoder 4:4:4): a corpus whose luma is
+    * constant per 8×8 block and whose chroma is constant per 16×16 MCU
+    * round-trips exactly — constant cells box-filter to the same
+    * constant, every block is a lone DC, and nearest-neighbor
+    * upsampling of a constant plane is exact — so q174's oracle can
+    * regenerate the block/MCU formulas in SQL and hash-match. */
+  def encode420(width: Int, height: Int, samples: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && samples.length == width * height * 3,
+      s"JpegCodec.encode420: ${samples.length} samples for ${width}x$height x3")
+    require(width <= 65535 && height <= 65535,
+      s"JpegCodec.encode420: ${width}x$height exceeds the 16-bit SOF0 limit")
+    val n = width * height
+    val luma = new Array[Int](n)
+    var i = 0
+    while (i < n) { luma(i) = samples(i * 3) & 0xFF; i += 1 }
+    val cw = (width + 1) / 2
+    val ch = (height + 1) / 2
+    val cbP = new Array[Int](cw * ch)
+    val crP = new Array[Int](cw * ch)
+    var cy = 0
+    while (cy < ch) {
+      var cx = 0
+      while (cx < cw) {
+        var sb = 0
+        var sr = 0
+        var cnt = 0
+        var dy = 0
+        while (dy < 2) {
+          val yy = cy * 2 + dy
+          if (yy < height) {
+            var dx = 0
+            while (dx < 2) {
+              val xx = cx * 2 + dx
+              if (xx < width) {
+                sb += samples((yy * width + xx) * 3 + 1) & 0xFF
+                sr += samples((yy * width + xx) * 3 + 2) & 0xFF
+                cnt += 1
+              }
+              dx += 1
+            }
+          }
+          dy += 1
+        }
+        cbP(cy * cw + cx) = (sb + cnt / 2) / cnt
+        crP(cy * cw + cx) = (sr + cnt / 2) / cnt
+        cx += 1
+      }
+      cy += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(samples.length / 4 + 512)
+    out.write(0xFF); out.write(0xD8) // SOI
+    seg(out, 0xDB, (Array(0x00) ++ Zigzag.map(QTable(_))).map(_.toByte))
+    // SOF0: luma id 1 sampling 2x2, chroma ids 2-3 sampling 1x1
+    seg(out, 0xC0, (Array(8, (height >> 8) & 0xFF, height & 0xFF,
+      (width >> 8) & 0xFF, width & 0xFF, 3,
+      1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0)).map(_.toByte))
+    seg(out, 0xC4, ((Array(0x00) ++ DcBits.drop(1) ++ DcVals) ++
+      (Array(0x10) ++ AcBits.drop(1) ++ AcVals)).map(_.toByte))
+    seg(out, 0xDA, (Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)).map(_.toByte))
+
+    val dcCodes = canonicalCodes(DcBits, DcVals)
+    val acCodes = canonicalCodes(AcBits, AcVals)
+    val acIndex = new Array[Int](256)
+    java.util.Arrays.fill(acIndex, -1)
+    AcVals.zipWithIndex.foreach { case (s, idx) => acIndex(s) = idx }
+
+    val bw = new BitWriter(out)
+    val coef = new Array[Int](64)
+    val pred = new Array[Int](3)
+    val mcusX = (width + 15) / 16
+    val mcusY = (height + 15) / 16
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        // 4 luma blocks, raster order within the MCU, then Cb, then Cr
+        var bv = 0
+        while (bv < 2) {
+          var bh = 0
+          while (bh < 2) {
+            dctQuantBlock(luma, width, height, mx * 2 + bh, my * 2 + bv, coef)
+            pred(0) = entropyBlock(bw, coef, pred(0), dcCodes, acCodes, acIndex)
+            bh += 1
+          }
+          bv += 1
+        }
+        dctQuantBlock(cbP, cw, ch, mx, my, coef)
+        pred(1) = entropyBlock(bw, coef, pred(1), dcCodes, acCodes, acIndex)
+        dctQuantBlock(crP, cw, ch, mx, my, coef)
+        pred(2) = entropyBlock(bw, coef, pred(2), dcCodes, acCodes, acIndex)
+        mx += 1
+      }
+      my += 1
     }
     bw.flush()
     out.write(0xFF); out.write(0xD9) // EOI
@@ -362,16 +493,39 @@ object JpegCodec {
       case _ => None
     }
 
-  /** Decode a baseline JPEG with 1–3 components at 4:4:4 in one
-    * interleaved scan to (width, height, ncomp, samples pixel-major
-    * interleaved), or None for anything this profile doesn't cover —
-    * subsampled chroma, progressive/arithmetic frames, truncated
-    * streams, corrupt tables: never a throw; one bad blob must not
-    * kill a 100 TB scan. All tables come from the stream's own DQT/DHT
-    * segments (T.81 F.2.2.3 — any conforming table works, nothing is
-    * hard-coded to this encoder); the scan may list components in any
-    * order (mapped back by component id); DRI/RSTn restart intervals
-    * count MCUs per T.81. */
+  /** Hard ceiling on decoded samples (w·h·ncomp) per blob: 2²⁵ ints ≈
+    * 128 MB of heap — a bounded, predictable slice of one task's
+    * memory. SOF0/IHDR dimensions are UNTRUSTED: a crafted ~100-byte
+    * header claiming 65535×65535×3 overflows the Int product into a
+    * NegativeArraySizeException (killing the task) or, non-overflowing,
+    * forces a multi-GB allocation from a tiny blob (ADVICE r15). Checked
+    * in Long arithmetic BEFORE any allocation; over-budget → None, the
+    * same loud-silence contract as any other unparseable blob. */
+  private[multimodal] val MaxDecodeSamples: Long = 1L << 25
+
+  /** Decode a baseline JPEG with 1–3 components in one interleaved
+    * scan to (width, height, ncomp, samples pixel-major interleaved at
+    * FULL resolution), or None for anything this profile doesn't cover
+    * — progressive/arithmetic frames, truncated streams, corrupt
+    * tables, sampling factors above 2: never a throw; one bad blob
+    * must not kill a 100 TB scan. Per-component sampling factors of 1
+    * and 2 are supported in any combination — 4:4:4, 4:2:2 and the
+    * 4:2:0 that dominates real crawled JPEGs (VERDICT r15 #1) — by
+    * decoding each component into its own plane at its natural
+    * resolution (T.81 A.1.1: ceil(w·Hᵢ/Hmax) × ceil(h·Vᵢ/Vmax)) from
+    * Hᵢ×Vᵢ blocks per MCU in raster order (A.2.3), then upsampling
+    * nearest-neighbor to the full-resolution interleaved result. All
+    * tables come from the stream's own DQT/DHT segments (T.81 F.2.2.3
+    * — any conforming table works, nothing is hard-coded to this
+    * encoder); the scan may list components in any order (mapped back
+    * by component id); DRI/RSTn restart intervals count MCUs per T.81.
+    *
+    * Exactness contract, extended to subsampling: a 4:2:0 stream whose
+    * luma is constant per 8×8 block and whose chroma is constant per
+    * MCU decodes to exactly those constants — each block is a lone DC
+    * coefficient, and nearest-neighbor upsampling of a constant plane
+    * is exact — so a SQL oracle can regenerate the block/MCU formulas
+    * and hash-match the full-resolution samples (q174's gate). */
   def decodeInterleaved(d: Array[Byte]): Option[(Long, Long, Int, Array[Int])] = {
     if (d.length < 4 || (d(0) & 0xFF) != 0xFF || (d(1) & 0xFF) != 0xD8) return None
     def be16(i: Int): Int = ((d(i) & 0xFF) << 8) | (d(i + 1) & 0xFF)
@@ -383,6 +537,8 @@ object JpegCodec {
     var h = -1
     var nc = -1
     val compIds = new Array[Int](3)
+    val compH = new Array[Int](3)
+    val compV = new Array[Int](3)
     val compQ = new Array[Int](3)
     val compDc = new Array[Int](3)
     val compAc = new Array[Int](3)
@@ -427,7 +583,7 @@ object JpegCodec {
               if (tc == 0) dcTables(th) = t else acTables(th) = t
               p += 17 + n
             }
-          case 0xC0 => // SOF0 baseline; this profile: 8-bit, 1-3 comps 4:4:4
+          case 0xC0 => // SOF0 baseline; 8-bit, 1-3 comps, sampling 1-2
             if (len < 8 || (d(body) & 0xFF) != 8) return None
             h = be16(body + 1)
             w = be16(body + 3)
@@ -436,10 +592,17 @@ object JpegCodec {
             var c = 0
             while (c < nc) {
               compIds(c) = d(body + 6 + 3 * c) & 0xFF
-              if ((d(body + 7 + 3 * c) & 0xFF) != 0x11) return None // 4:4:4 only
+              compH(c) = (d(body + 7 + 3 * c) & 0xF0) >> 4
+              compV(c) = d(body + 7 + 3 * c) & 0x0F
+              if (compH(c) < 1 || compH(c) > 2 ||
+                compV(c) < 1 || compV(c) > 2) return None // factors 1-2 only
               compQ(c) = d(body + 8 + 3 * c) & 0x0F
               c += 1
             }
+            // single-component scans are non-interleaved: the MCU is
+            // ONE data unit and sampling factors don't apply (T.81
+            // A.2.2) — some real gray JPEGs still declare 2x2 here
+            if (nc == 1) { compH(0) = 1; compV(0) = 1 }
           case m if m >= 0xC1 && m <= 0xCF && m != 0xC4 && m != 0xC8 =>
             return None // progressive/arithmetic/other frame types
           case 0xDD => // DRI
@@ -468,24 +631,41 @@ object JpegCodec {
       }
     }
     if (w <= 0 || h <= 0) return None
+    // Untrusted-dims budget gate BEFORE any allocation (ADVICE r15):
+    // Long arithmetic so 65535x65535x3 can't overflow the check itself.
+    // Plane allocations below are each <= this product.
+    if (w.toLong * h * nc > MaxDecodeSamples) return None
     var cv = 0
     while (cv < nc) {
       if (qTables(compQ(cv)) == null || dcTables(compDc(cv)) == null ||
         acTables(compAc(cv)) == null) return None
       cv += 1
     }
+    var hMax = 1
+    var vMax = 1
+    cv = 0
+    while (cv < nc) {
+      if (compH(cv) > hMax) hMax = compH(cv)
+      if (compV(cv) > vMax) vMax = compV(cv)
+      cv += 1
+    }
 
-    val wBlocks = (w + 7) / 8
-    val hBlocks = (h + 7) / 8
-    val px = new Array[Int](w * h * nc)
+    // One plane per component at its natural resolution (T.81 A.1.1);
+    // for all-1x1 frames the planes ARE full resolution and the final
+    // interleave is an identity copy.
+    val planeW = Array.tabulate(nc)(c => (w * compH(c) + hMax - 1) / hMax)
+    val planeH = Array.tabulate(nc)(c => (h * compV(c) + vMax - 1) / vMax)
+    val planes = Array.tabulate(nc)(c => new Array[Int](planeW(c) * planeH(c)))
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
     val coef = new Array[Int](64)
     val br = new BitReader(d, scanStart)
     val pred = new Array[Int](nc)
     var mcuIdx = 0
-    var by = 0
-    while (by < hBlocks) {
-      var bx = 0
-      while (bx < wBlocks) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (restartInterval > 0 && mcuIdx > 0 && mcuIdx % restartInterval == 0) {
           if (!br.restart()) return None
           java.util.Arrays.fill(pred, 0)
@@ -495,62 +675,126 @@ object JpegCodec {
           val q = qTables(compQ(ci))
           val dc = dcTables(compDc(ci))
           val ac = acTables(compAc(ci))
-          java.util.Arrays.fill(coef, 0)
-          val dcCat = br.decodeHuff(dc)
-          if (dcCat < 0 || dcCat > 11) return None
-          val dcBits = br.bitsValue(dcCat)
-          if (dcBits < 0) return None
-          pred(ci) += extend(dcBits, dcCat)
-          coef(0) = pred(ci) * q(0)
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = br.decodeHuff(ac)
-            if (rs < 0) return None
-            if (rs == 0x00) eob = true
-            else if (rs == 0xF0) k += 16
-            else {
-              k += (rs >> 4)
-              val size = rs & 0x0F
-              if (k > 63) return None
-              val raw = br.bitsValue(size)
-              if (raw < 0) return None
-              coef(Zigzag(k)) = extend(raw, size) * q(Zigzag(k))
-              k += 1
-            }
-          }
-          // IDCT + level shift + clamp, cropped to the true dimensions
-          var y = 0
-          while (y < 8) {
-            val py = by * 8 + y
-            var x = 0
-            while (x < 8) {
-              val pxx = bx * 8 + x
-              if (py < h && pxx < w) {
-                var s = 0.0
-                var u = 0
-                while (u < 8) {
-                  var v = 0
-                  while (v < 8) {
-                    val c = coef(u * 8 + v)
-                    if (c != 0) s += cNorm(u) * cNorm(v) * c * cos(x, v) * cos(y, u)
-                    v += 1
-                  }
-                  u += 1
+          val plane = planes(ci)
+          val pw = planeW(ci)
+          val ph = planeH(ci)
+          // Hi x Vi blocks of this component per MCU, raster order
+          var bv = 0
+          while (bv < compV(ci)) {
+            var bh = 0
+            while (bh < compH(ci)) {
+              java.util.Arrays.fill(coef, 0)
+              val dcCat = br.decodeHuff(dc)
+              if (dcCat < 0 || dcCat > 11) return None
+              val dcBits = br.bitsValue(dcCat)
+              if (dcBits < 0) return None
+              pred(ci) += extend(dcBits, dcCat)
+              coef(0) = pred(ci) * q(0)
+              var hasAc = false
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = br.decodeHuff(ac)
+                if (rs < 0) return None
+                if (rs == 0x00) eob = true
+                else if (rs == 0xF0) k += 16
+                else {
+                  k += (rs >> 4)
+                  val size = rs & 0x0F
+                  if (k > 63) return None
+                  val raw = br.bitsValue(size)
+                  if (raw < 0) return None
+                  coef(Zigzag(k)) = extend(raw, size) * q(Zigzag(k))
+                  hasAc = true
+                  k += 1
                 }
-                val out = math.round(0.25 * s).toInt + 128
-                px((py * w + pxx) * nc + ci) = math.max(0, math.min(255, out))
               }
-              x += 1
+              // IDCT + level shift + clamp into the plane, cropped to
+              // the component's true dimensions
+              val x0 = (mx * compH(ci) + bh) * 8
+              val y0 = (my * compV(ci) + bv) * 8
+              if (!hasAc) {
+                // DC-only fast path: the IDCT of a lone DC coefficient
+                // is constant — computed with EXACTLY the float-product
+                // order of the general loop's single (u=0, v=0) term
+                // (cos(·,0) is math.cos(0.0) = 1.0 exactly), so the
+                // rounded sample is bit-identical, at 1/64th the work.
+                // DC-only blocks are every flat block — the common case
+                // in screenshots/diagrams and all exactness fixtures.
+                val s = cNorm(0) * cNorm(0) * coef(0) * cos(0, 0) * cos(0, 0)
+                val out = math.round(0.25 * s).toInt + 128
+                val v = math.max(0, math.min(255, out))
+                var y = 0
+                while (y < 8) {
+                  val py = y0 + y
+                  if (py < ph) {
+                    var x = 0
+                    while (x < 8) {
+                      if (x0 + x < pw) plane(py * pw + x0 + x) = v
+                      x += 1
+                    }
+                  }
+                  y += 1
+                }
+              } else {
+                var y = 0
+                while (y < 8) {
+                  val py = y0 + y
+                  var x = 0
+                  while (x < 8) {
+                    val pxx = x0 + x
+                    if (py < ph && pxx < pw) {
+                      var s = 0.0
+                      var u = 0
+                      while (u < 8) {
+                        var v = 0
+                        while (v < 8) {
+                          val c = coef(u * 8 + v)
+                          if (c != 0) s += cNorm(u) * cNorm(v) * c * cos(x, v) * cos(y, u)
+                          v += 1
+                        }
+                        u += 1
+                      }
+                      val out = math.round(0.25 * s).toInt + 128
+                      plane(py * pw + pxx) = math.max(0, math.min(255, out))
+                    }
+                    x += 1
+                  }
+                  y += 1
+                }
+              }
+              bh += 1
             }
-            y += 1
+            bv += 1
           }
           ci += 1
         }
         mcuIdx += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
+    }
+
+    // Upsample nearest-neighbor (floor index — T.81 leaves the filter
+    // to the decoder; nearest keeps constant planes exact) and
+    // interleave to the full-resolution result.
+    val px = new Array[Int](w * h * nc)
+    var py = 0
+    while (py < h) {
+      var ci = 0
+      while (ci < nc) {
+        val plane = planes(ci)
+        val pw = planeW(ci)
+        val rowOff = (py * compV(ci) / vMax) * pw
+        val hi = compH(ci)
+        var pxx = 0
+        while (pxx < w) {
+          px((py * w + pxx) * nc + ci) = plane(rowOff + pxx * hi / hMax)
+          pxx += 1
+        }
+        ci += 1
+      }
+      py += 1
     }
     Some((w.toLong, h.toLong, nc, px))
   }

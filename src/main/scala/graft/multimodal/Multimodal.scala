@@ -330,6 +330,11 @@ object MediaHeaders {
       (colorType != 0 && colorType != 2) || idat.size() == 0)
       return None
     val nc = if (colorType == 2) 3 else 1
+    // Untrusted IHDR dims (ADVICE r15): a crafted ~50-byte header can
+    // claim dims whose Int product overflows (throw) or demands
+    // multi-GB buffers — gate on the shared sample budget in Long
+    // arithmetic BEFORE allocating, None like any unparseable blob.
+    if (w.toLong * h * nc > JpegCodec.MaxDecodeSamples) return None
     val rowBytes = w * nc
     val raw = new Array[Byte]((rowBytes + 1) * h)
     val inflater = new java.util.zip.Inflater()
@@ -994,11 +999,12 @@ object Multimodal {
     * everything upstream rides q131's banded candidate plan. */
   def q132ImageDedupKeep(s: SparkSession, d: String): DataFrame = {
     // one decode pass: pairs derive from the SAME hashes subtree the
-    // verdict join reads (persist pins the reuse — without it AQE may
-    // re-derive the whole decode for each consumer)
+    // verdict join reads. localCheckpoint (not persist — ADVICE r15)
+    // pins the reuse AND lets the blocks go with the frame when the
+    // caller drops it, instead of leaking cache for the session.
     val hashes = q130ImageAhash(s, d)
       .select(col("media_id"), col("ahash_hi"), col("ahash_lo"))
-      .persist()
+      .localCheckpoint()
     val removed = neardupPairs(hashes)
       .select(col("media_id_b").as("media_id")).distinct()
     hashes.join(removed.withColumn("dup", lit(1)), Seq("media_id"), "left")
@@ -1659,13 +1665,15 @@ object Multimodal {
   /** q170: the audio-dedup DECISION — q132's greedy keeper convention
     * on the third modality: a clip is DROPPED when a lower-id clip
     * sits within Hamming ≤ 3 of its energy fingerprint. One decode
-    * pass (the persisted hashes subtree feeds both the pair spine and
-    * the verdict join); the removed-id set is duplicate-sized and AQE
-    * broadcasts it while small. */
+    * pass (the checkpointed hashes subtree feeds both the pair spine
+    * and the verdict join); the removed-id set is duplicate-sized and
+    * AQE broadcasts it while small. */
   def q170AudioDedupKeep(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint, not persist (ADVICE r15): one decode pass into a
+    // GC-reclaimable materialization instead of a session-lifetime pin.
     val hashes = q168AudioFingerprint(s, d)
       .select(col("media_id"), col("fp_hi").as("ahash_hi"), col("fp_lo").as("ahash_lo"))
-      .persist()
+      .localCheckpoint()
     val removed = neardupPairs(hashes)
       .select(col("media_id_b").as("media_id")).distinct()
     hashes.join(removed.withColumn("dup", lit(1)), Seq("media_id"), "left")
@@ -1691,6 +1699,289 @@ object Multimodal {
        |  r.doc_id IS NULL AS keep
        |FROM hash h LEFT JOIN removed r ON h.doc_id = r.doc_id""".stripMargin
 
+  /** Fabricate 4:2:0 chroma-subsampled baseline JPEGs from every doc:
+    * dims are whole MCUs or ragged (w = (n_chars%2+1)·16, h =
+    * (n_chars%3+1)·16), luma is CONSTANT per 8×8 block ((doc_id·7 +
+    * by·13 + bx·31) mod 256 — q163's formula shape) and chroma is
+    * CONSTANT per 16×16 MCU, the exact profile
+    * [[JpegCodec.encode420]]/[[JpegCodec.decodeInterleaved]] invert
+    * bit-for-bit (box-filter of a constant cell is the constant, every
+    * block a lone DC, nearest upsampling of a constant plane exact). */
+  def images420(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+    import s.implicits._
+    Tables(s, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (docId, nChars) =>
+        val w = ((nChars % 2 + 1) * 16).toInt
+        val h = ((nChars % 3 + 1) * 16).toInt
+        val px = new Array[Int](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = (y * w + x) * 3
+            px(p) = ((docId * 7 + (y / 8) * 13 + (x / 8) * 31) % 256).toInt
+            px(p + 1) = ((docId * 11 + (y / 16) * 17 + (x / 16) * 23) % 256).toInt
+            px(p + 2) = ((docId * 5 + (y / 16) * 29 + (x / 16) * 37) % 256).toInt
+            x += 1
+          }
+          y += 1
+        }
+        MediaPayload(docId, "image", JpegCodec.encode420(w, h, px))
+      }
+  }
+
+  /** q174: 4:2:0 JPEG pixel decode — the realism gap VERDICT r15
+    * ranked first: real crawled JPEGs are overwhelmingly 4:2:0, so a
+    * 4:4:4-only color path decodes almost nothing of a real image
+    * corpus. Per-channel (Y/Cb/Cr) moments over the full-resolution
+    * decode of a subsampled corpus, q166's exact integer-sum math (the
+    * upsampled chroma's sums stay exact Longs; divisions in q163's
+    * expression order before the shared round(·, 4)). A hash match
+    * proves the whole MCU walk — 4 luma + 2 chroma blocks per MCU,
+    * per-component DC predictors, nearest-neighbor upsampling — lands
+    * every full-resolution sample exactly. Per-row scan work; binary
+    * never crosses a shuffle. */
+  def q174Jpeg420Pixels(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    images420(s, d).flatMap { m =>
+      JpegCodec.decodeInterleaved(m.data).collect {
+        case (w, h, 3, px) =>
+          val sums = new Array[Long](3)
+          val sqs = new Array[Long](3)
+          var i = 0
+          while (i < px.length) {
+            val c = i % 3
+            sums(c) += px(i)
+            sqs(c) += px(i).toLong * px(i)
+            i += 1
+          }
+          val n = (w * h).toDouble
+          (m.media_id, w, h,
+            sums(0) / n, sums(1) / n, sums(2) / n,
+            sqs(0) / n - (sums(0) / n) * (sums(0) / n),
+            sqs(1) / n - (sums(1) / n) * (sums(1) / n),
+            sqs(2) / n - (sums(2) / n) * (sums(2) / n))
+      }
+    }.toDF("media_id", "width", "height",
+      "mean_y", "mean_cb", "mean_cr", "var_y", "var_cb", "var_cr")
+      .withColumn("mean_y", round(col("mean_y"), 4))
+      .withColumn("mean_cb", round(col("mean_cb"), 4))
+      .withColumn("mean_cr", round(col("mean_cr"), 4))
+      .withColumn("var_y", round(col("var_y"), 4))
+      .withColumn("var_cb", round(col("var_cb"), 4))
+      .withColumn("var_cr", round(col("var_cr"), 4))
+  }
+
+  /** Oracle twin of [[q174Jpeg420Pixels]]: regenerate the luma
+    * per-8×8-block formula (64 full-res samples each) and the chroma
+    * per-16×16-MCU formula (256 full-res samples each — the constant
+    * survives box-filter, DC round-trip and nearest upsampling
+    * unchanged), then q166's exact moment math per channel. */
+  val q174Sql: String =
+    """WITH im AS (SELECT doc_id, CAST((n_chars % 2 + 1) * 16 AS BIGINT) AS w,
+      |                   CAST((n_chars % 3 + 1) * 16 AS BIGINT) AS h
+      |            FROM documents),
+      |yb AS (SELECT im.doc_id, im.w, im.h,
+      |              CAST((im.doc_id * 7 + yy.g * 13 + xx.g * 31) % 256 AS BIGINT) AS v
+      |       FROM im,
+      |            (SELECT unnest(generate_series(0, 5)) AS g) yy,
+      |            (SELECT unnest(generate_series(0, 3)) AS g) xx
+      |       WHERE yy.g < im.h // 8 AND xx.g < im.w // 8),
+      |ya AS (SELECT doc_id, w, h, CAST(sum(v) * 64 AS DOUBLE) AS s,
+      |              CAST(sum(v * v) * 64 AS DOUBLE) AS ss
+      |       FROM yb GROUP BY doc_id, w, h),
+      |cb AS (SELECT im.doc_id, im.w, im.h, cc.g AS c,
+      |              CAST((im.doc_id * (CASE cc.g WHEN 1 THEN 11 ELSE 5 END) +
+      |                    yy.g * (CASE cc.g WHEN 1 THEN 17 ELSE 29 END) +
+      |                    xx.g * (CASE cc.g WHEN 1 THEN 23 ELSE 37 END)) % 256
+      |                   AS BIGINT) AS v
+      |       FROM im,
+      |            (SELECT unnest(generate_series(1, 2)) AS g) cc,
+      |            (SELECT unnest(generate_series(0, 2)) AS g) yy,
+      |            (SELECT unnest(generate_series(0, 1)) AS g) xx
+      |       WHERE yy.g < im.h // 16 AND xx.g < im.w // 16),
+      |ca AS (SELECT doc_id, w, h, c, CAST(sum(v) * 256 AS DOUBLE) AS s,
+      |              CAST(sum(v * v) * 256 AS DOUBLE) AS ss
+      |       FROM cb GROUP BY doc_id, w, h, c)
+      |SELECT ya.doc_id AS media_id, ya.w AS width, ya.h AS height,
+      |  round(ya.s / (ya.w * ya.h), 4) AS mean_y,
+      |  round(c1.s / (ya.w * ya.h), 4) AS mean_cb,
+      |  round(c2.s / (ya.w * ya.h), 4) AS mean_cr,
+      |  round(ya.ss / (ya.w * ya.h) -
+      |        (ya.s / (ya.w * ya.h)) * (ya.s / (ya.w * ya.h)), 4) AS var_y,
+      |  round(c1.ss / (ya.w * ya.h) -
+      |        (c1.s / (ya.w * ya.h)) * (c1.s / (ya.w * ya.h)), 4) AS var_cb,
+      |  round(c2.ss / (ya.w * ya.h) -
+      |        (c2.s / (ya.w * ya.h)) * (c2.s / (ya.w * ya.h)), 4) AS var_cr
+      |FROM ya
+      |JOIN ca c1 ON c1.doc_id = ya.doc_id AND c1.c = 1
+      |JOIN ca c2 ON c2.doc_id = ya.doc_id AND c2.c = 2""".stripMargin
+
+  /** Fabricate WAVs with PLANTED TRIMMED duplicates — the commonest
+    * real audio dup (VERDICT r15 #2): the same recording ingested with
+    * different start offsets, which q169's WHOLE-CLIP energy
+    * fingerprint is structurally blind to (the 64 fixed windows all
+    * shift). Quad members (gid = doc_id/4) sample the SAME underlying
+    * recording at trim offset (doc_id%4)·96 — a multiple of the
+    * 32-sample window hop, the audio analog of trimming at token
+    * granularity. The recording is the global quadratic sequence
+    * v(t) = ((gid·2654435761 + t) mod 2147483647)² mod 2147483647
+    * mod 65536 − 32768: NONLINEAR in t (round-15's fixture lesson —
+    * a linear formula makes 64-sample runs collide across gids on a
+    * single phase equation; after squaring, cross-gid or wrong-offset
+    * window equality would need 64 consecutive roots of a varying
+    * quadratic), and gids sit 2654435761 apart in t-space so distinct
+    * recordings never share a window. */
+  def audioWithTrimmedDups(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+    import s.implicits._
+    Tables(s, sfDir, "documents")
+      .where(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (docId, nChars) =>
+        val gid = docId / 4
+        val off = (docId % 4) * 96
+        val bb = java.nio.ByteBuffer.allocate(768 * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var j = 0
+        while (j < 768) {
+          val x = (gid * 2654435761L + off + j) % 2147483647L
+          bb.putShort((x * x % 2147483647L % 65536L - 32768L).toShort)
+          j += 1
+        }
+        MediaPayload(docId, "audio",
+          MediaHeaders.wavBytes(8000 + (nChars.toInt % 8) * 1000, 1, 16, bb.array()))
+      }
+  }
+
+  /** The 64-sample/hop-32 window grid over a PCM clip — the winnowing/
+    * ExactSubstr shape on audio: LOCAL fingerprints anchored to content
+    * position, so a copy trimmed at hop granularity still shares every
+    * fully-overlapped window. Returns (window idx, comma-joined sample
+    * csv) — the csv is md5'd on the DataFrame side so the hash is the
+    * engine-portable md5-of-text both engines spell identically. */
+  private def pcmWindows(pcm: Array[Short]): IndexedSeq[(Int, String)] = {
+    val nw = if (pcm.length < 64) 0 else (pcm.length - 64) / 32 + 1
+    (0 until nw).map { w =>
+      val sb = new java.lang.StringBuilder(64 * 7)
+      var j = 0
+      while (j < 64) {
+        if (j > 0) sb.append(',')
+        sb.append(pcm(w * 32 + j).toInt)
+        j += 1
+      }
+      (w, sb.toString)
+    }
+  }
+
+  /** q175: per-window LOCAL audio fingerprints — the shift-robust
+    * face of q168: 23 overlapping 64-sample windows per 768-sample
+    * clip (hop 32), each fingerprinted by md5 over its exact samples.
+    * Per-row scan work at decode speed; the blob never crosses a
+    * shuffle — only (media_id, window, 32-char hash) rows do, the
+    * ExactSubstr scale shape (q148) on the third modality. */
+  def q175AudioWindowFp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    audioWithTrimmedDups(s, d).flatMap { m =>
+      val pcm = MediaHeaders.wavSamples(m.data)
+      val ws = pcmWindows(pcm)
+      ws.map { case (w, csv) => (m.media_id, w.toLong, ws.length.toLong, csv) }
+    }.toDF("media_id", "w", "n_windows", "csv")
+      .select(col("media_id"), col("w"), col("n_windows"), md5(col("csv")).as("fp"))
+  }
+
+  /** Shared oracle prefix for the trimmed-audio family: regenerate the
+    * quad-keyed trimmed PCM and the hop-32 window grid with md5 local
+    * fingerprints — the DuckDB side of [[pcmWindows]] over
+    * [[audioWithTrimmedDups]]. */
+  private val audioTrimCte: String =
+    """WITH a AS (SELECT doc_id, doc_id // 4 AS gid, (doc_id % 4) * 96 AS off
+      |           FROM documents WHERE doc_id % 3 = 1),
+      |s AS (SELECT a.doc_id, g.i,
+      |        ((a.gid * 2654435761 + a.off + g.i) % 2147483647)
+      |        * ((a.gid * 2654435761 + a.off + g.i) % 2147483647)
+      |        % 2147483647 % 65536 - 32768 AS v
+      |      FROM a, (SELECT unnest(generate_series(0, 767)) AS i) g),
+      |wj AS (SELECT w.g AS w, j.g AS j, w.g * 32 + j.g AS i
+      |       FROM (SELECT unnest(generate_series(0, 22)) AS g) w,
+      |            (SELECT unnest(generate_series(0, 63)) AS g) j),
+      |win AS (SELECT s.doc_id, wj.w,
+      |               md5(string_agg(CAST(s.v AS VARCHAR), ',' ORDER BY wj.j)) AS fp
+      |        FROM wj JOIN s ON s.i = wj.i
+      |        GROUP BY s.doc_id, wj.w)""".stripMargin
+
+  /** Oracle twin of [[q175AudioWindowFp]]. */
+  val q175Sql: String =
+    s"""$audioTrimCte
+       |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS w,
+       |  CAST(23 AS BIGINT) AS n_windows, fp
+       |FROM win""".stripMargin
+
+  /** q176: TRIMMED-dup pairs by banded window-fingerprint equi-join —
+    * the pairs q169 cannot see, with the blindness IN the report: two
+    * clips pair when ≥ 4 window fingerprints match; `offset_w` is the
+    * recovered trim (constant across every matched window of a true
+    * trim — `n_offsets` = 1 pins it), and `global_hamming` carries
+    * q169's whole-clip fingerprint distance for the same pair, > 3 on
+    * the planted trims (the banded global matcher would drop them).
+    * ONE decode pass feeds windows AND global fingerprints (the
+    * checkpointed frame serves both); only hashes shuffle, and the
+    * equi-join on the 32-char fingerprint is candidate-bounded exactly
+    * like q148's span join — never all-pairs. */
+  def q176AudioTrimmedDups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = audioWithTrimmedDups(s, d).flatMap { m =>
+      val pcm = MediaHeaders.wavSamples(m.data)
+      val (hi, lo, _) = audioFp64(pcm.map(_.toInt))
+      pcmWindows(pcm).map { case (w, csv) => (m.media_id, w.toLong, csv, hi, lo) }
+    }.toDF("media_id", "w", "csv", "ghi", "glo")
+      .select(col("media_id"), col("w"), md5(col("csv")).as("fp"),
+        col("ghi"), col("glo"))
+      .localCheckpoint()
+    rows.as("a").join(rows.as("b"),
+        col("a.fp") === col("b.fp") && col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id"), col("b.media_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("b.w") - col("a.w")).as("offset_w"),
+        countDistinct(col("b.w") - col("a.w")).as("n_offsets"),
+        (bit_count(first(col("a.ghi")).bitwiseXOR(first(col("b.ghi")))) +
+          bit_count(first(col("a.glo")).bitwiseXOR(first(col("b.glo")))))
+          .cast("long").as("global_hamming"))
+      .where(col("n_shared") >= 4)
+      .select(col("a.media_id").as("media_id_a"), col("b.media_id").as("media_id_b"),
+        col("n_shared"), col("offset_w"), col("n_offsets"), col("global_hamming"))
+  }
+
+  /** Oracle twin of [[q176AudioTrimmedDups]]: the window-fingerprint
+    * self-join plus q168's integer-exact global fingerprint recomputed
+    * over the TRIMMED corpus (wi = ⌊i·64/768⌋ energy buckets, the
+    * es·tc ≥ ts·ec cross-multiplied threshold) to report each pair's
+    * whole-clip Hamming distance. */
+  val q176Sql: String =
+    s"""$audioTrimCte,
+       |wen AS (SELECT doc_id, (i * 64) // 768 AS wi, sum(v * v) AS es, count(*) AS ec
+       |        FROM s GROUP BY doc_id, (i * 64) // 768),
+       |tot AS (SELECT doc_id, sum(es) AS ts, sum(ec) AS tc
+       |        FROM wen GROUP BY doc_id),
+       |bits AS (SELECT wen.doc_id, wi,
+       |                CASE WHEN es * tc >= ts * ec THEN 1 ELSE 0 END AS b
+       |         FROM wen JOIN tot ON wen.doc_id = tot.doc_id),
+       |gfp AS (SELECT doc_id,
+       |    sum(CASE WHEN wi >= 32 THEN b * (CAST(1 AS BIGINT) << (wi - 32)) ELSE 0 END) AS hi,
+       |    sum(CASE WHEN wi < 32 THEN b * (CAST(1 AS BIGINT) << wi) ELSE 0 END) AS lo
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared,
+       |  CAST(min(b.w - a.w) AS BIGINT) AS offset_w,
+       |  CAST(count(DISTINCT b.w - a.w) AS BIGINT) AS n_offsets,
+       |  CAST(bit_count(xor(max(ga.hi), max(gb.hi))) +
+       |       bit_count(xor(max(ga.lo), max(gb.lo))) AS BIGINT) AS global_hamming
+       |FROM win a JOIN win b ON b.fp = a.fp AND a.doc_id < b.doc_id
+       |JOIN gfp ga ON ga.doc_id = a.doc_id
+       |JOIN gfp gb ON gb.doc_id = b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING count(*) >= 4""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_media_features" -> (q37MediaFeatures _),
     "q110_media_decode" -> (q110MediaDecode _),
@@ -1708,7 +1999,10 @@ object Multimodal {
     "q167_color_cross_dups" -> (q167ColorCrossDups _),
     "q168_audio_fingerprint" -> (q168AudioFingerprint _),
     "q169_audio_neardup" -> (q169AudioNeardup _),
-    "q170_audio_dedup_keep" -> (q170AudioDedupKeep _))
+    "q170_audio_dedup_keep" -> (q170AudioDedupKeep _),
+    "q174_jpeg420_pixels" -> (q174Jpeg420Pixels _),
+    "q175_audio_window_fp" -> (q175AudioWindowFp _),
+    "q176_audio_trimmed_dups" -> (q176AudioTrimmedDups _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_media_features" -> q37Sql,
@@ -1727,5 +2021,8 @@ object Multimodal {
     "q167_color_cross_dups" -> q167Sql,
     "q168_audio_fingerprint" -> q168Sql,
     "q169_audio_neardup" -> q169Sql,
-    "q170_audio_dedup_keep" -> q170Sql)
+    "q170_audio_dedup_keep" -> q170Sql,
+    "q174_jpeg420_pixels" -> q174Sql,
+    "q175_audio_window_fp" -> q175Sql,
+    "q176_audio_trimmed_dups" -> q176Sql)
 }

@@ -505,20 +505,67 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.values.count(identity) < rows.size, "nothing was deduped")
   }
 
+  test("q176 finds TRIMMED audio dups that the whole-clip fingerprint is " +
+    "structurally blind to (VERDICT r15 #2): every reported pair is a planted " +
+    "within-quad trim at the constant 9-window offset with full window overlap, " +
+    "every plantable pair IS reported, and each pair's global Hamming exceeds " +
+    "q169's <=3 gate — the banded global matcher would drop all of them") {
+    val pairs = Multimodal.q176AudioTrimmedDups(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(pairs.nonEmpty, "fixture should plant at least one trimmed dup")
+    pairs.foreach { case (a, b, nShared, offsetW, nOffsets, gHam) =>
+      assert(a / 4 === b / 4, s"cross-quad pair ($a, $b)")
+      // the only quad surviving the doc_id % 3 = 1 corpus filter with two
+      // members is {12k+4, 12k+7}: trims 0 and 288 samples = 9 hops
+      assert(offsetW === -9L, s"recovered trim offset for ($a, $b)")
+      assert(nOffsets === 1L, s"a true trim has ONE offset, got $nOffsets")
+      assert(nShared === 23L - 9L, s"window overlap for ($a, $b)")
+      assert(gHam > 3L,
+        s"($a, $b) global Hamming $gHam inside q169's gate — fixture " +
+          "no longer demonstrates the blindness")
+    }
+    // completeness: every quad with two corpus members is found
+    val ids = Multimodal.audioWithTrimmedDups(spark, sf0001)
+      .select("media_id").collect().map(_.getLong(0)).toSeq
+    val plantable = ids.groupBy(_ / 4).values.filter(_.length > 1)
+      .flatMap(g => for (a <- g; b <- g if a < b) yield (a, b)).toSet
+    assert(plantable.nonEmpty && pairs.map(p => (p._1, p._2)).toSet === plantable)
+  }
+
+  test("q175 window fingerprints are position-anchored: a trimmed copy shares " +
+    "exactly the overlapped windows of its quad sibling, shifted by the trim") {
+    val fps = Multimodal.q175AudioWindowFp(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val byId = fps.groupBy(_._1)
+    val sib = byId.keys.groupBy(_ / 4).values.find(_.size > 1).map(_.toSeq.sorted)
+    assert(sib.nonEmpty, "fixture should keep a 2-member quad")
+    val (a, b) = (sib.get.head, sib.get(1))
+    val fa = byId(a).map(t => t._2 -> t._3).toMap
+    val fb = byId(b).map(t => t._2 -> t._3).toMap
+    // b is trimmed 9 hops deeper: its window w equals a's window w + 9
+    (0L to 13L).foreach(w => assert(fb(w) === fa(w + 9), s"window $w"))
+    // b's tail (recording content past a's end) must NOT collide with
+    // any window of a — the nonlinear mix keeps distinct content distinct
+    val faSet = fa.values.toSet
+    (14L to 22L).foreach(w =>
+      assert(!faSet.contains(fb(w)), s"tail window $w collides"))
+  }
+
   test("color decode rejects out-of-profile payloads instead of misdecoding: " +
-    "subsampled chroma returns None, truncated color scans return None, and " +
-    "an unsupported PNG color type returns None") {
+    "sampling factors above 2 return None, truncated color scans return None, " +
+    "and an unsupported PNG color type returns None") {
     import graft.multimodal.JpegCodec
     val px = Array.tabulate(16 * 16 * 3)(i => (i * 7) % 256)
     val jpg = JpegCodec.encodeInterleaved(16, 16, 3, px)
     assert(JpegCodec.decodeInterleaved(jpg).nonEmpty, "baseline fixture broke")
-    // patch component 1's sampling factors 1x1 -> 2x2 in SOF0: a 4:2:0
-    // frame is outside the profile and MUST refuse, not misparse
+    // patch component 1's sampling factors 1x1 -> 4x1 in SOF0: factors
+    // above 2 (4:1:1) are outside the profile and MUST refuse
     val sof = jpg.indices.find(i => (jpg(i) & 0xFF) == 0xFF &&
       i + 1 < jpg.length && (jpg(i + 1) & 0xFF) == 0xC0).get
-    val subsampled = jpg.clone()
-    subsampled(sof + 4 + 7) = 0x22.toByte
-    assert(JpegCodec.decodeInterleaved(subsampled) === None)
+    val quadSampled = jpg.clone()
+    quadSampled(sof + 4 + 7) = 0x41.toByte
+    assert(JpegCodec.decodeInterleaved(quadSampled) === None)
     // truncation mid-entropy: the bit reader runs dry -> None, no throw
     assert(JpegCodec.decodeInterleaved(jpg.dropRight(40)) === None)
     // PNG color type 6 (RGBA) is outside the profile: patch the IHDR
@@ -527,6 +574,62 @@ class MultimodalSpec extends SparkSpec {
     val rgba = png.clone()
     rgba(8 + 8 + 9) = 6.toByte // sig(8) + len+type(8) + w(4)+h(4)+depth(1)
     assert(MediaHeaders.pngSamples(rgba) === None)
+  }
+
+  test("4:2:0 decode (VERDICT r15 #1): block-constant luma + MCU-constant " +
+    "chroma round-trips encode420 -> decodeInterleaved BIT-EXACTLY at full " +
+    "resolution, including non-multiple-of-16 dims; a general color image " +
+    "decodes with bounded lossy error on every channel") {
+    import graft.multimodal.JpegCodec
+    // exactness profile: luma constant per 8x8 block, chroma constant
+    // per 16x16 MCU (the q174 fixture shape)
+    for ((w, h) <- Seq((32, 16), (48, 32), (24, 20))) { // last: ragged MCUs
+      val px = new Array[Int](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * 3
+        px(p) = ((y / 8) * 13 + (x / 8) * 31 + 7) % 256
+        px(p + 1) = ((y / 16) * 17 + (x / 16) * 23 + 11) % 256
+        px(p + 2) = ((y / 16) * 29 + (x / 16) * 37 + 3) % 256
+      }
+      val Some((dw, dh, nc, out)) = JpegCodec.decodeInterleaved(
+        JpegCodec.encode420(w, h, px))
+      assert((dw, dh, nc) === (w.toLong, h.toLong, 3))
+      assert(out === px, s"${w}x$h 4:2:0 exactness round-trip")
+    }
+    // general (non-constant) content: lossy but bounded — luma within
+    // the AC-quant error bar, chroma additionally box-filtered +
+    // nearest-upsampled so neighboring-cell gradients bound the error
+    val w = 32; val h = 32
+    val gen = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3
+      (((p % w) * 2 + (p / w) + (i % 3) * 5) % 64) + 96 // gentle gradient
+    }
+    val Some((_, _, _, lossy)) = JpegCodec.decodeInterleaved(
+      JpegCodec.encode420(w, h, gen))
+    val maxErr = lossy.indices.map(i => math.abs(lossy(i) - gen(i))).max
+    assert(maxErr <= 96, s"max 4:2:0 lossy error $maxErr out of bounds")
+  }
+
+  test("decode dims budget (ADVICE r15): a crafted header claiming huge " +
+    "dimensions returns None instead of overflowing the allocation — JPEG " +
+    "SOF0 65535x65535x3 and PNG IHDR alike; legitimate payloads still decode") {
+    import graft.multimodal.JpegCodec
+    val px = Array.tabulate(8 * 8 * 3)(i => (i * 3) % 256)
+    val jpg = JpegCodec.encodeInterleaved(8, 8, 3, px)
+    val sof = jpg.indices.find(i => (jpg(i) & 0xFF) == 0xFF &&
+      (jpg(i + 1) & 0xFF) == 0xC0).get
+    val huge = jpg.clone()
+    // SOF0 body: len(2) precision(1) h(2) w(2): claim 65535 x 65535
+    huge(sof + 5) = 0xFF.toByte; huge(sof + 6) = 0xFF.toByte
+    huge(sof + 7) = 0xFF.toByte; huge(sof + 8) = 0xFF.toByte
+    assert(JpegCodec.decodeInterleaved(huge) === None) // no throw, no 12GB alloc
+    val png = MediaHeaders.pngPixelBytesRgb(4, 3, Array.tabulate(36)(_ % 256))
+    val hugePng = png.clone()
+    // IHDR body at sig(8)+len+type(8): w(4) h(4) — claim 2^30 x 2^30
+    hugePng(16) = 0x40.toByte; hugePng(20) = 0x40.toByte
+    assert(MediaHeaders.pngSamples(hugePng) === None)
+    assert(JpegCodec.decodeInterleaved(jpg).nonEmpty, "valid payload regressed")
+    assert(MediaHeaders.pngSamples(png).nonEmpty, "valid payload regressed")
   }
 
   test("JpegCodec.encode rejects dims beyond the 16-bit SOF0 fields instead of " +

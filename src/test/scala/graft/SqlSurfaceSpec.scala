@@ -46,7 +46,9 @@ class SqlSurfaceSpec extends SparkSpec {
       "q163_jpeg_pixels", "q164_cross_container_dups",
       "q165_video_frame_pixels", "q166_color_pixels",
       "q167_color_cross_dups", "q168_audio_fingerprint",
-      "q169_audio_neardup", "q170_audio_dedup_keep") ++
+      "q169_audio_neardup", "q170_audio_dedup_keep",
+      "q174_jpeg420_pixels", "q175_audio_window_fp",
+      "q176_audio_trimmed_dups") ++
     m("WITH RECURSIVE … UNION (distinct) — Spark 4.1 recursion accepts only " +
       "UNION ALL, and UNION ALL label propagation enumerates paths " +
       "(exponential on cyclic near-dup graphs), so the component family " +

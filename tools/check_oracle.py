@@ -94,13 +94,26 @@ for name, sql in sorted(oracle.items()):
     # reopen the representation blind spot (ADVICE r14).
     mismatch = []
     for c in expected.columns:
-        if is_float(expected[c]) or is_float(got[c]):
-            neq = bits(expected[c]) != bits(got[c])
-            mismatch += [(int(i), c) for i in np.nonzero(neq)[0]]
-        else:
-            e, g = expected[c], got[c]
-            neq = ~((e == g) | (e.isna() & g.isna()))
-            mismatch += [(int(i), c) for i in neq[neq].index]
+        try:
+            if is_float(expected[c]) or is_float(got[c]):
+                # NULL-mask compare first (ADVICE r15): a nullable-Int64 NA
+                # coerces to NaN in bits(), canonicalizing equal to a true
+                # float NaN — the mask catches the NA-vs-value half; the
+                # NA-vs-NaN half is indistinguishable once pandas maps
+                # parquet/duckdb float NULLs to NaN, accepted residual.
+                neq = (expected[c].isna().to_numpy() != got[c].isna().to_numpy()) \
+                    | (bits(expected[c]) != bits(got[c]))
+                mismatch += [(int(i), c) for i in np.nonzero(neq)[0]]
+            else:
+                e, g = expected[c], got[c]
+                neq = ~((e == g) | (e.isna() & g.isna()))
+                mismatch += [(int(i), c) for i in neq[neq].index]
+        except (ValueError, TypeError) as exc:
+            # Incomparable dtype pair (e.g. float vs string): a mismatch
+            # for this query, not a checker crash (ADVICE r15).
+            print(f"  {name}.{c}: incomparable dtypes "
+                  f"({expected[c].dtype} vs {got[c].dtype}): {exc}")
+            mismatch += [(i, c) for i in range(len(expected))]
     if mismatch:
         rows = len({r for r, _ in mismatch})
         print(f"FAIL {name}: {rows} mismatched rows; (row, col, oracle, spark [bytes]):")
