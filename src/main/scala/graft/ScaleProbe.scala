@@ -382,14 +382,19 @@ object ScaleProbe {
     // affected set is entity-bounded, so the cost tracks the batch and
     // its affected entities — not the catalog. The ratio stays far
     // under the gate; catalog-size-proportional work here would mean a
-    // pruned read regressed to a scan.
+    // pruned read regressed to a scan. Runs under the WIDER 3-pass
+    // blocker config (tokens + consonant skeleton) so the batch-bounded
+    // claim is proven blocker-generic — the skeleton pass adds a third
+    // block row per name on both the batch and the walk.
     {
       import graft.sources.EntityIndex
+      import graft.functions.EntityOps
       def bootstrapped(d: String): (String, String, String) = {
         val w = java.nio.file.Files.createTempDirectory("graft-scale-entidx").toString
         val roots = (s"$w/blocks", s"$w/memb", s"$w/ents")
         EntityIndex.bootstrap(Tables(spark, d, "part")
-          .select($"p_partkey", $"p_name"), roots._1, roots._2, roots._3)
+          .select($"p_partkey", $"p_name"), roots._1, roots._2, roots._3,
+          blockers = EntityOps.PartBlockers3)
         roots
       }
       val r1 = bootstrapped(sfDir)
@@ -410,7 +415,7 @@ object ScaleProbe {
           concat(lit(s"zzz${batch}novel b$batch n"), $"id").as("p_name"),
           lit("insert").as("_change_type")).localCheckpoint()
         EntityIndex.applyBatch(delta, batch, roots._1, roots._2, roots._3,
-          scope = s"probe$batch")
+          scope = s"probe$batch", blockers = EntityOps.PartBlockers3)
         1L
       }
       maintain(r1); maintain(rN) // warm BOTH roots: symmetric JIT + state
@@ -432,6 +437,24 @@ object ScaleProbe {
       audioDup(sfDir); colorDup(sfDir) // warm
       probe("audio_fp_neardup")(audioDup(sfDir))(audioDup(docsNDir))
       probe("color_cross_dup")(colorDup(sfDir))(colorDup(docsNDir))
+    }
+
+    // Round-16 modality realism: q174's 4:2:0 decode is per-row scan
+    // work (the subsampled-MCU walk + chroma upsample never shuffles
+    // pixels — only the 9-column summary leaves the task), and q176's
+    // trimmed-dup matcher equi-joins on exact 64-sample window
+    // fingerprints — the nonlinear PCM mix keeps distinct recordings'
+    // windows distinct, so fp buckets are quad-bounded and pairs (and
+    // time) must grow linearly with docs. The doc_id shift (1e8) is a
+    // multiple of 4, so each copy replicates the quad structure with a
+    // disjoint gid space.
+    {
+      import graft.multimodal.Multimodal
+      def jpeg420(d: String): Long = Multimodal.q174Jpeg420Pixels(spark, d).count()
+      def trimmed(d: String): Long = Multimodal.q176AudioTrimmedDups(spark, d).count()
+      jpeg420(sfDir); trimmed(sfDir) // warm
+      probe("jpeg420_decode")(jpeg420(sfDir))(jpeg420(docsNDir))
+      probe("audio_trimmed_dup")(trimmed(sfDir))(trimmed(docsNDir))
     }
 
     // Maintained SPAN index: applying a FIXED 50-doc arrival batch must
@@ -463,6 +486,37 @@ object ScaleProbe {
       }
       maintainSpan(sp1); maintainSpan(spN) // warm both roots
       probe("span_index_maintain")(maintainSpan(sp1))(maintainSpan(spN))
+    }
+
+    // Maintained MODALITY-FINGERPRINT index: a FIXED 50-doc arrival
+    // batch against a 1x vs Nx band table. The batch decodes only its
+    // own media (fresh doc_ids -> fresh gids/pixels) and the merge
+    // touches only the batch fingerprints' band buckets, so the cost
+    // tracks the batch — catalog-proportional time would mean the
+    // bucket merge regressed to an index scan (or the decode leaked
+    // onto the corpus side).
+    {
+      import graft.sources.ModalityIndex
+      def modBootstrapped(d: String): String = {
+        val w = java.nio.file.Files.createTempDirectory("graft-scale-modidx").toString
+        ModalityIndex.bootstrapModalityIndex(
+          Tables(spark, d, "documents").select($"doc_id", $"n_chars"), w)
+        w
+      }
+      val m1 = modBootstrapped(sfDir)
+      val mN = modBootstrapped(docsNDir)
+      var mb = 0L
+      def maintainMod(root: String): Long = {
+        mb += 1
+        val delta = spark.range(50).select(
+          ($"id" + 600000000L + mb * 1000L).as("doc_id"),
+          concat(lit("m"), $"id").as("text"),
+          lit("insert").as("_change_type")).localCheckpoint()
+        ModalityIndex.applyBatch(delta, mb, root, scope = s"probe$mb")
+        1L
+      }
+      maintainMod(m1); maintainMod(mN) // warm both roots
+      probe("modality_index_maintain")(maintainMod(m1))(maintainMod(mN))
     }
 
     // ---- the gate: time must grow at most linearly with data ----

@@ -761,9 +761,16 @@ object Multimodal {
     * h = n_chars % 16 + 8, pixel(x, y) = (doc_id·7 + y·13 + x·31) mod
     * 256 — SQL-expressible for the oracle, and spanning all scanline
     * filter types via the writer's y % 5 policy. */
-  def imagesWithPixels(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+  def imagesWithPixels(s: SparkSession, sfDir: String): Dataset[MediaPayload] =
+    imagesFromDocs(Tables(s, sfDir, "documents"))
+
+  /** [[imagesWithPixels]] over an arbitrary (doc_id, n_chars) frame —
+    * the maintained modality index derives CDC-changed docs' images
+    * through the same generator the batch queries read. */
+  def imagesFromDocs(docs: DataFrame): Dataset[MediaPayload] = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables(s, sfDir, "documents")
+    docs
       .where(col("doc_id") % 3 === 0)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (docId, nChars) =>
@@ -893,7 +900,7 @@ object Multimodal {
 
   /** Shared oracle prefix: regenerate pixels, assign 8×8 grid cells, and
     * pack the integer-exact aHash per image — DuckDB side of [[ahash64]]. */
-  private val ahashCte: String =
+  private[graft] val ahashCte: String =
     """WITH im AS (SELECT doc_id, CAST(n_chars % 24 + 8 AS BIGINT) AS w,
       |                   CAST(n_chars % 16 + 8 AS BIGINT) AS h
       |            FROM documents WHERE doc_id % 3 = 0),
@@ -1526,9 +1533,15 @@ object Multimodal {
     * the pair report goes quadratic (two earlier cuts of this fixture
     * hit that wall at 14k and 590 pairs); squaring decorrelates every
     * distinct gid, so only true quad dups pair. */
-  def audioWithPcmDups(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+  def audioWithPcmDups(s: SparkSession, sfDir: String): Dataset[MediaPayload] =
+    audioFromDocs(Tables(s, sfDir, "documents"))
+
+  /** [[audioWithPcmDups]] over an arbitrary (doc_id, n_chars) frame —
+    * the CDC seam, same role as [[imagesFromDocs]]. */
+  def audioFromDocs(docs: DataFrame): Dataset[MediaPayload] = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables(s, sfDir, "documents")
+    docs
       .where(col("doc_id") % 3 === 1)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (docId, nChars) =>
@@ -1605,7 +1618,7 @@ object Multimodal {
   /** Shared oracle prefix for the audio family: regenerate the
     * quad-keyed PCM, window it, and pack the integer-exact fingerprint
     * — the DuckDB side of [[audioFp64]]. */
-  private val audioFpCte: String =
+  private[graft] val audioFpCte: String =
     """WITH a AS (SELECT doc_id, doc_id // 4 AS gid FROM documents
       |           WHERE doc_id % 3 = 1),
       |s AS (SELECT a.doc_id, g.i, (g.i * 64) // 768 AS wi,
@@ -1982,6 +1995,147 @@ object Multimodal {
        |GROUP BY a.doc_id, b.doc_id
        |HAVING count(*) >= 4""".stripMargin
 
+  /** Fabricate MJPEG clips with PLANTED SCENE CUTS, including a
+    * single-frame scene that stride-2 thinning provably misses (the
+    * realism gap VERDICT r15 ranked third): K = n_chars % 4 + 4 frames
+    * at q165's dims, frame j's scene key c(j) = 0 for j < 3, 1 at
+    * j = 3, 2 after — an A-A-A-B-C-C-C schedule whose one-frame B sits
+    * at an ODD index, invisible to every-2nd-frame sampling. Blocks
+    * stay constant per (scene, block) — the codec's exactness profile —
+    * so per-frame changed-pixel counts and difference energies are
+    * SQL-regenerable: scenes differ by 11·Δc mod 256 ≠ 0 in every
+    * block, so a cut changes EVERY pixel. */
+  def videosWithCuts(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+    import s.implicits._
+    Tables(s, sfDir, "documents")
+      .where(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (docId, nChars) =>
+        val w = ((nChars % 3 + 2) * 8).toInt
+        val h = ((nChars % 2 + 2) * 8).toInt
+        val k = (nChars % 4 + 4).toInt
+        val frames = (0 until k).map { j =>
+          val c = if (j < 3) 0 else if (j == 3) 1 else 2
+          val px = Array.tabulate(w * h) { i =>
+            ((docId * 7 + c * 11 + (i / w / 8) * 13 + (i % w / 8) * 31) % 256).toInt
+          }
+          JpegCodec.encode(w, h, px)
+        }
+        MediaPayload(docId, "video", MediaHeaders.mjpegBytes(frames))
+      }
+  }
+
+  /** Per-frame (changed-pixel count, difference energy) against the
+    * previous frame of an already-decoded clip; frame 0 reports (0, 0).
+    * A dimension change counts as a full-frame change. Shared by
+    * [[q177SceneKeyframes]] and the streaming keyframe register
+    * ([[sceneKeyframeFrames]]) so both select the same frames. */
+  private[graft] def frameDiffStats(
+      frames: IndexedSeq[(Long, Long, Array[Int])]): IndexedSeq[(Long, Long)] =
+    frames.indices.map { j =>
+      if (j == 0) (0L, 0L)
+      else {
+        val (pw, ph, px) = frames(j)
+        val (qw, qh, prev) = frames(j - 1)
+        // a dimension change is a full-frame change; its energy is not
+        // meaningful pixel-wise, so report 0 (the count drives the rule)
+        if (pw != qw || ph != qh) (px.length.toLong, 0L)
+        else {
+          var c = 0L
+          var e = 0L
+          var i = 0
+          while (i < px.length) {
+            val dv = px(i) - prev(i)
+            if (dv != 0) { c += 1; e += dv.toLong * dv }
+            i += 1
+          }
+          (c, e)
+        }
+      }
+    }
+
+  /** q177's keep rule: frame 0 always, then any frame whose
+    * changed-pixel count is positive AND clears a quarter of the clip's
+    * max — a clip-relative threshold, so compression jitter far below
+    * the clip's own cut magnitude never registers, while every
+    * comparable cut does (changed-pixel count, unlike difference
+    * ENERGY, is magnitude-free: a subtle crossfade cut and a hard cut
+    * both move every pixel). */
+  private def keyframeRule(changed: IndexedSeq[Long]): IndexedSeq[Boolean] = {
+    val maxC = if (changed.isEmpty) 0L else changed.max
+    changed.indices.map(j => j == 0 || (changed(j) > 0 && 4 * changed(j) >= maxC))
+  }
+
+  /** Scene-change keyframe selection over an MJPEG payload: the decoded
+    * frames [[keyframeRule]] keeps. The streaming dup probe registers
+    * these instead of stride-2 frames when asked — stride-2 is
+    * decode-free but structurally blind to scenes shorter than the
+    * stride ([[videosWithCuts]] plants exactly that). */
+  def sceneKeyframeFrames(bytes: Array[Byte]): Seq[(Long, Long, Array[Int])] = {
+    val frames = MediaHeaders.mjpegFrames(bytes)
+      .flatMap(f => JpegCodec.decode(f)).toIndexedSeq
+    val keep = keyframeRule(frameDiffStats(frames).map(_._1))
+    frames.indices.collect { case j if keep(j) => frames(j) }
+  }
+
+  /** q177: scene-change keyframe report — one row per frame with its
+    * changed-pixel count, difference energy, and the keyframe verdict.
+    * The whole chain (frame split, decode, pairwise diff, clip max,
+    * verdict) runs inside ONE task per video: frames and pixels never
+    * cross a shuffle, only the 6-column rows leave the scan — the q165
+    * scale shape with a second decoded frame held transiently for the
+    * diff. The fixture's planted one-frame scene at index 3 makes the
+    * report's thesis checkable: keyframes are {0, 3, 4}, while stride-2
+    * sampling (q165/q120) keeps only even indices and misses the cut. */
+  def q177SceneKeyframes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    videosWithCuts(s, d).flatMap { m =>
+      val frames = MediaHeaders.mjpegFrames(m.data)
+        .flatMap(f => JpegCodec.decode(f)).toIndexedSeq
+      val stats = frameDiffStats(frames)
+      val keep = keyframeRule(stats.map(_._1))
+      frames.indices.map { j =>
+        (m.media_id, j.toLong, frames.size.toLong,
+          stats(j)._1, stats(j)._2, keep(j))
+      }
+    }.toDF("media_id", "frame_idx", "n_frames",
+      "n_changed", "diff_energy", "keyframe")
+  }
+
+  /** Oracle twin of [[q177SceneKeyframes]]: regenerate each frame's
+    * per-block constants from the scene schedule, lag-diff them per
+    * block position (a changed block changes all 64 of its pixels, so
+    * counts and energies scale by 64), then apply the same
+    * quarter-of-max keep rule. */
+  val q177Sql: String =
+    """WITH im AS (SELECT doc_id, CAST((n_chars % 3 + 2) * 8 AS BIGINT) AS w,
+      |                   CAST((n_chars % 2 + 2) * 8 AS BIGINT) AS h,
+      |                   CAST(n_chars % 4 + 4 AS BIGINT) AS k
+      |            FROM documents WHERE doc_id % 3 = 2),
+      |fr AS (SELECT im.doc_id, im.w, im.h, im.k, g.g AS j,
+      |              CASE WHEN g.g < 3 THEN 0 WHEN g.g = 3 THEN 1 ELSE 2 END AS c
+      |       FROM im, (SELECT unnest(generate_series(0, 6)) AS g) g
+      |       WHERE g.g < im.k),
+      |bl AS (SELECT fr.doc_id, fr.k, fr.j, yy.g AS yb, xx.g AS xb,
+      |              CAST((fr.doc_id * 7 + fr.c * 11 + yy.g * 13 + xx.g * 31) % 256
+      |                   AS BIGINT) AS v
+      |       FROM fr,
+      |            (SELECT unnest(generate_series(0, 2)) AS g) yy,
+      |            (SELECT unnest(generate_series(0, 3)) AS g) xx
+      |       WHERE yy.g < fr.h // 8 AND xx.g < fr.w // 8),
+      |d AS (SELECT doc_id, k, j,
+      |             v - lag(v) OVER (PARTITION BY doc_id, yb, xb ORDER BY j) AS dv
+      |      FROM bl),
+      |f AS (SELECT doc_id, k, j,
+      |             CAST(64 * count(CASE WHEN dv <> 0 THEN 1 END) AS BIGINT) AS n_changed,
+      |             CAST(64 * coalesce(sum(dv * dv), 0) AS BIGINT) AS diff_energy
+      |      FROM d GROUP BY doc_id, k, j),
+      |mx AS (SELECT doc_id, max(n_changed) AS mc FROM f GROUP BY doc_id)
+      |SELECT f.doc_id AS media_id, f.j AS frame_idx, f.k AS n_frames,
+      |       f.n_changed, f.diff_energy,
+      |       (f.j = 0 OR (f.n_changed > 0 AND 4 * f.n_changed >= mx.mc)) AS keyframe
+      |FROM f JOIN mx ON mx.doc_id = f.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_media_features" -> (q37MediaFeatures _),
     "q110_media_decode" -> (q110MediaDecode _),
@@ -2002,7 +2156,8 @@ object Multimodal {
     "q170_audio_dedup_keep" -> (q170AudioDedupKeep _),
     "q174_jpeg420_pixels" -> (q174Jpeg420Pixels _),
     "q175_audio_window_fp" -> (q175AudioWindowFp _),
-    "q176_audio_trimmed_dups" -> (q176AudioTrimmedDups _))
+    "q176_audio_trimmed_dups" -> (q176AudioTrimmedDups _),
+    "q177_scene_keyframes" -> (q177SceneKeyframes _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_media_features" -> q37Sql,
@@ -2024,5 +2179,6 @@ object Multimodal {
     "q170_audio_dedup_keep" -> q170Sql,
     "q174_jpeg420_pixels" -> q174Sql,
     "q175_audio_window_fp" -> q175Sql,
-    "q176_audio_trimmed_dups" -> q176Sql)
+    "q176_audio_trimmed_dups" -> q176Sql,
+    "q177_scene_keyframes" -> q177Sql)
 }

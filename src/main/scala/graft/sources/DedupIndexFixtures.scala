@@ -34,12 +34,14 @@ object DedupIndexFixtures {
     * the membership rows (q138 keeper decisions). v5: corrupted twin of
     * the fp index (q142 audit gate). v6: maintained document-frequency
     * index (q146's IDF source). v7: maintained span index (q171's
-    * duplicated-span report, q172's contamination probe). */
-  private val FixtureVersion = 7
+    * duplicated-span report, q172's contamination probe). v8:
+    * maintained modality-fingerprint index (q178's dedup report, q179's
+    * arriving-batch probe). */
+  private val FixtureVersion = 8
 
   /** All maintained-index roots of one fixture. */
   case class Roots(fp: String, band: String, memb: String, rep: String,
-      fpCorrupt: String, df: String, span: String)
+      fpCorrupt: String, df: String, span: String, media: String)
 
   /** Idempotently build corpus + fp/band indexes + cluster tables for
     * `sfDir` ([[FixtureLifecycle.ensureOnce]] — one build per content
@@ -53,11 +55,15 @@ object DedupIndexFixtures {
       // the df index bakes in the tokenizer and its own bucket count
       DfIndex.IndexBuckets.toString, TextOps.tokensSqlExpr("text"),
       // the span index bakes in the window-hash definition at width 8
-      SpanIndex.IndexBuckets.toString, TextOps.spanHashesExprW(SpanIndex.Width)))
+      SpanIndex.IndexBuckets.toString, TextOps.spanHashesExprW(SpanIndex.Width),
+      // the modality index bakes in the JVM-side fingerprint definitions
+      // (no SQL expr to fold in — bump this literal when ahash64,
+      // audioFp64, the media generators, or the banding change)
+      s"modality-v1 ahash64+audioFp64 banded4x16 b=${ModalityIndex.IndexBuckets}"))
     val root = FixtureLifecycle.ensureOnce("graft_dedupidx", sig) { root =>
       ManifestTable.currentVersion(s"$root/corpus") == 2 &&
-        Seq("fp", "band", "memb", "rep", "fpcorrupt", "df", "span").forall(t =>
-          ManifestTable.currentVersion(s"$root/$t") >= 1)
+        Seq("fp", "band", "memb", "rep", "fpcorrupt", "df", "span", "media")
+          .forall(t => ManifestTable.currentVersion(s"$root/$t") >= 1)
     } { root =>
       val corpus = s"$root/corpus"
       val all = Tables(s, sfDir, "documents").select(col("doc_id"), col("text"))
@@ -72,6 +78,7 @@ object DedupIndexFixtures {
         DedupIndex.maintainFpIndex(s, ch, s"$root/fp")
         DfIndex.maintainDfIndex(s, ch, s"$root/df")
         SpanIndex.maintainSpanIndex(s, ch, s"$root/span")
+        ModalityIndex.maintainModalityIndex(s, ch, s"$root/media")
         // band index + cluster tables advance together (applyBatch
         // maintains the band index first, then the components)
         ClusterIndex.applyBatch(ch, v.toLong, s"$root/band", s"$root/memb",
@@ -110,7 +117,7 @@ object DedupIndexFixtures {
         corrupted, s"$root/fpcorrupt", Seq("bucket", "fp"), "bucket")
     }
     Roots(s"$root/fp", s"$root/band", s"$root/memb", s"$root/rep",
-      s"$root/fpcorrupt", s"$root/df", s"$root/span")
+      s"$root/fpcorrupt", s"$root/df", s"$root/span", s"$root/media")
   }
 
   private def batch(s: SparkSession, sfDir: String): DataFrame =
@@ -179,6 +186,29 @@ object DedupIndexFixtures {
   def q172MaintainedSpanProbe(s: SparkSession, d: String): DataFrame =
     SpanIndex.probeContamination(batch(s, d), s, ensure(s, d).span)
 
+  /** The arriving batch as the MEDIA generators key it. */
+  private def mediaBatch(s: SparkSession, sfDir: String): DataFrame =
+    Tables(s, sfDir, "documents").select(col("doc_id"), col("n_chars"))
+      .where(col("doc_id") % 10 === 9)
+
+  /** q178 — q131 ∪ q169 (visual + audio near-dup pairs) from the
+    * MAINTAINED modality-fingerprint index ([[ModalityIndex]]): the
+    * band rows were built incrementally across the two corpus commits,
+    * the report joins STORED rows only — no payload is decoded — and
+    * the oracle re-derives every pair from the raw parquet through the
+    * q131/q169 band SQL. Maintained ≡ recomputed is the claim under
+    * gate, on the one recompute (full-corpus media decode) that
+    * dominates pipeline cost at 100 TB. */
+  def q178MaintainedModalityDups(s: SparkSession, d: String): DataFrame =
+    ModalityIndex.maintainedModalityDups(s, ensure(s, d).media)
+
+  /** q179 — the modality probe: which COMMITTED media does an ARRIVING
+    * doc batch near-duplicate. Batch-sized decode work, a bucket-pruned
+    * index read, stored-fingerprint rescoring — the corpus media are
+    * never re-decoded. */
+  def q179ModalityProbe(s: SparkSession, d: String): DataFrame =
+    ModalityIndex.probeModality(mediaBatch(s, d), s, ensure(s, d).media)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_maintained_exact_probe" -> (q135MaintainedExactProbe _),
     "q136_maintained_neardup_probe" -> (q136MaintainedNeardupProbe _),
@@ -187,7 +217,9 @@ object DedupIndexFixtures {
     "q142_fp_index_audit" -> (q142FpIndexAudit _),
     "q146_maintained_tfidf" -> (q146MaintainedTfidf _),
     "q171_maintained_spans" -> (q171MaintainedSpans _),
-    "q172_maintained_span_probe" -> (q172MaintainedSpanProbe _))
+    "q172_maintained_span_probe" -> (q172MaintainedSpanProbe _),
+    "q178_maintained_modality_dups" -> (q178MaintainedModalityDups _),
+    "q179_modality_probe" -> (q179ModalityProbe _))
 
   /** q54's oracle text with its `documents` base restricted to the
     * fixture's corpus split — the recursive closure runs on exactly the
@@ -273,6 +305,48 @@ object DedupIndexFixtures {
       |       CAST(max(p) + 8 - min(p) AS BIGINT) AS span_tokens
       |FROM g GROUP BY doc_id, gid""".stripMargin
 
+  /** The q131/q169 band explode over a `hash` CTE — shared by the
+    * q179 oracle's two modality arms. */
+  private val bandCte: String =
+    """band AS (SELECT doc_id, hi, lo, g.b,
+      |    CASE g.b WHEN 0 THEN lo & 65535
+      |             WHEN 1 THEN (lo >> 16) & 65535
+      |             WHEN 2 THEN hi & 65535
+      |             ELSE (hi >> 16) & 65535 END AS v
+      |  FROM hash, (VALUES (0), (1), (2), (3)) g(b))""".stripMargin
+
+  /** q178's oracle: q131 ∪ q169 recomputed from raw parquet over the
+    * corpus split, each arm tagged with its modality — the engine
+    * never sees the index, maintained ≡ recomputed is the gate. */
+  val q178Sql: String =
+    s"""SELECT 'image' AS kind, media_id_a, media_id_b, hamming FROM (
+       |${restrictToCorpus(graft.multimodal.Multimodal.q131Sql)}
+       |) i
+       |UNION ALL
+       |SELECT 'audio' AS kind, media_id_a, media_id_b, hamming FROM (
+       |${restrictToCorpus(graft.multimodal.Multimodal.q169Sql)}
+       |) a""".stripMargin
+
+  /** q179's oracle: cross-split band pairs — probe = the held-out
+    * batch, corpus = everything else — recomputed from raw parquet
+    * through the same fingerprint SQL. */
+  private def probeArm(cte: String, kind: String): String =
+    s"""SELECT * FROM (
+       |$cte,
+       |$bandCte
+       |SELECT DISTINCT '$kind' AS kind, a.doc_id AS media_id_probe,
+       |  b.doc_id AS media_id_corpus,
+       |  bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+       |FROM band a JOIN band b ON a.b = b.b AND a.v = b.v
+       |WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 <> 9
+       |  AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+       |) ${kind.take(3)}""".stripMargin
+
+  val q179Sql: String =
+    s"""${probeArm(graft.multimodal.Multimodal.ahashCte, "image")}
+       |UNION ALL
+       |${probeArm(graft.multimodal.Multimodal.audioFpCte, "audio")}""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q135_maintained_exact_probe" -> TextOps.q125Sql,
     "q136_maintained_neardup_probe" -> TextOps.q126Sql,
@@ -281,5 +355,7 @@ object DedupIndexFixtures {
     "q142_fp_index_audit" -> q142Sql,
     "q146_maintained_tfidf" -> q146Sql,
     "q171_maintained_spans" -> restrictToCorpus(TextOps.q148Sql),
-    "q172_maintained_span_probe" -> q172Sql)
+    "q172_maintained_span_probe" -> q172Sql,
+    "q178_maintained_modality_dups" -> q178Sql,
+    "q179_modality_probe" -> q179Sql)
 }

@@ -100,11 +100,12 @@ object EntityIndex {
     * blocking, cap, and edge definition shared with the q154/q155
     * family through [[EntityOps.matchEdgesOfNames]]. */
   def computeEntities(records: DataFrame,
-      cap: Long = EntityOps.MaxBlockSize): DataFrame = {
+      cap: Long = EntityOps.MaxBlockSize,
+      blockers: Seq[EntityOps.Blocker] = EntityOps.PartBlockers): DataFrame = {
     val nd = EntityOps.nameCounts(records).localCheckpoint()
     val ids = nd.select(col("name"))
       .withColumn("id", monotonically_increasing_id()).localCheckpoint()
-    val edges = EntityOps.matchEdgesOfNames(nd.select(col("name")), cap)
+    val edges = EntityOps.matchEdgesOfNames(nd.select(col("name")), cap, blockers)
       .join(ids.select(col("name").as("name_a"), col("id").as("doc_a")), "name_a")
       .join(ids.select(col("name").as("name_b"), col("id").as("doc_b")), "name_b")
       .select(col("doc_a"), col("doc_b"))
@@ -131,10 +132,11 @@ object EntityIndex {
 
   /** Bootstrap all three tables from a record snapshot. */
   def bootstrap(records: DataFrame, blockRoot: String, membRoot: String,
-      entRoot: String, cap: Long = EntityOps.MaxBlockSize): Unit = {
-    val memb = computeEntities(records, cap)
+      entRoot: String, cap: Long = EntityOps.MaxBlockSize,
+      blockers: Seq[EntityOps.Blocker] = EntityOps.PartBlockers): Unit = {
+    val memb = computeEntities(records, cap, blockers)
       .withColumn("live", lit(true)).localCheckpoint()
-    commitBlocks(EntityOps.blocksOfNames(memb.select(col("name")))
+    commitBlocks(EntityOps.blocksOfNames(memb.select(col("name")), blockers)
       .withColumn("live", lit(true)), blockRoot, None)
     commitEntities(memb.select(col("entity"), col("name"), col("live")),
       entRoot, None)
@@ -271,7 +273,8 @@ object EntityIndex {
   private def applyClusters(spark: SparkSession, arrived: DataFrame,
       retracted: DataFrame, countOnly: DataFrame,
       blockRoot: String, membRoot: String, entRoot: String,
-      cap: Long, tag: Option[String]): Unit = {
+      cap: Long, tag: Option[String],
+      blockers: Seq[EntityOps.Blocker] = EntityOps.PartBlockers): Unit = {
     val transNames = arrived.select(col("name"))
       .union(retracted.select(col("name"))).localCheckpoint()
     if (transNames.isEmpty) {
@@ -287,9 +290,10 @@ object EntityIndex {
     // pre-sizes derived from POST state (replay-safe: the block merge is
     // keyed and idempotent, so post — and with it pre = post − arrivals
     // + retractions — reads the same on first run and on crash-replay)
-    val arrBlocks = EntityOps.blocksOfNames(arrived.select(col("name")))
+    val arrBlocks = EntityOps.blocksOfNames(arrived.select(col("name")), blockers)
       .localCheckpoint()
-    val retrBlocks = EntityOps.blocksOfNames(retracted).localCheckpoint()
+    val retrBlocks = EntityOps.blocksOfNames(retracted, blockers)
+      .localCheckpoint()
     val touchedKeys = arrBlocks.select(col("slot"), col("key"))
       .union(retrBlocks.select(col("slot"), col("key"))).distinct()
       .localCheckpoint()
@@ -353,7 +357,7 @@ object EntityIndex {
         "for - run a bootstrap recompute instead")
 
     // M's induced edges against POST-batch global block sizes
-    val mBlocks = EntityOps.blocksOfNames(mLive).localCheckpoint()
+    val mBlocks = EntityOps.blocksOfNames(mLive, blockers).localCheckpoint()
     val mSizes = blockRowsOfKeys(spark, blockRoot,
         mBlocks.select(col("slot"), col("key")).distinct())
       .groupBy(col("slot"), col("key")).agg(count(lit(1)).as("sz"))
@@ -418,7 +422,8 @@ object EntityIndex {
     * entity re-solve after, under membership's. */
   def applyBatch(changes: DataFrame, batchId: Long,
       blockRoot: String, membRoot: String, entRoot: String,
-      scope: String = "", cap: Long = EntityOps.MaxBlockSize): Unit = {
+      scope: String = "", cap: Long = EntityOps.MaxBlockSize,
+      blockers: Seq[EntityOps.Blocker] = EntityOps.PartBlockers): Unit = {
     if (batchId <= ManifestTable.lastBatchTag(membRoot, scope)) return
     val spark = changes.sparkSession
     val ch = changes.select(col("p_partkey"), col("p_name"), col("_change_type"))
@@ -429,12 +434,14 @@ object EntityIndex {
     val r = retracted.localCheckpoint()
     val c = countOnly.localCheckpoint()
     if (batchId > ManifestTable.lastBatchTag(blockRoot, scope)) {
-      val rows = EntityOps.blocksOfNames(a.select(col("name")))
+      val rows = EntityOps.blocksOfNames(a.select(col("name")), blockers)
         .withColumn("live", lit(true))
-        .union(EntityOps.blocksOfNames(r).withColumn("live", lit(false)))
+        .union(EntityOps.blocksOfNames(r, blockers)
+          .withColumn("live", lit(false)))
       if (!rows.isEmpty) commitBlocks(rows, blockRoot, tag)
     }
-    applyClusters(spark, a, r, c, blockRoot, membRoot, entRoot, cap, tag)
+    applyClusters(spark, a, r, c, blockRoot, membRoot, entRoot, cap, tag,
+      blockers)
   }
 
   /** Roll the entity tables forward across record-corpus versions
@@ -442,12 +449,13 @@ object EntityIndex {
     * corpus versions as batch ids ([[StatsIndex.refresh]]'s contract). */
   def refresh(spark: SparkSession, corpusRoot: String,
       blockRoot: String, membRoot: String, entRoot: String,
-      fromV: Int, toV: Int, cap: Long = EntityOps.MaxBlockSize): Unit =
+      fromV: Int, toV: Int, cap: Long = EntityOps.MaxBlockSize,
+      blockers: Seq[EntityOps.Blocker] = EntityOps.PartBlockers): Unit =
     (fromV until toV).foreach { v =>
       val ch = ManifestTable.readChanges(
         spark, corpusRoot, v, v + 1, Seq("p_partkey"), preimages = true)
       applyBatch(ch, (v + 1).toLong, blockRoot, membRoot, entRoot,
-        scope = PollScope, cap = cap)
+        scope = PollScope, cap = cap, blockers = blockers)
     }
 
   private[graft] val PollScope = "entity-refresh-poll"

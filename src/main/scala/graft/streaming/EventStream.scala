@@ -924,9 +924,16 @@ object EventStream {
     * like an image under the video's id — so a committed video is
     * findable by any of its sampled frames, a probe video hits on any
     * sampled frame, and a frame the thinning dropped is invisible, the
-    * sampling policy observable in the stream. The blob never reaches
+    * sampling policy observable in the stream. With
+    * `keyframes = true` the thinning is q177's SCENE-CHANGE selection
+    * instead: every cut registers regardless of scene length, so a
+    * one-frame scene between stride positions — which stride-2 is
+    * structurally blind to — still makes the video findable by that
+    * scene (decode cost rises from half the frames to all of them; the
+    * hash/state path is unchanged). The blob never reaches
     * the state store — only 3-long hash rows fan out to band keys. */
-  def imageDupProbeStream(media: DataFrame): Dataset[ImageDupHit] = {
+  def imageDupProbeStream(media: DataFrame,
+      keyframes: Boolean = false): Dataset[ImageDupHit] = {
     val s = media.sparkSession
     import s.implicits._
     media.select(col("media_id"), col("data"), col("is_probe"))
@@ -949,10 +956,11 @@ object EventStream {
             case Some(f) => Seq(f)
             case None =>
               val fs = MediaHeaders.mjpegFrames(bytes)
-              if (fs.size >= 2)
-                MediaHeaders.mjpegFrames(Multimodal.frameSample(bytes, 2))
+              if (fs.size >= 2) {
+                if (keyframes) Multimodal.sceneKeyframeFrames(bytes)
+                else MediaHeaders.mjpegFrames(Multimodal.frameSample(bytes, 2))
                   .flatMap(f => JpegCodec.decode(f))
-              else JpegCodec.decode(bytes).toSeq
+              } else JpegCodec.decode(bytes).toSeq
           }
         frames.flatMap { case (w, h, px) =>
           val (hi, lo, _) = Multimodal.ahash64(w.toInt, h.toInt, px)

@@ -99,6 +99,55 @@ class EntityIndexSpec extends SparkSpec {
     assert(roll162 == Set(("beta two", 1L, 2L), ("gamma three", 2L, 2L)))
   }
 
+  test("the maintenance contract is blocker-generic (VERDICT r15 stretch): " +
+    "under PartBlockers3 a both-token vowel typo that 2-pass token blocking " +
+    "is blind to still merges through the skeleton pass, maintained ≡ " +
+    "recomputed holds across its arrival and retraction, and the 2-pass " +
+    "recompute over the same snapshot confirms the blindness") {
+    import graft.functions.EntityOps
+    val b3 = EntityOps.PartBlockers3
+    val work = Files.createTempDirectory("graft-entidx3").toString
+    val (corpus, blocks, memb, ents) =
+      (s"$work/corpus", s"$work/blocks", s"$work/memb", s"$work/ents")
+    def roll3(fromV: Int, toV: Int): Unit =
+      EntityIndex.refresh(spark, corpus, blocks, memb, ents, fromV, toV,
+        10000L, b3)
+    def expected3(): Set[(String, String, Long)] =
+      EntityIndex.computeEntities(ManifestTable.read(spark, corpus), 10000L, b3)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+    val v1 = ManifestTable.merge(
+      recs(1L -> "arctic rose", 2L -> "beta two"), corpus, Seq("p_partkey"))
+    roll3(0, v1)
+    assert(membSet(memb) == expected3(), "after v1")
+
+    // "erctic rosa": both tokens typo'd (adj and noun blocks both miss),
+    // same consonant skeleton "rctc", lev 2 — only pass 3 can see it
+    val v2 = ManifestTable.merge(recs(3L -> "erctic rosa"), corpus, Seq("p_partkey"))
+    roll3(v1, v2)
+    assert(membSet(memb) == expected3(), "after v2 skeleton-only arrival")
+    assert(membSet(memb)(("erctic rosa", "arctic rose", 1L)),
+      "skeleton-only variant must merge into the arctic entity")
+    val twoPass = EntityIndex.computeEntities(
+        ManifestTable.read(spark, corpus), 10000L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(twoPass(("erctic rosa", "erctic rosa")),
+      "2-pass recompute should be blind to the variant — fixture lost its point")
+
+    // retract the original: the variant splits back to a singleton
+    val v3 = ManifestTable.commit(
+      ManifestTable.read(spark, corpus).where(col("p_partkey") =!= 1L)
+        .localCheckpoint(), corpus)
+    roll3(v2, v3)
+    assert(membSet(memb) == expected3(), "after v3 retraction")
+    assert(membSet(memb)(("erctic rosa", "erctic rosa", 1L)))
+
+    // replay rejection holds under the wider block set too
+    val vM = ManifestTable.currentVersion(memb)
+    roll3(v2, v3)
+    assert(ManifestTable.currentVersion(memb) == vM, "replay committed")
+  }
+
   test("block-cap crossings re-cluster the whole block: an arrival that " +
     "pushes a block over the cap SPLITS its entities; the retraction " +
     "that brings it back under RE-MERGES them") {

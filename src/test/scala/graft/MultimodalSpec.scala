@@ -552,6 +552,41 @@ class MultimodalSpec extends SparkSpec {
       assert(!faSet.contains(fb(w)), s"tail window $w collides"))
   }
 
+  test("q177 scene-change keyframes catch the planted ONE-FRAME scene that " +
+    "stride-2 thinning structurally misses (VERDICT r15 #3): keyframes are " +
+    "exactly {0, 3, 4} (clip start + both cuts), the single-frame scene B " +
+    "lives only at odd index 3 — outside every even stride-2 position — and " +
+    "held frames report zero change") {
+    val byMedia = Multimodal.q177SceneKeyframes(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+      .groupBy(_._1)
+    assert(byMedia.nonEmpty, "fixture should produce videos")
+    byMedia.foreach { case (id, rows) =>
+      val k = rows.head._3
+      assert(rows.length.toLong === k, s"video $id: a row per frame")
+      val keyframes = rows.filter(_._6).map(_._2).toSet
+      assert(keyframes === Set(0L, 3L, 4L).filter(_ < k),
+        s"video $id keyframes")
+      // held frames (1, 2 and 5+) have zero changed pixels; cuts (3, 4)
+      // change EVERY pixel (scenes differ by 11 mod 256 in every block),
+      // so both cuts tie at the clip max and clear the quarter threshold
+      rows.foreach { case (_, j, _, nChanged, diffEnergy, _) =>
+        if (j == 3L || j == 4L) {
+          assert(nChanged > 0, s"video $id cut frame $j")
+          assert(diffEnergy > 0, s"video $id cut frame $j energy")
+        } else {
+          assert(nChanged === 0L, s"video $id held frame $j")
+          assert(diffEnergy === 0L, s"video $id held frame $j energy")
+        }
+      }
+      val cuts = rows.filter(r => r._2 == 3L || r._2 == 4L).map(_._4)
+      assert(cuts.distinct.length === 1, s"video $id cuts must tie at w*h")
+      // the stride-2 positions are even; scene B exists ONLY at index 3
+      assert(!Range(0, k.toInt, 2).contains(3), "stride-2 cannot see B")
+    }
+  }
+
   test("color decode rejects out-of-profile payloads instead of misdecoding: " +
     "sampling factors above 2 return None, truncated color scans return None, " +
     "and an unsupported PNG color type returns None") {

@@ -568,6 +568,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("imageDupProbeStream keyframe mode registers the ONE-FRAME scene that " +
+    "stride-2 misses (q177's rule live): the same A-A-A-B video yields no " +
+    "probe hit under stride-2 thinning and a Hamming-0 hit under " +
+    "scene-change keyframes") {
+    import spark.implicits._
+    import graft.multimodal.{JpegCodec, MediaHeaders}
+    implicit val sqlCtx = spark.sqlContext
+    val split = Array.tabulate(256)(i => if (i % 16 < 8) 255 else 0)
+    val inv = split.map(255 - _)
+    def jpeg(px: Array[Int]) = JpegCodec.encode(16, 16, px)
+    // scene B (split) is held for ONE frame at odd index 3: stride-2
+    // keeps frames 0 and 2 (both inv), so B never registers
+    val video = MediaHeaders.mjpegBytes(
+      Seq(jpeg(inv), jpeg(inv), jpeg(inv), jpeg(split)))
+    for (useKeyframes <- Seq(false, true)) withRocksDb {
+      val mem = MemoryStream[(Long, Array[Byte], Boolean)]
+      val name = s"kfdup_out_$useKeyframes"
+      val q = EventStream.imageDupProbeStream(
+          mem.toDF().toDF("media_id", "data", "is_probe"),
+          keyframes = useKeyframes)
+        .toDF().writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      mem.addData((3L, video, false))
+      q.processAllAvailable()
+      mem.addData((9L, jpeg(split), true))
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      if (useKeyframes)
+        assert(streamed === Set((9L, 3L, 0)),
+          s"keyframe mode must surface the one-frame scene: $streamed")
+      else
+        assert(streamed === Set.empty[(Long, Long, Int)],
+          s"stride-2 registered the B frame — fixture broke: $streamed")
+    }
+  }
+
   test("windowedAgg over a memory stream matches the batch tumbling window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
