@@ -2136,6 +2136,97 @@ object Multimodal {
       |       (f.j = 0 OR (f.n_changed > 0 AND 4 * f.n_changed >= mx.mc)) AS keyframe
       |FROM f JOIN mx ON mx.doc_id = f.doc_id""".stripMargin
 
+  /** Fabricate MJPEG clips with CROSS-VIDEO SHARED SCENES: the q177
+    * schedule (A-A-A-B-C-C-C, K = n_chars % 4 + 4) with scene content
+    * and dims keyed by gid = doc_id / 4 instead of doc_id — block
+    * (by, bx) of scene c is (gid·7 + c·11 + by·13 + bx·31) mod 256 at
+    * w = (gid % 3 + 2)·8, h = (gid % 2 + 2)·8 — so the two video-kind
+    * docs of a quad (doc_ids 12k+8, 12k+11) carry the SAME scenes in
+    * the same dims: re-posted clips sharing footage, the dup structure
+    * a video-level pass must fold. (Scene content has period 256 in
+    * gid and dims period 6, so gids 768 apart also share scenes — a
+    * fixture quirk the oracle reproduces exactly, visible only past
+    * ~3,000 docs.) */
+  def videosWithSharedScenes(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+    import s.implicits._
+    Tables(s, sfDir, "documents")
+      .where(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (docId, nChars) =>
+        val gid = docId / 4
+        val w = ((gid % 3 + 2) * 8).toInt
+        val h = ((gid % 2 + 2) * 8).toInt
+        val k = (nChars % 4 + 4).toInt
+        val frames = (0 until k).map { j =>
+          val c = if (j < 3) 0 else if (j == 3) 1 else 2
+          val px = Array.tabulate(w * h) { i =>
+            ((gid * 7 + c * 11 + (i / w / 8) * 13 + (i % w / 8) * 31) % 256).toInt
+          }
+          JpegCodec.encode(w, h, px)
+        }
+        MediaPayload(docId, "video", MediaHeaders.mjpegBytes(frames))
+      }
+  }
+
+  /** q180: VIDEO near-dup by shared scene keyframes — the video arc's
+    * pair report, built on q177's selector: decode, keep the scene
+    * keyframes ([[sceneKeyframeFrames]] — NOT stride-2, which misses
+    * one-frame scenes entirely), fingerprint each keyframe with q164's
+    * dim-qualified pixel md5, and pair videos on exact fingerprint
+    * equality, counting shared scenes. Fingerprints materialize ONCE
+    * (localCheckpoint) so each video decodes exactly once; only
+    * (media_id, 32-char fp) rows enter the equi-join, which is
+    * candidate-bounded by the planted quad structure — never
+    * all-pairs, and pixels never cross a shuffle. */
+  def q180VideoSceneDups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fps = videosWithSharedScenes(s, d).flatMap { m =>
+      sceneKeyframeFrames(m.data).map { case (w, h, px) =>
+        (m.media_id, s"${w}x$h:" + px.mkString(","))
+      }
+    }.toDF("media_id", "key")
+      .select(col("media_id"), md5(col("key")).as("fp"))
+      .localCheckpoint()
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id"), col("b.media_id"))
+      .agg(countDistinct(col("a.fp")).as("n_shared_scenes"))
+      .select(col("a.media_id").as("media_id_a"),
+        col("b.media_id").as("media_id_b"), col("n_shared_scenes"))
+  }
+
+  /** Oracle twin of [[q180VideoSceneDups]]: a video's keyframes are
+    * exactly one frame per scene it contains ({0,1} always — K ≥ 4 —
+    * plus scene 2 when K ≥ 5, q177's rule on this schedule), so
+    * regenerate each present scene's dim-qualified pixel hash from the
+    * gid-keyed formula and join on hash equality — from raw parquet,
+    * no codec: a match proves decode ∘ keyframe-select ∘ hash lands
+    * every planted scene exactly. */
+  val q180Sql: String =
+    """WITH im AS (SELECT doc_id, doc_id // 4 AS gid,
+      |                   CAST(((doc_id // 4) % 3 + 2) * 8 AS BIGINT) AS w,
+      |                   CAST(((doc_id // 4) % 2 + 2) * 8 AS BIGINT) AS h,
+      |                   n_chars % 4 + 4 AS k
+      |            FROM documents WHERE doc_id % 3 = 2),
+      |sc AS (SELECT im.doc_id, im.gid, im.w, im.h, c.g AS c
+      |       FROM im, (SELECT unnest(generate_series(0, 2)) AS g) c
+      |       WHERE c.g <= 1 OR im.k >= 5),
+      |px AS (SELECT sc.doc_id, sc.c, sc.w, sc.h, yy.g AS y, xx.g AS x,
+      |              CAST((sc.gid * 7 + sc.c * 11 + (yy.g // 8) * 13 +
+      |                    (xx.g // 8) * 31) % 256 AS BIGINT) AS v
+      |       FROM sc,
+      |            (SELECT unnest(generate_series(0, 23)) AS g) yy,
+      |            (SELECT unnest(generate_series(0, 31)) AS g) xx
+      |       WHERE yy.g < sc.h AND xx.g < sc.w),
+      |fp AS (SELECT doc_id, c,
+      |              md5(CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) || ':' ||
+      |                  string_agg(CAST(v AS VARCHAR), ',' ORDER BY y, x)) AS f
+      |       FROM px GROUP BY doc_id, c, w, h)
+      |SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+      |       CAST(count(DISTINCT a.f) AS BIGINT) AS n_shared_scenes
+      |FROM fp a JOIN fp b ON b.f = a.f AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_media_features" -> (q37MediaFeatures _),
     "q110_media_decode" -> (q110MediaDecode _),
@@ -2157,7 +2248,8 @@ object Multimodal {
     "q174_jpeg420_pixels" -> (q174Jpeg420Pixels _),
     "q175_audio_window_fp" -> (q175AudioWindowFp _),
     "q176_audio_trimmed_dups" -> (q176AudioTrimmedDups _),
-    "q177_scene_keyframes" -> (q177SceneKeyframes _))
+    "q177_scene_keyframes" -> (q177SceneKeyframes _),
+    "q180_video_scene_dups" -> (q180VideoSceneDups _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_media_features" -> q37Sql,
@@ -2180,5 +2272,6 @@ object Multimodal {
     "q174_jpeg420_pixels" -> q174Sql,
     "q175_audio_window_fp" -> q175Sql,
     "q176_audio_trimmed_dups" -> q176Sql,
-    "q177_scene_keyframes" -> q177Sql)
+    "q177_scene_keyframes" -> q177Sql,
+    "q180_video_scene_dups" -> q180Sql)
 }

@@ -587,6 +587,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q180 video scene dedup pairs quad re-posts on exactly their shared " +
+    "scene set (scenes 0 and 1 always, scene 2 when BOTH clips run 5+ " +
+    "frames) — and the count is only right because keyframes see the " +
+    "one-frame scene at odd index 3 that stride-2 sampling cannot") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Multimodal.q180VideoSceneDups(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty, "fixture should plant quad video pairs")
+    val vids = Tables(spark, sf0001, "documents")
+      .where(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) % 4 + 4)).toSeq
+    val expected = vids.groupBy(_._1 / 4).values.filter(_.size > 1).flatMap { g =>
+      for (a <- g; b <- g if a._1 < b._1)
+        yield (a._1, b._1, 2L + (if (a._2 >= 5 && b._2 >= 5) 1L else 0L))
+    }.toSet
+    assert(pairs.toSet === expected, "shared-scene pair report")
+    // the planted single-frame scene (index 3) contributes to EVERY
+    // pair's count — a stride-2 register would never hash it, so at
+    // least the scene-1 share would vanish from every pair
+    assert(pairs.forall(_._3 >= 2), "scene 1 (keyframe-only) must count")
+  }
+
   test("color decode rejects out-of-profile payloads instead of misdecoding: " +
     "sampling factors above 2 return None, truncated color scans return None, " +
     "and an unsupported PNG color type returns None") {

@@ -49,7 +49,8 @@ class SqlSurfaceSpec extends SparkSpec {
       "q169_audio_neardup", "q170_audio_dedup_keep",
       "q174_jpeg420_pixels", "q175_audio_window_fp",
       "q176_audio_trimmed_dups", "q177_scene_keyframes",
-      "q178_maintained_modality_dups", "q179_modality_probe") ++
+      "q178_maintained_modality_dups", "q179_modality_probe",
+      "q180_video_scene_dups") ++
     m("WITH RECURSIVE … UNION (distinct) — Spark 4.1 recursion accepts only " +
       "UNION ALL, and UNION ALL label propagation enumerates paths " +
       "(exponential on cyclic near-dup graphs), so the component family " +
