@@ -455,6 +455,13 @@ object ScaleProbe {
       jpeg420(sfDir); trimmed(sfDir) // warm
       probe("jpeg420_decode")(jpeg420(sfDir))(jpeg420(docsNDir))
       probe("audio_trimmed_dup")(trimmed(sfDir))(trimmed(docsNDir))
+      // q180: decode + keyframe-select + hash is per-row work; the scene
+      // equi-join is quad-bounded (the 1e8 doc shift is a multiple of 4,
+      // and cross-copy gid collisions would need Δgid ≡ 0 mod 768 —
+      // the shift's residue 64·Δcopy never is, for 10 copies)
+      def videoDup(d: String): Long = Multimodal.q180VideoSceneDups(spark, d).count()
+      videoDup(sfDir) // warm
+      probe("video_scene_dup")(videoDup(sfDir))(videoDup(docsNDir))
     }
 
     // Maintained SPAN index: applying a FIXED 50-doc arrival batch must

@@ -1323,6 +1323,15 @@ object SparkSqlTwins {
          |WHERE a.doc_id % 10 = 9 AND c.doc_id % 10 <> 9
          |  AND bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) <= 3) u""".stripMargin,
 
+    "q181_trimmed_dedup_keep" ->
+      s"""WITH $audioTrimSparkCtes,
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+         |          FROM win a JOIN win b ON b.fp = a.fp AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id HAVING count(1) >= 4),
+         |removed AS (SELECT DISTINCT db AS doc_id FROM pairs)
+         |SELECT a.doc_id AS media_id, r.doc_id IS NULL AS keep
+         |FROM a LEFT JOIN removed r ON a.doc_id = r.doc_id""".stripMargin,
+
     "q180_video_scene_dups" ->
       """WITH im AS (SELECT doc_id, doc_id div 4 AS gid,
         |                   CAST(((doc_id div 4) % 3 + 2) * 8 AS BIGINT) AS w,

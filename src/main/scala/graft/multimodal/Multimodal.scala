@@ -2227,6 +2227,31 @@ object Multimodal {
       |FROM fp a JOIN fp b ON b.f = a.f AND a.doc_id < b.doc_id
       |GROUP BY a.doc_id, b.doc_id""".stripMargin
 
+  /** q181: the trimmed-audio dedup DECISION — the greedy keeper
+    * convention (q132/q170) on q176's pair report: a clip is DROPPED
+    * when a lower-id clip shares ≥ 4 window fingerprints (i.e., is the
+    * same recording up to a trim). This is the keeper the GLOBAL
+    * fingerprint family cannot make: q170 keeps both halves of every
+    * trimmed pair because q169 never pairs them. */
+  def q181TrimmedDedupKeep(s: SparkSession, d: String): DataFrame = {
+    val removed = q176AudioTrimmedDups(s, d)
+      .select(col("media_id_b").as("media_id")).distinct()
+    audioWithTrimmedDups(s, d).toDF().select(col("media_id"))
+      .join(removed.withColumn("dup", lit(1)), Seq("media_id"), "left")
+      .select(col("media_id"), col("dup").isNull.as("keep"))
+  }
+
+  /** Oracle twin of [[q181TrimmedDedupKeep]]: the q176 window-join
+    * pairs recomputed from raw parquet, then the keeper left-join. */
+  val q181Sql: String =
+    s"""$audioTrimCte,
+       |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+       |          FROM win a JOIN win b ON b.fp = a.fp AND a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 4),
+       |removed AS (SELECT DISTINCT db AS doc_id FROM pairs)
+       |SELECT a.doc_id AS media_id, r.doc_id IS NULL AS keep
+       |FROM a LEFT JOIN removed r ON a.doc_id = r.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_media_features" -> (q37MediaFeatures _),
     "q110_media_decode" -> (q110MediaDecode _),
@@ -2249,7 +2274,8 @@ object Multimodal {
     "q175_audio_window_fp" -> (q175AudioWindowFp _),
     "q176_audio_trimmed_dups" -> (q176AudioTrimmedDups _),
     "q177_scene_keyframes" -> (q177SceneKeyframes _),
-    "q180_video_scene_dups" -> (q180VideoSceneDups _))
+    "q180_video_scene_dups" -> (q180VideoSceneDups _),
+    "q181_trimmed_dedup_keep" -> (q181TrimmedDedupKeep _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_media_features" -> q37Sql,
@@ -2273,5 +2299,6 @@ object Multimodal {
     "q175_audio_window_fp" -> q175Sql,
     "q176_audio_trimmed_dups" -> q176Sql,
     "q177_scene_keyframes" -> q177Sql,
-    "q180_video_scene_dups" -> q180Sql)
+    "q180_video_scene_dups" -> q180Sql,
+    "q181_trimmed_dedup_keep" -> q181Sql)
 }

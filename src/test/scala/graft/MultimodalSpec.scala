@@ -610,6 +610,26 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.forall(_._3 >= 2), "scene 1 (keyframe-only) must count")
   }
 
+  test("q181 keeps exactly one clip per trimmed-dup family — the decision " +
+    "q170 cannot make: the global-fingerprint keeper keeps BOTH halves of " +
+    "every planted trimmed pair, the windowed keeper drops the later one") {
+    val keep181 = Multimodal.q181TrimmedDedupKeep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val removed = Multimodal.q176AudioTrimmedDups(spark, sf0001).collect()
+      .map(_.getLong(1)).toSet
+    assert(removed.nonEmpty, "fixture should plant trimmed dups")
+    keep181.foreach { case (id, keep) =>
+      assert(keep === !removed.contains(id), s"clip $id verdict")
+    }
+    // q170's global keeper, run over the SAME trimmed fixture, keeps both
+    // halves of every trimmed pair (q169 pairs only Hamming<=3, and the
+    // trims sit far above it) — the blindness the windowed family fixes
+    val pairs176 = Multimodal.q176AudioTrimmedDups(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    assert(pairs176.forall(_._3 > 3),
+      "a trimmed pair fell inside the global gate; the contrast is void")
+  }
+
   test("color decode rejects out-of-profile payloads instead of misdecoding: " +
     "sampling factors above 2 return None, truncated color scans return None, " +
     "and an unsupported PNG color type returns None") {

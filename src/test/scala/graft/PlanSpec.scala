@@ -544,6 +544,33 @@ class PlanSpec extends SparkSpec {
     assert(got == Map(10L -> true, 11L -> false), got.toString)
   }
 
+  test("probeModality: the maintained band index joins the batch-sized " +
+    "probe by BROADCAST — the index side never sort-merges and never " +
+    "plans a hash-partition exchange (at 100 TB the index is the big " +
+    "side; a shuffle there is a full-index rewrite per probe)") {
+    import graft.sources.{ManifestTable, ModalityIndex}
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-modplan").toString
+    val corpus = s"$work/corpus"
+    val idx = s"$work/media"
+    // doc 0/6: images; 4/16: audio (distinct gids)
+    val v1 = ManifestTable.merge(
+      Seq(0L -> 10L, 4L -> 12L, 6L -> 25L, 16L -> 9L)
+        .toDF("doc_id", "n_chars")
+        .selectExpr("doc_id", "repeat('x', CAST(n_chars AS INT)) AS text"),
+      corpus, Seq("doc_id"))
+    ModalityIndex.refresh(spark, corpus, idx, 0, v1)
+    val probe = ModalityIndex.probeModality(
+      Seq(30L -> 10L, 31L -> 12L).toDF("doc_id", "n_chars"), spark, idx)
+    val plan = physical(probe)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the stored index side feeds the join from its (pruned) scan —
+    // the only hash exchanges are probe-sized (the final distinct) or
+    // key-collection plumbing, never the index relation
+    probe.collect() // and it executes clean
+  }
+
   test("q146 probe: the vocab-table side never plans a hash-partition " +
     "exchange or sort-merge join — batch tf broadcasts into the pruned " +
     "df read, and the 1-row corpus size broadcasts") {
