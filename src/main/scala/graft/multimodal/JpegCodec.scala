@@ -310,17 +310,31 @@ object JpegCodec {
     * constant, every block is a lone DC, and nearest-neighbor
     * upsampling of a constant plane is exact — so q174's oracle can
     * regenerate the block/MCU formulas in SQL and hash-match. */
-  def encode420(width: Int, height: Int, samples: Array[Int]): Array[Byte] = {
+  def encode420(width: Int, height: Int, samples: Array[Int]): Array[Byte] =
+    encodeSubsampled(width, height, samples, 2, 2)
+
+  /** [[encode420]]'s horizontal-only sibling: 4:2:2 (luma 2×1, chroma
+    * half-width full-height — the second-most-common crawled layout).
+    * The exactness cell is 16×8: chroma constant per cell box-filters
+    * to itself and nearest-upsamples back exactly. */
+  def encode422(width: Int, height: Int, samples: Array[Int]): Array[Byte] =
+    encodeSubsampled(width, height, samples, 2, 1)
+
+  /** The shared subsampled-baseline encoder: luma at sampling sh×sv
+    * (each ∈ {1, 2}), chroma box-filtered to (w/sh)×(h/sv), MCUs of
+    * sh·sv luma blocks + Cb + Cr in T.81 A.2.3 raster order. */
+  private def encodeSubsampled(width: Int, height: Int, samples: Array[Int],
+      sh: Int, sv: Int): Array[Byte] = {
     require(width > 0 && height > 0 && samples.length == width * height * 3,
-      s"JpegCodec.encode420: ${samples.length} samples for ${width}x$height x3")
+      s"JpegCodec.encodeSubsampled: ${samples.length} samples for ${width}x$height x3")
     require(width <= 65535 && height <= 65535,
-      s"JpegCodec.encode420: ${width}x$height exceeds the 16-bit SOF0 limit")
+      s"JpegCodec.encodeSubsampled: ${width}x$height exceeds the 16-bit SOF0 limit")
     val n = width * height
     val luma = new Array[Int](n)
     var i = 0
     while (i < n) { luma(i) = samples(i * 3) & 0xFF; i += 1 }
-    val cw = (width + 1) / 2
-    val ch = (height + 1) / 2
+    val cw = (width + sh - 1) / sh
+    val ch = (height + sv - 1) / sv
     val cbP = new Array[Int](cw * ch)
     val crP = new Array[Int](cw * ch)
     var cy = 0
@@ -331,12 +345,12 @@ object JpegCodec {
         var sr = 0
         var cnt = 0
         var dy = 0
-        while (dy < 2) {
-          val yy = cy * 2 + dy
+        while (dy < sv) {
+          val yy = cy * sv + dy
           if (yy < height) {
             var dx = 0
-            while (dx < 2) {
-              val xx = cx * 2 + dx
+            while (dx < sh) {
+              val xx = cx * sh + dx
               if (xx < width) {
                 sb += samples((yy * width + xx) * 3 + 1) & 0xFF
                 sr += samples((yy * width + xx) * 3 + 2) & 0xFF
@@ -356,10 +370,10 @@ object JpegCodec {
     val out = new java.io.ByteArrayOutputStream(samples.length / 4 + 512)
     out.write(0xFF); out.write(0xD8) // SOI
     seg(out, 0xDB, (Array(0x00) ++ Zigzag.map(QTable(_))).map(_.toByte))
-    // SOF0: luma id 1 sampling 2x2, chroma ids 2-3 sampling 1x1
+    // SOF0: luma id 1 sampling sh x sv, chroma ids 2-3 sampling 1x1
     seg(out, 0xC0, (Array(8, (height >> 8) & 0xFF, height & 0xFF,
       (width >> 8) & 0xFF, width & 0xFF, 3,
-      1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0)).map(_.toByte))
+      1, (sh << 4) | sv, 0, 2, 0x11, 0, 3, 0x11, 0)).map(_.toByte))
     seg(out, 0xC4, ((Array(0x00) ++ DcBits.drop(1) ++ DcVals) ++
       (Array(0x10) ++ AcBits.drop(1) ++ AcVals)).map(_.toByte))
     seg(out, 0xDA, (Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)).map(_.toByte))
@@ -373,18 +387,18 @@ object JpegCodec {
     val bw = new BitWriter(out)
     val coef = new Array[Int](64)
     val pred = new Array[Int](3)
-    val mcusX = (width + 15) / 16
-    val mcusY = (height + 15) / 16
+    val mcusX = (width + 8 * sh - 1) / (8 * sh)
+    val mcusY = (height + 8 * sv - 1) / (8 * sv)
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
-        // 4 luma blocks, raster order within the MCU, then Cb, then Cr
+        // sh x sv luma blocks, raster order within the MCU, then Cb, Cr
         var bv = 0
-        while (bv < 2) {
+        while (bv < sv) {
           var bh = 0
-          while (bh < 2) {
-            dctQuantBlock(luma, width, height, mx * 2 + bh, my * 2 + bv, coef)
+          while (bh < sh) {
+            dctQuantBlock(luma, width, height, mx * sh + bh, my * sv + bv, coef)
             pred(0) = entropyBlock(bw, coef, pred(0), dcCodes, acCodes, acIndex)
             bh += 1
           }

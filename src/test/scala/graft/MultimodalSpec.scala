@@ -688,6 +688,36 @@ class MultimodalSpec extends SparkSpec {
     assert(maxErr <= 96, s"max 4:2:0 lossy error $maxErr out of bounds")
   }
 
+  test("4:2:2 decode: block-constant luma + 16x8-cell-constant chroma " +
+    "round-trips encode422 -> decodeInterleaved BIT-EXACTLY, including " +
+    "ragged dims — the decoder's horizontal-only sampling path (the " +
+    "second-most-common crawled layout) proven, not just declared") {
+    import graft.multimodal.JpegCodec
+    for ((w, h) <- Seq((32, 16), (48, 8), (24, 16))) { // last: ragged MCUs
+      val px = new Array[Int](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * 3
+        px(p) = ((y / 8) * 13 + (x / 8) * 31 + 7) % 256
+        px(p + 1) = ((y / 8) * 17 + (x / 16) * 23 + 11) % 256
+        px(p + 2) = ((y / 8) * 29 + (x / 16) * 37 + 3) % 256
+      }
+      val Some((dw, dh, nc, out)) = JpegCodec.decodeInterleaved(
+        JpegCodec.encode422(w, h, px))
+      assert((dw, dh, nc) === (w.toLong, h.toLong, 3))
+      assert(out === px, s"${w}x$h 4:2:2 exactness round-trip")
+    }
+    // lossy-but-bounded on a general gradient, like the 4:2:0 case
+    val w = 32; val h = 16
+    val gen = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3
+      (((p % w) * 3 + (p / w) * 2 + (i % 3) * 7) % 64) + 96
+    }
+    val Some((_, _, _, lossy)) = JpegCodec.decodeInterleaved(
+      JpegCodec.encode422(w, h, gen))
+    val maxErr = lossy.indices.map(i => math.abs(lossy(i) - gen(i))).max
+    assert(maxErr <= 96, s"max 4:2:2 lossy error $maxErr out of bounds")
+  }
+
   test("decode dims budget (ADVICE r15): a crafted header claiming huge " +
     "dimensions returns None instead of overflowing the allocation — JPEG " +
     "SOF0 65535x65535x3 and PNG IHDR alike; legitimate payloads still decode") {
