@@ -123,6 +123,49 @@ object SparkSqlTwins {
   private def corpusSplit(cte: String): String = cte.replace("FROM documents",
     "FROM (SELECT * FROM documents WHERE doc_id % 10 <> 9) documents")
 
+  /** The q174 recompute text, shared verbatim by the q182 twin
+    * (the mixed-subsampling corpus carries the same pixels). */
+  private val jpeg420Twin: String =
+      """WITH im AS (SELECT doc_id, CAST((n_chars % 2 + 1) * 16 AS BIGINT) AS w,
+        |                   CAST((n_chars % 3 + 1) * 16 AS BIGINT) AS h
+        |            FROM documents),
+        |yb AS (SELECT im.doc_id, im.w, im.h,
+        |              CAST((im.doc_id * 7 + yy.g * 13 + xx.g * 31) % 256 AS BIGINT) AS v
+        |       FROM im,
+        |            (SELECT explode(sequence(0, 5)) AS g) yy,
+        |            (SELECT explode(sequence(0, 3)) AS g) xx
+        |       WHERE yy.g < im.h div 8 AND xx.g < im.w div 8),
+        |ya AS (SELECT doc_id, w, h, CAST(sum(v) * 64 AS DOUBLE) AS s,
+        |              CAST(sum(v * v) * 64 AS DOUBLE) AS ss
+        |       FROM yb GROUP BY doc_id, w, h),
+        |cb AS (SELECT im.doc_id, im.w, im.h, cc.g AS c,
+        |              CAST((im.doc_id * (CASE cc.g WHEN 1 THEN 11 ELSE 5 END) +
+        |                    yy.g * (CASE cc.g WHEN 1 THEN 17 ELSE 29 END) +
+        |                    xx.g * (CASE cc.g WHEN 1 THEN 23 ELSE 37 END)) % 256
+        |                   AS BIGINT) AS v
+        |       FROM im,
+        |            (SELECT explode(sequence(1, 2)) AS g) cc,
+        |            (SELECT explode(sequence(0, 2)) AS g) yy,
+        |            (SELECT explode(sequence(0, 1)) AS g) xx
+        |       WHERE yy.g < im.h div 16 AND xx.g < im.w div 16),
+        |ca AS (SELECT doc_id, w, h, c, CAST(sum(v) * 256 AS DOUBLE) AS s,
+        |              CAST(sum(v * v) * 256 AS DOUBLE) AS ss
+        |       FROM cb GROUP BY doc_id, w, h, c)
+        |SELECT ya.doc_id AS media_id, ya.w AS width, ya.h AS height,
+        |  round(ya.s / (ya.w * ya.h), 4) AS mean_y,
+        |  round(c1.s / (ya.w * ya.h), 4) AS mean_cb,
+        |  round(c2.s / (ya.w * ya.h), 4) AS mean_cr,
+        |  round(ya.ss / (ya.w * ya.h) -
+        |        (ya.s / (ya.w * ya.h)) * (ya.s / (ya.w * ya.h)), 4) AS var_y,
+        |  round(c1.ss / (ya.w * ya.h) -
+        |        (c1.s / (ya.w * ya.h)) * (c1.s / (ya.w * ya.h)), 4) AS var_cb,
+        |  round(c2.ss / (ya.w * ya.h) -
+        |        (c2.s / (ya.w * ya.h)) * (c2.s / (ya.w * ya.h)), 4) AS var_cr
+        |FROM ya
+        |JOIN ca c1 ON c1.doc_id = ya.doc_id AND c1.c = 1
+        |JOIN ca c2 ON c2.doc_id = ya.doc_id AND c2.c = 2""".stripMargin
+
+
   /** The 4×16-bit band explode over `hash` (q131/q132 twins). */
   private val ahashBandCte: String =
     """band AS (SELECT doc_id, hi, lo, g.b,
@@ -727,45 +770,15 @@ object SparkSqlTwins {
         |FROM fp a JOIN fp b ON b.f = a.f AND a.media_id < b.media_id
         |WHERE a.container <> b.container""".stripMargin,
 
-    "q174_jpeg420_pixels" ->
-      """WITH im AS (SELECT doc_id, CAST((n_chars % 2 + 1) * 16 AS BIGINT) AS w,
-        |                   CAST((n_chars % 3 + 1) * 16 AS BIGINT) AS h
-        |            FROM documents),
-        |yb AS (SELECT im.doc_id, im.w, im.h,
-        |              CAST((im.doc_id * 7 + yy.g * 13 + xx.g * 31) % 256 AS BIGINT) AS v
-        |       FROM im,
-        |            (SELECT explode(sequence(0, 5)) AS g) yy,
-        |            (SELECT explode(sequence(0, 3)) AS g) xx
-        |       WHERE yy.g < im.h div 8 AND xx.g < im.w div 8),
-        |ya AS (SELECT doc_id, w, h, CAST(sum(v) * 64 AS DOUBLE) AS s,
-        |              CAST(sum(v * v) * 64 AS DOUBLE) AS ss
-        |       FROM yb GROUP BY doc_id, w, h),
-        |cb AS (SELECT im.doc_id, im.w, im.h, cc.g AS c,
-        |              CAST((im.doc_id * (CASE cc.g WHEN 1 THEN 11 ELSE 5 END) +
-        |                    yy.g * (CASE cc.g WHEN 1 THEN 17 ELSE 29 END) +
-        |                    xx.g * (CASE cc.g WHEN 1 THEN 23 ELSE 37 END)) % 256
-        |                   AS BIGINT) AS v
-        |       FROM im,
-        |            (SELECT explode(sequence(1, 2)) AS g) cc,
-        |            (SELECT explode(sequence(0, 2)) AS g) yy,
-        |            (SELECT explode(sequence(0, 1)) AS g) xx
-        |       WHERE yy.g < im.h div 16 AND xx.g < im.w div 16),
-        |ca AS (SELECT doc_id, w, h, c, CAST(sum(v) * 256 AS DOUBLE) AS s,
-        |              CAST(sum(v * v) * 256 AS DOUBLE) AS ss
-        |       FROM cb GROUP BY doc_id, w, h, c)
-        |SELECT ya.doc_id AS media_id, ya.w AS width, ya.h AS height,
-        |  round(ya.s / (ya.w * ya.h), 4) AS mean_y,
-        |  round(c1.s / (ya.w * ya.h), 4) AS mean_cb,
-        |  round(c2.s / (ya.w * ya.h), 4) AS mean_cr,
-        |  round(ya.ss / (ya.w * ya.h) -
-        |        (ya.s / (ya.w * ya.h)) * (ya.s / (ya.w * ya.h)), 4) AS var_y,
-        |  round(c1.ss / (ya.w * ya.h) -
-        |        (c1.s / (ya.w * ya.h)) * (c1.s / (ya.w * ya.h)), 4) AS var_cb,
-        |  round(c2.ss / (ya.w * ya.h) -
-        |        (c2.s / (ya.w * ya.h)) * (c2.s / (ya.w * ya.h)), 4) AS var_cr
-        |FROM ya
-        |JOIN ca c1 ON c1.doc_id = ya.doc_id AND c1.c = 1
-        |JOIN ca c2 ON c2.doc_id = ya.doc_id AND c2.c = 2""".stripMargin,
+    "q174_jpeg420_pixels" -> jpeg420Twin,
+
+    // q182: q174's recompute (mode-independent pixels) + the mode tag
+    "q182_jpeg_mixed_pixels" -> jpeg420Twin.replace(
+      "SELECT ya.doc_id AS media_id,",
+      "SELECT ya.doc_id AS media_id,\n" +
+        "  CASE ya.doc_id % 3 WHEN 0 THEN '444' WHEN 1 THEN '420' " +
+        "ELSE '422' END AS mode,"),
+
 
     "q128_hybrid_rrf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),

@@ -1720,27 +1720,56 @@ object Multimodal {
     * [[JpegCodec.encode420]]/[[JpegCodec.decodeInterleaved]] invert
     * bit-for-bit (box-filter of a constant cell is the constant, every
     * block a lone DC, nearest upsampling of a constant plane exact). */
+  /** The q174/q182 exactness-profile pixel plane: dims are whole MCUs
+    * (w = (n_chars%2+1)·16, h = (n_chars%3+1)·16), luma constant per
+    * 8×8 block and chroma constant per 16×16 MCU — the strictest cell
+    * of any supported subsampling mode, so the SAME array round-trips
+    * bit-exactly through 4:4:4, 4:2:0 AND 4:2:2 encoders. */
+  private def mcuConstantPixels(docId: Long, nChars: Long): (Int, Int, Array[Int]) = {
+    val w = ((nChars % 2 + 1) * 16).toInt
+    val h = ((nChars % 3 + 1) * 16).toInt
+    val px = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 3
+        px(p) = ((docId * 7 + (y / 8) * 13 + (x / 8) * 31) % 256).toInt
+        px(p + 1) = ((docId * 11 + (y / 16) * 17 + (x / 16) * 23) % 256).toInt
+        px(p + 2) = ((docId * 5 + (y / 16) * 29 + (x / 16) * 37) % 256).toInt
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
   def images420(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
     import s.implicits._
     Tables(s, sfDir, "documents")
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (docId, nChars) =>
-        val w = ((nChars % 2 + 1) * 16).toInt
-        val h = ((nChars % 3 + 1) * 16).toInt
-        val px = new Array[Int](w * h * 3)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = (y * w + x) * 3
-            px(p) = ((docId * 7 + (y / 8) * 13 + (x / 8) * 31) % 256).toInt
-            px(p + 1) = ((docId * 11 + (y / 16) * 17 + (x / 16) * 23) % 256).toInt
-            px(p + 2) = ((docId * 5 + (y / 16) * 29 + (x / 16) * 37) % 256).toInt
-            x += 1
-          }
-          y += 1
-        }
+        val (w, h, px) = mcuConstantPixels(docId, nChars)
         MediaPayload(docId, "image", JpegCodec.encode420(w, h, px))
+      }
+  }
+
+  /** The q174 profile stored with the subsampling mode a real crawl
+    * mixes: doc_id % 3 picks 4:4:4 / 4:2:0 / 4:2:2. Same pixels, three
+    * SOF0 layouts — the decoder must read the sampling factors from
+    * the stream, not assume a mode. */
+  def imagesMixedSubsampling(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+    import s.implicits._
+    Tables(s, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (docId, nChars) =>
+        val (w, h, px) = mcuConstantPixels(docId, nChars)
+        val data = (docId % 3) match {
+          case 0 => JpegCodec.encodeInterleaved(w, h, 3, px)
+          case 1 => JpegCodec.encode420(w, h, px)
+          case _ => JpegCodec.encode422(w, h, px)
+        }
+        MediaPayload(docId, "image", data)
       }
   }
 
@@ -1777,6 +1806,50 @@ object Multimodal {
             sqs(2) / n - (sums(2) / n) * (sums(2) / n))
       }
     }.toDF("media_id", "width", "height",
+      "mean_y", "mean_cb", "mean_cr", "var_y", "var_cb", "var_cr")
+      .withColumn("mean_y", round(col("mean_y"), 4))
+      .withColumn("mean_cb", round(col("mean_cb"), 4))
+      .withColumn("mean_cr", round(col("mean_cr"), 4))
+      .withColumn("var_y", round(col("var_y"), 4))
+      .withColumn("var_cb", round(col("var_cb"), 4))
+      .withColumn("var_cr", round(col("var_cr"), 4))
+  }
+
+  /** q182: the MIXED-subsampling decode gate — the same exactness
+    * corpus stored per-doc as 4:4:4, 4:2:0 or 4:2:2, all through ONE
+    * decode call: the decoder must take the sampling factors from each
+    * stream's own SOF0 (no mode hint crosses the seam — the `mode`
+    * column is fixture metadata the ORACLE derives from doc_id, purely
+    * to make a per-mode failure visible in the diff). A hash match
+    * proves the dispatch and all three MCU geometries land every
+    * full-resolution sample exactly. */
+  def q182JpegMixedPixels(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    imagesMixedSubsampling(s, d).flatMap { m =>
+      JpegCodec.decodeInterleaved(m.data).collect {
+        case (w, h, 3, px) =>
+          val sums = new Array[Long](3)
+          val sqs = new Array[Long](3)
+          var i = 0
+          while (i < px.length) {
+            val c = i % 3
+            sums(c) += px(i)
+            sqs(c) += px(i).toLong * px(i)
+            i += 1
+          }
+          val n = (w * h).toDouble
+          val mode = (m.media_id % 3) match {
+            case 0 => "444"
+            case 1 => "420"
+            case _ => "422"
+          }
+          (m.media_id, mode, w, h,
+            sums(0) / n, sums(1) / n, sums(2) / n,
+            sqs(0) / n - (sums(0) / n) * (sums(0) / n),
+            sqs(1) / n - (sums(1) / n) * (sums(1) / n),
+            sqs(2) / n - (sums(2) / n) * (sums(2) / n))
+      }
+    }.toDF("media_id", "mode", "width", "height",
       "mean_y", "mean_cb", "mean_cr", "var_y", "var_cb", "var_cr")
       .withColumn("mean_y", round(col("mean_y"), 4))
       .withColumn("mean_cb", round(col("mean_cb"), 4))
@@ -2275,7 +2348,8 @@ object Multimodal {
     "q176_audio_trimmed_dups" -> (q176AudioTrimmedDups _),
     "q177_scene_keyframes" -> (q177SceneKeyframes _),
     "q180_video_scene_dups" -> (q180VideoSceneDups _),
-    "q181_trimmed_dedup_keep" -> (q181TrimmedDedupKeep _))
+    "q181_trimmed_dedup_keep" -> (q181TrimmedDedupKeep _),
+    "q182_jpeg_mixed_pixels" -> (q182JpegMixedPixels _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_media_features" -> q37Sql,
@@ -2300,5 +2374,13 @@ object Multimodal {
     "q176_audio_trimmed_dups" -> q176Sql,
     "q177_scene_keyframes" -> q177Sql,
     "q180_video_scene_dups" -> q180Sql,
-    "q181_trimmed_dedup_keep" -> q181Sql)
+    "q181_trimmed_dedup_keep" -> q181Sql,
+    // q182's oracle IS q174's math — the pixels are mode-independent by
+    // construction — plus the mode tag derived from doc_id, so a
+    // per-mode decode fault surfaces as that mode's rows mismatching
+    "q182_jpeg_mixed_pixels" -> q174Sql.replace(
+      "SELECT ya.doc_id AS media_id,",
+      "SELECT ya.doc_id AS media_id,\n" +
+        "  CASE ya.doc_id % 3 WHEN 0 THEN '444' WHEN 1 THEN '420' " +
+        "ELSE '422' END AS mode,"))
 }

@@ -50,7 +50,8 @@ class SqlSurfaceSpec extends SparkSpec {
       "q174_jpeg420_pixels", "q175_audio_window_fp",
       "q176_audio_trimmed_dups", "q177_scene_keyframes",
       "q178_maintained_modality_dups", "q179_modality_probe",
-      "q180_video_scene_dups", "q181_trimmed_dedup_keep") ++
+      "q180_video_scene_dups", "q181_trimmed_dedup_keep",
+      "q182_jpeg_mixed_pixels") ++
     m("WITH RECURSIVE … UNION (distinct) — Spark 4.1 recursion accepts only " +
       "UNION ALL, and UNION ALL label propagation enumerates paths " +
       "(exponential on cyclic near-dup graphs), so the component family " +
