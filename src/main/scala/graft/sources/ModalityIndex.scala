@@ -150,6 +150,28 @@ object ModalityIndex {
       applyBatch(ch, (v + 1).toLong, idxRoot, scope = PollScope)
     }
 
+  /** Turnkey stream ([[DedupIndex.startIndexMaintenance]]'s shape):
+    * keep the band table equal to the document corpus at `corpusRoot`,
+    * fed by `graft-manifest-cdc`, exactly-once. Pair a
+    * [[bootstrapModalityIndex]] with `startingVersion`, or the
+    * re-emitted snapshot batch double-applies. */
+  def startMaintenance(spark: SparkSession, corpusRoot: String,
+      idxRoot: String, checkpoint: String, startingVersion: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val scope = ManifestStreamSink.digest(
+      ManifestStreamSink.canonicalCheckpoint(checkpoint))
+    spark.readStream.format("graft-manifest-cdc")
+      .option("path", corpusRoot).option("key", "doc_id")
+      .option("startingVersion", startingVersion.toString)
+      .option("preimages", "true").load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(b, id, idxRoot, scope)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   // ------------------------------------------------------------- reads
 
   private def kindOf(bk: Column): Column =

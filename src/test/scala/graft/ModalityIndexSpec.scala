@@ -90,6 +90,27 @@ class ModalityIndexSpec extends SparkSpec {
     assert(idxSet(idx) == before, "rows changed on replay")
   }
 
+  test("turnkey startMaintenance keeps the band table equal to the corpus " +
+    "across commits and a checkpoint restart (the cross-index protocol " +
+    "holds on the modality family too)") {
+    val work = Files.createTempDirectory("graft-modidx-turnkey").toString
+    val (corpus, idx, ckpt) = (s"$work/corpus", s"$work/media", s"$work/ckpt")
+    ManifestTable.merge(docsDf(0L -> 10, 4L -> 12, 7L -> 20), corpus, Seq("doc_id"))
+    val q = ModalityIndex.startMaintenance(spark, corpus, idx, ckpt)
+    q.processAllAvailable()
+    assertMatchesSnapshot(corpus, idx, "turnkey bootstrap")
+    ManifestTable.merge(docsDf(3L -> 11, 0L -> 26), corpus, Seq("doc_id"))
+    q.processAllAvailable()
+    assertMatchesSnapshot(corpus, idx, "turnkey incremental commit")
+    q.stop()
+    // offline commit + restart from the same checkpoint
+    ManifestTable.merge(docsDf(6L -> 25), corpus, Seq("doc_id"))
+    val q2 = ModalityIndex.startMaintenance(spark, corpus, idx, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assertMatchesSnapshot(corpus, idx, "turnkey restart")
+  }
+
   test("maintainedModalityDups and probeModality equal brute-force " +
     "recomputes over the committed corpus (the q178/q179 answers read " +
     "stored band rows instead of re-decoding the media corpus)") {
