@@ -526,6 +526,33 @@ object ScaleProbe {
       probe("modality_index_maintain")(maintainMod(m1))(maintainMod(mN))
     }
 
+    // Maintained AUDIO WINDOW index: a FIXED 50-clip arrival batch
+    // (ids forced to the audio residue class) against a 1x vs Nx window
+    // table — the SpanIndex shape on PCM; cost must track the batch.
+    {
+      import graft.sources.AudioWindowIndex
+      def awinBootstrapped(d: String): String = {
+        val w = java.nio.file.Files.createTempDirectory("graft-scale-awin").toString
+        AudioWindowIndex.bootstrapAudioWindowIndex(
+          Tables(spark, d, "documents").select($"doc_id", $"n_chars"), w)
+        w
+      }
+      val a1 = awinBootstrapped(sfDir)
+      val aN = awinBootstrapped(docsNDir)
+      var ab = 0L
+      def maintainAwin(root: String): Long = {
+        ab += 1
+        val delta = spark.range(50).select(
+          ($"id" * 3 + 600000000L + ab * 3000L + 1L).as("doc_id"),
+          concat(lit("a"), $"id").as("text"),
+          lit("insert").as("_change_type")).localCheckpoint()
+        AudioWindowIndex.applyBatch(delta, ab, root, scope = s"probe$ab")
+        1L
+      }
+      maintainAwin(a1); maintainAwin(aN) // warm both roots
+      probe("audiowin_index_maintain")(maintainAwin(a1))(maintainAwin(aN))
+    }
+
     // ---- the gate: time must grow at most linearly with data ----
     val gated = results.toSeq.map { case (n, t1, tN) =>
       (n, t1, tN, tN / math.max(t1, 0.3))

@@ -1336,6 +1336,26 @@ object SparkSqlTwins {
          |WHERE a.doc_id % 10 = 9 AND c.doc_id % 10 <> 9
          |  AND bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) <= 3) u""".stripMargin,
 
+    "q183_maintained_trimmed_dups" ->
+      s"""WITH ${corpusSplit(audioTrimSparkCtes)}
+         |SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+         |  count(1) AS n_shared,
+         |  CAST(min(b.w - a.w) AS BIGINT) AS offset_w,
+         |  count(DISTINCT b.w - a.w) AS n_offsets
+         |FROM win a JOIN win b ON b.fp = a.fp AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING count(1) >= 4""".stripMargin,
+
+    "q184_trim_probe" ->
+      s"""WITH $audioTrimSparkCtes
+         |SELECT p.doc_id AS media_id_probe, c.doc_id AS media_id_corpus,
+         |  count(1) AS n_shared,
+         |  CAST(min(c.w - p.w) AS BIGINT) AS offset_w
+         |FROM win p JOIN win c ON c.fp = p.fp
+         |WHERE p.doc_id % 10 = 9 AND c.doc_id % 10 <> 9
+         |GROUP BY p.doc_id, c.doc_id
+         |HAVING count(1) >= 4""".stripMargin,
+
     "q181_trimmed_dedup_keep" ->
       s"""WITH $audioTrimSparkCtes,
          |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db

@@ -1919,9 +1919,15 @@ object Multimodal {
     * window equality would need 64 consecutive roots of a varying
     * quadratic), and gids sit 2654435761 apart in t-space so distinct
     * recordings never share a window. */
-  def audioWithTrimmedDups(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+  def audioWithTrimmedDups(s: SparkSession, sfDir: String): Dataset[MediaPayload] =
+    trimmedAudioFromDocs(Tables(s, sfDir, "documents"))
+
+  /** [[audioWithTrimmedDups]] over an arbitrary (doc_id, n_chars)
+    * frame — the CDC seam for the maintained audio-window index. */
+  def trimmedAudioFromDocs(docs: DataFrame): Dataset[MediaPayload] = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables(s, sfDir, "documents")
+    docs
       .where(col("doc_id") % 3 === 1)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (docId, nChars) =>
@@ -1946,7 +1952,7 @@ object Multimodal {
     * fully-overlapped window. Returns (window idx, comma-joined sample
     * csv) — the csv is md5'd on the DataFrame side so the hash is the
     * engine-portable md5-of-text both engines spell identically. */
-  private def pcmWindows(pcm: Array[Short]): IndexedSeq[(Int, String)] = {
+  private[graft] def pcmWindows(pcm: Array[Short]): IndexedSeq[(Int, String)] = {
     val nw = if (pcm.length < 64) 0 else (pcm.length - 64) / 32 + 1
     (0 until nw).map { w =>
       val sb = new java.lang.StringBuilder(64 * 7)
@@ -1980,7 +1986,7 @@ object Multimodal {
     * quad-keyed trimmed PCM and the hop-32 window grid with md5 local
     * fingerprints — the DuckDB side of [[pcmWindows]] over
     * [[audioWithTrimmedDups]]. */
-  private val audioTrimCte: String =
+  private[graft] val audioTrimCte: String =
     """WITH a AS (SELECT doc_id, doc_id // 4 AS gid, (doc_id % 4) * 96 AS off
       |           FROM documents WHERE doc_id % 3 = 1),
       |s AS (SELECT a.doc_id, g.i,

@@ -36,12 +36,14 @@ object DedupIndexFixtures {
     * index (q146's IDF source). v7: maintained span index (q171's
     * duplicated-span report, q172's contamination probe). v8:
     * maintained modality-fingerprint index (q178's dedup report, q179's
-    * arriving-batch probe). */
-  private val FixtureVersion = 8
+    * arriving-batch probe). v9: maintained audio window-fingerprint
+    * index (q183's trimmed-dup report, q184's trim probe). */
+  private val FixtureVersion = 9
 
   /** All maintained-index roots of one fixture. */
   case class Roots(fp: String, band: String, memb: String, rep: String,
-      fpCorrupt: String, df: String, span: String, media: String)
+      fpCorrupt: String, df: String, span: String, media: String,
+      awin: String)
 
   /** Idempotently build corpus + fp/band indexes + cluster tables for
     * `sfDir` ([[FixtureLifecycle.ensureOnce]] — one build per content
@@ -59,10 +61,13 @@ object DedupIndexFixtures {
       // the modality index bakes in the JVM-side fingerprint definitions
       // (no SQL expr to fold in — bump this literal when ahash64,
       // audioFp64, the media generators, or the banding change)
-      s"modality-v1 ahash64+audioFp64 banded4x16 b=${ModalityIndex.IndexBuckets}"))
+      s"modality-v1 ahash64+audioFp64 banded4x16 b=${ModalityIndex.IndexBuckets}",
+      // the audio window index bakes in the JVM-side window grid (64/32)
+      s"audiowin-v1 md5win64h32 b=${AudioWindowIndex.IndexBuckets}"))
     val root = FixtureLifecycle.ensureOnce("graft_dedupidx", sig) { root =>
       ManifestTable.currentVersion(s"$root/corpus") == 2 &&
-        Seq("fp", "band", "memb", "rep", "fpcorrupt", "df", "span", "media")
+        Seq("fp", "band", "memb", "rep", "fpcorrupt", "df", "span", "media",
+            "awin")
           .forall(t => ManifestTable.currentVersion(s"$root/$t") >= 1)
     } { root =>
       val corpus = s"$root/corpus"
@@ -79,6 +84,7 @@ object DedupIndexFixtures {
         DfIndex.maintainDfIndex(s, ch, s"$root/df")
         SpanIndex.maintainSpanIndex(s, ch, s"$root/span")
         ModalityIndex.maintainModalityIndex(s, ch, s"$root/media")
+        AudioWindowIndex.maintainAudioWindowIndex(s, ch, s"$root/awin")
         // band index + cluster tables advance together (applyBatch
         // maintains the band index first, then the components)
         ClusterIndex.applyBatch(ch, v.toLong, s"$root/band", s"$root/memb",
@@ -117,7 +123,8 @@ object DedupIndexFixtures {
         corrupted, s"$root/fpcorrupt", Seq("bucket", "fp"), "bucket")
     }
     Roots(s"$root/fp", s"$root/band", s"$root/memb", s"$root/rep",
-      s"$root/fpcorrupt", s"$root/df", s"$root/span", s"$root/media")
+      s"$root/fpcorrupt", s"$root/df", s"$root/span", s"$root/media",
+      s"$root/awin")
   }
 
   private def batch(s: SparkSession, sfDir: String): DataFrame =
@@ -209,6 +216,20 @@ object DedupIndexFixtures {
   def q179ModalityProbe(s: SparkSession, d: String): DataFrame =
     ModalityIndex.probeModality(mediaBatch(s, d), s, ensure(s, d).media)
 
+  /** q183 — q176's trimmed-dup report from the MAINTAINED audio window
+    * index ([[AudioWindowIndex]]): pairs, trim offsets and offset
+    * cardinality from stored fingerprint rows only — the corpus audio
+    * is never re-decoded; the oracle re-derives every window from raw
+    * parquet. */
+  def q183MaintainedTrimmedDups(s: SparkSession, d: String): DataFrame =
+    AudioWindowIndex.maintainedTrimmedDups(s, ensure(s, d).awin)
+
+  /** q184 — the trim PROBE: which committed recordings does the
+    * arriving batch duplicate up to a trim — batch-sized decode, a
+    * bucket-pruned window read, the q176 gate. */
+  def q184TrimProbe(s: SparkSession, d: String): DataFrame =
+    AudioWindowIndex.probeTrims(mediaBatch(s, d), s, ensure(s, d).awin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_maintained_exact_probe" -> (q135MaintainedExactProbe _),
     "q136_maintained_neardup_probe" -> (q136MaintainedNeardupProbe _),
@@ -219,7 +240,9 @@ object DedupIndexFixtures {
     "q171_maintained_spans" -> (q171MaintainedSpans _),
     "q172_maintained_span_probe" -> (q172MaintainedSpanProbe _),
     "q178_maintained_modality_dups" -> (q178MaintainedModalityDups _),
-    "q179_modality_probe" -> (q179ModalityProbe _))
+    "q179_modality_probe" -> (q179ModalityProbe _),
+    "q183_maintained_trimmed_dups" -> (q183MaintainedTrimmedDups _),
+    "q184_trim_probe" -> (q184TrimProbe _))
 
   /** q54's oracle text with its `documents` base restricted to the
     * fixture's corpus split — the recursive closure runs on exactly the
@@ -347,6 +370,31 @@ object DedupIndexFixtures {
        |UNION ALL
        |${probeArm(graft.multimodal.Multimodal.audioFpCte, "audio")}""".stripMargin
 
+  /** q183's oracle: q176's window self-join recomputed from raw
+    * parquet over the corpus split (no global-fingerprint columns —
+    * the index stores window rows only). */
+  val q183Sql: String =
+    s"""${restrictToCorpus(graft.multimodal.Multimodal.audioTrimCte)}
+       |SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared,
+       |  CAST(min(b.w - a.w) AS BIGINT) AS offset_w,
+       |  CAST(count(DISTINCT b.w - a.w) AS BIGINT) AS n_offsets
+       |FROM win a JOIN win b ON b.fp = a.fp AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING count(*) >= 4""".stripMargin
+
+  /** q184's oracle: the cross-split window join — probe = held-out
+    * batch, corpus = everything else — from raw parquet. */
+  val q184Sql: String =
+    s"""${graft.multimodal.Multimodal.audioTrimCte}
+       |SELECT p.doc_id AS media_id_probe, c.doc_id AS media_id_corpus,
+       |  CAST(count(*) AS BIGINT) AS n_shared,
+       |  CAST(min(c.w - p.w) AS BIGINT) AS offset_w
+       |FROM win p JOIN win c ON c.fp = p.fp
+       |WHERE p.doc_id % 10 = 9 AND c.doc_id % 10 <> 9
+       |GROUP BY p.doc_id, c.doc_id
+       |HAVING count(*) >= 4""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q135_maintained_exact_probe" -> TextOps.q125Sql,
     "q136_maintained_neardup_probe" -> TextOps.q126Sql,
@@ -357,5 +405,7 @@ object DedupIndexFixtures {
     "q171_maintained_spans" -> restrictToCorpus(TextOps.q148Sql),
     "q172_maintained_span_probe" -> q172Sql,
     "q178_maintained_modality_dups" -> q178Sql,
-    "q179_modality_probe" -> q179Sql)
+    "q179_modality_probe" -> q179Sql,
+    "q183_maintained_trimmed_dups" -> q183Sql,
+    "q184_trim_probe" -> q184Sql)
 }
