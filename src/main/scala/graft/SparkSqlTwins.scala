@@ -123,6 +123,34 @@ object SparkSqlTwins {
   private def corpusSplit(cte: String): String = cte.replace("FROM documents",
     "FROM (SELECT * FROM documents WHERE doc_id % 10 <> 9) documents")
 
+  /** The q180 recompute text, shared by the q185 keeper twin. */
+  private val videoSceneTwin: String =
+      """WITH im AS (SELECT doc_id, doc_id div 4 AS gid,
+        |                   CAST(((doc_id div 4) % 3 + 2) * 8 AS BIGINT) AS w,
+        |                   CAST(((doc_id div 4) % 2 + 2) * 8 AS BIGINT) AS h,
+        |                   n_chars % 4 + 4 AS k
+        |            FROM documents WHERE doc_id % 3 = 2),
+        |sc AS (SELECT im.doc_id, im.gid, im.w, im.h, c.g AS c
+        |       FROM im, (SELECT explode(sequence(0, 2)) AS g) c
+        |       WHERE c.g <= 1 OR im.k >= 5),
+        |px AS (SELECT sc.doc_id, sc.c, sc.w, sc.h, yy.g AS y, xx.g AS x,
+        |              CAST((sc.gid * 7 + sc.c * 11 + (yy.g div 8) * 13 +
+        |                    (xx.g div 8) * 31) % 256 AS BIGINT) AS v
+        |       FROM sc,
+        |            (SELECT explode(sequence(0, 23)) AS g) yy,
+        |            (SELECT explode(sequence(0, 31)) AS g) xx
+        |       WHERE yy.g < sc.h AND xx.g < sc.w),
+        |fp AS (SELECT doc_id, c,
+        |              md5(concat(CAST(w AS STRING), 'x', CAST(h AS STRING), ':',
+        |                  array_join(transform(
+        |                    array_sort(collect_list(struct(y, x, v))),
+        |                    e -> CAST(e.v AS STRING)), ','))) AS f
+        |       FROM px GROUP BY doc_id, c, w, h)
+        |SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+        |       count(DISTINCT a.f) AS n_shared_scenes
+        |FROM fp a JOIN fp b ON b.f = a.f AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id""".stripMargin
+
   /** The q174 recompute text, shared verbatim by the q182 twin
     * (the mixed-subsampling corpus carries the same pixels). */
   private val jpeg420Twin: String =
@@ -1365,32 +1393,19 @@ object SparkSqlTwins {
          |SELECT a.doc_id AS media_id, r.doc_id IS NULL AS keep
          |FROM a LEFT JOIN removed r ON a.doc_id = r.doc_id""".stripMargin,
 
-    "q180_video_scene_dups" ->
-      """WITH im AS (SELECT doc_id, doc_id div 4 AS gid,
-        |                   CAST(((doc_id div 4) % 3 + 2) * 8 AS BIGINT) AS w,
-        |                   CAST(((doc_id div 4) % 2 + 2) * 8 AS BIGINT) AS h,
-        |                   n_chars % 4 + 4 AS k
-        |            FROM documents WHERE doc_id % 3 = 2),
-        |sc AS (SELECT im.doc_id, im.gid, im.w, im.h, c.g AS c
-        |       FROM im, (SELECT explode(sequence(0, 2)) AS g) c
-        |       WHERE c.g <= 1 OR im.k >= 5),
-        |px AS (SELECT sc.doc_id, sc.c, sc.w, sc.h, yy.g AS y, xx.g AS x,
-        |              CAST((sc.gid * 7 + sc.c * 11 + (yy.g div 8) * 13 +
-        |                    (xx.g div 8) * 31) % 256 AS BIGINT) AS v
-        |       FROM sc,
-        |            (SELECT explode(sequence(0, 23)) AS g) yy,
-        |            (SELECT explode(sequence(0, 31)) AS g) xx
-        |       WHERE yy.g < sc.h AND xx.g < sc.w),
-        |fp AS (SELECT doc_id, c,
-        |              md5(concat(CAST(w AS STRING), 'x', CAST(h AS STRING), ':',
-        |                  array_join(transform(
-        |                    array_sort(collect_list(struct(y, x, v))),
-        |                    e -> CAST(e.v AS STRING)), ','))) AS f
-        |       FROM px GROUP BY doc_id, c, w, h)
-        |SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
-        |       count(DISTINCT a.f) AS n_shared_scenes
-        |FROM fp a JOIN fp b ON b.f = a.f AND a.doc_id < b.doc_id
-        |GROUP BY a.doc_id, b.doc_id""".stripMargin,
+    "q180_video_scene_dups" -> videoSceneTwin,
+
+    // q185: q180's pairs (>= 2 shared scenes) + the greedy keeper
+    "q185_video_dedup_keep" ->
+      s"""WITH pairs AS (
+         |$videoSceneTwin
+         |),
+         |removed AS (SELECT DISTINCT media_id_b AS doc_id FROM pairs
+         |            WHERE n_shared_scenes >= 2)
+         |SELECT im.doc_id AS media_id, r.doc_id IS NULL AS keep
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 2) im
+         |LEFT JOIN removed r ON im.doc_id = r.doc_id""".stripMargin,
+
 
     "q177_scene_keyframes" ->
       """WITH im AS (SELECT doc_id, CAST((n_chars % 3 + 2) * 8 AS BIGINT) AS w,

@@ -2331,6 +2331,33 @@ object Multimodal {
        |SELECT a.doc_id AS media_id, r.doc_id IS NULL AS keep
        |FROM a LEFT JOIN removed r ON a.doc_id = r.doc_id""".stripMargin
 
+  /** q185: the video-dedup DECISION — the greedy keeper convention on
+    * q180's scene-pair report: a video is DROPPED when a lower-id video
+    * shares ≥ 2 scene keyframes (substantially the same footage, not a
+    * single stock shot). Completes the pair→keeper arc on the fourth
+    * family, and it only exists because keyframes see every scene —
+    * a stride-2 register would misscount shares and mis-keep. */
+  def q185VideoDedupKeep(s: SparkSession, d: String): DataFrame = {
+    val removed = q180VideoSceneDups(s, d)
+      .where(col("n_shared_scenes") >= 2)
+      .select(col("media_id_b").as("media_id")).distinct()
+    videosWithSharedScenes(s, d).toDF().select(col("media_id"))
+      .join(removed.withColumn("dup", lit(1)), Seq("media_id"), "left")
+      .select(col("media_id"), col("dup").isNull.as("keep"))
+  }
+
+  /** Oracle twin of [[q185VideoDedupKeep]]: q180's recompute as a
+    * nested CTE + the keeper left-join. */
+  val q185Sql: String =
+    s"""WITH pairs AS (
+       |$q180Sql
+       |),
+       |removed AS (SELECT DISTINCT media_id_b AS doc_id FROM pairs
+       |            WHERE n_shared_scenes >= 2)
+       |SELECT im.doc_id AS media_id, r.doc_id IS NULL AS keep
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 2) im
+       |LEFT JOIN removed r ON im.doc_id = r.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_media_features" -> (q37MediaFeatures _),
     "q110_media_decode" -> (q110MediaDecode _),
@@ -2355,7 +2382,8 @@ object Multimodal {
     "q177_scene_keyframes" -> (q177SceneKeyframes _),
     "q180_video_scene_dups" -> (q180VideoSceneDups _),
     "q181_trimmed_dedup_keep" -> (q181TrimmedDedupKeep _),
-    "q182_jpeg_mixed_pixels" -> (q182JpegMixedPixels _))
+    "q182_jpeg_mixed_pixels" -> (q182JpegMixedPixels _),
+    "q185_video_dedup_keep" -> (q185VideoDedupKeep _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_media_features" -> q37Sql,
@@ -2381,6 +2409,7 @@ object Multimodal {
     "q177_scene_keyframes" -> q177Sql,
     "q180_video_scene_dups" -> q180Sql,
     "q181_trimmed_dedup_keep" -> q181Sql,
+    "q185_video_dedup_keep" -> q185Sql,
     // q182's oracle IS q174's math — the pixels are mode-independent by
     // construction — plus the mode tag derived from doc_id, so a
     // per-mode decode fault surfaces as that mode's rows mismatching

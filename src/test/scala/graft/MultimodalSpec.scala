@@ -630,6 +630,19 @@ class MultimodalSpec extends SparkSpec {
       "a trimmed pair fell inside the global gate; the contrast is void")
   }
 
+  test("q185 keeps exactly one video per shared-footage family: a video is " +
+    "dropped iff a lower-id video shares >= 2 scene keyframes") {
+    val keep = Multimodal.q185VideoDedupKeep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val removed = Multimodal.q180VideoSceneDups(spark, sf0001).collect()
+      .filter(_.getLong(2) >= 2).map(_.getLong(1)).toSet
+    assert(removed.nonEmpty, "fixture should plant shared-footage videos")
+    keep.foreach { case (id, k) =>
+      assert(k === !removed.contains(id), s"video $id verdict")
+    }
+    assert(keep.values.count(identity) < keep.size, "nothing was deduped")
+  }
+
   test("color decode rejects out-of-profile payloads instead of misdecoding: " +
     "sampling factors above 2 return None, truncated color scans return None, " +
     "and an unsupported PNG color type returns None") {
