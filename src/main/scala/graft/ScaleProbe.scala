@@ -462,6 +462,16 @@ object ScaleProbe {
       def videoDup(d: String): Long = Multimodal.q180VideoSceneDups(spark, d).count()
       videoDup(sfDir) // warm
       probe("video_scene_dup")(videoDup(sfDir))(videoDup(docsNDir))
+      // Round-17 (VERDICT r16 #1): the hot-band cap. q186 runs the
+      // banded pair machinery over a corpus WITH a planted flat-image
+      // cohort (1/15 of docs, ALL aHashing to the same four band
+      // values): uncapped, that one band is ~3.3k members per slot at
+      // sf0.1 and ~33k at 10x — ≈22M candidate rows growing to ≈2.2B,
+      // a clean factor² blowup this gate would catch. The capped plan
+      // drops the hot bands before the join, so time tracks rows.
+      def hotBand(d: String): Long = Multimodal.q186HotBandReport(spark, d).count()
+      hotBand(sfDir) // warm
+      probe("hot_band_cap")(hotBand(sfDir))(hotBand(docsNDir))
     }
 
     // Maintained SPAN index: applying a FIXED 50-doc arrival batch must

@@ -125,7 +125,7 @@ object SparkSqlTwins {
 
   /** The q180 recompute text, shared by the q185 keeper twin. */
   private val videoSceneTwin: String =
-      """WITH im AS (SELECT doc_id, doc_id div 4 AS gid,
+      s"""WITH im AS (SELECT doc_id, doc_id div 4 AS gid,
         |                   CAST(((doc_id div 4) % 3 + 2) * 8 AS BIGINT) AS w,
         |                   CAST(((doc_id div 4) % 2 + 2) * 8 AS BIGINT) AS h,
         |                   n_chars % 4 + 4 AS k
@@ -145,10 +145,13 @@ object SparkSqlTwins {
         |                  array_join(transform(
         |                    array_sort(collect_list(struct(y, x, v))),
         |                    e -> CAST(e.v AS STRING)), ','))) AS f
-        |       FROM px GROUP BY doc_id, c, w, h)
+        |       FROM px GROUP BY doc_id, c, w, h),
+        |kfp AS (SELECT doc_id, f FROM (
+        |    SELECT fp.*, count(1) OVER (PARTITION BY f) AS fdf FROM fp) fd
+        |  WHERE fdf <= ${graft.multimodal.Multimodal.ExactFpCap})
         |SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
         |       count(DISTINCT a.f) AS n_shared_scenes
-        |FROM fp a JOIN fp b ON b.f = a.f AND a.doc_id < b.doc_id
+        |FROM kfp a JOIN kfp b ON b.f = a.f AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id""".stripMargin
 
   /** The q174 recompute text, shared verbatim by the q182 twin
@@ -202,6 +205,36 @@ object SparkSqlTwins {
       |             WHEN 2 THEN hi & 65535L
       |             ELSE shiftright(hi, 16) & 65535L END AS v
       |  FROM hash, (SELECT explode(array(0, 1, 2, 3)) AS b) g)""".stripMargin
+
+  /** Hot-band drop over `band` at [[graft.multimodal.Multimodal
+    * .ModalityBandCap]] — mirrors the DataFrame plans' degenerate-band
+    * cap (VERDICT r16 #1) so the twins stay plan-faithful. */
+  private val cappedBandCte: String =
+    s"""kband AS (SELECT doc_id, hi, lo, b, v FROM (
+       |    SELECT band.*, count(1) OVER (PARTITION BY b, v) AS bdf FROM band) bd
+       |  WHERE bdf <= ${graft.multimodal.Multimodal.ModalityBandCap})""".stripMargin
+
+  /** [[cappedBandCte]] for the probe twins: the cap is computed over the
+    * CORPUS split only (the committed side is what concentrates). */
+  private val corpusCappedBandCte: String =
+    s"""cband AS (SELECT doc_id, hi, lo, b, v FROM (
+       |    SELECT cb.*, count(1) OVER (PARTITION BY b, v) AS bdf
+       |    FROM (SELECT * FROM band WHERE doc_id % 10 <> 9) cb) bd
+       |  WHERE bdf <= ${graft.multimodal.Multimodal.ModalityBandCap})""".stripMargin
+
+  /** Hot-fp drop over `win` at [[graft.multimodal.Multimodal
+    * .ExactFpCap]] (q176/q181/q183 twins). */
+  private val cappedWinCte: String =
+    s"""kwin AS (SELECT doc_id, w, fp FROM (
+       |    SELECT win.*, count(1) OVER (PARTITION BY fp) AS fdf FROM win) wd
+       |  WHERE fdf <= ${graft.multimodal.Multimodal.ExactFpCap})""".stripMargin
+
+  /** [[cappedWinCte]] with the cap over the corpus split (q184 twin). */
+  private val corpusCappedWinCte: String =
+    s"""cwin AS (SELECT doc_id, w, fp FROM (
+       |    SELECT cw.*, count(1) OVER (PARTITION BY fp) AS fdf
+       |    FROM (SELECT * FROM win WHERE doc_id % 10 <> 9) cw) wd
+       |  WHERE fdf <= ${graft.multimodal.Multimodal.ExactFpCap})""".stripMargin
 
   /** Spark side of Multimodal.audioFpCte: the quad-keyed gated PCM,
     * 64 energy windows, integer-exact threshold bits, packed halves. */
@@ -1196,18 +1229,20 @@ object SparkSqlTwins {
 
     "q131_image_neardup" ->
       s"""WITH $ahashSparkCtes,
-         |$ahashBandCte
+         |$ahashBandCte,
+         |$cappedBandCte
          |SELECT DISTINCT a.doc_id AS media_id_a, c.doc_id AS media_id_b,
          |  CAST(bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) AS INT) AS hamming
-         |FROM band a JOIN band c ON a.b = c.b AND a.v = c.v
+         |FROM kband a JOIN kband c ON a.b = c.b AND a.v = c.v
          |  AND a.doc_id < c.doc_id
          |WHERE bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) <= 3""".stripMargin,
 
     "q132_image_dedup_keep" ->
       s"""WITH $ahashSparkCtes,
          |$ahashBandCte,
+         |$cappedBandCte,
          |removed AS (SELECT DISTINCT c.doc_id
-         |            FROM band a JOIN band c ON a.b = c.b AND a.v = c.v
+         |            FROM kband a JOIN kband c ON a.b = c.b AND a.v = c.v
          |              AND a.doc_id < c.doc_id
          |            WHERE bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) <= 3)
          |SELECT h.doc_id AS media_id, h.hi AS ahash_hi, h.lo AS ahash_lo,
@@ -1238,18 +1273,20 @@ object SparkSqlTwins {
 
     "q169_audio_neardup" ->
       s"""WITH $audioFpSparkCtes,
-         |$ahashBandCte
+         |$ahashBandCte,
+         |$cappedBandCte
          |SELECT DISTINCT a.doc_id AS media_id_a, c.doc_id AS media_id_b,
          |  CAST(bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) AS INT) AS hamming
-         |FROM band a JOIN band c ON a.b = c.b AND a.v = c.v
+         |FROM kband a JOIN kband c ON a.b = c.b AND a.v = c.v
          |  AND a.doc_id < c.doc_id
          |WHERE bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) <= 3""".stripMargin,
 
     "q170_audio_dedup_keep" ->
       s"""WITH $audioFpSparkCtes,
          |$ahashBandCte,
+         |$cappedBandCte,
          |removed AS (SELECT DISTINCT c.doc_id
-         |            FROM band a JOIN band c ON a.b = c.b AND a.v = c.v
+         |            FROM kband a JOIN kband c ON a.b = c.b AND a.v = c.v
          |              AND a.doc_id < c.doc_id
          |            WHERE bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) <= 3)
          |SELECT h.doc_id AS media_id, h.hi AS fp_hi, h.lo AS fp_lo,
@@ -1275,14 +1312,15 @@ object SparkSqlTwins {
          |gfp AS (SELECT doc_id,
          |    sum(CASE WHEN wi >= 32 THEN b * shiftleft(1L, CAST(wi - 32 AS INT)) ELSE 0L END) AS hi,
          |    sum(CASE WHEN wi < 32 THEN b * shiftleft(1L, CAST(wi AS INT)) ELSE 0L END) AS lo
-         |  FROM bits GROUP BY doc_id)
+         |  FROM bits GROUP BY doc_id),
+         |$cappedWinCte
          |SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
          |  count(1) AS n_shared,
          |  CAST(min(b.w - a.w) AS BIGINT) AS offset_w,
          |  count(DISTINCT b.w - a.w) AS n_offsets,
          |  CAST(bit_count(max(ga.hi) ^ max(gb.hi)) +
          |       bit_count(max(ga.lo) ^ max(gb.lo)) AS BIGINT) AS global_hamming
-         |FROM win a JOIN win b ON b.fp = a.fp AND a.doc_id < b.doc_id
+         |FROM kwin a JOIN kwin b ON b.fp = a.fp AND a.doc_id < b.doc_id
          |JOIN gfp ga ON ga.doc_id = a.doc_id
          |JOIN gfp gb ON gb.doc_id = b.doc_id
          |GROUP BY a.doc_id, b.doc_id
@@ -1327,67 +1365,74 @@ object SparkSqlTwins {
     "q178_maintained_modality_dups" ->
       s"""SELECT 'image' AS kind, media_id_a, media_id_b, hamming FROM (
          |WITH ${corpusSplit(ahashSparkCtes)},
-         |$ahashBandCte
+         |$ahashBandCte,
+         |$cappedBandCte
          |SELECT DISTINCT a.doc_id AS media_id_a, c.doc_id AS media_id_b,
          |  CAST(bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) AS INT) AS hamming
-         |FROM band a JOIN band c ON a.b = c.b AND a.v = c.v
+         |FROM kband a JOIN kband c ON a.b = c.b AND a.v = c.v
          |  AND a.doc_id < c.doc_id
          |WHERE bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) <= 3) i
          |UNION ALL
          |SELECT 'audio' AS kind, media_id_a, media_id_b, hamming FROM (
          |WITH ${corpusSplit(audioFpSparkCtes)},
-         |$ahashBandCte
+         |$ahashBandCte,
+         |$cappedBandCte
          |SELECT DISTINCT a.doc_id AS media_id_a, c.doc_id AS media_id_b,
          |  CAST(bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) AS INT) AS hamming
-         |FROM band a JOIN band c ON a.b = c.b AND a.v = c.v
+         |FROM kband a JOIN kband c ON a.b = c.b AND a.v = c.v
          |  AND a.doc_id < c.doc_id
          |WHERE bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) <= 3) u""".stripMargin,
 
     "q179_modality_probe" ->
       s"""SELECT * FROM (
          |WITH $ahashSparkCtes,
-         |$ahashBandCte
+         |$ahashBandCte,
+         |$corpusCappedBandCte
          |SELECT DISTINCT 'image' AS kind, a.doc_id AS media_id_probe,
          |  c.doc_id AS media_id_corpus,
          |  CAST(bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) AS INT) AS hamming
-         |FROM band a JOIN band c ON a.b = c.b AND a.v = c.v
-         |WHERE a.doc_id % 10 = 9 AND c.doc_id % 10 <> 9
+         |FROM band a JOIN cband c ON a.b = c.b AND a.v = c.v
+         |WHERE a.doc_id % 10 = 9
          |  AND bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) <= 3) i
          |UNION ALL
          |SELECT * FROM (
          |WITH $audioFpSparkCtes,
-         |$ahashBandCte
+         |$ahashBandCte,
+         |$corpusCappedBandCte
          |SELECT DISTINCT 'audio' AS kind, a.doc_id AS media_id_probe,
          |  c.doc_id AS media_id_corpus,
          |  CAST(bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) AS INT) AS hamming
-         |FROM band a JOIN band c ON a.b = c.b AND a.v = c.v
-         |WHERE a.doc_id % 10 = 9 AND c.doc_id % 10 <> 9
+         |FROM band a JOIN cband c ON a.b = c.b AND a.v = c.v
+         |WHERE a.doc_id % 10 = 9
          |  AND bit_count(a.hi ^ c.hi) + bit_count(a.lo ^ c.lo) <= 3) u""".stripMargin,
 
     "q183_maintained_trimmed_dups" ->
-      s"""WITH ${corpusSplit(audioTrimSparkCtes)}
+      s"""WITH ${corpusSplit(audioTrimSparkCtes)},
+         |$cappedWinCte
          |SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
          |  count(1) AS n_shared,
          |  CAST(min(b.w - a.w) AS BIGINT) AS offset_w,
          |  count(DISTINCT b.w - a.w) AS n_offsets
-         |FROM win a JOIN win b ON b.fp = a.fp AND a.doc_id < b.doc_id
+         |FROM kwin a JOIN kwin b ON b.fp = a.fp AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id
          |HAVING count(1) >= 4""".stripMargin,
 
     "q184_trim_probe" ->
-      s"""WITH $audioTrimSparkCtes
+      s"""WITH $audioTrimSparkCtes,
+         |$corpusCappedWinCte
          |SELECT p.doc_id AS media_id_probe, c.doc_id AS media_id_corpus,
          |  count(1) AS n_shared,
          |  CAST(min(c.w - p.w) AS BIGINT) AS offset_w
-         |FROM win p JOIN win c ON c.fp = p.fp
-         |WHERE p.doc_id % 10 = 9 AND c.doc_id % 10 <> 9
+         |FROM win p JOIN cwin c ON c.fp = p.fp
+         |WHERE p.doc_id % 10 = 9
          |GROUP BY p.doc_id, c.doc_id
          |HAVING count(1) >= 4""".stripMargin,
 
     "q181_trimmed_dedup_keep" ->
       s"""WITH $audioTrimSparkCtes,
+         |$cappedWinCte,
          |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
-         |          FROM win a JOIN win b ON b.fp = a.fp AND a.doc_id < b.doc_id
+         |          FROM kwin a JOIN kwin b ON b.fp = a.fp AND a.doc_id < b.doc_id
          |          GROUP BY a.doc_id, b.doc_id HAVING count(1) >= 4),
          |removed AS (SELECT DISTINCT db AS doc_id FROM pairs)
          |SELECT a.doc_id AS media_id, r.doc_id IS NULL AS keep
@@ -1406,6 +1451,43 @@ object SparkSqlTwins {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 2) im
          |LEFT JOIN removed r ON im.doc_id = r.doc_id""".stripMargin,
 
+
+    // q186: the hot-band instrument — regular hashes via ahashSparkCtes,
+    // the flat cohort's closed-form all-ones hash, band stats + the
+    // capped join at the same demonstration cap as the DataFrame plan
+    "q186_hot_band_report" ->
+      s"""WITH $ahashSparkCtes,
+         |flat AS (SELECT doc_id, CAST(4294967295 AS BIGINT) AS hi,
+         |                CAST(4294967295 AS BIGINT) AS lo
+         |         FROM documents WHERE doc_id % 15 = 1),
+         |allh AS (SELECT doc_id, hi, lo FROM hash
+         |         UNION ALL SELECT doc_id, hi, lo FROM flat),
+         |band2 AS (SELECT doc_id, hi, lo, g.b,
+         |    CASE g.b WHEN 0 THEN lo & 65535L
+         |             WHEN 1 THEN shiftright(lo, 16) & 65535L
+         |             WHEN 2 THEN hi & 65535L
+         |             ELSE shiftright(hi, 16) & 65535L END AS v
+         |  FROM allh, (SELECT explode(array(0, 1, 2, 3)) AS b) g),
+         |bst AS (SELECT b, v, count(1) AS df FROM band2 GROUP BY b, v),
+         |stat AS (SELECT b, count(1) AS n_bands, max(df) AS max_band_size,
+         |       sum(CASE WHEN df > ${graft.multimodal.Multimodal.InstrumentBandCap}
+         |                THEN 1L ELSE 0L END) AS n_hot_bands,
+         |       sum(CASE WHEN df > ${graft.multimodal.Multimodal.InstrumentBandCap}
+         |                THEN df ELSE 0L END) AS n_dropped_rows
+         |  FROM bst GROUP BY b),
+         |kept AS (SELECT band2.* FROM band2
+         |         JOIN bst ON band2.b = bst.b AND band2.v = bst.v
+         |         WHERE bst.df <= ${graft.multimodal.Multimodal.InstrumentBandCap}),
+         |p AS (SELECT x.b AS b, count(1) AS n_candidate_pairs,
+         |       sum(CASE WHEN bit_count(x.hi ^ y.hi) + bit_count(x.lo ^ y.lo) <= 3
+         |                THEN 1L ELSE 0L END) AS n_dup_pairs
+         |  FROM kept x JOIN kept y ON x.b = y.b AND x.v = y.v
+         |    AND x.doc_id < y.doc_id
+         |  GROUP BY x.b)
+         |SELECT stat.b, n_bands, max_band_size, n_hot_bands, n_dropped_rows,
+         |  coalesce(n_candidate_pairs, 0L) AS n_candidate_pairs,
+         |  coalesce(n_dup_pairs, 0L) AS n_dup_pairs
+         |FROM stat LEFT JOIN p ON p.b = stat.b""".stripMargin,
 
     "q177_scene_keyframes" ->
       """WITH im AS (SELECT doc_id, CAST((n_chars % 3 + 2) * 8 AS BIGINT) AS w,

@@ -1198,12 +1198,15 @@ object TextOps {
   /** Bounded solver-choice probe (VERDICT r14 #2, hardened per ADVICE
     * r15): true iff `edges` has at most `cap` rows, decided WITHOUT
     * materializing the whole graph AND without collecting rows to the
-    * driver. limit(cap+1).count() plans as GlobalLimit over incremental
-    * partition execution — scanning stops as soon as cap+1 rows exist,
-    * and only the final count (one long) crosses to the driver, vs the
+    * driver. limit(cap+1).count() plans LocalLimit(cap+1) inside every
+    * partition under one GlobalLimit: the early-stop is PER-PARTITION
+    * (each task emits at most cap+1 rows then stops), not global — all
+    * partitions still launch, so a P-partition mega-graph pays up to
+    * ~P·(cap+1) rows of scan, the accepted trade (ADVICE r16) for
+    * shipping only the final count (one long) to the driver, vs the
     * earlier take(cap+1) which shipped up to 25M boxed Rows and could
     * blow spark.driver.maxResultSize. EntityOpsSpec proves the bounded
-    * scan with a row-counting accumulator. */
+    * per-partition scan with a row-counting accumulator. */
   def isSubcritical(edges: DataFrame,
       cap: Long = LocalComponentsMaxEdges): Boolean =
     edges.select(lit(1)).limit(cap.toInt + 1).count() <= cap

@@ -950,12 +950,57 @@ object Multimodal {
   def q131ImageNeardup(s: SparkSession, d: String): DataFrame =
     neardupPairs(q130ImageAhash(s, d).select("media_id", "ahash_hi", "ahash_lo"))
 
+  /** Degenerate-band membership cap for the MODALITY pair family
+    * (VERDICT r16 #1 — the one named 100 TB scale risk): a band value
+    * shared by k media makes the banded self-join emit O(k²) candidate
+    * rows, and real crawls CONCENTRATE — flat images (logos, blanks,
+    * solid frames) all hash to the all-ones aHash, digital silence
+    * shares one energy profile — so one hot band goes quadratic while
+    * every other bucket stays tiny. Bands whose membership exceeds the
+    * cap are DROPPED before the join ([[dropHotKeys]]), bounding pair
+    * expansion at cap·|band rows|, the text family's own [[
+    * graft.functions.TextOps.JaccardDfCap]] discipline: a band shared
+    * by "everything" carries no similarity signal anyway, and a true
+    * near-dup pair inside a dropped cohort still has 3 other bands to
+    * match through unless it is degenerate in all four — exactly the
+    * cohort a dedup pipeline handles by exact-hash grouping, not pair
+    * enumeration. 1024 is structural headroom: max observed band df at
+    * sf0.1 is 690 (audio) / 23 (image), so every oracle-gated answer is
+    * unchanged; the oracle texts mirror the cap (q31's precedent) so
+    * the two engines agree even at SFs where it binds. */
+  val ModalityBandCap = 1024
+
+  /** [[ModalityBandCap]]'s sibling for the EXACT-fingerprint equi-joins
+    * (audio window fps, video scene-keyframe hashes): md5-of-content
+    * keys collide only on identical content, but identical content is
+    * precisely what concentrates — silence windows, black frames. Max
+    * observed df at sf0.1 is 2 (windows) / 8 (scenes). */
+  val ExactFpCap = 64
+
+  /** Drop every key whose group exceeds `cap` rows — the hot list is
+    * aggregated (one map-side-combined count exchange) and tiny by
+    * construction (≤ |rows|/cap keys), so AQE broadcasts the anti-join
+    * side; the kept rows never pay more than one extra exchange. */
+  private[graft] def dropHotKeys(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val hot = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__df"))
+      .where(col("__df") > cap)
+      .select(keys.map(col): _*)
+    df.join(hot, keys, "left_anti")
+  }
+
   /** The banded-Hamming pair plan over an arbitrary (media_id, ahash_hi,
     * ahash_lo) frame — shared by q131 and q132 so the decision query
     * decodes every PNG exactly ONCE (its verdict join reuses the same
-    * `hashes` subtree the pairs come from). */
-  private def neardupPairs(hashes: DataFrame): DataFrame = {
-    val bands = hashes.select(
+    * `hashes` subtree the pairs come from). Hot bands are dropped at
+    * [[ModalityBandCap]] before the self-join. */
+  private def neardupPairs(hashes: DataFrame): DataFrame =
+    neardupPairsCapped(hashes, ModalityBandCap)
+
+  /** The 4×16-bit band rows of a (media_id, ahash_hi, ahash_lo) frame:
+    * (media_id, ahash_hi, ahash_lo, b, v) — the LSH spine shared by the
+    * pair plans and q186's instrument. */
+  private def bandExplode(hashes: DataFrame): DataFrame =
+    hashes.select(
       col("media_id"), col("ahash_hi"), col("ahash_lo"),
       explode(array(
         struct(lit(0).as("b"), col("ahash_lo").bitwiseAND(65535).as("v")),
@@ -963,12 +1008,22 @@ object Multimodal {
         struct(lit(2).as("b"), col("ahash_hi").bitwiseAND(65535).as("v")),
         struct(lit(3).as("b"), shiftright(col("ahash_hi"), 16).bitwiseAND(65535).as("v"))))
         .as("band"))
-    val l = bands.select(col("media_id").as("media_id_a"),
+      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+        col("band.b").as("b"), col("band.v").as("v"))
+
+  /** [[neardupPairs]] with an explicit band cap — q186 runs the same
+    * machinery at a demonstration cap that BINDS on its planted flat
+    * cohort at every SF, so the drop behavior itself is oracle-gated
+    * (the production queries' structural cap never binds on fixture
+    * data, by design). */
+  private[graft] def neardupPairsCapped(hashes: DataFrame, cap: Int): DataFrame = {
+    val kept = dropHotKeys(bandExplode(hashes), Seq("b", "v"), cap)
+    val l = kept.select(col("media_id").as("media_id_a"),
       col("ahash_hi").as("hi_a"), col("ahash_lo").as("lo_a"),
-      col("band.b").as("b"), col("band.v").as("v"))
-    val r = bands.select(col("media_id").as("media_id_b"),
+      col("b"), col("v"))
+    val r = kept.select(col("media_id").as("media_id_b"),
       col("ahash_hi").as("hi_b"), col("ahash_lo").as("lo_b"),
-      col("band.b").as("b"), col("band.v").as("v"))
+      col("b"), col("v"))
     l.join(r, Seq("b", "v"))
       .where(col("media_id_a") < col("media_id_b"))
       .select(col("media_id_a"), col("media_id_b"),
@@ -980,15 +1035,20 @@ object Multimodal {
 
   /** Oracle twin of [[q131ImageNeardup]]: same banded-candidate plan in
     * SQL — band explode via a 4-row VALUES join, exact Hamming rescore
-    * with xor + bit_count on the split halves. */
+    * with xor + bit_count on the split halves, hot bands dropped at
+    * [[ModalityBandCap]] (mirrored so both engines agree even at SFs
+    * where the cap binds — q31's precedent). */
   val q131Sql: String =
     s"""$ahashCte,
-       |band AS (SELECT doc_id, hi, lo, g.b,
+       |band0 AS (SELECT doc_id, hi, lo, g.b,
        |    CASE g.b WHEN 0 THEN lo & 65535
        |             WHEN 1 THEN (lo >> 16) & 65535
        |             WHEN 2 THEN hi & 65535
        |             ELSE (hi >> 16) & 65535 END AS v
-       |  FROM hash, (VALUES (0), (1), (2), (3)) g(b))
+       |  FROM hash, (VALUES (0), (1), (2), (3)) g(b)),
+       |band AS (SELECT doc_id, hi, lo, b, v FROM (
+       |    SELECT band0.*, count(*) OVER (PARTITION BY b, v) AS bdf FROM band0) bd
+       |  WHERE bdf <= $ModalityBandCap)
        |SELECT DISTINCT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
        |  bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
        |FROM band a JOIN band b ON a.b = b.b AND a.v = b.v
@@ -1023,12 +1083,15 @@ object Multimodal {
     * left anti membership flag. */
   val q132Sql: String =
     s"""$ahashCte,
-       |band AS (SELECT doc_id, hi, lo, g.b,
+       |band0 AS (SELECT doc_id, hi, lo, g.b,
        |    CASE g.b WHEN 0 THEN lo & 65535
        |             WHEN 1 THEN (lo >> 16) & 65535
        |             WHEN 2 THEN hi & 65535
        |             ELSE (hi >> 16) & 65535 END AS v
        |  FROM hash, (VALUES (0), (1), (2), (3)) g(b)),
+       |band AS (SELECT doc_id, hi, lo, b, v FROM (
+       |    SELECT band0.*, count(*) OVER (PARTITION BY b, v) AS bdf FROM band0) bd
+       |  WHERE bdf <= $ModalityBandCap),
        |removed AS (SELECT DISTINCT b.doc_id
        |            FROM band a JOIN band b ON a.b = b.b AND a.v = b.v
        |              AND a.doc_id < b.doc_id
@@ -1660,15 +1723,20 @@ object Multimodal {
     neardupPairs(q168AudioFingerprint(s, d)
       .select(col("media_id"), col("fp_hi").as("ahash_hi"), col("fp_lo").as("ahash_lo")))
 
-  /** Oracle twin of [[q169AudioNeardup]]. */
+  /** Oracle twin of [[q169AudioNeardup]] — hot bands dropped at
+    * [[ModalityBandCap]], mirroring the plan (the audio bands are the
+    * family's most concentrated: max df 690 at sf0.1, still under). */
   val q169Sql: String =
     s"""$audioFpCte,
-       |band AS (SELECT doc_id, hi, lo, g.b,
+       |band0 AS (SELECT doc_id, hi, lo, g.b,
        |    CASE g.b WHEN 0 THEN lo & 65535
        |             WHEN 1 THEN (lo >> 16) & 65535
        |             WHEN 2 THEN hi & 65535
        |             ELSE (hi >> 16) & 65535 END AS v
-       |  FROM hash, (VALUES (0), (1), (2), (3)) g(b))
+       |  FROM hash, (VALUES (0), (1), (2), (3)) g(b)),
+       |band AS (SELECT doc_id, hi, lo, b, v FROM (
+       |    SELECT band0.*, count(*) OVER (PARTITION BY b, v) AS bdf FROM band0) bd
+       |  WHERE bdf <= $ModalityBandCap)
        |SELECT DISTINCT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
        |  bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
        |FROM band a JOIN band b ON a.b = b.b AND a.v = b.v
@@ -1697,12 +1765,15 @@ object Multimodal {
   /** Oracle twin of [[q170AudioDedupKeep]]. */
   val q170Sql: String =
     s"""$audioFpCte,
-       |band AS (SELECT doc_id, hi, lo, g.b,
+       |band0 AS (SELECT doc_id, hi, lo, g.b,
        |    CASE g.b WHEN 0 THEN lo & 65535
        |             WHEN 1 THEN (lo >> 16) & 65535
        |             WHEN 2 THEN hi & 65535
        |             ELSE (hi >> 16) & 65535 END AS v
        |  FROM hash, (VALUES (0), (1), (2), (3)) g(b)),
+       |band AS (SELECT doc_id, hi, lo, b, v FROM (
+       |    SELECT band0.*, count(*) OVER (PARTITION BY b, v) AS bdf FROM band0) bd
+       |  WHERE bdf <= $ModalityBandCap),
        |removed AS (SELECT DISTINCT b.doc_id
        |            FROM band a JOIN band b ON a.b = b.b AND a.v = b.v
        |              AND a.doc_id < b.doc_id
@@ -2030,7 +2101,10 @@ object Multimodal {
       .select(col("media_id"), col("w"), md5(col("csv")).as("fp"),
         col("ghi"), col("glo"))
       .localCheckpoint()
-    rows.as("a").join(rows.as("b"),
+    // digital silence shares one window md5 across a whole crawl — drop
+    // fps above the cap before the self-join (VERDICT r16 #1)
+    val kept = dropHotKeys(rows, Seq("fp"), ExactFpCap)
+    kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.media_id") < col("b.media_id"))
       .groupBy(col("a.media_id"), col("b.media_id"))
       .agg(count(lit(1)).as("n_shared"),
@@ -2061,14 +2135,17 @@ object Multimodal {
        |gfp AS (SELECT doc_id,
        |    sum(CASE WHEN wi >= 32 THEN b * (CAST(1 AS BIGINT) << (wi - 32)) ELSE 0 END) AS hi,
        |    sum(CASE WHEN wi < 32 THEN b * (CAST(1 AS BIGINT) << wi) ELSE 0 END) AS lo
-       |  FROM bits GROUP BY doc_id)
+       |  FROM bits GROUP BY doc_id),
+       |kwin AS (SELECT doc_id, w, fp FROM (
+       |    SELECT win.*, count(*) OVER (PARTITION BY fp) AS fdf FROM win) wd
+       |  WHERE fdf <= $ExactFpCap)
        |SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
        |  CAST(count(*) AS BIGINT) AS n_shared,
        |  CAST(min(b.w - a.w) AS BIGINT) AS offset_w,
        |  CAST(count(DISTINCT b.w - a.w) AS BIGINT) AS n_offsets,
        |  CAST(bit_count(xor(max(ga.hi), max(gb.hi))) +
        |       bit_count(xor(max(ga.lo), max(gb.lo))) AS BIGINT) AS global_hamming
-       |FROM win a JOIN win b ON b.fp = a.fp AND a.doc_id < b.doc_id
+       |FROM kwin a JOIN kwin b ON b.fp = a.fp AND a.doc_id < b.doc_id
        |JOIN gfp ga ON ga.doc_id = a.doc_id
        |JOIN gfp gb ON gb.doc_id = b.doc_id
        |GROUP BY a.doc_id, b.doc_id
@@ -2150,9 +2227,15 @@ object Multimodal {
     * these instead of stride-2 frames when asked — stride-2 is
     * decode-free but structurally blind to scenes shorter than the
     * stride ([[videosWithCuts]] plants exactly that). */
-  def sceneKeyframeFrames(bytes: Array[Byte]): Seq[(Long, Long, Array[Int])] = {
-    val frames = MediaHeaders.mjpegFrames(bytes)
-      .flatMap(f => JpegCodec.decode(f)).toIndexedSeq
+  def sceneKeyframeFrames(bytes: Array[Byte]): Seq[(Long, Long, Array[Int])] =
+    sceneKeyframesOf(MediaHeaders.mjpegFrames(bytes))
+
+  /** [[sceneKeyframeFrames]] over an ALREADY-SPLIT frame list — the
+    * streaming probe sniffs the container once for its video check and
+    * hands the same split here instead of re-walking the payload
+    * (ADVICE r16). */
+  def sceneKeyframesOf(split: Seq[Array[Byte]]): Seq[(Long, Long, Array[Int])] = {
+    val frames = split.flatMap(f => JpegCodec.decode(f)).toIndexedSeq
     val keep = keyframeRule(frameDiffStats(frames).map(_._1))
     frames.indices.collect { case j if keep(j) => frames(j) }
   }
@@ -2266,7 +2349,10 @@ object Multimodal {
     }.toDF("media_id", "key")
       .select(col("media_id"), md5(col("key")).as("fp"))
       .localCheckpoint()
-    fps.as("a").join(fps.as("b"),
+    // black/slate frames share one scene hash across a whole crawl —
+    // drop fps above the cap before the self-join (VERDICT r16 #1)
+    val kept = dropHotKeys(fps, Seq("fp"), ExactFpCap)
+    kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.media_id") < col("b.media_id"))
       .groupBy(col("a.media_id"), col("b.media_id"))
       .agg(countDistinct(col("a.fp")).as("n_shared_scenes"))
@@ -2282,7 +2368,7 @@ object Multimodal {
     * no codec: a match proves decode ∘ keyframe-select ∘ hash lands
     * every planted scene exactly. */
   val q180Sql: String =
-    """WITH im AS (SELECT doc_id, doc_id // 4 AS gid,
+    s"""WITH im AS (SELECT doc_id, doc_id // 4 AS gid,
       |                   CAST(((doc_id // 4) % 3 + 2) * 8 AS BIGINT) AS w,
       |                   CAST(((doc_id // 4) % 2 + 2) * 8 AS BIGINT) AS h,
       |                   n_chars % 4 + 4 AS k
@@ -2300,10 +2386,13 @@ object Multimodal {
       |fp AS (SELECT doc_id, c,
       |              md5(CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) || ':' ||
       |                  string_agg(CAST(v AS VARCHAR), ',' ORDER BY y, x)) AS f
-      |       FROM px GROUP BY doc_id, c, w, h)
+      |       FROM px GROUP BY doc_id, c, w, h),
+      |kfp AS (SELECT doc_id, f FROM (
+      |    SELECT fp.*, count(*) OVER (PARTITION BY f) AS fdf FROM fp) fd
+      |  WHERE fdf <= $ExactFpCap)
       |SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
       |       CAST(count(DISTINCT a.f) AS BIGINT) AS n_shared_scenes
-      |FROM fp a JOIN fp b ON b.f = a.f AND a.doc_id < b.doc_id
+      |FROM kfp a JOIN kfp b ON b.f = a.f AND a.doc_id < b.doc_id
       |GROUP BY a.doc_id, b.doc_id""".stripMargin
 
   /** q181: the trimmed-audio dedup DECISION — the greedy keeper
@@ -2324,8 +2413,11 @@ object Multimodal {
     * pairs recomputed from raw parquet, then the keeper left-join. */
   val q181Sql: String =
     s"""$audioTrimCte,
+       |kwin AS (SELECT doc_id, w, fp FROM (
+       |    SELECT win.*, count(*) OVER (PARTITION BY fp) AS fdf FROM win) wd
+       |  WHERE fdf <= $ExactFpCap),
        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
-       |          FROM win a JOIN win b ON b.fp = a.fp AND a.doc_id < b.doc_id
+       |          FROM kwin a JOIN kwin b ON b.fp = a.fp AND a.doc_id < b.doc_id
        |          GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 4),
        |removed AS (SELECT DISTINCT db AS doc_id FROM pairs)
        |SELECT a.doc_id AS media_id, r.doc_id IS NULL AS keep
@@ -2358,6 +2450,121 @@ object Multimodal {
        |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 2) im
        |LEFT JOIN removed r ON im.doc_id = r.doc_id""".stripMargin
 
+  /** q186's demonstration cap — small enough to BIND on the planted
+    * flat cohort at every SF (33 flats at sf0.01), so the drop behavior
+    * is itself oracle-gated; the production queries run the same
+    * machinery at the structural [[ModalityBandCap]]. */
+  val InstrumentBandCap = 16
+
+  /** [[imagesWithPixels]] plus a planted FLAT-image cohort — the
+    * degenerate class VERDICT r16 named: every constant image aHashes
+    * to ALL-ONES regardless of its constant (each cell mean equals the
+    * image mean, and the threshold is ≥), so the whole cohort lands in
+    * the SAME four band values and the uncapped self-join goes
+    * quadratic on it. Flats come from doc_id % 15 = 1 (disjoint from
+    * the % 3 = 0 image residue; 15 ≡ 0 mod 3), constant value
+    * doc_id·7 mod 256, q127's dims. */
+  def imagesWithFlatCohort(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+    import s.implicits._
+    val flats = Tables(s, sfDir, "documents")
+      .where(col("doc_id") % 15 === 1)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (docId, nChars) =>
+        val w = (nChars % 24 + 8).toInt
+        val h = (nChars % 16 + 8).toInt
+        val px = Array.fill(w * h)((docId * 7 % 256).toInt)
+        MediaPayload(docId, "image", MediaHeaders.pngPixelBytes(w, h, px))
+      }
+    imagesWithPixels(s, sfDir).union(flats)
+  }
+
+  /** q186: the HOT-BAND instrument — q156's blocking-quality report for
+    * the modality dedup family, run over a corpus WITH the degenerate
+    * cohort every real crawl has (flat images). Per band slot: how many
+    * distinct band values exist, the largest membership (the skew the
+    * cap watches), how many values the [[InstrumentBandCap]] drops and
+    * how many member rows go with them (the recall cost, reported the
+    * way q156 reports blocking cost), then the candidate and verified
+    * pair counts the CAPPED join actually performs. On this fixture the
+    * uncapped join would emit 33·32/2 ≈ 5× the true-pair work at
+    * sf0.01 and ~5.5M candidate rows at sf0.1 — quadratic in the
+    * cohort — while the capped plan's pair work stays bounded by
+    * cap·|band rows|. THE tuning artifact for [[ModalityBandCap]]:
+    * run it at full scale before trusting any cap value. */
+  def q186HotBandReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = imagesWithFlatCohort(s, d).flatMap { m =>
+      MediaHeaders.pngPixels(m.data).map { case (w, h, px) =>
+        val (hi, lo, _) = ahash64(w.toInt, h.toInt, px)
+        (m.media_id, hi, lo)
+      }
+    }.toDF("media_id", "ahash_hi", "ahash_lo")
+    val bands = bandExplode(hashes).localCheckpoint()
+    val bst = bands.groupBy(col("b"), col("v")).agg(count(lit(1)).as("df"))
+    val stat = bst.groupBy(col("b")).agg(
+      count(lit(1)).as("n_bands"),
+      max(col("df")).as("max_band_size"),
+      sum(when(col("df") > InstrumentBandCap, 1L).otherwise(0L)).as("n_hot_bands"),
+      sum(when(col("df") > InstrumentBandCap, col("df")).otherwise(0L))
+        .as("n_dropped_rows"))
+    val kept = bands.join(
+      bst.where(col("df") <= InstrumentBandCap).select(col("b"), col("v")),
+      Seq("b", "v"), "left_semi")
+    val pairs = kept.as("x").join(kept.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.media_id") < col("y.media_id"))
+      .groupBy(col("x.b").as("b"))
+      .agg(count(lit(1)).as("n_candidate_pairs"),
+        sum(when(bit_count(col("x.ahash_hi").bitwiseXOR(col("y.ahash_hi"))) +
+          bit_count(col("x.ahash_lo").bitwiseXOR(col("y.ahash_lo"))) <= 3, 1L)
+          .otherwise(0L)).as("n_dup_pairs"))
+    stat.join(pairs, Seq("b"), "left")
+      .select(col("b"), col("n_bands"), col("max_band_size"),
+        col("n_hot_bands"), col("n_dropped_rows"),
+        coalesce(col("n_candidate_pairs"), lit(0L)).as("n_candidate_pairs"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"))
+  }
+
+  /** Oracle twin of [[q186HotBandReport]]: the regular images' hashes
+    * via [[ahashCte]], the flat cohort's closed-form all-ones hash
+    * (no pixel regen needed — the class's degeneracy IS the closed
+    * form), then the same band stats and capped join in SQL. */
+  val q186Sql: String =
+    s"""$ahashCte,
+       |flat AS (SELECT doc_id, CAST(4294967295 AS BIGINT) AS hi,
+       |                CAST(4294967295 AS BIGINT) AS lo
+       |         FROM documents WHERE doc_id % 15 = 1),
+       |allh AS (SELECT doc_id, hi, lo FROM hash
+       |         UNION ALL SELECT doc_id, hi, lo FROM flat),
+       |band AS (SELECT doc_id, hi, lo, g.b,
+       |    CASE g.b WHEN 0 THEN lo & 65535
+       |             WHEN 1 THEN (lo >> 16) & 65535
+       |             WHEN 2 THEN hi & 65535
+       |             ELSE (hi >> 16) & 65535 END AS v
+       |  FROM allh, (VALUES (0), (1), (2), (3)) g(b)),
+       |bst AS (SELECT b, v, count(*) AS df FROM band GROUP BY b, v),
+       |stat AS (SELECT b, CAST(count(*) AS BIGINT) AS n_bands,
+       |       CAST(max(df) AS BIGINT) AS max_band_size,
+       |       CAST(sum(CASE WHEN df > $InstrumentBandCap THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_hot_bands,
+       |       CAST(sum(CASE WHEN df > $InstrumentBandCap THEN df ELSE 0 END) AS BIGINT)
+       |         AS n_dropped_rows
+       |  FROM bst GROUP BY b),
+       |kept AS (SELECT band.* FROM band
+       |         JOIN bst ON band.b = bst.b AND band.v = bst.v
+       |         WHERE bst.df <= $InstrumentBandCap),
+       |p AS (SELECT x.b AS b, CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+       |       CAST(sum(CASE WHEN bit_count(xor(x.hi, y.hi)) +
+       |                          bit_count(xor(x.lo, y.lo)) <= 3
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs
+       |  FROM kept x JOIN kept y ON x.b = y.b AND x.v = y.v
+       |    AND x.doc_id < y.doc_id
+       |  GROUP BY x.b)
+       |SELECT stat.b, n_bands, max_band_size, n_hot_bands, n_dropped_rows,
+       |  coalesce(n_candidate_pairs, 0) AS n_candidate_pairs,
+       |  coalesce(n_dup_pairs, 0) AS n_dup_pairs
+       |FROM stat LEFT JOIN p ON p.b = stat.b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_media_features" -> (q37MediaFeatures _),
     "q110_media_decode" -> (q110MediaDecode _),
@@ -2383,7 +2590,8 @@ object Multimodal {
     "q180_video_scene_dups" -> (q180VideoSceneDups _),
     "q181_trimmed_dedup_keep" -> (q181TrimmedDedupKeep _),
     "q182_jpeg_mixed_pixels" -> (q182JpegMixedPixels _),
-    "q185_video_dedup_keep" -> (q185VideoDedupKeep _))
+    "q185_video_dedup_keep" -> (q185VideoDedupKeep _),
+    "q186_hot_band_report" -> (q186HotBandReport _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_media_features" -> q37Sql,
@@ -2410,6 +2618,7 @@ object Multimodal {
     "q180_video_scene_dups" -> q180Sql,
     "q181_trimmed_dedup_keep" -> q181Sql,
     "q185_video_dedup_keep" -> q185Sql,
+    "q186_hot_band_report" -> q186Sql,
     // q182's oracle IS q174's math — the pixels are mode-independent by
     // construction — plus the mode tag derived from doc_id, so a
     // per-mode decode fault surfaces as that mode's rows mismatching

@@ -123,7 +123,11 @@ object AudioWindowIndex {
     * recovered trim offset (constant across a true trim — n_offsets
     * pins it). No payload is read; only fingerprint rows join. */
   def maintainedTrimmedDups(spark: SparkSession, idxRoot: String): DataFrame = {
-    val rows = readAudioWindowIndex(spark, idxRoot)
+    // digital silence shares one window md5 across a whole crawl — drop
+    // fps above the cap before the self-join (VERDICT r16 #1), the same
+    // gate the batch query (q176) applies
+    val rows = Multimodal.dropHotKeys(
+      readAudioWindowIndex(spark, idxRoot), Seq("fp"), Multimodal.ExactFpCap)
     rows.as("a").join(rows.as("b"),
         col("a.fp") === col("b.fp") && col("a.media_id") < col("b.media_id"))
       .groupBy(col("a.media_id"), col("b.media_id"))
@@ -144,9 +148,13 @@ object AudioWindowIndex {
   def probeTrims(batch: DataFrame, spark: SparkSession,
       idxRoot: String): DataFrame = {
     val probe = windows(batch).localCheckpoint()
-    val committed = ManifestTable
-      .readKeyPruned(spark, idxRoot, "fp", IndexBuckets, probe.select(col("fp")))
-      .where(col("alive"))
+    // cap the CORPUS side's per-fp membership (silence concentration
+    // lives there; the arriving batch is batch-sized by contract)
+    val committed = Multimodal.dropHotKeys(
+      ManifestTable
+        .readKeyPruned(spark, idxRoot, "fp", IndexBuckets, probe.select(col("fp")))
+        .where(col("alive")),
+      Seq("fp"), Multimodal.ExactFpCap)
       .select(col("fp"), col("media_id").as("media_id_corpus"),
         col("w").as("w_c"))
     probe.select(col("fp"), col("media_id").as("media_id_probe"),

@@ -352,16 +352,22 @@ object DedupIndexFixtures {
 
   /** q179's oracle: cross-split band pairs — probe = the held-out
     * batch, corpus = everything else — recomputed from raw parquet
-    * through the same fingerprint SQL. */
+    * through the same fingerprint SQL. The corpus arm drops bands whose
+    * CORPUS membership exceeds [[Multimodal.ModalityBandCap]],
+    * mirroring [[ModalityIndex.probeModality]]'s committed-side cap. */
   private def probeArm(cte: String, kind: String): String =
     s"""SELECT * FROM (
        |$cte,
-       |$bandCte
+       |$bandCte,
+       |cband AS (SELECT doc_id, hi, lo, b, v FROM (
+       |    SELECT cb.*, count(*) OVER (PARTITION BY b, v) AS bdf
+       |    FROM (SELECT * FROM band WHERE doc_id % 10 <> 9) cb) bd
+       |  WHERE bdf <= ${graft.multimodal.Multimodal.ModalityBandCap})
        |SELECT DISTINCT '$kind' AS kind, a.doc_id AS media_id_probe,
        |  b.doc_id AS media_id_corpus,
        |  bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
-       |FROM band a JOIN band b ON a.b = b.b AND a.v = b.v
-       |WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 <> 9
+       |FROM band a JOIN cband b ON a.b = b.b AND a.v = b.v
+       |WHERE a.doc_id % 10 = 9
        |  AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
        |) ${kind.take(3)}""".stripMargin
 
@@ -374,24 +380,31 @@ object DedupIndexFixtures {
     * parquet over the corpus split (no global-fingerprint columns —
     * the index stores window rows only). */
   val q183Sql: String =
-    s"""${restrictToCorpus(graft.multimodal.Multimodal.audioTrimCte)}
+    s"""${restrictToCorpus(graft.multimodal.Multimodal.audioTrimCte)},
+       |kwin AS (SELECT doc_id, w, fp FROM (
+       |    SELECT win.*, count(*) OVER (PARTITION BY fp) AS fdf FROM win) wd
+       |  WHERE fdf <= ${graft.multimodal.Multimodal.ExactFpCap})
        |SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
        |  CAST(count(*) AS BIGINT) AS n_shared,
        |  CAST(min(b.w - a.w) AS BIGINT) AS offset_w,
        |  CAST(count(DISTINCT b.w - a.w) AS BIGINT) AS n_offsets
-       |FROM win a JOIN win b ON b.fp = a.fp AND a.doc_id < b.doc_id
+       |FROM kwin a JOIN kwin b ON b.fp = a.fp AND a.doc_id < b.doc_id
        |GROUP BY a.doc_id, b.doc_id
        |HAVING count(*) >= 4""".stripMargin
 
   /** q184's oracle: the cross-split window join — probe = held-out
     * batch, corpus = everything else — from raw parquet. */
   val q184Sql: String =
-    s"""${graft.multimodal.Multimodal.audioTrimCte}
+    s"""${graft.multimodal.Multimodal.audioTrimCte},
+       |cwin AS (SELECT doc_id, w, fp FROM (
+       |    SELECT cw.*, count(*) OVER (PARTITION BY fp) AS fdf
+       |    FROM (SELECT * FROM win WHERE doc_id % 10 <> 9) cw) wd
+       |  WHERE fdf <= ${graft.multimodal.Multimodal.ExactFpCap})
        |SELECT p.doc_id AS media_id_probe, c.doc_id AS media_id_corpus,
        |  CAST(count(*) AS BIGINT) AS n_shared,
        |  CAST(min(c.w - p.w) AS BIGINT) AS offset_w
-       |FROM win p JOIN win c ON c.fp = p.fp
-       |WHERE p.doc_id % 10 = 9 AND c.doc_id % 10 <> 9
+       |FROM win p JOIN cwin c ON c.fp = p.fp
+       |WHERE p.doc_id % 10 = 9
        |GROUP BY p.doc_id, c.doc_id
        |HAVING count(*) >= 4""".stripMargin
 

@@ -187,9 +187,14 @@ object ModalityIndex {
     * the STORED band rows — q131 ∪ q169 without decoding a single
     * payload. Band equality (bk carries the modality, so kinds never
     * cross) is the candidate spine; the stored (hi, lo) rescore each
-    * candidate to exact Hamming before the distinct exchange. */
+    * candidate to exact Hamming before the distinct exchange. Hot bk
+    * keys are dropped at [[Multimodal.ModalityBandCap]] before the
+    * self-join (VERDICT r16 #1 — flat images / silence concentrate one
+    * band on a real crawl), mirroring the batch queries the oracle
+    * composes from. */
   def maintainedModalityDups(spark: SparkSession, idxRoot: String): DataFrame = {
-    val rows = readModalityIndex(spark, idxRoot)
+    val rows = Multimodal.dropHotKeys(
+      readModalityIndex(spark, idxRoot), Seq("bk"), Multimodal.ModalityBandCap)
     val l = rows.select(col("bk"), col("media_id").as("media_id_a"),
       col("hi").as("hi_a"), col("lo").as("lo_a"))
     val r = rows.select(col("bk"), col("media_id").as("media_id_b"),
@@ -212,9 +217,14 @@ object ModalityIndex {
   def probeModality(batch: DataFrame, spark: SparkSession,
       idxRoot: String): DataFrame = {
     val probe = bandRows(fingerprints(batch)).localCheckpoint()
-    val committed = ManifestTable
-      .readKeyPruned(spark, idxRoot, "bk", IndexBuckets, probe.select(col("bk")))
-      .where(col("alive"))
+    // the CORPUS side is what concentrates (a crawl's flat images /
+    // silence all landing in one band) — cap its membership per bk
+    // before the join; the arriving batch is batch-sized by contract
+    val committed = Multimodal.dropHotKeys(
+      ManifestTable
+        .readKeyPruned(spark, idxRoot, "bk", IndexBuckets, probe.select(col("bk")))
+        .where(col("alive")),
+      Seq("bk"), Multimodal.ModalityBandCap)
     probe.select(col("bk"), col("media_id").as("media_id_probe"),
         col("hi").as("hi_p"), col("lo").as("lo_p"))
       .join(committed.select(col("bk"), col("media_id").as("media_id_corpus"),

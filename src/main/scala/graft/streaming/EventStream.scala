@@ -957,7 +957,9 @@ object EventStream {
             case None =>
               val fs = MediaHeaders.mjpegFrames(bytes)
               if (fs.size >= 2) {
-                if (keyframes) Multimodal.sceneKeyframeFrames(bytes)
+                // reuse the sniff's split — the selector must not walk
+                // the container a second time (ADVICE r16)
+                if (keyframes) Multimodal.sceneKeyframesOf(fs)
                 else MediaHeaders.mjpegFrames(Multimodal.frameSample(bytes, 2))
                   .flatMap(f => JpegCodec.decode(f))
               } else JpegCodec.decode(bytes).toSeq

@@ -763,4 +763,39 @@ class MultimodalSpec extends SparkSpec {
       JpegCodec.encode(1, 65536, new Array[Int](65536))
     }
   }
+
+  test("dropHotKeys removes exactly the over-cap keys — the hot cohort goes, " +
+    "every under-cap row stays (VERDICT r16 #1)") {
+    import spark.implicits._
+    val df = Seq.tabulate(40)(i => (if (i < 30) "hot" else s"k$i", i)).toDF("k", "x")
+    val kept = Multimodal.dropHotKeys(df, Seq("k"), 10).collect()
+    assert(kept.length === 10)
+    assert(kept.forall(_.getString(0) != "hot"))
+    // cap exactly at the group size keeps it (the cap is >, not >=)
+    assert(Multimodal.dropHotKeys(df, Seq("k"), 30).count() === 40)
+  }
+
+  test("q186 hot-band instrument: the planted flat cohort concentrates into " +
+    "ONE band value per slot (constant image => all-ones aHash), the demo " +
+    "cap drops it with every member accounted, and the capped join's pair " +
+    "work stays bounded by cap * bands") {
+    import spark.implicits._
+    val flats = Tables(spark, sf0001, "documents")
+      .where(col("doc_id") % 15 === 1).count()
+    assert(flats > Multimodal.InstrumentBandCap, "fixture too small to bind the cap")
+    val rep = Multimodal.q186HotBandReport(spark, sf0001).collect()
+    assert(rep.length === 4)
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_hot_bands") >= 1L)
+      assert(r.getAs[Long]("max_band_size") >= flats)
+      assert(r.getAs[Long]("n_dropped_rows") >= flats)
+      // the structural bound the cap buys: each kept band contributes at
+      // most cap*(cap-1)/2 pairs, so candidates <= bands * cap^2/2 — and
+      // far fewer here; the UNCAPPED flat cohort alone would contribute
+      // flats*(flats-1)/2 > that
+      val c = Multimodal.InstrumentBandCap.toLong
+      assert(r.getAs[Long]("n_candidate_pairs") <=
+        r.getAs[Long]("n_bands") * c * (c - 1) / 2)
+    }
+  }
 }

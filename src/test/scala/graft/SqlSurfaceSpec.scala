@@ -52,7 +52,8 @@ class SqlSurfaceSpec extends SparkSpec {
       "q178_maintained_modality_dups", "q179_modality_probe",
       "q180_video_scene_dups", "q181_trimmed_dedup_keep",
       "q182_jpeg_mixed_pixels", "q183_maintained_trimmed_dups",
-      "q184_trim_probe", "q185_video_dedup_keep") ++
+      "q184_trim_probe", "q185_video_dedup_keep",
+      "q186_hot_band_report") ++
     m("WITH RECURSIVE … UNION (distinct) — Spark 4.1 recursion accepts only " +
       "UNION ALL, and UNION ALL label propagation enumerates paths " +
       "(exponential on cyclic near-dup graphs), so the component family " +

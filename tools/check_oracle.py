@@ -121,8 +121,14 @@ for name, sql in sorted(oracle.items()):
             ev, gv = expected.at[r, c], got.at[r, c]
             hexes = ""
             if is_float(expected[c]) or is_float(got[c]):
-                hexes = (f"  [oracle 0x{int(bits(expected[c])[r]):016x}"
-                         f" spark 0x{int(bits(got[c])[r]):016x}]")
+                # an incomparable pair (e.g. float vs string) reaches here
+                # too — bits() would re-raise the very error the compare
+                # loop contained, so the report must not crash (ADVICE r16)
+                try:
+                    hexes = (f"  [oracle 0x{int(bits(expected[c])[r]):016x}"
+                             f" spark 0x{int(bits(got[c])[r]):016x}]")
+                except (ValueError, TypeError):
+                    hexes = "  [bits unavailable: incomparable dtypes]"
             print(f"  row {r} col {c}: oracle={ev!r} spark={gv!r}{hexes}")
         fails.append(name)
         continue
