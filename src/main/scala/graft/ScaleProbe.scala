@@ -563,6 +563,35 @@ object ScaleProbe {
       probe("audiowin_index_maintain")(maintainAwin(a1))(maintainAwin(aN))
     }
 
+    // Maintained VIDEO SCENE index: a FIXED 50-clip arrival batch (ids
+    // forced to the video residue class) against a 1x vs Nx keyframe
+    // table — the exact-fact protocol on video; cost must track the
+    // batch (decode + keyframe-select of 50 clips + a bucket-bounded
+    // merge), never the catalog.
+    {
+      import graft.sources.SceneIndex
+      def sceneBootstrapped(d: String): String = {
+        val w = java.nio.file.Files.createTempDirectory("graft-scale-scene").toString
+        SceneIndex.bootstrapSceneIndex(
+          Tables(spark, d, "documents").select($"doc_id", $"n_chars"), w)
+        w
+      }
+      val s1 = sceneBootstrapped(sfDir)
+      val sN = sceneBootstrapped(docsNDir)
+      var sb2 = 0L
+      def maintainScene(root: String): Long = {
+        sb2 += 1
+        val delta = spark.range(50).select(
+          ($"id" * 3 + 600000000L + sb2 * 3000L + 2L).as("doc_id"),
+          concat(lit("v"), $"id").as("text"),
+          lit("insert").as("_change_type")).localCheckpoint()
+        SceneIndex.applyBatch(delta, sb2, root, scope = s"probe$sb2")
+        1L
+      }
+      maintainScene(s1); maintainScene(sN) // warm both roots
+      probe("scene_index_maintain")(maintainScene(s1))(maintainScene(sN))
+    }
+
     // ---- the gate: time must grow at most linearly with data ----
     val gated = results.toSeq.map { case (n, t1, tN) =>
       (n, t1, tN, tN / math.max(t1, 0.3))

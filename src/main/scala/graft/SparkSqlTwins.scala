@@ -123,9 +123,10 @@ object SparkSqlTwins {
   private def corpusSplit(cte: String): String = cte.replace("FROM documents",
     "FROM (SELECT * FROM documents WHERE doc_id % 10 <> 9) documents")
 
-  /** The q180 recompute text, shared by the q185 keeper twin. */
-  private val videoSceneTwin: String =
-      s"""WITH im AS (SELECT doc_id, doc_id div 4 AS gid,
+  /** The scene-fingerprint regeneration in Spark dialect (`im`/`sc`/
+    * `px`/`fp`), shared by the q180/q185/q187/q188 twins. */
+  private val sceneFpSparkCtes: String =
+      """im AS (SELECT doc_id, doc_id div 4 AS gid,
         |                   CAST(((doc_id div 4) % 3 + 2) * 8 AS BIGINT) AS w,
         |                   CAST(((doc_id div 4) % 2 + 2) * 8 AS BIGINT) AS h,
         |                   n_chars % 4 + 4 AS k
@@ -145,7 +146,11 @@ object SparkSqlTwins {
         |                  array_join(transform(
         |                    array_sort(collect_list(struct(y, x, v))),
         |                    e -> CAST(e.v AS STRING)), ','))) AS f
-        |       FROM px GROUP BY doc_id, c, w, h),
+        |       FROM px GROUP BY doc_id, c, w, h)""".stripMargin
+
+  /** The q180 recompute text, shared by the q185 keeper twin. */
+  private val videoSceneTwin: String =
+      s"""WITH $sceneFpSparkCtes,
         |kfp AS (SELECT doc_id, f FROM (
         |    SELECT fp.*, count(1) OVER (PARTITION BY f) AS fdf FROM fp) fd
         |  WHERE fdf <= ${graft.multimodal.Multimodal.ExactFpCap})
@@ -1439,6 +1444,22 @@ object SparkSqlTwins {
          |FROM a LEFT JOIN removed r ON a.doc_id = r.doc_id""".stripMargin,
 
     "q180_video_scene_dups" -> videoSceneTwin,
+
+    // q187: q180's recompute over the fixture's corpus split
+    "q187_maintained_scene_dups" -> corpusSplit(videoSceneTwin),
+
+    // q188: the cross-split scene join with the corpus-side hot-fp cap
+    "q188_scene_probe" ->
+      s"""WITH $sceneFpSparkCtes,
+         |cfp AS (SELECT doc_id, f FROM (
+         |    SELECT cf.*, count(1) OVER (PARTITION BY f) AS fdf
+         |    FROM (SELECT * FROM fp WHERE doc_id % 10 <> 9) cf) fd
+         |  WHERE fdf <= ${graft.multimodal.Multimodal.ExactFpCap})
+         |SELECT p.doc_id AS media_id_probe, c.doc_id AS media_id_corpus,
+         |  count(DISTINCT p.f) AS n_shared_scenes
+         |FROM fp p JOIN cfp c ON c.f = p.f
+         |WHERE p.doc_id % 10 = 9
+         |GROUP BY p.doc_id, c.doc_id""".stripMargin,
 
     // q185: q180's pairs (>= 2 shared scenes) + the greedy keeper
     "q185_video_dedup_keep" ->

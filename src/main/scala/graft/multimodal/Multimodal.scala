@@ -2309,9 +2309,16 @@ object Multimodal {
     * gid and dims period 6, so gids 768 apart also share scenes — a
     * fixture quirk the oracle reproduces exactly, visible only past
     * ~3,000 docs.) */
-  def videosWithSharedScenes(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+  def videosWithSharedScenes(s: SparkSession, sfDir: String): Dataset[MediaPayload] =
+    videosFromDocs(Tables(s, sfDir, "documents"))
+
+  /** [[videosWithSharedScenes]] over an arbitrary (doc_id, n_chars)
+    * frame — the CDC seam for the maintained scene index, same role as
+    * [[imagesFromDocs]]/[[audioFromDocs]]/[[trimmedAudioFromDocs]]. */
+  def videosFromDocs(docs: DataFrame): Dataset[MediaPayload] = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables(s, sfDir, "documents")
+    docs
       .where(col("doc_id") % 3 === 2)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (docId, nChars) =>
@@ -2367,8 +2374,10 @@ object Multimodal {
     * gid-keyed formula and join on hash equality — from raw parquet,
     * no codec: a match proves decode ∘ keyframe-select ∘ hash lands
     * every planted scene exactly. */
-  val q180Sql: String =
-    s"""WITH im AS (SELECT doc_id, doc_id // 4 AS gid,
+  /** The scene-fingerprint regeneration CTEs (`im`/`sc`/`px`/`fp`) —
+    * shared by q180/q185 and the maintained q187/q188 oracles. */
+  private[graft] val sceneFpCte: String =
+    """WITH im AS (SELECT doc_id, doc_id // 4 AS gid,
       |                   CAST(((doc_id // 4) % 3 + 2) * 8 AS BIGINT) AS w,
       |                   CAST(((doc_id // 4) % 2 + 2) * 8 AS BIGINT) AS h,
       |                   n_chars % 4 + 4 AS k
@@ -2386,7 +2395,10 @@ object Multimodal {
       |fp AS (SELECT doc_id, c,
       |              md5(CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) || ':' ||
       |                  string_agg(CAST(v AS VARCHAR), ',' ORDER BY y, x)) AS f
-      |       FROM px GROUP BY doc_id, c, w, h),
+      |       FROM px GROUP BY doc_id, c, w, h)""".stripMargin
+
+  val q180Sql: String =
+    s"""$sceneFpCte,
       |kfp AS (SELECT doc_id, f FROM (
       |    SELECT fp.*, count(*) OVER (PARTITION BY f) AS fdf FROM fp) fd
       |  WHERE fdf <= $ExactFpCap)

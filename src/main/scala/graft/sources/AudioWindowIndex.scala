@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * Rows are exact facts keyed by (fp, media_id, w) — [[SpanIndex]]'s
   * netting applies verbatim (an update's kept windows net to zero and
   * are not rewritten; dropped windows tombstone). Exactly-once rides
-  * the shared txn-tag protocol. AudioWindowIndexSpec pins maintained ≡
-  * recomputed across commits and replay rejection; q183/q184
-  * oracle-gate the reads against an engine that never saw the index. */
+  * the shared txn-tag protocol; [[startMaintenance]] is the turnkey
+  * stream. AudioWindowIndexSpec pins maintained ≡ recomputed across
+  * insert/update/delete commits, replay rejection, and a checkpoint
+  * restart of the stream; q183/q184 oracle-gate the reads against an
+  * engine that never saw the index. */
 object AudioWindowIndex {
 
   /** Same bucket count/role as [[DedupIndex.IndexBuckets]]. */
@@ -108,6 +110,28 @@ object AudioWindowIndex {
         spark, corpusRoot, v, v + 1, Seq("doc_id"), preimages = true)
       applyBatch(ch, (v + 1).toLong, idxRoot, scope = PollScope)
     }
+
+  /** Turnkey stream ([[ModalityIndex.startMaintenance]]'s shape): keep
+    * the window table equal to the document corpus at `corpusRoot`, fed
+    * by `graft-manifest-cdc`, exactly-once. Pair a
+    * [[bootstrapAudioWindowIndex]] with `startingVersion`, or the
+    * re-emitted snapshot batch double-applies. */
+  def startMaintenance(spark: SparkSession, corpusRoot: String,
+      idxRoot: String, checkpoint: String, startingVersion: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val scope = ManifestStreamSink.digest(
+      ManifestStreamSink.canonicalCheckpoint(checkpoint))
+    spark.readStream.format("graft-manifest-cdc")
+      .option("path", corpusRoot).option("key", "doc_id")
+      .option("startingVersion", startingVersion.toString)
+      .option("preimages", "true").load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(b, id, idxRoot, scope)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
 
   // ------------------------------------------------------------- reads
 

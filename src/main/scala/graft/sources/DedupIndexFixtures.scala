@@ -37,13 +37,15 @@ object DedupIndexFixtures {
     * duplicated-span report, q172's contamination probe). v8:
     * maintained modality-fingerprint index (q178's dedup report, q179's
     * arriving-batch probe). v9: maintained audio window-fingerprint
-    * index (q183's trimmed-dup report, q184's trim probe). */
-  private val FixtureVersion = 9
+    * index (q183's trimmed-dup report, q184's trim probe). v10:
+    * maintained video scene-keyframe index (q187's scene-dup report,
+    * q188's footage probe). */
+  private val FixtureVersion = 10
 
   /** All maintained-index roots of one fixture. */
   case class Roots(fp: String, band: String, memb: String, rep: String,
       fpCorrupt: String, df: String, span: String, media: String,
-      awin: String)
+      awin: String, scene: String)
 
   /** Idempotently build corpus + fp/band indexes + cluster tables for
     * `sfDir` ([[FixtureLifecycle.ensureOnce]] — one build per content
@@ -63,11 +65,13 @@ object DedupIndexFixtures {
       // audioFp64, the media generators, or the banding change)
       s"modality-v1 ahash64+audioFp64 banded4x16 b=${ModalityIndex.IndexBuckets}",
       // the audio window index bakes in the JVM-side window grid (64/32)
-      s"audiowin-v1 md5win64h32 b=${AudioWindowIndex.IndexBuckets}"))
+      s"audiowin-v1 md5win64h32 b=${AudioWindowIndex.IndexBuckets}",
+      // the scene index bakes in the keyframe rule + dim-qualified hash
+      s"scene-v1 keyframeRule md5dims b=${SceneIndex.IndexBuckets}"))
     val root = FixtureLifecycle.ensureOnce("graft_dedupidx", sig) { root =>
       ManifestTable.currentVersion(s"$root/corpus") == 2 &&
         Seq("fp", "band", "memb", "rep", "fpcorrupt", "df", "span", "media",
-            "awin")
+            "awin", "scene")
           .forall(t => ManifestTable.currentVersion(s"$root/$t") >= 1)
     } { root =>
       val corpus = s"$root/corpus"
@@ -85,6 +89,7 @@ object DedupIndexFixtures {
         SpanIndex.maintainSpanIndex(s, ch, s"$root/span")
         ModalityIndex.maintainModalityIndex(s, ch, s"$root/media")
         AudioWindowIndex.maintainAudioWindowIndex(s, ch, s"$root/awin")
+        SceneIndex.maintainSceneIndex(s, ch, s"$root/scene")
         // band index + cluster tables advance together (applyBatch
         // maintains the band index first, then the components)
         ClusterIndex.applyBatch(ch, v.toLong, s"$root/band", s"$root/memb",
@@ -124,7 +129,7 @@ object DedupIndexFixtures {
     }
     Roots(s"$root/fp", s"$root/band", s"$root/memb", s"$root/rep",
       s"$root/fpcorrupt", s"$root/df", s"$root/span", s"$root/media",
-      s"$root/awin")
+      s"$root/awin", s"$root/scene")
   }
 
   private def batch(s: SparkSession, sfDir: String): DataFrame =
@@ -230,6 +235,19 @@ object DedupIndexFixtures {
   def q184TrimProbe(s: SparkSession, d: String): DataFrame =
     AudioWindowIndex.probeTrims(mediaBatch(s, d), s, ensure(s, d).awin)
 
+  /** q187 — q180's video near-dup pairs from the MAINTAINED scene
+    * index ([[SceneIndex]]): shared-scene counts from stored keyframe
+    * fingerprints only — no video is decoded; the oracle re-derives
+    * every scene from raw parquet through the q180 SQL. */
+  def q187MaintainedSceneDups(s: SparkSession, d: String): DataFrame =
+    SceneIndex.maintainedSceneDups(s, ensure(s, d).scene)
+
+  /** q188 — the footage PROBE: which committed videos share a scene
+    * with the arriving batch — batch-sized decode, a bucket-pruned
+    * keyframe read, corpus-side hot-fp cap. */
+  def q188SceneProbe(s: SparkSession, d: String): DataFrame =
+    SceneIndex.probeScenes(mediaBatch(s, d), s, ensure(s, d).scene)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_maintained_exact_probe" -> (q135MaintainedExactProbe _),
     "q136_maintained_neardup_probe" -> (q136MaintainedNeardupProbe _),
@@ -242,7 +260,9 @@ object DedupIndexFixtures {
     "q178_maintained_modality_dups" -> (q178MaintainedModalityDups _),
     "q179_modality_probe" -> (q179ModalityProbe _),
     "q183_maintained_trimmed_dups" -> (q183MaintainedTrimmedDups _),
-    "q184_trim_probe" -> (q184TrimProbe _))
+    "q184_trim_probe" -> (q184TrimProbe _),
+    "q187_maintained_scene_dups" -> (q187MaintainedSceneDups _),
+    "q188_scene_probe" -> (q188SceneProbe _))
 
   /** q54's oracle text with its `documents` base restricted to the
     * fixture's corpus split — the recursive closure runs on exactly the
@@ -408,6 +428,21 @@ object DedupIndexFixtures {
        |GROUP BY p.doc_id, c.doc_id
        |HAVING count(*) >= 4""".stripMargin
 
+  /** q188's oracle: the cross-split scene join — probe = held-out
+    * batch, corpus = everything else — from raw parquet, with the
+    * corpus-side hot-fp cap mirrored. */
+  val q188Sql: String =
+    s"""${graft.multimodal.Multimodal.sceneFpCte},
+       |cfp AS (SELECT doc_id, f FROM (
+       |    SELECT cf.*, count(*) OVER (PARTITION BY f) AS fdf
+       |    FROM (SELECT * FROM fp WHERE doc_id % 10 <> 9) cf) fd
+       |  WHERE fdf <= ${graft.multimodal.Multimodal.ExactFpCap})
+       |SELECT p.doc_id AS media_id_probe, c.doc_id AS media_id_corpus,
+       |  CAST(count(DISTINCT p.f) AS BIGINT) AS n_shared_scenes
+       |FROM fp p JOIN cfp c ON c.f = p.f
+       |WHERE p.doc_id % 10 = 9
+       |GROUP BY p.doc_id, c.doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q135_maintained_exact_probe" -> TextOps.q125Sql,
     "q136_maintained_neardup_probe" -> TextOps.q126Sql,
@@ -420,5 +455,8 @@ object DedupIndexFixtures {
     "q178_maintained_modality_dups" -> q178Sql,
     "q179_modality_probe" -> q179Sql,
     "q183_maintained_trimmed_dups" -> q183Sql,
-    "q184_trim_probe" -> q184Sql)
+    "q184_trim_probe" -> q184Sql,
+    "q187_maintained_scene_dups" ->
+      restrictToCorpus(graft.multimodal.Multimodal.q180Sql),
+    "q188_scene_probe" -> q188Sql)
 }
