@@ -472,6 +472,16 @@ object ScaleProbe {
       def hotBand(d: String): Long = Multimodal.q186HotBandReport(spark, d).count()
       hotBand(sfDir) // warm
       probe("hot_band_cap")(hotBand(sfDir))(hotBand(docsNDir))
+      // Round-17 robust fingerprints: q189 decodes + keyframe-selects +
+      // aHashes per row and band-joins (quad-bounded by the nonlinear
+      // pixel mix); q190 windows + sign-packs per row and equi-joins on
+      // 63-bit patterns (quad-bounded by the quartic PCM mix) — both
+      // must track rows
+      def reenc(d: String): Long = Multimodal.q189ReencodedSceneDups(spark, d).count()
+      def gain(d: String): Long = Multimodal.q190GainRobustDups(spark, d).count()
+      reenc(sfDir); gain(sfDir) // warm
+      probe("reencode_scene_dup")(reenc(sfDir))(reenc(docsNDir))
+      probe("gain_audio_dup")(gain(sfDir))(gain(docsNDir))
     }
 
     // Maintained SPAN index: applying a FIXED 50-doc arrival batch must

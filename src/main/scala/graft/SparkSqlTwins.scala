@@ -1510,6 +1510,115 @@ object SparkSqlTwins {
          |  coalesce(n_dup_pairs, 0L) AS n_dup_pairs
          |FROM stat LEFT JOIN p ON p.b = stat.b""".stripMargin,
 
+    // q189: re-encoded scene near-dup — pixel regen (nonlinear mix +
+    // the re-encode member's +1), per-keyframe exact hash AND pixel-
+    // level aHash, capped band join, per-pair aggregation with the
+    // exact-blindness witness
+    "q189_reencoded_scene_dups" ->
+      s"""WITH im AS (SELECT doc_id, doc_id div 4 AS gid,
+         |                   CAST(((doc_id div 4) % 3 + 2) * 16 AS BIGINT) AS w,
+         |                   CAST(((doc_id div 4) % 2 + 2) * 16 AS BIGINT) AS h,
+         |                   n_chars % 4 + 4 AS k,
+         |                   CASE WHEN doc_id % 4 = 3 THEN 1L ELSE 0L END AS shift
+         |            FROM documents
+         |            WHERE doc_id % 3 = 2 AND (doc_id div 4) % 3 = 2),
+         |sc AS (SELECT im.*, c.g AS c
+         |       FROM im, (SELECT explode(sequence(0, 2)) AS g) c
+         |       WHERE c.g <= 1 OR im.k >= 5),
+         |px AS (SELECT sc.doc_id, sc.c, sc.w, sc.h, yy.g AS y, xx.g AS x,
+         |              CAST(yy.g * 8 AS BIGINT) div sc.h AS cy,
+         |              CAST(xx.g * 8 AS BIGINT) div sc.w AS cx,
+         |              ((sc.gid * 2654435761L + sc.c * 97L +
+         |                (yy.g div 8) * 13L + (xx.g div 8) * 31L) % 2147483647L)
+         |              * ((sc.gid * 2654435761L + sc.c * 97L +
+         |                  (yy.g div 8) * 13L + (xx.g div 8) * 31L) % 2147483647L)
+         |              % 2147483647L % 255L + sc.shift AS v
+         |       FROM sc,
+         |            (SELECT explode(sequence(0, 63)) AS g) yy,
+         |            (SELECT explode(sequence(0, 63)) AS g) xx
+         |       WHERE yy.g < sc.h AND xx.g < sc.w),
+         |exact AS (SELECT doc_id, c,
+         |              md5(concat(CAST(w AS STRING), 'x', CAST(h AS STRING), ':',
+         |                  array_join(transform(
+         |                    array_sort(collect_list(struct(y, x, v))),
+         |                    e -> CAST(e.v AS STRING)), ','))) AS fp
+         |          FROM px GROUP BY doc_id, c, w, h),
+         |cell AS (SELECT doc_id, c, cy * 8 + cx AS idx,
+         |                sum(v) AS cs, count(1) AS cc
+         |         FROM px GROUP BY doc_id, c, cy, cx),
+         |tot AS (SELECT doc_id, c, sum(cs) AS ts, sum(cc) AS tc
+         |        FROM cell GROUP BY doc_id, c),
+         |bits AS (SELECT cell.doc_id, cell.c, idx,
+         |                CASE WHEN cs * tc >= ts * cc THEN 1L ELSE 0L END AS b
+         |         FROM cell JOIN tot ON cell.doc_id = tot.doc_id AND cell.c = tot.c),
+         |hash AS (SELECT doc_id, c,
+         |    sum(CASE WHEN idx >= 32 THEN b * shiftleft(1L, CAST(idx - 32 AS INT)) ELSE 0L END) AS hi,
+         |    sum(CASE WHEN idx < 32 THEN b * shiftleft(1L, CAST(idx AS INT)) ELSE 0L END) AS lo
+         |  FROM bits GROUP BY doc_id, c),
+         |fr AS (SELECT hash.doc_id, exact.fp, hash.hi, hash.lo
+         |       FROM hash JOIN exact ON hash.doc_id = exact.doc_id
+         |         AND hash.c = exact.c),
+         |band0 AS (SELECT doc_id, fp, hi, lo, g.b,
+         |    CASE g.b WHEN 0 THEN lo & 65535L
+         |             WHEN 1 THEN shiftright(lo, 16) & 65535L
+         |             WHEN 2 THEN hi & 65535L
+         |             ELSE shiftright(hi, 16) & 65535L END AS v
+         |  FROM fr, (SELECT explode(array(0, 1, 2, 3)) AS b) g),
+         |band AS (SELECT doc_id, fp, hi, lo, b, v FROM (
+         |    SELECT band0.*, count(1) OVER (PARTITION BY b, v) AS bdf FROM band0) bd
+         |  WHERE bdf <= ${graft.multimodal.Multimodal.ModalityBandCap}),
+         |p AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         |        a.fp AS fpa, b.fp AS fpb,
+         |        bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo) AS hamming
+         |      FROM band a JOIN band b ON a.b = b.b AND a.v = b.v
+         |        AND a.doc_id < b.doc_id
+         |      WHERE bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo) <= 3)
+         |SELECT da AS media_id_a, db AS media_id_b,
+         |  count(DISTINCT fpa) AS n_similar_scenes,
+         |  count(DISTINCT CASE WHEN fpa = fpb THEN fpa END) AS n_exact_shared,
+         |  CAST(max(hamming) AS BIGINT) AS max_hamming
+         |FROM p GROUP BY da, db""".stripMargin,
+
+    // q190: gain-robust audio dup — half-range quartic PCM with the
+    // per-member gain, lead()-packed sign-of-delta fingerprints, the
+    // exact-md5 witness, capped join + >= 4 gate
+    "q190_gain_robust_dups" ->
+      s"""WITH a AS (SELECT doc_id, doc_id div 4 AS gid,
+         |                  CASE WHEN doc_id % 4 = 3 THEN 2L ELSE 1L END AS gain
+         |           FROM documents WHERE doc_id % 3 = 1),
+         |s0 AS (SELECT a.doc_id, a.gain, g.i,
+         |         (a.gid * 2654435761L + g.i * 2246822519L) % 2147483647L AS t
+         |       FROM a, (SELECT explode(sequence(0, 767)) AS i) g),
+         |s1 AS (SELECT doc_id, gain, i, (t * t + t) % 2147483647L AS u FROM s0),
+         |s AS (SELECT doc_id, i,
+         |        (u * u % 2147483647L % 32768L - 16384L) * gain AS v
+         |      FROM s1),
+         |d AS (SELECT doc_id, i, v,
+         |             lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv
+         |      FROM s),
+         |wj AS (SELECT w.g AS w, j.g AS j, w.g * 32 + j.g AS i
+         |       FROM (SELECT explode(sequence(0, 22)) AS g) w,
+         |            (SELECT explode(sequence(0, 63)) AS g) j),
+         |win AS (SELECT d.doc_id, wj.w,
+         |          sum(CASE WHEN wj.j < 63 AND d.nv > d.v
+         |                   THEN shiftleft(1L, CAST(wj.j AS INT)) ELSE 0L END) AS sfp,
+         |          md5(array_join(transform(
+         |            array_sort(collect_list(struct(wj.j AS j, d.v AS v))),
+         |            x -> CAST(x.v AS STRING)), ',')) AS efp
+         |        FROM wj JOIN d ON d.i = wj.i
+         |        GROUP BY d.doc_id, wj.w),
+         |kwin AS (SELECT doc_id, w, sfp, efp FROM (
+         |    SELECT win.*, count(1) OVER (PARTITION BY sfp) AS fdf FROM win) wd
+         |  WHERE fdf <= ${graft.multimodal.Multimodal.ExactFpCap})
+         |SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+         |  count(1) AS n_shared,
+         |  sum(CASE WHEN a.efp = b.efp THEN 1L ELSE 0L END) AS n_exact_shared,
+         |  CAST(min(b.w - a.w) AS BIGINT) AS offset_w,
+         |  count(DISTINCT b.w - a.w) AS n_offsets
+         |FROM kwin a JOIN kwin b ON b.sfp = a.sfp AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING count(1) >= 4""".stripMargin,
+
     "q177_scene_keyframes" ->
       """WITH im AS (SELECT doc_id, CAST((n_chars % 3 + 2) * 8 AS BIGINT) AS w,
         |                   CAST((n_chars % 2 + 2) * 8 AS BIGINT) AS h,

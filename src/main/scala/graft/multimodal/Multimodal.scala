@@ -2468,6 +2468,171 @@ object Multimodal {
     * machinery at the structural [[ModalityBandCap]]. */
   val InstrumentBandCap = 16
 
+  /** Fabricate MJPEG quads where one member is a RE-ENCODE (VERDICT r16
+    * #4 — the realism q180 is structurally blind to): same scene
+    * schedule as [[videosWithSharedScenes]], but the doc_id % 4 == 3
+    * member's every pixel sits at +1 — the deterministic stand-in for a
+    * second encoder's quant rounding. Two constructions make the
+    * thesis exact rather than statistical: (a) block values live in
+    * 0..254 (mod 255), so the +1 shift never wraps, and a UNIFORM +1
+    * provably preserves [[ahash64]] bit-for-bit (the threshold is the
+    * cross-multiplication cs·tc ≥ ts·cc; adding cc to cs and tc to ts
+    * on both sides preserves every inequality) while changing every
+    * pixel hash; (b) per-block values come from the NONLINEAR
+    * square-mod mix (the r15 audio-fixture lesson) keyed by (gid, c,
+    * block) — a LINEAR gid term would enter as a uniform shift that
+    * aHash is invariant to, making every same-dims video collide at
+    * Hamming 0 (observed: 4,973 pairs from 167 clips before the mix) —
+    * so distinct recordings' and distinct scenes' hashes decorrelate
+    * and ONLY the planted re-encode pairs match. Cut detection is
+    * preserved: across a cut ~254/255 of blocks change, far above the
+    * quarter-of-max keyframe rule. */
+  def videosWithReencodes(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+    import s.implicits._
+    // gid % 3 == 2 keeps exactly the quads with TWO video members
+    // (4g and 4g+3 — the normal/re-encoded pair); dims are 16-pixel
+    // multiples so frames carry 16-48 blocks — enough aHash entropy
+    // that distinct recordings don't collide (8-pixel dims gave 4-12
+    // blocks and 310 spurious Hamming-0 pairs from 167 clips)
+    Tables(s, sfDir, "documents")
+      .where(col("doc_id") % 3 === 2 && expr("(doc_id div 4) % 3") === 2)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (docId, nChars) =>
+        val gid = docId / 4
+        val shift = if (docId % 4 == 3) 1 else 0
+        val w = ((gid % 3 + 2) * 16).toInt
+        val h = ((gid % 2 + 2) * 16).toInt
+        val k = (nChars % 4 + 4).toInt
+        val frames = (0 until k).map { j =>
+          val c = if (j < 3) 0 else if (j == 3) 1 else 2
+          val px = Array.tabulate(w * h) { i =>
+            val t = (gid * 2654435761L + c * 97L +
+              (i / w / 8) * 13L + (i % w / 8) * 31L) % 2147483647L
+            (t * t % 2147483647L % 255L + shift).toInt
+          }
+          JpegCodec.encode(w, h, px)
+        }
+        MediaPayload(docId, "video", MediaHeaders.mjpegBytes(frames))
+      }
+  }
+
+  /** q189: video near-dup by BANDED-HAMMING keyframe matching — the
+    * robustness rung q180 lacks: q180 pairs on EXACT keyframe pixel
+    * hashes, so a re-encoded copy (different quant rounding, every
+    * pixel ±1) shares zero exact hashes and goes unseen. Here every
+    * scene keyframe gets the 64-bit [[ahash64]] and keyframes pair
+    * through the same capped 4×16 banding as q131, rescored to exact
+    * Hamming ≤ 3; per video pair the report carries the similar-scene
+    * count AND `n_exact_shared` — the count the exact-hash family
+    * would have found — so every re-encode pair carries its own
+    * blindness witness in-row (q176's pattern: n_exact_shared = 0
+    * while n_similar_scenes > 0). Decode + keyframe-select + hash are
+    * per-row scan work; fingerprints materialize once; only 4-column
+    * hash rows enter the banded join, hot bands capped. */
+  def q189ReencodedSceneDups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fr = videosWithReencodes(s, d).flatMap { m =>
+      sceneKeyframeFrames(m.data).map { case (w, h, px) =>
+        val (hi, lo, _) = ahash64(w.toInt, h.toInt, px)
+        (m.media_id, s"${w}x$h:" + px.mkString(","), hi, lo)
+      }
+    }.toDF("media_id", "key", "hi", "lo")
+      .select(col("media_id"), md5(col("key")).as("fp"), col("hi"), col("lo"))
+      .localCheckpoint()
+    val bands = fr.select(col("media_id"), col("fp"), col("hi"), col("lo"),
+        explode(array(
+          struct(lit(0).as("b"), col("lo").bitwiseAND(65535).as("v")),
+          struct(lit(1).as("b"), shiftright(col("lo"), 16).bitwiseAND(65535).as("v")),
+          struct(lit(2).as("b"), col("hi").bitwiseAND(65535).as("v")),
+          struct(lit(3).as("b"), shiftright(col("hi"), 16).bitwiseAND(65535).as("v"))))
+          .as("band"))
+      .select(col("media_id"), col("fp"), col("hi"), col("lo"),
+        col("band.b").as("b"), col("band.v").as("v"))
+    val kept = dropHotKeys(bands, Seq("b", "v"), ModalityBandCap)
+    kept.as("x").join(kept.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_id_a"),
+        col("y.media_id").as("media_id_b"),
+        col("x.fp").as("fp_a"), col("y.fp").as("fp_b"),
+        (bit_count(col("x.hi").bitwiseXOR(col("y.hi"))) +
+          bit_count(col("x.lo").bitwiseXOR(col("y.lo")))).as("hamming"))
+      .where(col("hamming") <= 3)
+      .distinct()
+      .groupBy(col("media_id_a"), col("media_id_b"))
+      .agg(countDistinct(col("fp_a")).as("n_similar_scenes"),
+        countDistinct(when(col("fp_a") === col("fp_b"), col("fp_a")))
+          .as("n_exact_shared"),
+        max(col("hamming")).cast("long").as("max_hamming"))
+  }
+
+  /** Oracle twin of [[q189ReencodedSceneDups]]: regenerate the shifted
+    * pixel planes, recompute the per-keyframe exact hash AND the
+    * integer-exact aHash at pixel level, then the same capped band
+    * join and per-pair aggregation. */
+  val q189Sql: String =
+    s"""WITH im AS (SELECT doc_id, doc_id // 4 AS gid,
+       |                   CAST(((doc_id // 4) % 3 + 2) * 16 AS BIGINT) AS w,
+       |                   CAST(((doc_id // 4) % 2 + 2) * 16 AS BIGINT) AS h,
+       |                   n_chars % 4 + 4 AS k,
+       |                   CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS shift
+       |            FROM documents
+       |            WHERE doc_id % 3 = 2 AND (doc_id // 4) % 3 = 2),
+       |sc AS (SELECT im.*, c.g AS c
+       |       FROM im, (SELECT unnest(generate_series(0, 2)) AS g) c
+       |       WHERE c.g <= 1 OR im.k >= 5),
+       |px AS (SELECT sc.doc_id, sc.c, sc.w, sc.h, yy.g AS y, xx.g AS x,
+       |              (yy.g * 8) // sc.h AS cy, (xx.g * 8) // sc.w AS cx,
+       |              CAST(((sc.gid * 2654435761 + sc.c * 97 +
+       |                     (yy.g // 8) * 13 + (xx.g // 8) * 31) % 2147483647)
+       |                   * ((sc.gid * 2654435761 + sc.c * 97 +
+       |                       (yy.g // 8) * 13 + (xx.g // 8) * 31) % 2147483647)
+       |                   % 2147483647 % 255 + sc.shift AS BIGINT) AS v
+       |       FROM sc,
+       |            (SELECT unnest(generate_series(0, 63)) AS g) yy,
+       |            (SELECT unnest(generate_series(0, 63)) AS g) xx
+       |       WHERE yy.g < sc.h AND xx.g < sc.w),
+       |exact AS (SELECT doc_id, c,
+       |              md5(CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) || ':' ||
+       |                  string_agg(CAST(v AS VARCHAR), ',' ORDER BY y, x)) AS fp
+       |          FROM px GROUP BY doc_id, c, w, h),
+       |cell AS (SELECT doc_id, c, cy * 8 + cx AS idx,
+       |                sum(v) AS cs, count(*) AS cc
+       |         FROM px GROUP BY doc_id, c, cy, cx),
+       |tot AS (SELECT doc_id, c, sum(cs) AS ts, sum(cc) AS tc
+       |        FROM cell GROUP BY doc_id, c),
+       |bits AS (SELECT cell.doc_id, cell.c, idx,
+       |                CASE WHEN cs * tc >= ts * cc THEN 1 ELSE 0 END AS b
+       |         FROM cell JOIN tot ON cell.doc_id = tot.doc_id AND cell.c = tot.c),
+       |hash AS (SELECT doc_id, c,
+       |    sum(CASE WHEN idx >= 32 THEN b * (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END) AS hi,
+       |    sum(CASE WHEN idx < 32 THEN b * (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS lo
+       |  FROM bits GROUP BY doc_id, c),
+       |fr AS (SELECT hash.doc_id, exact.fp, hash.hi, hash.lo
+       |       FROM hash JOIN exact ON hash.doc_id = exact.doc_id
+       |         AND hash.c = exact.c),
+       |band0 AS (SELECT doc_id, fp, hi, lo, g.b,
+       |    CASE g.b WHEN 0 THEN lo & 65535
+       |             WHEN 1 THEN (lo >> 16) & 65535
+       |             WHEN 2 THEN hi & 65535
+       |             ELSE (hi >> 16) & 65535 END AS v
+       |  FROM fr, (VALUES (0), (1), (2), (3)) g(b)),
+       |band AS (SELECT doc_id, fp, hi, lo, b, v FROM (
+       |    SELECT band0.*, count(*) OVER (PARTITION BY b, v) AS bdf FROM band0) bd
+       |  WHERE bdf <= $ModalityBandCap),
+       |p AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+       |        a.fp AS fpa, b.fp AS fpb,
+       |        bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+       |      FROM band a JOIN band b ON a.b = b.b AND a.v = b.v
+       |        AND a.doc_id < b.doc_id
+       |      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3)
+       |SELECT da AS media_id_a, db AS media_id_b,
+       |  CAST(count(DISTINCT fpa) AS BIGINT) AS n_similar_scenes,
+       |  CAST(count(DISTINCT CASE WHEN fpa = fpb THEN fpa END) AS BIGINT)
+       |    AS n_exact_shared,
+       |  CAST(max(hamming) AS BIGINT) AS max_hamming
+       |FROM p GROUP BY da, db""".stripMargin
+
   /** [[imagesWithPixels]] plus a planted FLAT-image cohort — the
     * degenerate class VERDICT r16 named: every constant image aHashes
     * to ALL-ONES regardless of its constant (each cell mean equals the
@@ -2577,6 +2742,135 @@ object Multimodal {
        |  coalesce(n_dup_pairs, 0) AS n_dup_pairs
        |FROM stat LEFT JOIN p ON p.b = stat.b""".stripMargin
 
+  /** Fabricate WAV quads where one member is a GAIN-SCALED copy
+    * (VERDICT r16 #5 — the realism q175/q176 are structurally blind
+    * to: md5-of-exact-samples dies on ANY amplitude change). Base PCM
+    * is the trimmed-audio family's nonlinear mix confined to HALF
+    * range (−16384..16383), so the doc_id % 4 == 3 member's ×2 gain is
+    * exact in int16 with no clipping — and exact ×2 preserves every
+    * strict sample-order comparison, which is what the gain-robust
+    * fingerprint reads. Quads with two audio members are g ≡ 1 mod 3
+    * (members 4g and 4g+3), so every planted pair is (normal, gained). */
+  def audioWithGainDups(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+    import s.implicits._
+    Tables(s, sfDir, "documents")
+      .where(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (docId, nChars) =>
+        val gid = docId / 4
+        val gain = if (docId % 4 == 3) 2 else 1
+        val bb = java.nio.ByteBuffer.allocate(768 * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var j = 0
+        while (j < 768) {
+          // DECORRELATION (the r15 fixture lesson, two failures deep): a
+          // single x^2 mix left all clips on one global sequence with
+          // gid-linear phases (111 spurious cross-pairs), and even with
+          // a second multiplier the quadratic lattice repeated sign
+          // patterns (2517 distinct of 3841 windows). The ASYMMETRIC
+          // QUARTIC (t^2+t, then squared) measures collision-free:
+          // every duplicate window left is a planted quad sibling.
+          val t = (gid * 2654435761L + j * 2246822519L) % 2147483647L
+          val u = (t * t + t) % 2147483647L
+          bb.putShort(((u * u % 2147483647L % 32768L - 16384L) * gain).toShort)
+          j += 1
+        }
+        MediaPayload(docId, "audio",
+          MediaHeaders.wavBytes(8000 + (nChars.toInt % 8) * 1000, 1, 16, bb.array()))
+      }
+  }
+
+  /** The GAIN-ROBUST window fingerprint: bit j (0 ≤ j < 63) of a
+    * 64-sample window is 1 iff sample j+1 > sample j — the sign-of-delta
+    * pattern (the audio-fingerprint literature's standard order
+    * statistic). Any positive exact scaling preserves every strict
+    * comparison, so a gained copy shares ALL its windows; md5-of-samples
+    * shares none. Packed as one BIGINT, engine-reproducible. */
+  private[graft] def signBits(pcm: Array[Short], start: Int): Long = {
+    var bits = 0L
+    var j = 0
+    while (j < 63) {
+      if (pcm(start + j + 1) > pcm(start + j)) bits |= 1L << j
+      j += 1
+    }
+    bits
+  }
+
+  /** q190: gain-robust audio dedup — q176's trimmed-dup matcher with
+    * the order-statistic fingerprint instead of exact-sample md5: clips
+    * pair when ≥ 4 sign-of-delta window fingerprints match, with the
+    * recovered offset, offset cardinality, AND `n_exact_shared` — the
+    * count the exact-window family (q175/q176/q183) would have found —
+    * so every gain pair carries its own blindness witness in-row
+    * (n_exact_shared = 0 while n_shared ≥ 4, q176's convention). Same
+    * scale shape as q176: per-row decode + windowing, only (id, w,
+    * 2 fingerprints) rows enter the capped equi-join. */
+  def q190GainRobustDups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = audioWithGainDups(s, d).flatMap { m =>
+      val pcm = MediaHeaders.wavSamples(m.data)
+      pcmWindows(pcm).map { case (w, csv) =>
+        (m.media_id, w.toLong, signBits(pcm, w * 32), csv)
+      }
+    }.toDF("media_id", "w", "sfp", "csv")
+      .select(col("media_id"), col("w"), col("sfp"), md5(col("csv")).as("efp"))
+      .localCheckpoint()
+    val kept = dropHotKeys(rows, Seq("sfp"), ExactFpCap)
+    kept.as("a").join(kept.as("b"),
+        col("a.sfp") === col("b.sfp") && col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id"), col("b.media_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(when(col("a.efp") === col("b.efp"), 1L).otherwise(0L))
+          .as("n_exact_shared"),
+        min(col("b.w") - col("a.w")).as("offset_w"),
+        countDistinct(col("b.w") - col("a.w")).as("n_offsets"))
+      .where(col("n_shared") >= 4)
+      .select(col("a.media_id").as("media_id_a"),
+        col("b.media_id").as("media_id_b"),
+        col("n_shared"), col("n_exact_shared"),
+        col("offset_w"), col("n_offsets"))
+  }
+
+  /** Oracle twin of [[q190GainRobustDups]]: regenerate the half-range
+    * PCM with the per-member gain, pack the 63-bit sign-of-delta
+    * fingerprint with lead() + shifted sums, md5 the exact samples for
+    * the witness column, and run the same capped join + gate. */
+  val q190Sql: String =
+    s"""WITH a AS (SELECT doc_id, doc_id // 4 AS gid,
+       |                  CASE WHEN doc_id % 4 = 3 THEN 2 ELSE 1 END AS gain
+       |           FROM documents WHERE doc_id % 3 = 1),
+       |s0 AS (SELECT a.doc_id, a.gain, g.i,
+       |         (a.gid * 2654435761 + g.i * 2246822519) % 2147483647 AS t
+       |       FROM a, (SELECT unnest(generate_series(0, 767)) AS i) g),
+       |s1 AS (SELECT doc_id, gain, i, (t * t + t) % 2147483647 AS u FROM s0),
+       |s AS (SELECT doc_id, i,
+       |        (u * u % 2147483647 % 32768 - 16384) * gain AS v
+       |      FROM s1),
+       |d AS (SELECT doc_id, i, v,
+       |             lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv
+       |      FROM s),
+       |wj AS (SELECT w.g AS w, j.g AS j, w.g * 32 + j.g AS i
+       |       FROM (SELECT unnest(generate_series(0, 22)) AS g) w,
+       |            (SELECT unnest(generate_series(0, 63)) AS g) j),
+       |win AS (SELECT d.doc_id, wj.w,
+       |          sum(CASE WHEN wj.j < 63 AND d.nv > d.v
+       |                   THEN CAST(1 AS BIGINT) << wj.j ELSE 0 END) AS sfp,
+       |          md5(string_agg(CAST(d.v AS VARCHAR), ',' ORDER BY wj.j)) AS efp
+       |        FROM wj JOIN d ON d.i = wj.i
+       |        GROUP BY d.doc_id, wj.w),
+       |kwin AS (SELECT doc_id, w, sfp, efp FROM (
+       |    SELECT win.*, count(*) OVER (PARTITION BY sfp) AS fdf FROM win) wd
+       |  WHERE fdf <= $ExactFpCap)
+       |SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared,
+       |  CAST(sum(CASE WHEN a.efp = b.efp THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exact_shared,
+       |  CAST(min(b.w - a.w) AS BIGINT) AS offset_w,
+       |  CAST(count(DISTINCT b.w - a.w) AS BIGINT) AS n_offsets
+       |FROM kwin a JOIN kwin b ON b.sfp = a.sfp AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING count(*) >= 4""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_media_features" -> (q37MediaFeatures _),
     "q110_media_decode" -> (q110MediaDecode _),
@@ -2603,7 +2897,9 @@ object Multimodal {
     "q181_trimmed_dedup_keep" -> (q181TrimmedDedupKeep _),
     "q182_jpeg_mixed_pixels" -> (q182JpegMixedPixels _),
     "q185_video_dedup_keep" -> (q185VideoDedupKeep _),
-    "q186_hot_band_report" -> (q186HotBandReport _))
+    "q186_hot_band_report" -> (q186HotBandReport _),
+    "q189_reencoded_scene_dups" -> (q189ReencodedSceneDups _),
+    "q190_gain_robust_dups" -> (q190GainRobustDups _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_media_features" -> q37Sql,
@@ -2631,6 +2927,8 @@ object Multimodal {
     "q181_trimmed_dedup_keep" -> q181Sql,
     "q185_video_dedup_keep" -> q185Sql,
     "q186_hot_band_report" -> q186Sql,
+    "q189_reencoded_scene_dups" -> q189Sql,
+    "q190_gain_robust_dups" -> q190Sql,
     // q182's oracle IS q174's math — the pixels are mode-independent by
     // construction — plus the mode tag derived from doc_id, so a
     // per-mode decode fault surfaces as that mode's rows mismatching

@@ -775,6 +775,50 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dropHotKeys(df, Seq("k"), 30).count() === 40)
   }
 
+  test("q189 pairs re-encoded videos that EXACT scene hashing is blind to: " +
+    "every pair is a quad sibling at aHash Hamming 0 (+1 on a 0..254 plane " +
+    "provably preserves the threshold) with ZERO exact-hash scene matches " +
+    "— the blindness witness in-row; the nonlinear pixel mix keeps " +
+    "unrelated videos from pairing at all") {
+    val rows = Multimodal.q189ReencodedSceneDups(spark, sf0001).collect()
+    assert(rows.nonEmpty, "fixture should plant re-encode pairs")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("media_id_a") / 4 === r.getAs[Long]("media_id_b") / 4,
+        s"non-quad pair: $r (decorrelation regressed)")
+      assert(r.getAs[Long]("max_hamming") === 0L, s"re-encode moved the aHash: $r")
+      assert(r.getAs[Long]("n_exact_shared") === 0L,
+        s"exact hashes matched — the +1 shift is not being applied: $r")
+      assert(r.getAs[Long]("n_similar_scenes") >= 2L)
+    }
+  }
+
+  test("q190 pairs gain-scaled clips that EXACT window md5s are blind to: " +
+    "every pair is a quad sibling sharing ALL 23 sign-of-delta windows at " +
+    "offset 0 with ZERO exact-window matches; the quartic PCM mix keeps " +
+    "unrelated clips from sharing any window") {
+    val rows = Multimodal.q190GainRobustDups(spark, sf0001).collect()
+    assert(rows.nonEmpty, "fixture should plant gain pairs")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("media_id_a") / 4 === r.getAs[Long]("media_id_b") / 4,
+        s"non-quad pair: $r (decorrelation regressed)")
+      assert(r.getAs[Long]("n_shared") === 23L, s"gain broke sign windows: $r")
+      assert(r.getAs[Long]("offset_w") === 0L)
+      assert(r.getAs[Long]("n_offsets") === 1L)
+      assert(r.getAs[Long]("n_exact_shared") === 0L,
+        s"exact window md5s matched — the gain is not being applied: $r")
+    }
+  }
+
+  test("signBits is exactly invariant under exact positive gain and changes " +
+    "under a content change") {
+    val pcm: Array[Short] = Array.tabulate(70)(i =>
+      ((i * 37 + (i * i) % 251) % 16000 - 8000).toShort)
+    val doubled = pcm.map(v => (v * 2).toShort)
+    assert(Multimodal.signBits(pcm, 0) === Multimodal.signBits(doubled, 0))
+    val tweaked = pcm.clone(); tweaked(5) = (tweaked(5) + 2000).toShort
+    assert(Multimodal.signBits(pcm, 0) !== Multimodal.signBits(tweaked, 0))
+  }
+
   test("q186 hot-band instrument: the planted flat cohort concentrates into " +
     "ONE band value per slot (constant image => all-ones aHash), the demo " +
     "cap drops it with every member accounted, and the capped join's pair " +

@@ -54,7 +54,8 @@ class SqlSurfaceSpec extends SparkSpec {
       "q182_jpeg_mixed_pixels", "q183_maintained_trimmed_dups",
       "q184_trim_probe", "q185_video_dedup_keep",
       "q186_hot_band_report", "q187_maintained_scene_dups",
-      "q188_scene_probe") ++
+      "q188_scene_probe", "q189_reencoded_scene_dups",
+      "q190_gain_robust_dups") ++
     m("WITH RECURSIVE … UNION (distinct) — Spark 4.1 recursion accepts only " +
       "UNION ALL, and UNION ALL label propagation enumerates paths " +
       "(exponential on cyclic near-dup graphs), so the component family " +
