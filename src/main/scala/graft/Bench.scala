@@ -73,6 +73,30 @@ object Bench {
     }
     val calPre = Seq.fill(3)(calibrationJob()).min
 
+    // Second, IO-BOUND yardstick (VERDICT r16 #3): the CPU calibration
+    // is zero-IO by design, so a loaded disk/page cache inflates the
+    // suite but not `cal` — r16's driver run recorded wall_per_cal 18.2
+    // while a clean same-hour run read 15.75, with cal nearly flat and
+    // every view BUILD (shuffle/checkpoint writes) uniformly inflated.
+    // cal_io is fixed-size work on exactly that path: write a 16M-row
+    // 3-column parquet to tmpdir, read it back with a full-column sum,
+    // delete. A wall swing with flat `cal` but inflated `cal_io` reads
+    // as IO/memory contention, not code.
+    val ioDir = Files.createTempDirectory("graft-bench-io")
+    def calIoJob(): Double = {
+      val t0 = System.nanoTime()
+      val p = s"$ioDir/s${System.nanoTime()}"
+      spark.range(0, 16000000L, 1, 8)
+        .selectExpr("id", "id * 2654435761L % 1048576 AS a",
+          "CAST(id % 97 AS STRING) AS s")
+        .write.mode("overwrite").parquet(p)
+      spark.read.parquet(p).selectExpr("sum(a)").collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      sec
+    }
+    val calIoPre = Seq.fill(2)(calIoJob()).min
+
     val poolSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_POOL", "10").toInt
     val pool = Executors.newFixedThreadPool(poolSize)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -184,8 +208,10 @@ object Bench {
     val walls = s"[$w1,$w2]"
     pool.shutdown()
 
-    // second calibration bracket (post-suite), min of all five samples
+    // second calibration bracket (post-suite), min of all five samples;
+    // cal_io brackets the same way (2 pre + 1 post, min of 3)
     val calibration = math.min(calPre, Seq.fill(2)(calibrationJob()).min)
+    val calIo = math.min(calIoPre, calIoJob())
 
     def timesJson(rs: Seq[(String, Double, Boolean)], key: String => String,
                   fmt: Double => String): String =
@@ -208,12 +234,15 @@ object Bench {
         "eviction, bounded above by that view's listed build time; calibration = fixed-work " +
         "CPU-bound Spark job (6e9-row integer mix, zero IO, best of 3 before the suite and " +
         "2 after, min of all 5 - bracketing absorbs the yardstick's own load swing) timed " +
-        "on the same JVM so cross-round walls divide out box-speed drift as wall_per_cal"
+        "on the same JVM so cross-round walls divide out box-speed drift as wall_per_cal; " +
+        "cal_io = fixed-work IO-bound job (write a 16M-row parquet to tmpdir, read it back, " +
+        "2 pre + 1 post, min of 3): a wall swing with flat cal but inflated cal_io is " +
+        "disk/page-cache contention, the failure mode the CPU yardstick cannot see"
     val viewsJson = views.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // Full record (long names, both passes, method) -> file + stderr.
     val fullJson =
-      s"""{"metric":"total","value":$wall,"unit":"sec","queries":${timesJson(sequential, identity, _.toString)},"queries_concurrent":${timesJson(concurrent, identity, _.toString)},"seq_total":$seqTotal,"views":$viewsJson,"concurrent_walls":$walls,"calibration":${r3(calibration)},"wall_per_cal":${r3(wall / math.max(calibration, 1e-9))},"failures":$failures,"sf":"$sfDir","method":"$method"}"""
+      s"""{"metric":"total","value":$wall,"unit":"sec","queries":${timesJson(sequential, identity, _.toString)},"queries_concurrent":${timesJson(concurrent, identity, _.toString)},"seq_total":$seqTotal,"views":$viewsJson,"concurrent_walls":$walls,"calibration":${r3(calibration)},"cal_io":${r3(calIo)},"wall_per_cal":${r3(wall / math.max(calibration, 1e-9))},"failures":$failures,"sf":"$sfDir","method":"$method"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")), fullJson)
     // Print the JSON LAST — after spark.stop()'s shutdown chatter — so a
@@ -231,7 +260,7 @@ object Bench {
       // size no longer scales with the suite. BenchLineSpec pins the
       // final line under 1,900 bytes at the live query count.
       println(detailLine(sequential, views))
-      println(finalLine(wall, seqTotal, calibration, failedNames, sfDir))
+      println(finalLine(wall, seqTotal, calibration, calIo, failedNames, sfDir))
     }
   }
 
@@ -270,11 +299,12 @@ object Bench {
     * stays parseable precisely when parsing it matters most. */
   private[graft] val MaxFailureNames = 5
   private[graft] def finalLine(wall: Double, seqTotal: Double,
-      calibration: Double, failedNames: Seq[String], sfDir: String): String = {
+      calibration: Double, calIo: Double, failedNames: Seq[String],
+      sfDir: String): String = {
     val shown = failedNames.take(MaxFailureNames) ++
       (if (failedNames.size > MaxFailureNames)
         Seq(s"+${failedNames.size - MaxFailureNames} more") else Nil)
     val failures = shown.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":${r3(wall)},"unit":"sec","seq_total":${r3(seqTotal)},"cal":${r3(calibration)},"wall_per_cal":${r3(wall / math.max(calibration, 1e-9))},"failures":$failures,"sf":"$sfDir","method":"best-of-2 concurrent wall; cal = fixed-work CPU yardstick (best-of-3), wall_per_cal is the box-speed-normalized figure; per-query seconds on the preceding stdout line; full record in bench file + stderr"}"""
+    s"""{"metric":"total","value":${r3(wall)},"unit":"sec","seq_total":${r3(seqTotal)},"cal":${r3(calibration)},"cal_io":${r3(calIo)},"wall_per_cal":${r3(wall / math.max(calibration, 1e-9))},"failures":$failures,"sf":"$sfDir","method":"best-of-2 concurrent wall; cal = fixed-work CPU yardstick (best-of-3), wall_per_cal is the box-speed-normalized figure; cal_io = fixed-work parquet write+read yardstick (inflates under the IO/page-cache contention cal is blind to); per-query seconds on the preceding stdout line; full record in bench file + stderr"}"""
   }
 }

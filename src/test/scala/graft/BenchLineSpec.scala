@@ -19,21 +19,21 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("the FINAL stdout line stays under 1,900 bytes at the live query " +
     "count (it must not scale with the suite)") {
-    val line = Bench.finalLine(9999.999, 99999.999, 9.999, Nil,
+    val line = Bench.finalLine(9999.999, 99999.999, 9.999, 9.999, Nil,
       "/root/testdata/sf0.1")
     assert(line.length < 1900, s"final line is ${line.length} bytes")
     // and it is one valid-looking JSON object on one line
     assert(!line.contains("\n") && line.startsWith("{") && line.endsWith("}"))
     // the driver's contract fields are all present
     Seq("\"metric\":", "\"value\":", "\"unit\":", "\"seq_total\":",
-      "\"cal\":", "\"wall_per_cal\":",
+      "\"cal\":", "\"cal_io\":", "\"wall_per_cal\":",
       "\"failures\":", "\"sf\":", "\"method\":").foreach(k =>
       assert(line.contains(k), s"final line missing $k"))
   }
 
   test("the final line does not carry the per-query map (that detail " +
     "lives on the preceding line, which covers every live query)") {
-    val fin = Bench.finalLine(1.0, 2.0, 1.0, Nil, "sf")
+    val fin = Bench.finalLine(1.0, 2.0, 1.0, 1.0, Nil, "sf")
     assert(!fin.contains("\"queries\""))
     val detail = Bench.detailLine(sequential, views)
     assert(!detail.contains("\n") && detail.startsWith("{") && detail.endsWith("}"))
@@ -47,7 +47,7 @@ class BenchLineSpec extends AnyFunSuite {
   test("the final line stays under 1,900 bytes even when EVERY live query " +
     "fails — the mass-failure case is exactly when parsing it matters " +
     "(ADVICE r13: the failures array must not scale with the suite)") {
-    val line = Bench.finalLine(9999.999, 99999.999, 9.999, liveNames,
+    val line = Bench.finalLine(9999.999, 99999.999, 9.999, 9.999, liveNames,
       "/root/testdata/sf0.1")
     assert(line.length < 1900, s"mass-failure final line is ${line.length} bytes")
     assert(line.contains(s"+${liveNames.size - Bench.MaxFailureNames} more"),

@@ -562,13 +562,48 @@ class PlanSpec extends SparkSpec {
     ModalityIndex.refresh(spark, corpus, idx, 0, v1)
     val probe = ModalityIndex.probeModality(
       Seq(30L -> 10L, 31L -> 12L).toDF("doc_id", "n_chars"), spark, idx)
+    // assert on the FINAL adaptive plan (execute first): the hot-band
+    // cap's hot-list anti-join sizes only at runtime — forcing a
+    // broadcast hint there would be the q83 OOM trap on an adversarial
+    // corpus, so the claim is "AQE lands every join broadcast", not a
+    // static hint
+    probe.collect()
     val plan = physical(probe)
+    assert(plan.contains("isFinalPlan=true"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
-    // the stored index side feeds the join from its (pruned) scan —
-    // the only hash exchanges are probe-sized (the final distinct) or
-    // key-collection plumbing, never the index relation
-    probe.collect() // and it executes clean
+  }
+
+  test("probeScenes / probeTrims: the maintained scene and audio-window " +
+    "indexes join their batch-sized probes by BROADCAST in the final " +
+    "adaptive plan — the index side never sort-merges (at 100 TB the " +
+    "index is the big side; a shuffle there is a full-index rewrite " +
+    "per probe)") {
+    import graft.sources.{AudioWindowIndex, ManifestTable, SceneIndex}
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-sceneplan").toString
+    val corpus = s"$work/corpus"
+    // docs 2/8/11: videos (8 and 11 share gid 2); 4/7: audio (gid 1)
+    val v1 = ManifestTable.merge(
+      Seq(2L -> 10L, 8L -> 9L, 11L -> 12L, 4L -> 12L, 7L -> 20L)
+        .toDF("doc_id", "n_chars")
+        .selectExpr("doc_id", "repeat('x', CAST(n_chars AS INT)) AS text"),
+      corpus, Seq("doc_id"))
+    val (sceneIdx, awinIdx) = (s"$work/scene", s"$work/awin")
+    SceneIndex.refresh(spark, corpus, sceneIdx, 0, v1)
+    AudioWindowIndex.refresh(spark, corpus, awinIdx, 0, v1)
+    val sp = SceneIndex.probeScenes(
+      Seq(20L -> 10L).toDF("doc_id", "n_chars"), spark, sceneIdx)
+    sp.collect()
+    val splan = physical(sp)
+    assert(splan.contains("isFinalPlan=true"), splan)
+    assert(!splan.contains("SortMergeJoin"), splan)
+    val tp = AudioWindowIndex.probeTrims(
+      Seq(19L -> 10L).toDF("doc_id", "n_chars"), spark, awinIdx)
+    tp.collect()
+    val tplan = physical(tp)
+    assert(tplan.contains("isFinalPlan=true"), tplan)
+    assert(!tplan.contains("SortMergeJoin"), tplan)
   }
 
   test("q146 probe: the vocab-table side never plans a hash-partition " +
