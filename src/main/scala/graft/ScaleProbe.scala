@@ -482,6 +482,13 @@ object ScaleProbe {
       reenc(sfDir); gain(sfDir) // warm
       probe("reencode_scene_dup")(reenc(sfDir))(reenc(docsNDir))
       probe("gain_audio_dup")(gain(sfDir))(gain(docsNDir))
+      // Round-17 cross-modal classifier: both arms are candidate-
+      // bounded before they meet (capped image bands, LSH caption
+      // bands) and the full-outer join is pair-count-sized — time must
+      // track rows, never pairs²
+      def xmodal(d: String): Long = Multimodal.q195CrossModalPairs(spark, d).count()
+      xmodal(sfDir) // warm
+      probe("crossmodal_pairs")(xmodal(sfDir))(xmodal(docsNDir))
     }
 
     // Maintained SPAN index: applying a FIXED 50-doc arrival batch must
@@ -600,6 +607,55 @@ object ScaleProbe {
       }
       maintainScene(s1); maintainScene(sN) // warm both roots
       probe("scene_index_maintain")(maintainScene(s1))(maintainScene(sN))
+    }
+
+    // Maintained ROBUST faces (re-encode bands / gain windows): FIXED
+    // 50-doc arrival batches, ids forced to each family's residue
+    // (re-encode clips live on doc_id = 12m+8: %3==2 AND gid%3==2;
+    // gain audio on the %3==1 class) — cost must track the batch.
+    {
+      import graft.sources.{GainWindowIndex, ReencodeIndex}
+      def reencBootstrapped(d: String): String = {
+        val w = java.nio.file.Files.createTempDirectory("graft-scale-reenc").toString
+        ReencodeIndex.bootstrapReencodeIndex(
+          Tables(spark, d, "documents").select($"doc_id", $"n_chars"), w)
+        w
+      }
+      val r1 = reencBootstrapped(sfDir)
+      val rN = reencBootstrapped(docsNDir)
+      var rb = 0L
+      def maintainReenc(root: String): Long = {
+        rb += 1
+        val delta = spark.range(50).select(
+          ($"id" * 12 + 600000008L + rb * 1200L).as("doc_id"),
+          concat(lit("r"), $"id").as("text"),
+          lit("insert").as("_change_type")).localCheckpoint()
+        ReencodeIndex.applyBatch(delta, rb, root, scope = s"probe$rb")
+        1L
+      }
+      maintainReenc(r1); maintainReenc(rN) // warm both roots
+      probe("reencode_index_maintain")(maintainReenc(r1))(maintainReenc(rN))
+
+      def gwinBootstrapped(d: String): String = {
+        val w = java.nio.file.Files.createTempDirectory("graft-scale-gwin").toString
+        GainWindowIndex.bootstrapGainWindowIndex(
+          Tables(spark, d, "documents").select($"doc_id", $"n_chars"), w)
+        w
+      }
+      val g1 = gwinBootstrapped(sfDir)
+      val gN = gwinBootstrapped(docsNDir)
+      var gb = 0L
+      def maintainGwin(root: String): Long = {
+        gb += 1
+        val delta = spark.range(50).select(
+          ($"id" * 3 + 600000000L + gb * 3000L + 1L).as("doc_id"),
+          concat(lit("g"), $"id").as("text"),
+          lit("insert").as("_change_type")).localCheckpoint()
+        GainWindowIndex.applyBatch(delta, gb, root, scope = s"probe$gb")
+        1L
+      }
+      maintainGwin(g1); maintainGwin(gN) // warm both roots
+      probe("gainwin_index_maintain")(maintainGwin(g1))(maintainGwin(gN))
     }
 
     // ---- the gate: time must grow at most linearly with data ----

@@ -123,6 +123,65 @@ object SparkSqlTwins {
   private def corpusSplit(cte: String): String = cte.replace("FROM documents",
     "FROM (SELECT * FROM documents WHERE doc_id % 10 <> 9) documents")
 
+  /** The banded candidate-pair spine over [[minhashSigCtes]] — the Spark
+    * spelling of the oracle's shared `cand` prefix (q30's LSH join),
+    * consumed by the q100/q103 graph twins. */
+  private val candCte: String =
+    s"""$minhashSigCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Spark twin of q100 PageRank. The oracle text needs AS MATERIALIZED
+    * — each unrolled iteration r_i is read TWICE (contrib join + the
+    * dangling-mass sum), and Spark inlines every CTE reference, so the
+    * oracle's shape would copy the whole upstream band self-join 2^5
+    * times into one plan. The twin removes the second read instead of
+    * materializing: isolated nodes all carry the SAME rank at every
+    * step, so the dangling mass dm_i and the isolated rank riso_i are
+    * scalar recurrences in (n, niso) alone — exactly the closed form
+    * the DataFrame plan tracks driver-side (TextOps.q100PageRank) —
+    * computed here once in a lateral-column-alias chain (`sc`) and
+    * cross-joined into each level. Every r_i is then referenced exactly
+    * once and the plan grows LINEARLY in iterations. Arithmetic mirrors
+    * the DataFrame expression-for-expression ((1−d)/n precomputed,
+    * d·(contrib + dm/n) for ranks but (d·dm)/n for riso) so the doubles
+    * agree bit-for-bit before the final round(…, 6). */
+  private val pagerankTwin: String = {
+    import graft.functions.TextOps.{PageRankDamping => d, PageRankIters => k}
+    val scalarChain = (1 to k).map { i =>
+      s"""       niso * riso${i - 1} AS dm$i,
+         |       (1D - ${d}D)/n + ${d}D * dm$i / n AS riso$i""".stripMargin
+    }.mkString(",\n")
+    val iterCtes = (1 to k).map { i =>
+      s"""r$i AS (SELECT a.doc_id, a.deg,
+         |  (1D - ${d}D)/s.n + ${d}D * (COALESCE(c.contrib, 0D) + s.dm$i/s.n) AS rank
+         |  FROM active a
+         |  LEFT JOIN (SELECT e.dst AS doc_id, sum(r.rank / r.deg) AS contrib
+         |             FROM r${i - 1} r JOIN edges e ON e.src = r.doc_id
+         |             GROUP BY 1) c USING (doc_id)
+         |  CROSS JOIN sc s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $candCte,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |          UNION ALL SELECT doc_b, doc_a FROM cand),
+       |active AS (SELECT src AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
+       |base AS (SELECT CAST(nd.n AS DOUBLE) AS n,
+       |                CAST(nd.n AS DOUBLE) - CAST(na.k AS DOUBLE) AS niso
+       |         FROM (SELECT count(*) AS n FROM documents) nd
+       |         CROSS JOIN (SELECT count(*) AS k FROM active) na),
+       |sc AS (SELECT n, niso, 1D / n AS riso0,
+       |$scalarChain
+       |       FROM base),
+       |r0 AS (SELECT a.doc_id, a.deg, s.riso0 AS rank
+       |       FROM active a CROSS JOIN sc s),
+       |$iterCtes
+       |SELECT d.doc_id, round(COALESCE(r.rank, s.riso$k) * s.n, 6) AS rank_x_n
+       |FROM documents d
+       |LEFT JOIN r$k r USING (doc_id)
+       |CROSS JOIN sc s""".stripMargin
+  }
+
   /** The scene-fingerprint regeneration in Spark dialect (`im`/`sc`/
     * `px`/`fp`), shared by the q180/q185/q187/q188 twins. */
   private val sceneFpSparkCtes: String =
@@ -323,6 +382,188 @@ object SparkSqlTwins {
        |       CAST(max(p) + ${w - 1} AS BIGINT) AS span_end,
        |       CAST(max(p) + $w - min(p) AS BIGINT) AS span_tokens
        |FROM g GROUP BY doc_id, gid""".stripMargin
+
+  /** q189's Spark-dialect pixel/aHash/banding prefix, ending in the
+    * UNCAPPED rows `band0(doc_id, fp, hi, lo, b, v)` — shared by the
+    * q189/q191 twins and the q193 probe twin. */
+  private val reencodeBandTwinCte: String =
+    s"""WITH im AS (SELECT doc_id, doc_id div 4 AS gid,
+         |                   CAST(((doc_id div 4) % 3 + 2) * 16 AS BIGINT) AS w,
+         |                   CAST(((doc_id div 4) % 2 + 2) * 16 AS BIGINT) AS h,
+         |                   n_chars % 4 + 4 AS k,
+         |                   CASE WHEN doc_id % 4 = 3 THEN 1L ELSE 0L END AS shift
+         |            FROM documents
+         |            WHERE doc_id % 3 = 2 AND (doc_id div 4) % 3 = 2),
+         |sc AS (SELECT im.*, c.g AS c
+         |       FROM im, (SELECT explode(sequence(0, 2)) AS g) c
+         |       WHERE c.g <= 1 OR im.k >= 5),
+         |px AS (SELECT sc.doc_id, sc.c, sc.w, sc.h, yy.g AS y, xx.g AS x,
+         |              CAST(yy.g * 8 AS BIGINT) div sc.h AS cy,
+         |              CAST(xx.g * 8 AS BIGINT) div sc.w AS cx,
+         |              ((sc.gid * 2654435761L + sc.c * 97L +
+         |                (yy.g div 8) * 13L + (xx.g div 8) * 31L) % 2147483647L)
+         |              * ((sc.gid * 2654435761L + sc.c * 97L +
+         |                  (yy.g div 8) * 13L + (xx.g div 8) * 31L) % 2147483647L)
+         |              % 2147483647L % 255L + sc.shift AS v
+         |       FROM sc,
+         |            (SELECT explode(sequence(0, 63)) AS g) yy,
+         |            (SELECT explode(sequence(0, 63)) AS g) xx
+         |       WHERE yy.g < sc.h AND xx.g < sc.w),
+         |exact AS (SELECT doc_id, c,
+         |              md5(concat(CAST(w AS STRING), 'x', CAST(h AS STRING), ':',
+         |                  array_join(transform(
+         |                    array_sort(collect_list(struct(y, x, v))),
+         |                    e -> CAST(e.v AS STRING)), ','))) AS fp
+         |          FROM px GROUP BY doc_id, c, w, h),
+         |cell AS (SELECT doc_id, c, cy * 8 + cx AS idx,
+         |                sum(v) AS cs, count(1) AS cc
+         |         FROM px GROUP BY doc_id, c, cy, cx),
+         |tot AS (SELECT doc_id, c, sum(cs) AS ts, sum(cc) AS tc
+         |        FROM cell GROUP BY doc_id, c),
+         |bits AS (SELECT cell.doc_id, cell.c, idx,
+         |                CASE WHEN cs * tc >= ts * cc THEN 1L ELSE 0L END AS b
+         |         FROM cell JOIN tot ON cell.doc_id = tot.doc_id AND cell.c = tot.c),
+         |hash AS (SELECT doc_id, c,
+         |    sum(CASE WHEN idx >= 32 THEN b * shiftleft(1L, CAST(idx - 32 AS INT)) ELSE 0L END) AS hi,
+         |    sum(CASE WHEN idx < 32 THEN b * shiftleft(1L, CAST(idx AS INT)) ELSE 0L END) AS lo
+         |  FROM bits GROUP BY doc_id, c),
+         |fr AS (SELECT hash.doc_id, exact.fp, hash.hi, hash.lo
+         |       FROM hash JOIN exact ON hash.doc_id = exact.doc_id
+         |         AND hash.c = exact.c),
+         |band0 AS (SELECT doc_id, fp, hi, lo, g.b,
+         |    CASE g.b WHEN 0 THEN lo & 65535L
+         |             WHEN 1 THEN shiftright(lo, 16) & 65535L
+         |             WHEN 2 THEN hi & 65535L
+         |             ELSE shiftright(hi, 16) & 65535L END AS v
+         |  FROM fr, (SELECT explode(array(0, 1, 2, 3)) AS b) g)""".stripMargin
+
+  /** q189's full Spark-dialect twin (the q191 maintained face reuses
+    * it via corpusSplit). */
+  private val reencodeTwin: String =
+    s"""$reencodeBandTwinCte,
+       |band AS (SELECT doc_id, fp, hi, lo, b, v FROM (
+         |    SELECT band0.*, count(1) OVER (PARTITION BY b, v) AS bdf FROM band0) bd
+         |  WHERE bdf <= ${graft.multimodal.Multimodal.ModalityBandCap}),
+         |p AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         |        a.fp AS fpa, b.fp AS fpb,
+         |        bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo) AS hamming
+         |      FROM band a JOIN band b ON a.b = b.b AND a.v = b.v
+         |        AND a.doc_id < b.doc_id
+         |      WHERE bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo) <= 3)
+         |SELECT da AS media_id_a, db AS media_id_b,
+         |  count(DISTINCT fpa) AS n_similar_scenes,
+         |  count(DISTINCT CASE WHEN fpa = fpb THEN fpa END) AS n_exact_shared,
+         |  CAST(max(hamming) AS BIGINT) AS max_hamming
+         |FROM p GROUP BY da, db""".stripMargin
+
+  /** q190's Spark-dialect PCM/sign-fingerprint prefix, ending in the
+    * UNCAPPED rows `win(doc_id, w, sfp, efp)` — shared by the
+    * q190/q192 twins and the q194 probe twin. */
+  private val gainWinTwinCte: String =
+    s"""WITH a AS (SELECT doc_id, doc_id div 4 AS gid,
+         |                  CASE WHEN doc_id % 4 = 3 THEN 2L ELSE 1L END AS gain
+         |           FROM documents WHERE doc_id % 3 = 1),
+         |s0 AS (SELECT a.doc_id, a.gain, g.i,
+         |         (a.gid * 2654435761L + g.i * 2246822519L) % 2147483647L AS t
+         |       FROM a, (SELECT explode(sequence(0, 767)) AS i) g),
+         |s1 AS (SELECT doc_id, gain, i, (t * t + t) % 2147483647L AS u FROM s0),
+         |s AS (SELECT doc_id, i,
+         |        (u * u % 2147483647L % 32768L - 16384L) * gain AS v
+         |      FROM s1),
+         |d AS (SELECT doc_id, i, v,
+         |             lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv
+         |      FROM s),
+         |wj AS (SELECT w.g AS w, j.g AS j, w.g * 32 + j.g AS i
+         |       FROM (SELECT explode(sequence(0, 22)) AS g) w,
+         |            (SELECT explode(sequence(0, 63)) AS g) j),
+         |win AS (SELECT d.doc_id, wj.w,
+         |          sum(CASE WHEN wj.j < 63 AND d.nv > d.v
+         |                   THEN shiftleft(1L, CAST(wj.j AS INT)) ELSE 0L END) AS sfp,
+         |          md5(array_join(transform(
+         |            array_sort(collect_list(struct(wj.j AS j, d.v AS v))),
+         |            x -> CAST(x.v AS STRING)), ',')) AS efp
+         |        FROM wj JOIN d ON d.i = wj.i
+         |        GROUP BY d.doc_id, wj.w)""".stripMargin
+
+  /** q190's full Spark-dialect twin (the q192 maintained face reuses
+    * it via corpusSplit). */
+  private val gainTwin: String =
+    s"""$gainWinTwinCte,
+       |kwin AS (SELECT doc_id, w, sfp, efp FROM (
+         |    SELECT win.*, count(1) OVER (PARTITION BY sfp) AS fdf FROM win) wd
+         |  WHERE fdf <= ${graft.multimodal.Multimodal.ExactFpCap})
+         |SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+         |  count(1) AS n_shared,
+         |  sum(CASE WHEN a.efp = b.efp THEN 1L ELSE 0L END) AS n_exact_shared,
+         |  CAST(min(b.w - a.w) AS BIGINT) AS offset_w,
+         |  count(DISTINCT b.w - a.w) AS n_offsets
+         |FROM kwin a JOIN kwin b ON b.sfp = a.sfp AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING count(1) >= 4""".stripMargin
+
+  /** The cross-modal family's Spark-dialect prefix (q195/q196): the
+    * shared signature chain feeding caption candidates AND the h0
+    * image seed, seed-keyed pixels, integer aHash, capped band join —
+    * ending in `cand` and `ip`. */
+  private val crossmodalTwinCtes: String =
+    s"""WITH $minhashSigCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |         WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 = 0),
+         |seed AS (SELECT d.doc_id,
+         |           COALESCE(CAST(conv(s.h0, 16, 10) AS BIGINT), 0L) AS seed
+         |         FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+         |         LEFT JOIN sig s ON s.doc_id = d.doc_id),
+         |im AS (SELECT doc_id, seed, CAST(seed % 24 + 8 AS BIGINT) AS w,
+         |              CAST(seed % 16 + 8 AS BIGINT) AS h
+         |       FROM seed),
+         |px AS (SELECT im.doc_id, im.w, im.h,
+         |              CAST(y.g * 8 AS BIGINT) div im.h AS cy,
+         |              CAST(x.g * 8 AS BIGINT) div im.w AS cx,
+         |              CAST((im.seed * 7 + y.g * 13 + x.g * 31) % 256 AS BIGINT) AS v
+         |       FROM im,
+         |            (SELECT explode(sequence(0, 22)) AS g) y,
+         |            (SELECT explode(sequence(0, 30)) AS g) x
+         |       WHERE y.g < im.h AND x.g < im.w),
+         |cell AS (SELECT doc_id, w, h, cy * 8 + cx AS idx,
+         |                sum(v) AS cs, count(1) AS cc
+         |         FROM px GROUP BY doc_id, w, h, cy, cx),
+         |tot AS (SELECT doc_id, sum(cs) AS ts, sum(cc) AS tc
+         |        FROM cell GROUP BY doc_id),
+         |bits AS (SELECT cell.doc_id, idx,
+         |                CASE WHEN cs * tc >= ts * cc THEN 1L ELSE 0L END AS b
+         |         FROM cell JOIN tot ON cell.doc_id = tot.doc_id),
+         |hash AS (SELECT doc_id,
+         |    sum(CASE WHEN idx >= 32 THEN b * shiftleft(1L, CAST(idx - 32 AS INT)) ELSE 0L END) AS hi,
+         |    sum(CASE WHEN idx < 32 THEN b * shiftleft(1L, CAST(idx AS INT)) ELSE 0L END) AS lo
+         |  FROM bits GROUP BY doc_id),
+         |band0 AS (SELECT doc_id, hi, lo, g.b,
+         |    CASE g.b WHEN 0 THEN lo & 65535L
+         |             WHEN 1 THEN shiftright(lo, 16) & 65535L
+         |             WHEN 2 THEN hi & 65535L
+         |             ELSE shiftright(hi, 16) & 65535L END AS v
+         |  FROM hash, (SELECT explode(array(0, 1, 2, 3)) AS b) g),
+         |band AS (SELECT doc_id, hi, lo, b, v FROM (
+         |    SELECT band0.*, count(1) OVER (PARTITION BY b, v) AS bdf FROM band0) bd
+         |  WHERE bdf <= ${graft.multimodal.Multimodal.ModalityBandCap}),
+         |ip AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM band a JOIN band b ON a.b = b.b AND a.v = b.v
+         |         AND a.doc_id < b.doc_id
+         |       WHERE bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo) <= 3)""".stripMargin
+
+  /** The classified pair set (q195's final select; q196 wraps it as
+    * a CTE). */
+  private val crossmodalTwinRelSelect: String =
+    s"""SELECT COALESCE(ip.doc_a, c.doc_a) AS doc_a,
+         |       COALESCE(ip.doc_b, c.doc_b) AS doc_b,
+         |       ip.doc_a IS NOT NULL AS image_dup,
+         |       c.doc_a IS NOT NULL AS caption_dup,
+         |       CASE WHEN ip.doc_a IS NOT NULL AND c.doc_a IS NOT NULL THEN 'dup_pair'
+         |            WHEN ip.doc_a IS NOT NULL THEN 'recaptioned'
+         |            ELSE 'reillustrated' END AS relation
+         |FROM ip FULL OUTER JOIN cand c
+         |  ON c.doc_a = ip.doc_a AND c.doc_b = ip.doc_b""".stripMargin
 
   private val base: Map[String, String] = Map(
     "q134_dsir_weights" ->
@@ -1514,110 +1755,48 @@ object SparkSqlTwins {
     // the re-encode member's +1), per-keyframe exact hash AND pixel-
     // level aHash, capped band join, per-pair aggregation with the
     // exact-blindness witness
-    "q189_reencoded_scene_dups" ->
-      s"""WITH im AS (SELECT doc_id, doc_id div 4 AS gid,
-         |                   CAST(((doc_id div 4) % 3 + 2) * 16 AS BIGINT) AS w,
-         |                   CAST(((doc_id div 4) % 2 + 2) * 16 AS BIGINT) AS h,
-         |                   n_chars % 4 + 4 AS k,
-         |                   CASE WHEN doc_id % 4 = 3 THEN 1L ELSE 0L END AS shift
-         |            FROM documents
-         |            WHERE doc_id % 3 = 2 AND (doc_id div 4) % 3 = 2),
-         |sc AS (SELECT im.*, c.g AS c
-         |       FROM im, (SELECT explode(sequence(0, 2)) AS g) c
-         |       WHERE c.g <= 1 OR im.k >= 5),
-         |px AS (SELECT sc.doc_id, sc.c, sc.w, sc.h, yy.g AS y, xx.g AS x,
-         |              CAST(yy.g * 8 AS BIGINT) div sc.h AS cy,
-         |              CAST(xx.g * 8 AS BIGINT) div sc.w AS cx,
-         |              ((sc.gid * 2654435761L + sc.c * 97L +
-         |                (yy.g div 8) * 13L + (xx.g div 8) * 31L) % 2147483647L)
-         |              * ((sc.gid * 2654435761L + sc.c * 97L +
-         |                  (yy.g div 8) * 13L + (xx.g div 8) * 31L) % 2147483647L)
-         |              % 2147483647L % 255L + sc.shift AS v
-         |       FROM sc,
-         |            (SELECT explode(sequence(0, 63)) AS g) yy,
-         |            (SELECT explode(sequence(0, 63)) AS g) xx
-         |       WHERE yy.g < sc.h AND xx.g < sc.w),
-         |exact AS (SELECT doc_id, c,
-         |              md5(concat(CAST(w AS STRING), 'x', CAST(h AS STRING), ':',
-         |                  array_join(transform(
-         |                    array_sort(collect_list(struct(y, x, v))),
-         |                    e -> CAST(e.v AS STRING)), ','))) AS fp
-         |          FROM px GROUP BY doc_id, c, w, h),
-         |cell AS (SELECT doc_id, c, cy * 8 + cx AS idx,
-         |                sum(v) AS cs, count(1) AS cc
-         |         FROM px GROUP BY doc_id, c, cy, cx),
-         |tot AS (SELECT doc_id, c, sum(cs) AS ts, sum(cc) AS tc
-         |        FROM cell GROUP BY doc_id, c),
-         |bits AS (SELECT cell.doc_id, cell.c, idx,
-         |                CASE WHEN cs * tc >= ts * cc THEN 1L ELSE 0L END AS b
-         |         FROM cell JOIN tot ON cell.doc_id = tot.doc_id AND cell.c = tot.c),
-         |hash AS (SELECT doc_id, c,
-         |    sum(CASE WHEN idx >= 32 THEN b * shiftleft(1L, CAST(idx - 32 AS INT)) ELSE 0L END) AS hi,
-         |    sum(CASE WHEN idx < 32 THEN b * shiftleft(1L, CAST(idx AS INT)) ELSE 0L END) AS lo
-         |  FROM bits GROUP BY doc_id, c),
-         |fr AS (SELECT hash.doc_id, exact.fp, hash.hi, hash.lo
-         |       FROM hash JOIN exact ON hash.doc_id = exact.doc_id
-         |         AND hash.c = exact.c),
-         |band0 AS (SELECT doc_id, fp, hi, lo, g.b,
-         |    CASE g.b WHEN 0 THEN lo & 65535L
-         |             WHEN 1 THEN shiftright(lo, 16) & 65535L
-         |             WHEN 2 THEN hi & 65535L
-         |             ELSE shiftright(hi, 16) & 65535L END AS v
-         |  FROM fr, (SELECT explode(array(0, 1, 2, 3)) AS b) g),
-         |band AS (SELECT doc_id, fp, hi, lo, b, v FROM (
-         |    SELECT band0.*, count(1) OVER (PARTITION BY b, v) AS bdf FROM band0) bd
-         |  WHERE bdf <= ${graft.multimodal.Multimodal.ModalityBandCap}),
-         |p AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
-         |        a.fp AS fpa, b.fp AS fpb,
-         |        bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo) AS hamming
-         |      FROM band a JOIN band b ON a.b = b.b AND a.v = b.v
-         |        AND a.doc_id < b.doc_id
-         |      WHERE bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo) <= 3)
-         |SELECT da AS media_id_a, db AS media_id_b,
-         |  count(DISTINCT fpa) AS n_similar_scenes,
-         |  count(DISTINCT CASE WHEN fpa = fpb THEN fpa END) AS n_exact_shared,
-         |  CAST(max(hamming) AS BIGINT) AS max_hamming
-         |FROM p GROUP BY da, db""".stripMargin,
+    "q189_reencoded_scene_dups" -> reencodeTwin,
 
-    // q190: gain-robust audio dup — half-range quartic PCM with the
-    // per-member gain, lead()-packed sign-of-delta fingerprints, the
-    // exact-md5 witness, capped join + >= 4 gate
-    "q190_gain_robust_dups" ->
-      s"""WITH a AS (SELECT doc_id, doc_id div 4 AS gid,
-         |                  CASE WHEN doc_id % 4 = 3 THEN 2L ELSE 1L END AS gain
-         |           FROM documents WHERE doc_id % 3 = 1),
-         |s0 AS (SELECT a.doc_id, a.gain, g.i,
-         |         (a.gid * 2654435761L + g.i * 2246822519L) % 2147483647L AS t
-         |       FROM a, (SELECT explode(sequence(0, 767)) AS i) g),
-         |s1 AS (SELECT doc_id, gain, i, (t * t + t) % 2147483647L AS u FROM s0),
-         |s AS (SELECT doc_id, i,
-         |        (u * u % 2147483647L % 32768L - 16384L) * gain AS v
-         |      FROM s1),
-         |d AS (SELECT doc_id, i, v,
-         |             lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv
-         |      FROM s),
-         |wj AS (SELECT w.g AS w, j.g AS j, w.g * 32 + j.g AS i
-         |       FROM (SELECT explode(sequence(0, 22)) AS g) w,
-         |            (SELECT explode(sequence(0, 63)) AS g) j),
-         |win AS (SELECT d.doc_id, wj.w,
-         |          sum(CASE WHEN wj.j < 63 AND d.nv > d.v
-         |                   THEN shiftleft(1L, CAST(wj.j AS INT)) ELSE 0L END) AS sfp,
-         |          md5(array_join(transform(
-         |            array_sort(collect_list(struct(wj.j AS j, d.v AS v))),
-         |            x -> CAST(x.v AS STRING)), ',')) AS efp
-         |        FROM wj JOIN d ON d.i = wj.i
-         |        GROUP BY d.doc_id, wj.w),
-         |kwin AS (SELECT doc_id, w, sfp, efp FROM (
-         |    SELECT win.*, count(1) OVER (PARTITION BY sfp) AS fdf FROM win) wd
+    // q191/q192: the maintained robust faces — the same from-scratch
+    // recomputes over the fixture's corpus split (proving a spark.sql
+    // recompute over raw parquet equals the CDC-maintained stored
+    // index); q193/q194: the cross-split probe joins
+    "q191_maintained_reencoded_dups" -> corpusSplit(reencodeTwin),
+    "q192_maintained_gain_dups" -> corpusSplit(gainTwin),
+
+    "q193_reencode_probe" ->
+      s"""$reencodeBandTwinCte,
+         |cband AS (SELECT doc_id, fp, hi, lo, b, v FROM (
+         |    SELECT cb.*, count(1) OVER (PARTITION BY b, v) AS bdf
+         |    FROM (SELECT * FROM band0 WHERE doc_id % 10 <> 9) cb) bd
+         |  WHERE bdf <= ${graft.multimodal.Multimodal.ModalityBandCap}),
+         |p AS (SELECT DISTINCT pr.doc_id AS dp, c.doc_id AS dc,
+         |        pr.fp AS fpp, c.fp AS fpc,
+         |        bit_count(pr.hi ^ c.hi) + bit_count(pr.lo ^ c.lo) AS hamming
+         |      FROM band0 pr JOIN cband c ON pr.b = c.b AND pr.v = c.v
+         |      WHERE pr.doc_id % 10 = 9
+         |        AND bit_count(pr.hi ^ c.hi) + bit_count(pr.lo ^ c.lo) <= 3)
+         |SELECT dp AS media_id_probe, dc AS media_id_corpus,
+         |  count(DISTINCT fpp) AS n_similar_scenes,
+         |  CAST(max(hamming) AS BIGINT) AS max_hamming
+         |FROM p GROUP BY dp, dc""".stripMargin,
+
+    "q194_gain_probe" ->
+      s"""$gainWinTwinCte,
+         |cwin AS (SELECT doc_id, w, sfp, efp FROM (
+         |    SELECT cw.*, count(1) OVER (PARTITION BY sfp) AS fdf
+         |    FROM (SELECT * FROM win WHERE doc_id % 10 <> 9) cw) wd
          |  WHERE fdf <= ${graft.multimodal.Multimodal.ExactFpCap})
-         |SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+         |SELECT p.doc_id AS media_id_probe, c.doc_id AS media_id_corpus,
          |  count(1) AS n_shared,
-         |  sum(CASE WHEN a.efp = b.efp THEN 1L ELSE 0L END) AS n_exact_shared,
-         |  CAST(min(b.w - a.w) AS BIGINT) AS offset_w,
-         |  count(DISTINCT b.w - a.w) AS n_offsets
-         |FROM kwin a JOIN kwin b ON b.sfp = a.sfp AND a.doc_id < b.doc_id
-         |GROUP BY a.doc_id, b.doc_id
+         |  sum(CASE WHEN p.efp = c.efp THEN 1L ELSE 0L END) AS n_exact_shared,
+         |  CAST(min(c.w - p.w) AS BIGINT) AS offset_w
+         |FROM win p JOIN cwin c ON c.sfp = p.sfp
+         |WHERE p.doc_id % 10 = 9
+         |GROUP BY p.doc_id, c.doc_id
          |HAVING count(1) >= 4""".stripMargin,
+
+    "q190_gain_robust_dups" -> gainTwin,
 
     "q177_scene_keyframes" ->
       """WITH im AS (SELECT doc_id, CAST((n_chars % 3 + 2) * 8 AS BIGINT) AS w,
@@ -2260,6 +2439,58 @@ object SparkSqlTwins {
         |                 ORDER BY tfidf DESC, token) AS rnk
         |      FROM scored)
         |WHERE rnk <= 3""".stripMargin,
+
+    "q100_pagerank" -> pagerankTwin,
+
+    // q103's oracle is non-recursive but rides the DuckDB-only shared
+    // prefix (list-comprehension shingles); the twin is the same
+    // ordered-wedge join over the Spark candidate spine.
+    "q103_triangles" ->
+      s"""WITH $candCte,
+         |deg AS (SELECT node, count(*) AS deg FROM (
+         |          SELECT doc_a AS node FROM cand
+         |          UNION ALL SELECT doc_b FROM cand) GROUP BY 1),
+         |tri AS (SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+         |        FROM cand ab
+         |        JOIN cand bc ON ab.doc_b = bc.doc_a
+         |        JOIN cand ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+         |tpn AS (SELECT node, count(*) AS n_tri FROM (
+         |          SELECT a AS node FROM tri
+         |          UNION ALL SELECT b FROM tri
+         |          UNION ALL SELECT c FROM tri) GROUP BY 1)
+         |SELECT deg.node AS doc_id, deg.deg,
+         |       COALESCE(tpn.n_tri, 0L) AS n_tri,
+         |       CASE WHEN deg.deg >= 2
+         |            THEN round(COALESCE(tpn.n_tri, 0L) * 2.0D / (deg.deg * (deg.deg - 1)), 6)
+         |            ELSE 0.0D END AS lcc
+         |FROM deg LEFT JOIN tpn USING (node)""".stripMargin,
+
+    // q195/q196: the cross-modal family — one signature chain feeds
+    // BOTH the caption candidates and the h0 image seed, then the
+    // seed-keyed pixel/aHash chain, the capped band join, the
+    // full-outer classification (q195) and the per-doc keeper decision
+    // (q196)
+    "q195_crossmodal_pairs" ->
+      s"$crossmodalTwinCtes\n$crossmodalTwinRelSelect",
+
+    "q196_crossmodal_keep" ->
+      s"""$crossmodalTwinCtes,
+         |rel AS ($crossmodalTwinRelSelect),
+         |u AS (SELECT doc_a AS doc_id, relation, 0 AS is_b FROM rel
+         |      UNION ALL SELECT doc_b, relation, 1 FROM rel),
+         |agg AS (SELECT doc_id,
+         |  sum(CASE WHEN relation = 'dup_pair' THEN 1L ELSE 0L END) AS n_dup,
+         |  sum(CASE WHEN relation = 'recaptioned' THEN 1L ELSE 0L END) AS n_recaptioned,
+         |  sum(CASE WHEN relation = 'reillustrated' THEN 1L ELSE 0L END) AS n_reillustrated,
+         |  max(CASE WHEN is_b = 1 AND relation = 'dup_pair' THEN 1 ELSE 0 END) AS removed
+         |  FROM u GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_dup, 0L) AS n_dup,
+         |  COALESCE(a.n_recaptioned, 0L) AS n_recaptioned,
+         |  COALESCE(a.n_reillustrated, 0L) AS n_reillustrated,
+         |  COALESCE(a.removed, 0) = 0 AS keep
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+         |LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
 
     "q97_rolling_distinct" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -50,7 +50,7 @@ object TextOps {
     * comprehension replaces Spark's transform+sequence). Consumers that
     * are dedup-invariant (min — q30) use it interchangeably with the raw
     * multiset. */
-  private[functions] val shingleCte: String =
+  private[graft] val shingleCte: String =
     """sh AS (SELECT DISTINCT doc_id,
       |  unnest(CASE WHEN len(toks) < 3 THEN []
       |              ELSE [array_to_string(toks[i:i+2], ' ')

@@ -2487,14 +2487,21 @@ object Multimodal {
     * and ONLY the planted re-encode pairs match. Cut detection is
     * preserved: across a cut ~254/255 of blocks change, far above the
     * quarter-of-max keyframe rule. */
-  def videosWithReencodes(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+  def videosWithReencodes(s: SparkSession, sfDir: String): Dataset[MediaPayload] =
+    videosWithReencodesFromDocs(Tables(s, sfDir, "documents"))
+
+  /** [[videosWithReencodes]] over an arbitrary (doc_id, n_chars) frame —
+    * the CDC seam for the maintained re-encode index
+    * ([[graft.sources.ReencodeIndex]]), [[videosFromDocs]]'s shape. */
+  def videosWithReencodesFromDocs(docs: DataFrame): Dataset[MediaPayload] = {
+    val s = docs.sparkSession
     import s.implicits._
     // gid % 3 == 2 keeps exactly the quads with TWO video members
     // (4g and 4g+3 — the normal/re-encoded pair); dims are 16-pixel
     // multiples so frames carry 16-48 blocks — enough aHash entropy
     // that distinct recordings don't collide (8-pixel dims gave 4-12
     // blocks and 310 spurious Hamming-0 pairs from 167 clips)
-    Tables(s, sfDir, "documents")
+    docs
       .where(col("doc_id") % 3 === 2 && expr("(doc_id div 4) % 3") === 2)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (docId, nChars) =>
@@ -2566,11 +2573,12 @@ object Multimodal {
         max(col("hamming")).cast("long").as("max_hamming"))
   }
 
-  /** Oracle twin of [[q189ReencodedSceneDups]]: regenerate the shifted
-    * pixel planes, recompute the per-keyframe exact hash AND the
-    * integer-exact aHash at pixel level, then the same capped band
-    * join and per-pair aggregation. */
-  val q189Sql: String =
+  /** Shared oracle prefix for the RE-ENCODE family (q189 and the
+    * maintained q191/q193): regenerate the shifted pixel planes,
+    * recompute the per-keyframe exact dim-qualified hash AND the
+    * integer-exact aHash at pixel level, ending in the UNCAPPED band
+    * rows `band0(doc_id, fp, hi, lo, b, v)`. */
+  private[graft] val reencodeBandCte: String =
     s"""WITH im AS (SELECT doc_id, doc_id // 4 AS gid,
        |                   CAST(((doc_id // 4) % 3 + 2) * 16 AS BIGINT) AS w,
        |                   CAST(((doc_id // 4) % 2 + 2) * 16 AS BIGINT) AS h,
@@ -2616,7 +2624,13 @@ object Multimodal {
        |             WHEN 1 THEN (lo >> 16) & 65535
        |             WHEN 2 THEN hi & 65535
        |             ELSE (hi >> 16) & 65535 END AS v
-       |  FROM fr, (VALUES (0), (1), (2), (3)) g(b)),
+       |  FROM fr, (VALUES (0), (1), (2), (3)) g(b))""".stripMargin
+
+  /** Oracle twin of [[q189ReencodedSceneDups]]: the shared re-encode
+    * prefix, then the same capped band join, Hamming rescore and
+    * per-pair aggregation. */
+  val q189Sql: String =
+    s"""$reencodeBandCte,
        |band AS (SELECT doc_id, fp, hi, lo, b, v FROM (
        |    SELECT band0.*, count(*) OVER (PARTITION BY b, v) AS bdf FROM band0) bd
        |  WHERE bdf <= $ModalityBandCap),
@@ -2751,9 +2765,17 @@ object Multimodal {
     * strict sample-order comparison, which is what the gain-robust
     * fingerprint reads. Quads with two audio members are g ≡ 1 mod 3
     * (members 4g and 4g+3), so every planted pair is (normal, gained). */
-  def audioWithGainDups(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
+  def audioWithGainDups(s: SparkSession, sfDir: String): Dataset[MediaPayload] =
+    audioWithGainDupsFromDocs(Tables(s, sfDir, "documents"))
+
+  /** [[audioWithGainDups]] over an arbitrary (doc_id, n_chars) frame —
+    * the CDC seam for the maintained gain-window index
+    * ([[graft.sources.GainWindowIndex]]), [[trimmedAudioFromDocs]]'s
+    * shape. */
+  def audioWithGainDupsFromDocs(docs: DataFrame): Dataset[MediaPayload] = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables(s, sfDir, "documents")
+    docs
       .where(col("doc_id") % 3 === 1)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (docId, nChars) =>
@@ -2831,11 +2853,12 @@ object Multimodal {
         col("offset_w"), col("n_offsets"))
   }
 
-  /** Oracle twin of [[q190GainRobustDups]]: regenerate the half-range
-    * PCM with the per-member gain, pack the 63-bit sign-of-delta
-    * fingerprint with lead() + shifted sums, md5 the exact samples for
-    * the witness column, and run the same capped join + gate. */
-  val q190Sql: String =
+  /** Shared oracle prefix for the GAIN family (q190 and the maintained
+    * q192/q194): regenerate the half-range PCM with the per-member
+    * gain, pack the 63-bit sign-of-delta fingerprint with lead() +
+    * shifted sums, and md5 the exact samples for the witness column —
+    * ending in the UNCAPPED window rows `win(doc_id, w, sfp, efp)`. */
+  private[graft] val gainWinCte: String =
     s"""WITH a AS (SELECT doc_id, doc_id // 4 AS gid,
        |                  CASE WHEN doc_id % 4 = 3 THEN 2 ELSE 1 END AS gain
        |           FROM documents WHERE doc_id % 3 = 1),
@@ -2857,7 +2880,12 @@ object Multimodal {
        |                   THEN CAST(1 AS BIGINT) << wj.j ELSE 0 END) AS sfp,
        |          md5(string_agg(CAST(d.v AS VARCHAR), ',' ORDER BY wj.j)) AS efp
        |        FROM wj JOIN d ON d.i = wj.i
-       |        GROUP BY d.doc_id, wj.w),
+       |        GROUP BY d.doc_id, wj.w)""".stripMargin
+
+  /** Oracle twin of [[q190GainRobustDups]]: the shared gain prefix,
+    * then the same capped join + gate. */
+  val q190Sql: String =
+    s"""$gainWinCte,
        |kwin AS (SELECT doc_id, w, sfp, efp FROM (
        |    SELECT win.*, count(*) OVER (PARTITION BY sfp) AS fdf FROM win) wd
        |  WHERE fdf <= $ExactFpCap)
@@ -2870,6 +2898,219 @@ object Multimodal {
        |FROM kwin a JOIN kwin b ON b.sfp = a.sfp AND a.doc_id < b.doc_id
        |GROUP BY a.doc_id, b.doc_id
        |HAVING count(*) >= 4""".stripMargin
+
+  // ------------------------------------------------------- cross-modal
+
+  /** Captioned-image payloads — the CLIP-style (image, caption) record:
+    * the doc's text is the caption and the IMAGE is CONTENT-KEYED — the
+    * pixel seed is the caption's first MinHash slice h0 (min over the
+    * doc's shingle md5s, 16 bits), and the dims derive from the seed —
+    * so a re-posted caption carries the re-posted image, the way
+    * scraped alt-text/image pairs actually co-occur. Distinct captions
+    * collide on h0 at the birthday rate (same image under a DIFFERENT
+    * caption — the label-noise class), and near-dup captions that miss
+    * band 0 keep their own images (same caption wording, different
+    * illustration). Docs with no shingles (< 3 tokens) seed 0. The
+    * seed is engine-reproducible: min(substring(md5(shingle), 1, 4))
+    * parsed as hex, the q30 signature's own h0. */
+  def captionedImagesFromDocs(docs: DataFrame): Dataset[MediaPayload] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        graft.functions.TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode_outer(expr(graft.functions.TextOps.shinglesExpr)).as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(min(substring(md5(col("shingle")), 1, 4)).as("h0"))
+      .select(col("doc_id"),
+        coalesce(conv(col("h0"), 16, 10).cast("long"), lit(0L)).as("seed"))
+      .as[(Long, Long)]
+      .map { case (docId, seed) =>
+        val w = (seed % 24 + 8).toInt
+        val h = (seed % 16 + 8).toInt
+        val px = Array.tabulate(w * h)(i =>
+          ((seed * 7 + (i / w) * 13 + (i % w) * 31) % 256).toInt)
+        MediaPayload(docId, "image", MediaHeaders.pngPixelBytes(w, h, px))
+      }
+  }
+
+  /** q195: CROSS-MODAL pair integrity over captioned images — the dedup
+    * decision a CLIP-style training pipeline needs at the PAIR level,
+    * where neither single-modality family can make it alone. Every
+    * near-dup pair in either modality is classified in one report:
+    * `dup_pair` (image AND caption near-dup — drop one), `recaptioned`
+    * (same image, different caption — label noise or caption
+    * diversity, an annotation decision), `reillustrated` (same caption,
+    * different image — stock-photo reuse). Image pairs run q131's
+    * whole chain on the content-keyed PNGs (real decode, integer aHash,
+    * capped 4×16 banding, Hamming ≤ 3); caption pairs are the q30
+    * MinHash LSH candidates restricted to image-carrying docs; the two
+    * bounded pair sets meet in ONE full-outer join on the pair key. At
+    * 100 TB both sides are candidate-bounded before they meet — the
+    * join is pair-count-sized, never corpus-sized. */
+  def q195CrossModalPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = captionedImagesFromDocs(Tables(s, d, "documents"))
+      .flatMap { m =>
+        MediaHeaders.pngPixels(m.data).map { case (w, h, px) =>
+          val (hi, lo, _) = ahash64(w.toInt, h.toInt, px)
+          (m.media_id, hi, lo)
+        }
+      }.toDF("media_id", "ahash_hi", "ahash_lo")
+    val img = neardupPairs(hashes)
+      .select(col("media_id_a").as("doc_a"), col("media_id_b").as("doc_b"),
+        lit(true).as("image_dup"))
+    val cap = graft.functions.TextOps.candidatePairs(s, d)
+      .where(col("doc_a") % 3 === 0 && col("doc_b") % 3 === 0)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("caption_dup"))
+    img.join(cap, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("image_dup"), lit(false)).as("image_dup"),
+        coalesce(col("caption_dup"), lit(false)).as("caption_dup"))
+      .withColumn("relation",
+        when(col("image_dup") && col("caption_dup"), "dup_pair")
+          .when(col("image_dup"), "recaptioned")
+          .otherwise("reillustrated"))
+  }
+
+  /** Shared oracle prefix for the CROSS-MODAL family (q195/q196): the
+    * q30 signature chain once (captions AND the h0 image seed both
+    * read it), seed-keyed pixel regeneration, the integer-exact aHash
+    * + capped band join — ending in `cand` (caption candidates among
+    * image docs) and `ip` (image near-dup pairs). */
+  private[graft] val crossmodalPairCtes: String =
+    s"""WITH ${graft.functions.TextOps.shingleCte},
+       |hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+       |sig AS (SELECT doc_id,
+       |  min(substring(h, 1, 4)) h0, min(substring(h, 5, 4)) h1,
+       |  min(substring(h, 9, 4)) h2, min(substring(h, 13, 4)) h3,
+       |  min(substring(h, 17, 4)) h4, min(substring(h, 21, 4)) h5,
+       |  min(substring(h, 25, 4)) h6, min(substring(h, 29, 4)) h7
+       |  FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, h0 || h1 AS bucket FROM sig
+       |  UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+       |  UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+       |  UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |         WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 = 0),
+       |seed AS (SELECT d.doc_id,
+       |           COALESCE(CAST(('0x' || s.h0) AS BIGINT), 0) AS seed
+       |         FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+       |         LEFT JOIN sig s ON s.doc_id = d.doc_id),
+       |im AS (SELECT doc_id, seed, CAST(seed % 24 + 8 AS BIGINT) AS w,
+       |              CAST(seed % 16 + 8 AS BIGINT) AS h
+       |       FROM seed),
+       |px AS (SELECT im.doc_id, im.w, im.h,
+       |              (y.g * 8) // im.h AS cy, (x.g * 8) // im.w AS cx,
+       |              CAST((im.seed * 7 + y.g * 13 + x.g * 31) % 256 AS BIGINT) AS v
+       |       FROM im,
+       |            (SELECT unnest(generate_series(0, 22)) AS g) y,
+       |            (SELECT unnest(generate_series(0, 30)) AS g) x
+       |       WHERE y.g < im.h AND x.g < im.w),
+       |cell AS (SELECT doc_id, w, h, cy * 8 + cx AS idx,
+       |                sum(v) AS cs, count(*) AS cc
+       |         FROM px GROUP BY doc_id, w, h, cy, cx),
+       |tot AS (SELECT doc_id, sum(cs) AS ts, sum(cc) AS tc
+       |        FROM cell GROUP BY doc_id),
+       |bits AS (SELECT cell.doc_id, idx,
+       |                CASE WHEN cs * tc >= ts * cc THEN 1 ELSE 0 END AS b
+       |         FROM cell JOIN tot ON cell.doc_id = tot.doc_id),
+       |hash AS (SELECT doc_id,
+       |    sum(CASE WHEN idx >= 32 THEN b * (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END) AS hi,
+       |    sum(CASE WHEN idx < 32 THEN b * (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS lo
+       |  FROM bits GROUP BY doc_id),
+       |band0 AS (SELECT doc_id, hi, lo, g.b,
+       |    CASE g.b WHEN 0 THEN lo & 65535
+       |             WHEN 1 THEN (lo >> 16) & 65535
+       |             WHEN 2 THEN hi & 65535
+       |             ELSE (hi >> 16) & 65535 END AS v
+       |  FROM hash, (VALUES (0), (1), (2), (3)) g(b)),
+       |band AS (SELECT doc_id, hi, lo, b, v FROM (
+       |    SELECT band0.*, count(*) OVER (PARTITION BY b, v) AS bdf FROM band0) bd
+       |  WHERE bdf <= $ModalityBandCap),
+       |ip AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |       FROM band a JOIN band b ON a.b = b.b AND a.v = b.v
+       |         AND a.doc_id < b.doc_id
+       |       WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3)""".stripMargin
+
+  /** The classified pair set (the q195 final select, reusable as a
+    * CTE body by q196). */
+  private val crossmodalRelSelect: String =
+    """SELECT COALESCE(ip.doc_a, c.doc_a) AS doc_a,
+      |       COALESCE(ip.doc_b, c.doc_b) AS doc_b,
+      |       ip.doc_a IS NOT NULL AS image_dup,
+      |       c.doc_a IS NOT NULL AS caption_dup,
+      |       CASE WHEN ip.doc_a IS NOT NULL AND c.doc_a IS NOT NULL THEN 'dup_pair'
+      |            WHEN ip.doc_a IS NOT NULL THEN 'recaptioned'
+      |            ELSE 'reillustrated' END AS relation
+      |FROM ip FULL OUTER JOIN cand c
+      |  ON c.doc_a = ip.doc_a AND c.doc_b = ip.doc_b""".stripMargin
+
+  /** Oracle twin of [[q195CrossModalPairs]]: the shared prefix, then
+    * the full-outer classification. */
+  val q195Sql: String = s"$crossmodalPairCtes\n$crossmodalRelSelect"
+
+  /** q196: the cross-modal dedup DECISION (q132's min-side-survivor
+    * convention lifted to pairs-of-modalities): per captioned image,
+    * how many partners it has in each q195 class — n_dup (true pair
+    * duplicates), n_recaptioned (same image under other captions: the
+    * label-noise exposure an annotation review triages), and
+    * n_reillustrated (its caption under other images) — plus `keep`,
+    * false iff the doc is the b-side of any dup_pair (exactly one
+    * survivor per matched pair, the greedy convention every keeper
+    * query here shares). One union + one aggregation over the bounded
+    * q195 pair set; the corpus is touched once for the left join. */
+  def q196CrossModalKeep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = q195CrossModalPairs(s, d).localCheckpoint()
+    val u = pairs
+      .select(col("doc_a").as("doc_id"), col("relation"), lit(0).as("is_b"))
+      .union(pairs
+        .select(col("doc_b").as("doc_id"), col("relation"), lit(1).as("is_b")))
+    val agg = u.groupBy(col("doc_id")).agg(
+      sum(when(col("relation") === "dup_pair", 1L).otherwise(0L)).as("n_dup"),
+      sum(when(col("relation") === "recaptioned", 1L).otherwise(0L))
+        .as("n_recaptioned"),
+      sum(when(col("relation") === "reillustrated", 1L).otherwise(0L))
+        .as("n_reillustrated"),
+      max(when(col("is_b") === 1 && col("relation") === "dup_pair", 1)
+        .otherwise(0)).as("removed"))
+    Tables(s, d, "documents").where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_recaptioned"), lit(0L)).as("n_recaptioned"),
+        coalesce(col("n_reillustrated"), lit(0L)).as("n_reillustrated"),
+        (coalesce(col("removed"), lit(0)) === 0).as("keep"))
+  }
+
+  /** Oracle twin of [[q196CrossModalKeep]]: the shared prefix, the
+    * classified pairs materialized once (rel is read twice and DuckDB
+    * would otherwise inline the whole pixel chain per reference), one
+    * side-tagged union + aggregation, corpus left join. */
+  val q196Sql: String =
+    s"""$crossmodalPairCtes,
+       |rel AS MATERIALIZED ($crossmodalRelSelect),
+       |u AS (SELECT doc_a AS doc_id, relation, 0 AS is_b FROM rel
+       |      UNION ALL SELECT doc_b, relation, 1 FROM rel),
+       |agg AS (SELECT doc_id,
+       |  CAST(sum(CASE WHEN relation = 'dup_pair' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(sum(CASE WHEN relation = 'recaptioned' THEN 1 ELSE 0 END) AS BIGINT) AS n_recaptioned,
+       |  CAST(sum(CASE WHEN relation = 'reillustrated' THEN 1 ELSE 0 END) AS BIGINT) AS n_reillustrated,
+       |  max(CASE WHEN is_b = 1 AND relation = 'dup_pair' THEN 1 ELSE 0 END) AS removed
+       |  FROM u GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(a.n_dup, 0) AS n_dup,
+       |  COALESCE(a.n_recaptioned, 0) AS n_recaptioned,
+       |  COALESCE(a.n_reillustrated, 0) AS n_reillustrated,
+       |  COALESCE(a.removed, 0) = 0 AS keep
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+       |LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_media_features" -> (q37MediaFeatures _),
@@ -2899,7 +3140,9 @@ object Multimodal {
     "q185_video_dedup_keep" -> (q185VideoDedupKeep _),
     "q186_hot_band_report" -> (q186HotBandReport _),
     "q189_reencoded_scene_dups" -> (q189ReencodedSceneDups _),
-    "q190_gain_robust_dups" -> (q190GainRobustDups _))
+    "q190_gain_robust_dups" -> (q190GainRobustDups _),
+    "q195_crossmodal_pairs" -> (q195CrossModalPairs _),
+    "q196_crossmodal_keep" -> (q196CrossModalKeep _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_media_features" -> q37Sql,
@@ -2929,6 +3172,8 @@ object Multimodal {
     "q186_hot_band_report" -> q186Sql,
     "q189_reencoded_scene_dups" -> q189Sql,
     "q190_gain_robust_dups" -> q190Sql,
+    "q195_crossmodal_pairs" -> q195Sql,
+    "q196_crossmodal_keep" -> q196Sql,
     // q182's oracle IS q174's math — the pixels are mode-independent by
     // construction — plus the mode tag derived from doc_id, so a
     // per-mode decode fault surfaces as that mode's rows mismatching

@@ -39,13 +39,15 @@ object DedupIndexFixtures {
     * arriving-batch probe). v9: maintained audio window-fingerprint
     * index (q183's trimmed-dup report, q184's trim probe). v10:
     * maintained video scene-keyframe index (q187's scene-dup report,
-    * q188's footage probe). */
-  private val FixtureVersion = 10
+    * q188's footage probe). v11: maintained ROBUST faces — re-encode
+    * scene bands (q191 report, q193 probe) and gain-robust audio
+    * windows (q192 report, q194 probe). */
+  private val FixtureVersion = 11
 
   /** All maintained-index roots of one fixture. */
   case class Roots(fp: String, band: String, memb: String, rep: String,
       fpCorrupt: String, df: String, span: String, media: String,
-      awin: String, scene: String)
+      awin: String, scene: String, reenc: String, gwin: String)
 
   /** Idempotently build corpus + fp/band indexes + cluster tables for
     * `sfDir` ([[FixtureLifecycle.ensureOnce]] — one build per content
@@ -67,11 +69,15 @@ object DedupIndexFixtures {
       // the audio window index bakes in the JVM-side window grid (64/32)
       s"audiowin-v1 md5win64h32 b=${AudioWindowIndex.IndexBuckets}",
       // the scene index bakes in the keyframe rule + dim-qualified hash
-      s"scene-v1 keyframeRule md5dims b=${SceneIndex.IndexBuckets}"))
+      s"scene-v1 keyframeRule md5dims b=${SceneIndex.IndexBuckets}",
+      // the robust faces bake in the re-encode banding and the
+      // sign-of-delta window grid
+      s"reenc-v1 keyframeAhash banded4x16 b=${ReencodeIndex.IndexBuckets}",
+      s"gwin-v1 signbits63win64h32 b=${GainWindowIndex.IndexBuckets}"))
     val root = FixtureLifecycle.ensureOnce("graft_dedupidx", sig) { root =>
       ManifestTable.currentVersion(s"$root/corpus") == 2 &&
         Seq("fp", "band", "memb", "rep", "fpcorrupt", "df", "span", "media",
-            "awin", "scene")
+            "awin", "scene", "reenc", "gwin")
           .forall(t => ManifestTable.currentVersion(s"$root/$t") >= 1)
     } { root =>
       val corpus = s"$root/corpus"
@@ -90,6 +96,8 @@ object DedupIndexFixtures {
         ModalityIndex.maintainModalityIndex(s, ch, s"$root/media")
         AudioWindowIndex.maintainAudioWindowIndex(s, ch, s"$root/awin")
         SceneIndex.maintainSceneIndex(s, ch, s"$root/scene")
+        ReencodeIndex.maintainReencodeIndex(s, ch, s"$root/reenc")
+        GainWindowIndex.maintainGainWindowIndex(s, ch, s"$root/gwin")
         // band index + cluster tables advance together (applyBatch
         // maintains the band index first, then the components)
         ClusterIndex.applyBatch(ch, v.toLong, s"$root/band", s"$root/memb",
@@ -129,7 +137,7 @@ object DedupIndexFixtures {
     }
     Roots(s"$root/fp", s"$root/band", s"$root/memb", s"$root/rep",
       s"$root/fpcorrupt", s"$root/df", s"$root/span", s"$root/media",
-      s"$root/awin", s"$root/scene")
+      s"$root/awin", s"$root/scene", s"$root/reenc", s"$root/gwin")
   }
 
   private def batch(s: SparkSession, sfDir: String): DataFrame =
@@ -248,6 +256,32 @@ object DedupIndexFixtures {
   def q188SceneProbe(s: SparkSession, d: String): DataFrame =
     SceneIndex.probeScenes(mediaBatch(s, d), s, ensure(s, d).scene)
 
+  /** q191 — q189's re-encode pairs from the MAINTAINED banded
+    * keyframe-aHash index ([[ReencodeIndex]]): banded-Hamming scene
+    * matching with the exact-hash blindness witness, from stored rows
+    * only — no video decoded; the oracle re-derives every band from
+    * raw parquet through the q189 SQL. */
+  def q191MaintainedReencodedDups(s: SparkSession, d: String): DataFrame =
+    ReencodeIndex.maintainedReencodedDups(s, ensure(s, d).reenc)
+
+  /** q192 — q190's gain-robust pairs from the MAINTAINED sign-of-delta
+    * window index ([[GainWindowIndex]]): offsets, cardinality and the
+    * exact-md5 witness from stored rows only — no audio decoded. */
+  def q192MaintainedGainDups(s: SparkSession, d: String): DataFrame =
+    GainWindowIndex.maintainedGainDups(s, ensure(s, d).gwin)
+
+  /** q193 — the re-encode PROBE: which committed videos is the
+    * arriving batch re-encoded footage of — batch-sized decode, a
+    * bucket-pruned band read, stored-fingerprint Hamming rescore. */
+  def q193ReencodeProbe(s: SparkSession, d: String): DataFrame =
+    ReencodeIndex.probeReencodes(mediaBatch(s, d), s, ensure(s, d).reenc)
+
+  /** q194 — the gain PROBE: which committed recordings does the
+    * arriving batch duplicate up to gain — batch-sized decode, a
+    * bucket-pruned window read, the q190 gate + witness. */
+  def q194GainProbe(s: SparkSession, d: String): DataFrame =
+    GainWindowIndex.probeGains(mediaBatch(s, d), s, ensure(s, d).gwin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_maintained_exact_probe" -> (q135MaintainedExactProbe _),
     "q136_maintained_neardup_probe" -> (q136MaintainedNeardupProbe _),
@@ -262,7 +296,11 @@ object DedupIndexFixtures {
     "q183_maintained_trimmed_dups" -> (q183MaintainedTrimmedDups _),
     "q184_trim_probe" -> (q184TrimProbe _),
     "q187_maintained_scene_dups" -> (q187MaintainedSceneDups _),
-    "q188_scene_probe" -> (q188SceneProbe _))
+    "q188_scene_probe" -> (q188SceneProbe _),
+    "q191_maintained_reencoded_dups" -> (q191MaintainedReencodedDups _),
+    "q192_maintained_gain_dups" -> (q192MaintainedGainDups _),
+    "q193_reencode_probe" -> (q193ReencodeProbe _),
+    "q194_gain_probe" -> (q194GainProbe _))
 
   /** q54's oracle text with its `documents` base restricted to the
     * fixture's corpus split — the recursive closure runs on exactly the
@@ -443,6 +481,44 @@ object DedupIndexFixtures {
        |WHERE p.doc_id % 10 = 9
        |GROUP BY p.doc_id, c.doc_id""".stripMargin
 
+  /** q193's oracle: the cross-split banded-Hamming join — probe =
+    * held-out batch, corpus = everything else — from raw parquet, with
+    * the corpus-side hot-band cap mirrored. */
+  val q193Sql: String =
+    s"""${graft.multimodal.Multimodal.reencodeBandCte},
+       |cband AS (SELECT doc_id, fp, hi, lo, b, v FROM (
+       |    SELECT cb.*, count(*) OVER (PARTITION BY b, v) AS bdf
+       |    FROM (SELECT * FROM band0 WHERE doc_id % 10 <> 9) cb) bd
+       |  WHERE bdf <= ${graft.multimodal.Multimodal.ModalityBandCap}),
+       |p AS (SELECT DISTINCT pr.doc_id AS dp, c.doc_id AS dc,
+       |        pr.fp AS fpp, c.fp AS fpc,
+       |        bit_count(xor(pr.hi, c.hi)) + bit_count(xor(pr.lo, c.lo)) AS hamming
+       |      FROM band0 pr JOIN cband c ON pr.b = c.b AND pr.v = c.v
+       |      WHERE pr.doc_id % 10 = 9
+       |        AND bit_count(xor(pr.hi, c.hi)) + bit_count(xor(pr.lo, c.lo)) <= 3)
+       |SELECT dp AS media_id_probe, dc AS media_id_corpus,
+       |  CAST(count(DISTINCT fpp) AS BIGINT) AS n_similar_scenes,
+       |  CAST(max(hamming) AS BIGINT) AS max_hamming
+       |FROM p GROUP BY dp, dc""".stripMargin
+
+  /** q194's oracle: the cross-split sign-fingerprint window join with
+    * the exact-md5 witness, corpus-side hot-fp cap mirrored. */
+  val q194Sql: String =
+    s"""${graft.multimodal.Multimodal.gainWinCte},
+       |cwin AS (SELECT doc_id, w, sfp, efp FROM (
+       |    SELECT cw.*, count(*) OVER (PARTITION BY sfp) AS fdf
+       |    FROM (SELECT * FROM win WHERE doc_id % 10 <> 9) cw) wd
+       |  WHERE fdf <= ${graft.multimodal.Multimodal.ExactFpCap})
+       |SELECT p.doc_id AS media_id_probe, c.doc_id AS media_id_corpus,
+       |  CAST(count(*) AS BIGINT) AS n_shared,
+       |  CAST(sum(CASE WHEN p.efp = c.efp THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exact_shared,
+       |  CAST(min(c.w - p.w) AS BIGINT) AS offset_w
+       |FROM win p JOIN cwin c ON c.sfp = p.sfp
+       |WHERE p.doc_id % 10 = 9
+       |GROUP BY p.doc_id, c.doc_id
+       |HAVING count(*) >= ${GainWindowIndex.MinSharedWindows}""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q135_maintained_exact_probe" -> TextOps.q125Sql,
     "q136_maintained_neardup_probe" -> TextOps.q126Sql,
@@ -458,5 +534,11 @@ object DedupIndexFixtures {
     "q184_trim_probe" -> q184Sql,
     "q187_maintained_scene_dups" ->
       restrictToCorpus(graft.multimodal.Multimodal.q180Sql),
-    "q188_scene_probe" -> q188Sql)
+    "q188_scene_probe" -> q188Sql,
+    "q191_maintained_reencoded_dups" ->
+      restrictToCorpus(graft.multimodal.Multimodal.q189Sql),
+    "q192_maintained_gain_dups" ->
+      restrictToCorpus(graft.multimodal.Multimodal.q190Sql),
+    "q193_reencode_probe" -> q193Sql,
+    "q194_gain_probe" -> q194Sql)
 }

@@ -809,6 +809,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q195 classifies cross-modal pairs consistently (flags ⇔ relation, " +
+    "ordered pair key, no flagless rows) and the image arm is CONTENT-keyed: " +
+    "identical captions produce byte-identical PNGs, different captions " +
+    "different ones — the seam that makes 'recaptioned' a reachable class") {
+    val rows = Multimodal.q195CrossModalPairs(spark, sf0001).collect()
+    assert(rows.nonEmpty, "fixture should surface at least one pair")
+    rows.foreach { r =>
+      val i = r.getAs[Boolean]("image_dup")
+      val c = r.getAs[Boolean]("caption_dup")
+      assert(i || c, s"flagless pair: $r")
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"), s"unordered: $r")
+      val expected = if (i && c) "dup_pair"
+        else if (i) "recaptioned" else "reillustrated"
+      assert(r.getAs[String]("relation") === expected, s"misclassified: $r")
+    }
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (6L, "totally different words make another caption here"))
+      .toDF("doc_id", "text")
+    val pay = Multimodal.captionedImagesFromDocs(docs).collect().sortBy(_.media_id)
+    assert(pay.length === 3)
+    assert(pay(0).data.toSeq == pay(1).data.toSeq,
+      "same caption must give the byte-identical image")
+    assert(pay(0).data.toSeq != pay(2).data.toSeq,
+      "different captions should give different images")
+  }
+
   test("signBits is exactly invariant under exact positive gain and changes " +
     "under a content change") {
     val pcm: Array[Short] = Array.tabulate(70)(i =>

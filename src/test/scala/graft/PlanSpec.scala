@@ -606,6 +606,37 @@ class PlanSpec extends SparkSpec {
     assert(!tplan.contains("SortMergeJoin"), tplan)
   }
 
+  test("probeReencodes / probeGains: the maintained ROBUST indexes join " +
+    "their batch-sized probes by BROADCAST in the final adaptive plan — " +
+    "the index side never sort-merges (the same 100 TB claim as the " +
+    "exact faces)") {
+    import graft.sources.{GainWindowIndex, ManifestTable, ReencodeIndex}
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-robustplan").toString
+    val corpus = s"$work/corpus"
+    // docs 8/11: re-encode pair (gid 2); 4/7: gain pair (gid 1)
+    val v1 = ManifestTable.merge(
+      Seq(8L -> 9L, 11L -> 12L, 4L -> 12L, 7L -> 20L)
+        .toDF("doc_id", "n_chars")
+        .selectExpr("doc_id", "repeat('x', CAST(n_chars AS INT)) AS text"),
+      corpus, Seq("doc_id"))
+    val (reencIdx, gwinIdx) = (s"$work/reenc", s"$work/gwin")
+    ReencodeIndex.refresh(spark, corpus, reencIdx, 0, v1)
+    GainWindowIndex.refresh(spark, corpus, gwinIdx, 0, v1)
+    val rp = ReencodeIndex.probeReencodes(
+      Seq(20L -> 10L).toDF("doc_id", "n_chars"), spark, reencIdx)
+    rp.collect()
+    val rplan = physical(rp)
+    assert(rplan.contains("isFinalPlan=true"), rplan)
+    assert(!rplan.contains("SortMergeJoin"), rplan)
+    val gp = GainWindowIndex.probeGains(
+      Seq(19L -> 10L).toDF("doc_id", "n_chars"), spark, gwinIdx)
+    gp.collect()
+    val gplan = physical(gp)
+    assert(gplan.contains("isFinalPlan=true"), gplan)
+    assert(!gplan.contains("SortMergeJoin"), gplan)
+  }
+
   test("q146 probe: the vocab-table side never plans a hash-partition " +
     "exchange or sort-merge join — batch tf broadcasts into the pruned " +
     "df read, and the 1-row corpus size broadcasts") {

@@ -55,15 +55,26 @@ class SqlSurfaceSpec extends SparkSpec {
       "q184_trim_probe", "q185_video_dedup_keep",
       "q186_hot_band_report", "q187_maintained_scene_dups",
       "q188_scene_probe", "q189_reencoded_scene_dups",
-      "q190_gain_robust_dups") ++
+      "q190_gain_robust_dups", "q191_maintained_reencoded_dups",
+      "q192_maintained_gain_dups", "q193_reencode_probe",
+      "q194_gain_probe", "q195_crossmodal_pairs",
+      "q196_crossmodal_keep") ++
     m("WITH RECURSIVE … UNION (distinct) — Spark 4.1 recursion accepts only " +
       "UNION ALL, and UNION ALL label propagation enumerates paths " +
       "(exponential on cyclic near-dup graphs), so the component family " +
       "stays DataFrame-only")(
       "q54_neardup_components", "q69_keeper_selection", "q88_dedup_funnel",
-      "q100_pagerank", "q103_triangles", "q119_dedup_savings",
+      "q119_dedup_savings",
       "q137_maintained_components", "q138_maintained_keepers",
       "q155_er_entities", "q162_maintained_entities") ++
+    m("AS MATERIALIZED on the double-referenced iteration CTEs (Spark " +
+      "inlines every reference — the oracle's shape would copy the band " +
+      "self-join 2^5 times); the twin restructures to single-reference " +
+      "CTEs via the dangling-mass scalar recurrence")(
+      "q100_pagerank") ++
+    m("DuckDB list-comprehension shingle prefix (the query itself is " +
+      "non-recursive; the twin rides the Spark candidate spine)")(
+      "q103_triangles") ++
     m("read_json() over the raw JSON fixture (DuckDB table function; the " +
       "Spark side is the Ingest module, not a SQL text)")(
       "q52_ingest_silver") ++
