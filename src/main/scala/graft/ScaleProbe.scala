@@ -658,6 +658,34 @@ object ScaleProbe {
       probe("gainwin_index_maintain")(maintainGwin(g1))(maintainGwin(gN))
     }
 
+    // Maintained CROSS-MODAL image index: a FIXED 50-doc arrival batch
+    // (image residue, real multi-token captions so seeds derive) must
+    // cost the same against a 1x and an Nx band table.
+    {
+      import graft.sources.CrossModalIndex
+      def xmodBootstrapped(d: String): String = {
+        val w = java.nio.file.Files.createTempDirectory("graft-scale-xmod").toString
+        CrossModalIndex.bootstrapCrossModalIndex(
+          Tables(spark, d, "documents").select($"doc_id", $"text"), w)
+        w
+      }
+      val x1 = xmodBootstrapped(sfDir)
+      val xN = xmodBootstrapped(docsNDir)
+      var xb = 0L
+      def maintainXmod(root: String): Long = {
+        xb += 1
+        val delta = spark.range(50).select(
+          ($"id" * 3 + 600000000L + xb * 3000L).as("doc_id"),
+          concat_ws(" ", lit("cap"), $"id", lit("tion"), $"id" + 7,
+            lit("word"), $"id" * 31).as("text"),
+          lit("insert").as("_change_type")).localCheckpoint()
+        CrossModalIndex.applyBatch(delta, xb, root, scope = s"probe$xb")
+        1L
+      }
+      maintainXmod(x1); maintainXmod(xN) // warm both roots
+      probe("crossmodal_index_maintain")(maintainXmod(x1))(maintainXmod(xN))
+    }
+
     // ---- the gate: time must grow at most linearly with data ----
     val gated = results.toSeq.map { case (n, t1, tN) =>
       (n, t1, tN, tN / math.max(t1, 0.3))

@@ -2473,6 +2473,38 @@ object SparkSqlTwins {
     "q195_crossmodal_pairs" ->
       s"$crossmodalTwinCtes\n$crossmodalTwinRelSelect",
 
+    // q197: the maintained cross-modal report — the same from-scratch
+    // recompute over the fixture's corpus split; q198: the cross-split
+    // probe with the image-side cap on the corpus split only
+    "q197_maintained_crossmodal" ->
+      corpusSplit(s"$crossmodalTwinCtes\n$crossmodalTwinRelSelect"),
+
+    "q198_crossmodal_probe" ->
+      s"""$crossmodalTwinCtes,
+         |cband AS (SELECT doc_id, hi, lo, b, v FROM (
+         |    SELECT cb.*, count(1) OVER (PARTITION BY b, v) AS bdf
+         |    FROM (SELECT * FROM band0 WHERE doc_id % 10 <> 9) cb) bd
+         |  WHERE bdf <= ${graft.multimodal.Multimodal.ModalityBandCap}),
+         |pimg AS (SELECT DISTINCT pr.doc_id AS doc_probe, c.doc_id AS doc_corpus
+         |         FROM band0 pr JOIN cband c ON pr.b = c.b AND pr.v = c.v
+         |         WHERE pr.doc_id % 10 = 9
+         |           AND bit_count(pr.hi ^ c.hi) + bit_count(pr.lo ^ c.lo) <= 3),
+         |pcap AS (SELECT DISTINCT a.doc_id AS doc_probe, b.doc_id AS doc_corpus
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bucket = b.bucket
+         |         WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 <> 9
+         |           AND a.doc_id % 3 = 0 AND b.doc_id % 3 = 0)
+         |SELECT COALESCE(i.doc_probe, c.doc_probe) AS doc_probe,
+         |       COALESCE(i.doc_corpus, c.doc_corpus) AS doc_corpus,
+         |       i.doc_probe IS NOT NULL AS image_dup,
+         |       c.doc_probe IS NOT NULL AS caption_dup,
+         |       CASE WHEN i.doc_probe IS NOT NULL AND c.doc_probe IS NOT NULL
+         |              THEN 'dup_pair'
+         |            WHEN i.doc_probe IS NOT NULL THEN 'recaptioned'
+         |            ELSE 'reillustrated' END AS relation
+         |FROM pimg i FULL OUTER JOIN pcap c
+         |  ON c.doc_probe = i.doc_probe AND c.doc_corpus = i.doc_corpus""".stripMargin,
+
     "q196_crossmodal_keep" ->
       s"""$crossmodalTwinCtes,
          |rel AS ($crossmodalTwinRelSelect),

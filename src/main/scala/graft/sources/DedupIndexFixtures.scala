@@ -41,13 +41,16 @@ object DedupIndexFixtures {
     * maintained video scene-keyframe index (q187's scene-dup report,
     * q188's footage probe). v11: maintained ROBUST faces — re-encode
     * scene bands (q191 report, q193 probe) and gain-robust audio
-    * windows (q192 report, q194 probe). */
-  private val FixtureVersion = 11
+    * windows (q192 report, q194 probe). v12: maintained CROSS-MODAL
+    * image index (q197's classified-pair report, q198's arriving-batch
+    * probe — the caption arm reads the v1 band index). */
+  private val FixtureVersion = 12
 
   /** All maintained-index roots of one fixture. */
   case class Roots(fp: String, band: String, memb: String, rep: String,
       fpCorrupt: String, df: String, span: String, media: String,
-      awin: String, scene: String, reenc: String, gwin: String)
+      awin: String, scene: String, reenc: String, gwin: String,
+      xmod: String)
 
   /** Idempotently build corpus + fp/band indexes + cluster tables for
     * `sfDir` ([[FixtureLifecycle.ensureOnce]] — one build per content
@@ -73,11 +76,13 @@ object DedupIndexFixtures {
       // the robust faces bake in the re-encode banding and the
       // sign-of-delta window grid
       s"reenc-v1 keyframeAhash banded4x16 b=${ReencodeIndex.IndexBuckets}",
-      s"gwin-v1 signbits63win64h32 b=${GainWindowIndex.IndexBuckets}"))
+      s"gwin-v1 signbits63win64h32 b=${GainWindowIndex.IndexBuckets}",
+      // the cross-modal index bakes in the h0-seeded image generator
+      s"xmod-v1 h0seed ahash banded4x16 b=${CrossModalIndex.IndexBuckets}"))
     val root = FixtureLifecycle.ensureOnce("graft_dedupidx", sig) { root =>
       ManifestTable.currentVersion(s"$root/corpus") == 2 &&
         Seq("fp", "band", "memb", "rep", "fpcorrupt", "df", "span", "media",
-            "awin", "scene", "reenc", "gwin")
+            "awin", "scene", "reenc", "gwin", "xmod")
           .forall(t => ManifestTable.currentVersion(s"$root/$t") >= 1)
     } { root =>
       val corpus = s"$root/corpus"
@@ -98,6 +103,7 @@ object DedupIndexFixtures {
         SceneIndex.maintainSceneIndex(s, ch, s"$root/scene")
         ReencodeIndex.maintainReencodeIndex(s, ch, s"$root/reenc")
         GainWindowIndex.maintainGainWindowIndex(s, ch, s"$root/gwin")
+        CrossModalIndex.maintainCrossModalIndex(s, ch, s"$root/xmod")
         // band index + cluster tables advance together (applyBatch
         // maintains the band index first, then the components)
         ClusterIndex.applyBatch(ch, v.toLong, s"$root/band", s"$root/memb",
@@ -137,7 +143,8 @@ object DedupIndexFixtures {
     }
     Roots(s"$root/fp", s"$root/band", s"$root/memb", s"$root/rep",
       s"$root/fpcorrupt", s"$root/df", s"$root/span", s"$root/media",
-      s"$root/awin", s"$root/scene", s"$root/reenc", s"$root/gwin")
+      s"$root/awin", s"$root/scene", s"$root/reenc", s"$root/gwin",
+      s"$root/xmod")
   }
 
   private def batch(s: SparkSession, sfDir: String): DataFrame =
@@ -282,6 +289,23 @@ object DedupIndexFixtures {
   def q194GainProbe(s: SparkSession, d: String): DataFrame =
     GainWindowIndex.probeGains(mediaBatch(s, d), s, ensure(s, d).gwin)
 
+  /** q197 — q195's cross-modal classification from the TWO maintained
+    * tables ([[CrossModalIndex]] image bands + the text family's band
+    * index): nothing re-shingled, no image re-derived; the oracle
+    * recomputes both arms from raw parquet over the corpus split. */
+  def q197MaintainedCrossModal(s: SparkSession, d: String): DataFrame = {
+    val r = ensure(s, d)
+    CrossModalIndex.maintainedCrossModalPairs(s, r.xmod, r.band)
+  }
+
+  /** q198 — the cross-modal PROBE: classify the arriving batch against
+    * the committed corpus (batch-sized shingle + image work, a
+    * bucket-pruned image-band read, the stored caption bands). */
+  def q198CrossModalProbe(s: SparkSession, d: String): DataFrame = {
+    val r = ensure(s, d)
+    CrossModalIndex.probeCrossModal(batch(s, d), s, r.xmod, r.band)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_maintained_exact_probe" -> (q135MaintainedExactProbe _),
     "q136_maintained_neardup_probe" -> (q136MaintainedNeardupProbe _),
@@ -300,7 +324,9 @@ object DedupIndexFixtures {
     "q191_maintained_reencoded_dups" -> (q191MaintainedReencodedDups _),
     "q192_maintained_gain_dups" -> (q192MaintainedGainDups _),
     "q193_reencode_probe" -> (q193ReencodeProbe _),
-    "q194_gain_probe" -> (q194GainProbe _))
+    "q194_gain_probe" -> (q194GainProbe _),
+    "q197_maintained_crossmodal" -> (q197MaintainedCrossModal _),
+    "q198_crossmodal_probe" -> (q198CrossModalProbe _))
 
   /** q54's oracle text with its `documents` base restricted to the
     * fixture's corpus split — the recursive closure runs on exactly the
@@ -519,6 +545,38 @@ object DedupIndexFixtures {
        |GROUP BY p.doc_id, c.doc_id
        |HAVING count(*) >= ${GainWindowIndex.MinSharedWindows}""".stripMargin
 
+  /** q198's oracle: the cross-split cross-modal classification — both
+    * arms recomputed from raw parquet (the shared q195 prefix supplies
+    * the signature chain, caption bands and image band0 rows; its
+    * whole-corpus `cand`/`ip`/`band` CTEs go unreferenced), with the
+    * image-side hot-band cap mirrored on the CORPUS split only, the
+    * probe side uncapped — exactly the stored-index read's shape. */
+  val q198Sql: String =
+    s"""${graft.multimodal.Multimodal.crossmodalPairCtes},
+       |cband AS (SELECT doc_id, hi, lo, b, v FROM (
+       |    SELECT cb.*, count(*) OVER (PARTITION BY b, v) AS bdf
+       |    FROM (SELECT * FROM band0 WHERE doc_id % 10 <> 9) cb) bd
+       |  WHERE bdf <= ${graft.multimodal.Multimodal.ModalityBandCap}),
+       |pimg AS (SELECT DISTINCT pr.doc_id AS doc_probe, c.doc_id AS doc_corpus
+       |         FROM band0 pr JOIN cband c ON pr.b = c.b AND pr.v = c.v
+       |         WHERE pr.doc_id % 10 = 9
+       |           AND bit_count(xor(pr.hi, c.hi)) + bit_count(xor(pr.lo, c.lo)) <= 3),
+       |pcap AS (SELECT DISTINCT a.doc_id AS doc_probe, b.doc_id AS doc_corpus
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bucket = b.bucket
+       |         WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 <> 9
+       |           AND a.doc_id % 3 = 0 AND b.doc_id % 3 = 0)
+       |SELECT COALESCE(i.doc_probe, c.doc_probe) AS doc_probe,
+       |       COALESCE(i.doc_corpus, c.doc_corpus) AS doc_corpus,
+       |       i.doc_probe IS NOT NULL AS image_dup,
+       |       c.doc_probe IS NOT NULL AS caption_dup,
+       |       CASE WHEN i.doc_probe IS NOT NULL AND c.doc_probe IS NOT NULL
+       |              THEN 'dup_pair'
+       |            WHEN i.doc_probe IS NOT NULL THEN 'recaptioned'
+       |            ELSE 'reillustrated' END AS relation
+       |FROM pimg i FULL OUTER JOIN pcap c
+       |  ON c.doc_probe = i.doc_probe AND c.doc_corpus = i.doc_corpus""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q135_maintained_exact_probe" -> TextOps.q125Sql,
     "q136_maintained_neardup_probe" -> TextOps.q126Sql,
@@ -540,5 +598,8 @@ object DedupIndexFixtures {
     "q192_maintained_gain_dups" ->
       restrictToCorpus(graft.multimodal.Multimodal.q190Sql),
     "q193_reencode_probe" -> q193Sql,
-    "q194_gain_probe" -> q194Sql)
+    "q194_gain_probe" -> q194Sql,
+    "q197_maintained_crossmodal" ->
+      restrictToCorpus(graft.multimodal.Multimodal.q195Sql),
+    "q198_crossmodal_probe" -> q198Sql)
 }

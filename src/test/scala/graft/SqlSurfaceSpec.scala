@@ -58,7 +58,8 @@ class SqlSurfaceSpec extends SparkSpec {
       "q190_gain_robust_dups", "q191_maintained_reencoded_dups",
       "q192_maintained_gain_dups", "q193_reencode_probe",
       "q194_gain_probe", "q195_crossmodal_pairs",
-      "q196_crossmodal_keep") ++
+      "q196_crossmodal_keep", "q197_maintained_crossmodal",
+      "q198_crossmodal_probe") ++
     m("WITH RECURSIVE … UNION (distinct) — Spark 4.1 recursion accepts only " +
       "UNION ALL, and UNION ALL label propagation enumerates paths " +
       "(exponential on cyclic near-dup graphs), so the component family " +
