@@ -2927,12 +2927,43 @@ object Multimodal {
         coalesce(conv(col("h0"), 16, 10).cast("long"), lit(0L)).as("seed"))
       .as[(Long, Long)]
       .map { case (docId, seed) =>
-        val w = (seed % 24 + 8).toInt
-        val h = (seed % 16 + 8).toInt
-        val px = Array.tabulate(w * h)(i =>
-          ((seed * 7 + (i / w) * 13 + (i % w) * 31) % 256).toInt)
-        MediaPayload(docId, "image", MediaHeaders.pngPixelBytes(w, h, px))
+        MediaPayload(docId, "image", captionedPngBytes(seed))
       }
+  }
+
+  /** The content-keyed PNG for a caption seed — the ONE pixel formula
+    * behind q195's images, shared by the batch generator above and the
+    * streaming probe so the two surfaces cannot drift. */
+  private[graft] def captionedPngBytes(seed: Long): Array[Byte] = {
+    val w = (seed % 24 + 8).toInt
+    val h = (seed % 16 + 8).toInt
+    val px = Array.tabulate(w * h)(i =>
+      ((seed * 7 + (i / w) * 13 + (i % w) * 31) % 256).toInt)
+    MediaHeaders.pngPixelBytes(w, h, px)
+  }
+
+  /** JVM mirror of the q30 signature chain for STREAMS: the 8 MinHash
+    * slices (h0..h7) of a caption, or None when it has no shingles
+    * (< 3 tokens) — value-identical to the DataFrame chain (same
+    * whitespace tokenizer, same 3-gram shingles, same md5-hex slices;
+    * min over the multiset equals min over the distinct set), which
+    * MultimodalSpec pins on real corpus text. The streaming cross-modal
+    * probe derives BOTH arms from it per row: caption band buckets
+    * (slice pairs) and the h0 image seed. */
+  private[graft] def captionSig(text: String): Option[Array[String]] = {
+    val toks = text.trim.split("\\s+")
+    if (toks.length < 3) None
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hexes = (0 to toks.length - 3).map { i =>
+        md.reset()
+        md.digest((toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+            .getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+      }
+      Some(Array.tabulate(8)(k =>
+        hexes.iterator.map(_.substring(k * 4, k * 4 + 4)).min))
+    }
   }
 
   /** q195: CROSS-MODAL pair integrity over captioned images — the dedup

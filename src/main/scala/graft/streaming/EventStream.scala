@@ -974,4 +974,91 @@ object EventStream {
       .groupByKey(_._1)
       .transformWithState(new ImageDupProbeProcessor, TimeMode.None(), OutputMode.Append())
   }
+
+  case class CrossModalHit(modality: String, doc_probe: Long, doc_corpus: Long)
+
+  /** State + verdict for the cross-modal probe: one key space carries
+    * BOTH arms — image band keys ("i:b:v", members rescored to exact
+    * Hamming ≤ 3 on their stored fingerprints) and caption bucket keys
+    * ("c:band:bucket", bucket equality IS the q30 candidate predicate,
+    * so every committed member is a hit). Probes never enter state, so
+    * probes cannot match each other; same-batch commits are visible to
+    * same-batch probes (arrivals append before probes scan — the
+    * [[ImageDupProbeProcessor]] contract). */
+  class CrossModalProbeProcessor
+      extends StatefulProcessor[String, (String, Long, Long, Long, Boolean), CrossModalHit] {
+    @transient private var members: org.apache.spark.sql.streaming.ListState[ImageBandMember] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[ImageBandMember](
+        "members", Encoders.product[ImageBandMember], TTLConfig.NONE)
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, Long, Long, Long, Boolean)],
+        timerValues: TimerValues): Iterator[CrossModalHit] = {
+      val rs = rows.toArray
+      val arriving = rs.collect { case (_, id, hi, lo, false) => ImageBandMember(id, hi, lo) }
+        .distinct.sortBy(m => (m.id, m.hi, m.lo))
+      if (arriving.nonEmpty) members.appendList(arriving.toArray)
+      val probes = rs.collect { case (_, id, hi, lo, true) => (id, hi, lo) }.distinct.sorted
+      if (probes.isEmpty) Iterator.empty
+      else {
+        val committed = members.get().toArray
+        val image = key.startsWith("i:")
+        probes.iterator.flatMap { case (pid, phi, plo) =>
+          committed.iterator.flatMap { m =>
+            if (!image) Some(CrossModalHit("caption", pid, m.id))
+            else {
+              val d = java.lang.Long.bitCount(phi ^ m.hi) +
+                java.lang.Long.bitCount(plo ^ m.lo)
+              if (d <= 3) Some(CrossModalHit("image", pid, m.id)) else None
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** q198 as a stream: captioned docs (doc_id, text, is_probe) in,
+    * per-modality duplicate hits out — which committed captioned image
+    * does an arriving doc duplicate, and in which modality. One per-row
+    * pass derives BOTH arms from the caption text through the SAME
+    * chains the batch queries read ([[graft.multimodal.Multimodal
+    * .captionSig]] ≡ the q30 signature, [[graft.multimodal.Multimodal
+    * .captionedPngBytes]] + real PNG decode + aHash ≡ q195's image
+    * arm), then fans out to 8 keys: 4 image band keys carrying the
+    * 64-bit fingerprint and 4 caption bucket keys. q195's
+    * classification is a grouping of the emitted hits (a pair's class
+    * can UPGRADE as later commits land — recaptioned → dup_pair when
+    * the caption arm fires too — which an append stream reports as a
+    * second tagged hit, never a retraction). Non-image docs
+    * (doc_id % 3 ≠ 0) emit nothing; the text never reaches the state
+    * store — only 24-byte members per key. */
+  def crossModalProbeStream(docs: DataFrame): Dataset[CrossModalHit] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text"), col("is_probe"))
+      .as[(Long, String, Boolean)]
+      .flatMap { case (id, text, isProbe) =>
+        import graft.multimodal.{MediaHeaders, Multimodal}
+        if (id % 3 != 0) Seq.empty[(String, Long, Long, Long, Boolean)]
+        else {
+          val sig = Multimodal.captionSig(text)
+          val seed = sig.map(g => java.lang.Long.parseLong(g(0), 16)).getOrElse(0L)
+          val img = MediaHeaders.pngPixels(Multimodal.captionedPngBytes(seed)).toSeq
+            .flatMap { case (w, h, px) =>
+              val (hi, lo, _) = Multimodal.ahash64(w.toInt, h.toInt, px)
+              Seq((0, lo & 0xFFFFL), (1, (lo >> 16) & 0xFFFFL),
+                  (2, hi & 0xFFFFL), (3, (hi >> 16) & 0xFFFFL))
+                .map { case (b, v) => (s"i:$b:$v", id, hi, lo, isProbe) }
+            }
+          val cap = sig.toSeq.flatMap { g =>
+            (0 until 4).map(b =>
+              (s"c:$b:${g(2 * b) + g(2 * b + 1)}", id, 0L, 0L, isProbe))
+          }
+          img ++ cap
+        }
+      }
+      .groupByKey(_._1)
+      .transformWithState(new CrossModalProbeProcessor, TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -838,6 +838,38 @@ class MultimodalSpec extends SparkSpec {
       "different captions should give different images")
   }
 
+  test("captionSig (the stream's JVM mirror of the q30 signature chain) " +
+    "equals the DataFrame chain slice-for-slice on real corpus text, " +
+    "including the no-shingle None ↔ absent-row correspondence") {
+    import spark.implicits._
+    val docs = Tables(spark, sf0001, "documents").select($"doc_id", $"text")
+    val viaDf = docs
+      .select($"doc_id", graft.functions.TextOps.tokens($"text").as("toks"))
+      .select($"doc_id",
+        explode(expr(graft.functions.TextOps.shinglesExpr)).as("shingle"))
+      .select($"doc_id", md5($"shingle").as("h"))
+      .groupBy($"doc_id")
+      .agg(min(substring($"h", 1, 4)).as("h0"),
+        min(substring($"h", 5, 4)).as("h1"), min(substring($"h", 9, 4)).as("h2"),
+        min(substring($"h", 13, 4)).as("h3"), min(substring($"h", 17, 4)).as("h4"),
+        min(substring($"h", 21, 4)).as("h5"), min(substring($"h", 25, 4)).as("h6"),
+        min(substring($"h", 29, 4)).as("h7"))
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getString).toArray).toMap
+    var compared = 0
+    docs.collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      (Multimodal.captionSig(text), viaDf.get(id)) match {
+        case (None, None) => ()
+        case (Some(a), Some(b)) =>
+          assert(a.toSeq == b.toSeq, s"doc $id signature drift")
+          compared += 1
+        case other => fail(s"doc $id presence drift: $other")
+      }
+    }
+    assert(compared > 100, "the corpus should exercise real signatures")
+  }
+
   test("signBits is exactly invariant under exact positive gain and changes " +
     "under a content change") {
     val pcm: Array[Short] = Array.tabulate(70)(i =>

@@ -881,4 +881,65 @@ class StreamingSpec extends SparkSpec {
     assert(out.length === 1)
     assert(out.head.getAs[Double]("total_value") === 4.0)
   }
+
+  test("crossModalProbeStream (transformWithState): tagged per-modality hits " +
+    "equal the brute-force cross-split recompute ON REAL CORPUS TEXT — image " +
+    "hits at aHash Hamming<=3 over the content-keyed images (DataFrame-chain " +
+    "ground truth, so the stream's JVM signature mirror is cross-checked), " +
+    "caption hits at q30 bucket equality — across micro-batches; q195's " +
+    "classification is a grouping of the tags") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").where($"doc_id" < 240)
+    val corpus = all.where($"doc_id" % 10 =!= 9)
+    val probes = all.where($"doc_id" % 10 === 9)
+
+    // ground truth via the BATCH DataFrame chains (not the stream's own
+    // JVM helpers): image hashes through CrossModalIndex.bandFacts,
+    // caption buckets through TextOps.bandRowsOf
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      graft.sources.CrossModalIndex.bandFacts(df)
+        .select($"media_id", $"hi", $"lo").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def capRows(df: org.apache.spark.sql.DataFrame) =
+      graft.functions.TextOps.bandRowsOf(df).where($"doc_id" % 3 === 0)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Int]("band"), r.getAs[String]("bucket")))
+    val (ch, ph) = (hashes(corpus), hashes(probes))
+    def ham(a: (Long, Long, Long), b: (Long, Long, Long)): Int =
+      java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+    val expImage = (for { p <- ph; c <- ch if ham(p, c) <= 3 }
+      yield ("image", p._1, c._1)).toSet
+    val (cr, pr) = (capRows(corpus), capRows(probes))
+    val expCaption = (for {
+      p <- pr; c <- cr if p._2 == c._2 && p._3 == c._3
+    } yield ("caption", p._1, c._1)).toSet
+    val expected = expImage ++ expCaption
+    assert(expImage.nonEmpty && expCaption.nonEmpty,
+      "the sample should exercise both arms")
+
+    withRocksDb {
+      val mem = MemoryStream[(Long, String, Boolean)]
+      val q = EventStream.crossModalProbeStream(
+          mem.toDF().toDF("doc_id", "text", "is_probe"))
+        .toDF().writeStream.format("memory")
+        .queryName("xmodal_out").outputMode("append").start()
+      // corpus commits across two micro-batches, then the probes
+      val crows = corpus.collect().map(r => (r.getLong(0), r.getString(1), false))
+      mem.addData(crows.filter(_._1 % 2 == 0).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(crows.filter(_._1 % 2 == 1).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(probes.collect()
+        .map(r => (r.getLong(0), r.getString(1), true)).toSeq: _*)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("xmodal_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === expected, s"stream ${streamed.size} hits vs " +
+        s"expected ${expected.size}: extra=${streamed -- expected} " +
+        s"missing=${expected -- streamed}")
+    }
+  }
 }
