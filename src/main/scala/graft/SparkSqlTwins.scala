@@ -565,6 +565,104 @@ object SparkSqlTwins {
          |FROM ip FULL OUTER JOIN cand c
          |  ON c.doc_a = ip.doc_a AND c.doc_b = ip.doc_b""".stripMargin
 
+  /** One power step y = M·x over a FLAT row-major 64×64 matrix, each
+    * row summed j-ascending from 0 — the exact fold the DataFrame
+    * path's driver loop runs (VectorOps.powerDirection). */
+  private def matvec64(m: String, x: String): String =
+    s"""transform(sequence(1, 64), i -> aggregate(
+       |        zip_with(slice($m, (i - 1) * 64 + 1, 64), $x, (a, b) -> a * b),
+       |        0D, (acc, y) -> acc + y))""".stripMargin
+
+  private def norm64(g: String): String =
+    s"sqrt(aggregate(transform($g, y -> y * y), 0D, (acc, y) -> acc + y))"
+
+  /** First-nonzero-positive sign rule (VectorOps.powerDirection's):
+    * sign of the first component with |y| > 1e-12, 1 when none —
+    * guarded so the empty filter never indexes under ANSI. */
+  private def sign64(g: String): String =
+    s"""CASE WHEN size(filter($g, y -> abs(y) > 1e-12)) > 0
+       |          THEN CASE WHEN element_at(filter($g, y -> abs(y) > 1e-12), 1) < 0
+       |                    THEN -1D ELSE 1D END
+       |          ELSE 1D END""".stripMargin
+
+  /** Spark twin of q147 ("all-but-the-top-2" whitening). The oracle
+    * needs AS MATERIALIZED: its two-level power/deflation ladder reads
+    * the covariance CTE from ~10 places, and with Spark inlining every
+    * reference the copies MULTIPLY through the levels (hundreds of
+    * inlined corpus aggregates; measured >10 min to plan at sf0.001).
+    * The twin makes the ladder single-reference instead: the snapped
+    * means and covariance are PACKED into one-row arrays (a 64-array
+    * and a flat row-major 4096-array via a keyed map), and the whole
+    * eigensolve — three power steps, normalize, sign, snap, λ₁,
+    * deflation, three more steps, Gram–Schmidt, snap — runs as
+    * higher-order-function algebra in ONE lateral-column-alias SELECT,
+    * so the plan grows linearly and the corpus is scanned exactly
+    * three times (means, covariance, projection), the DataFrame
+    * plan's own shape. Every fold is ordered to match the driver-side
+    * loops term for term (j-ascending matvec accumulation,
+    * (w₁ᵢ·Cᵢⱼ)·w₁ⱼ association in λ₁, (x/nrm)·sgn in the snap), so the
+    * engine-computed directions equal VectorOps' driver doubles
+    * bit-for-bit and the final projection — the same zip_with/dot
+    * composition the optimizer rewrites to dot_native — agrees before
+    * the display round. */
+  private val whitenTopTwoTwin: String = {
+    val ones = "array_repeat(1D, 64)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+       |dims AS (SELECT explode(sequence(1, 64)) AS i),
+       |mu0 AS (SELECT i, round(sum(element_at(v, i)) / count(*), 6) AS mu
+       |        FROM e CROSS JOIN dims GROUP BY i),
+       |muP AS (SELECT transform(array_sort(collect_list(struct(i, mu))), x -> x.mu) AS mu
+       |        FROM mu0),
+       |d AS (SELECT a.i AS i, b.i AS j FROM dims a CROSS JOIN dims b WHERE a.i <= b.i),
+       |c0 AS (SELECT d.i, d.j,
+       |         round(sum((element_at(e.v, d.i) - element_at(m.mu, d.i))
+       |                   * (element_at(e.v, d.j) - element_at(m.mu, d.j))) / count(*), 7) AS c
+       |       FROM e CROSS JOIN muP m CROSS JOIN d
+       |       GROUP BY d.i, d.j),
+       |cP AS (SELECT map_from_entries(collect_list(struct(i * 65 + j, c))) AS cm
+       |       FROM (SELECT i, j, c FROM c0
+       |             UNION ALL SELECT j AS i, i AS j, c FROM c0 WHERE i <> j)),
+       |alg AS (SELECT
+       |  m.mu,
+       |  transform(sequence(1, 4096),
+       |    k -> p.cm[CAST(((k - 1) div 64 + 1) * 65 + ((k - 1) % 64 + 1) AS INT)]) AS cf,
+       |  ${matvec64("cf", ones)} AS p1,
+       |  ${matvec64("cf", "p1")} AS p2,
+       |  ${matvec64("cf", "p2")} AS p3,
+       |  ${norm64("p3")} AS nrm1,
+       |  ${sign64("p3")} AS sg1,
+       |  transform(p3, y -> round(y / nrm1 * sg1, 6)) AS w1,
+       |  transform(sequence(1, 4096),
+       |    k -> element_at(w1, CAST((k - 1) div 64 + 1 AS INT))
+       |         * element_at(cf, k)) AS cfw,
+       |  round(aggregate(${matvec64("cfw", "w1")}, 0D, (acc, y) -> acc + y), 7) AS lam,
+       |  transform(sequence(1, 4096), k -> round(element_at(cf, k)
+       |    - lam * element_at(w1, CAST((k - 1) div 64 + 1 AS INT))
+       |          * element_at(w1, CAST((k - 1) % 64 + 1 AS INT)), 7)) AS c2m,
+       |  ${matvec64("c2m", ones)} AS u1,
+       |  ${matvec64("c2m", "u1")} AS u2,
+       |  ${matvec64("c2m", "u2")} AS u3,
+       |  aggregate(zip_with(u3, w1, (a, b) -> a * b), 0D, (acc, y) -> acc + y) AS gsd,
+       |  zip_with(u3, w1, (a, b) -> a - gsd * b) AS gq,
+       |  ${norm64("gq")} AS nrm2,
+       |  ${sign64("gq")} AS sg2,
+       |  transform(gq, y -> round(y / nrm2 * sg2, 6)) AS w2
+       |FROM muP m CROSS JOIN cP p),
+       |pr AS (SELECT e.vec_id,
+       |         zip_with(e.v, a.mu, (x, y) -> x - y) AS vc,
+       |         a.w1 AS w1a, a.w2 AS w2a
+       |       FROM e CROSS JOIN alg a),
+       |f AS (SELECT vec_id,
+       |        ${dot("vc", "w1a")} AS c1,
+       |        ${dot("vc", "w2a")} AS c2,
+       |        ${dot("vc", "vc")} AS ss
+       |      FROM pr)
+       |SELECT vec_id, round(c1, 6) AS top_coef,
+       |       round(c2, 6) AS second_coef,
+       |       round(sqrt(greatest(0D, ss - c1 * c1 - c2 * c2)), 6) AS resid_norm
+       |FROM f""".stripMargin
+  }
+
   private val base: Map[String, String] = Map(
     "q134_dsir_weights" ->
       raw"""WITH tok AS (SELECT doc_id, source, token
@@ -2092,6 +2190,11 @@ object SparkSqlTwins {
         |SELECT vec_id, round(coef, 6) AS top_coef,
         |       round(sqrt(greatest(0D, ss - coef * coef)), 6) AS resid_norm
         |FROM p""".stripMargin,
+
+    // q147: the packed-array eigensolve twin (see whitenTopTwoTwin —
+    // the oracle's MATERIALIZED ladder has no Spark spelling, so the
+    // twin restructures to single-reference lateral-alias algebra)
+    "q147_whiten_top_two" -> whitenTopTwoTwin,
 
     "q153_semantic_decon" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
