@@ -489,6 +489,12 @@ object ScaleProbe {
       def xmodal(d: String): Long = Multimodal.q195CrossModalPairs(spark, d).count()
       xmodal(sfDir) // warm
       probe("crossmodal_pairs")(xmodal(sfDir))(xmodal(docsNDir))
+      // Round-17 split-leakage audit: the candidate spine plus per-row
+      // split hashing — no corpus join, so time must track rows
+      def leak(d: String): Long =
+        graft.functions.TextOps.q199SplitLeakage(spark, d).count()
+      leak(sfDir) // warm
+      probe("split_leakage")(leak(sfDir))(leak(docsNDir))
     }
 
     // Maintained SPAN index: applying a FIXED 50-doc arrival batch must

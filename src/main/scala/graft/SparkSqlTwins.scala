@@ -2545,6 +2545,26 @@ object SparkSqlTwins {
 
     "q100_pagerank" -> pagerankTwin,
 
+    // q199: split leakage — the Spark candidate spine with both q55
+    // splits stamped inline on the pair rows (no corpus join)
+    "q199_split_leakage" ->
+      s"""WITH $candCte,
+         |sp AS (SELECT c.doc_a, c.doc_b,
+         |  CASE WHEN CAST(conv(substring(md5(CAST(c.doc_a AS STRING)), 1, 4), 16, 10) AS BIGINT) < 52429 THEN 'train'
+         |       WHEN CAST(conv(substring(md5(CAST(c.doc_a AS STRING)), 1, 4), 16, 10) AS BIGINT) < 58982 THEN 'val'
+         |       ELSE 'test' END AS split_a,
+         |  CASE WHEN CAST(conv(substring(md5(CAST(c.doc_b AS STRING)), 1, 4), 16, 10) AS BIGINT) < 52429 THEN 'train'
+         |       WHEN CAST(conv(substring(md5(CAST(c.doc_b AS STRING)), 1, 4), 16, 10) AS BIGINT) < 58982 THEN 'val'
+         |       ELSE 'test' END AS split_b
+         |  FROM cand c),
+         |pe AS (SELECT doc_a AS doc_id, split_a AS split, doc_b AS train_doc
+         |       FROM sp WHERE split_a <> 'train' AND split_b = 'train'
+         |       UNION ALL
+         |       SELECT doc_b, split_b, doc_a
+         |       FROM sp WHERE split_b <> 'train' AND split_a = 'train')
+         |SELECT doc_id, split, count(DISTINCT train_doc) AS n_train_dups
+         |FROM pe GROUP BY doc_id, split""".stripMargin,
+
     // q103's oracle is non-recursive but rides the DuckDB-only shared
     // prefix (list-comprehension shingles); the twin is the same
     // ordered-wedge join over the Spark candidate spine.

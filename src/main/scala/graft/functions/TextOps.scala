@@ -1600,6 +1600,64 @@ object TextOps {
       |       ELSE 'test' END AS split
       |FROM documents""".stripMargin
 
+  /** q55's split as a pure per-row function of the key — computed
+    * INLINE on whatever rows need it (q199 stamps it onto pair rows),
+    * so no query ever joins the corpus just to learn a split. */
+  private def splitOf(c: Column): Column = {
+    val b = conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
+    when(b < 52429, "train").when(b < 58982, "val").otherwise("test")
+  }
+
+  /** q199 — SPLIT-LEAKAGE audit: eval (val/test) documents that have a
+    * near-duplicate in the TRAIN split — the contamination a
+    * hash-by-key split (q55) cannot prevent, because near-dup PAIRS
+    * straddle any key-hash boundary: evaluating on a lightly-edited
+    * copy of a training document measures memorization, not
+    * generalization. The standard fix is component-aware splitting
+    * (assign whole q54 clusters to one side); this query is the audit
+    * that says whether — and where — the cheap split needs it. Per
+    * leaked eval doc: its split and how many distinct train partners
+    * leak into it.
+    *
+    * 100 TB shape: rides the shared candidate-pair spine (bounded, the
+    * q30 contract); both splits are stamped onto the pair rows as
+    * per-row hash math — the corpus is never joined, never re-read.
+    * Output is bounded by the leaked subset of candidate pairs. */
+  def q199SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = candidatePairs(s, d)
+      .withColumn("split_a", splitOf($"doc_a"))
+      .withColumn("split_b", splitOf($"doc_b"))
+    pairs.where($"split_a" =!= "train" && $"split_b" === "train")
+      .select($"doc_a".as("doc_id"), $"split_a".as("split"),
+        $"doc_b".as("train_doc"))
+      .union(pairs.where($"split_b" =!= "train" && $"split_a" === "train")
+        .select($"doc_b".as("doc_id"), $"split_b".as("split"),
+          $"doc_a".as("train_doc")))
+      .groupBy($"doc_id", $"split")
+      .agg(countDistinct($"train_doc").as("n_train_dups"))
+  }
+
+  /** Oracle twin of [[q199SplitLeakage]]: the shared candidate CTEs,
+    * splits recomputed inline from the same md5 prefix. */
+  val q199Sql: String =
+    s"""WITH $candidateEdgeCtes,
+      |sp AS (SELECT c.doc_a, c.doc_b,
+      |  CASE WHEN CAST(('0x' || substring(md5(CAST(c.doc_a AS VARCHAR)), 1, 4)) AS BIGINT) < 52429 THEN 'train'
+      |       WHEN CAST(('0x' || substring(md5(CAST(c.doc_a AS VARCHAR)), 1, 4)) AS BIGINT) < 58982 THEN 'val'
+      |       ELSE 'test' END AS split_a,
+      |  CASE WHEN CAST(('0x' || substring(md5(CAST(c.doc_b AS VARCHAR)), 1, 4)) AS BIGINT) < 52429 THEN 'train'
+      |       WHEN CAST(('0x' || substring(md5(CAST(c.doc_b AS VARCHAR)), 1, 4)) AS BIGINT) < 58982 THEN 'val'
+      |       ELSE 'test' END AS split_b
+      |  FROM cand c),
+      |pe AS (SELECT doc_a AS doc_id, split_a AS split, doc_b AS train_doc
+      |       FROM sp WHERE split_a <> 'train' AND split_b = 'train'
+      |       UNION ALL
+      |       SELECT doc_b, split_b, doc_a
+      |       FROM sp WHERE split_b <> 'train' AND split_a = 'train')
+      |SELECT doc_id, split, CAST(count(DISTINCT train_doc) AS BIGINT) AS n_train_dups
+      |FROM pe GROUP BY doc_id, split""".stripMargin
+
   /** Within-document repetition score — the boilerplate/spam quality
     * signal: fraction of repeated 3-gram shingles inside each doc
     * (1 - distinct/total). Pure per-row array math, no explode and no
@@ -2582,6 +2640,7 @@ object TextOps {
     "q54_neardup_components" -> (q54NearDupComponents _),
     "q69_keeper_selection" -> (q69KeeperSelection _),
     "q55_hash_split" -> (q55HashSplit _),
+    "q199_split_leakage" -> (q199SplitLeakage _),
     "q56_repetition" -> (q56Repetition _),
     "q57_top_tokens_per_lang" -> (q57TopTokensPerLang _),
     "q72_tfidf" -> (q72TfIdf _),
@@ -2627,6 +2686,7 @@ object TextOps {
     "q54_neardup_components" -> q54Sql,
     "q69_keeper_selection" -> q69Sql,
     "q55_hash_split" -> q55Sql,
+    "q199_split_leakage" -> q199Sql,
     "q56_repetition" -> q56Sql,
     "q57_top_tokens_per_lang" -> q57Sql,
     "q72_tfidf" -> q72Sql,

@@ -73,9 +73,9 @@ class SqlSurfaceSpec extends SparkSpec {
       "self-join 2^5 times); the twin restructures to single-reference " +
       "CTEs via the dangling-mass scalar recurrence")(
       "q100_pagerank") ++
-    m("DuckDB list-comprehension shingle prefix (the query itself is " +
-      "non-recursive; the twin rides the Spark candidate spine)")(
-      "q103_triangles") ++
+    m("DuckDB list-comprehension shingle prefix (the queries themselves " +
+      "are non-recursive; the twins ride the Spark candidate spine)")(
+      "q103_triangles", "q199_split_leakage") ++
     m("read_json() over the raw JSON fixture (DuckDB table function; the " +
       "Spark side is the Ingest module, not a SQL text)")(
       "q52_ingest_silver") ++
