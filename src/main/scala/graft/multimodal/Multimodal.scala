@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A media payload: opaque bytes + typed metadata. At 100 TB the `data`
@@ -2901,6 +2901,28 @@ object Multimodal {
 
   // ------------------------------------------------------- cross-modal
 
+  /** Membership predicate of the CROSS-MODAL family — which documents
+    * carry a captioned image. ONE definition site (VERDICT r17 #4),
+    * consumed by every surface of the family: the batch queries
+    * (q195/q196 via [[captionedImagesFromDocs]]), the maintained index
+    * ([[graft.sources.CrossModalIndex]]'s report and probe), the live
+    * stream ([[graft.streaming.EventStream]]'s cross-modal probe, via
+    * [[hasImageId]]) and — via [[hasImageSql]] — the oracle CTEs. In
+    * this fixture corpus it is the media-catalog kind model's image arm
+    * (doc_id % 3 = 0, [[mediaCatalogSql]]'s CASE); a production corpus
+    * replaces this body with its real image-attachment metadata and
+    * every surface follows. */
+  def hasImage(docId: Column): Column = docId % 3 === 0
+
+  /** [[hasImage]] for JVM-side streams (the `transformWithState`
+    * processors see raw longs, not Columns). */
+  private[graft] def hasImageId(docId: Long): Boolean = docId % 3 == 0
+
+  /** [[hasImage]] as engine-neutral SQL, qualified by `ref` — the form
+    * the oracle texts interpolate so the predicate cannot drift
+    * between engine and oracle. */
+  def hasImageSql(ref: String = "doc_id"): String = s"$ref % 3 = 0"
+
   /** Captioned-image payloads — the CLIP-style (image, caption) record:
     * the doc's text is the caption and the IMAGE is CONTENT-KEYED — the
     * pixel seed is the caption's first MinHash slice h0 (min over the
@@ -2916,7 +2938,7 @@ object Multimodal {
   def captionedImagesFromDocs(docs: DataFrame): Dataset[MediaPayload] = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.where(col("doc_id") % 3 === 0)
+    docs.where(hasImage(col("doc_id")))
       .select(col("doc_id"),
         graft.functions.TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
@@ -2993,7 +3015,7 @@ object Multimodal {
       .select(col("media_id_a").as("doc_a"), col("media_id_b").as("doc_b"),
         lit(true).as("image_dup"))
     val cap = graft.functions.TextOps.candidatePairs(s, d)
-      .where(col("doc_a") % 3 === 0 && col("doc_b") % 3 === 0)
+      .where(hasImage(col("doc_a")) && hasImage(col("doc_b")))
       .select(col("doc_a"), col("doc_b"), lit(true).as("caption_dup"))
     img.join(cap, Seq("doc_a", "doc_b"), "full_outer")
       .select(col("doc_a"), col("doc_b"),
@@ -3027,10 +3049,10 @@ object Multimodal {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b
        |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-       |         WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 = 0),
+       |         WHERE ${hasImageSql("a.doc_id")} AND ${hasImageSql("b.doc_id")}),
        |seed AS (SELECT d.doc_id,
        |           COALESCE(CAST(('0x' || s.h0) AS BIGINT), 0) AS seed
-       |         FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+       |         FROM (SELECT doc_id FROM documents WHERE ${hasImageSql()}) d
        |         LEFT JOIN sig s ON s.doc_id = d.doc_id),
        |im AS (SELECT doc_id, seed, CAST(seed % 24 + 8 AS BIGINT) AS w,
        |              CAST(seed % 16 + 8 AS BIGINT) AS h
@@ -3110,7 +3132,7 @@ object Multimodal {
         .as("n_reillustrated"),
       max(when(col("is_b") === 1 && col("relation") === "dup_pair", 1)
         .otherwise(0)).as("removed"))
-    Tables(s, d, "documents").where(col("doc_id") % 3 === 0)
+    Tables(s, d, "documents").where(hasImage(col("doc_id")))
       .select(col("doc_id"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -3140,7 +3162,7 @@ object Multimodal {
        |  COALESCE(a.n_recaptioned, 0) AS n_recaptioned,
        |  COALESCE(a.n_reillustrated, 0) AS n_reillustrated,
        |  COALESCE(a.removed, 0) = 0 AS keep
-       |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+       |FROM (SELECT doc_id FROM documents WHERE ${hasImageSql()}) d
        |LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

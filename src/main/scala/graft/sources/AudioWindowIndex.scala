@@ -1,23 +1,24 @@
 package graft.sources
 
 import graft.multimodal.{MediaHeaders, Multimodal}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained AUDIO WINDOW-FINGERPRINT index — the
-  * [[SpanIndex]] protocol on PCM: one hash-bucketed ManifestTable of
-  * (fp → media_id, w) rows, where fp is the md5 of a 64-sample/hop-32
-  * window (q175's local fingerprint), updated from the document
-  * table's CDC stream. The [[ModalityIndex]] answers "is this clip a
-  * near-duplicate" (whole-clip banded Hamming); this index answers the
-  * question that family is structurally blind to — "is this clip the
-  * SAME RECORDING up to a trim" — without re-decoding a single
-  * committed payload: a corpus commit re-windows only its CHANGED
-  * docs' clips, and probing an arriving batch reads only the batch
-  * windows' fp-bucket partitions. At 100 TB the alternative is a full
-  * audio-corpus re-decode per trim-dedup run.
+  * exact-fact shape of the shared [[MaintainedIndex]] protocol on PCM:
+  * one hash-bucketed ManifestTable of (fp → media_id, w) rows, where
+  * fp is the md5 of a 64-sample/hop-32 window (q175's local
+  * fingerprint), updated from the document table's CDC stream. The
+  * [[ModalityIndex]] answers "is this clip a near-duplicate"
+  * (whole-clip banded Hamming); this index answers the question that
+  * family is structurally blind to — "is this clip the SAME RECORDING
+  * up to a trim" — without re-decoding a single committed payload: a
+  * corpus commit re-windows only its CHANGED docs' clips, and probing
+  * an arriving batch reads only the batch windows' fp-bucket
+  * partitions. At 100 TB the alternative is a full audio-corpus
+  * re-decode per trim-dedup run.
   *
-  * Rows are exact facts keyed by (fp, media_id, w) — [[SpanIndex]]'s
+  * Rows are exact facts keyed by (fp, media_id, w) — the protocol's
   * netting applies verbatim (an update's kept windows net to zero and
   * are not rewritten; dropped windows tombstone). Exactly-once rides
   * the shared txn-tag protocol; [[startMaintenance]] is the turnkey
@@ -25,19 +26,16 @@ import org.apache.spark.sql.functions._
   * insert/update/delete commits, replay rejection, and a checkpoint
   * restart of the stream; q183/q184 oracle-gate the reads against an
   * engine that never saw the index. */
-object AudioWindowIndex {
-
-  /** Same bucket count/role as [[DedupIndex.IndexBuckets]]. */
-  val IndexBuckets = 16
+object AudioWindowIndex extends MaintainedIndex {
 
   /** q176's pair gate: a pair is a trim when ≥ 4 windows match. */
   val MinSharedWindows = 4
 
   private[graft] val PollScope = "audiowin-refresh-poll"
 
-  private def sign: Column = when(
-    col("_change_type").isin("insert", "update_postimage"), 1L)
-    .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+  protected def bucketKey: String = "fp"
+  protected def mergeKeyCols: Seq[String] = Seq("fp", "media_id", "w")
+  protected def facts(docs: DataFrame): DataFrame = windows(docs)
 
   /** Every hop-32 window of a (doc_id, n_chars) frame's clips as
     * (fp, media_id, w) — the exact rows q175/q176 derive on the fly,
@@ -53,93 +51,28 @@ object AudioWindowIndex {
       .select(md5(col("csv")).as("fp"), col("media_id"), col("w"))
   }
 
-  private def withBucket(df: DataFrame): DataFrame =
-    df.withColumn("bucket", ManifestTable.bucketIdColumn(col("fp"), IndexBuckets))
-
   /** The index of a corpus snapshot — bootstrap and spec ground truth:
     * (bucket, fp, media_id, w, alive). */
-  def computeAudioWindowIndex(docs: DataFrame): DataFrame =
-    withBucket(windows(docs).withColumn("alive", lit(true)))
-      .select(col("bucket"), col("fp"), col("media_id"), col("w"), col("alive"))
+  def computeAudioWindowIndex(docs: DataFrame): DataFrame = computeIndexOf(docs)
 
   /** Bootstrap from a corpus snapshot. */
-  def bootstrapAudioWindowIndex(docs: DataFrame, idxRoot: String): Int = {
-    ManifestTable.declareBuckets(idxRoot, "fp", IndexBuckets)
-    ManifestTable.mergePartitioned(computeAudioWindowIndex(docs), idxRoot,
-      Seq("bucket", "fp", "media_id", "w"), "bucket")
-  }
+  def bootstrapAudioWindowIndex(docs: DataFrame, idxRoot: String): Int =
+    bootstrapIndex(docs, idxRoot)
 
   /** Apply ONE corpus version's CDC events (preimages required; the
     * clips derive from doc_id and n_chars = length(text), so a
     * preimage regenerates exactly the window rows its commit added). */
   def maintainAudioWindowIndex(spark: SparkSession, changes: DataFrame,
-      idxRoot: String, tag: Option[String] = None): Int = {
-    if (changes.isEmpty) return ManifestTable.currentVersion(idxRoot)
-    val signed = changes.where(sign.isNotNull)
-      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-        sign.as("__sgn"))
-    def rows(sgn: Long): DataFrame = windows(
-      signed.where(col("__sgn") === sgn).select(col("doc_id"), col("n_chars")))
-    val d = rows(1L).withColumn("net", lit(1L))
-      .union(rows(-1L).withColumn("net", lit(-1L)))
-      .groupBy(col("fp"), col("media_id"), col("w"))
-      .agg(sum(col("net")).as("net"))
-      .where(col("net") =!= 0L)
-      .select(col("fp"), col("media_id"), col("w"), (col("net") > 0L).as("alive"))
-      .localCheckpoint()
-    if (d.isEmpty) return ManifestTable.currentVersion(idxRoot)
-    ManifestTable.declareBuckets(idxRoot, "fp", IndexBuckets)
-    ManifestTable.mergePartitioned(withBucket(d)
-        .select(col("bucket"), col("fp"), col("media_id"), col("w"), col("alive")),
-      idxRoot, Seq("bucket", "fp", "media_id", "w"), "bucket", tag = tag)
-  }
+      idxRoot: String, tag: Option[String] = None): Int =
+    maintainIndex(changes, idxRoot, tag)
 
-  /** EXACTLY-ONCE step (the shared txn-tag protocol). */
-  def applyBatch(changes: DataFrame, batchId: Long, idxRoot: String,
-      scope: String = ""): Unit = {
-    if (batchId <= ManifestTable.lastBatchTag(idxRoot, scope)) return
-    maintainAudioWindowIndex(changes.sparkSession, changes.localCheckpoint(),
-      idxRoot, Some(ManifestTable.batchTag(scope, batchId)))
-  }
-
-  /** Roll forward across corpus versions `(fromV, toV]`. */
-  def refresh(spark: SparkSession, corpusRoot: String, idxRoot: String,
-      fromV: Int, toV: Int): Unit =
-    (fromV until toV).foreach { v =>
-      val ch = ManifestTable.readChanges(
-        spark, corpusRoot, v, v + 1, Seq("doc_id"), preimages = true)
-      applyBatch(ch, (v + 1).toLong, idxRoot, scope = PollScope)
-    }
-
-  /** Turnkey stream ([[ModalityIndex.startMaintenance]]'s shape): keep
-    * the window table equal to the document corpus at `corpusRoot`, fed
-    * by `graft-manifest-cdc`, exactly-once. Pair a
-    * [[bootstrapAudioWindowIndex]] with `startingVersion`, or the
-    * re-emitted snapshot batch double-applies. */
-  def startMaintenance(spark: SparkSession, corpusRoot: String,
-      idxRoot: String, checkpoint: String, startingVersion: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val scope = ManifestStreamSink.digest(
-      ManifestStreamSink.canonicalCheckpoint(checkpoint))
-    spark.readStream.format("graft-manifest-cdc")
-      .option("path", corpusRoot).option("key", "doc_id")
-      .option("startingVersion", startingVersion.toString)
-      .option("preimages", "true").load()
-      .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, id, idxRoot, scope)
-      }
-      .option("checkpointLocation", checkpoint)
-      .start()
-  }
+  // applyBatch / refresh / startMaintenance: [[MaintainedIndex]].
 
   // ------------------------------------------------------------- reads
 
   /** Live (fp, media_id, w) window rows — tombstones filtered. */
   def readAudioWindowIndex(spark: SparkSession, idxRoot: String): DataFrame =
-    ManifestTable.read(spark, idxRoot)
-      .where(col("alive"))
-      .select(col("fp"), col("media_id"), col("w"))
+    readLiveRows(spark, idxRoot)
 
   /** q183's report: the corpus's TRIMMED-duplicate pairs from stored
     * window rows — q176's question without the decode: clips pair when

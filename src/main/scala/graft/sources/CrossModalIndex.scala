@@ -18,22 +18,25 @@ import org.apache.spark.sql.functions._
   * slice h0), so maintenance re-reads only changed docs' text — an
   * edit that keeps the caption's minimum shingle hash keeps the image
   * and nets to zero. One image per doc, so [[ModalityIndex]]'s
-  * (bk, media_id) merge key and live-row-wins collapse apply
-  * verbatim. Exactly-once rides the shared txn-tag protocol;
-  * [[startMaintenance]] is the turnkey stream. CrossModalIndexSpec
-  * pins maintained ≡ recomputed across insert/update/delete commits
-  * and replay rejection; q197/q198 oracle-gate the reads against an
-  * engine that never saw either index. */
-object CrossModalIndex {
-
-  /** Same bucket count/role as [[DedupIndex.IndexBuckets]]. */
-  val IndexBuckets = 16
+  * (bk, media_id) merge key and the shared [[MaintainedIndex]]
+  * protocol's live-row-wins collapse apply verbatim. Exactly-once
+  * rides the shared txn-tag protocol; [[startMaintenance]] is the
+  * turnkey stream. CrossModalIndexSpec pins maintained ≡ recomputed
+  * across insert/update/delete commits and replay rejection;
+  * q197/q198 oracle-gate the reads against an engine that never saw
+  * either index. */
+object CrossModalIndex extends MaintainedIndex {
 
   private[graft] val PollScope = "crossmodal-refresh-poll"
 
-  private def sign: Column = when(
-    col("_change_type").isin("insert", "update_postimage"), 1L)
-    .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+  protected def bucketKey: String = "bk"
+  protected def mergeKeyCols: Seq[String] = Seq("bk", "media_id")
+  override protected def payloadCols: Seq[String] = Seq("hi", "lo")
+  // the image derives from the caption's own shingle hashes — the fact
+  // generator needs the text itself, not just its length
+  override protected def changeCols: Seq[Column] =
+    Seq(col("doc_id"), col("text"))
+  protected def facts(docs: DataFrame): DataFrame = bandFacts(docs)
 
   /** The banded aHash rows of a (doc_id, text) frame's captioned
     * images: (bk, media_id, hi, lo), bk = band·2¹⁶ + 16-bit slice —
@@ -61,97 +64,28 @@ object CrossModalIndex {
         col("media_id"), col("hi"), col("lo"))
   }
 
-  private def withBucket(df: DataFrame): DataFrame =
-    df.withColumn("bucket", ManifestTable.bucketIdColumn(col("bk"), IndexBuckets))
-
   /** The index of a corpus snapshot — bootstrap and spec ground truth:
     * (bucket, bk, media_id, hi, lo, alive). */
-  def computeCrossModalIndex(docs: DataFrame): DataFrame =
-    withBucket(bandFacts(docs).withColumn("alive", lit(true)))
-      .select(col("bucket"), col("bk"), col("media_id"),
-        col("hi"), col("lo"), col("alive"))
+  def computeCrossModalIndex(docs: DataFrame): DataFrame = computeIndexOf(docs)
 
   /** Bootstrap from a corpus snapshot. */
-  def bootstrapCrossModalIndex(docs: DataFrame, idxRoot: String): Int = {
-    ManifestTable.declareBuckets(idxRoot, "bk", IndexBuckets)
-    ManifestTable.mergePartitioned(computeCrossModalIndex(docs), idxRoot,
-      Seq("bucket", "bk", "media_id"), "bucket")
-  }
+  def bootstrapCrossModalIndex(docs: DataFrame, idxRoot: String): Int =
+    bootstrapIndex(docs, idxRoot)
 
   /** Apply ONE corpus version's CDC events (preimages required; the
     * image derives from the TEXT's h0, so a preimage regenerates
     * exactly the band rows its commit added). */
   def maintainCrossModalIndex(spark: SparkSession, changes: DataFrame,
-      idxRoot: String, tag: Option[String] = None): Int = {
-    if (changes.isEmpty) return ManifestTable.currentVersion(idxRoot)
-    val signed = changes.where(sign.isNotNull)
-      .select(col("doc_id"), col("text"), sign.as("__sgn"))
-    def rows(sgn: Long): DataFrame = bandFacts(
-      signed.where(col("__sgn") === sgn).select(col("doc_id"), col("text")))
-    val d = rows(1L).withColumn("net", lit(1L))
-      .union(rows(-1L).withColumn("net", lit(-1L)))
-      .groupBy(col("bk"), col("media_id"), col("hi"), col("lo"))
-      .agg(sum(col("net")).as("net"))
-      .where(col("net") =!= 0L)
-      // live-row-wins collapse ([[ModalityIndex]]'s rule): an update
-      // that keeps a band's value but changes the image nets the old
-      // (hi, lo) out and the new in — one row per merge key
-      .groupBy(col("bk"), col("media_id"))
-      .agg(max(struct((col("net") > 0L).as("alive"),
-        col("hi"), col("lo"))).as("r"))
-      .select(col("bk"), col("media_id"),
-        col("r.hi").as("hi"), col("r.lo").as("lo"), col("r.alive").as("alive"))
-      .localCheckpoint()
-    if (d.isEmpty) return ManifestTable.currentVersion(idxRoot)
-    ManifestTable.declareBuckets(idxRoot, "bk", IndexBuckets)
-    ManifestTable.mergePartitioned(withBucket(d)
-        .select(col("bucket"), col("bk"), col("media_id"),
-          col("hi"), col("lo"), col("alive")),
-      idxRoot, Seq("bucket", "bk", "media_id"), "bucket", tag = tag)
-  }
+      idxRoot: String, tag: Option[String] = None): Int =
+    maintainIndex(changes, idxRoot, tag)
 
-  /** EXACTLY-ONCE step (the shared txn-tag protocol). */
-  def applyBatch(changes: DataFrame, batchId: Long, idxRoot: String,
-      scope: String = ""): Unit = {
-    if (batchId <= ManifestTable.lastBatchTag(idxRoot, scope)) return
-    maintainCrossModalIndex(changes.sparkSession, changes.localCheckpoint(),
-      idxRoot, Some(ManifestTable.batchTag(scope, batchId)))
-  }
-
-  /** Roll forward across corpus versions `(fromV, toV]`. */
-  def refresh(spark: SparkSession, corpusRoot: String, idxRoot: String,
-      fromV: Int, toV: Int): Unit =
-    (fromV until toV).foreach { v =>
-      val ch = ManifestTable.readChanges(
-        spark, corpusRoot, v, v + 1, Seq("doc_id"), preimages = true)
-      applyBatch(ch, (v + 1).toLong, idxRoot, scope = PollScope)
-    }
-
-  /** Turnkey stream ([[ModalityIndex.startMaintenance]]'s shape). */
-  def startMaintenance(spark: SparkSession, corpusRoot: String,
-      idxRoot: String, checkpoint: String, startingVersion: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val scope = ManifestStreamSink.digest(
-      ManifestStreamSink.canonicalCheckpoint(checkpoint))
-    spark.readStream.format("graft-manifest-cdc")
-      .option("path", corpusRoot).option("key", "doc_id")
-      .option("startingVersion", startingVersion.toString)
-      .option("preimages", "true").load()
-      .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, id, idxRoot, scope)
-      }
-      .option("checkpointLocation", checkpoint)
-      .start()
-  }
+  // applyBatch / refresh / startMaintenance: [[MaintainedIndex]].
 
   // ------------------------------------------------------------- reads
 
   /** Live band rows — tombstones filtered. */
   def readCrossModalIndex(spark: SparkSession, idxRoot: String): DataFrame =
-    ManifestTable.read(spark, idxRoot)
-      .where(col("alive"))
-      .select(col("bk"), col("media_id"), col("hi"), col("lo"))
+    readLiveRows(spark, idxRoot)
 
   /** The classification shared by the report and the probe. */
   private def classify(img: DataFrame, cap: DataFrame,
@@ -188,7 +122,8 @@ object CrossModalIndex {
     val cap = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .where(col("a.doc_id") % 3 === 0 && col("b.doc_id") % 3 === 0)
+      .where(Multimodal.hasImage(col("a.doc_id")) &&
+        Multimodal.hasImage(col("b.doc_id")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
       .withColumn("caption_dup", lit(true))
@@ -222,9 +157,9 @@ object CrossModalIndex {
       .select(col("doc_probe"), col("doc_corpus")).distinct()
       .withColumn("image_dup", lit(true))
     val cap = graft.functions.TextOps.bandRowsOf(batch)
-      .where(col("doc_id") % 3 === 0).as("a")
+      .where(Multimodal.hasImage(col("doc_id"))).as("a")
       .join(DedupIndex.readBandIndex(spark, bandIdxRoot)
-        .where(col("doc_id") % 3 === 0).as("b"),
+        .where(Multimodal.hasImage(col("doc_id"))).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.doc_id").as("doc_probe"), col("b.doc_id").as("doc_corpus"))
       .distinct()

@@ -565,7 +565,8 @@ object DedupIndexFixtures {
        |         FROM bands a JOIN bands b
        |           ON a.band = b.band AND a.bucket = b.bucket
        |         WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 <> 9
-       |           AND a.doc_id % 3 = 0 AND b.doc_id % 3 = 0)
+       |           AND ${graft.multimodal.Multimodal.hasImageSql("a.doc_id")}
+       |           AND ${graft.multimodal.Multimodal.hasImageSql("b.doc_id")})
        |SELECT COALESCE(i.doc_probe, c.doc_probe) AS doc_probe,
        |       COALESCE(i.doc_corpus, c.doc_corpus) AS doc_corpus,
        |       i.doc_probe IS NOT NULL AS image_dup,

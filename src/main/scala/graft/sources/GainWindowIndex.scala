@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.multimodal.{MediaHeaders, Multimodal}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained GAIN-ROBUST audio-window index — the
@@ -17,26 +17,24 @@ import org.apache.spark.sql.functions._
   * exact-family blindness witness in-row exactly as q190 does.
   *
   * Rows are keyed (sfp, media_id, w); the exact-md5 payload collapses
-  * under [[ModalityIndex]]'s live-row-wins rule when an update keeps a
-  * window's sign pattern but changes its samples. Exactly-once rides
-  * the shared txn-tag protocol; [[startMaintenance]] is the turnkey
-  * stream. RobustIndexSpec pins maintained ≡ recomputed across
-  * insert/update/delete commits and replay rejection; q192/q194
-  * oracle-gate the reads against an engine that never saw the
-  * index. */
-object GainWindowIndex {
-
-  /** Same bucket count/role as [[DedupIndex.IndexBuckets]]. */
-  val IndexBuckets = 16
+  * under the shared [[MaintainedIndex]] protocol's live-row-wins rule
+  * when an update keeps a window's sign pattern but changes its
+  * samples. Exactly-once rides the shared txn-tag protocol;
+  * [[startMaintenance]] is the turnkey stream. RobustIndexSpec pins
+  * maintained ≡ recomputed across insert/update/delete commits and
+  * replay rejection; q192/q194 oracle-gate the reads against an
+  * engine that never saw the index. */
+object GainWindowIndex extends MaintainedIndex {
 
   /** q190's pair gate: a pair is a gain dup when ≥ 4 windows match. */
   val MinSharedWindows = 4
 
   private[graft] val PollScope = "gainwin-refresh-poll"
 
-  private def sign: Column = when(
-    col("_change_type").isin("insert", "update_postimage"), 1L)
-    .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+  protected def bucketKey: String = "sfp"
+  protected def mergeKeyCols: Seq[String] = Seq("sfp", "media_id", "w")
+  override protected def payloadCols: Seq[String] = Seq("efp")
+  protected def facts(docs: DataFrame): DataFrame = windows(docs)
 
   /** Every hop-32 window of a (doc_id, n_chars) frame's clips as
     * (sfp, media_id, w, efp) — q190's own generator, window grid,
@@ -56,97 +54,28 @@ object GainWindowIndex {
       .select(col("sfp"), col("media_id"), col("w"), md5(col("csv")).as("efp"))
   }
 
-  private def withBucket(df: DataFrame): DataFrame =
-    df.withColumn("bucket", ManifestTable.bucketIdColumn(col("sfp"), IndexBuckets))
-
   /** The index of a corpus snapshot — bootstrap and spec ground truth:
     * (bucket, sfp, media_id, w, efp, alive). */
-  def computeGainWindowIndex(docs: DataFrame): DataFrame =
-    withBucket(windows(docs).withColumn("alive", lit(true)))
-      .select(col("bucket"), col("sfp"), col("media_id"), col("w"),
-        col("efp"), col("alive"))
+  def computeGainWindowIndex(docs: DataFrame): DataFrame = computeIndexOf(docs)
 
   /** Bootstrap from a corpus snapshot. */
-  def bootstrapGainWindowIndex(docs: DataFrame, idxRoot: String): Int = {
-    ManifestTable.declareBuckets(idxRoot, "sfp", IndexBuckets)
-    ManifestTable.mergePartitioned(computeGainWindowIndex(docs), idxRoot,
-      Seq("bucket", "sfp", "media_id", "w"), "bucket")
-  }
+  def bootstrapGainWindowIndex(docs: DataFrame, idxRoot: String): Int =
+    bootstrapIndex(docs, idxRoot)
 
   /** Apply ONE corpus version's CDC events (preimages required; the
     * clips derive from doc_id and n_chars = length(text), so a
     * preimage regenerates exactly the window rows its commit added). */
   def maintainGainWindowIndex(spark: SparkSession, changes: DataFrame,
-      idxRoot: String, tag: Option[String] = None): Int = {
-    if (changes.isEmpty) return ManifestTable.currentVersion(idxRoot)
-    val signed = changes.where(sign.isNotNull)
-      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-        sign.as("__sgn"))
-    def rows(sgn: Long): DataFrame = windows(
-      signed.where(col("__sgn") === sgn).select(col("doc_id"), col("n_chars")))
-    val d = rows(1L).withColumn("net", lit(1L))
-      .union(rows(-1L).withColumn("net", lit(-1L)))
-      .groupBy(col("sfp"), col("media_id"), col("w"), col("efp"))
-      .agg(sum(col("net")).as("net"))
-      .where(col("net") =!= 0L)
-      // live-row-wins collapse: an update that keeps a window's sign
-      // pattern but changes its samples nets −1 on the old efp and +1
-      // on the new — one row per merge key
-      .groupBy(col("sfp"), col("media_id"), col("w"))
-      .agg(max(struct((col("net") > 0L).as("alive"), col("efp"))).as("r"))
-      .select(col("sfp"), col("media_id"), col("w"),
-        col("r.efp").as("efp"), col("r.alive").as("alive"))
-      .localCheckpoint()
-    if (d.isEmpty) return ManifestTable.currentVersion(idxRoot)
-    ManifestTable.declareBuckets(idxRoot, "sfp", IndexBuckets)
-    ManifestTable.mergePartitioned(withBucket(d)
-        .select(col("bucket"), col("sfp"), col("media_id"), col("w"),
-          col("efp"), col("alive")),
-      idxRoot, Seq("bucket", "sfp", "media_id", "w"), "bucket", tag = tag)
-  }
+      idxRoot: String, tag: Option[String] = None): Int =
+    maintainIndex(changes, idxRoot, tag)
 
-  /** EXACTLY-ONCE step (the shared txn-tag protocol). */
-  def applyBatch(changes: DataFrame, batchId: Long, idxRoot: String,
-      scope: String = ""): Unit = {
-    if (batchId <= ManifestTable.lastBatchTag(idxRoot, scope)) return
-    maintainGainWindowIndex(changes.sparkSession, changes.localCheckpoint(),
-      idxRoot, Some(ManifestTable.batchTag(scope, batchId)))
-  }
-
-  /** Roll forward across corpus versions `(fromV, toV]`. */
-  def refresh(spark: SparkSession, corpusRoot: String, idxRoot: String,
-      fromV: Int, toV: Int): Unit =
-    (fromV until toV).foreach { v =>
-      val ch = ManifestTable.readChanges(
-        spark, corpusRoot, v, v + 1, Seq("doc_id"), preimages = true)
-      applyBatch(ch, (v + 1).toLong, idxRoot, scope = PollScope)
-    }
-
-  /** Turnkey stream ([[ModalityIndex.startMaintenance]]'s shape). */
-  def startMaintenance(spark: SparkSession, corpusRoot: String,
-      idxRoot: String, checkpoint: String, startingVersion: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val scope = ManifestStreamSink.digest(
-      ManifestStreamSink.canonicalCheckpoint(checkpoint))
-    spark.readStream.format("graft-manifest-cdc")
-      .option("path", corpusRoot).option("key", "doc_id")
-      .option("startingVersion", startingVersion.toString)
-      .option("preimages", "true").load()
-      .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, id, idxRoot, scope)
-      }
-      .option("checkpointLocation", checkpoint)
-      .start()
-  }
+  // applyBatch / refresh / startMaintenance: [[MaintainedIndex]].
 
   // ------------------------------------------------------------- reads
 
   /** Live (sfp, media_id, w, efp) window rows — tombstones filtered. */
   def readGainWindowIndex(spark: SparkSession, idxRoot: String): DataFrame =
-    ManifestTable.read(spark, idxRoot)
-      .where(col("alive"))
-      .select(col("sfp"), col("media_id"), col("w"), col("efp"))
+    readLiveRows(spark, idxRoot)
 
   /** q192's report: q190's gain-robust duplicate pairs from stored
     * window rows — clips pair when ≥ [[MinSharedWindows]] sign

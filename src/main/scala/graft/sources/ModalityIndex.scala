@@ -21,29 +21,29 @@ import org.apache.spark.sql.functions._
   * so one table serves both families and a probe prunes to exactly its
   * own kind's buckets. Each row carries the full (hi, lo) fingerprint
   * for verdict-time Hamming rescoring — band equality is only the
-  * candidate spine, exactly as in the batch queries. An update that
-  * keeps a band's value but changes the fingerprint nets the OLD
-  * (hi, lo) out and the new in; the live row wins the merge key.
-  * Exactly-once rides [[DedupIndex.applyBatch]]'s txn-tag protocol.
-  * ModalityIndexSpec pins maintained ≡ recomputed across
-  * insert/update/delete commits and replay rejection; q178/q179
-  * oracle-gate the reads against an engine that never saw the index. */
-object ModalityIndex {
-
-  /** Same bucket count/role as [[DedupIndex.IndexBuckets]]. */
-  val IndexBuckets = 16
+  * candidate spine, exactly as in the batch queries. This is the
+  * LIVE-ROW-WINS shape of the shared [[MaintainedIndex]] protocol: an
+  * update that keeps a band's value but changes the fingerprint nets
+  * the OLD (hi, lo) out and the new in; the live row wins the
+  * (bk, media_id) merge key. Exactly-once rides
+  * [[DedupIndex.applyBatch]]'s txn-tag protocol. ModalityIndexSpec
+  * pins maintained ≡ recomputed across insert/update/delete commits
+  * and replay rejection; q178/q179 oracle-gate the reads against an
+  * engine that never saw the index. */
+object ModalityIndex extends MaintainedIndex {
 
   private[graft] val PollScope = "modality-refresh-poll"
 
-  private def sign: Column = when(
-    col("_change_type").isin("insert", "update_postimage"), 1L)
-    .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+  protected def bucketKey: String = "bk"
+  protected def mergeKeyCols: Seq[String] = Seq("bk", "media_id")
+  override protected def payloadCols: Seq[String] = Seq("hi", "lo")
+  protected def facts(docs: DataFrame): DataFrame = bandRows(fingerprints(docs))
 
   /** 64-bit fingerprints of a (doc_id, n_chars) frame's media — the
-    * image aHash family (doc_id % 3 = 0) and the audio energy family
-    * (doc_id % 3 = 1), through the SAME generators and hash functions
-    * the batch queries q130/q168 read, so the maintained index and the
-    * single-shot queries cannot drift. */
+    * image aHash family and the audio energy family, through the SAME
+    * generators and hash functions the batch queries q130/q168 read,
+    * so the maintained index and the single-shot queries cannot
+    * drift. */
   private[graft] def fingerprints(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -77,23 +77,14 @@ object ModalityIndex {
           .as("bk"),
         col("media_id"), col("hi"), col("lo"))
 
-  private def withBucket(df: DataFrame): DataFrame =
-    df.withColumn("bucket", ManifestTable.bucketIdColumn(col("bk"), IndexBuckets))
-
   /** The modality index of a corpus snapshot — the bootstrap, and the
     * spec's ground truth: (bucket, bk, media_id, hi, lo, alive). */
-  def computeModalityIndex(docs: DataFrame): DataFrame =
-    withBucket(bandRows(fingerprints(docs)).withColumn("alive", lit(true)))
-      .select(col("bucket"), col("bk"), col("media_id"),
-        col("hi"), col("lo"), col("alive"))
+  def computeModalityIndex(docs: DataFrame): DataFrame = computeIndexOf(docs)
 
   /** Bootstrap from a corpus snapshot (pair with a CDC
     * `startingVersion` past the snapshot, [[DedupIndex]]'s contract). */
-  def bootstrapModalityIndex(docs: DataFrame, idxRoot: String): Int = {
-    ManifestTable.declareBuckets(idxRoot, "bk", IndexBuckets)
-    ManifestTable.mergePartitioned(
-      computeModalityIndex(docs), idxRoot, Seq("bucket", "bk", "media_id"), "bucket")
-  }
+  def bootstrapModalityIndex(docs: DataFrame, idxRoot: String): Int =
+    bootstrapIndex(docs, idxRoot)
 
   /** Apply ONE corpus version's CDC events. `changes` must carry
     * preimages (doc_id, text, _change_type); the media derive from
@@ -103,74 +94,10 @@ object ModalityIndex {
     * update keeps (same value AND same fingerprint) net to zero and
     * are not rewritten. */
   def maintainModalityIndex(spark: SparkSession, changes: DataFrame,
-      idxRoot: String, tag: Option[String] = None): Int = {
-    if (changes.isEmpty) return ManifestTable.currentVersion(idxRoot)
-    val signed = changes.where(sign.isNotNull)
-      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-        sign.as("__sgn"))
-    def rows(sgn: Long): DataFrame = bandRows(fingerprints(
-      signed.where(col("__sgn") === sgn).select(col("doc_id"), col("n_chars"))))
-    val d = rows(1L).withColumn("net", lit(1L))
-      .union(rows(-1L).withColumn("net", lit(-1L)))
-      .groupBy(col("bk"), col("media_id"), col("hi"), col("lo"))
-      .agg(sum(col("net")).as("net"))
-      .where(col("net") =!= 0L)
-      // collapse to one row per merge key: an update that keeps a band's
-      // value but changes the fingerprint nets −1 on the old (hi, lo)
-      // and +1 on the new — the LIVE row must win the (bk, media_id) key
-      .groupBy(col("bk"), col("media_id"))
-      .agg(max(struct((col("net") > 0L).as("alive"),
-        col("hi"), col("lo"))).as("r"))
-      .select(col("bk"), col("media_id"),
-        col("r.hi").as("hi"), col("r.lo").as("lo"), col("r.alive").as("alive"))
-      .localCheckpoint()
-    if (d.isEmpty) return ManifestTable.currentVersion(idxRoot)
-    ManifestTable.declareBuckets(idxRoot, "bk", IndexBuckets)
-    ManifestTable.mergePartitioned(withBucket(d)
-        .select(col("bucket"), col("bk"), col("media_id"),
-          col("hi"), col("lo"), col("alive")),
-      idxRoot, Seq("bucket", "bk", "media_id"), "bucket", tag = tag)
-  }
+      idxRoot: String, tag: Option[String] = None): Int =
+    maintainIndex(changes, idxRoot, tag)
 
-  /** EXACTLY-ONCE step ([[DedupIndex.applyBatch]]'s protocol). */
-  def applyBatch(changes: DataFrame, batchId: Long, idxRoot: String,
-      scope: String = ""): Unit = {
-    if (batchId <= ManifestTable.lastBatchTag(idxRoot, scope)) return
-    maintainModalityIndex(changes.sparkSession, changes.localCheckpoint(),
-      idxRoot, Some(ManifestTable.batchTag(scope, batchId)))
-  }
-
-  /** Roll forward across corpus versions `(fromV, toV]`, exactly-once
-    * under the shared [[PollScope]]. */
-  def refresh(spark: SparkSession, corpusRoot: String, idxRoot: String,
-      fromV: Int, toV: Int): Unit =
-    (fromV until toV).foreach { v =>
-      val ch = ManifestTable.readChanges(
-        spark, corpusRoot, v, v + 1, Seq("doc_id"), preimages = true)
-      applyBatch(ch, (v + 1).toLong, idxRoot, scope = PollScope)
-    }
-
-  /** Turnkey stream ([[DedupIndex.startIndexMaintenance]]'s shape):
-    * keep the band table equal to the document corpus at `corpusRoot`,
-    * fed by `graft-manifest-cdc`, exactly-once. Pair a
-    * [[bootstrapModalityIndex]] with `startingVersion`, or the
-    * re-emitted snapshot batch double-applies. */
-  def startMaintenance(spark: SparkSession, corpusRoot: String,
-      idxRoot: String, checkpoint: String, startingVersion: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val scope = ManifestStreamSink.digest(
-      ManifestStreamSink.canonicalCheckpoint(checkpoint))
-    spark.readStream.format("graft-manifest-cdc")
-      .option("path", corpusRoot).option("key", "doc_id")
-      .option("startingVersion", startingVersion.toString)
-      .option("preimages", "true").load()
-      .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, id, idxRoot, scope)
-      }
-      .option("checkpointLocation", checkpoint)
-      .start()
-  }
+  // applyBatch / refresh / startMaintenance: [[MaintainedIndex]].
 
   // ------------------------------------------------------------- reads
 
@@ -179,9 +106,7 @@ object ModalityIndex {
 
   /** Live band rows — tombstones filtered. */
   def readModalityIndex(spark: SparkSession, idxRoot: String): DataFrame =
-    ManifestTable.read(spark, idxRoot)
-      .where(col("alive"))
-      .select(col("bk"), col("media_id"), col("hi"), col("lo"))
+    readLiveRows(spark, idxRoot)
 
   /** q178's report: the corpus's visual AND audio near-dup pairs from
     * the STORED band rows — q131 ∪ q169 without decoding a single

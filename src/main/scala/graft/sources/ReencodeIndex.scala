@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.multimodal.Multimodal
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained RE-ENCODE-ROBUST scene index — the banded
@@ -26,23 +26,21 @@ import org.apache.spark.sql.functions._
   * keyframe hash `fp` — the read reports `n_exact_shared` from it, so
   * every maintained pair carries the exact-family blindness witness
   * in-row exactly as q189 does. An update that keeps a band's key but
-  * changes the keyframe nets the old payload out and the live row
-  * wins the merge key ([[ModalityIndex]]'s collapse). Exactly-once
-  * rides the shared txn-tag protocol; [[startMaintenance]] is the
-  * turnkey stream. RobustIndexSpec pins maintained ≡ recomputed
-  * across insert/update/delete commits and replay rejection;
-  * q191/q193 oracle-gate the reads against an engine that never saw
-  * the index. */
-object ReencodeIndex {
-
-  /** Same bucket count/role as [[DedupIndex.IndexBuckets]]. */
-  val IndexBuckets = 16
+  * changes the keyframe engages the shared [[MaintainedIndex]]
+  * protocol's live-row-wins collapse. Exactly-once rides the shared
+  * txn-tag protocol; [[startMaintenance]] is the turnkey stream.
+  * RobustIndexSpec pins maintained ≡ recomputed across
+  * insert/update/delete commits and replay rejection; q191/q193
+  * oracle-gate the reads against an engine that never saw the
+  * index. */
+object ReencodeIndex extends MaintainedIndex {
 
   private[graft] val PollScope = "reencode-refresh-poll"
 
-  private def sign: Column = when(
-    col("_change_type").isin("insert", "update_postimage"), 1L)
-    .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+  protected def bucketKey: String = "bk"
+  protected def mergeKeyCols: Seq[String] = Seq("bk", "media_id", "sc")
+  override protected def payloadCols: Seq[String] = Seq("fp", "hi", "lo")
+  protected def facts(docs: DataFrame): DataFrame = bandFacts(docs)
 
   /** Every scene keyframe of a (doc_id, n_chars) frame's re-encode
     * videos as banded aHash rows (bk, media_id, sc, fp, hi, lo) —
@@ -74,100 +72,28 @@ object ReencodeIndex {
         col("media_id"), col("sc"), col("fp"), col("hi"), col("lo"))
   }
 
-  private def withBucket(df: DataFrame): DataFrame =
-    df.withColumn("bucket", ManifestTable.bucketIdColumn(col("bk"), IndexBuckets))
-
   /** The index of a corpus snapshot — bootstrap and spec ground truth:
     * (bucket, bk, media_id, sc, fp, hi, lo, alive). */
-  def computeReencodeIndex(docs: DataFrame): DataFrame =
-    withBucket(bandFacts(docs).withColumn("alive", lit(true)))
-      .select(col("bucket"), col("bk"), col("media_id"), col("sc"),
-        col("fp"), col("hi"), col("lo"), col("alive"))
+  def computeReencodeIndex(docs: DataFrame): DataFrame = computeIndexOf(docs)
 
   /** Bootstrap from a corpus snapshot. */
-  def bootstrapReencodeIndex(docs: DataFrame, idxRoot: String): Int = {
-    ManifestTable.declareBuckets(idxRoot, "bk", IndexBuckets)
-    ManifestTable.mergePartitioned(computeReencodeIndex(docs), idxRoot,
-      Seq("bucket", "bk", "media_id", "sc"), "bucket")
-  }
+  def bootstrapReencodeIndex(docs: DataFrame, idxRoot: String): Int =
+    bootstrapIndex(docs, idxRoot)
 
   /** Apply ONE corpus version's CDC events (preimages required; the
     * clips derive from doc_id and n_chars = length(text), so a
     * preimage regenerates exactly the band rows its commit added). */
   def maintainReencodeIndex(spark: SparkSession, changes: DataFrame,
-      idxRoot: String, tag: Option[String] = None): Int = {
-    if (changes.isEmpty) return ManifestTable.currentVersion(idxRoot)
-    val signed = changes.where(sign.isNotNull)
-      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-        sign.as("__sgn"))
-    def rows(sgn: Long): DataFrame = bandFacts(
-      signed.where(col("__sgn") === sgn).select(col("doc_id"), col("n_chars")))
-    val d = rows(1L).withColumn("net", lit(1L))
-      .union(rows(-1L).withColumn("net", lit(-1L)))
-      .groupBy(col("bk"), col("media_id"), col("sc"),
-        col("fp"), col("hi"), col("lo"))
-      .agg(sum(col("net")).as("net"))
-      .where(col("net") =!= 0L)
-      // collapse to one row per merge key: an update that keeps a
-      // band's (bk, sc) but changes the keyframe nets −1 on the old
-      // payload and +1 on the new — the LIVE row must win the key
-      .groupBy(col("bk"), col("media_id"), col("sc"))
-      .agg(max(struct((col("net") > 0L).as("alive"),
-        col("fp"), col("hi"), col("lo"))).as("r"))
-      .select(col("bk"), col("media_id"), col("sc"), col("r.fp").as("fp"),
-        col("r.hi").as("hi"), col("r.lo").as("lo"), col("r.alive").as("alive"))
-      .localCheckpoint()
-    if (d.isEmpty) return ManifestTable.currentVersion(idxRoot)
-    ManifestTable.declareBuckets(idxRoot, "bk", IndexBuckets)
-    ManifestTable.mergePartitioned(withBucket(d)
-        .select(col("bucket"), col("bk"), col("media_id"), col("sc"),
-          col("fp"), col("hi"), col("lo"), col("alive")),
-      idxRoot, Seq("bucket", "bk", "media_id", "sc"), "bucket", tag = tag)
-  }
+      idxRoot: String, tag: Option[String] = None): Int =
+    maintainIndex(changes, idxRoot, tag)
 
-  /** EXACTLY-ONCE step (the shared txn-tag protocol). */
-  def applyBatch(changes: DataFrame, batchId: Long, idxRoot: String,
-      scope: String = ""): Unit = {
-    if (batchId <= ManifestTable.lastBatchTag(idxRoot, scope)) return
-    maintainReencodeIndex(changes.sparkSession, changes.localCheckpoint(),
-      idxRoot, Some(ManifestTable.batchTag(scope, batchId)))
-  }
-
-  /** Roll forward across corpus versions `(fromV, toV]`. */
-  def refresh(spark: SparkSession, corpusRoot: String, idxRoot: String,
-      fromV: Int, toV: Int): Unit =
-    (fromV until toV).foreach { v =>
-      val ch = ManifestTable.readChanges(
-        spark, corpusRoot, v, v + 1, Seq("doc_id"), preimages = true)
-      applyBatch(ch, (v + 1).toLong, idxRoot, scope = PollScope)
-    }
-
-  /** Turnkey stream ([[ModalityIndex.startMaintenance]]'s shape). */
-  def startMaintenance(spark: SparkSession, corpusRoot: String,
-      idxRoot: String, checkpoint: String, startingVersion: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val scope = ManifestStreamSink.digest(
-      ManifestStreamSink.canonicalCheckpoint(checkpoint))
-    spark.readStream.format("graft-manifest-cdc")
-      .option("path", corpusRoot).option("key", "doc_id")
-      .option("startingVersion", startingVersion.toString)
-      .option("preimages", "true").load()
-      .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, id, idxRoot, scope)
-      }
-      .option("checkpointLocation", checkpoint)
-      .start()
-  }
+  // applyBatch / refresh / startMaintenance: [[MaintainedIndex]].
 
   // ------------------------------------------------------------- reads
 
   /** Live band rows — tombstones filtered. */
   def readReencodeIndex(spark: SparkSession, idxRoot: String): DataFrame =
-    ManifestTable.read(spark, idxRoot)
-      .where(col("alive"))
-      .select(col("bk"), col("media_id"), col("sc"), col("fp"),
-        col("hi"), col("lo"))
+    readLiveRows(spark, idxRoot)
 
   /** q191's report: q189's re-encode pairs from STORED band rows — the
     * banded-Hamming keyframe match with the exact-hash blindness

@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.multimodal.Multimodal
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained VIDEO SCENE-KEYFRAME index (VERDICT r16 #3
@@ -17,30 +17,28 @@ import org.apache.spark.sql.functions._
   * recomputing it per dedup run is the cost this index deletes.
   *
   * PROTOCOL CHOICE: this is the exact-fact ([[SpanIndex]] /
-  * [[AudioWindowIndex]]) shape, NOT [[ModalityIndex]]'s banded one,
-  * deliberately. Scene matching is EXACT md5 equality, so LSH banding
-  * buys no recall; and a video carries MANY scene fingerprints, which
-  * the banded table's (bk, media_id) merge key cannot hold — two scenes
-  * of one clip colliding on a 16-bit band slice would silently collapse
-  * to one row, exactly the class of quiet drift a maintained index must
+  * [[AudioWindowIndex]]) shape of the shared [[MaintainedIndex]]
+  * protocol, NOT [[ModalityIndex]]'s banded one, deliberately. Scene
+  * matching is EXACT md5 equality, so LSH banding buys no recall; and
+  * a video carries MANY scene fingerprints, which the banded table's
+  * (bk, media_id) merge key cannot hold — two scenes of one clip
+  * colliding on a 16-bit band slice would silently collapse to one
+  * row, exactly the class of quiet drift a maintained index must
   * exclude by construction. Keying by (fp, media_id, sc) makes every
-  * row a distinct fact, so [[SpanIndex]]'s netting applies verbatim
+  * row a distinct fact, so the protocol's netting applies verbatim
   * (kept scenes net to zero; dropped scenes tombstone). Exactly-once
   * rides the shared txn-tag protocol; [[startMaintenance]] is the
   * turnkey stream. SceneIndexSpec pins maintained ≡ recomputed across
   * insert/update/delete commits, replay rejection, and a checkpoint
   * restart; q187/q188 oracle-gate the reads against an engine that
   * never saw the index. */
-object SceneIndex {
-
-  /** Same bucket count/role as [[DedupIndex.IndexBuckets]]. */
-  val IndexBuckets = 16
+object SceneIndex extends MaintainedIndex {
 
   private[graft] val PollScope = "scene-refresh-poll"
 
-  private def sign: Column = when(
-    col("_change_type").isin("insert", "update_postimage"), 1L)
-    .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+  protected def bucketKey: String = "fp"
+  protected def mergeKeyCols: Seq[String] = Seq("fp", "media_id", "sc")
+  protected def facts(docs: DataFrame): DataFrame = scenes(docs)
 
   /** Every scene keyframe of a (doc_id, n_chars) frame's videos as
     * (fp, media_id, sc) — the exact fingerprints q180 derives on the
@@ -60,81 +58,22 @@ object SceneIndex {
       .select(md5(col("key")).as("fp"), col("media_id"), col("sc"))
   }
 
-  private def withBucket(df: DataFrame): DataFrame =
-    df.withColumn("bucket", ManifestTable.bucketIdColumn(col("fp"), IndexBuckets))
-
   /** The index of a corpus snapshot — bootstrap and spec ground truth:
     * (bucket, fp, media_id, sc, alive). */
-  def computeSceneIndex(docs: DataFrame): DataFrame =
-    withBucket(scenes(docs).withColumn("alive", lit(true)))
-      .select(col("bucket"), col("fp"), col("media_id"), col("sc"), col("alive"))
+  def computeSceneIndex(docs: DataFrame): DataFrame = computeIndexOf(docs)
 
   /** Bootstrap from a corpus snapshot. */
-  def bootstrapSceneIndex(docs: DataFrame, idxRoot: String): Int = {
-    ManifestTable.declareBuckets(idxRoot, "fp", IndexBuckets)
-    ManifestTable.mergePartitioned(computeSceneIndex(docs), idxRoot,
-      Seq("bucket", "fp", "media_id", "sc"), "bucket")
-  }
+  def bootstrapSceneIndex(docs: DataFrame, idxRoot: String): Int =
+    bootstrapIndex(docs, idxRoot)
 
   /** Apply ONE corpus version's CDC events (preimages required; the
     * videos derive from doc_id and n_chars = length(text), so a
     * preimage regenerates exactly the scene rows its commit added). */
   def maintainSceneIndex(spark: SparkSession, changes: DataFrame,
-      idxRoot: String, tag: Option[String] = None): Int = {
-    if (changes.isEmpty) return ManifestTable.currentVersion(idxRoot)
-    val signed = changes.where(sign.isNotNull)
-      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-        sign.as("__sgn"))
-    def rows(sgn: Long): DataFrame = scenes(
-      signed.where(col("__sgn") === sgn).select(col("doc_id"), col("n_chars")))
-    val d = rows(1L).withColumn("net", lit(1L))
-      .union(rows(-1L).withColumn("net", lit(-1L)))
-      .groupBy(col("fp"), col("media_id"), col("sc"))
-      .agg(sum(col("net")).as("net"))
-      .where(col("net") =!= 0L)
-      .select(col("fp"), col("media_id"), col("sc"), (col("net") > 0L).as("alive"))
-      .localCheckpoint()
-    if (d.isEmpty) return ManifestTable.currentVersion(idxRoot)
-    ManifestTable.declareBuckets(idxRoot, "fp", IndexBuckets)
-    ManifestTable.mergePartitioned(withBucket(d)
-        .select(col("bucket"), col("fp"), col("media_id"), col("sc"), col("alive")),
-      idxRoot, Seq("bucket", "fp", "media_id", "sc"), "bucket", tag = tag)
-  }
+      idxRoot: String, tag: Option[String] = None): Int =
+    maintainIndex(changes, idxRoot, tag)
 
-  /** EXACTLY-ONCE step (the shared txn-tag protocol). */
-  def applyBatch(changes: DataFrame, batchId: Long, idxRoot: String,
-      scope: String = ""): Unit = {
-    if (batchId <= ManifestTable.lastBatchTag(idxRoot, scope)) return
-    maintainSceneIndex(changes.sparkSession, changes.localCheckpoint(),
-      idxRoot, Some(ManifestTable.batchTag(scope, batchId)))
-  }
-
-  /** Roll forward across corpus versions `(fromV, toV]`. */
-  def refresh(spark: SparkSession, corpusRoot: String, idxRoot: String,
-      fromV: Int, toV: Int): Unit =
-    (fromV until toV).foreach { v =>
-      val ch = ManifestTable.readChanges(
-        spark, corpusRoot, v, v + 1, Seq("doc_id"), preimages = true)
-      applyBatch(ch, (v + 1).toLong, idxRoot, scope = PollScope)
-    }
-
-  /** Turnkey stream ([[ModalityIndex.startMaintenance]]'s shape). */
-  def startMaintenance(spark: SparkSession, corpusRoot: String,
-      idxRoot: String, checkpoint: String, startingVersion: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val scope = ManifestStreamSink.digest(
-      ManifestStreamSink.canonicalCheckpoint(checkpoint))
-    spark.readStream.format("graft-manifest-cdc")
-      .option("path", corpusRoot).option("key", "doc_id")
-      .option("startingVersion", startingVersion.toString)
-      .option("preimages", "true").load()
-      .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, id, idxRoot, scope)
-      }
-      .option("checkpointLocation", checkpoint)
-      .start()
-  }
+  // applyBatch / refresh / startMaintenance: [[MaintainedIndex]].
 
   // ------------------------------------------------------------- reads
 
@@ -142,8 +81,7 @@ object SceneIndex {
     * dropped (it exists for the merge key; two identical scenes in one
     * clip still count ONCE downstream, q180's DISTINCT contract). */
   def readSceneIndex(spark: SparkSession, idxRoot: String): DataFrame =
-    ManifestTable.read(spark, idxRoot)
-      .where(col("alive"))
+    readLiveRows(spark, idxRoot)
       .select(col("fp"), col("media_id"))
       .distinct()
 

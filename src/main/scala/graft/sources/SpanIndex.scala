@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   * hash-bucket partitions. At 100 TB the alternative is a full corpus
   * re-tokenization + window re-hash per scrub run.
   *
-  * Rows are exact facts keyed by (h, doc_id, p) — unlike the df
+  * Rows are exact facts keyed by (h, doc_id, p) — the exact-fact shape
+  * of the shared [[MaintainedIndex]] protocol: unlike the df
   * ref-counts there is nothing to net ACROSS docs, so maintenance is
-  * per-changed-doc work: an update's unchanged windows net to zero and
-  * are not rewritten; a dropped window nets −1 and tombstones
+  * per-changed-doc work — an update's unchanged windows net to zero
+  * and are not rewritten; a dropped window nets −1 and tombstones
   * (`alive = false`, readers filter). Non-idempotent only at the
   * commit level, so every maintenance surface rides the txn-tag
   * protocol ([[DedupIndex.applyBatch]]'s contract): [[applyBatch]]
@@ -30,19 +31,19 @@ import org.apache.spark.sql.functions._
   * insert/update/delete commits and replay rejection; q171/q172
   * oracle-gate the reports end-to-end against an engine that never saw
   * the index. */
-object SpanIndex {
-
-  /** Same bucket count/role as [[DedupIndex.IndexBuckets]]. */
-  val IndexBuckets = 16
+object SpanIndex extends MaintainedIndex {
 
   /** Min-match window width — q148's 8-token detector. */
   val Width = 8
 
   private[graft] val PollScope = "span-refresh-poll"
 
-  private def sign: Column = when(
-    col("_change_type").isin("insert", "update_postimage"), 1L)
-    .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+  protected def bucketKey: String = "h"
+  protected def mergeKeyCols: Seq[String] = Seq("h", "doc_id", "p")
+  // windows hash the text itself — the generator needs it verbatim
+  override protected def changeCols: Seq[Column] =
+    Seq(col("doc_id"), col("text"))
+  protected def facts(docs: DataFrame): DataFrame = windows(docs)
 
   /** Every [[Width]]-token window of a (doc_id, text) frame as
     * (doc_id, p, h) — [[TextOps.windowPositions]], the exact rows
@@ -50,93 +51,31 @@ object SpanIndex {
   private def windows(docs: DataFrame): DataFrame =
     TextOps.windowPositions(docs, Width)
 
-  private def withBucket(df: DataFrame): DataFrame =
-    df.withColumn("bucket", ManifestTable.bucketIdColumn(col("h"), IndexBuckets))
-
   /** The span index of a corpus snapshot — the bootstrap, and the
     * spec's ground truth: (bucket, h, doc_id, p, alive). */
-  def computeSpanIndex(docs: DataFrame): DataFrame =
-    withBucket(windows(docs).withColumn("alive", lit(true)))
-      .select(col("bucket"), col("h"), col("doc_id"), col("p"), col("alive"))
+  def computeSpanIndex(docs: DataFrame): DataFrame = computeIndexOf(docs)
 
   /** Bootstrap the index table from a corpus snapshot (pair with
     * [[startMaintenance]]'s `startingVersion`, or the re-emitted
     * snapshot batch double-applies — [[DedupIndex]]'s contract). */
-  def bootstrapSpanIndex(docs: DataFrame, idxRoot: String): Int = {
-    ManifestTable.declareBuckets(idxRoot, "h", IndexBuckets)
-    ManifestTable.mergePartitioned(
-      computeSpanIndex(docs), idxRoot, Seq("bucket", "h", "doc_id", "p"), "bucket")
-  }
+  def bootstrapSpanIndex(docs: DataFrame, idxRoot: String): Int =
+    bootstrapIndex(docs, idxRoot)
 
   /** Apply ONE corpus version's CDC events. `changes` must carry
     * preimages: an update's old windows must retract. Only changed
     * docs re-hash; the merge touches only the delta's hash buckets;
     * windows an update keeps net to zero and are not rewritten. */
   def maintainSpanIndex(spark: SparkSession, changes: DataFrame, idxRoot: String,
-      tag: Option[String] = None): Int = {
-    if (changes.isEmpty) return ManifestTable.currentVersion(idxRoot)
-    val signed = changes.where(sign.isNotNull)
-      .select(col("doc_id"), col("text"), sign.as("__sgn"))
-    val arrived = windows(signed.where(col("__sgn") === 1L)
-      .select(col("doc_id"), col("text"))).withColumn("net", lit(1L))
-    val retracted = windows(signed.where(col("__sgn") === -1L)
-      .select(col("doc_id"), col("text"))).withColumn("net", lit(-1L))
-    val d = arrived.union(retracted)
-      .groupBy(col("h"), col("doc_id"), col("p"))
-      .agg(sum(col("net")).as("net"))
-      .where(col("net") =!= 0L)
-      .select(col("h"), col("doc_id"), col("p"), (col("net") > 0L).as("alive"))
-      .localCheckpoint()
-    if (d.isEmpty) return ManifestTable.currentVersion(idxRoot)
-    ManifestTable.declareBuckets(idxRoot, "h", IndexBuckets)
-    ManifestTable.mergePartitioned(withBucket(d)
-        .select(col("bucket"), col("h"), col("doc_id"), col("p"), col("alive")),
-      idxRoot, Seq("bucket", "h", "doc_id", "p"), "bucket", tag = tag)
-  }
+      tag: Option[String] = None): Int =
+    maintainIndex(changes, idxRoot, tag)
 
-  /** EXACTLY-ONCE step ([[DedupIndex.applyBatch]]'s protocol). */
-  def applyBatch(changes: DataFrame, batchId: Long, idxRoot: String,
-      scope: String = ""): Unit = {
-    if (batchId <= ManifestTable.lastBatchTag(idxRoot, scope)) return
-    maintainSpanIndex(changes.sparkSession, changes.localCheckpoint(), idxRoot,
-      Some(ManifestTable.batchTag(scope, batchId)))
-  }
-
-  /** Roll forward across corpus versions `(fromV, toV]`, exactly-once
-    * under the shared [[PollScope]]. */
-  def refresh(spark: SparkSession, corpusRoot: String, idxRoot: String,
-      fromV: Int, toV: Int): Unit =
-    (fromV until toV).foreach { v =>
-      val ch = ManifestTable.readChanges(
-        spark, corpusRoot, v, v + 1, Seq("doc_id"), preimages = true)
-      applyBatch(ch, (v + 1).toLong, idxRoot, scope = PollScope)
-    }
-
-  /** Turnkey stream ([[DedupIndex.startIndexMaintenance]]'s shape). */
-  def startMaintenance(spark: SparkSession, corpusRoot: String,
-      idxRoot: String, checkpoint: String, startingVersion: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val scope = ManifestStreamSink.digest(
-      ManifestStreamSink.canonicalCheckpoint(checkpoint))
-    spark.readStream.format("graft-manifest-cdc")
-      .option("path", corpusRoot).option("key", "doc_id")
-      .option("startingVersion", startingVersion.toString)
-      .option("preimages", "true").load()
-      .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, id, idxRoot, scope)
-      }
-      .option("checkpointLocation", checkpoint)
-      .start()
-  }
+  // applyBatch / refresh / startMaintenance: [[MaintainedIndex]].
 
   // ------------------------------------------------------------- reads
 
   /** Live (h, doc_id, p) window rows — tombstones filtered. */
   def readSpanIndex(spark: SparkSession, idxRoot: String): DataFrame =
-    ManifestTable.read(spark, idxRoot)
-      .where(col("alive"))
-      .select(col("h"), col("doc_id"), col("p"))
+    readLiveRows(spark, idxRoot)
 
   /** q171's report: q148's duplicated-span detection from the
     * MAINTAINED positions — group the stored rows by hash, keep

@@ -984,26 +984,55 @@ object EventStream {
     * so every committed member is a hit). Probes never enter state, so
     * probes cannot match each other; same-batch commits are visible to
     * same-batch probes (arrivals append before probes scan — the
-    * [[ImageDupProbeProcessor]] contract). */
+    * [[ImageDupProbeProcessor]] contract).
+    *
+    * HOT-KEY GATE (ADVICE r17): image band keys carry the batch q198's
+    * corpus-side [[graft.multimodal.Multimodal.ModalityBandCap]] — a
+    * per-key counter tracks committed membership, and once it exceeds
+    * the cap the key stops matching AND stops storing members (only the
+    * counter grows), exactly the batch gate's "hot bk contributes no
+    * candidates" semantics, so a slate/black-frame concentration costs
+    * O(cap) state and O(probes) work instead of O(committed members).
+    * Append-stream caveat (the same one the class-upgrade note above
+    * documents): hits emitted while the key was still under the cap are
+    * not retracted when it crosses — the batch report, recomputed,
+    * would drop them. Caption keys stay uncapped, mirroring q198's
+    * uncapped caption arm. */
   class CrossModalProbeProcessor
       extends StatefulProcessor[String, (String, Long, Long, Long, Boolean), CrossModalHit] {
     @transient private var members: org.apache.spark.sql.streaming.ListState[ImageBandMember] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    @transient private var nMembers: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       members = getHandle.getListState[ImageBandMember](
         "members", Encoders.product[ImageBandMember], TTLConfig.NONE)
+      nMembers = getHandle.getValueState[Long](
+        "nMembers", Encoders.scalaLong, TTLConfig.NONE)
+    }
     override def handleInputRows(
         key: String,
         rows: Iterator[(String, Long, Long, Long, Boolean)],
         timerValues: TimerValues): Iterator[CrossModalHit] = {
+      val cap = graft.multimodal.Multimodal.ModalityBandCap
+      val image = key.startsWith("i:")
       val rs = rows.toArray
       val arriving = rs.collect { case (_, id, hi, lo, false) => ImageBandMember(id, hi, lo) }
         .distinct.sortBy(m => (m.id, m.hi, m.lo))
-      if (arriving.nonEmpty) members.appendList(arriving.toArray)
+      val prev = if (nMembers.exists()) nMembers.get() else 0L
+      val total = prev + arriving.length
+      if (arriving.nonEmpty) {
+        // past the cap the batch gate drops the whole key, so stored
+        // members are dead weight — keep only enough rows to stay
+        // over-complete below the cap; the counter alone witnesses "hot"
+        val toStore =
+          if (image) arriving.take(math.max(0L, cap + 1 - prev).toInt)
+          else arriving
+        if (toStore.nonEmpty) members.appendList(toStore)
+        nMembers.update(total)
+      }
       val probes = rs.collect { case (_, id, hi, lo, true) => (id, hi, lo) }.distinct.sorted
-      if (probes.isEmpty) Iterator.empty
+      if (probes.isEmpty || (image && total > cap)) Iterator.empty
       else {
         val committed = members.get().toArray
-        val image = key.startsWith("i:")
         probes.iterator.flatMap { case (pid, phi, plo) =>
           committed.iterator.flatMap { m =>
             if (!image) Some(CrossModalHit("caption", pid, m.id))
@@ -1031,8 +1060,9 @@ object EventStream {
     * can UPGRADE as later commits land — recaptioned → dup_pair when
     * the caption arm fires too — which an append stream reports as a
     * second tagged hit, never a retraction). Non-image docs
-    * (doc_id % 3 ≠ 0) emit nothing; the text never reaches the state
-    * store — only 24-byte members per key. */
+    * ([[graft.multimodal.Multimodal.hasImageId]] false) emit nothing;
+    * the text never reaches the state store — only 24-byte members per
+    * key. */
   def crossModalProbeStream(docs: DataFrame): Dataset[CrossModalHit] = {
     val s = docs.sparkSession
     import s.implicits._
@@ -1040,7 +1070,7 @@ object EventStream {
       .as[(Long, String, Boolean)]
       .flatMap { case (id, text, isProbe) =>
         import graft.multimodal.{MediaHeaders, Multimodal}
-        if (id % 3 != 0) Seq.empty[(String, Long, Long, Long, Boolean)]
+        if (!Multimodal.hasImageId(id)) Seq.empty[(String, Long, Long, Long, Boolean)]
         else {
           val sig = Multimodal.captionSig(text)
           val seed = sig.map(g => java.lang.Long.parseLong(g(0), 16)).getOrElse(0L)
