@@ -23,6 +23,63 @@ import scala.concurrent.duration.Duration
   *     `seq_total`.
   */
 object Bench {
+
+  /** Clean-window `cal_io` basis (VERDICT r17 #2): the minimum the
+    * IO-bound yardstick reads on this box when nothing else is
+    * fighting for the disk/page cache — measured with [[CalProbe]]
+    * (round 18: min of 23 samples over three probe runs in the round's
+    * quietest stretch — 1.126, with the next-best runs at 1.19/1.28;
+    * the threshold this implies, 1.295, cleanly separates every
+    * recorded contended window (r17: 1.39/1.42/1.58) from the round's
+    * cleaner records (1.27 and below)). Both JSON
+    * lines carry `"contended": true` whenever the run's cal_io exceeds
+    * this by more than [[ContendedTolerance]], so a reader classifies
+    * the measurement window from the line alone: when the flag is set,
+    * cross-round WALL comparisons are invalid (compare per-query
+    * sequential shapes instead) — r17's 28.5 s driver record would
+    * have carried the flag and saved a full forensic pass. Re-pin with
+    * CalProbe if the box's clean minimum drifts (hardware or kernel
+    * change), and record the re-measurement in the README. */
+  val CalIoCleanBasis: Double = 1.126
+
+  /** A run is CONTENDED when cal_io exceeds the clean basis by >15%
+    * (the threshold VERDICT r17 #2 names; same-hour clean repeats
+    * spread well under it, while every observed contended window —
+    * 1.27–1.58 against the basis — clears it). */
+  val ContendedTolerance: Double = 1.15
+
+  def contended(calIo: Double): Boolean =
+    calIo > CalIoCleanBasis * ContendedTolerance
+
+  /** Fixed-work CPU yardstick (VERDICT r14 #4): deterministic
+    * in-memory job — range + integer mix + sum, zero IO, fixed 6e9
+    * rows across all slots. wall / cal is the box-speed-free figure. */
+  private[graft] def calibrationJob(
+      spark: org.apache.spark.sql.SparkSession, cpus: Int): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 6000000000L, 1, cpus)
+      .selectExpr("sum((id % 1048576) * 2654435761L % 1048576) AS s").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Fixed-work IO yardstick (VERDICT r16 #3): write a 16M-row
+    * 3-column parquet to tmpdir, read it back with a full-column sum,
+    * delete. A wall swing with flat `cal` but inflated `cal_io` reads
+    * as IO/page-cache contention, not code. */
+  private[graft] def calIoJob(spark: org.apache.spark.sql.SparkSession,
+      ioDir: java.nio.file.Path): Double = {
+    val t0 = System.nanoTime()
+    val p = s"$ioDir/s${System.nanoTime()}"
+    spark.range(0, 16000000L, 1, 8)
+      .selectExpr("id", "id * 2654435761L % 1048576 AS a",
+        "CAST(id % 97 AS STRING) AS s")
+      .write.mode("overwrite").parquet(p)
+    spark.read.parquet(p).selectExpr("sum(a)").collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    sec
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -65,13 +122,7 @@ object Bench {
     // the min wins — the fastest observation is the closest to the
     // box's true speed, and bracketing the suite means at least one
     // sample shares whatever load the suite itself ran under.
-    def calibrationJob(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0, 6000000000L, 1, cpus.toInt)
-        .selectExpr("sum((id % 1048576) * 2654435761L % 1048576) AS s").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
-    val calPre = Seq.fill(3)(calibrationJob()).min
+    val calPre = Seq.fill(3)(calibrationJob(spark, cpus.toInt)).min
 
     // Second, IO-BOUND yardstick (VERDICT r16 #3): the CPU calibration
     // is zero-IO by design, so a loaded disk/page cache inflates the
@@ -83,19 +134,7 @@ object Bench {
     // delete. A wall swing with flat `cal` but inflated `cal_io` reads
     // as IO/memory contention, not code.
     val ioDir = Files.createTempDirectory("graft-bench-io")
-    def calIoJob(): Double = {
-      val t0 = System.nanoTime()
-      val p = s"$ioDir/s${System.nanoTime()}"
-      spark.range(0, 16000000L, 1, 8)
-        .selectExpr("id", "id * 2654435761L % 1048576 AS a",
-          "CAST(id % 97 AS STRING) AS s")
-        .write.mode("overwrite").parquet(p)
-      spark.read.parquet(p).selectExpr("sum(a)").collect()
-      val sec = (System.nanoTime() - t0) / 1e9
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
-      sec
-    }
-    val calIoPre = Seq.fill(2)(calIoJob()).min
+    val calIoPre = Seq.fill(2)(calIoJob(spark, ioDir)).min
 
     val poolSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_POOL", "10").toInt
     val pool = Executors.newFixedThreadPool(poolSize)
@@ -210,8 +249,8 @@ object Bench {
 
     // second calibration bracket (post-suite), min of all five samples;
     // cal_io brackets the same way (2 pre + 1 post, min of 3)
-    val calibration = math.min(calPre, Seq.fill(2)(calibrationJob()).min)
-    val calIo = math.min(calIoPre, calIoJob())
+    val calibration = math.min(calPre, Seq.fill(2)(calibrationJob(spark, cpus.toInt)).min)
+    val calIo = math.min(calIoPre, calIoJob(spark, ioDir))
 
     def timesJson(rs: Seq[(String, Double, Boolean)], key: String => String,
                   fmt: Double => String): String =
@@ -237,12 +276,16 @@ object Bench {
         "on the same JVM so cross-round walls divide out box-speed drift as wall_per_cal; " +
         "cal_io = fixed-work IO-bound job (write a 16M-row parquet to tmpdir, read it back, " +
         "2 pre + 1 post, min of 3): a wall swing with flat cal but inflated cal_io is " +
-        "disk/page-cache contention, the failure mode the CPU yardstick cannot see"
+        "disk/page-cache contention, the failure mode the CPU yardstick cannot see; " +
+        "contended = cal_io exceeds the pinned clean-window basis " +
+        s"($CalIoCleanBasis) by >15% - when true, cross-round wall/wall_per_cal " +
+        "comparisons are invalid for this record and per-query sequential shapes " +
+        "are the comparable figures"
     val viewsJson = views.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // Full record (long names, both passes, method) -> file + stderr.
     val fullJson =
-      s"""{"metric":"total","value":$wall,"unit":"sec","queries":${timesJson(sequential, identity, _.toString)},"queries_concurrent":${timesJson(concurrent, identity, _.toString)},"seq_total":$seqTotal,"views":$viewsJson,"concurrent_walls":$walls,"calibration":${r3(calibration)},"cal_io":${r3(calIo)},"wall_per_cal":${r3(wall / math.max(calibration, 1e-9))},"failures":$failures,"sf":"$sfDir","method":"$method"}"""
+      s"""{"metric":"total","value":$wall,"unit":"sec","queries":${timesJson(sequential, identity, _.toString)},"queries_concurrent":${timesJson(concurrent, identity, _.toString)},"seq_total":$seqTotal,"views":$viewsJson,"concurrent_walls":$walls,"calibration":${r3(calibration)},"cal_io":${r3(calIo)},"cal_io_basis":$CalIoCleanBasis,"contended":${contended(calIo)},"wall_per_cal":${r3(wall / math.max(calibration, 1e-9))},"failures":$failures,"sf":"$sfDir","method":"$method"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")), fullJson)
     // Print the JSON LAST — after spark.stop()'s shutdown chatter — so a
@@ -305,6 +348,6 @@ object Bench {
       (if (failedNames.size > MaxFailureNames)
         Seq(s"+${failedNames.size - MaxFailureNames} more") else Nil)
     val failures = shown.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":${r3(wall)},"unit":"sec","seq_total":${r3(seqTotal)},"cal":${r3(calibration)},"cal_io":${r3(calIo)},"wall_per_cal":${r3(wall / math.max(calibration, 1e-9))},"failures":$failures,"sf":"$sfDir","method":"best-of-2 concurrent wall; cal = fixed-work CPU yardstick (best-of-3), wall_per_cal is the box-speed-normalized figure; cal_io = fixed-work parquet write+read yardstick (inflates under the IO/page-cache contention cal is blind to); per-query seconds on the preceding stdout line; full record in bench file + stderr"}"""
+    s"""{"metric":"total","value":${r3(wall)},"unit":"sec","seq_total":${r3(seqTotal)},"cal":${r3(calibration)},"cal_io":${r3(calIo)},"contended":${contended(calIo)},"wall_per_cal":${r3(wall / math.max(calibration, 1e-9))},"failures":$failures,"sf":"$sfDir","method":"best-of-2 concurrent wall; cal = fixed-work CPU yardstick (best-of-3), wall_per_cal is the box-speed-normalized figure; cal_io = fixed-work parquet write+read yardstick (inflates under the IO/page-cache contention cal is blind to); contended = cal_io over pinned clean basis by >15% - wall comparisons invalid when true; per-query seconds on the preceding stdout line; full record in bench file + stderr"}"""
   }
 }

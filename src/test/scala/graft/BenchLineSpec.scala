@@ -26,9 +26,24 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("\n") && line.startsWith("{") && line.endsWith("}"))
     // the driver's contract fields are all present
     Seq("\"metric\":", "\"value\":", "\"unit\":", "\"seq_total\":",
-      "\"cal\":", "\"cal_io\":", "\"wall_per_cal\":",
+      "\"cal\":", "\"cal_io\":", "\"contended\":", "\"wall_per_cal\":",
       "\"failures\":", "\"sf\":", "\"method\":").foreach(k =>
       assert(line.contains(k), s"final line missing $k"))
+  }
+
+  test("the contended flag classifies the window from the line alone " +
+    "(VERDICT r17 #2): cal_io at the pinned clean basis reads false, " +
+    "cal_io >15% over it reads true") {
+    val clean = Bench.finalLine(1.0, 2.0, 0.8, Bench.CalIoCleanBasis, Nil, "sf")
+    assert(clean.contains("\"contended\":false"))
+    val hot = Bench.finalLine(1.0, 2.0, 0.8,
+      Bench.CalIoCleanBasis * Bench.ContendedTolerance * 1.01, Nil, "sf")
+    assert(hot.contains("\"contended\":true"))
+    // every contended window recorded in rounds 16-17 clears the gate;
+    // the round's cleaner records stay under it
+    Seq(1.391, 1.421, 1.578).foreach(v => assert(Bench.contended(v), s"$v"))
+    Seq(1.126, 1.194, 1.268, 1.282).foreach(v =>
+      assert(!Bench.contended(v), s"$v"))
   }
 
   test("the final line does not carry the per-query map (that detail " +
