@@ -62,8 +62,9 @@ class SqlSurfaceSpec extends SparkSpec {
       "q198_crossmodal_probe") ++
     m("WITH RECURSIVE … UNION (distinct) — Spark 4.1 recursion accepts only " +
       "UNION ALL, and UNION ALL label propagation enumerates paths " +
-      "(exponential on cyclic near-dup graphs), so the component family " +
-      "stays DataFrame-only")(
+      "(exponential on cyclic near-dup graphs); the twins unroll K " +
+      "min-label levels with a convergence witness that fails loudly " +
+      "when K is too shallow (SparkSqlTwins.ComponentLevels)")(
       "q54_neardup_components", "q69_keeper_selection", "q88_dedup_funnel",
       "q119_dedup_savings",
       "q137_maintained_components", "q138_maintained_keepers",
