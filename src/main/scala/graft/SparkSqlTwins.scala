@@ -243,6 +243,26 @@ object SparkSqlTwins {
   private val tokdCte: String =
     "tokd AS (SELECT doc_id, CAST(size(toks) AS BIGINT) AS n_tokens FROM td)"
 
+  /** q199's twin (also, corpus-split, q200's): the candidate spine
+    * with both q55 splits stamped inline on the pair rows. */
+  private val splitLeakageTwin: String =
+    s"""WITH $candCte,
+       |sp AS (SELECT c.doc_a, c.doc_b,
+       |  CASE WHEN CAST(conv(substring(md5(CAST(c.doc_a AS STRING)), 1, 4), 16, 10) AS BIGINT) < 52429 THEN 'train'
+       |       WHEN CAST(conv(substring(md5(CAST(c.doc_a AS STRING)), 1, 4), 16, 10) AS BIGINT) < 58982 THEN 'val'
+       |       ELSE 'test' END AS split_a,
+       |  CASE WHEN CAST(conv(substring(md5(CAST(c.doc_b AS STRING)), 1, 4), 16, 10) AS BIGINT) < 52429 THEN 'train'
+       |       WHEN CAST(conv(substring(md5(CAST(c.doc_b AS STRING)), 1, 4), 16, 10) AS BIGINT) < 58982 THEN 'val'
+       |       ELSE 'test' END AS split_b
+       |  FROM cand c),
+       |pe AS (SELECT doc_a AS doc_id, split_a AS split, doc_b AS train_doc
+       |       FROM sp WHERE split_a <> 'train' AND split_b = 'train'
+       |       UNION ALL
+       |       SELECT doc_b, split_b, doc_a
+       |       FROM sp WHERE split_b <> 'train' AND split_a = 'train')
+       |SELECT doc_id, split, count(DISTINCT train_doc) AS n_train_dups
+       |FROM pe GROUP BY doc_id, split""".stripMargin
+
   /** q54's twin (also, corpus-split, q137's). */
   private val componentsTwin: String =
     s"""WITH $componentTwinCtes
@@ -2053,6 +2073,32 @@ object SparkSqlTwins {
 
     "q190_gain_robust_dups" -> gainTwin,
 
+    // q201: the robust key-space instrument — both families' Spark
+    // prefixes (disjoint CTE name spaces), the same per-space aggregate
+    "q201_robust_key_spaces" ->
+      s"""$reencodeBandTwinCte,
+         |${gainWinTwinCte.stripPrefix("WITH ")},
+         |bkdf AS (SELECT b, v, count(1) AS df FROM band0 GROUP BY b, v),
+         |sfdf AS (SELECT sfp, count(1) AS df FROM win GROUP BY sfp)
+         |SELECT 'reencode_bk' AS space,
+         |  CAST(${graft.multimodal.Multimodal.ModalityBandCap} AS BIGINT) AS cap,
+         |  count(1) AS n_keys,
+         |  max(df) AS max_key_size,
+         |  sum(CASE WHEN df > ${graft.multimodal.Multimodal.ModalityBandCap}
+         |           THEN 1L ELSE 0L END) AS n_hot_keys,
+         |  sum(CASE WHEN df > ${graft.multimodal.Multimodal.ModalityBandCap}
+         |           THEN df ELSE 0L END) AS n_dropped_rows
+         |FROM bkdf
+         |UNION ALL
+         |SELECT 'gain_sfp',
+         |  CAST(${graft.multimodal.Multimodal.ExactFpCap} AS BIGINT),
+         |  count(1), max(df),
+         |  sum(CASE WHEN df > ${graft.multimodal.Multimodal.ExactFpCap}
+         |           THEN 1L ELSE 0L END),
+         |  sum(CASE WHEN df > ${graft.multimodal.Multimodal.ExactFpCap}
+         |           THEN df ELSE 0L END)
+         |FROM sfdf""".stripMargin,
+
     "q177_scene_keyframes" ->
       """WITH im AS (SELECT doc_id, CAST((n_chars % 3 + 2) * 8 AS BIGINT) AS w,
         |                   CAST((n_chars % 2 + 2) * 8 AS BIGINT) AS h,
@@ -2769,24 +2815,11 @@ object SparkSqlTwins {
          |GROUP BY c.lbl""".stripMargin,
 
     // q199: split leakage — the Spark candidate spine with both q55
-    // splits stamped inline on the pair rows (no corpus join)
-    "q199_split_leakage" ->
-      s"""WITH $candCte,
-         |sp AS (SELECT c.doc_a, c.doc_b,
-         |  CASE WHEN CAST(conv(substring(md5(CAST(c.doc_a AS STRING)), 1, 4), 16, 10) AS BIGINT) < 52429 THEN 'train'
-         |       WHEN CAST(conv(substring(md5(CAST(c.doc_a AS STRING)), 1, 4), 16, 10) AS BIGINT) < 58982 THEN 'val'
-         |       ELSE 'test' END AS split_a,
-         |  CASE WHEN CAST(conv(substring(md5(CAST(c.doc_b AS STRING)), 1, 4), 16, 10) AS BIGINT) < 52429 THEN 'train'
-         |       WHEN CAST(conv(substring(md5(CAST(c.doc_b AS STRING)), 1, 4), 16, 10) AS BIGINT) < 58982 THEN 'val'
-         |       ELSE 'test' END AS split_b
-         |  FROM cand c),
-         |pe AS (SELECT doc_a AS doc_id, split_a AS split, doc_b AS train_doc
-         |       FROM sp WHERE split_a <> 'train' AND split_b = 'train'
-         |       UNION ALL
-         |       SELECT doc_b, split_b, doc_a
-         |       FROM sp WHERE split_b <> 'train' AND split_a = 'train')
-         |SELECT doc_id, split, count(DISTINCT train_doc) AS n_train_dups
-         |FROM pe GROUP BY doc_id, split""".stripMargin,
+    // splits stamped inline on the pair rows (no corpus join); q200:
+    // the same report over the maintained fixture's corpus split
+    "q199_split_leakage" -> splitLeakageTwin,
+
+    "q200_maintained_split_leakage" -> corpusSplit(splitLeakageTwin),
 
     // q103's oracle is non-recursive but rides the DuckDB-only shared
     // prefix (list-comprehension shingles); the twin is the same

@@ -1601,9 +1601,10 @@ object TextOps {
       |FROM documents""".stripMargin
 
   /** q55's split as a pure per-row function of the key — computed
-    * INLINE on whatever rows need it (q199 stamps it onto pair rows),
-    * so no query ever joins the corpus just to learn a split. */
-  private def splitOf(c: Column): Column = {
+    * INLINE on whatever rows need it (q199 stamps it onto pair rows,
+    * q200 onto stored index rows), so no query ever joins the corpus
+    * just to learn a split. */
+  private[graft] def splitOf(c: Column): Column = {
     val b = conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
     when(b < 52429, "train").when(b < 58982, "val").otherwise("test")
   }

@@ -2899,6 +2899,68 @@ object Multimodal {
        |GROUP BY a.doc_id, b.doc_id
        |HAVING count(*) >= 4""".stripMargin
 
+  /** q201 — the q186 hot-key instrument generalized to the ROBUST key
+    * spaces (VERDICT r17 #6): the re-encode family's banded-aHash keys
+    * (`bk`, capped at [[ModalityBandCap]] by q189/q191/q193) and the
+    * gain family's sign-of-delta window fingerprints (`sfp`, capped at
+    * [[ExactFpCap]] by q190/q192/q194) cap at the same constants as the
+    * exact families but had no dropped-rows recall report of their own
+    * — and a real crawl's black frames and digital silence concentrate
+    * exactly there (a black keyframe's aHash is all-ones in every band;
+    * silence packs an all-zero sign pattern). One row per key space:
+    * the key population, the observed maximum key size (the number to
+    * cross-check the cap against at full scale — at sf0.1 the observed
+    * maxima are 18 for bk (3,288 keys) and 2 for sfp (28,750 keys),
+    * far under the 1024/64 caps, so the caps cost ZERO dropped rows on
+    * this corpus while still bounding a crawl's degenerate cohorts),
+    * and what the production cap would drop. Derives through the INDEX objects' own fact
+    * generators ([[graft.sources.ReencodeIndex.bandFacts]] /
+    * [[graft.sources.GainWindowIndex.windows]]), so the instrument
+    * measures exactly the key distribution the maintained tables and
+    * batch queries join on — it cannot drift from them. */
+  def q201RobustKeySpaces(s: SparkSession, d: String): DataFrame = {
+    val base = Tables(s, d, "documents").select(col("doc_id"), col("n_chars"))
+    def stat(rows: DataFrame, key: String, space: String, cap: Int): DataFrame =
+      rows.groupBy(col(key)).agg(count(lit(1)).as("df"))
+        .agg(count(lit(1)).as("n_keys"),
+          max(col("df")).as("max_key_size"),
+          sum(when(col("df") > cap, 1L).otherwise(0L)).as("n_hot_keys"),
+          sum(when(col("df") > cap, col("df")).otherwise(0L)).as("n_dropped_rows"))
+        .select(lit(space).as("space"), lit(cap.toLong).as("cap"),
+          col("n_keys"), col("max_key_size"),
+          col("n_hot_keys"), col("n_dropped_rows"))
+    stat(graft.sources.ReencodeIndex.bandFacts(base), "bk",
+        "reencode_bk", ModalityBandCap)
+      .union(stat(graft.sources.GainWindowIndex.windows(base), "sfp",
+        "gain_sfp", ExactFpCap))
+  }
+
+  /** Oracle twin of [[q201RobustKeySpaces]]: both families' shared
+    * prefixes (the re-encode band rows, the gain windows — their CTE
+    * name spaces are disjoint), then the same per-space key-population
+    * aggregate. bk = b·2¹⁶ + v, so grouping by (b, v) counts the same
+    * keys. */
+  val q201Sql: String =
+    s"""$reencodeBandCte,
+       |${gainWinCte.stripPrefix("WITH ")},
+       |bkdf AS (SELECT b, v, count(*) AS df FROM band0 GROUP BY b, v),
+       |sfdf AS (SELECT sfp, count(*) AS df FROM win GROUP BY sfp)
+       |SELECT 'reencode_bk' AS space, CAST($ModalityBandCap AS BIGINT) AS cap,
+       |  CAST(count(*) AS BIGINT) AS n_keys,
+       |  CAST(max(df) AS BIGINT) AS max_key_size,
+       |  CAST(sum(CASE WHEN df > $ModalityBandCap THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hot_keys,
+       |  CAST(sum(CASE WHEN df > $ModalityBandCap THEN df ELSE 0 END) AS BIGINT)
+       |    AS n_dropped_rows
+       |FROM bkdf
+       |UNION ALL
+       |SELECT 'gain_sfp', CAST($ExactFpCap AS BIGINT),
+       |  CAST(count(*) AS BIGINT),
+       |  CAST(max(df) AS BIGINT),
+       |  CAST(sum(CASE WHEN df > $ExactFpCap THEN 1 ELSE 0 END) AS BIGINT),
+       |  CAST(sum(CASE WHEN df > $ExactFpCap THEN df ELSE 0 END) AS BIGINT)
+       |FROM sfdf""".stripMargin
+
   // ------------------------------------------------------- cross-modal
 
   /** Membership predicate of the CROSS-MODAL family — which documents
@@ -3195,7 +3257,8 @@ object Multimodal {
     "q189_reencoded_scene_dups" -> (q189ReencodedSceneDups _),
     "q190_gain_robust_dups" -> (q190GainRobustDups _),
     "q195_crossmodal_pairs" -> (q195CrossModalPairs _),
-    "q196_crossmodal_keep" -> (q196CrossModalKeep _))
+    "q196_crossmodal_keep" -> (q196CrossModalKeep _),
+    "q201_robust_key_spaces" -> (q201RobustKeySpaces _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_media_features" -> q37Sql,
@@ -3227,6 +3290,7 @@ object Multimodal {
     "q190_gain_robust_dups" -> q190Sql,
     "q195_crossmodal_pairs" -> q195Sql,
     "q196_crossmodal_keep" -> q196Sql,
+    "q201_robust_key_spaces" -> q201Sql,
     // q182's oracle IS q174's math — the pixels are mode-independent by
     // construction — plus the mode tag derived from doc_id, so a
     // per-mode decode fault surfaces as that mode's rows mismatching

@@ -268,6 +268,36 @@ object DedupIndex {
       .select(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("corpus_doc"))
       .distinct()
 
+  /** q200's report: the SPLIT-LEAKAGE audit (q199) from the MAINTAINED
+    * band index — eval (val/test) docs with a near-dup candidate in the
+    * train split, from stored rows only. The candidate spine is this
+    * index's own (band, bucket) self-join and both splits are stamped
+    * onto the pair rows as per-row hash math ([[TextOps.splitOf]],
+    * q55's function), so the corpus is never re-shingled and never
+    * joined: leakage auditing becomes an index-read-sized report a
+    * scheduler can run after every commit (PlanSpec pins the
+    * no-reshingle plan — zero Generate/explode operators). Like q30's
+    * own self-join, the candidate pairs ARE the output spine, so the
+    * join is output-sized, not wasted work. */
+  def maintainedSplitLeakage(spark: SparkSession, idxRoot: String): DataFrame = {
+    val bands = readBandIndex(spark, idxRoot)
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .withColumn("split_a", TextOps.splitOf(col("doc_a")))
+      .withColumn("split_b", TextOps.splitOf(col("doc_b")))
+    pairs.where(col("split_a") =!= "train" && col("split_b") === "train")
+      .select(col("doc_a").as("doc_id"), col("split_a").as("split"),
+        col("doc_b").as("train_doc"))
+      .union(pairs.where(col("split_b") =!= "train" && col("split_a") === "train")
+        .select(col("doc_b").as("doc_id"), col("split_b").as("split"),
+          col("doc_a").as("train_doc")))
+      .groupBy(col("doc_id"), col("split"))
+      .agg(countDistinct(col("train_doc")).as("n_train_dups"))
+  }
+
   // ------------------------------------------------------------ lifecycle
 
   /** Age dead rows out of both index tables — the compaction step the

@@ -306,6 +306,21 @@ object DedupIndexFixtures {
     CrossModalIndex.probeCrossModal(batch(s, d), s, r.xmod, r.band)
   }
 
+  /** q200 — q199's split-leakage audit from the MAINTAINED band index
+    * (VERDICT r17 #5): the candidate spine is the stored band rows'
+    * self-join on (band, bucket) — [[DedupIndex.readBandIndex]], the
+    * table the ingest lifecycle already keeps equal to the corpus — and
+    * both splits are stamped onto the pair rows as per-row hash math
+    * ([[TextOps.splitOf]], q55's function). The corpus is never
+    * re-shingled and never joined: leakage auditing becomes an
+    * index-read-sized report a scheduler can run after every commit,
+    * not a corpus-sized recompute (PlanSpec pins the no-reshingle
+    * shape). The oracle recomputes q199 from raw parquet over the
+    * fixture's corpus split — maintained ≡ recomputed is the claim
+    * under gate. */
+  def q200MaintainedSplitLeakage(s: SparkSession, d: String): DataFrame =
+    DedupIndex.maintainedSplitLeakage(s, ensure(s, d).band)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_maintained_exact_probe" -> (q135MaintainedExactProbe _),
     "q136_maintained_neardup_probe" -> (q136MaintainedNeardupProbe _),
@@ -326,7 +341,8 @@ object DedupIndexFixtures {
     "q193_reencode_probe" -> (q193ReencodeProbe _),
     "q194_gain_probe" -> (q194GainProbe _),
     "q197_maintained_crossmodal" -> (q197MaintainedCrossModal _),
-    "q198_crossmodal_probe" -> (q198CrossModalProbe _))
+    "q198_crossmodal_probe" -> (q198CrossModalProbe _),
+    "q200_maintained_split_leakage" -> (q200MaintainedSplitLeakage _))
 
   /** q54's oracle text with its `documents` base restricted to the
     * fixture's corpus split — the recursive closure runs on exactly the
@@ -602,5 +618,6 @@ object DedupIndexFixtures {
     "q194_gain_probe" -> q194Sql,
     "q197_maintained_crossmodal" ->
       restrictToCorpus(graft.multimodal.Multimodal.q195Sql),
-    "q198_crossmodal_probe" -> q198Sql)
+    "q198_crossmodal_probe" -> q198Sql,
+    "q200_maintained_split_leakage" -> restrictToCorpus(TextOps.q199Sql))
 }

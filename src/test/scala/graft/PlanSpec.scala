@@ -544,6 +544,32 @@ class PlanSpec extends SparkSpec {
     assert(got == Map(10L -> true, 11L -> false), got.toString)
   }
 
+  test("maintainedSplitLeakage (q200): the report never re-shingles the " +
+    "corpus — its plan reads ONLY stored band rows (zero Generate/explode " +
+    "operators; the shingle path is structurally absent) and both splits " +
+    "are per-row hash math, never a corpus join") {
+    import graft.sources.{DedupIndex, ManifestTable}
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-leakplan").toString
+    val corpus = s"$work/corpus"
+    val band = s"$work/band"
+    // two near-dup docs (shared shingles -> shared band bucket) plus an
+    // unrelated one
+    val v1 = ManifestTable.merge(
+      Seq(1L -> "alpha beta gamma delta epsilon",
+        2L -> "alpha beta gamma delta zeta",
+        9L -> "one two three four five")
+        .toDF("doc_id", "text"), corpus, Seq("doc_id"))
+    DedupIndex.refreshIndexes(spark, corpus, s"$work/fp", band, 0, v1)
+    val report = DedupIndex.maintainedSplitLeakage(spark, band)
+    report.collect()
+    val plan = physical(report)
+    // Generate is the physical explode: any re-shingle would need one
+    assert(!plan.contains("Generate"), plan)
+    // the only scans are the band index's parquet, never the corpus
+    assert(!plan.contains(corpus), plan)
+  }
+
   test("probeModality: the maintained band index joins the batch-sized " +
     "probe by BROADCAST — the index side never sort-merges and never " +
     "plans a hash-partition exchange (at 100 TB the index is the big " +

@@ -59,7 +59,7 @@ class SqlSurfaceSpec extends SparkSpec {
       "q192_maintained_gain_dups", "q193_reencode_probe",
       "q194_gain_probe", "q195_crossmodal_pairs",
       "q196_crossmodal_keep", "q197_maintained_crossmodal",
-      "q198_crossmodal_probe") ++
+      "q198_crossmodal_probe", "q201_robust_key_spaces") ++
     m("WITH RECURSIVE … UNION (distinct) — Spark 4.1 recursion accepts only " +
       "UNION ALL, and UNION ALL label propagation enumerates paths " +
       "(exponential on cyclic near-dup graphs); the twins unroll K " +
@@ -76,7 +76,8 @@ class SqlSurfaceSpec extends SparkSpec {
       "q100_pagerank") ++
     m("DuckDB list-comprehension shingle prefix (the queries themselves " +
       "are non-recursive; the twins ride the Spark candidate spine)")(
-      "q103_triangles", "q199_split_leakage") ++
+      "q103_triangles", "q199_split_leakage",
+      "q200_maintained_split_leakage") ++
     m("read_json() over the raw JSON fixture (DuckDB table function; the " +
       "Spark side is the Ingest module, not a SQL text)")(
       "q52_ingest_silver") ++
