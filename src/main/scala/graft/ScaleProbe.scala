@@ -692,6 +692,50 @@ object ScaleProbe {
       probe("crossmodal_index_maintain")(maintainXmod(x1))(maintainXmod(xN))
     }
 
+    // GC COST (VERDICT r17 #7): maintenance latency must not grow with
+    // COMMIT HISTORY once compaction has run — 100 commits × 13 indexes
+    // is the real-ops shape, and IndexGcSpec only proves compact+vacuum
+    // CORRECTNESS. Two span indexes over the SAME bootstrap corpus, one
+    // driven through 3 tiny commits and one through 3×factor, then both
+    // compacted and vacuumed; the probe times one identical fixed
+    // arrival batch against each. The fragments the commit history left
+    // behind (per-commit manifest entries, file shards, batch tags) are
+    // exactly what GC exists to erase, so post-GC maintenance must cost
+    // the batch, not the history — history-proportional time here means
+    // GC left per-commit residue on the maintenance path.
+    {
+      import graft.sources.{ManifestTable, SpanIndex}
+      var gcSeq = 0L
+      def gcDelta(): DataFrame = {
+        gcSeq += 1
+        spark.range(5).select(
+          ($"id" + 800000000L + gcSeq * 1000L).as("doc_id"),
+          concat_ws(" ",
+            (0 until 12).map(j => concat(lit(s"gc${gcSeq}t${j}x"), $"id")): _*).as("text"),
+          lit("insert").as("_change_type")).localCheckpoint()
+      }
+      def committed(nCommits: Int): String = {
+        val w = java.nio.file.Files.createTempDirectory("graft-scale-gc").toString
+        SpanIndex.bootstrapSpanIndex(
+          Tables(spark, sfDir, "documents").select($"doc_id", $"text"), w)
+        (1 to nCommits).foreach { i =>
+          SpanIndex.applyBatch(gcDelta(), i.toLong, w, scope = s"gc$w$i")
+        }
+        ManifestTable.compact(spark, w, "bucket")
+        ManifestTable.vacuum(w, keepVersions = 1, orphanGraceMs = 0L)
+        w
+      }
+      val g1 = committed(3)
+      val gN = committed(3 * factor)
+      def maintainAfterGc(root: String): Long = {
+        gcSeq += 1
+        SpanIndex.applyBatch(gcDelta(), gcSeq, root, scope = s"gcprobe$gcSeq")
+        1L
+      }
+      maintainAfterGc(g1); maintainAfterGc(gN) // warm both roots
+      probe("index_gc_cost")(maintainAfterGc(g1))(maintainAfterGc(gN))
+    }
+
     // ---- the gate: time must grow at most linearly with data ----
     val gated = results.toSeq.map { case (n, t1, tN) =>
       (n, t1, tN, tN / math.max(t1, 0.3))
