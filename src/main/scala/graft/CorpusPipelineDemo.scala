@@ -292,6 +292,100 @@ object CorpusPipelineDemo {
     val audioTotal = audioVerdicts.count()
     println(s"MULTIMODAL_GATE images_kept=$imgKept/$imgTotal " +
       s"audio_kept=$audioKept/$audioTotal")
+
+    // 12. the FULL maintained composition (VERDICT r17 #8): ONE corpus
+    // table, EIGHT maintained indexes rolled forward from the SAME CDC
+    // history across two commits — text (exact fp + LSH bands), audio
+    // (exact windows + gain-robust sign windows + whole-clip bands),
+    // video (exact scenes + re-encode-robust bands), and the
+    // cross-modal image table — then the whole curation read side runs
+    // from STORED rows only: near-dups per modality, trims, gain dups,
+    // re-encodes, shared scenes, cross-modal pair classification, and
+    // the split-leakage audit. Composing all eight against one corpus
+    // is what catches cross-index protocol skew (scope/tag spaces,
+    // bucket layouts, CDC projections) that per-index specs cannot
+    // see; the closing check pins each maintained table's read ≡ the
+    // same read over an index BOOTSTRAPPED from the final snapshot.
+    import graft.sources.{AudioWindowIndex, CrossModalIndex, DedupIndex,
+      GainWindowIndex, ModalityIndex, ReencodeIndex, SceneIndex}
+    val mmCorpus = s"$work/mm_corpus"
+    val mm = Seq("fp", "band", "mod", "awin", "gwin", "scene", "reenc", "xmod")
+      .map(n => n -> s"$work/mm_$n").toMap
+    val committedDocs = allDocs.where($"doc_id" % 10 =!= 9)
+    ManifestTable.merge(committedDocs.where($"doc_id" % 2 === 0),
+      mmCorpus, Seq("doc_id"))
+    val vMm = ManifestTable.merge(committedDocs.where($"doc_id" % 2 === 1),
+      mmCorpus, Seq("doc_id"))
+    // every maintainer rolls the SAME two-commit CDC history forward,
+    // exactly-once under its own poll scope; only changed docs decode
+    DedupIndex.refreshIndexes(spark, mmCorpus, mm("fp"), mm("band"), 0, vMm)
+    ModalityIndex.refresh(spark, mmCorpus, mm("mod"), 0, vMm)
+    AudioWindowIndex.refresh(spark, mmCorpus, mm("awin"), 0, vMm)
+    GainWindowIndex.refresh(spark, mmCorpus, mm("gwin"), 0, vMm)
+    SceneIndex.refresh(spark, mmCorpus, mm("scene"), 0, vMm)
+    ReencodeIndex.refresh(spark, mmCorpus, mm("reenc"), 0, vMm)
+    CrossModalIndex.refresh(spark, mmCorpus, mm("xmod"), 0, vMm)
+    // the curation read side — every number from stored rows, zero
+    // corpus re-decode / re-shingle
+    val mmReports = Seq(
+      "modality_dups" -> ModalityIndex.maintainedModalityDups(spark, mm("mod")),
+      "trimmed_dups" -> AudioWindowIndex.maintainedTrimmedDups(spark, mm("awin")),
+      "gain_dups" -> GainWindowIndex.maintainedGainDups(spark, mm("gwin")),
+      "scene_dups" -> SceneIndex.maintainedSceneDups(spark, mm("scene")),
+      "reencoded_dups" -> ReencodeIndex.maintainedReencodedDups(spark, mm("reenc")),
+      "crossmodal_pairs" ->
+        CrossModalIndex.maintainedCrossModalPairs(spark, mm("xmod"), mm("band")),
+      "split_leakage" -> DedupIndex.maintainedSplitLeakage(spark, mm("band")))
+    println("== maintained curation reads (one corpus, eight indexes) ==")
+    mmReports.foreach { case (n, df) => println(f"  $n%-18s ${df.count()} rows") }
+    // the arriving batch probes every family the production way round:
+    // batch-sized decode, bucket-pruned stored reads
+    val mmBatch = allDocs.where($"doc_id" % 10 === 9).localCheckpoint()
+    val mmChars = mmBatch.select($"doc_id",
+      length($"text").cast("long").as("n_chars"))
+    println("== arriving-batch probes against the maintained tables ==")
+    println(s"  exact=${DedupIndex.probeExact(mmBatch, spark, mm("fp"))
+      .where($"is_known_dup").count()}" +
+      s" neardup=${DedupIndex.probeNearDup(mmBatch, spark, mm("band")).count()}" +
+      s" modality=${ModalityIndex.probeModality(mmChars, spark, mm("mod")).count()}" +
+      s" trims=${AudioWindowIndex.probeTrims(mmChars, spark, mm("awin")).count()}" +
+      s" gains=${GainWindowIndex.probeGains(mmChars, spark, mm("gwin")).count()}" +
+      s" scenes=${SceneIndex.probeScenes(mmChars, spark, mm("scene")).count()}" +
+      s" reencodes=${ReencodeIndex.probeReencodes(mmChars, spark, mm("reenc")).count()}" +
+      s" crossmodal=${CrossModalIndex
+        .probeCrossModal(mmBatch, spark, mm("xmod"), mm("band")).count()}")
+    // cross-index skew check: each CDC-maintained table's read face ≡
+    // the same read over an index bootstrapped from the FINAL snapshot
+    val snapshot = ManifestTable.read(spark, mmCorpus)
+      .select($"doc_id", length($"text").cast("long").as("n_chars"), $"text")
+    def bootRead(name: String)(boot: (org.apache.spark.sql.DataFrame, String) => Int,
+        read: String => org.apache.spark.sql.DataFrame,
+        maintained: org.apache.spark.sql.DataFrame): Boolean = {
+      val r = s"$work/mm_boot_$name"
+      boot(snapshot, r)
+      val a = maintained.collect().map(_.toString).sorted
+      val b = read(r).collect().map(_.toString).sorted
+      a.sameElements(b)
+    }
+    val skewChecks = Seq(
+      "scene" -> bootRead("scene")(
+        (d, r) => SceneIndex.bootstrapSceneIndex(d.select($"doc_id", $"n_chars"), r),
+        r => SceneIndex.maintainedSceneDups(spark, r),
+        mmReports.toMap.apply("scene_dups")),
+      "gain" -> bootRead("gain")(
+        (d, r) => GainWindowIndex.bootstrapGainWindowIndex(
+          d.select($"doc_id", $"n_chars"), r),
+        r => GainWindowIndex.maintainedGainDups(spark, r),
+        mmReports.toMap.apply("gain_dups")),
+      "crossmodal" -> bootRead("xmod")(
+        (d, r) => CrossModalIndex.bootstrapCrossModalIndex(
+          d.select($"doc_id", $"text"), r),
+        r => CrossModalIndex.maintainedCrossModalPairs(spark, r, mm("band")),
+        mmReports.toMap.apply("crossmodal_pairs")))
+    println(s"MAINTAINED_COMPOSITION checks=" +
+      skewChecks.map { case (n, ok) => s"$n=$ok" }.mkString(","))
+    require(skewChecks.forall(_._2),
+      "a maintained read diverged from its snapshot-bootstrapped twin")
     spark.stop()
   }
 }
