@@ -998,7 +998,8 @@ object EventStream {
     * not retracted when it crosses — the batch report, recomputed,
     * would drop them. Caption keys stay uncapped, mirroring q198's
     * uncapped caption arm. */
-  class CrossModalProbeProcessor
+  class CrossModalProbeProcessor(
+      cap: Int = graft.multimodal.Multimodal.ModalityBandCap)
       extends StatefulProcessor[String, (String, Long, Long, Long, Boolean), CrossModalHit] {
     @transient private var members: org.apache.spark.sql.streaming.ListState[ImageBandMember] = _
     @transient private var nMembers: org.apache.spark.sql.streaming.ValueState[Long] = _
@@ -1012,7 +1013,6 @@ object EventStream {
         key: String,
         rows: Iterator[(String, Long, Long, Long, Boolean)],
         timerValues: TimerValues): Iterator[CrossModalHit] = {
-      val cap = graft.multimodal.Multimodal.ModalityBandCap
       val image = key.startsWith("i:")
       val rs = rows.toArray
       val arriving = rs.collect { case (_, id, hi, lo, false) => ImageBandMember(id, hi, lo) }
@@ -1063,7 +1063,9 @@ object EventStream {
     * ([[graft.multimodal.Multimodal.hasImageId]] false) emit nothing;
     * the text never reaches the state store — only 24-byte members per
     * key. */
-  def crossModalProbeStream(docs: DataFrame): Dataset[CrossModalHit] = {
+  def crossModalProbeStream(docs: DataFrame,
+      bandCap: Int = graft.multimodal.Multimodal.ModalityBandCap)
+      : Dataset[CrossModalHit] = {
     val s = docs.sparkSession
     import s.implicits._
     docs.select(col("doc_id"), col("text"), col("is_probe"))
@@ -1089,6 +1091,7 @@ object EventStream {
         }
       }
       .groupByKey(_._1)
-      .transformWithState(new CrossModalProbeProcessor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new CrossModalProbeProcessor(bandCap),
+        TimeMode.None(), OutputMode.Append())
   }
 }

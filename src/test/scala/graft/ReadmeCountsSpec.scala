@@ -44,9 +44,9 @@ class ReadmeCountsSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
   test("README's holdout count = excluded - twins") {
-    val h = """The (\d+) holdouts are structural""".r
+    val h = """twin holdouts: (\d+)""".r
       .findFirstMatchIn(readme).map(_.group(1).toInt)
-    assert(h.isDefined, "README no longer states the holdout count")
+    assert(h.isDefined, "README no longer states the twin-holdout count")
     val excluded = claim("""Spark-dialect twins for (\d+) of the (\d+) excluded""").get._2
     assert(h.get == excluded - SparkEntry.sparkSql.size,
       s"README says ${h.get} holdouts; $excluded excluded - " +

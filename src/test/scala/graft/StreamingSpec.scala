@@ -942,4 +942,50 @@ class StreamingSpec extends SparkSpec {
         s"missing=${expected -- streamed}")
     }
   }
+
+  test("crossModalProbeStream hot-key gate (ADVICE r17): an image band key " +
+    "whose committed membership crosses the cap stops matching — the batch " +
+    "q198's corpus-side ModalityBandCap semantics — while caption keys stay " +
+    "uncapped like q198's caption arm; hits emitted while the key was under " +
+    "the cap are not retracted (append-stream contract)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // identical captions -> identical h0 -> identical content-keyed image
+    // -> every committed doc lands in the SAME four image band keys AND
+    // the same caption buckets; ids are image-carrying (hasImage)
+    val caption = "alpha beta gamma delta"
+    withRocksDb {
+      val mem = MemoryStream[(Long, String, Boolean)]
+      val q = EventStream.crossModalProbeStream(
+          mem.toDF().toDF("doc_id", "text", "is_probe"), bandCap = 3)
+        .toDF().writeStream.format("memory")
+        .queryName("xmodal_capped").outputMode("append").start()
+      // commit 2 members (under the cap of 3), probe: BOTH arms hit
+      mem.addData((0L, caption, false), (3L, caption, false))
+      mem.addData((9L, caption, true))
+      q.processAllAvailable()
+      val first = spark.table("xmodal_capped").collect()
+        .map(r => (r.getString(0), r.getLong(2))).toSet
+      assert(first === Set(("image", 0L), ("image", 3L),
+        ("caption", 0L), ("caption", 3L)), first.toString)
+      // three more members cross the cap (5 > 3); a second probe gets NO
+      // image hits — the hot key contributes no candidates, exactly the
+      // batch gate — but every caption hit (uncapped arm)
+      mem.addData((6L, caption, false), (12L, caption, false),
+        (18L, caption, false))
+      mem.addData((21L, caption, true))
+      q.processAllAvailable()
+      q.stop()
+      val after = spark.table("xmodal_capped").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val secondProbe = after.filter(_._2 == 21L)
+      assert(!secondProbe.exists(_._1 == "image"),
+        s"hot image key must stop matching: $secondProbe")
+      assert(secondProbe.map(_._3) === Set(0L, 3L, 6L, 12L, 18L),
+        s"caption arm stays uncapped: $secondProbe")
+      // the first probe's pre-crossing image hits still stand
+      assert(after.filter(_._2 == 9L) === first.map(t => (t._1, 9L, t._2)),
+        "append-stream: earlier hits are never retracted")
+    }
+  }
 }
