@@ -640,7 +640,7 @@ object Multimodal {
   def videosWithFrames(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
     import s.implicits._
     Tables(s, sfDir, "documents")
-      .where(col("doc_id") % 3 === 2)
+      .where(hasVideo(col("doc_id")))
       .select(col("doc_id"), col("n_chars"), col("text")).as[(Long, Long, String)]
       .map { case (docId, nChars, text) =>
         val n = nChars.toInt
@@ -694,7 +694,7 @@ object Multimodal {
   def audioWithPcm(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
     import s.implicits._
     Tables(s, sfDir, "documents")
-      .where(col("doc_id") % 3 === 1)
+      .where(hasAudio(col("doc_id")))
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (docId, nChars) =>
         val bb = java.nio.ByteBuffer.allocate(768 * 2)
@@ -771,7 +771,7 @@ object Multimodal {
     val s = docs.sparkSession
     import s.implicits._
     docs
-      .where(col("doc_id") % 3 === 0)
+      .where(hasImage(col("doc_id")))
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (docId, nChars) =>
         val w = (nChars % 24 + 8).toInt
@@ -1134,7 +1134,7 @@ object Multimodal {
   def imagesWithJpegPixels(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
     import s.implicits._
     Tables(s, sfDir, "documents")
-      .where(col("doc_id") % 3 === 2)
+      .where(hasVideo(col("doc_id")))
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (docId, nChars) =>
         val w = ((nChars % 3 + 2) * 8).toInt
@@ -1304,7 +1304,7 @@ object Multimodal {
   def videosWithDecodableFrames(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
     import s.implicits._
     Tables(s, sfDir, "documents")
-      .where(col("doc_id") % 3 === 2)
+      .where(hasVideo(col("doc_id")))
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (docId, nChars) =>
         val w = ((nChars % 3 + 2) * 8).toInt
@@ -1605,7 +1605,7 @@ object Multimodal {
     val s = docs.sparkSession
     import s.implicits._
     docs
-      .where(col("doc_id") % 3 === 1)
+      .where(hasAudio(col("doc_id")))
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (docId, nChars) =>
         val gid = docId / 4
@@ -1999,7 +1999,7 @@ object Multimodal {
     val s = docs.sparkSession
     import s.implicits._
     docs
-      .where(col("doc_id") % 3 === 1)
+      .where(hasAudio(col("doc_id")))
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (docId, nChars) =>
         val gid = docId / 4
@@ -2164,7 +2164,7 @@ object Multimodal {
   def videosWithCuts(s: SparkSession, sfDir: String): Dataset[MediaPayload] = {
     import s.implicits._
     Tables(s, sfDir, "documents")
-      .where(col("doc_id") % 3 === 2)
+      .where(hasVideo(col("doc_id")))
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (docId, nChars) =>
         val w = ((nChars % 3 + 2) * 8).toInt
@@ -2319,7 +2319,7 @@ object Multimodal {
     val s = docs.sparkSession
     import s.implicits._
     docs
-      .where(col("doc_id") % 3 === 2)
+      .where(hasVideo(col("doc_id")))
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (docId, nChars) =>
         val gid = docId / 4
@@ -2502,7 +2502,7 @@ object Multimodal {
     // that distinct recordings don't collide (8-pixel dims gave 4-12
     // blocks and 310 spurious Hamming-0 pairs from 167 clips)
     docs
-      .where(col("doc_id") % 3 === 2 && expr("(doc_id div 4) % 3") === 2)
+      .where(hasVideo(col("doc_id")) && expr("(doc_id div 4) % 3") === 2)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (docId, nChars) =>
         val gid = docId / 4
@@ -2776,7 +2776,7 @@ object Multimodal {
     val s = docs.sparkSession
     import s.implicits._
     docs
-      .where(col("doc_id") % 3 === 1)
+      .where(hasAudio(col("doc_id")))
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (docId, nChars) =>
         val gid = docId / 4
@@ -2975,6 +2975,16 @@ object Multimodal {
     * replaces this body with its real image-attachment metadata and
     * every surface follows. */
   def hasImage(docId: Column): Column = docId % 3 === 0
+
+  /** The kind model's other two arms, for the same reason: every Scala
+    * generator gates on ONE definition per modality instead of a bare
+    * modulus. (The oracle texts keep the literal `doc_id % 3 = N` —
+    * they are colocated with their queries and the hash gate pins
+    * generator ≡ oracle, so a one-sided edit cannot ship; the
+    * cross-modal image predicate needed more because it spans four
+    * DECOUPLED surfaces, including streams and index code.) */
+  def hasAudio(docId: Column): Column = docId % 3 === 1
+  def hasVideo(docId: Column): Column = docId % 3 === 2
 
   /** [[hasImage]] for JVM-side streams (the `transformWithState`
     * processors see raw longs, not Columns). */
