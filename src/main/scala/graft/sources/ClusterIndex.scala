@@ -412,18 +412,9 @@ object ClusterIndex {
   def startMaintenance(spark: SparkSession, corpusRoot: String,
       bandRoot: String, membRoot: String, repRoot: String, checkpoint: String,
       startingVersion: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val scope = ManifestStreamSink.digest(
-      ManifestStreamSink.canonicalCheckpoint(checkpoint))
-    spark.readStream.format("graft-manifest-cdc")
-      .option("path", corpusRoot).option("key", "doc_id")
-      .option("startingVersion", startingVersion.toString)
-      .option("preimages", "true").load()
-      .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, id, bandRoot, membRoot, repRoot, scope)
-      }
-      .option("checkpointLocation", checkpoint)
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ManifestStreamSink.turnkeyMaintenance(
+      spark, corpusRoot, "doc_id", checkpoint, startingVersion) {
+      (b, id, scope) => applyBatch(b, id, bandRoot, membRoot, repRoot, scope)
+    }
 }

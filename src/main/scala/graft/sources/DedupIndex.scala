@@ -378,21 +378,12 @@ object DedupIndex {
   def startIndexMaintenance(spark: SparkSession, corpusRoot: String,
       fpRoot: String, bandRoot: String, checkpoint: String,
       startingVersion: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
+      : org.apache.spark.sql.streaming.StreamingQuery =
     // watermark scope = this stream's identity: another maintenance
     // stream sharing an index root (the cluster maintenance shares the
     // band index) has its own batch-id space and must not alias ours
-    val scope = ManifestStreamSink.digest(
-      ManifestStreamSink.canonicalCheckpoint(checkpoint))
-    spark.readStream.format("graft-manifest-cdc")
-      .option("path", corpusRoot).option("key", "doc_id")
-      .option("startingVersion", startingVersion.toString)
-      .option("preimages", "true").load()
-      .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, id, fpRoot, bandRoot, scope)
-      }
-      .option("checkpointLocation", checkpoint)
-      .start()
-  }
+    ManifestStreamSink.turnkeyMaintenance(
+      spark, corpusRoot, "doc_id", checkpoint, startingVersion) {
+      (b, id, scope) => applyBatch(b, id, fpRoot, bandRoot, scope)
+    }
 }

@@ -467,18 +467,9 @@ object EntityIndex {
   def startMaintenance(spark: SparkSession, corpusRoot: String,
       blockRoot: String, membRoot: String, entRoot: String, checkpoint: String,
       startingVersion: Int = 0, cap: Long = EntityOps.MaxBlockSize)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val scope = ManifestStreamSink.digest(
-      ManifestStreamSink.canonicalCheckpoint(checkpoint))
-    spark.readStream.format("graft-manifest-cdc")
-      .option("path", corpusRoot).option("key", "p_partkey")
-      .option("startingVersion", startingVersion.toString)
-      .option("preimages", "true").load()
-      .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, id, blockRoot, membRoot, entRoot, scope, cap)
-      }
-      .option("checkpointLocation", checkpoint)
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ManifestStreamSink.turnkeyMaintenance(
+      spark, corpusRoot, "p_partkey", checkpoint, startingVersion) {
+      (b, id, scope) => applyBatch(b, id, blockRoot, membRoot, entRoot, scope, cap)
+    }
 }

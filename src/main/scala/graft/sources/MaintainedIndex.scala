@@ -184,20 +184,11 @@ private[graft] trait MaintainedIndex {
     * snapshot batch double-applies. */
   final def startMaintenance(spark: SparkSession, corpusRoot: String,
       idxRoot: String, checkpoint: String, startingVersion: Int = 0)
-      : StreamingQuery = {
-    val scope = ManifestStreamSink.digest(
-      ManifestStreamSink.canonicalCheckpoint(checkpoint))
-    spark.readStream.format("graft-manifest-cdc")
-      .option("path", corpusRoot).option("key", "doc_id")
-      .option("startingVersion", startingVersion.toString)
-      .option("preimages", "true").load()
-      .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, id, idxRoot, scope)
-      }
-      .option("checkpointLocation", checkpoint)
-      .start()
-  }
+      : StreamingQuery =
+    ManifestStreamSink.turnkeyMaintenance(
+      spark, corpusRoot, "doc_id", checkpoint, startingVersion) {
+      (b, id, scope) => applyBatch(b, id, idxRoot, scope)
+    }
 
   /** Live fact rows — tombstones filtered, bucket dropped. */
   protected final def readLiveRows(spark: SparkSession, idxRoot: String): DataFrame =
