@@ -40,7 +40,20 @@ object Bench {
     * have carried the flag and saved a full forensic pass. Re-pin with
     * CalProbe if the box's clean minimum drifts (hardware or kernel
     * change), and record the re-measurement in the README. */
-  val CalIoCleanBasis: Double = 1.126
+  val PinnedCalIoCleanBasis: Double = 1.126
+
+  /** The basis in force: the pinned value, unless the deployment
+    * overrides it (ADVICE r18 — the pin is ONE box's clean floor; on
+    * different hardware, or after a kernel change, set
+    * SPARK_GRAFT_CAL_IO_BASIS to that box's own CalProbe minimum
+    * instead of editing source). The JSON lines carry BOTH the basis
+    * used and its provenance (`basis_source`: "pinned" | "env"), so a
+    * reader can tell a for-this-box basis from a possibly-stale pin
+    * before trusting the contended flag. */
+  val CalIoCleanBasis: Double = sys.env.get("SPARK_GRAFT_CAL_IO_BASIS")
+    .map(_.toDouble).getOrElse(PinnedCalIoCleanBasis)
+  val CalIoBasisSource: String =
+    if (sys.env.contains("SPARK_GRAFT_CAL_IO_BASIS")) "env" else "pinned"
 
   /** A run is CONTENDED when cal_io exceeds the clean basis by >15%
     * (the threshold VERDICT r17 #2 names; same-hour clean repeats
@@ -50,6 +63,17 @@ object Bench {
 
   def contended(calIo: Double): Boolean =
     calIo > CalIoCleanBasis * ContendedTolerance
+
+  /** Which auto-retry attempt a bench record keeps (VERDICT r18 #2):
+    * the FIRST attempt whose cal_io bracket read clean — the loop stops
+    * there, so it is also the last — else the least-contended of all
+    * attempts (the best available measurement; the attempts array in
+    * the JSON is then the proof that the box never offered a clean
+    * window that run). */
+  private[graft] def chosenAttempt(calIos: Seq[Double]): Int = {
+    val i = calIos.indexWhere(!contended(_))
+    if (i >= 0) i else calIos.indexOf(calIos.min)
+  }
 
   /** Fixed-work CPU yardstick (VERDICT r14 #4): deterministic
     * in-memory job — range + integer mix + sum, zero IO, fixed 6e9
@@ -238,19 +262,51 @@ object Bench {
       val results = Await.result(Future.sequence(futures), Duration.Inf)
       (results, (System.nanoTime() - t0) / 1e9)
     }
-    // best of two passes: the box is shared, and a transient external
-    // load spike during the single judged pass would otherwise be
-    // indistinguishable from a regression
-    val (r1, w1) = concurrentPass()
-    val (r2, w2) = concurrentPass()
-    val (concurrent, wall) = if (w1 <= w2) (r1, w1) else (r2, w2)
-    val walls = s"[$w1,$w2]"
+    // CONTENTION AUTO-RETRY (VERDICT r18 #2): each attempt is two
+    // concurrent passes (best wall wins — the box is shared, and a
+    // transient load spike during a single pass would be
+    // indistinguishable from a regression) BRACKETED by its own cal_io
+    // samples (the closing sample opens the next attempt's bracket, so
+    // N attempts cost N+1 samples). If an attempt's bracket reads
+    // contended against the clean basis, re-run — up to
+    // SPARK_GRAFT_BENCH_ATTEMPTS (default 3) — and keep the FIRST clean
+    // attempt; if the box never offers a clean window, keep the attempt
+    // with the lowest cal_io (the least-contended measurement) and let
+    // the emitted attempts array prove the retries happened. This is
+    // what captures a clean record automatically whenever the box
+    // offers one: r18 had three same-day manual runs, all contended,
+    // and no machine-recorded evidence that a clean window was even
+    // sought.
+    case class Attempt(results: Seq[(String, Double, Boolean)], wall: Double,
+      walls: Seq[Double], calIo: Double)
+    val maxAttempts =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt)
+    var bracket = calIoJob(spark, ioDir)
+    // the SEQUENTIAL window's own bracket (pre-warmup pre-samples +
+    // the first post-sequential sample): reported so a reader can judge
+    // the per-query numbers' window separately from the headline's
+    val calIoSeq = math.min(calIoPre, bracket)
+    val attempts = scala.collection.mutable.ArrayBuffer.empty[Attempt]
+    while (attempts.isEmpty ||
+        (contended(attempts.last.calIo) && attempts.size < maxAttempts)) {
+      val (r1, w1) = concurrentPass()
+      val (r2, w2) = concurrentPass()
+      val close = calIoJob(spark, ioDir)
+      val (rs, w) = if (w1 <= w2) (r1, w1) else (r2, w2)
+      attempts += Attempt(rs, w, Seq(w1, w2), math.min(bracket, close))
+      bracket = close
+    }
+    val chosen = attempts(chosenAttempt(attempts.map(_.calIo).toSeq))
+    val (concurrent, wall) = (chosen.results, chosen.wall)
+    val walls = attempts.flatMap(_.walls).mkString("[", ",", "]")
     pool.shutdown()
 
     // second calibration bracket (post-suite), min of all five samples;
-    // cal_io brackets the same way (2 pre + 1 post, min of 3)
+    // cal_io is the CHOSEN attempt's own bracket — it classifies the
+    // window that produced the headline wall, not the suite's best
+    // moment
     val calibration = math.min(calPre, Seq.fill(2)(calibrationJob(spark, cpus.toInt)).min)
-    val calIo = math.min(calIoPre, calIoJob(spark, ioDir))
+    val calIo = chosen.calIo
 
     def timesJson(rs: Seq[(String, Double, Boolean)], key: String => String,
                   fmt: Double => String): String =
@@ -275,17 +331,26 @@ object Bench {
         "2 after, min of all 5 - bracketing absorbs the yardstick's own load swing) timed " +
         "on the same JVM so cross-round walls divide out box-speed drift as wall_per_cal; " +
         "cal_io = fixed-work IO-bound job (write a 16M-row parquet to tmpdir, read it back, " +
-        "2 pre + 1 post, min of 3): a wall swing with flat cal but inflated cal_io is " +
+        "bracketing each concurrent attempt): a wall swing with flat cal but inflated cal_io is " +
         "disk/page-cache contention, the failure mode the CPU yardstick cannot see; " +
-        "contended = cal_io exceeds the pinned clean-window basis " +
-        s"($CalIoCleanBasis) by >15% - when true, cross-round wall/wall_per_cal " +
-        "comparisons are invalid for this record and per-query sequential shapes " +
-        "are the comparable figures"
+        "contended = cal_io exceeds the clean-window basis " +
+        s"($CalIoCleanBasis, $CalIoBasisSource - override with SPARK_GRAFT_CAL_IO_BASIS " +
+        "when the pinned per-box floor goes stale) by >15% - when true, cross-round " +
+        "wall/wall_per_cal comparisons are invalid for this record and per-query " +
+        "sequential shapes are the comparable figures; the concurrent run auto-retries " +
+        "up to SPARK_GRAFT_BENCH_ATTEMPTS (default 3) full attempts, keeps the first " +
+        "uncontended one (else the lowest-cal_io one), and lists every attempt's " +
+        "wall+cal_io in attempts - a contended record therefore PROVES the box never " +
+        "offered a clean window that run, it is not a failure to look; cal_io_seq " +
+        "brackets the sequential per-query window the same way"
     val viewsJson = views.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val attemptsJson = attempts.map(a =>
+      s"""{"wall":${r3(a.wall)},"cal_io":${r3(a.calIo)},"contended":${contended(a.calIo)}}""")
+      .mkString("[", ",", "]")
     // Full record (long names, both passes, method) -> file + stderr.
     val fullJson =
-      s"""{"metric":"total","value":$wall,"unit":"sec","queries":${timesJson(sequential, identity, _.toString)},"queries_concurrent":${timesJson(concurrent, identity, _.toString)},"seq_total":$seqTotal,"views":$viewsJson,"concurrent_walls":$walls,"calibration":${r3(calibration)},"cal_io":${r3(calIo)},"cal_io_basis":$CalIoCleanBasis,"contended":${contended(calIo)},"wall_per_cal":${r3(wall / math.max(calibration, 1e-9))},"failures":$failures,"sf":"$sfDir","method":"$method"}"""
+      s"""{"metric":"total","value":$wall,"unit":"sec","queries":${timesJson(sequential, identity, _.toString)},"queries_concurrent":${timesJson(concurrent, identity, _.toString)},"seq_total":$seqTotal,"views":$viewsJson,"concurrent_walls":$walls,"calibration":${r3(calibration)},"cal_io":${r3(calIo)},"cal_io_seq":${r3(calIoSeq)},"cal_io_basis":$CalIoCleanBasis,"basis_source":"$CalIoBasisSource","attempts":$attemptsJson,"contended":${contended(calIo)},"wall_per_cal":${r3(wall / math.max(calibration, 1e-9))},"failures":$failures,"sf":"$sfDir","method":"$method"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")), fullJson)
     // Print the JSON LAST — after spark.stop()'s shutdown chatter — so a
@@ -303,7 +368,8 @@ object Bench {
       // size no longer scales with the suite. BenchLineSpec pins the
       // final line under 1,900 bytes at the live query count.
       println(detailLine(sequential, views))
-      println(finalLine(wall, seqTotal, calibration, calIo, failedNames, sfDir))
+      println(finalLine(wall, seqTotal, calibration, calIo, failedNames, sfDir,
+        attempts.map(_.calIo).toSeq))
     }
   }
 
@@ -343,11 +409,15 @@ object Bench {
   private[graft] val MaxFailureNames = 5
   private[graft] def finalLine(wall: Double, seqTotal: Double,
       calibration: Double, calIo: Double, failedNames: Seq[String],
-      sfDir: String): String = {
+      sfDir: String, attemptCalIos: Seq[Double] = Seq.empty): String = {
     val shown = failedNames.take(MaxFailureNames) ++
       (if (failedNames.size > MaxFailureNames)
         Seq(s"+${failedNames.size - MaxFailureNames} more") else Nil)
     val failures = shown.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":${r3(wall)},"unit":"sec","seq_total":${r3(seqTotal)},"cal":${r3(calibration)},"cal_io":${r3(calIo)},"contended":${contended(calIo)},"wall_per_cal":${r3(wall / math.max(calibration, 1e-9))},"failures":$failures,"sf":"$sfDir","method":"best-of-2 concurrent wall; cal = fixed-work CPU yardstick (best-of-3), wall_per_cal is the box-speed-normalized figure; cal_io = fixed-work parquet write+read yardstick (inflates under the IO/page-cache contention cal is blind to); contended = cal_io over pinned clean basis by >15% - wall comparisons invalid when true; per-query seconds on the preceding stdout line; full record in bench file + stderr"}"""
+    // the attempts array is bounded by SPARK_GRAFT_BENCH_ATTEMPTS (3 by
+    // default) and never scales with the suite — it proves either that
+    // the first window was clean or that every retry's window was not
+    val attempts = attemptCalIos.map(r3).mkString("[", ",", "]")
+    s"""{"metric":"total","value":${r3(wall)},"unit":"sec","seq_total":${r3(seqTotal)},"cal":${r3(calibration)},"cal_io":${r3(calIo)},"cal_io_basis":$CalIoCleanBasis,"basis_source":"$CalIoBasisSource","attempts":$attempts,"contended":${contended(calIo)},"wall_per_cal":${r3(wall / math.max(calibration, 1e-9))},"failures":$failures,"sf":"$sfDir","method":"concurrent wall, auto-retried up to 3 attempts until a clean cal_io window (first clean kept, else lowest-cal_io; attempts lists each attempt's bracket); cal = fixed-work CPU yardstick (best-of-3), wall_per_cal is the box-speed-normalized figure; cal_io = fixed-work parquet write+read yardstick bracketing the CHOSEN attempt (inflates under the IO/page-cache contention cal is blind to); contended = cal_io over the clean basis (basis_source: pinned per-box floor, or env override SPARK_GRAFT_CAL_IO_BASIS) by >15% - wall comparisons invalid when true; per-query seconds on the preceding stdout line; full record in bench file + stderr"}"""
   }
 }

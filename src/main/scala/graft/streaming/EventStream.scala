@@ -993,11 +993,21 @@ object EventStream {
     * counter grows), exactly the batch gate's "hot bk contributes no
     * candidates" semantics, so a slate/black-frame concentration costs
     * O(cap) state and O(probes) work instead of O(committed members).
-    * Append-stream caveat (the same one the class-upgrade note above
-    * documents): hits emitted while the key was still under the cap are
-    * not retracted when it crosses — the batch report, recomputed,
-    * would drop them. Caption keys stay uncapped, mirroring q198's
-    * uncapped caption arm. */
+    * The counter counts DISTINCT members (ADVICE r18): while under the
+    * cap the stored list is complete, so a cross-batch re-commit of the
+    * same doc is recognized and not re-counted — matching the batch
+    * gate, which counts each stored band row once; past the cap the key
+    * is hot by genuine membership and stays hot, as the batch gate's
+    * stored rows would. Append-stream caveat (the same one the
+    * class-upgrade note above documents): hits emitted while the key
+    * was still under the cap are not retracted when it crosses — the
+    * batch report, recomputed, would drop them. Caption keys stay
+    * uncapped, mirroring q198's uncapped caption arm; their list is
+    * append-only, so a cross-batch re-commit of the same captioned doc
+    * appends again and later probes repeat its hit — dedup there would
+    * cost an O(members) read per arrival on exactly the unbounded arm
+    * (the corpus table's merge key makes production re-commits replace,
+    * not duplicate, so the batch face never sees the doubled row). */
   class CrossModalProbeProcessor(
       cap: Int = graft.multimodal.Multimodal.ModalityBandCap)
       extends StatefulProcessor[String, (String, Long, Long, Long, Boolean), CrossModalHit] {
@@ -1018,14 +1028,28 @@ object EventStream {
       val arriving = rs.collect { case (_, id, hi, lo, false) => ImageBandMember(id, hi, lo) }
         .distinct.sortBy(m => (m.id, m.hi, m.lo))
       val prev = if (nMembers.exists()) nMembers.get() else 0L
-      val total = prev + arriving.length
-      if (arriving.nonEmpty) {
+      // CROSS-BATCH DEDUP (ADVICE r18): a member re-emitted in a later
+      // batch (re-commit/upsert of the same doc — same deterministic
+      // fingerprint) must not inflate the counter, or a key could
+      // falsely trip the cap and permanently diverge from batch q198's
+      // gate, which counts each stored band row once. While the key is
+      // under the cap the stored list is COMPLETE (truncation only ever
+      // drops rows on the batch that crosses it), so the membership
+      // check is O(cap); past the cap the key is already hot by genuine
+      // distinct membership and further inflation changes nothing.
+      val fresh =
+        if (image && arriving.nonEmpty && prev <= cap) {
+          val stored = members.get().toSet
+          arriving.filterNot(stored.contains)
+        } else arriving
+      val total = prev + fresh.length
+      if (fresh.nonEmpty) {
         // past the cap the batch gate drops the whole key, so stored
         // members are dead weight — keep only enough rows to stay
         // over-complete below the cap; the counter alone witnesses "hot"
         val toStore =
-          if (image) arriving.take(math.max(0L, cap + 1 - prev).toInt)
-          else arriving
+          if (image) fresh.take(math.max(0L, cap + 1 - prev).toInt)
+          else fresh
         if (toStore.nonEmpty) members.appendList(toStore)
         nMembers.update(total)
       }

@@ -20,15 +20,36 @@ class BenchLineSpec extends AnyFunSuite {
   test("the FINAL stdout line stays under 1,900 bytes at the live query " +
     "count (it must not scale with the suite)") {
     val line = Bench.finalLine(9999.999, 99999.999, 9.999, 9.999, Nil,
-      "/root/testdata/sf0.1")
+      "/root/testdata/sf0.1", Seq(9.999, 9.999, 9.999))
     assert(line.length < 1900, s"final line is ${line.length} bytes")
     // and it is one valid-looking JSON object on one line
     assert(!line.contains("\n") && line.startsWith("{") && line.endsWith("}"))
     // the driver's contract fields are all present
     Seq("\"metric\":", "\"value\":", "\"unit\":", "\"seq_total\":",
-      "\"cal\":", "\"cal_io\":", "\"contended\":", "\"wall_per_cal\":",
+      "\"cal\":", "\"cal_io\":", "\"cal_io_basis\":", "\"basis_source\":",
+      "\"attempts\":", "\"contended\":", "\"wall_per_cal\":",
       "\"failures\":", "\"sf\":", "\"method\":").foreach(k =>
       assert(line.contains(k), s"final line missing $k"))
+    // the attempts array is bounded (max attempts, default 3), so the
+    // line cannot grow with retries beyond it
+    assert(line.contains("\"attempts\":[9.999,9.999,9.999]"))
+  }
+
+  test("the auto-retry keeps the FIRST clean attempt, else the " +
+    "least-contended one (VERDICT r18 #2), and the basis provenance " +
+    "rides the line") {
+    val basis = Bench.CalIoCleanBasis
+    // first attempt clean: kept (the loop would not even retry)
+    assert(Bench.chosenAttempt(Seq(basis)) == 0)
+    // contended, then clean: the clean one is kept
+    assert(Bench.chosenAttempt(Seq(basis * 1.5, basis * 1.05)) == 1)
+    // never clean: the lowest-cal_io attempt is kept
+    assert(Bench.chosenAttempt(Seq(basis * 1.5, basis * 1.9, basis * 1.3)) == 2)
+    // without an env override the basis is the pinned per-box floor
+    assert(Bench.CalIoBasisSource == "pinned" || sys.env.contains("SPARK_GRAFT_CAL_IO_BASIS"))
+    val line = Bench.finalLine(1.0, 2.0, 0.8, basis, Nil, "sf", Seq(basis))
+    assert(line.contains(s""""cal_io_basis":$basis"""))
+    assert(line.contains(s""""basis_source":"${Bench.CalIoBasisSource}""""))
   }
 
   test("the contended flag classifies the window from the line alone " +

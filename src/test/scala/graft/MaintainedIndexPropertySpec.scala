@@ -1,7 +1,7 @@
 package graft
 
-import graft.sources.{CrossModalIndex, ManifestTable, ModalityIndex,
-  SceneIndex, SpanIndex}
+import graft.sources.{AudioWindowIndex, CrossModalIndex, GainWindowIndex,
+  ManifestTable, ModalityIndex, ReencodeIndex, SceneIndex, SpanIndex}
 import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -25,7 +25,26 @@ import org.apache.spark.sql.functions._
   * it. Sequences are SEEDED (deterministic across runs); updates
   * rewrite a doc's text wholesale, deletes drop live docs, and short
   * texts (< 3 tokens: no shingles; < 8: no span windows) are generated
-  * on purpose — the empty-fact edge every generator must net cleanly. */
+  * on purpose — the empty-fact edge every generator must net cleanly.
+  *
+  * The remaining three fronts run the SAME seeded lifecycle (VERDICT
+  * r18 #1): the matrix above covers the protocol core, but each
+  * generator's own empty-fact and boundary edges net differently under
+  * random churn, and these are the math-heaviest generators in the
+  * repo —
+  *
+  *   [[AudioWindowIndex]]  exact-fact, PCM window md5s (a doc whose
+  *                         n_chars leaves the clip under one 64-sample
+  *                         window contributes zero facts)
+  *   [[ReencodeIndex]]     live-row-wins, banded keyframe aHashes over
+  *                         a doubly-gated doc population (hasVideo AND
+  *                         gid % 3 = 2 — most updates touch docs that
+  *                         generate NOTHING, the all-empty delta edge)
+  *   [[GainWindowIndex]]   live-row-wins, sign-of-delta fingerprints
+  *                         whose exact-md5 payload changes whenever the
+  *                         samples do even if the sign pattern (the
+  *                         merge key) survives — the payload-only-churn
+  *                         edge the exact-fact fronts cannot reach */
 class MaintainedIndexPropertySpec extends SparkSpec {
 
   private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
@@ -134,5 +153,42 @@ class MaintainedIndexPropertySpec extends SparkSpec {
       d => CrossModalIndex.computeCrossModalIndex(
         d.select(col("doc_id"), col("text")))
         .select(col("bk"), col("media_id"), col("hi"), col("lo")))
+  }
+
+  test("exact-fact / PCM window md5s (AudioWindowIndex): maintained ≡ " +
+    "recomputed across seeded-random sequences") {
+    drive(45, "awin")(
+      (d, r) => AudioWindowIndex.bootstrapAudioWindowIndex(
+        d.select(col("doc_id"), col("n_chars")), r),
+      (c, r, f, t) => AudioWindowIndex.refresh(spark, c, r, f, t),
+      r => AudioWindowIndex.readAudioWindowIndex(spark, r),
+      d => AudioWindowIndex.computeAudioWindowIndex(
+        d.select(col("doc_id"), col("n_chars")))
+        .select(col("fp"), col("media_id"), col("w")))
+  }
+
+  test("live-row-wins / banded keyframe aHashes (ReencodeIndex): " +
+    "maintained ≡ recomputed across seeded-random sequences") {
+    drive(46, "reenc")(
+      (d, r) => ReencodeIndex.bootstrapReencodeIndex(
+        d.select(col("doc_id"), col("n_chars")), r),
+      (c, r, f, t) => ReencodeIndex.refresh(spark, c, r, f, t),
+      r => ReencodeIndex.readReencodeIndex(spark, r),
+      d => ReencodeIndex.computeReencodeIndex(
+        d.select(col("doc_id"), col("n_chars")))
+        .select(col("bk"), col("media_id"), col("sc"), col("fp"),
+          col("hi"), col("lo")))
+  }
+
+  test("live-row-wins / sign-of-delta windows (GainWindowIndex): " +
+    "maintained ≡ recomputed across seeded-random sequences") {
+    drive(47, "gwin")(
+      (d, r) => GainWindowIndex.bootstrapGainWindowIndex(
+        d.select(col("doc_id"), col("n_chars")), r),
+      (c, r, f, t) => GainWindowIndex.refresh(spark, c, r, f, t),
+      r => GainWindowIndex.readGainWindowIndex(spark, r),
+      d => GainWindowIndex.computeGainWindowIndex(
+        d.select(col("doc_id"), col("n_chars")))
+        .select(col("sfp"), col("media_id"), col("w"), col("efp")))
   }
 }
