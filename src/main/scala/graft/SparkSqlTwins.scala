@@ -185,20 +185,30 @@ object SparkSqlTwins {
   /** Unrolled levels for the CONNECTED-COMPONENTS twins (VERDICT r17
     * #3 — the q100 trick applied to label propagation): recursion-free
     * SQL cannot iterate to fixpoint, but K synchronous min-label
-    * levels (each CTE referenced once by the next — the q100/q147
-    * single-reference discipline, so the plan grows LINEARLY in K) are
-    * EXACT whenever the graph's propagation depth is ≤ K, and the
-    * convergence witness below makes a too-shallow K loudly wrong
-    * instead of quietly approximate. Measured propagation depth of the
+    * levels are EXACT whenever the graph's propagation depth is ≤ K,
+    * and the convergence witness below makes a too-shallow K loudly
+    * wrong instead of quietly approximate. COST MODEL (corrected,
+    * ADVICE r18 — the original note claimed linear plan growth in K):
+    * each l$i is referenced once by l$(i+1), but l$K is referenced
+    * THREE times (twice by the witness's unconv, once by comp) and
+    * `edges` — which inlines the full minhash/LSH candidate self-join
+    * — is referenced once per level plus twice in unconv, so Spark's
+    * CTE inlining replicates the candidate spine roughly 3·(K+1) times
+    * for the component twins (more for q88's funnel, which re-reads
+    * comp). That multiplier is affordable ONLY because these texts run
+    * solely in the oracle-parity suite; size any K bump against
+    * 3·(K+1) spine builds, not K. Measured propagation depth of the
     * fixture graphs (min-label rounds to fixpoint): the q30 near-dup
     * candidate graph needs 1 / 2 / 4 rounds at sf0.001 / 0.01 / 0.1;
     * the ER match graph (q155's levenshtein-gated blocking pairs)
-    * needs 4 at every SF — 6 covers both families with margin. A real
-    * crawl's near-dup graph is cliquish (depth grows with chain-shaped
-    * templates, not corpus size), but this constant is a FIXTURE
-    * property, not a law: the witness is the guarantee, K is the
-    * budget. */
-  private val ComponentLevels = 6
+    * needs 4 at every SF — 6 covers both families with margin, and
+    * ComponentDepthSpec re-measures both graphs with the engine and
+    * fails locally if a fixture regeneration erodes the 2-round
+    * margin. A real crawl's near-dup graph is cliquish (depth grows
+    * with chain-shaped templates, not corpus size), but this constant
+    * is a FIXTURE property, not a law: the witness is the guarantee,
+    * K is the budget. */
+  private[graft] val ComponentLevels = 6
 
   /** The K-level chain: expects `edges(src, dst)` (symmetrized, WITH
     * self-loops so every node carries its own label) and `l0(node,
@@ -677,6 +687,33 @@ object SparkSqlTwins {
          |FROM kwin a JOIN kwin b ON b.sfp = a.sfp AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id
          |HAVING count(1) >= 4""".stripMargin
+
+  /** The robust key-space instrument's Spark twin (q201; the q202
+    * maintained face reuses it via corpusSplit): both families' Spark
+    * prefixes — their CTE name spaces are disjoint — then the same
+    * per-space key-population aggregate the engine computes. */
+  private val robustKeySpacesTwin: String = {
+    val bandCap = graft.multimodal.Multimodal.ModalityBandCap
+    val fpCap = graft.multimodal.Multimodal.ExactFpCap
+    s"""$reencodeBandTwinCte,
+       |${gainWinTwinCte.stripPrefix("WITH ")},
+       |bkdf AS (SELECT b, v, count(1) AS df FROM band0 GROUP BY b, v),
+       |sfdf AS (SELECT sfp, count(1) AS df FROM win GROUP BY sfp)
+       |SELECT 'reencode_bk' AS space,
+       |  CAST($bandCap AS BIGINT) AS cap,
+       |  count(1) AS n_keys,
+       |  max(df) AS max_key_size,
+       |  sum(CASE WHEN df > $bandCap THEN 1L ELSE 0L END) AS n_hot_keys,
+       |  sum(CASE WHEN df > $bandCap THEN df ELSE 0L END) AS n_dropped_rows
+       |FROM bkdf
+       |UNION ALL
+       |SELECT 'gain_sfp',
+       |  CAST($fpCap AS BIGINT),
+       |  count(1), max(df),
+       |  sum(CASE WHEN df > $fpCap THEN 1L ELSE 0L END),
+       |  sum(CASE WHEN df > $fpCap THEN df ELSE 0L END)
+       |FROM sfdf""".stripMargin
+  }
 
   /** The cross-modal family's Spark-dialect prefix (q195/q196): the
     * shared signature chain feeding caption candidates AND the h0
@@ -2075,29 +2112,12 @@ object SparkSqlTwins {
 
     // q201: the robust key-space instrument — both families' Spark
     // prefixes (disjoint CTE name spaces), the same per-space aggregate
-    "q201_robust_key_spaces" ->
-      s"""$reencodeBandTwinCte,
-         |${gainWinTwinCte.stripPrefix("WITH ")},
-         |bkdf AS (SELECT b, v, count(1) AS df FROM band0 GROUP BY b, v),
-         |sfdf AS (SELECT sfp, count(1) AS df FROM win GROUP BY sfp)
-         |SELECT 'reencode_bk' AS space,
-         |  CAST(${graft.multimodal.Multimodal.ModalityBandCap} AS BIGINT) AS cap,
-         |  count(1) AS n_keys,
-         |  max(df) AS max_key_size,
-         |  sum(CASE WHEN df > ${graft.multimodal.Multimodal.ModalityBandCap}
-         |           THEN 1L ELSE 0L END) AS n_hot_keys,
-         |  sum(CASE WHEN df > ${graft.multimodal.Multimodal.ModalityBandCap}
-         |           THEN df ELSE 0L END) AS n_dropped_rows
-         |FROM bkdf
-         |UNION ALL
-         |SELECT 'gain_sfp',
-         |  CAST(${graft.multimodal.Multimodal.ExactFpCap} AS BIGINT),
-         |  count(1), max(df),
-         |  sum(CASE WHEN df > ${graft.multimodal.Multimodal.ExactFpCap}
-         |           THEN 1L ELSE 0L END),
-         |  sum(CASE WHEN df > ${graft.multimodal.Multimodal.ExactFpCap}
-         |           THEN df ELSE 0L END)
-         |FROM sfdf""".stripMargin,
+    "q201_robust_key_spaces" -> robustKeySpacesTwin,
+
+    // q202: the same instrument read from the maintained tables; the
+    // twin recomputes over the fixture's corpus split, the maintained ≡
+    // recomputed claim in Spark dialect
+    "q202_maintained_key_spaces" -> corpusSplit(robustKeySpacesTwin),
 
     "q177_scene_keyframes" ->
       """WITH im AS (SELECT doc_id, CAST((n_chars % 3 + 2) * 8 AS BIGINT) AS w,

@@ -2918,20 +2918,29 @@ object Multimodal {
     * [[graft.sources.GainWindowIndex.windows]]), so the instrument
     * measures exactly the key distribution the maintained tables and
     * batch queries join on — it cannot drift from them. */
+  /** The one-row key-space report both instruments share: key
+    * population, observed maximum key size, and what the production cap
+    * would drop. ONE definition site so q201 (recomputed from the
+    * corpus) and q202 (read from the stored index rows) cannot drift in
+    * what they report — any difference between them is then a
+    * difference in the ROWS, which is exactly the maintained ≡
+    * recomputed claim. */
+  private[graft] def keySpaceStat(rows: DataFrame, key: String,
+      space: String, cap: Int): DataFrame =
+    rows.groupBy(col(key)).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("n_keys"),
+        max(col("df")).as("max_key_size"),
+        sum(when(col("df") > cap, 1L).otherwise(0L)).as("n_hot_keys"),
+        sum(when(col("df") > cap, col("df")).otherwise(0L)).as("n_dropped_rows"))
+      .select(lit(space).as("space"), lit(cap.toLong).as("cap"),
+        col("n_keys"), col("max_key_size"),
+        col("n_hot_keys"), col("n_dropped_rows"))
+
   def q201RobustKeySpaces(s: SparkSession, d: String): DataFrame = {
     val base = Tables(s, d, "documents").select(col("doc_id"), col("n_chars"))
-    def stat(rows: DataFrame, key: String, space: String, cap: Int): DataFrame =
-      rows.groupBy(col(key)).agg(count(lit(1)).as("df"))
-        .agg(count(lit(1)).as("n_keys"),
-          max(col("df")).as("max_key_size"),
-          sum(when(col("df") > cap, 1L).otherwise(0L)).as("n_hot_keys"),
-          sum(when(col("df") > cap, col("df")).otherwise(0L)).as("n_dropped_rows"))
-        .select(lit(space).as("space"), lit(cap.toLong).as("cap"),
-          col("n_keys"), col("max_key_size"),
-          col("n_hot_keys"), col("n_dropped_rows"))
-    stat(graft.sources.ReencodeIndex.bandFacts(base), "bk",
+    keySpaceStat(graft.sources.ReencodeIndex.bandFacts(base), "bk",
         "reencode_bk", ModalityBandCap)
-      .union(stat(graft.sources.GainWindowIndex.windows(base), "sfp",
+      .union(keySpaceStat(graft.sources.GainWindowIndex.windows(base), "sfp",
         "gain_sfp", ExactFpCap))
   }
 

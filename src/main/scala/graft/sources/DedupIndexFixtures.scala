@@ -321,6 +321,35 @@ object DedupIndexFixtures {
   def q200MaintainedSplitLeakage(s: SparkSession, d: String): DataFrame =
     DedupIndex.maintainedSplitLeakage(s, ensure(s, d).band)
 
+  /** q202 — q201's robust key-space recall report from the MAINTAINED
+    * [[ReencodeIndex]]/[[GainWindowIndex]] tables (VERDICT r18 #5):
+    * q201 re-derives both key spaces from the corpus through the fact
+    * generators — the right anti-drift instrument, but a corpus-sized
+    * recompute; the maintained tables already HOLD those facts, so the
+    * same report read from stored rows is schedulable after every
+    * commit, exactly as q200 is for leakage. The stat aggregate is
+    * [[graft.multimodal.Multimodal.keySpaceStat]] — the same definition
+    * site q201 uses — and the oracle recomputes both spaces from raw
+    * parquet over the corpus split, so maintained ≡ recomputed is the
+    * claim under gate; PlanSpec pins that the plan never scans the
+    * corpus. */
+  def q202MaintainedKeySpaces(s: SparkSession, d: String): DataFrame = {
+    val r = ensure(s, d)
+    maintainedKeySpaces(s, r.reenc, r.gwin)
+  }
+
+  /** The q202 composition against explicit index roots (PlanSpec pins
+    * this shape on a micro index: only the two stored tables are
+    * scanned, the corpus never). */
+  private[graft] def maintainedKeySpaces(s: SparkSession, reenc: String,
+      gwin: String): DataFrame =
+    graft.multimodal.Multimodal.keySpaceStat(
+        ReencodeIndex.readReencodeIndex(s, reenc), "bk",
+        "reencode_bk", graft.multimodal.Multimodal.ModalityBandCap)
+      .union(graft.multimodal.Multimodal.keySpaceStat(
+        GainWindowIndex.readGainWindowIndex(s, gwin), "sfp",
+        "gain_sfp", graft.multimodal.Multimodal.ExactFpCap))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_maintained_exact_probe" -> (q135MaintainedExactProbe _),
     "q136_maintained_neardup_probe" -> (q136MaintainedNeardupProbe _),
@@ -342,7 +371,8 @@ object DedupIndexFixtures {
     "q194_gain_probe" -> (q194GainProbe _),
     "q197_maintained_crossmodal" -> (q197MaintainedCrossModal _),
     "q198_crossmodal_probe" -> (q198CrossModalProbe _),
-    "q200_maintained_split_leakage" -> (q200MaintainedSplitLeakage _))
+    "q200_maintained_split_leakage" -> (q200MaintainedSplitLeakage _),
+    "q202_maintained_key_spaces" -> (q202MaintainedKeySpaces _))
 
   /** q54's oracle text with its `documents` base restricted to the
     * fixture's corpus split — the recursive closure runs on exactly the
@@ -619,5 +649,7 @@ object DedupIndexFixtures {
     "q197_maintained_crossmodal" ->
       restrictToCorpus(graft.multimodal.Multimodal.q195Sql),
     "q198_crossmodal_probe" -> q198Sql,
-    "q200_maintained_split_leakage" -> restrictToCorpus(TextOps.q199Sql))
+    "q200_maintained_split_leakage" -> restrictToCorpus(TextOps.q199Sql),
+    "q202_maintained_key_spaces" ->
+      restrictToCorpus(graft.multimodal.Multimodal.q201Sql))
 }

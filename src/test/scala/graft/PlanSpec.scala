@@ -570,6 +570,35 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains(corpus), plan)
   }
 
+  test("maintainedKeySpaces (q202): the recall-cost report never touches " +
+    "the corpus — its plan scans ONLY the two stored index tables (no " +
+    "corpus path, no Generate: the fact generators are structurally " +
+    "absent), so it is schedulable after every commit at index-read " +
+    "cost") {
+    import graft.sources.{DedupIndexFixtures, GainWindowIndex,
+      ManifestTable, ReencodeIndex}
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ksplan").toString
+    val corpus = s"$work/corpus"
+    // ids picked so both generators fire: 8/11 are the re-encode quad's
+    // video pair (gid 2), 4/7 a gain-dup audio pair (gid 1)
+    val v1 = ManifestTable.merge(
+      Seq(8L -> 40L, 11L -> 40L, 4L -> 33L, 7L -> 33L)
+        .toDF("doc_id", "n_chars")
+        .selectExpr("doc_id", "repeat('x', CAST(n_chars AS INT)) AS text"),
+      corpus, Seq("doc_id"))
+    ReencodeIndex.refresh(spark, corpus, s"$work/reenc", 0, v1)
+    GainWindowIndex.refresh(spark, corpus, s"$work/gwin", 0, v1)
+    val report = DedupIndexFixtures.maintainedKeySpaces(
+      spark, s"$work/reenc", s"$work/gwin")
+    val rows = report.collect()
+    assert(rows.length == 2 && rows.forall(_.getLong(2) > 0), rows.mkString)
+    val plan = physical(report)
+    assert(!plan.contains("Generate"), plan)
+    assert(!plan.contains(corpus), plan)
+    assert(plan.contains(s"$work/reenc") && plan.contains(s"$work/gwin"), plan)
+  }
+
   test("probeModality: the maintained band index joins the batch-sized " +
     "probe by BROADCAST — the index side never sort-merges and never " +
     "plans a hash-partition exchange (at 100 TB the index is the big " +

@@ -59,7 +59,8 @@ class SqlSurfaceSpec extends SparkSpec {
       "q192_maintained_gain_dups", "q193_reencode_probe",
       "q194_gain_probe", "q195_crossmodal_pairs",
       "q196_crossmodal_keep", "q197_maintained_crossmodal",
-      "q198_crossmodal_probe", "q201_robust_key_spaces") ++
+      "q198_crossmodal_probe", "q201_robust_key_spaces",
+      "q202_maintained_key_spaces") ++
     m("WITH RECURSIVE … UNION (distinct) — Spark 4.1 recursion accepts only " +
       "UNION ALL, and UNION ALL label propagation enumerates paths " +
       "(exponential on cyclic near-dup graphs); the twins unroll K " +
