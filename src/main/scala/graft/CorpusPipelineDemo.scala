@@ -295,7 +295,11 @@ object CorpusPipelineDemo {
 
     // 12. the FULL maintained composition (VERDICT r17 #8): ONE corpus
     // table, EIGHT maintained indexes rolled forward from the SAME CDC
-    // history across two commits — text (exact fp + LSH bands), audio
+    // history across two commits. (The demo rolls them forward with
+    // sequential refresh() calls — deterministic narration; the
+    // CONCURRENT shape production runs, eight startMaintenance streams
+    // interleaving on one corpus through commits and a restart, is
+    // exercised by ConcurrentMaintenanceSpec.) — text (exact fp + LSH bands), audio
     // (exact windows + gain-robust sign windows + whole-clip bands),
     // video (exact scenes + re-encode-robust bands), and the
     // cross-modal image table — then the whole curation read side runs
@@ -324,7 +328,12 @@ object CorpusPipelineDemo {
     GainWindowIndex.refresh(spark, mmCorpus, mm("gwin"), 0, vMm)
     SceneIndex.refresh(spark, mmCorpus, mm("scene"), 0, vMm)
     ReencodeIndex.refresh(spark, mmCorpus, mm("reenc"), 0, vMm)
-    CrossModalIndex.refresh(spark, mmCorpus, mm("xmod"), 0, vMm)
+    // the cross-modal index "wakes up late" and catches the whole
+    // history up BATCHED — one snapshot-diff read, one range-tagged
+    // commit (the shape for an index hundreds of versions behind);
+    // the skew check below holds it to the same snapshot as the
+    // per-version paths
+    CrossModalIndex.refreshBatched(spark, mmCorpus, mm("xmod"), 0, vMm)
     // the curation read side — every number from stored rows, zero
     // corpus re-decode / re-shingle
     val mmReports = Seq(

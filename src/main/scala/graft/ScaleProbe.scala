@@ -736,6 +736,103 @@ object ScaleProbe {
       probe("index_gc_cost")(maintainAfterGc(g1))(maintainAfterGc(gN))
     }
 
+    // GC COST for the AFFECTED-SET indexes (VERDICT r18 #8):
+    // index_gc_cost gates the shared MaintainedIndex protocol via
+    // SpanIndex, but ClusterIndex and EntityIndex run their OWN
+    // maintenance paths — affected-component re-solves that
+    // read-modify-write the membership/representative tables — with
+    // their own fragmentation behavior: every tiny commit shards THREE
+    // tables at once and the re-solve READS what earlier commits wrote,
+    // so per-commit residue would compound on exactly the path the
+    // probe times. Same shape as above: two fixtures over the same
+    // bootstrap, 3 vs 3×factor commits, compact + vacuum every table,
+    // then one identical arrival batch against each.
+    // Both fixtures feed applyBatch the PRODUCTION delta shape — a real
+    // corpus ManifestTable merge followed by readChanges — not a
+    // hand-built change frame (the turnkey streams and fixtures only
+    // ever feed CDC-derived frames).
+    {
+      import graft.sources.{ClusterIndex, DedupIndex, ManifestTable}
+      var cgSeq = 0L
+      def clCommit(corpus: String): DataFrame = {
+        cgSeq += 1
+        val rows = (0 until 5).map { id =>
+          (id + 810000000L + cgSeq * 1000L,
+            (0 until 6).map(j => s"cg${cgSeq}t${j}x$id").mkString(" "))
+        }.toDF("doc_id", "text")
+        val v = ManifestTable.merge(rows, corpus, Seq("doc_id"))
+        ManifestTable.readChanges(spark, corpus, v - 1, v, Seq("doc_id"),
+          preimages = true).localCheckpoint()
+      }
+      def committed(nCommits: Int): (String, String, String, String) = {
+        val w = java.nio.file.Files.createTempDirectory("graft-scale-clgc").toString
+        val docs = Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+        ManifestTable.merge(docs, s"$w/corpus", Seq("doc_id"))
+        DedupIndex.bootstrapBandIndex(docs, s"$w/band")
+        ClusterIndex.bootstrap(docs, s"$w/memb", s"$w/rep")
+        (1 to nCommits).foreach { i =>
+          ClusterIndex.applyBatch(clCommit(s"$w/corpus"), i.toLong, s"$w/band",
+            s"$w/memb", s"$w/rep", scope = s"clgc$w$i")
+        }
+        Seq(s"$w/band" -> "pbucket", s"$w/memb" -> "mbucket",
+            s"$w/rep" -> "rbucket").foreach { case (r, p) =>
+          ManifestTable.compact(spark, r, p)
+          ManifestTable.vacuum(r, keepVersions = 1, orphanGraceMs = 0L)
+        }
+        (s"$w/corpus", s"$w/band", s"$w/memb", s"$w/rep")
+      }
+      val c1 = committed(3)
+      val cN = committed(3 * factor)
+      def maintainAfterGc(roots: (String, String, String, String)): Long = {
+        cgSeq += 1
+        ClusterIndex.applyBatch(clCommit(roots._1), cgSeq, roots._2, roots._3,
+          roots._4, scope = s"clgcprobe$cgSeq")
+        1L
+      }
+      maintainAfterGc(c1); maintainAfterGc(cN) // warm both roots
+      probe("cluster_gc_cost")(maintainAfterGc(c1))(maintainAfterGc(cN))
+    }
+    {
+      import graft.sources.{EntityIndex, ManifestTable}
+      var egSeq = 0L
+      def erCommit(corpus: String): DataFrame = {
+        egSeq += 1
+        val rows = (0 until 5).map { id =>
+          (id + 820000000L + egSeq * 1000L,
+            s"eg${egSeq}adj$id eg${egSeq}noun$id")
+        }.toDF("p_partkey", "p_name")
+        val v = ManifestTable.merge(rows, corpus, Seq("p_partkey"))
+        ManifestTable.readChanges(spark, corpus, v - 1, v, Seq("p_partkey"),
+          preimages = true).localCheckpoint()
+      }
+      def committed(nCommits: Int): (String, String, String, String) = {
+        val w = java.nio.file.Files.createTempDirectory("graft-scale-ergc").toString
+        val records = Tables(spark, sfDir, "part").select($"p_partkey", $"p_name")
+        ManifestTable.merge(records, s"$w/corpus", Seq("p_partkey"))
+        EntityIndex.bootstrap(records, s"$w/block", s"$w/memb", s"$w/ent")
+        (1 to nCommits).foreach { i =>
+          EntityIndex.applyBatch(erCommit(s"$w/corpus"), i.toLong, s"$w/block",
+            s"$w/memb", s"$w/ent", scope = s"ergc$w$i")
+        }
+        Seq(s"$w/block" -> "kbucket", s"$w/memb" -> "mbucket",
+            s"$w/ent" -> "ebucket").foreach { case (r, p) =>
+          ManifestTable.compact(spark, r, p)
+          ManifestTable.vacuum(r, keepVersions = 1, orphanGraceMs = 0L)
+        }
+        (s"$w/corpus", s"$w/block", s"$w/memb", s"$w/ent")
+      }
+      val e1 = committed(3)
+      val eN = committed(3 * factor)
+      def maintainAfterGc(roots: (String, String, String, String)): Long = {
+        egSeq += 1
+        EntityIndex.applyBatch(erCommit(roots._1), egSeq, roots._2, roots._3,
+          roots._4, scope = s"ergcprobe$egSeq")
+        1L
+      }
+      maintainAfterGc(e1); maintainAfterGc(eN) // warm both roots
+      probe("entity_gc_cost")(maintainAfterGc(e1))(maintainAfterGc(eN))
+    }
+
     // ---- the gate: time must grow at most linearly with data ----
     val gated = results.toSeq.map { case (n, t1, tN) =>
       (n, t1, tN, tN / math.max(t1, 0.3))
