@@ -988,4 +988,37 @@ class StreamingSpec extends SparkSpec {
         "append-stream: earlier hits are never retracted")
     }
   }
+
+  test("crossModalProbeStream hot-key gate counts DISTINCT members " +
+    "(ADVICE r18): a cross-batch re-commit of an already-stored doc must " +
+    "not inflate the counter past the cap — the batch gate counts each " +
+    "stored band row once, and a falsely-tripped key would diverge " +
+    "irreversibly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val caption = "alpha beta gamma delta"
+    withRocksDb {
+      val mem = MemoryStream[(Long, String, Boolean)]
+      val q = EventStream.crossModalProbeStream(
+          mem.toDF().toDF("doc_id", "text", "is_probe"), bandCap = 3)
+        .toDF().writeStream.format("memory")
+        .queryName("xmodal_recommit").outputMode("append").start()
+      // three distinct members: AT the cap (3), key still live
+      mem.addData((0L, caption, false), (3L, caption, false),
+        (6L, caption, false))
+      q.processAllAvailable()
+      // a LATER batch re-commits doc 0 — same doc, same deterministic
+      // fingerprint. Raw arrival counting would read 4 > cap and kill
+      // the key forever; distinct counting recognizes the duplicate.
+      mem.addData((0L, caption, false))
+      q.processAllAvailable()
+      mem.addData((9L, caption, true))
+      q.processAllAvailable()
+      q.stop()
+      val hits = spark.table("xmodal_recommit").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(hits.filter(_._1 == "image").map(_._3) === Set(0L, 3L, 6L),
+        s"re-commit falsely tripped the cap: $hits")
+    }
+  }
 }
