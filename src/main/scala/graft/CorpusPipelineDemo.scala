@@ -344,7 +344,11 @@ object CorpusPipelineDemo {
       "reencoded_dups" -> ReencodeIndex.maintainedReencodedDups(spark, mm("reenc")),
       "crossmodal_pairs" ->
         CrossModalIndex.maintainedCrossModalPairs(spark, mm("xmod"), mm("band")),
-      "split_leakage" -> DedupIndex.maintainedSplitLeakage(spark, mm("band")))
+      "split_leakage" -> DedupIndex.maintainedSplitLeakage(spark, mm("band")),
+      // q202's face: the robust key-space recall report, also from
+      // stored rows — schedulable after every commit like the audit
+      "key_spaces" -> graft.sources.DedupIndexFixtures
+        .maintainedKeySpaces(spark, mm("reenc"), mm("gwin")))
     println("== maintained curation reads (one corpus, eight indexes) ==")
     mmReports.foreach { case (n, df) => println(f"  $n%-18s ${df.count()} rows") }
     // the arriving batch probes every family the production way round:
