@@ -217,7 +217,7 @@ object SparkSqlTwins {
     * more level would change nothing (min-propagation is monotone) —
     * and `assert_true` fails the query rather than return an
     * under-propagated labeling. */
-  private def labelPropChain(k: Int): String = {
+  private[graft] def labelPropChain(k: Int): String = {
     val iters = (1 to k).map { i =>
       s"""l$i AS (SELECT e.dst AS node, min(l.lbl) AS lbl
          |  FROM l${i - 1} l JOIN edges e ON e.src = l.node

@@ -342,6 +342,42 @@ object DedupIndex {
       applyBatch(ch, (v + 1).toLong, fpRoot, bandRoot, scope = PollScope)
     }
 
+  /** BATCHED catch-up across `(fromV, toV]` — ONE snapshot-diff read
+    * and one commit per table instead of one per version
+    * ([[graft.sources.MaintainedIndex.refreshBatched]]'s argument,
+    * applied to the ref-count protocol): [[ManifestTable.readChanges]]
+    * is a STATE diff, so a doc that churned five times inside the
+    * range emits one pre/post pair whose per-fp sign sums telescope to
+    * exactly the net count change the per-version path accumulates,
+    * and [[maintainBandIndex]] is a keyed full-coverage merge of the
+    * post-state — both compose over ranges by construction. The TWO
+    * WATERMARKS stay independent (a crash between the fp and band
+    * commits leaves them split): each table diffs from ITS OWN
+    * watermark — diffing the fp ref-counts from below theirs would
+    * re-add already-counted docs — and both commits carry the range's
+    * END version as the tag, so per-version and batched calls
+    * interleave freely in the shared [[PollScope]].
+    * BatchedRefreshSpec pins batched ≡ per-version ≡ recomputed over a
+    * 20-commit history including a mid-catch-up stop and a SPLIT
+    * watermark (fp one commit ahead of band — the crash shape). */
+  def refreshIndexesBatched(spark: SparkSession, corpusRoot: String,
+      fpRoot: String, bandRoot: String, fromV: Int, toV: Int): Unit = {
+    val tag = Some(ManifestTable.batchTag(PollScope, toV.toLong))
+    def diffFrom(w: Long): DataFrame = ManifestTable.readChanges(
+      spark, corpusRoot, math.max(fromV.toLong, w).toInt, toV, Seq("doc_id"),
+      preimages = true).localCheckpoint()
+    val (wFp, wBand) = (ManifestTable.lastBatchTag(fpRoot, PollScope),
+      ManifestTable.lastBatchTag(bandRoot, PollScope))
+    // one read when the watermarks agree (the common case); two only
+    // after a crash split them
+    lazy val shared = diffFrom(wFp)
+    if (wFp < toV.toLong)
+      maintainFpIndex(spark, shared, fpRoot, tag)
+    if (wBand < toV.toLong)
+      maintainBandIndex(spark,
+        if (wBand == wFp) shared else diffFrom(wBand), bandRoot, tag)
+  }
+
   /** EXACTLY-ONCE streaming maintenance step — the
     * [[IncrementalView.applyBatch]] protocol applied to BOTH index
     * tables: each index commit carries the CDC micro-batch id as its

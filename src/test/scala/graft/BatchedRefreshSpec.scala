@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{ManifestTable, ModalityIndex, SpanIndex}
+import graft.sources.{DedupIndex, ManifestTable, ModalityIndex, SpanIndex}
 import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -94,6 +94,48 @@ class BatchedRefreshSpec extends SparkSpec {
     val vIdx = ManifestTable.currentVersion(s"$work/b")
     SpanIndex.refreshBatched(spark, corpus, s"$work/b", 0, v)
     assert(ManifestTable.currentVersion(s"$work/b") == vIdx,
+      "a replayed batched catch-up committed")
+  }
+
+  test("ref-count protocol (DedupIndex fp + band): batched catch-up ≡ " +
+    "per-version ≡ recomputed over 20 commits, including a SPLIT " +
+    "watermark (fp one commit ahead of band — the crash-between-the-" +
+    "two-commits shape, where each table must diff from ITS OWN " +
+    "watermark)") {
+    val work = Files.createTempDirectory("graft-batched-dedup").toString
+    val corpus = s"$work/corpus"
+    val v = buildHistory(corpus, seed = 53)
+    assert(v == 20)
+    DedupIndex.refreshIndexes(spark, corpus, s"$work/afp", s"$work/aband", 0, v)
+    // B: per-version to 5, then a simulated crash at version 6 — the fp
+    // commit landed, the band commit did not
+    DedupIndex.refreshIndexes(spark, corpus, s"$work/bfp", s"$work/bband", 0, 5)
+    val ch6 = ManifestTable.readChanges(spark, corpus, 5, 6, Seq("doc_id"),
+      preimages = true).localCheckpoint()
+    DedupIndex.maintainFpIndex(spark, ch6, s"$work/bfp",
+      Some(ManifestTable.batchTag(DedupIndex.PollScope, 6L)))
+    // batched catch-up: fp must diff from 6, band from 5 — a shared
+    // diff base would double-count version 6's fps
+    DedupIndex.refreshIndexesBatched(spark, corpus, s"$work/bfp", s"$work/bband", 0, 10)
+    DedupIndex.refreshIndexesBatched(spark, corpus, s"$work/bfp", s"$work/bband", 0, v)
+    import org.apache.spark.sql.functions.col
+    def fp(r: String) = DedupIndex.readFpIndex(spark, s"$work/$r")
+      .select(col("fp"), col("n_docs"))
+    def band(r: String) = DedupIndex.readBandIndex(spark, s"$work/$r")
+    assertSame("fp: batched diverged from per-version", fp("bfp"), fp("afp"))
+    assertSame("band: batched diverged from per-version", band("bband"), band("aband"))
+    val snap = ManifestTable.read(spark, corpus)
+    assertSame("fp: batched diverged from recompute", fp("bfp"),
+      DedupIndex.computeFpIndex(snap).select(col("fp"), col("n_docs")))
+    assertSame("band: batched diverged from recompute", band("bband"),
+      DedupIndex.computeBandIndex(snap).where(col("live"))
+        .select(col("doc_id"), col("band"), col("bucket")))
+    // replay commits nothing to either table
+    val (vF, vB) = (ManifestTable.currentVersion(s"$work/bfp"),
+      ManifestTable.currentVersion(s"$work/bband"))
+    DedupIndex.refreshIndexesBatched(spark, corpus, s"$work/bfp", s"$work/bband", 0, v)
+    assert(ManifestTable.currentVersion(s"$work/bfp") == vF &&
+      ManifestTable.currentVersion(s"$work/bband") == vB,
       "a replayed batched catch-up committed")
   }
 

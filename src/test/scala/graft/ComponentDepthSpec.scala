@@ -74,6 +74,28 @@ class ComponentDepthSpec extends SparkSpec {
       depthOf(cand, "doc_a", "doc_b", docs))
   }
 
+  test("the convergence witness FAILS LOUDLY when K is under the graph's " +
+    "depth (the guarantee ComponentLevels budgets against): a 6-node path " +
+    "needs 5 min-label rounds, so K=2 must throw the assert_true, and " +
+    "K=5 must converge to one component") {
+    def chainSql(k: Int): String = {
+      val edgePairs = (1 to 5).flatMap(i => Seq(s"($i, ${i + 1})", s"(${i + 1}, $i)")) ++
+        (1 to 6).map(i => s"($i, $i)")
+      s"""WITH edges AS (SELECT * FROM VALUES ${edgePairs.mkString(", ")} AS t(src, dst)),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+         |${SparkSqlTwins.labelPropChain(k)}
+         |SELECT node, lbl FROM comp""".stripMargin
+    }
+    val shallow = intercept[Exception](spark.sql(chainSql(2)).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(shallow).exists(_.contains("not converged")),
+      s"under-K must fail via the witness, got: ${messages(shallow).take(2)}")
+    val converged = spark.sql(chainSql(5)).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(converged == (1 to 6).map(_ -> 1).toMap, converged.toString)
+  }
+
   test("ER match graph: measured propagation depth + 2 fits inside " +
     "ComponentLevels at sf0.01, under BOTH twin label domains") {
     val pairs = EntityOps.q154ErPairs(spark, sfDir)
