@@ -400,6 +400,43 @@ object ClusterIndex {
       applyChanges(spark, ch, bandRoot, membRoot, repRoot, tag)
   }
 
+  /** Watermark scope of the polling path ([[DedupIndex.PollScope]]'s
+    * role) — distinct from any stream's checkpoint-digest scope. */
+  private[graft] val PollScope = "cluster-refresh-poll"
+
+  /** Roll band + cluster tables forward across corpus versions
+    * `(fromV, toV]`, exactly-once under the shared [[PollScope]]. */
+  def refresh(spark: SparkSession, corpusRoot: String, bandRoot: String,
+      membRoot: String, repRoot: String, fromV: Int, toV: Int): Unit =
+    (fromV until toV).foreach { v =>
+      val ch = ManifestTable.readChanges(
+        spark, corpusRoot, v, v + 1, Seq("doc_id"), preimages = true)
+      applyBatch(ch, (v + 1).toLong, bandRoot, membRoot, repRoot,
+        scope = PollScope)
+    }
+
+  /** BATCHED catch-up across `(fromV, toV]` — one snapshot-diff read,
+    * one applyBatch ([[MaintainedIndex.refreshBatched]]'s argument,
+    * applied to the affected-cluster re-solve: the walk and the solve
+    * read the STORED band/membership tables, which are exactly the
+    * watermark state, and a doc that churned inside the range seeds
+    * once with its net pre/post pair — intermediate cluster shapes the
+    * per-version path would have solved and re-solved never
+    * materialize). Diffs from the EARLIER of the two watermarks (a
+    * crash between the band and cluster commits splits them; the band
+    * re-apply of its already-written prefix is an idempotent keyed
+    * merge, [[applyBatch]]'s own contract). */
+  def refreshBatched(spark: SparkSession, corpusRoot: String,
+      bandRoot: String, membRoot: String, repRoot: String,
+      fromV: Int, toV: Int): Unit = {
+    val w = math.min(ManifestTable.lastBatchTag(bandRoot, PollScope),
+      ManifestTable.lastBatchTag(membRoot, PollScope))
+    if (w >= toV.toLong) return
+    val ch = ManifestTable.readChanges(spark, corpusRoot,
+      math.max(fromV.toLong, w).toInt, toV, Seq("doc_id"), preimages = true)
+    applyBatch(ch, toV.toLong, bandRoot, membRoot, repRoot, scope = PollScope)
+  }
+
   /** Turnkey: keep band index + cluster tables equal to the corpus at
     * `corpusRoot`, fed by `graft-manifest-cdc`, exactly-once. If the
     * tables were seeded by [[bootstrap]], pass the corpus version it

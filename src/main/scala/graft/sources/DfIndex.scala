@@ -147,6 +147,22 @@ object DfIndex {
       applyBatch(ch, (v + 1).toLong, idxRoot, scope = PollScope)
     }
 
+  /** BATCHED catch-up across `(fromV, toV]` — one snapshot-diff read,
+    * one commit ([[MaintainedIndex.refreshBatched]]'s argument, which
+    * holds for df ref-counts exactly as for fp ones: the state diff's
+    * per-(doc, token) signs telescope to the net df change, and the
+    * [[MetaToken]] corpus-size row nets the same way). Diffs from this
+    * table's own watermark; the commit carries the range's END version,
+    * so batched and per-version calls interleave in one scope. */
+  def refreshBatched(spark: SparkSession, corpusRoot: String,
+      idxRoot: String, fromV: Int, toV: Int): Unit = {
+    val w = ManifestTable.lastBatchTag(idxRoot, PollScope)
+    if (w >= toV.toLong) return
+    val ch = ManifestTable.readChanges(spark, corpusRoot,
+      math.max(fromV.toLong, w).toInt, toV, Seq("doc_id"), preimages = true)
+    applyBatch(ch, toV.toLong, idxRoot, scope = PollScope)
+  }
+
   /** Turnkey stream ([[DedupIndex.startIndexMaintenance]]'s shape). */
   def startMaintenance(spark: SparkSession, corpusRoot: String,
       idxRoot: String, checkpoint: String, startingVersion: Int = 0)

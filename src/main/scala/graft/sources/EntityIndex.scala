@@ -460,6 +460,27 @@ object EntityIndex {
 
   private[graft] val PollScope = "entity-refresh-poll"
 
+  /** BATCHED catch-up across `(fromV, toV]` — one snapshot-diff read,
+    * one applyBatch ([[MaintainedIndex.refreshBatched]]'s argument,
+    * applied to the affected-set re-solve: the state diff's net
+    * arrivals/retractions are computed by [[applyBatch]] against the
+    * STORED membership — which is exactly the watermark state — so
+    * intermediate name churn that nets to zero never even seeds a
+    * block update). Diffs from the MEMBERSHIP watermark (the gate
+    * [[applyBatch]] itself consults); a crash that left the block
+    * table one commit ahead re-applies an idempotent keyed merge. */
+  def refreshBatched(spark: SparkSession, corpusRoot: String,
+      blockRoot: String, membRoot: String, entRoot: String,
+      fromV: Int, toV: Int, cap: Long = EntityOps.MaxBlockSize,
+      blockers: Seq[EntityOps.Blocker] = EntityOps.PartBlockers): Unit = {
+    val w = ManifestTable.lastBatchTag(membRoot, PollScope)
+    if (w >= toV.toLong) return
+    val ch = ManifestTable.readChanges(spark, corpusRoot,
+      math.max(fromV.toLong, w).toInt, toV, Seq("p_partkey"), preimages = true)
+    applyBatch(ch, toV.toLong, blockRoot, membRoot, entRoot,
+      scope = PollScope, cap = cap, blockers = blockers)
+  }
+
   /** Turnkey: keep the entity tables equal to the record corpus at
     * `corpusRoot`, fed by `graft-manifest-cdc`, exactly-once. Pair a
     * [[bootstrap]] with `startingVersion` = the bootstrapped corpus

@@ -170,6 +170,23 @@ object StatsIndex {
       applyBatch(ch, (v + 1).toLong, root, scope = PollScope)
     }
 
+  /** BATCHED catch-up across `(fromV, toV]` — one snapshot-diff read,
+    * one 2,209-row merge ([[MaintainedIndex.refreshBatched]]'s
+    * argument; the signed centered moments are additive per row, so a
+    * range diff's contributions telescope to the per-version sum —
+    * and a vector that churned N times inside the range contributes
+    * ONE retraction + ONE addition instead of N, which also sheds
+    * N−1 of the float-residue steps the rebootstrap note above
+    * budgets against). Diffs from this table's own watermark. */
+  def refreshBatched(spark: SparkSession, corpusRoot: String, root: String,
+      fromV: Int, toV: Int): Unit = {
+    val w = ManifestTable.lastBatchTag(root, PollScope)
+    if (w >= toV.toLong) return
+    val ch = ManifestTable.readChanges(spark, corpusRoot,
+      math.max(fromV.toLong, w).toInt, toV, Seq("vec_id"), preimages = true)
+    applyBatch(ch, toV.toLong, root, scope = PollScope)
+  }
+
   /** Turnkey: keep the stats equal to the embedding corpus at
     * `corpusRoot`, exactly-once via [[applyBatch]]. Pair a
     * [[bootstrap]] with `startingVersion` = the bootstrapped corpus

@@ -112,6 +112,22 @@ object VecIndex {
       applyBatch(ch, (v + 1).toLong, centRoot, idxRoot, scope = PollScope)
     }
 
+  /** BATCHED catch-up across `(fromV, toV]` — one snapshot-diff read,
+    * one cell-index commit ([[MaintainedIndex.refreshBatched]]'s
+    * argument; the frozen centroids make each vector's cell a pure
+    * function of its payload, so the keyed upsert/tombstone merge of
+    * the range's post-state composes — a vector that moved cells five
+    * times inside the range lands one tombstone + one live row).
+    * Diffs from the cell index's own watermark. */
+  def refreshBatched(spark: SparkSession, corpusRoot: String,
+      centRoot: String, idxRoot: String, fromV: Int, toV: Int): Unit = {
+    val w = ManifestTable.lastBatchTag(idxRoot, PollScope)
+    if (w >= toV.toLong) return
+    val ch = ManifestTable.readChanges(spark, corpusRoot,
+      math.max(fromV.toLong, w).toInt, toV, Seq("vec_id"), preimages = true)
+    applyBatch(ch, toV.toLong, centRoot, idxRoot, scope = PollScope)
+  }
+
   /** EXACTLY-ONCE streaming maintenance step — the
     * [[IncrementalView.applyBatch]] protocol for the cell index: the
     * CDC micro-batch id rides the index commit as its transaction tag,

@@ -1,6 +1,7 @@
 package graft
 
-import graft.sources.{DedupIndex, ManifestTable, ModalityIndex, SpanIndex}
+import graft.sources.{ClusterIndex, DedupIndex, DfIndex, EntityIndex,
+  ManifestTable, ModalityIndex, SpanIndex, StatsIndex, VecIndex}
 import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -155,5 +156,166 @@ class BatchedRefreshSpec extends SparkSpec {
       ModalityIndex.computeModalityIndex(
         snapshot(corpus).select(col("doc_id"), col("n_chars")))
         .select(col("bk"), col("media_id"), col("hi"), col("lo")))
+  }
+
+  test("df ref-counts (DfIndex): batched catch-up ≡ per-version ≡ " +
+    "recomputed over 20 commits — per-(doc, token) signs and the " +
+    "corpus-size meta row telescope over the state diff") {
+    val work = Files.createTempDirectory("graft-batched-df").toString
+    val corpus = s"$work/corpus"
+    val v = buildHistory(corpus, seed = 54)
+    DfIndex.refresh(spark, corpus, s"$work/a", 0, v)
+    DfIndex.refreshBatched(spark, corpus, s"$work/b", 0, 10)
+    DfIndex.refreshBatched(spark, corpus, s"$work/b", 0, v)
+    def read(r: String) = DfIndex.readDfIndex(spark, s"$work/$r")
+    assertSame("batched diverged from per-version", read("b"), read("a"))
+  }
+
+  test("affected-cluster re-solve (ClusterIndex band+memb+rep): batched " +
+    "catch-up ≡ per-version ≡ recomputed over 20 commits, including a " +
+    "SPLIT watermark (band one commit ahead — its prefix re-applies as " +
+    "an idempotent keyed merge)") {
+    val work = Files.createTempDirectory("graft-batched-cluster").toString
+    val corpus = s"$work/corpus"
+    val v = buildHistory(corpus, seed = 55)
+    ClusterIndex.refresh(spark, corpus, s"$work/ab", s"$work/am", s"$work/ar", 0, v)
+    ClusterIndex.refresh(spark, corpus, s"$work/bb", s"$work/bm", s"$work/br", 0, 5)
+    // crash shape: version 6's band delta landed, the cluster re-solve
+    // did not — the batched call must diff the clusters from 5 and
+    // tolerate re-applying the band's already-written prefix
+    val ch6 = ManifestTable.readChanges(spark, corpus, 5, 6, Seq("doc_id"),
+      preimages = true).localCheckpoint()
+    DedupIndex.maintainBandIndex(spark, ch6, s"$work/bb",
+      Some(ManifestTable.batchTag(ClusterIndex.PollScope, 6L)))
+    ClusterIndex.refreshBatched(spark, corpus, s"$work/bb", s"$work/bm",
+      s"$work/br", 0, 12)
+    ClusterIndex.refreshBatched(spark, corpus, s"$work/bb", s"$work/bm",
+      s"$work/br", 0, v)
+    def memb(r: String) = ClusterIndex.readMembership(spark, s"$work/$r")
+    def band(r: String) = DedupIndex.readBandIndex(spark, s"$work/$r")
+    assertSame("membership: batched diverged from per-version",
+      memb("bm"), memb("am"))
+    assertSame("band: batched diverged from per-version", band("bb"), band("ab"))
+    assertSame("membership: batched diverged from recompute", memb("bm"),
+      ClusterIndex.computeMembership(
+        ManifestTable.read(spark, corpus).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("rep")))
+  }
+
+  /** A 10-commit seeded history of (p_partkey, p_name) records —
+    * two-word names over the tiny vocab, so blocking slots collide and
+    * the levenshtein gate fires. */
+  private def buildRecordsHistory(corpus: String, seed: Int): Int = {
+    import spark.implicits._
+    val rng = new scala.util.Random(seed)
+    def name(): String =
+      s"${vocab(rng.nextInt(vocab.size))} ${vocab(rng.nextInt(vocab.size))}"
+    var v = 0
+    (1 to 10).foreach { _ =>
+      val n = 2 + rng.nextInt(4)
+      val rows = Seq.fill(n)((rng.nextInt(20).toLong, name()))
+        .groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+      v = if (rng.nextInt(4) == 0 && v > 0) {
+        val live = ManifestTable.read(spark, corpus)
+          .select($"p_partkey").as[Long].collect()
+        if (live.length < 2) ManifestTable.merge(
+          rows.toDF("p_partkey", "p_name"), corpus, Seq("p_partkey"))
+        else ManifestTable.commit(
+          ManifestTable.read(spark, corpus)
+            .where($"p_partkey" =!= live(rng.nextInt(live.length)))
+            .localCheckpoint(), corpus)
+      } else ManifestTable.merge(
+        rows.toDF("p_partkey", "p_name"), corpus, Seq("p_partkey"))
+    }
+    v
+  }
+
+  test("affected-entity re-solve (EntityIndex block+memb+ent): batched " +
+    "catch-up ≡ per-version ≡ recomputed over a 10-commit record " +
+    "history — net arrivals/retractions are computed against the " +
+    "stored membership, which IS the watermark state") {
+    val work = Files.createTempDirectory("graft-batched-entity").toString
+    val corpus = s"$work/corpus"
+    val v = buildRecordsHistory(corpus, seed = 56)
+    assert(v == 10)
+    EntityIndex.refresh(spark, corpus, s"$work/abl", s"$work/am", s"$work/ae", 0, v)
+    EntityIndex.refreshBatched(spark, corpus, s"$work/bbl", s"$work/bm",
+      s"$work/be", 0, 5)
+    EntityIndex.refreshBatched(spark, corpus, s"$work/bbl", s"$work/bm",
+      s"$work/be", 0, v)
+    def memb(r: String) = EntityIndex.readMembership(spark, s"$work/$r")
+    assertSame("membership: batched diverged from per-version",
+      memb("bm"), memb("am"))
+    assertSame("membership: batched diverged from recompute", memb("bm"),
+      EntityIndex.computeEntities(
+        ManifestTable.read(spark, corpus).select(col("p_partkey"), col("p_name")))
+        .select(col("name"), col("entity"), col("n_records")))
+  }
+
+  test("frozen-quantizer cells (VecIndex) batched ≡ per-version ≡ " +
+    "recomputed, and centered moments (StatsIndex) batched ≡ " +
+    "per-version within float residue — a vector that churned N times " +
+    "inside the range contributes one retraction + one addition") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val work = Files.createTempDirectory("graft-batched-vec").toString
+    val (vecCorpus, statCorpus) = (s"$work/vcorpus", s"$work/scorpus")
+    val rng = new scala.util.Random(58)
+    val dims = 4
+    def emb(id: Long, salt: Int): Seq[Double] =
+      Seq.tabulate(dims)(k => ((id * 31 + k * 7 + salt * 13) % 11).toDouble / 3.0)
+    val statSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(DoubleType, containsNull = true))))
+    def statRows(rows: Seq[(Long, Int)]): org.apache.spark.sql.DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(
+        rows.map { case (id, s) => Row(id, emb(id, s)) }: _*), statSchema)
+    def vecRows(rows: Seq[(Long, Int)]): org.apache.spark.sql.DataFrame =
+      rows.map { case (id, s) =>
+        (id, emb(id, s).map(_.toFloat), (id % 3).toInt) }
+        .toDF("vec_id", "embedding", "label")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+    // v1 seeds both corpora; 9 more commits of upserts (salt churn)
+    val base = (0L until 12L).map(_ -> 0)
+    var vv = ManifestTable.merge(vecRows(base), vecCorpus, Seq("vec_id"))
+    var sv = ManifestTable.merge(statRows(base), statCorpus, Seq("vec_id"))
+    (1 to 9).foreach { s =>
+      val churn = Seq.fill(3)((rng.nextInt(12).toLong, s))
+        .groupBy(_._1).map(_._2.head).toSeq
+      vv = ManifestTable.merge(vecRows(churn), vecCorpus, Seq("vec_id"))
+      sv = ManifestTable.merge(statRows(churn), statCorpus, Seq("vec_id"))
+    }
+    // VecIndex: both sides bootstrap the SAME frozen quantizer from v1
+    def vboot(cent: String, idx: String): Unit = VecIndex.bootstrap(
+      ManifestTable.readVersion(spark, vecCorpus, 1), cent, idx)
+    vboot(s"$work/acent", s"$work/aidx")
+    VecIndex.refresh(spark, vecCorpus, s"$work/acent", s"$work/aidx", 1, vv)
+    vboot(s"$work/bcent", s"$work/bidx")
+    VecIndex.refreshBatched(spark, vecCorpus, s"$work/bcent", s"$work/bidx", 1, 5)
+    VecIndex.refreshBatched(spark, vecCorpus, s"$work/bcent", s"$work/bidx", 1, vv)
+    def cells(r: String) = VecIndex.readCellIndex(spark, s"$work/$r")
+      .select(col("vec_id"), col("cell"))
+    assertSame("cells: batched diverged from per-version",
+      cells("bidx"), cells("aidx"))
+    // StatsIndex: same shape, float-tolerant compare
+    def sboot(root: String): Unit = { StatsIndex.bootstrap(
+      ManifestTable.readVersion(spark, statCorpus, 1), root, dims,
+      tag = Some(ManifestTable.batchTag(StatsIndex.PollScope, 1L))); () }
+    sboot(s"$work/astat")
+    StatsIndex.refresh(spark, statCorpus, s"$work/astat", 1, sv)
+    sboot(s"$work/bstat")
+    StatsIndex.refreshBatched(spark, statCorpus, s"$work/bstat", 1, 5)
+    StatsIndex.refreshBatched(spark, statCorpus, s"$work/bstat", 1, sv)
+    def stats(r: String): Map[(Int, Int), Double] =
+      StatsIndex.readStats(spark, s"$work/$r").collect()
+        .map(x => (x.getInt(0), x.getInt(1)) -> x.getDouble(2)).toMap
+    val (sa, sb) = (stats("astat"), stats("bstat"))
+    assert(sa.keySet == sb.keySet)
+    sa.foreach { case (k, va) =>
+      val vb = sb(k)
+      assert(math.abs(va - vb) <= 1e-9 * math.max(1.0, math.abs(va)),
+        s"moment $k drifted beyond float residue: $va vs $vb")
+    }
   }
 }
