@@ -93,6 +93,27 @@ object IncrementalView {
       maintain(st, ch, groupCols, valueCol)
     }
 
+  /** BATCHED catch-up: the whole `(fromV, toV]` range in ONE
+    * [[maintain]] pass over ONE snapshot diff — for a view waking up
+    * many versions behind, where [[refresh]] pays a read and a
+    * broadcast-merge per version. Count/sum are self-invertible, so
+    * the range diff's signed contributions telescope to the same
+    * state the per-version fold reaches (a row that churned five
+    * times inside the range contributes one subtraction + one
+    * addition); PropertySpec pins batched ≡ per-version ≡ recompute
+    * on generated histories. The CALLER owns the watermark here
+    * (`state` is a plain DataFrame) — `fromV` must be the version the
+    * state reflects, exactly [[refresh]]'s own contract; the
+    * ManifestTable-backed [[applyBatch]] path carries the txn-tag
+    * watermark for callers that need exactly-once. */
+  def refreshBatched(state: DataFrame, root: String, fromV: Int, toV: Int,
+      key: Seq[String], groupCols: Seq[String], valueCol: String): DataFrame =
+    if (toV <= fromV) state
+    else maintain(state,
+      ManifestTable.readChanges(
+        state.sparkSession, root, fromV, toV, key, preimages = true),
+      groupCols, valueCol)
+
   /** EXACTLY-ONCE streaming maintenance step: apply one CDC micro-batch
     * to a ManifestTable-BACKED state and commit the result with the
     * batch id as the commit's transaction tag. Tag and state land in

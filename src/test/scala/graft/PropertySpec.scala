@@ -224,6 +224,12 @@ class PropertySpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
       assert(incr == full, s"sample $i: incremental $incr != recompute $full " +
         s"over ${batches.map(_.size)} batch sizes")
+      // the batched catch-up (one maintain pass over the range's
+      // snapshot diff) must reach the same state as the per-version fold
+      val batched = IncrementalView
+        .refreshBatched(boot, root, 1, head, key, Seq("day"), "x")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batched == full, s"sample $i: batched $batched != recompute $full")
     }
   }
 
