@@ -50,10 +50,26 @@ object Bench {
     * used and its provenance (`basis_source`: "pinned" | "env"), so a
     * reader can tell a for-this-box basis from a possibly-stale pin
     * before trusting the contended flag. */
-  val CalIoCleanBasis: Double = sys.env.get("SPARK_GRAFT_CAL_IO_BASIS")
-    .map(_.toDouble).getOrElse(PinnedCalIoCleanBasis)
-  val CalIoBasisSource: String =
-    if (sys.env.contains("SPARK_GRAFT_CAL_IO_BASIS")) "env" else "pinned"
+  /** Validated parse of the basis override (ADVICE r19: a malformed
+    * value used to throw NumberFormatException out of object init — an
+    * opaque ExceptionInInitializerError killing the whole bench run
+    * AFTER the suite's setup cost). A value that is not a positive
+    * number falls back to the pin with a stderr warning naming the env
+    * var, and the JSON's `basis_source` then says "pinned" — the
+    * provenance field never claims an override that was not in force. */
+  private[graft] def parseCalIoBasis(raw: Option[String]): Option[Double] =
+    raw.flatMap { s =>
+      val parsed = scala.util.Try(s.trim.toDouble).toOption.filter(_ > 0)
+      if (parsed.isEmpty)
+        System.err.println(s"[bench] SPARK_GRAFT_CAL_IO_BASIS='$s' is not a " +
+          s"positive number; falling back to the pinned basis $PinnedCalIoCleanBasis")
+      parsed
+    }
+
+  private val calIoBasisEnv: Option[Double] =
+    parseCalIoBasis(sys.env.get("SPARK_GRAFT_CAL_IO_BASIS"))
+  val CalIoCleanBasis: Double = calIoBasisEnv.getOrElse(PinnedCalIoCleanBasis)
+  val CalIoBasisSource: String = if (calIoBasisEnv.isDefined) "env" else "pinned"
 
   /** A run is CONTENDED when cal_io exceeds the clean basis by >15%
     * (the threshold VERDICT r17 #2 names; same-hour clean repeats

@@ -415,26 +415,51 @@ object ClusterIndex {
         scope = PollScope)
     }
 
-  /** BATCHED catch-up across `(fromV, toV]` — one snapshot-diff read,
-    * one applyBatch ([[MaintainedIndex.refreshBatched]]'s argument,
-    * applied to the affected-cluster re-solve: the walk and the solve
-    * read the STORED band/membership tables, which are exactly the
-    * watermark state, and a doc that churned inside the range seeds
-    * once with its net pre/post pair — intermediate cluster shapes the
-    * per-version path would have solved and re-solved never
-    * materialize). Diffs from the EARLIER of the two watermarks (a
-    * crash between the band and cluster commits splits them; the band
-    * re-apply of its already-written prefix is an idempotent keyed
-    * merge, [[applyBatch]]'s own contract). */
+  /** BATCHED catch-up across `(fromV, toV]` — one snapshot-diff read
+    * per LAGGING TABLE, one commit each
+    * ([[MaintainedIndex.refreshBatched]]'s argument, applied to the
+    * affected-cluster re-solve: the walk and the solve read the STORED
+    * band/membership tables, which are exactly the watermark state,
+    * and a doc that churned inside the range seeds once with its net
+    * pre/post pair — intermediate cluster shapes the per-version path
+    * would have solved and re-solved never materialize).
+    *
+    * Each table diffs from ITS OWN watermark
+    * ([[DedupIndex.refreshIndexesBatched]]'s rule; ADVICE r19). A
+    * crash between the band and cluster commits leaves the band ONE
+    * AHEAD, and the two diffs then genuinely differ: a doc whose
+    * content changed A→B in the crashed commit and reverted B→A inside
+    * the catch-up range nets to NOTHING from the cluster watermark —
+    * correct for membership (its clusters reflected A and the corpus
+    * holds A again) but fatal for the band table, whose full-key-
+    * coverage merge would never touch the B rows it already wrote.
+    * Only the band's own diff (base = the crashed version) carries the
+    * B→A event that retracts them. One shared read in the common
+    * aligned case; two only after a crash split the watermarks. Both
+    * commits carry the range's END version, and an empty net delta
+    * still advances the lagging watermark with a metadata-only commit
+    * so the diff base (and the corpus-retention requirement) tracks
+    * `toV`. */
   def refreshBatched(spark: SparkSession, corpusRoot: String,
       bandRoot: String, membRoot: String, repRoot: String,
       fromV: Int, toV: Int): Unit = {
-    val w = math.min(ManifestTable.lastBatchTag(bandRoot, PollScope),
+    val (wBand, wMemb) = (ManifestTable.lastBatchTag(bandRoot, PollScope),
       ManifestTable.lastBatchTag(membRoot, PollScope))
-    if (w >= toV.toLong) return
-    val ch = ManifestTable.readChanges(spark, corpusRoot,
-      math.max(fromV.toLong, w).toInt, toV, Seq("doc_id"), preimages = true)
-    applyBatch(ch, toV.toLong, bandRoot, membRoot, repRoot, scope = PollScope)
+    if (math.min(wBand, wMemb) >= toV.toLong) return
+    val tag = Some(ManifestTable.batchTag(PollScope, toV.toLong))
+    def diffFrom(w: Long): DataFrame = ManifestTable.readChanges(
+      spark, corpusRoot, math.max(fromV.toLong, w).toInt, toV, Seq("doc_id"),
+      preimages = true).localCheckpoint()
+    lazy val membDiff = diffFrom(wMemb)
+    // band first: the cluster re-solve walks the STORED band table and
+    // must see the range's post-state rows (applyBatch's own order)
+    if (wBand < toV.toLong)
+      DedupIndex.maintainBandIndex(spark,
+        if (wBand == wMemb) membDiff else diffFrom(wBand), bandRoot, tag)
+    if (wMemb < toV.toLong)
+      applyChanges(spark, membDiff, bandRoot, membRoot, repRoot, tag)
+    ManifestTable.advanceBatchWatermark(bandRoot, PollScope, toV.toLong)
+    ManifestTable.advanceBatchWatermark(membRoot, PollScope, toV.toLong)
   }
 
   /** Turnkey: keep band index + cluster tables equal to the corpus at

@@ -376,6 +376,11 @@ object DedupIndex {
     if (wBand < toV.toLong)
       maintainBandIndex(spark,
         if (wBand == wFp) shared else diffFrom(wBand), bandRoot, tag)
+    // an empty net delta commits nothing above — advance the lagging
+    // watermark(s) with a metadata-only commit so the diff base (and
+    // the corpus-retention requirement) tracks toV (ADVICE r19)
+    ManifestTable.advanceBatchWatermark(fpRoot, PollScope, toV.toLong)
+    ManifestTable.advanceBatchWatermark(bandRoot, PollScope, toV.toLong)
   }
 
   /** EXACTLY-ONCE streaming maintenance step — the

@@ -161,6 +161,9 @@ object DfIndex {
     val ch = ManifestTable.readChanges(spark, corpusRoot,
       math.max(fromV.toLong, w).toInt, toV, Seq("doc_id"), preimages = true)
     applyBatch(ch, toV.toLong, idxRoot, scope = PollScope)
+    // empty net delta ⇒ no commit above; keep the diff base bounded
+    // with a metadata-only watermark advance (ADVICE r19)
+    ManifestTable.advanceBatchWatermark(idxRoot, PollScope, toV.toLong)
   }
 
   /** Turnkey stream ([[DedupIndex.startIndexMaintenance]]'s shape). */

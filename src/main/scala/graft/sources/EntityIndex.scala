@@ -466,19 +466,52 @@ object EntityIndex {
     * arrivals/retractions are computed by [[applyBatch]] against the
     * STORED membership — which is exactly the watermark state — so
     * intermediate name churn that nets to zero never even seeds a
-    * block update). Diffs from the MEMBERSHIP watermark (the gate
-    * [[applyBatch]] itself consults); a crash that left the block
-    * table one commit ahead re-applies an idempotent keyed merge. */
+    * block update).
+    *
+    * A crash between the block and membership commits leaves the block
+    * table AHEAD, and there a single net diff is NOT enough (ADVICE
+    * r19): the crashed commit's block retraction (a name's rows marked
+    * dead) is already stored, and if the name re-arrives inside the
+    * catch-up range — another part takes it — the net transition
+    * against the stored membership is count-only, so no arrival event
+    * would ever re-mark those rows live: the name's blocking keys stop
+    * generating candidates forever. Unlike [[ClusterIndex]]'s band
+    * table, the block rows cannot be healed by a second diff from
+    * their own watermark (they derive from TRANSITIONS against a
+    * membership state that the crash never persisted), so the split is
+    * closed the way [[applyBatch]] itself heals replays: roll
+    * PER-VERSION until the watermarks align — the crashed version
+    * replays with the block merge skipping its own tag while the
+    * membership absorbs the retraction, and the re-arrival is then a
+    * genuine arrival — and batch the remainder. Alignment costs
+    * one-version replays only after a crash; the common path stays one
+    * read + one applyBatch. An empty net delta still advances both
+    * lagging watermarks with a metadata-only commit so the diff base
+    * (and the corpus-retention requirement) tracks `toV`. */
   def refreshBatched(spark: SparkSession, corpusRoot: String,
       blockRoot: String, membRoot: String, entRoot: String,
       fromV: Int, toV: Int, cap: Long = EntityOps.MaxBlockSize,
       blockers: Seq[EntityOps.Blocker] = EntityOps.PartBlockers): Unit = {
-    val w = ManifestTable.lastBatchTag(membRoot, PollScope)
-    if (w >= toV.toLong) return
-    val ch = ManifestTable.readChanges(spark, corpusRoot,
-      math.max(fromV.toLong, w).toInt, toV, Seq("p_partkey"), preimages = true)
-    applyBatch(ch, toV.toLong, blockRoot, membRoot, entRoot,
-      scope = PollScope, cap = cap, blockers = blockers)
+    val wMemb = ManifestTable.lastBatchTag(membRoot, PollScope)
+    if (wMemb >= toV.toLong) return
+    val wBlock = ManifestTable.lastBatchTag(blockRoot, PollScope)
+    if (wMemb < wBlock)
+      refresh(spark, corpusRoot, blockRoot, membRoot, entRoot,
+        math.max(fromV.toLong, wMemb).toInt, math.min(wBlock, toV.toLong).toInt,
+        cap, blockers)
+    val base = math.max(wMemb, math.min(wBlock, toV.toLong))
+    if (base < toV.toLong) {
+      val ch = ManifestTable.readChanges(spark, corpusRoot,
+        math.max(fromV.toLong, base).toInt, toV, Seq("p_partkey"),
+        preimages = true)
+      applyBatch(ch, toV.toLong, blockRoot, membRoot, entRoot,
+        scope = PollScope, cap = cap, blockers = blockers)
+    }
+    // membership FIRST: a crash between the two advances then leaves
+    // the benign block-lagging direction (nothing diffs from the block
+    // watermark), never a spurious block-ahead replay
+    ManifestTable.advanceBatchWatermark(membRoot, PollScope, toV.toLong)
+    ManifestTable.advanceBatchWatermark(blockRoot, PollScope, toV.toLong)
   }
 
   /** Turnkey: keep the entity tables equal to the record corpus at

@@ -214,7 +214,16 @@ private[graft] trait MaintainedIndex {
     * BatchedRefreshSpec pins batched ≡ per-version ≡ recomputed over a
     * 20-commit history including a mid-catch-up stop and a replay.
     * Requires `max(fromV, watermark)`'s manifest to still be retained
-    * (readChanges refuses a vacuumed diff base loudly). */
+    * (readChanges refuses a vacuumed diff base loudly) — a requirement
+    * this call itself keeps BOUNDED (ADVICE r19): a range whose delta
+    * nets to zero rows has nothing to merge and so records no tag, so
+    * without the closing [[ManifestTable.advanceBatchWatermark]] a
+    * long-idle index would re-diff from the same stale base forever
+    * and fail loudly once the corpus is vacuumed past it, even though
+    * its rows are fully current. The metadata-only advance moves the
+    * diff base to `toV` whenever the maintain step had nothing to
+    * commit, so retention only ever needs to cover the gap since the
+    * LAST catch-up call, not the last time the corpus changed. */
   final def refreshBatched(spark: SparkSession, corpusRoot: String,
       idxRoot: String, fromV: Int, toV: Int): Unit = {
     val w = ManifestTable.lastBatchTag(idxRoot, PollScope)
@@ -224,6 +233,7 @@ private[graft] trait MaintainedIndex {
       spark, corpusRoot, effFrom, toV, Seq("doc_id"), preimages = true)
     maintainIndex(ch.localCheckpoint(), idxRoot,
       Some(ManifestTable.batchTag(PollScope, toV.toLong)))
+    ManifestTable.advanceBatchWatermark(idxRoot, PollScope, toV.toLong)
   }
 
   /** Turnkey stream ([[DedupIndex.startIndexMaintenance]]'s shape):

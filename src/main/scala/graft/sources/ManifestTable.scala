@@ -210,6 +210,51 @@ object ManifestTable {
       .getOrElse(-1L)
   }
 
+  /** METADATA-ONLY commit (ADVICE r19): re-list the current version's
+    * entries verbatim under a new version carrying `tag` — data files,
+    * stats declaration and layout unchanged, only the commit tag (and
+    * hence a [[lastBatchTag]] watermark) moves. This is what lets a
+    * batched catch-up whose net delta is EMPTY still advance its diff
+    * base: without it, a long-idle index re-diffs the same range
+    * forever and, once the corpus is vacuumed past the stale base,
+    * [[readChanges]] fails loudly even though the index is fully
+    * current. A table with no commits yet has no manifest to carry
+    * (and no retention to protect) — the advance is skipped. A lost
+    * race to a concurrent data commit simply re-carries the winner's
+    * entries: the carried file list is re-read per attempt. */
+  private[graft] def commitTagOnly(root: String, tag: String): Int = synchronized {
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(root)
+      if (cur < 1) return cur
+      try {
+        return commitEntries(root, cur + 1, listedEntries(root, cur),
+          statsColumns(root, cur), Some(tag))
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= 10) throw e
+          if (currentVersion(root) < cur + 1) throw e // orphan: unverifiable
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Advance `scope`'s batch watermark at `root` to `toV` with a
+    * [[commitTagOnly]] when it lags — the no-op-delta closer every
+    * batched catch-up calls LAST, after its maintain step (which
+    * skips the commit, and so the tag, when the range's delta nets to
+    * zero rows). Sound because a maintainer only reaches this point
+    * once the table's STATE reflects corpus version `toV` — an empty
+    * net delta means the watermark state and the `toV` state are the
+    * same rows, so moving the recorded version is pure metadata. */
+  private[graft] def advanceBatchWatermark(root: String, scope: String,
+      toV: Long): Unit =
+    if (lastBatchTag(root, scope) < toV) {
+      commitTagOnly(root, batchTag(scope, toV))
+      ()
+    }
+
   /** Reject stats re-declarations that would MISREAD carried-over
     * entries (ADVICE r10): [[append]] and [[mergePartitioned]] keep the
     * previous snapshot's entries verbatim, and those entries' lo/hi

@@ -185,6 +185,9 @@ object StatsIndex {
     val ch = ManifestTable.readChanges(spark, corpusRoot,
       math.max(fromV.toLong, w).toInt, toV, Seq("vec_id"), preimages = true)
     applyBatch(ch, toV.toLong, root, scope = PollScope)
+    // empty net delta ⇒ no commit above; keep the diff base bounded
+    // with a metadata-only watermark advance (ADVICE r19)
+    ManifestTable.advanceBatchWatermark(root, PollScope, toV.toLong)
   }
 
   /** Turnkey: keep the stats equal to the embedding corpus at

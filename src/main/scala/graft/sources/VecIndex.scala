@@ -126,6 +126,9 @@ object VecIndex {
     val ch = ManifestTable.readChanges(spark, corpusRoot,
       math.max(fromV.toLong, w).toInt, toV, Seq("vec_id"), preimages = true)
     applyBatch(ch, toV.toLong, centRoot, idxRoot, scope = PollScope)
+    // empty net delta ⇒ no commit above; keep the diff base bounded
+    // with a metadata-only watermark advance (ADVICE r19)
+    ManifestTable.advanceBatchWatermark(idxRoot, PollScope, toV.toLong)
   }
 
   /** EXACTLY-ONCE streaming maintenance step — the

@@ -318,4 +318,137 @@ class BatchedRefreshSpec extends SparkSpec {
         s"moment $k drifted beyond float residue: $va vs $vb")
     }
   }
+
+  test("cluster band-ahead crash with an in-range REVERT (ADVICE r19): " +
+    "a doc A→B in the crashed commit reverting B→A inside the catch-up " +
+    "range nets to NOTHING from the cluster watermark — only the band " +
+    "table's own diff carries the B→A event that retracts its stored B " +
+    "rows") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-batched-cluster-revert").toString
+    val corpus = s"$work/corpus"
+    val textA = "alpha beta gamma delta epsilon"
+    val textB = "zeta eta theta iota kappa"
+    ManifestTable.merge(Seq((1L, textA), (2L, "alpha beta gamma delta zeta"))
+      .toDF("doc_id", "text"), corpus, Seq("doc_id"))
+    ClusterIndex.refresh(spark, corpus, s"$work/b", s"$work/m", s"$work/r", 0, 1)
+    // v2: doc 1 A→B; the crash lands the band commit, not the re-solve
+    ManifestTable.merge(Seq((1L, textB)).toDF("doc_id", "text"), corpus,
+      Seq("doc_id"))
+    val ch2 = ManifestTable.readChanges(spark, corpus, 1, 2, Seq("doc_id"),
+      preimages = true).localCheckpoint()
+    DedupIndex.maintainBandIndex(spark, ch2, s"$work/b",
+      Some(ManifestTable.batchTag(ClusterIndex.PollScope, 2L)))
+    // v3: doc 1 reverts B→A; an unrelated doc arrives too
+    ManifestTable.merge(Seq((1L, textA), (3L, "kappa iota theta mu nu"))
+      .toDF("doc_id", "text"), corpus, Seq("doc_id"))
+    ClusterIndex.refreshBatched(spark, corpus, s"$work/b", s"$work/m",
+      s"$work/r", 0, 3)
+    val snap = ManifestTable.read(spark, corpus)
+    assertSame("band rows diverged from recompute after a band-ahead revert " +
+      "(B's rows were never retracted)",
+      DedupIndex.readBandIndex(spark, s"$work/b"),
+      DedupIndex.computeBandIndex(snap).where(col("live"))
+        .select(col("doc_id"), col("band"), col("bucket")))
+    assertSame("membership diverged from recompute",
+      ClusterIndex.readMembership(spark, s"$work/m"),
+      ClusterIndex.computeMembership(snap.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("rep")))
+    // both watermarks track toV (the metadata-only closer)
+    assert(ManifestTable.lastBatchTag(s"$work/b", ClusterIndex.PollScope) == 3L)
+    assert(ManifestTable.lastBatchTag(s"$work/m", ClusterIndex.PollScope) == 3L)
+  }
+
+  test("entity block-ahead crash with an in-range RE-ARRIVAL (ADVICE " +
+    "r19): the crashed commit's block retraction is stored, the " +
+    "membership one is not, and another part takes the name inside the " +
+    "catch-up range — the net transition is count-only, so only the " +
+    "per-version alignment replay re-marks the blocking keys live") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-batched-entity-revive").toString
+    val corpus = s"$work/corpus"
+    ManifestTable.merge(Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("p_partkey", "p_name"), corpus, Seq("p_partkey"))
+    EntityIndex.refresh(spark, corpus, s"$work/bl", s"$work/m", s"$work/e", 0, 1)
+    // v2: part 1 deleted — its name retracted; the injected crash lands
+    // the block retraction (rows marked dead) but not the membership
+    ManifestTable.commit(ManifestTable.read(spark, corpus)
+      .where($"p_partkey" =!= 1L).localCheckpoint(), corpus)
+    EntityIndex.injectCrashBetweenCommits = true
+    intercept[Exception] {
+      EntityIndex.refresh(spark, corpus, s"$work/bl", s"$work/m", s"$work/e", 1, 2)
+    }
+    assert(ManifestTable.lastBatchTag(s"$work/bl", EntityIndex.PollScope) == 2L &&
+      ManifestTable.lastBatchTag(s"$work/m", EntityIndex.PollScope) == 1L,
+      "crash shape not established: block must be one ahead of membership")
+    // v3: part 3 takes the same name — the re-arrival
+    ManifestTable.merge(Seq((3L, "alpha beta")).toDF("p_partkey", "p_name"),
+      corpus, Seq("p_partkey"))
+    EntityIndex.refreshBatched(spark, corpus, s"$work/bl", s"$work/m",
+      s"$work/e", 0, 3)
+    val snap = ManifestTable.read(spark, corpus)
+    // the name's blocking keys must generate candidates again: live
+    // stored block rows ≡ the blocks of the live name set
+    assertSame("live block rows diverged from recompute (the retracted " +
+      "name's keys were never revived)",
+      ManifestTable.read(spark, s"$work/bl").where(col("live"))
+        .select(col("slot"), col("key"), col("name")),
+      graft.functions.EntityOps.blocksOfNames(
+        snap.select(col("p_name").as("name")).distinct())
+        .select(col("slot"), col("key"), col("name")))
+    assertSame("membership diverged from recompute",
+      EntityIndex.readMembership(spark, s"$work/m"),
+      EntityIndex.computeEntities(
+        snap.select(col("p_partkey"), col("p_name")))
+        .select(col("name"), col("entity"), col("n_records")))
+    assert(ManifestTable.lastBatchTag(s"$work/m", EntityIndex.PollScope) == 3L)
+    assert(ManifestTable.lastBatchTag(s"$work/bl", EntityIndex.PollScope) == 3L)
+  }
+
+  test("empty-net catch-up advances the watermark with a METADATA-ONLY " +
+    "commit (ADVICE r19), so the diff base tracks toV and a vacuumed " +
+    "corpus no longer strands a fully-current index") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-batched-tagonly").toString
+    val corpus = s"$work/corpus"
+    val idx = s"$work/idx"
+    val longText = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa alpha gamma epsilon eta iota beta delta zeta theta kappa"
+    ManifestTable.merge(Seq((1L, longText)).toDF("doc_id", "text"), corpus,
+      Seq("doc_id"))
+    SpanIndex.refresh(spark, corpus, idx, 0, 1)
+    val before = SpanIndex.readSpanIndex(spark, idx).collect()
+      .map(_.toString).sorted
+    assert(before.nonEmpty, "fixture must seed span facts")
+    // v2, v3: a doc arrives and leaves — the range diff nets to zero
+    ManifestTable.merge(Seq((9L, "delta epsilon zeta eta theta iota kappa " +
+      "alpha beta gamma delta epsilon")).toDF("doc_id", "text"), corpus,
+      Seq("doc_id"))
+    ManifestTable.commit(ManifestTable.read(spark, corpus)
+      .where($"doc_id" =!= 9L).localCheckpoint(), corpus)
+    SpanIndex.refreshBatched(spark, corpus, idx, 0, 3)
+    assert(ManifestTable.lastBatchTag(idx, SpanIndex.PollScope) == 3L,
+      "empty-net catch-up must still advance the watermark")
+    // pure metadata: the index rows are untouched
+    val after = SpanIndex.readSpanIndex(spark, idx).collect()
+      .map(_.toString).sorted
+    assert(after.sameElements(before), "a metadata-only advance changed rows")
+    // the payoff: vacuum the corpus past the OLD base, keep only the
+    // current version — catch-up from the advanced watermark still works
+    ManifestTable.vacuum(corpus, keepVersions = 1, orphanGraceMs = 0L)
+    ManifestTable.merge(Seq((2L, "eta theta iota kappa alpha beta gamma " +
+      "delta epsilon zeta eta kappa")).toDF("doc_id", "text"), corpus,
+      Seq("doc_id"))
+    SpanIndex.refreshBatched(spark, corpus, idx, 0, 4)
+    assertSame("post-vacuum catch-up diverged from recompute",
+      SpanIndex.readSpanIndex(spark, idx),
+      SpanIndex.computeSpanIndex(ManifestTable.read(spark, corpus)
+        .select(col("doc_id"), col("text")))
+        .select(col("h"), col("doc_id"), col("p")))
+    // and a replay of the advanced range commits nothing
+    val vIdx = ManifestTable.currentVersion(idx)
+    SpanIndex.refreshBatched(spark, corpus, idx, 0, 4)
+    assert(ManifestTable.currentVersion(idx) == vIdx,
+      "a replay after a metadata-only advance committed")
+  }
 }

@@ -52,6 +52,20 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains(s""""basis_source":"${Bench.CalIoBasisSource}""""))
   }
 
+  test("a malformed SPARK_GRAFT_CAL_IO_BASIS falls back to the pin " +
+    "instead of killing the run at object init (ADVICE r19): only a " +
+    "positive number is accepted as an override") {
+    assert(Bench.parseCalIoBasis(None).isEmpty)
+    assert(Bench.parseCalIoBasis(Some("")).isEmpty)
+    assert(Bench.parseCalIoBasis(Some("1,2")).isEmpty)
+    assert(Bench.parseCalIoBasis(Some("abc")).isEmpty)
+    assert(Bench.parseCalIoBasis(Some("-1.5")).isEmpty)
+    assert(Bench.parseCalIoBasis(Some("0")).isEmpty)
+    assert(Bench.parseCalIoBasis(Some("NaN")).isEmpty)
+    assert(Bench.parseCalIoBasis(Some(" 1.25 ")).contains(1.25))
+    assert(Bench.parseCalIoBasis(Some("1.126")).contains(1.126))
+  }
+
   test("the contended flag classifies the window from the line alone " +
     "(VERDICT r17 #2): cal_io at the pinned clean basis reads false, " +
     "cal_io >15% over it reads true") {
