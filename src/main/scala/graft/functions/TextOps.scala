@@ -1912,19 +1912,33 @@ object TextOps {
         "transform(sequence(1, size(toks)-1), i -> named_struct('w1', toks[i-1], 'w2', toks[i]))"))
         .as("p"))
       .select($"doc_id", $"p.w1", $"p.w2")
+    // r20 (guide §2.3/§2.4): join the SAME broadcast(vocab) subtree for
+    // both positions — identical canonical plans, so ONE BroadcastExchange
+    // serves both joins (the aliased-projection form built two, and the
+    // vocab top-K ran once per consumer).
     val mapped = bi
-      .join(broadcast(vocab.select($"w".as("w1"), lit(1).as("in1"))), Seq("w1"), "left")
-      .join(broadcast(vocab.select($"w".as("w2"), lit(1).as("in2"))), Seq("w2"), "left")
+      .join(broadcast(vocab), $"w1" === $"w", "left")
       .select($"doc_id",
-        when($"in1".isNotNull, $"w1").otherwise(lit("<unk>")).as("u1"),
-        when($"in2".isNotNull, $"w2").otherwise(lit("<unk>")).as("u2"))
-    val c2 = mapped.groupBy($"u1", $"u2").agg(count(lit(1)).as("c2"))
+        when($"w".isNotNull, $"w1").otherwise(lit("<unk>")).as("u1"), $"w2")
+      .join(broadcast(vocab), $"w2" === $"w", "left")
+      .select($"doc_id", $"u1",
+        when($"w".isNotNull, $"w2").otherwise(lit("<unk>")).as("u2"))
+    // r20 (guide §2.3 "aggregate before you shuffle"): collapse the
+    // occurrence stream to per-doc bigram COUNTS first. The old shape
+    // consumed `mapped` twice (model build + scoring join), re-running
+    // the corpus explode and both vocab joins; `dc` is computed once and
+    // its exchange is REUSED by the model aggregation and the scoring
+    // join. Scoring off counts is exact: per-doc mean nll =
+    // sum(k * ln(c1/c2)) / sum(k), n_bigrams = sum(k).
+    val dc = mapped.groupBy($"doc_id", $"u1", $"u2").agg(count(lit(1)).as("k"))
+    val c2 = dc.groupBy($"u1", $"u2").agg(sum($"k").as("c2"))
     val c1 = c2.groupBy($"u1").agg(sum($"c2").as("c1"))
     val model = c2.join(c1, "u1")
-    mapped.join(broadcast(model), Seq("u1", "u2"))
+    dc.join(broadcast(model), Seq("u1", "u2"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(exp(avg(log($"c1".cast("double") / $"c2"))), 6).as("ppl"))
+      .agg(sum($"k").as("n_bigrams"),
+        round(exp(sum($"k".cast("double") * log($"c1".cast("double") / $"c2")) /
+          sum($"k").cast("double")), 6).as("ppl"))
   }
 
   val q99Sql: String =
