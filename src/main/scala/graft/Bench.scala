@@ -205,7 +205,8 @@ object Bench {
     // consumer pays a view (re)build after cache eviction. Reported in
     // the `views` JSON section.
     val views = (graft.functions.TextOps.sharedViewBuilders(spark, sfDir) ++
-      graft.functions.VectorOps.sharedViewBuilders(spark, sfDir)).map {
+      graft.functions.VectorOps.sharedViewBuilders(spark, sfDir) ++
+      graft.multimodal.Multimodal.sharedViewBuilders(spark, sfDir)).map {
       case (name, force) =>
         val v0 = System.nanoTime()
         try force() catch { case _: Throwable => () }

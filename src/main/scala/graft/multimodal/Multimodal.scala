@@ -3083,7 +3083,25 @@ object Multimodal {
     * bounded pair sets meet in ONE full-outer join on the pair key. At
     * 100 TB both sides are candidate-bounded before they meet — the
     * join is pair-count-sized, never corpus-sized. */
-  def q195CrossModalPairs(s: SparkSession, d: String): DataFrame = {
+  /** q195's pair set as an opt-in shared persisted view (same
+    * `graft.cacheTables` flag and lifecycle as TextOps' candidate
+    * cache): q196 consumes the full set twice, so suite runs pay the
+    * decode + band-join once, as a named `view:crossmodal_pairs`
+    * entry. Off by default — Verify measures the real path. */
+  private val crossmodalPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def sharedViewBuilders(
+      s: SparkSession, d: String): Seq[(String, () => Long)] = Seq(
+    "crossmodal_pairs" -> (() => q195CrossModalPairs(s, d).count()))
+
+  def q195CrossModalPairs(s: SparkSession, d: String): DataFrame =
+    if (sys.props.get("graft.cacheTables").contains("true")) {
+      crossmodalPairsCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      crossmodalPairsCache.getOrElseUpdate((s, d), buildCrossModalPairs(s, d).persist())
+    } else buildCrossModalPairs(s, d)
+
+  private def buildCrossModalPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val hashes = captionedImagesFromDocs(Tables(s, d, "documents"))
       .flatMap { m =>

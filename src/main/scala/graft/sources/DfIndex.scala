@@ -206,9 +206,12 @@ object DfIndex {
     * and the 1-row corpus size broadcasts. Tokens unseen in the corpus
     * drop (inner join) — q72's exact contract. */
   def probeTfIdf(batch: DataFrame, spark: SparkSession, idxRoot: String): DataFrame = {
+    // r20: checkpointed — tf feeds readKeyPruned's key set AND the scored
+    // join; without it the batch explode + aggregate ran twice per probe
     val tf = batch
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = ManifestTable
       .readKeyPruned(spark, idxRoot, "token", IndexBuckets, tf)
       .where(col("df_docs") > 0L)

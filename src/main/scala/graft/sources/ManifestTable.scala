@@ -684,11 +684,18 @@ object ManifestTable {
     * their own row filters (liveness, tombstones) and projections. */
   private[graft] def readKeyPruned(spark: SparkSession, root: String,
       keyCol: String, nBuckets: Int, keys: DataFrame): DataFrame = {
-    val buckets = keys
+    // r20 (guide §1.2 per-task work): the key frame used to be evaluated
+    // TWICE — once collected for the bucket set, once broadcast for the
+    // semi-join — and several callers derive it from expensive work
+    // (batch media decode, window explodes, tf aggregates). Checkpoint
+    // the PROJECTED key column once (batch-bounded by the caller's
+    // contract) and feed both consumers from the materialized rows.
+    val k = keys.select(col(keyCol)).localCheckpoint()
+    val buckets = k
       .select(bucketIdColumn(col(keyCol), nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0).toString).toSet
     readPartitions(spark, root, buckets)
-      .join(broadcast(keys.select(col(keyCol))), Seq(keyCol), "left_semi")
+      .join(broadcast(k), Seq(keyCol), "left_semi")
   }
 
   /** Add-column schema evolution: conform BOTH sides to the union

@@ -100,10 +100,13 @@ object SpanIndex extends MaintainedIndex {
   def probeContamination(batch: DataFrame, spark: SparkSession,
       idxRoot: String): DataFrame = {
     val evalW = windows(batch).select(col("h")).distinct()
+    // r20: readKeyPruned already semi-joins the pruned slice against the
+    // key set — the old second left_semi on the same column was a no-op
+    // that re-windowed the batch a third time (plan: 2 Generate + 2
+    // BroadcastHashJoin -> 1 each).
     val hits = ManifestTable
       .readKeyPruned(spark, idxRoot, "h", IndexBuckets, evalW)
       .where(col("alive"))
-      .join(evalW, Seq("h"), "left_semi")
     TextOps.mergeWindowCovers(hits.select(col("doc_id"), col("p")), Width)
   }
 }
