@@ -325,10 +325,15 @@ object EntityOps {
 
   def q155ErEntities(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val labeled = entityLabels(s, d).persist()
+    // r20: localCheckpoint, not persist/unpersist — the unpersist ran
+    // BEFORE the caller's action materialized anything, so the whole
+    // label chain (name dim + blocked match edges) re-derived once per
+    // consumer (canonical-name arm + record join). The eager checkpoint
+    // computes it once; the label table is name-dimension-sized.
+    val labeled = entityLabels(s, d).localCheckpoint()
     val canon = labeled.where($"nid" === $"entity_id")
       .select($"entity_id", $"name".as("canonical_name"))
-    val out = parts(s, d)
+    parts(s, d)
       .join(labeled.select($"name", $"entity_id"), $"p_name" === $"name")
       .join(canon, "entity_id")
       .groupBy($"entity_id", $"canonical_name")
@@ -337,8 +342,6 @@ object EntityOps {
         count(lit(1)).as("n_records"),
         countDistinct($"p_brand").cast("long").as("n_brands"),
         round(sum($"p_retailprice"), 2).as("total_price"))
-    labeled.unpersist()
-    out
   }
 
   val q155Sql: String =

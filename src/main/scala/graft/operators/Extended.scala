@@ -372,20 +372,26 @@ object Extended {
       parentT: DataFrame, pk: String, ct: String, pt: String): DataFrame = {
     val s = childT.sparkSession
     import s.implicits._
+    // r20 (guide §2.4): ONE child pass — the old shape scanned the child
+    // twice (anti-join for orphans + a separate totals count) and
+    // cross-joined the two 1-row aggregates. A left join against the
+    // distinct parent keys (dimension-sized, AQE broadcasts) tags each
+    // child row orphan/matched, and one conditional aggregate emits all
+    // three counts; countDistinct ignores the nulls of matched rows.
     val child = childT.select(col(ck).as("k"))
-    val parent = parentT.select(col(pk).as("k")).distinct()
-    val orphans = child.join(parent, Seq("k"), "left_anti")
-      .agg(count(lit(1)).as("n_orphan_rows"),
-        countDistinct($"k").as("n_orphan_keys"))
-    val totals = child.agg(count(lit(1)).as("n_child_rows"))
-    totals.crossJoin(orphans).select(
-      lit(ct).as("child_table"), lit(ck).as("child_key"),
-      lit(pt).as("parent_table"), lit(pk).as("parent_key"),
-      $"n_child_rows", $"n_orphan_rows",
-      $"n_orphan_keys".cast("long").as("n_orphan_keys"),
-      round($"n_orphan_rows".cast("double") / $"n_child_rows".cast("double"), 6)
-        .as("orphan_rate"),
-      ($"n_orphan_rows" === 0L).as("intact"))
+    val parent = parentT.select(col(pk).as("k"), lit(1).as("hit")).distinct()
+    child.join(parent, Seq("k"), "left")
+      .agg(count(lit(1)).as("n_child_rows"),
+        count(when($"hit".isNull, lit(1))).as("n_orphan_rows"),
+        countDistinct(when($"hit".isNull, $"k")).as("n_orphan_keys"))
+      .select(
+        lit(ct).as("child_table"), lit(ck).as("child_key"),
+        lit(pt).as("parent_table"), lit(pk).as("parent_key"),
+        $"n_child_rows", $"n_orphan_rows",
+        $"n_orphan_keys".cast("long").as("n_orphan_keys"),
+        round($"n_orphan_rows".cast("double") / $"n_child_rows".cast("double"), 6)
+          .as("orphan_rate"),
+        ($"n_orphan_rows" === 0L).as("intact"))
   }
 
   val q160Sql: String =
