@@ -808,22 +808,30 @@ object CurationOps {
     * so ulp-order ties cannot flip the output across engines). */
   def q134DsirWeights(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val toks = docs(s, d).select($"doc_id", $"source",
+    // r20 (guide §2.3, the q99 restructure): collapse the exploded token
+    // matrix to per-(doc, bucket) COUNTS once — the old shape consumed
+    // `toks` twice (bucket counts + scoring join), re-running the explode
+    // and the per-token md5 for each. `dcb` computes once, its exchange
+    // is reused by the model aggregation and the scoring join, and
+    // scoring off counts is exact: sum(lw) over occurrences =
+    // sum(k · lw) over buckets, n_tokens = sum(k).
+    val dcb = docs(s, d).select($"doc_id", $"source",
         explode(TextOps.tokens($"text")).as("token"))
       .withColumn("b", conv(substring(md5($"token"), 1, 4), 16, 10)
         .cast("long") % 256)
-    val bc = toks.groupBy($"b").agg(
-      count(lit(1)).as("cr"),
-      sum(when($"source" === "src0", 1L).otherwise(0L)).as("ct"))
+      .groupBy($"doc_id", $"source", $"b").agg(count(lit(1)).as("k"))
+    val bc = dcb.groupBy($"b").agg(
+      sum($"k").as("cr"),
+      sum(when($"source" === "src0", $"k").otherwise(0L)).as("ct"))
     val tot = bc.agg(sum($"cr").as("r_tot"), sum($"ct").as("t_tot"))
     val model = bc.crossJoin(broadcast(tot))
       .select($"b", log((($"ct" + lit(1.0)) * ($"r_tot" + lit(256))) /
         (($"cr" + lit(1.0)) * ($"t_tot" + lit(256)))).as("lw"))
-    toks.join(broadcast(model), "b") // 256 rows by construction
+    dcb.join(broadcast(model), "b") // 256 rows by construction
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum($"lw"), 6).as("logw"),
-        round(sum($"lw") / count(lit(1)), 6).as("avg_lw"))
+      .agg(sum($"k").as("n_tokens"),
+        round(sum($"k" * $"lw"), 6).as("logw"),
+        round(sum($"k" * $"lw") / sum($"k"), 6).as("avg_lw"))
       .withColumn("keep", ($"logw" > 0).cast("long"))
   }
 

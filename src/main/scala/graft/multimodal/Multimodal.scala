@@ -1017,7 +1017,14 @@ object Multimodal {
     * (the production queries' structural cap never binds on fixture
     * data, by design). */
   private[graft] def neardupPairsCapped(hashes: DataFrame, cap: Int): DataFrame = {
-    val kept = dropHotKeys(bandExplode(hashes), Seq("b", "v"), cap)
+    // r20 (guide §8.4 "fingerprints only"): the band rows are consumed
+    // FOUR times (hot-key count + anti-join probe + both self-join
+    // sides), and most callers derive `hashes` from a media decode —
+    // without materialization the decode chain re-ran once per consumer.
+    // One checkpoint of the 4-rows-per-media fingerprint table (the
+    // lightweight proxy the guide says to materialize) feeds all four.
+    val kept = dropHotKeys(
+      bandExplode(hashes).localCheckpoint(), Seq("b", "v"), cap)
     val l = kept.select(col("media_id").as("media_id_a"),
       col("ahash_hi").as("hi_a"), col("ahash_lo").as("lo_a"),
       col("b"), col("v"))
@@ -3103,6 +3110,11 @@ object Multimodal {
 
   private def buildCrossModalPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // r20: checkpointed — the banded self-join consumes `hashes` on both
+    // sides (plus the hot-key gate), and without materialization the
+    // whole caption-seeded generate + PNG decode + aHash chain re-ran
+    // once per consumer (plan: 13 Generate, 0 ReusedExchange). q189's
+    // pattern; one image-count-sized table.
     val hashes = captionedImagesFromDocs(Tables(s, d, "documents"))
       .flatMap { m =>
         MediaHeaders.pngPixels(m.data).map { case (w, h, px) =>
@@ -3110,6 +3122,7 @@ object Multimodal {
           (m.media_id, hi, lo)
         }
       }.toDF("media_id", "ahash_hi", "ahash_lo")
+      .localCheckpoint()
     val img = neardupPairs(hashes)
       .select(col("media_id_a").as("doc_a"), col("media_id_b").as("doc_b"),
         lit(true).as("image_dup"))
