@@ -87,7 +87,7 @@ object CorpusDiff {
   * invalidation follow [[DedupIndexFixtures]]. */
 object DiffFixtures {
 
-  private val FixtureVersion = 1
+  private val FixtureVersion = 2
 
   /** Idempotently build the three-version corpus table for `sfDir`
     * ([[FixtureLifecycle.ensureOnce]]). */

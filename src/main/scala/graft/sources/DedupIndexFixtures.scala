@@ -43,8 +43,10 @@ object DedupIndexFixtures {
     * scene bands (q191 report, q193 probe) and gain-robust audio
     * windows (q192 report, q194 probe). v12: maintained CROSS-MODAL
     * image index (q197's classified-pair report, q198's arriving-batch
-    * probe — the caption arm reads the v1 band index). */
-  private val FixtureVersion = 12
+    * probe — the caption arm reads the v1 band index). v13: same
+    * CONTENT, rebuilt for the one-file-per-touched-bucket merge layout
+    * (r20, guide §6) so reads stop paying 8x per-file open cost. */
+  private val FixtureVersion = 13
 
   /** All maintained-index roots of one fixture. */
   case class Roots(fp: String, band: String, memb: String, rep: String,

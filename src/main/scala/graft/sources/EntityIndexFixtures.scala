@@ -24,7 +24,7 @@ import graft.functions.EntityOps
 object EntityIndexFixtures {
 
   /** Bump when the fixture layout changes. */
-  private val FixtureVersion = 1
+  private val FixtureVersion = 2
 
   def ensure(s: SparkSession, sfDir: String): String =
     FixtureLifecycle.ensureOnce("graft_entidx",

@@ -830,7 +830,12 @@ object ManifestTable {
     * previously recorded stats verbatim. */
   def mergePartitioned(
       batch: DataFrame, root: String, key: Seq[String], partCol: String,
-      statsCol: Option[String] = None, tag: Option[String] = None): Int = synchronized {
+      statsCol: Option[String] = None, tag: Option[String] = None,
+      // r20: production default clusters each write by the partition
+      // value (one file per touched partition — guide §6). `cluster =
+      // false` exists for tests that must construct the FRAGMENTED
+      // layouts compact() repairs (pre-r20 tables, external writers).
+      cluster: Boolean = true): Int = synchronized {
     require(key.contains(partCol),
       s"mergePartitioned key $key must contain partition column $partCol " +
         "(a key that can change partition would strand its old row)")
@@ -844,7 +849,7 @@ object ManifestTable {
 
     val partStr = col(partCol).cast("string")
     def writePartitioned(df: DataFrame): Seq[FileEntry] = {
-      val es = writePartitionedData(df, root, v, partCol)
+      val es = writePartitionedData(df, root, v, partCol, cluster)
       withStats(spark, root, es, effStats)
     }
 
@@ -967,10 +972,23 @@ object ManifestTable {
     * entries. `__part` is a COPY of partCol cast to string, so data files
     * keep every original column. */
   private def writePartitionedData(
-      df: DataFrame, root: String, v: Int, partCol: String): Seq[FileEntry] = {
+      df: DataFrame, root: String, v: Int, partCol: String,
+      cluster: Boolean = true): Seq[FileEntry] = {
     val dirName = newDataDirName(v)
     val dataDir = s"$root/data/$dirName"
-    df.withColumn("__part", coalesce(col(partCol).cast("string"), lit(NullPartition)))
+    // r20 (guide §6): cluster by the partition value before the write —
+    // without it every upstream shuffle partition that holds rows of a
+    // bucket writes its own file (32 tasks x 16 buckets = up to 512
+    // files/merge; the span fixture carried 128 files for 14 MB), and
+    // every downstream scan pays per-file open cost. One exchange on
+    // __part makes each touched bucket exactly one file per merge; the
+    // bucket count (production: thousands) stays the parallelism unit,
+    // which is already the bucketed layout's contract. `cluster = false`
+    // is the test hook for building the fragmented layouts compact()
+    // repairs.
+    val staged = df.withColumn("__part",
+      coalesce(col(partCol).cast("string"), lit(NullPartition)))
+    (if (cluster) staged.repartition(col("__part")) else staged)
       .write.partitionBy("__part").mode("overwrite").parquet(dataDir)
     val buckets = bucketLayout(root)
     Option(new File(dataDir).listFiles()).getOrElse(Array.empty)

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions.{col, expr}
 object StatsIndexFixtures {
 
   /** Bump when the fixture layout changes. */
-  private val FixtureVersion = 1
+  private val FixtureVersion = 2
 
   def ensure(s: SparkSession, sfDir: String): String =
     FixtureLifecycle.ensureOnce("graft_statsidx",

@@ -78,8 +78,8 @@ class ExtendedSpec extends SparkSpec {
 
   test("q160 RI audit: the shipped fixture is referentially intact on every " +
     "declared FK (zero orphans), a deliberately-dirty pair is counted " +
-    "exactly (rows, distinct keys, rate, verdict), and the orphan probe " +
-    "plans an anti join, never a nested loop") {
+    "exactly (rows, distinct keys, rate, verdict), and each FK costs ONE " +
+    "child pass (single equi-join, never a nested loop)") {
     import spark.implicits._
     val rows = Extended.q160RiAudit(spark, sf0001).collect()
     assert(rows.length == Extended.FkCandidates.length)
@@ -96,7 +96,13 @@ class ExtendedSpec extends SparkSpec {
     assert(dirty.getDouble(7) == 0.4 && !dirty.getBoolean(8))
     val plan = Extended.q160RiAudit(spark, sf0001)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("LeftAnti"), plan.take(1500))
+    // r20: the orphan probe is a LEFT join + one conditional aggregate
+    // (one child pass per FK — the old anti-join shape scanned the child
+    // twice for the separate totals count); still an equi join, never a
+    // nested loop, and exactly one join per declared FK.
+    assert("LeftOuter".r.findAllIn(plan).length ==
+      Extended.FkCandidates.length, plan.take(1500))
+    assert(!plan.contains("LeftAnti"), plan.take(1500))
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 

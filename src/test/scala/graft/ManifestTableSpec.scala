@@ -185,7 +185,8 @@ class ManifestTableSpec extends SparkSpec {
     val key = Seq("id", "day")
     // d1's rows spread over 4 tasks -> several files; d2 stays one file
     val frag = (1L to 8L).map(i => (i, "d1", s"v$i")).toDF("id", "day", "v").repartition(4)
-    ManifestTable.mergePartitioned(frag, root, key, "day")
+    // cluster = false: build the FRAGMENTED pre-r20 layout compact() repairs
+    ManifestTable.mergePartitioned(frag, root, key, "day", cluster = false)
     ManifestTable.mergePartitioned(pdf((100L, "d2", "x")), root, key, "day")
     val v2 = ManifestTable.currentVersion(root)
     val before = fileState(root, v2)
@@ -211,7 +212,8 @@ class ManifestTableSpec extends SparkSpec {
     val root = s"${Files.createTempDirectory("graft-manifest-cv")}/t"
     val key = Seq("id", "day")
     val frag = (1L to 8L).map(i => (i, "d1", s"v$i")).toDF("id", "day", "v").repartition(4)
-    ManifestTable.mergePartitioned(frag, root, key, "day")
+    // cluster = false: build the FRAGMENTED pre-r20 layout compact() repairs
+    ManifestTable.mergePartitioned(frag, root, key, "day", cluster = false)
     ManifestTable.mergePartitioned(pdf((100L, "d2", "x")), root, key, "day")
     val v2 = ManifestTable.currentVersion(root)
     val fragFiles = fileState(root, v2).keys.filter(_.contains("__part=d1")).toSet
@@ -537,7 +539,8 @@ class ManifestTableSpec extends SparkSpec {
     val root = s"${Files.createTempDirectory("graft-manifest-cr")}/t"
     val key = Seq("id", "day")
     val frag = (1L to 8L).map(i => (i, "d1", s"v$i")).toDF("id", "day", "v").repartition(4)
-    ManifestTable.mergePartitioned(frag, root, key, "day")
+    // cluster = false: build the FRAGMENTED pre-r20 layout compact() repairs
+    ManifestTable.mergePartitioned(frag, root, key, "day", cluster = false)
     val vBefore = ManifestTable.currentVersion(root)
     ManifestTable.raceHookForTests = () => {
       ManifestTable.raceHookForTests = () => ()
@@ -581,7 +584,7 @@ class ManifestTableSpec extends SparkSpec {
     // compaction rewrites files without changing rows: row-level diff is 0
     ManifestTable.mergePartitioned(
       pdf((5L, "d5", "e"), (6L, "d5", "f"), (7L, "d5", "g"), (8L, "d5", "h"))
-        .repartition(4), root, key, "day")
+        .repartition(4), root, key, "day", cluster = false)
     val vPre = ManifestTable.currentVersion(root)
     val vPost = ManifestTable.compact(spark, root, "day")
     assert(vPost > vPre, "d5 holds 4 files; compact must produce a new version")
