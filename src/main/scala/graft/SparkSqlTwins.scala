@@ -809,10 +809,18 @@ object SparkSqlTwins {
     * and a flat row-major 4096-array via a keyed map), and the whole
     * eigensolve — three power steps, normalize, sign, snap, λ₁,
     * deflation, three more steps, Gram–Schmidt, snap — runs as
-    * higher-order-function algebra in ONE lateral-column-alias SELECT,
-    * so the plan grows linearly and the corpus is scanned exactly
-    * three times (means, covariance, projection), the DataFrame
-    * plan's own shape. Every fold is ordered to match the driver-side
+    * higher-order-function algebra over one-row CTEs, so the plan grows
+    * linearly and the corpus is scanned exactly three times (means,
+    * covariance, projection), the DataFrame plan's own shape. Each
+    * ladder step is its own CTE behind a REPARTITION(1) barrier (r21):
+    * in a single lateral-alias SELECT the optimizer inlines each alias
+    * into its consumer, and a matvec lambda then re-evaluates BOTH its
+    * inputs once per output element — a ×64 EVALUATION multiplier per
+    * ladder level that turned the one-row algebra into ~210 s of
+    * interpreted array math (measured at sf0.001). The exchanges are
+    * one ~33 KB row each; every fold expression is byte-identical, so
+    * the arithmetic (and the snap rounding) is unchanged.
+    * Every fold is ordered to match the driver-side
     * loops term for term (j-ascending matvec accumulation,
     * (w₁ᵢ·Cᵢⱼ)·w₁ⱼ association in λ₁, (x/nrm)·sgn in the snap), so the
     * engine-computed directions equal VectorOps' driver doubles
@@ -836,32 +844,38 @@ object SparkSqlTwins {
        |cP AS (SELECT map_from_entries(collect_list(struct(i * 65 + j, c))) AS cm
        |       FROM (SELECT i, j, c FROM c0
        |             UNION ALL SELECT j AS i, i AS j, c FROM c0 WHERE i <> j)),
-       |alg AS (SELECT
-       |  m.mu,
+       |alg0 AS (SELECT /*+ REPARTITION(1) */ m.mu,
        |  transform(sequence(1, 4096),
-       |    k -> p.cm[CAST(((k - 1) div 64 + 1) * 65 + ((k - 1) % 64 + 1) AS INT)]) AS cf,
-       |  ${matvec64("cf", ones)} AS p1,
-       |  ${matvec64("cf", "p1")} AS p2,
-       |  ${matvec64("cf", "p2")} AS p3,
+       |    k -> p.cm[CAST(((k - 1) div 64 + 1) * 65 + ((k - 1) % 64 + 1) AS INT)]) AS cf
+       |  FROM muP m CROSS JOIN cP p),
+       |alg1 AS (SELECT /*+ REPARTITION(1) */ mu, cf, ${matvec64("cf", ones)} AS p1 FROM alg0),
+       |alg2 AS (SELECT /*+ REPARTITION(1) */ mu, cf, ${matvec64("cf", "p1")} AS p2 FROM alg1),
+       |alg3 AS (SELECT /*+ REPARTITION(1) */ mu, cf, ${matvec64("cf", "p2")} AS p3 FROM alg2),
+       |alg4 AS (SELECT /*+ REPARTITION(1) */ mu, cf,
        |  ${norm64("p3")} AS nrm1,
        |  ${sign64("p3")} AS sg1,
-       |  transform(p3, y -> round(y / nrm1 * sg1, 6)) AS w1,
+       |  transform(p3, y -> round(y / nrm1 * sg1, 6)) AS w1 FROM alg3),
+       |alg5 AS (SELECT /*+ REPARTITION(1) */ mu, cf, w1,
        |  transform(sequence(1, 4096),
        |    k -> element_at(w1, CAST((k - 1) div 64 + 1 AS INT))
        |         * element_at(cf, k)) AS cfw,
-       |  round(aggregate(${matvec64("cfw", "w1")}, 0D, (acc, y) -> acc + y), 7) AS lam,
+       |  round(aggregate(${matvec64("cfw", "w1")}, 0D, (acc, y) -> acc + y), 7) AS lam
+       |  FROM alg4),
+       |alg6 AS (SELECT /*+ REPARTITION(1) */ mu, w1,
        |  transform(sequence(1, 4096), k -> round(element_at(cf, k)
        |    - lam * element_at(w1, CAST((k - 1) div 64 + 1 AS INT))
-       |          * element_at(w1, CAST((k - 1) % 64 + 1 AS INT)), 7)) AS c2m,
-       |  ${matvec64("c2m", ones)} AS u1,
-       |  ${matvec64("c2m", "u1")} AS u2,
-       |  ${matvec64("c2m", "u2")} AS u3,
+       |          * element_at(w1, CAST((k - 1) % 64 + 1 AS INT)), 7)) AS c2m
+       |  FROM alg5),
+       |alg7 AS (SELECT /*+ REPARTITION(1) */ mu, w1, c2m, ${matvec64("c2m", ones)} AS u1 FROM alg6),
+       |alg8 AS (SELECT /*+ REPARTITION(1) */ mu, w1, c2m, ${matvec64("c2m", "u1")} AS u2 FROM alg7),
+       |alg9 AS (SELECT /*+ REPARTITION(1) */ mu, w1, ${matvec64("c2m", "u2")} AS u3 FROM alg8),
+       |alg AS (SELECT /*+ REPARTITION(1) */ mu, w1,
        |  aggregate(zip_with(u3, w1, (a, b) -> a * b), 0D, (acc, y) -> acc + y) AS gsd,
        |  zip_with(u3, w1, (a, b) -> a - gsd * b) AS gq,
        |  ${norm64("gq")} AS nrm2,
        |  ${sign64("gq")} AS sg2,
        |  transform(gq, y -> round(y / nrm2 * sg2, 6)) AS w2
-       |FROM muP m CROSS JOIN cP p),
+       |FROM alg9),
        |pr AS (SELECT e.vec_id,
        |         zip_with(e.v, a.mu, (x, y) -> x - y) AS vc,
        |         a.w1 AS w1a, a.w2 AS w2a

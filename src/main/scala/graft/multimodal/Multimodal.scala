@@ -1023,8 +1023,13 @@ object Multimodal {
     // without materialization the decode chain re-ran once per consumer.
     // One checkpoint of the 4-rows-per-media fingerprint table (the
     // lightweight proxy the guide says to materialize) feeds all four.
+    // eager = false (ADVICE r20): materialization happens on the FIRST
+    // ACTION, not at DataFrame construction — merely building the plan
+    // (explain, SQL-surface tooling) no longer runs the full decode +
+    // band-explode job as a side effect. All consumers still share the
+    // one materialized copy.
     val kept = dropHotKeys(
-      bandExplode(hashes).localCheckpoint(), Seq("b", "v"), cap)
+      bandExplode(hashes).localCheckpoint(eager = false), Seq("b", "v"), cap)
     val l = kept.select(col("media_id").as("media_id_a"),
       col("ahash_hi").as("hi_a"), col("ahash_lo").as("lo_a"),
       col("b"), col("v"))
@@ -2552,7 +2557,7 @@ object Multimodal {
       }
     }.toDF("media_id", "key", "hi", "lo")
       .select(col("media_id"), md5(col("key")).as("fp"), col("hi"), col("lo"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // materialize on first action, not at build
     val bands = fr.select(col("media_id"), col("fp"), col("hi"), col("lo"),
         explode(array(
           struct(lit(0).as("b"), col("lo").bitwiseAND(65535).as("v")),
@@ -3122,7 +3127,7 @@ object Multimodal {
           (m.media_id, hi, lo)
         }
       }.toDF("media_id", "ahash_hi", "ahash_lo")
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // materialize on first action, not at build
     val img = neardupPairs(hashes)
       .select(col("media_id_a").as("doc_a"), col("media_id_b").as("doc_b"),
         lit(true).as("image_dup"))

@@ -26,6 +26,7 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("\n") && line.startsWith("{") && line.endsWith("}"))
     // the driver's contract fields are all present
     Seq("\"metric\":", "\"value\":", "\"unit\":", "\"seq_total\":",
+      "\"views_total\":", "\"wall_plus_views\":",
       "\"cal\":", "\"cal_io\":", "\"cal_io_basis\":", "\"basis_source\":",
       "\"attempts\":", "\"contended\":", "\"wall_per_cal\":",
       "\"failures\":", "\"sf\":", "\"method\":").foreach(k =>
@@ -105,6 +106,25 @@ class BenchLineSpec extends AnyFunSuite {
     // the first capped names are present verbatim
     liveNames.take(Bench.MaxFailureNames).foreach(n =>
       assert(line.contains("\"" + n + "\""), s"missing failure name $n"))
+  }
+
+  test("the PRECEDING detail line always carries the queries AND views " +
+    "maps (VERDICT r20 #7: round 19's record lost its per-query map to a " +
+    "format drift and PERF recorded n_common: 0 — this pin keeps the " +
+    "driver's round-over-round comparison fed), and the FINAL line " +
+    "charges the views honestly (VERDICT r20 #8: views_total + " +
+    "wall_plus_views = value + views_total, so the headline cannot " +
+    "silently improve by relocating query work into the untimed views)") {
+    val detail = Bench.detailLine(sequential, views)
+    assert(detail.contains("\"queries\":{"), "detail line lost its queries map")
+    assert(detail.contains("\"views\":{"), "detail line lost its views map")
+    // each map is non-empty at the live suite shape
+    views.foreach { case (v, _) =>
+      assert(detail.contains("\"" + v + "\":"), s"detail line missing view $v") }
+    val fin = Bench.finalLine(10.0, 50.0, 1.0, 1.0, Nil, "sf",
+      Seq(1.0), viewsTotal = 21.5)
+    assert(fin.contains("\"views_total\":21.500"))
+    assert(fin.contains("\"wall_plus_views\":31.500"))
   }
 
   test("qNN key shortening is injective over the live suite (a collision " +

@@ -100,8 +100,11 @@ class ExtendedSpec extends SparkSpec {
     // (one child pass per FK — the old anti-join shape scanned the child
     // twice for the separate totals count); still an equi join, never a
     // nested loop, and exactly one join per declared FK.
-    assert("LeftOuter".r.findAllIn(plan).length ==
-      Extended.FkCandidates.length, plan.take(1500))
+    // match the JOIN OPERATOR line, not the bare word (ADVICE r20: any
+    // other operator mentioning LeftOuter — a nested-loop fallback, a
+    // condition rendering — must not satisfy or break this count)
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) [^\\n]*LeftOuter".r
+      .findAllIn(plan).length == Extended.FkCandidates.length, plan.take(1500))
     assert(!plan.contains("LeftAnti"), plan.take(1500))
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }

@@ -441,13 +441,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
-  test("q100: PageRank iterations reuse the persisted edge list (InMemory scan, " +
-    "no re-derivation of candidates per iteration) and the dangling-mass " +
-    "scalar broadcasts") {
+  test("q100: each PageRank iteration is localCheckpoint-truncated (r21, " +
+    "guide §5) — the FINAL plan joins the corpus to the checkpointed " +
+    "last-iteration rank RDD and is ITERATION-DEPTH-FREE: no shingle/band " +
+    "re-derivation, and its size stays bounded (the old per-iteration " +
+    "persist nested 5 unrolled iterations into an ~11k-line plan whose " +
+    "planning cost was its own tax)") {
     val df = graft.functions.TextOps.q100PageRank(spark, sf0001)
     val plan = physical(df)
-    assert(plan.contains("InMemoryTableScan"), plan)
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    // the last iteration's output is a checkpointed RDD scan
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    // lineage truncation removed the candidate chain from the final plan
+    assert(!plan.contains("Generate"), plan)
+    assert(plan.linesIterator.size < 500,
+      s"q100 final plan grew past the r21 bound: ${plan.linesIterator.size} lines")
   }
 
   test("q121: the interval join keys on user_id equality — an equi join with " +

@@ -123,13 +123,28 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(neutral.size + duckdbOnly.size == SparkEntry.oracleSql.size)
   }
 
+  /** Both directions of the row comparison over ONE execution of each
+    * plan: the two exceptAll counts used to re-execute both subtrees,
+    * doubling every test's cost (q147's twin alone ran 2×~2.5 min per
+    * direction); the results at sf0.001 are tiny, so materializing them
+    * first is free and the comparison semantics are unchanged. */
+  /** NOTE: the DataFrame side must be CONSTRUCTED first — some builders
+    * register their native functions (rolling_hash_native, dot_native)
+    * on the session as a construction side effect, and the SQL text
+    * resolves against that registry. */
+  private def assertSameRows(name: String, text: String): Unit = {
+    val viaDf = SparkEntry.queries(name)(spark, sf0001)
+    val viaSql = SqlSurface.sql(spark, sf0001, text)
+    assert(viaSql.columns.toSeq === viaDf.columns.toSeq)
+    val sqlM = viaSql.localCheckpoint()
+    val dfM = viaDf.localCheckpoint()
+    assert(sqlM.exceptAll(dfM).count() === 0, s"$name sql-only rows")
+    assert(dfM.exceptAll(sqlM).count() === 0, s"$name df-only rows")
+  }
+
   neutral.foreach { name =>
     test(s"$name: spark.sql(oracle text) ≡ DataFrame plan") {
-      val viaDf = SparkEntry.queries(name)(spark, sf0001)
-      val viaSql = SqlSurface.sql(spark, sf0001, SparkEntry.oracleSql(name))
-      assert(viaSql.columns.toSeq === viaDf.columns.toSeq)
-      assert(viaSql.exceptAll(viaDf).count() === 0, s"$name sql-only rows")
-      assert(viaDf.exceptAll(viaSql).count() === 0, s"$name df-only rows")
+      assertSameRows(name, SparkEntry.oracleSql(name))
     }
   }
 
@@ -149,11 +164,7 @@ class SqlSurfaceSpec extends SparkSpec {
 
   SparkEntry.sparkSql.keys.toSeq.sorted.foreach { name =>
     test(s"$name: spark.sql(Spark-dialect twin) ≡ DataFrame plan") {
-      val viaDf = SparkEntry.queries(name)(spark, sf0001)
-      val viaSql = SqlSurface.sql(spark, sf0001, SparkEntry.sparkSql(name))
-      assert(viaSql.columns.toSeq === viaDf.columns.toSeq)
-      assert(viaSql.exceptAll(viaDf).count() === 0, s"$name sql-only rows")
-      assert(viaDf.exceptAll(viaSql).count() === 0, s"$name df-only rows")
+      assertSameRows(name, SparkEntry.sparkSql(name))
     }
   }
 }
