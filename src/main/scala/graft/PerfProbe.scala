@@ -27,6 +27,17 @@ object PerfProbe {
         sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PART", "64m"))
+      // r21: cached plans (the suite's persisted shared views) otherwise
+      // pin their FINAL exchange at spark.sql.shuffle.partitions — every
+      // consumer of a KB-sized cached view then scans `cpus` cache
+      // partitions of dispatch overhead (the measured 8-vs-32-core
+      // inversion of the view-consuming queries: q98 0.49, q72 0.55,
+      // q95/q91 0.69). With this on, AQE coalesces the cached plan too;
+      // Spark reports the result as coalesced HASH partitioning, which
+      // still satisfies downstream clustering (no re-exchange for the
+      // doc_id-keyed consumers).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_CACHED", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -30,6 +30,17 @@ object PlanSnap {
         sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PART", "64m"))
+      // r21: cached plans (the suite's persisted shared views) otherwise
+      // pin their FINAL exchange at spark.sql.shuffle.partitions — every
+      // consumer of a KB-sized cached view then scans `cpus` cache
+      // partitions of dispatch overhead (the measured 8-vs-32-core
+      // inversion of the view-consuming queries: q98 0.49, q72 0.55,
+      // q95/q91 0.69). With this on, AQE coalesces the cached plan too;
+      // Spark reports the result as coalesced HASH partitioning, which
+      // still satisfies downstream clustering (no re-exchange for the
+      // doc_id-keyed consumers).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_CACHED", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -37,7 +48,12 @@ object PlanSnap {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val df = fn(spark, sfDir)
-      df.count() // finalize the adaptive plan
+      // collect(), not count() (r21): count() builds a SEPARATE derived
+      // query execution, so df's own AdaptiveSparkPlan never ran and the
+      // dump showed the INITIAL plan — no AQEShuffleRead / final join
+      // strategies. collect() executes THIS Dataset's plan (results are
+      // bench-output-sized), so the dump is the true AQE-final plan.
+      df.collect()
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       Files.writeString(outDir.resolve(s"${name}_$tag.txt"), plan)

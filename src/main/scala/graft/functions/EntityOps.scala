@@ -330,7 +330,7 @@ object EntityOps {
     // label chain (name dim + blocked match edges) re-derived once per
     // consumer (canonical-name arm + record join). The eager checkpoint
     // computes it once; the label table is name-dimension-sized.
-    val labeled = entityLabels(s, d).localCheckpoint()
+    val labeled = entityLabels(s, d).localCheckpoint(eager = false)
     val canon = labeled.where($"nid" === $"entity_id")
       .select($"entity_id", $"name".as("canonical_name"))
     parts(s, d)

@@ -1474,18 +1474,21 @@ object TextOps {
       // localCheckpoint, not persist (VERDICT r20 #5 / guide §5): persist
       // keeps the full logical lineage, so 5 unrolled iterations nested
       // into an ~11k-line executed plan whose PLANNING cost is its own
-      // tax; the checkpoint truncates lineage per iteration — the plan
-      // the final action optimizes is one iteration deep, and the
-      // materialized table is active-subgraph-sized (edge endpoints
-      // only), the same bound the old persist had. Eager is consistent
-      // with this builder's existing contract (it already runs count()
-      // actions at construction).
+      // tax; the checkpoint truncates the SQL plan at CONSTRUCTION (the
+      // returned frame is a LogicalRDD), so the plan the final action
+      // optimizes is one iteration deep, and the materialized table is
+      // active-subgraph-sized (edge endpoints only), the same bound the
+      // old persist had. eager = false matters here: an eager checkpoint
+      // ran 5 separate jobs per CALL and regressed the bench 1.8x — the
+      // lazy form keeps ONE job at action time (the iteration chain
+      // lives in the RDD lineage, each marked RDD persisted as the job
+      // computes through it).
       ranks = active
         .join(contrib, Seq("doc_id"), "left")
         .select($"doc_id", $"deg",
           (lit((1 - dmp) / n) + lit(dmp) *
             (coalesce($"contrib", lit(0.0)) + lit(dm / n))).as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       rIso = (1 - dmp) / n + dmp * dm / n
     }
     val out = nodes.join(ranks.select($"doc_id", $"rank"), Seq("doc_id"), "left")

@@ -1083,7 +1083,7 @@ object Multimodal {
     // caller drops it, instead of leaking cache for the session.
     val hashes = q130ImageAhash(s, d)
       .select(col("media_id"), col("ahash_hi"), col("ahash_lo"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val removed = neardupPairs(hashes)
       .select(col("media_id_b").as("media_id")).distinct()
     hashes.join(removed.withColumn("dup", lit(1)), Seq("media_id"), "left")
@@ -1265,7 +1265,7 @@ object Multimodal {
       .select(col("media_id"), col("container"), col("width"), col("height"),
         md5(concat(col("width").cast("string"), lit("x"),
           col("height").cast("string"), lit(":"), col("pixels"))).as("fp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.media_id") < col("b.media_id"))
       .where(col("a.container") =!= col("b.container"))
@@ -1539,7 +1539,7 @@ object Multimodal {
       .select(col("media_id"), col("container"), col("width"), col("height"),
         md5(concat(col("width").cast("string"), lit("x"),
           col("height").cast("string"), lit(":"), col("pixels"))).as("fp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.media_id") < col("b.media_id"))
       .where(col("a.container") =!= col("b.container"))
@@ -1766,7 +1766,7 @@ object Multimodal {
     // GC-reclaimable materialization instead of a session-lifetime pin.
     val hashes = q168AudioFingerprint(s, d)
       .select(col("media_id"), col("fp_hi").as("ahash_hi"), col("fp_lo").as("ahash_lo"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val removed = neardupPairs(hashes)
       .select(col("media_id_b").as("media_id")).distinct()
     hashes.join(removed.withColumn("dup", lit(1)), Seq("media_id"), "left")
@@ -2112,7 +2112,7 @@ object Multimodal {
     }.toDF("media_id", "w", "csv", "ghi", "glo")
       .select(col("media_id"), col("w"), md5(col("csv")).as("fp"),
         col("ghi"), col("glo"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // digital silence shares one window md5 across a whole crawl — drop
     // fps above the cap before the self-join (VERDICT r16 #1)
     val kept = dropHotKeys(rows, Seq("fp"), ExactFpCap)
@@ -2367,7 +2367,7 @@ object Multimodal {
       }
     }.toDF("media_id", "key")
       .select(col("media_id"), md5(col("key")).as("fp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // black/slate frames share one scene hash across a whole crawl —
     // drop fps above the cap before the self-join (VERDICT r16 #1)
     val kept = dropHotKeys(fps, Seq("fp"), ExactFpCap)
@@ -2702,7 +2702,7 @@ object Multimodal {
         (m.media_id, hi, lo)
       }
     }.toDF("media_id", "ahash_hi", "ahash_lo")
-    val bands = bandExplode(hashes).localCheckpoint()
+    val bands = bandExplode(hashes).localCheckpoint(eager = false)
     val bst = bands.groupBy(col("b"), col("v")).agg(count(lit(1)).as("df"))
     val stat = bst.groupBy(col("b")).agg(
       count(lit(1)).as("n_bands"),
@@ -2848,7 +2848,7 @@ object Multimodal {
       }
     }.toDF("media_id", "w", "sfp", "csv")
       .select(col("media_id"), col("w"), col("sfp"), md5(col("csv")).as("efp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val kept = dropHotKeys(rows, Seq("sfp"), ExactFpCap)
     kept.as("a").join(kept.as("b"),
         col("a.sfp") === col("b.sfp") && col("a.media_id") < col("b.media_id"))
@@ -3236,7 +3236,7 @@ object Multimodal {
     * q195 pair set; the corpus is touched once for the left join. */
   def q196CrossModalKeep(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = q195CrossModalPairs(s, d).localCheckpoint()
+    val pairs = q195CrossModalPairs(s, d).localCheckpoint(eager = false)
     val u = pairs
       .select(col("doc_a").as("doc_id"), col("relation"), lit(0).as("is_b"))
       .union(pairs

@@ -104,7 +104,7 @@ object AudioWindowIndex extends MaintainedIndex {
     * re-decoded and the index is never scanned. */
   def probeTrims(batch: DataFrame, spark: SparkSession,
       idxRoot: String): DataFrame = {
-    val probe = windows(batch).localCheckpoint()
+    val probe = windows(batch).localCheckpoint(eager = false)
     // cap the CORPUS side's per-fp membership (silence concentration
     // lives there; the arriving batch is batch-sized by contract)
     val committed = Multimodal.dropHotKeys(

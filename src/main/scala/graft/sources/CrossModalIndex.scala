@@ -140,7 +140,7 @@ object CrossModalIndex extends MaintainedIndex {
     * never re-shingled and no committed image is re-derived. */
   def probeCrossModal(batch: DataFrame, spark: SparkSession,
       xmIdxRoot: String, bandIdxRoot: String): DataFrame = {
-    val probe = bandFacts(batch).localCheckpoint()
+    val probe = bandFacts(batch).localCheckpoint(eager = false)
     val committed = Multimodal.dropHotKeys(
       ManifestTable
         .readKeyPruned(spark, xmIdxRoot, "bk", IndexBuckets, probe.select(col("bk")))

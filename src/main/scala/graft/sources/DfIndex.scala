@@ -211,7 +211,7 @@ object DfIndex {
     val tf = batch
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val df = ManifestTable
       .readKeyPruned(spark, idxRoot, "token", IndexBuckets, tf)
       .where(col("df_docs") > 0L)

@@ -110,7 +110,7 @@ object GainWindowIndex extends MaintainedIndex {
     * scanned. */
   def probeGains(batch: DataFrame, spark: SparkSession,
       idxRoot: String): DataFrame = {
-    val probe = windows(batch).localCheckpoint()
+    val probe = windows(batch).localCheckpoint(eager = false)
     val committed = Multimodal.dropHotKeys(
       ManifestTable
         .readKeyPruned(spark, idxRoot, "sfp", IndexBuckets, probe.select(col("sfp")))

@@ -690,7 +690,7 @@ object ManifestTable {
     // (batch media decode, window explodes, tf aggregates). Checkpoint
     // the PROJECTED key column once (batch-bounded by the caller's
     // contract) and feed both consumers from the materialized rows.
-    val k = keys.select(col(keyCol)).localCheckpoint()
+    val k = keys.select(col(keyCol)).localCheckpoint(eager = false)
     val buckets = k
       .select(bucketIdColumn(col(keyCol), nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0).toString).toSet

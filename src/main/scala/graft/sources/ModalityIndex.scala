@@ -141,7 +141,7 @@ object ModalityIndex extends MaintainedIndex {
     * re-decoded and the index is never scanned. */
   def probeModality(batch: DataFrame, spark: SparkSession,
       idxRoot: String): DataFrame = {
-    val probe = bandRows(fingerprints(batch)).localCheckpoint()
+    val probe = bandRows(fingerprints(batch)).localCheckpoint(eager = false)
     // the CORPUS side is what concentrates (a crawl's flat images /
     // silence all landing in one band) — cap its membership per bk
     // before the join; the arriving batch is batch-sized by contract

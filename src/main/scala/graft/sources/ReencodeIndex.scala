@@ -127,7 +127,7 @@ object ReencodeIndex extends MaintainedIndex {
     * never scanned. */
   def probeReencodes(batch: DataFrame, spark: SparkSession,
       idxRoot: String): DataFrame = {
-    val probe = bandFacts(batch).localCheckpoint()
+    val probe = bandFacts(batch).localCheckpoint(eager = false)
     // the CORPUS side is what concentrates (slates, black frames) —
     // cap its per-bk membership; the arriving batch is batch-sized
     val committed = Multimodal.dropHotKeys(

@@ -109,7 +109,7 @@ object SceneIndex extends MaintainedIndex {
   def probeScenes(batch: DataFrame, spark: SparkSession,
       idxRoot: String): DataFrame = {
     val probe = scenes(batch)
-      .select(col("fp"), col("media_id")).distinct().localCheckpoint()
+      .select(col("fp"), col("media_id")).distinct().localCheckpoint(eager = false)
     val committed = Multimodal.dropHotKeys(
       ManifestTable
         .readKeyPruned(spark, idxRoot, "fp", IndexBuckets, probe.select(col("fp")))
