@@ -690,6 +690,12 @@ object ManifestTable {
     // (batch media decode, window explodes, tf aggregates). Checkpoint
     // the PROJECTED key column once (batch-bounded by the caller's
     // contract) and feed both consumers from the materialized rows.
+    // Lazy (r21): the bucket-set collect below is the first action and
+    // materializes it — an eager checkpoint was a whole extra job per
+    // probe. CONTRACT NOTE (ADVICE r20): the checkpoint blocks live in
+    // the block manager until the RDD is GC'd — batch-bounded per call,
+    // but a driver probing in a tight loop should expect storage to
+    // ebb with GC cycles, not instantly.
     val k = keys.select(col(keyCol)).localCheckpoint(eager = false)
     val buckets = k
       .select(bucketIdColumn(col(keyCol), nBuckets).as("b"))
@@ -989,7 +995,18 @@ object ManifestTable {
     val staged = df.withColumn("__part",
       coalesce(col(partCol).cast("string"), lit(NullPartition)))
     (if (cluster) staged.repartition(col("__part")) else staged)
-      .write.partitionBy("__part").mode("overwrite").parquet(dataDir)
+      .write.partitionBy("__part")
+      // ADVICE r20 safety valve: repartition(__part) funnels each
+      // touched bucket into ONE writer task/file; a pathologically hot
+      // bucket at production scale would become a single-task straggler
+      // writing an arbitrarily large file. maxRecordsPerFile caps the
+      // file size without changing the layout contract (extra files of
+      // a bucket still carry its bucket-id stamp). 0 (the Spark
+      // default) = off — the declared contract is that BUCKET COUNT is
+      // the file-sizing unit; deployments size the cap alongside it.
+      .option("maxRecordsPerFile",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_RECORDS_PER_FILE", "0"))
+      .mode("overwrite").parquet(dataDir)
     val buckets = bucketLayout(root)
     Option(new File(dataDir).listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith("__part="))
